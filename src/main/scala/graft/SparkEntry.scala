@@ -1,17 +1,197 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.analytics.Kpis
+import graft.dedup.Dedup
+import graft.etl.{Cleaning, Validate}
+import graft.multimodal.Multimodal
+import graft.operators.Relational
+import graft.similarity.Ann
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
+/** Driver contract — one entry per operator in SURVEY.md §2, with a
+  * DuckDB oracle for every SQL-expressible operator. Column aliases and
+  * ordering are kept IDENTICAL between the Spark query and its oracle.
+  */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("c1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ================================================================ A: ETL
+
+    "a1_validate" -> ((s, dir) => {
+      val rules = Seq(
+        Validate.Rule("missing_custkey", col("o_custkey").isNotNull),
+        Validate.Rule("nonpositive_price", col("o_totalprice").isNotNull && col("o_totalprice") > 0),
+        Validate.Rule("bad_status", col("o_orderstatus").isin("O", "F", "P")),
+        Validate.Rule("price_below_floor", col("o_totalprice") >= 5000))
+      Validate.withRejectReason(Tables.orders(s, dir), rules)
+        .groupBy(coalesce(col("reject_reason"), lit("valid")).as("reject_reason"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("reject_reason")
+    }),
+
+    "a2_audit" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("source_name", lit("orders"))
+        .withColumn("ingest_year", year(col("o_orderdate")).cast("long"))
+        .withColumn("batch_id", concat(lit("orders_"), year(col("o_orderdate")).cast("string")))
+        .groupBy("source_name", "ingest_year", "batch_id")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("first_key"), max("o_orderkey").as("last_key"))
+        .orderBy("ingest_year")
+    }),
+
+    "a3_flatten_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
+    "a4_clean_numeric" -> ((s, dir) => {
+      val cleaned = {
+        val base = Cleaning.castColumns(Tables.lineitem(s, dir),
+          Map("l_quantity" -> "double", "l_extendedprice" -> "double"))
+        val np = Cleaning.nullifyNonPositive(base, Seq("l_quantity", "l_extendedprice"))
+        val rng = Cleaning.nullifyWhere(np, "l_discount", col("l_discount") < 0 || col("l_discount") > 0.5)
+        Cleaning.conditionalNull(rng, "l_tax", col("l_discount") === 0)
+      }
+      cleaned.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count("l_quantity").as("n_qty"), count("l_tax").as("n_tax"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "a5_clean_text" -> ((s, dir) => {
+      Cleaning.placeholderToNull(Tables.events(s, dir), "event_type", Seq("error", "unknown", ""))
+        .groupBy(coalesce(col("event_type"), lit("(null)")).as("event_type_clean"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type_clean")
+    }),
+
+    "a6_derived" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .withColumn("net", revenue)
+        .withColumn("ratio", when(col("l_quantity") >= 5, col("net") / col("l_quantity")))
+        .withColumn("net_m", col("net") / lit(1000000.0))
+        .groupBy("l_returnflag")
+        .agg(round(sum("net"), 4).as("sum_net"),
+          round(avg("ratio"), 4).as("avg_ratio"),
+          count("ratio").as("n_ratio"),
+          round(sum("net_m"), 6).as("sum_net_millions"))
+        .orderBy("l_returnflag")
+    }),
+
+    "a7_dedup_key" -> ((s, dir) => {
+      Cleaning.dedupKeepFirst(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 97 === 0),
+          keys = Seq(col("l_orderkey")),
+          order = Seq(col("l_linenumber"), col("l_partkey")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(col("l_quantity"), 4).as("qty"))
+        .orderBy("l_orderkey")
+    }),
+
+    "a8_row_quality" -> ((s, dir) => {
+      val staged = Tables.orders(s, dir)
+        .withColumn("price_c", when(col("o_totalprice") < 20000, lit(null)).otherwise(col("o_totalprice")))
+        .withColumn("prio_c", when(col("o_orderpriority") === "1-URGENT", lit(null)).otherwise(col("o_orderpriority")))
+      Cleaning.minNonNull(
+          Cleaning.requireNonNull(staged, Seq("o_orderkey", "o_custkey")),
+          Seq("price_c", "prio_c"), 1)
+        .agg(count(lit(1)).as("n_kept"), round(sum("price_c"), 4).as("sum_price"))
+    }),
+
+    "a9_project" -> ((s, dir) => {
+      Cleaning.project(Tables.orders(s, dir).filter(col("o_orderkey") % 101 === 0), Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "total_price" -> col("o_totalprice").cast("double"),
+          "status" -> col("o_orderstatus"),
+          "order_year" -> year(col("o_orderdate")).cast("long")))
+        .orderBy("o_orderkey")
+    }),
+
+    "a10_silver_pipeline" -> ((s, dir) => {
+      val bronze = Tables.events(s, dir)
+      val validated = Validate.valid(bronze, Seq(
+        Validate.Rule("missing_id", col("event_id").isNotNull),
+        Validate.Rule("missing_user", col("user_id").isNotNull)))
+      val flattened = validated.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      val cleaned = Cleaning.placeholderToNull(
+        Cleaning.nullifyNonPositive(flattened, Seq("value")),
+        "event_type", Seq("error", "unknown"))
+      val deduped = Cleaning.dedupKeepFirst(cleaned, Seq(col("event_id")), Seq(col("ts")))
+      val silver = Cleaning.project(
+        Cleaning.requireNonNull(deduped, Seq("event_type")),
+        Seq("event_id" -> col("event_id"), "user_id" -> col("user_id"),
+          "etype" -> col("event_type"), "value_c" -> col("value"), "k" -> col("k")))
+      silver.groupBy("etype")
+        .agg(count(lit(1)).as("n"), round(sum("value_c"), 4).as("sum_value"), sum("k").as("sum_k"))
+        .orderBy("etype")
+    }),
+
+    // =========================================================== B: KPIs
+
+    "b1_rank_topn" -> ((s, dir) => {
+      Kpis.rankTopN(Tables.orders(s, dir), col("o_totalprice"),
+          descending = true, n = 10, tieBreak = Seq(col("o_orderkey")))
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 4).as("total_price"))
+    }),
+
+    "b2_rank_ratio" -> ((s, dir) => {
+      Kpis.rankByRatio(Tables.lineitem(s, dir),
+          numer = col("l_extendedprice"), denom = col("l_quantity"),
+          denomOk = col("l_quantity") >= 10, as = "unit_price", n = 10,
+          tieBreak = Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("unit_price"), 4).as("unit_price"))
+    }),
+
+    "b3_search_multi" -> ((s, dir) => {
+      Kpis.search(Tables.part(s, dir),
+          predicates = Seq(col("p_name").contains("re"), col("p_type").contains("AN")),
+          orderBy = Seq(col("p_retailprice").desc, col("p_partkey").asc), limit = 20)
+        .select(col("p_partkey"), col("p_name"), col("p_type"),
+          round(col("p_retailprice"), 4).as("retail"))
+    }),
+
+    "b4_group_flag_stats" -> ((s, dir) => {
+      Kpis.groupFlagStats(Tables.orders(s, dir),
+          flag = col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          value = col("o_totalprice"))
+        .orderBy("flag")
+    }),
+
+    "b5_top_groups" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = broadcast(Tables.supplier(s, dir))
+      Kpis.topGroups(li.join(sup, col("l_suppkey") === col("s_suppkey")),
+        groupCol = col("s_name"), measure = revenue, n = 10,
+        countAs = "n_items", sumAs = "revenue", avgAs = "avg_revenue")
+    }),
+
+    "b6_explode_agg" -> ((s, dir) => {
+      Kpis.explodeAgg(Tables.documents(s, dir), lower(col("text")), " ",
+        measure = col("n_chars"), n = 20)
+    }),
+
+    "b7_per_year" -> ((s, dir) => {
+      Kpis.perPeriod(Tables.orders(s, dir),
+        period = year(col("o_orderdate")).cast("long"), measure = col("o_totalprice"))
+    }),
+
+    // ==================================================== C: relational core
+
     "c1_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
@@ -19,19 +199,336 @@ object SparkEntry {
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
           round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(sum(revenue), 4).as("sum_disc_price"),
+          round(sum(revenue * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "c2_join_topk" -> ((s, dir) => {
+      val cust = broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+      val ord = Tables.orders(s, dir).filter(col("o_orderdate") < to_timestamp(lit("1998-03-15 00:00:00")))
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > to_timestamp(lit("1998-03-15 00:00:00")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
+        .agg(round(sum(revenue), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+    }),
+
+    "c3_star_join" -> ((s, dir) => {
+      val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val nat = broadcast(Tables.nation(s, dir).join(broadcast(reg), col("n_regionkey") === col("r_regionkey")))
+      val sup = broadcast(Tables.supplier(s, dir))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(revenue), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "c4_anti_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 4).as("sum_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "c5_window_topk" -> ((s, dir) => {
+      Relational.topKPerGroup(
+          Tables.orders(s, dir).filter(col("o_custkey") % 50 === 0),
+          partitionBy = Seq(col("o_custkey")),
+          orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("total_price"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "c6_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")
+    }),
+
+    "c7_pivot" -> ((s, dir) => {
+      Relational.pivotAgg(Tables.events(s, dir), col("user_id"), "event_type",
+          values = Seq("click", "error", "purchase", "signup", "view"), measure = col("value"))
+        .orderBy("user_id")
+    }),
+
+    "c8_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 4).as("returned_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus")
+    }),
+
+    "c9_time_bucket" -> ((s, dir) => {
+      Relational.timeBucketAgg(Tables.events(s, dir), col("ts"), "1 hour",
+          groupBy = Seq(col("event_type")), value = col("value"))
+        .select("bucket_start", "event_type", "n", "sum_value")
+        .orderBy("bucket_start", "event_type")
+    }),
+
+    "c10_sessionize" -> ((s, dir) => {
+      val sessions = Relational.sessionize(Tables.events(s, dir),
+        entity = col("user_id"), ts = col("ts"), gapSeconds = 1800,
+        orderTieBreak = Seq(col("event_id")))
+      Relational.sessionStats(sessions, col("user_id"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // ========================================== D: training-data operators
+
+    "d1_dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactGroups(docs, col("doc_id"), col("text"))
+        .orderBy("content_hash")
+    }),
+
+    "d2_dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashCandidates(Tables.documents(s, dir), col("doc_id"), col("text"),
+          numHashes = 32, numBands = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d3_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          maxHamming = 3, chunks = 4)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          threshold = 0.5, k = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d5_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    "d6_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          dims = 64, k = 5, tables = 8, bits = 8)
+        .orderBy("qid", "rank")
+    }),
+
+    "d7_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      val enStop = TextFunctions.LangStopwords.head._2
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(t).cast("long").as("n_chars"),
+          TextFunctions.tokenCount(t).as("n_words"),
+          round(length(t).cast("double") / TextFunctions.tokenCount(t), 4).as("avg_word_len"),
+          round(TextFunctions.punctRatio(t), 4).as("punct_ratio"),
+          round(TextFunctions.upperRatio(t), 4).as("upper_ratio"),
+          round(TextFunctions.stopwordRatio(t, enStop), 4).as("stopword_ratio"),
+          round(TextFunctions.qualityScore(t), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "d8_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("pred_lang", TextFunctions.langId(col("text")))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("n_label_agree"))
+        .orderBy("pred_lang")
+    }),
+
+    "d9_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("ws_tokens"),
+          sum(TextFunctions.regexTokenCount(col("text"))).as("re_tokens"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_ws_tokens"))
+        .orderBy("source")
+    }),
+
+    "d10_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextFunctions.contentFingerprint(col("text")).as("content_md5"),
+          TextFunctions.minShingleFingerprint(col("text")).as("min_shingle_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "d11_vector_stats" -> ((s, dir) => {
+      import graft.vectors.VectorOps
+      val v = VectorOps.toDouble(col("embedding"))
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          VectorOps.l2Norm(v).as("norm"), element_at(v, 1).as("d1"), element_at(v, 2).as("d2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"),
+          round(avg("d1"), 4).as("avg_dim1"), round(avg("d2"), 4).as("avg_dim2"))
+        .orderBy("label")
+    }),
+
+    "d12_embed_neardup" -> ((s, dir) => {
+      Ann.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dims = 64, threshold = 0.4, tables = 8, bits = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d13_multimodal" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain", "source")
+      Multimodal.withBinaryMetrics(media)
+        .groupBy("source", "media_type")
+        .agg(count(lit(1)).as("n"),
+          sum("byte_len").as("sum_bytes"),
+          countDistinct(col("checksum")).as("n_checksums"))
+        .orderBy("source")
     })
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** DuckDB oracles — identical aliases, identical deterministic ordering.
+    * Rows-only (no oracle): d2, d3, d6, d12 (hash-seeded LSH semantics),
+    * d13 (crc32 not in DuckDB). */
   def oracleSql: Map[String, String] = Map(
+
+    "a1_validate" ->
+      """SELECT coalesce(CASE
+        |   WHEN o_custkey IS NULL THEN 'missing_custkey'
+        |   WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 'nonpositive_price'
+        |   WHEN o_orderstatus NOT IN ('O','F','P') THEN 'bad_status'
+        |   WHEN o_totalprice < 5000 THEN 'price_below_floor' END, 'valid') AS reject_reason,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY reject_reason""".stripMargin,
+
+    "a2_audit" ->
+      """SELECT 'orders' AS source_name, year(o_orderdate) AS ingest_year,
+        | 'orders_' || CAST(year(o_orderdate) AS VARCHAR) AS batch_id,
+        | count(*) AS n, min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        |FROM orders GROUP BY 1,2,3 ORDER BY ingest_year""".stripMargin,
+
+    "a3_flatten_json" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(*) AS n,
+        | round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "a4_clean_numeric" ->
+      """WITH c AS (SELECT l_returnflag,
+        |  CASE WHEN l_quantity <= 0 THEN NULL ELSE l_quantity END AS qty_c,
+        |  CASE WHEN l_extendedprice <= 0 THEN NULL ELSE l_extendedprice END AS price_c,
+        |  CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN NULL ELSE l_discount END AS disc_c,
+        |  CASE WHEN l_discount = 0 THEN NULL ELSE l_tax END AS tax_c
+        | FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n, count(qty_c) AS n_qty, count(tax_c) AS n_tax,
+        | round(sum(qty_c),4) AS sum_qty, round(sum(price_c),4) AS sum_price
+        |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a5_clean_text" ->
+      """SELECT coalesce(CASE WHEN event_type IN ('error','unknown','') THEN NULL
+        |   ELSE event_type END, '(null)') AS event_type_clean, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type_clean""".stripMargin,
+
+    "a6_derived" ->
+      """WITH d AS (SELECT l_returnflag, l_quantity,
+        |  l_extendedprice*(1-l_discount) AS net,
+        |  CASE WHEN l_quantity >= 5 THEN l_extendedprice*(1-l_discount)/l_quantity END AS ratio,
+        |  l_extendedprice*(1-l_discount)/1000000.0 AS net_m
+        | FROM lineitem)
+        |SELECT l_returnflag, round(sum(net),4) AS sum_net, round(avg(ratio),4) AS avg_ratio,
+        | count(ratio) AS n_ratio, round(sum(net_m),6) AS sum_net_millions
+        |FROM d GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a7_dedup_key" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity,4) AS qty
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+        |      FROM lineitem WHERE l_orderkey % 97 = 0)
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "a8_row_quality" ->
+      """WITH s AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_totalprice < 20000 THEN NULL ELSE o_totalprice END AS price_c,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END AS prio_c
+        | FROM orders)
+        |SELECT count(*) AS n_kept, round(sum(price_c),4) AS sum_price
+        |FROM s WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        | AND (CASE WHEN price_c IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN prio_c IS NOT NULL THEN 1 ELSE 0 END) >= 1""".stripMargin,
+
+    "a9_project" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price,
+        | o_orderstatus AS status, year(o_orderdate) AS order_year
+        |FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "a10_silver_pipeline" ->
+      """WITH silver AS (
+        | SELECT event_id, user_id,
+        |  CASE WHEN event_type IN ('error','unknown') THEN NULL ELSE event_type END AS etype,
+        |  CASE WHEN value <= 0 THEN NULL ELSE value END AS value_c,
+        |  CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        | FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT etype, count(*) AS n, round(sum(value_c),4) AS sum_value,
+        | CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM silver WHERE etype IS NOT NULL GROUP BY 1 ORDER BY etype""".stripMargin,
+
+    "b1_rank_topn" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS total_price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "b2_rank_ratio" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice/l_quantity,4) AS unit_price
+        |FROM lineitem WHERE l_quantity >= 10
+        |ORDER BY l_extendedprice/l_quantity DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "b3_search_multi" ->
+      """SELECT p_partkey, p_name, p_type, round(p_retailprice,4) AS retail
+        |FROM part WHERE p_name LIKE '%re%' AND p_type LIKE '%AN%'
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin,
+
+    "b4_group_flag_stats" ->
+      """SELECT o_orderpriority IN ('1-URGENT','2-HIGH') AS flag, count(*) AS n,
+        | round(avg(o_totalprice),4) AS mean_value, round(median(o_totalprice),4) AS median_value
+        |FROM orders GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "b5_top_groups" ->
+      """SELECT s_name, count(*) AS n_items,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        | round(avg(l_extendedprice*(1-l_discount)),4) AS avg_revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY revenue DESC, s_name LIMIT 10""".stripMargin,
+
+    "b6_explode_agg" ->
+      """SELECT t.word AS token, count(*) AS n, round(avg(t.n_chars),4) AS avg_value
+        |FROM (SELECT n_chars, unnest(string_split(lower(text),' ')) AS word FROM documents) t
+        |WHERE t.word <> '' GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "b7_per_year" ->
+      """SELECT year(o_orderdate) AS period, count(*) AS n,
+        | round(sum(o_totalprice),4) AS sum_value, round(avg(o_totalprice),4) AS avg_value
+        |FROM orders GROUP BY 1 ORDER BY period""".stripMargin,
+
     "c1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,
@@ -45,6 +542,165 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "c2_join_topk" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        | CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY 1,3,4 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "c3_star_join" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "c4_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal),4) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "c5_window_topk" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS total_price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        | FROM orders WHERE o_custkey % 50 = 0)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "c6_rollup" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),4) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "c7_pivot" ->
+      """SELECT user_id,
+        | round(coalesce(sum(CASE WHEN event_type='click' THEN value END),0),4) AS click,
+        | round(coalesce(sum(CASE WHEN event_type='error' THEN value END),0),4) AS error,
+        | round(coalesce(sum(CASE WHEN event_type='purchase' THEN value END),0),4) AS purchase,
+        | round(coalesce(sum(CASE WHEN event_type='signup' THEN value END),0),4) AS signup,
+        | round(coalesce(sum(CASE WHEN event_type='view' THEN value END),0),4) AS view
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "c8_distinct" ->
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | round(sum(CASE WHEN l_returnflag='R' THEN l_extendedprice ELSE 0 END),4) AS returned_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "c9_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        | event_type, count(*) AS n, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY bucket_start, event_type""".stripMargin,
+
+    "c10_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+        |FROM g GROUP BY 1,2 ORDER BY user_id, session_id""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+        | min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter),4) AS jaccard
+        |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE inter*1.0/(x.n + y.n - inter) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d5_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, cid,
+        |   list_inner_product(qv,cv) / (sqrt(list_inner_product(qv,qv)) * sqrt(list_inner_product(cv,cv))) AS cos
+        |  FROM q, c WHERE qid <> cid),
+        |r AS (SELECT qid, cid, cos,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank FROM s)
+        |SELECT qid, cid, round(cos,4) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "d7_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  length(text) AS nc,
+        |  len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS nw,
+        |  length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS np,
+        |  length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu,
+        |  len(list_filter(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '),
+        |      x -> x IN ('the','a','of','to','and','is','in','it'))) AS ns
+        | FROM documents)
+        |SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(nw AS BIGINT) AS n_words,
+        | round(CAST(nc AS DOUBLE)/nw, 4) AS avg_word_len,
+        | round(CAST(np AS DOUBLE)/nc, 4) AS punct_ratio,
+        | round(CAST(nu AS DOUBLE)/nc, 4) AS upper_ratio,
+        | round(CAST(ns AS DOUBLE)/nw, 4) AS stopword_ratio,
+        | round(least(1.0, nw/100.0)*0.5 + (1 - least(CAST(np AS DOUBLE)/nc, 1.0))*0.3
+        |     + (1 - least(CAST(nu AS DOUBLE)/nc, 1.0))*0.2, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "d8_lang_id" ->
+      """WITH t AS (SELECT lang, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents),
+        |h AS (SELECT lang,
+        |  len(list_filter(w, x -> x IN ('the','a','of','to','and','is','in','it'))) AS h_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','nicht','zu'))) AS h_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','los','que','y','un','es'))) AS h_es,
+        |  len(list_filter(w, x -> x IN ('le','la','les','et','est','un','dans','que'))) AS h_fr
+        | FROM t),
+        |p AS (SELECT lang, CASE
+        |  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+        |  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+        |  WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred_lang FROM h)
+        |SELECT pred_lang, count(*) AS n,
+        | CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_label_agree
+        |FROM p GROUP BY 1 ORDER BY pred_lang""".stripMargin,
+
+    "d9_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '))) AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS re_tokens,
+        | round(avg(len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '))),4) AS avg_ws_tokens
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "d10_fingerprint" ->
+      """WITH s AS (SELECT doc_id, regexp_replace(lower(trim(text)),'\s+',' ','g') AS norm FROM documents),
+        |w AS (SELECT doc_id, norm, string_split(norm,' ') AS t FROM s)
+        |SELECT doc_id, md5(norm) AS content_md5,
+        | CASE WHEN len(t) >= 3 THEN
+        |   list_min(list_transform(range(1, len(t)-1), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+        | END AS min_shingle_md5
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "d11_vector_stats" ->
+      """WITH v AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT label, count(*) AS n,
+        | round(avg(sqrt(list_inner_product(e, e))),4) AS avg_norm,
+        | round(avg(e[1]),4) AS avg_dim1, round(avg(e[2]),4) AS avg_dim2
+        |FROM v GROUP BY 1 ORDER BY label""".stripMargin
   )
 }

@@ -1,0 +1,112 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gold-layer KPI operators.
+  *
+  * Generalizes the reference's analytics stage (analytics/kpis.py) from
+  * movie-specific queries to reusable operators over arbitrary tables.
+  */
+object Kpis {
+
+  /** Generic top-N ranking by a metric (reference: kpis.py:67-99
+    * `rank_movies(metric, order, top_n, filter)` — instantiated 10× for
+    * highest/lowest revenue, budget, profit, roi, votes, rating,
+    * popularity).
+    *
+    * `tieBreak` makes the result deterministic under ties. Scale:
+    * `orderBy(...).limit(n)` compiles to `TakeOrderedAndProject` —
+    * per-partition top-n + single small reduce, no global sort shuffle.
+    */
+  def rankTopN(
+      df: DataFrame,
+      metric: Column,
+      descending: Boolean = true,
+      n: Int = 10,
+      filter: Option[Column] = None,
+      tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    val base = filter.fold(df)(df.filter)
+    val key = if (descending) metric.desc else metric.asc
+    base.orderBy(key +: tieBreak.map(_.asc): _*).limit(n)
+  }
+
+  /** Conditional-ratio ranking (reference: kpis.py:57-64,90-91 — ROI
+    * computed only where `budget >= 10`, then ranked). The ratio is only
+    * defined where `denomOk`; other rows are excluded before ranking. */
+  def rankByRatio(
+      df: DataFrame,
+      numer: Column,
+      denom: Column,
+      denomOk: Column,
+      as: String,
+      n: Int,
+      tieBreak: Seq[Column]): DataFrame =
+    rankTopN(df.filter(denomOk).withColumn(as, numer / denom),
+      col(as), descending = true, n = n, tieBreak = tieBreak)
+
+  /** Multi-predicate contains-search with ordering (reference:
+    * kpis.py:102-131 — `col.contains(x) & col2.contains(y)` search with
+    * sort). Predicates AND together; always give an `orderBy` with a
+    * unique trailing key for determinism. */
+  def search(df: DataFrame, predicates: Seq[Column], orderBy: Seq[Column], limit: Int): DataFrame =
+    df.filter(predicates.reduce(_ && _)).orderBy(orderBy: _*).limit(limit)
+
+  /** Grouped flag statistics: mean + median per boolean segment
+    * (reference: kpis.py:134-152 franchise-vs-standalone stats).
+    *
+    * Exact `median` matches the oracle; at 100 TB swap `exact=false`
+    * for `percentile_approx` (single-pass sketch, no sort).
+    */
+  def groupFlagStats(df: DataFrame, flag: Column, value: Column, exact: Boolean = true): DataFrame = {
+    val med = if (exact) median(value) else percentile_approx(value, lit(0.5), lit(10000))
+    df.groupBy(flag.as("flag"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(value), 4).as("mean_value"),
+        round(med, 4).as("median_value"))
+  }
+
+  /** Top-groups aggregation (reference: kpis.py:155-200 — top franchises
+    * / directors by revenue with count/sum/avg, ordered, rounded).
+    * Hash aggregate with map-side partial aggregation; the final
+    * `orderBy(...).limit` is a TakeOrderedAndProject over group rows. */
+  def topGroups(
+      df: DataFrame,
+      groupCol: Column,
+      measure: Column,
+      n: Int,
+      countAs: String = "n",
+      sumAs: String = "sum_value",
+      avgAs: String = "avg_value"): DataFrame =
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as(countAs),
+        round(sum(measure), 4).as(sumAs),
+        round(avg(measure), 4).as(avgAs))
+      .orderBy(col(sumAs).desc, groupCol.asc)
+      .limit(n)
+
+  /** Explode-and-aggregate: delimited string → tokens → per-token stats
+    * (reference: visualization/visualize.py:79-105 — pipe-joined genres
+    * exploded to per-genre aggregates). */
+  def explodeAgg(
+      df: DataFrame,
+      listCol: Column,
+      delimiter: String,
+      measure: Column,
+      n: Int): DataFrame =
+    df.withColumn("token", explode(split(listCol, delimiter)))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), round(avg(measure), 4).as("avg_value"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(n)
+
+  /** Per-period aggregation on a date part (reference: visualize.py year
+    * extraction + per-year stats). */
+  def perPeriod(df: DataFrame, period: Column, measure: Column): DataFrame =
+    df.groupBy(period.as("period"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(measure), 4).as("sum_value"),
+        round(avg(measure), 4).as("avg_value"))
+      .orderBy(col("period").asc)
+}

@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Medallion (Bronze → Silver → Gold) incremental runner.
+  *
+  * Re-expresses the reference's idempotent partition processing
+  * (reference: transform/clean_transform.py:27-66 — discover
+  * `ingestion_date=*` partitions, skip those with a `.done` marker,
+  * transform, append Hive-partitioned output, write the marker;
+  * analytics/kpis.py:27-52 runs the same pattern Silver→Gold).
+  *
+  * Scale notes: partition discovery is a driver-side directory listing
+  * (cheap); each partition is processed as an independent Spark job, so
+  * a 100 TB backfill parallelizes per-partition and a failed run resumes
+  * exactly where it stopped — the marker is written only after a
+  * successful write, and reprocessing an unmarked partition overwrites
+  * its own output (idempotent).
+  */
+object Medallion {
+
+  val PartitionCol = "ingestion_date"
+
+  /** Partition values under `root` laid out Hive-style
+    * (`ingestion_date=YYYY-MM-DD`). */
+  def listPartitions(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .filter(f => Files.isDirectory(f) && f.getFileName.toString.startsWith(s"$PartitionCol="))
+      .map(_.getFileName.toString.stripPrefix(s"$PartitionCol="))
+      .toSeq.sorted
+  }
+
+  private def marker(outRoot: String, value: String) =
+    Paths.get(outRoot, s".done_$value")
+
+  def isDone(outRoot: String, value: String): Boolean =
+    Files.exists(marker(outRoot, value))
+
+  /** Process every not-yet-done partition of `inRoot` with `transform`,
+    * writing Hive-partitioned parquet under `outRoot` and marking each
+    * partition `.done`. Returns the partition values processed this run.
+    */
+  def runIncremental(
+      spark: SparkSession,
+      inRoot: String,
+      outRoot: String,
+      transform: DataFrame => DataFrame): Seq[String] = {
+    Files.createDirectories(Paths.get(outRoot))
+    val todo = listPartitions(inRoot).filterNot(isDone(outRoot, _))
+    todo.foreach { value =>
+      val in = spark.read.parquet(s"$inRoot/$PartitionCol=$value")
+      val out = transform(in)
+      // Overwrite just this partition dir: idempotent re-run before the
+      // marker lands never duplicates rows.
+      out.write.mode("overwrite").parquet(s"$outRoot/$PartitionCol=$value")
+      Files.createFile(marker(outRoot, value))
+    }
+    todo
+  }
+
+  /** Write a DataFrame Hive-partitioned by `ingestion_date` (the
+    * reference's Bronze layout, fetch_movies.py:37-45). */
+  def writePartitioned(df: DataFrame, outRoot: String): Unit =
+    df.write.mode("append").partitionBy(PartitionCol).parquet(outRoot)
+}

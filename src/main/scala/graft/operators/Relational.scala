@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond plain select/join/agg: windowed top-k,
+  * sessionization, time bucketing, pivot. All are expressed as logical
+  * plans (window functions / pivot over groupBy) so Catalyst keeps
+  * partial aggregation, AQE, and codegen.
+  */
+object Relational {
+
+  /** Top-k rows per group via `row_number` (rank column kept as `rn`).
+    * One shuffle on the partition keys; ranking is within-partition. */
+  def topKPerGroup(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    df.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap from the
+    * previous event of the same entity exceeds `gapSeconds`.
+    *
+    * Classic lag + running-sum-of-boundaries formulation: exactly one
+    * shuffle on `entity`; both window functions share that partitioning,
+    * so the plan shape is identical at any scale. `orderTieBreak` must
+    * make the per-entity ordering total (unique) for determinism.
+    * Streaming equivalent: [[graft.streaming.StreamOps.sessionize]].
+    */
+  def sessionize(
+      df: DataFrame,
+      entity: Column,
+      ts: Column,
+      gapSeconds: Long,
+      orderTieBreak: Seq[Column]): DataFrame = {
+    val order = ts.asc +: orderTieBreak.map(_.asc)
+    val w = Window.partitionBy(entity).orderBy(order: _*)
+    val us = unix_micros(ts)
+    val prevUs = lag(us, 1).over(w)
+    val isNew = when(prevUs.isNull || (us - prevUs) > gapSeconds * 1000000L, 1).otherwise(0)
+    df.withColumn("__us", us)
+      .withColumn("session_id",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+  }
+
+  /** Session-level rollup from [[sessionize]] output. */
+  def sessionStats(sessions: DataFrame, entity: Column): DataFrame =
+    sessions.groupBy(entity, col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("__us")) - min(col("__us"))) / lit(1000000L)).cast("long").as("duration_sec"))
+
+  /** Tumbling event-time bucket aggregation — the batch mirror of a
+    * Structured Streaming windowed aggregation (same `window()` grouping
+    * works under `readStream`). Bucket start is formatted as a string so
+    * results are engine-portable. */
+  def timeBucketAgg(df: DataFrame, ts: Column, bucket: String, groupBy: Seq[Column], value: Column): DataFrame =
+    df.groupBy(window(ts, bucket).getField("start").as("bucket_ts") +: groupBy: _*)
+      .agg(count(lit(1)).as("n"), round(sum(value), 4).as("sum_value"))
+      .withColumn("bucket_start", date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("bucket_ts")
+
+  /** Pivot with an explicit value list. Passing `values` explicitly keeps
+    * the plan single-pass at scale (no extra distinct-collect job) and
+    * makes output columns deterministic. */
+  def pivotAgg(df: DataFrame, groupBy: Column, pivotCol: String, values: Seq[String], measure: Column): DataFrame = {
+    val pivoted = df.groupBy(groupBy).pivot(pivotCol, values).agg(sum(measure))
+    values.foldLeft(pivoted)((d, v) => d.withColumn(v, round(coalesce(col(v), lit(0.0)), 4)))
+  }
+}

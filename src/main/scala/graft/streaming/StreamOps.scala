@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators: the streaming mirror of the batch
+  * operators in [[graft.operators.Relational]]. Each works on any
+  * streaming DataFrame (`readStream` source, kafka, MemoryStream in
+  * tests) and carries a watermark so state is bounded at scale.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window counts/sums per group — the canonical
+    * streaming aggregation. State per (window, group) is dropped once
+    * the watermark passes the window end, so state size is bounded by
+    * (active windows × groups), independent of stream length. */
+  def windowedAgg(
+      events: DataFrame,
+      ts: String,
+      watermark: String,
+      bucket: String,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    events.withWatermark(ts, watermark)
+      .groupBy(window(col(ts), bucket), col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col(groupCol), col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, n_events: Long, duration_sec: Long, sum_value: Double)
+
+  /** Stateful gap sessionization via `flatMapGroupsWithState`: a session
+    * closes when no event arrives within `gapSeconds` (event-time
+    * timeout). Emits one row per closed session. State is one small
+    * record per active user — bounded by active users; the event-time
+    * timeout + watermark guarantee state cleanup at scale.
+    * Batch equivalent: [[graft.operators.Relational.sessionize]]. */
+  def sessionize(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      watermark: String,
+      gapSeconds: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.n, (s.last - s.start) / 1000, s.sum))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.n, (s.last - s.start) / 1000, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Stream–static enrichment join: each micro-batch joins against a
+    * static dimension. Spark broadcasts the static side when small, so
+    * the stream is never shuffled — the canonical dimension-enrichment
+    * pattern. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+}

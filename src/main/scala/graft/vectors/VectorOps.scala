@@ -1,0 +1,37 @@
+package graft.vectors
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column math over embedding columns (`array<float>` / `array<double>`).
+  *
+  * All operations are `functions.transform` / `zip_with` / `aggregate`
+  * expressions — per-row, shuffle-free, and identical in plan shape at
+  * any scale. Math is done in double precision (floats are upcast per
+  * element) so results are bit-stable across engines.
+  */
+object VectorOps {
+
+  /** Elementwise upcast to double. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Σ aᵢ·bᵢ — sequential left-to-right sum, matching the order a
+    * columnar engine evaluates a dot product (bit-reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Σ vᵢ² */
+  def sumSquares(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+
+  /** ‖v‖₂ */
+  def l2Norm(v: Column): Column = sqrt(sumSquares(v))
+
+  /** cos(a,b) = a·b / (‖a‖‖b‖). Pass precomputed norms when calling in a
+    * join hot path so each side's norm is computed once per row, not once
+    * per pair. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+}

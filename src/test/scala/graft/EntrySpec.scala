@@ -1,0 +1,26 @@
+package graft
+
+/** Smoke-run every declared query at sf0.001 — the same contract the
+  * driver exercises. Catches schema drift, ANSI-mode issues, and broken
+  * plans before the driver does. */
+class EntrySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001 and is deterministic in schema") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+}

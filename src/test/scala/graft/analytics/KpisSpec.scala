@@ -1,0 +1,64 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KpisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val movies = Seq(
+    ("a", 100.0, 10.0, 7.1), ("b", 100.0, 50.0, 8.0),
+    ("c", 300.0, 5.0, 6.0), ("d", 50.0, 20.0, 9.9))
+    .toDF("title", "revenue", "budget", "rating")
+
+  test("rankTopN orders by metric with deterministic tie-break") {
+    val top = Kpis.rankTopN(movies, col("revenue"), descending = true, n = 2,
+      tieBreak = Seq(col("title"))).select("title").as[String].collect()
+    assert(top.toSeq == Seq("c", "a")) // a before b on the 100.0 tie
+  }
+
+  test("rankTopN ascending with filter (lowest-budget style)") {
+    val low = Kpis.rankTopN(movies, col("budget"), descending = false, n = 1,
+      filter = Some(col("revenue") >= 100), tieBreak = Seq(col("title")))
+    assert(low.select("title").as[String].head() == "c")
+  }
+
+  test("rankByRatio only ranks rows where denominator qualifies") {
+    val roi = Kpis.rankByRatio(movies, col("revenue"), col("budget"),
+      denomOk = col("budget") >= 10, as = "roi", n = 10, tieBreak = Seq(col("title")))
+    val titles = roi.select("title").as[String].collect().toSet
+    assert(!titles.contains("c")) // budget 5 excluded
+    assert(roi.select("title").as[String].head() == "a") // 100/10 = 10 highest
+  }
+
+  test("search ANDs predicates") {
+    val hits = Kpis.search(movies,
+      Seq(col("title").isin("a", "b", "c"), col("rating") >= 7),
+      Seq(col("title").asc), 10)
+    assert(hits.select("title").as[String].collect().toSeq == Seq("a", "b"))
+  }
+
+  test("groupFlagStats computes exact median per segment") {
+    val df = Seq((true, 1.0), (true, 3.0), (false, 10.0), (false, 20.0), (false, 90.0))
+      .toDF("f", "v")
+    val out = Kpis.groupFlagStats(df, col("f"), col("v")).orderBy("flag")
+      .select("median_value").as[Double].collect()
+    assert(out.toSeq == Seq(20.0, 2.0)) // false first, even-count interpolates
+  }
+
+  test("topGroups orders by sum desc with name tie-break") {
+    val df = Seq(("x", 5.0), ("x", 5.0), ("y", 10.0), ("z", 1.0)).toDF("g", "v")
+    val out = Kpis.topGroups(df, col("g"), col("v"), n = 2)
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("x", "y")) // 10.0 tie → x < y
+    assert(rows.head.getLong(1) == 2L)
+  }
+
+  test("explodeAgg splits, drops empties, aggregates per token") {
+    val df = Seq(("Action|Drama", 10.0), ("Drama", 20.0), ("|", 1.0)).toDF("genres", "score")
+    val out = Kpis.explodeAgg(df, col("genres"), "\\|", col("score"), 10)
+    val drama = out.filter(col("token") === "Drama").head()
+    assert(drama.getLong(1) == 2L && drama.getDouble(2) == 15.0)
+    assert(out.filter(col("token") === "").count() == 0)
+  }
+}

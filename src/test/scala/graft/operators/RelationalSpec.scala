@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2L), // exactly 30 min → same session
+      (1L, ts("2024-01-01 11:00:01"), 3L), // 30 min + 1 s → new session
+      (2L, ts("2024-01-01 10:00:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Relational.sessionStats(
+        Relational.sessionize(df, col("user_id"), col("ts"), 1800, Seq(col("event_id"))),
+        col("user_id"))
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events", "duration_sec")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L, 2L, 1800L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("topKPerGroup keeps k rows per key with rank") {
+    val df = Seq(("a", 3.0), ("a", 1.0), ("a", 2.0), ("b", 9.0)).toDF("k", "v")
+    val out = Relational.topKPerGroup(df, Seq(col("k")), Seq(col("v").desc), 2)
+    assert(out.filter(col("k") === "a").count() == 2)
+    assert(out.filter(col("k") === "a" && col("rn") === 1).select("v").as[Double].head() == 3.0)
+  }
+
+  test("pivotAgg fills missing combinations with 0") {
+    val df = Seq((1L, "x", 2.0), (1L, "x", 3.0), (2L, "y", 7.0)).toDF("id", "t", "v")
+    val out = Relational.pivotAgg(df, col("id"), "t", Seq("x", "y"), col("v")).orderBy("id")
+    val rows = out.select("x", "y").as[(Double, Double)].collect()
+    assert(rows.toSeq == Seq((5.0, 0.0), (0.0, 7.0)))
+  }
+
+  test("timeBucketAgg buckets into tumbling windows") {
+    val df = Seq((ts("2024-01-01 10:05:00"), "a", 1.0), (ts("2024-01-01 10:55:00"), "a", 2.0),
+      (ts("2024-01-01 11:05:00"), "a", 4.0)).toDF("ts", "t", "v")
+    val out = Relational.timeBucketAgg(df, col("ts"), "1 hour", Seq(col("t")), col("v"))
+      .orderBy("bucket_start").select("bucket_start", "sum_value").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("2024-01-01 10:00:00", 3.0), ("2024-01-01 11:00:00", 4.0)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedAgg: watermarked tumbling windows emit per-window counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.windowedAgg(
+      input.toDF().toDF("ts", "event_type", "value"),
+      ts = "ts", watermark = "10 minutes", bucket = "1 hour",
+      groupCol = "event_type", valueCol = "value")
+    val q = agg.writeStream.format("memory").queryName("win").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:35:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win").orderBy("bucket_start")
+        .select("n", "sum_value").as[(Long, Double)].collect()
+      assert(rows.toSeq == Seq((2L, 3.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap timeout closes sessions and emits stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.SessionEvent]
+    val sessions = StreamOps.sessionize(spark, input.toDS(), "10 seconds", gapSeconds = 60)
+    val q = sessions.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(
+        StreamOps.SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        StreamOps.SessionEvent(1L, ts("2024-01-01 10:00:30"), 2.0))
+      q.processAllAvailable()
+      // a later event far past the gap both closes session 1 (in-batch) and
+      // advances the watermark
+      input.addData(StreamOps.SessionEvent(1L, ts("2024-01-01 10:10:00"), 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess")
+        .select("user_id", "n_events", "duration_sec", "sum_value")
+        .as[(Long, Long, Long, Double)].collect()
+      assert(closed.toSeq == Seq((1L, 2L, 30L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("enrich: stream-static broadcast join adds dimension columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val out = StreamOps.enrich(input.toDF().toDF("user_id", "value"), dim, "user_id")
+    val q = out.writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (3L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").orderBy("user_id")
+        .select("user_id", "tier").collect()
+      assert(rows(0).getString(1) == "gold")
+      assert(rows(1).isNullAt(1)) // left join keeps unmatched stream rows
+    } finally q.stop()
+  }
+}
