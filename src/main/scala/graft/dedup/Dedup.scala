@@ -54,14 +54,27 @@ object Dedup {
   /** MinHash signature of the document's word-3-gram set: for each of
     * `numHashes` universal-hash functions, min over shingles of
     * (a·(xxhash64(s) mod P) + b) mod P. Pure column expression —
-    * per-row, no shuffle. */
+    * per-row, no shuffle.
+    *
+    * Perf note: higher-order-function expressions are interpreted (no
+    * whole-stage codegen) and get NO common-subexpression elimination,
+    * so the shingle array must be computed exactly once — a single
+    * `aggregate` folds the hash array into all `numHashes` running
+    * minima at once (array accumulator + zip_with against the constant
+    * parameter array). A naive `array(min₁, …, min₃₂)` re-tokenizes the
+    * document 32×. */
   def minHashSignature(text: Column, numHashes: Int): Column = {
-    val sh = TextFunctions.shingles(text, 3)
-    val sig = (0 until numHashes).map { i =>
+    val hashes = transform(TextFunctions.shingles(text, 3), s => pmod(xxhash64(s), lit(P)))
+    val params = array((0 until numHashes).map { i =>
       val (a, b) = hashParams(i)
-      array_min(transform(sh, s => pmod(pmod(xxhash64(s), lit(P)) * lit(a) + lit(b), lit(P))))
-    }
-    when(size(sh) > 0, array(sig: _*))
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    val folded = aggregate(hashes, array_repeat(lit(P), numHashes),
+      (acc, h) => zip_with(acc, params,
+        (m, p) => least(m, pmod(h * p.getField("a") + p.getField("b"), lit(P)))))
+    // cheap guard (tokenize only, no shingle/hash work): <3 tokens ⇒ no
+    // shingles ⇒ signature undefined
+    when(size(TextFunctions.tokens(text)) >= 3, folded)
   }
 
   /** LSH band keys from a MinHash signature: `numBands` strings, each
@@ -88,8 +101,19 @@ object Dedup {
       numHashes: Int = 32,
       numBands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val sigs = df.select(id.as("doc_id"), minHashSignature(text, numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
+    // Explode + hash-aggregate formulation: tokenize/hash each shingle
+    // exactly once, then fold the 32 running minima inside a codegen'd
+    // partial aggregate (map-side combine ⇒ the shuffle moves one
+    // 32-long row per document, not per shingle). Strictly better than
+    // the per-row expression at every scale.
+    val grams = df.select(id.as("doc_id"), explode(TextFunctions.shingles(text, 3)).as("g"))
+      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+    val minCols = (0 until numHashes).map { i =>
+      val (a, b) = hashParams(i)
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+    }
+    val sigs = grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
     val bands = sigs.select(col("doc_id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
     val a = bands.select(col("band"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("doc_id").as("doc_b"))
@@ -101,17 +125,21 @@ object Dedup {
 
   /** 64-bit SimHash of the document's token multiset: per bit, sum +1/-1
     * over tokens by that bit of xxhash64(token); bit set iff sum > 0.
-    * Expressed as 64 aggregate-over-array expressions — codegen'd,
-    * per-row. */
+    *
+    * Single-pass formulation: ONE fold over the token-hash array carries
+    * all 64 bit-vote counters as an array accumulator (zip_with against
+    * a constant mask array), then a second tiny fold assembles the final
+    * 64-bit value. Tokenization happens exactly once per row — 64
+    * independent per-bit aggregates would re-tokenize 64× because
+    * higher-order functions get no subexpression elimination. */
   def simHash(text: Column): Column = {
-    val t = TextFunctions.tokens(text)
-    val hashes = transform(t, w => xxhash64(w))
-    val bits = (0 until 64).map { bit =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
+    val hashes = transform(TextFunctions.tokens(text), w => xxhash64(w))
+    val masks = array((0 until 64).map(bit => lit(1L << bit)): _*)
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks,
+        (v, m) => v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
@@ -164,7 +192,12 @@ object Dedup {
       text: Column,
       threshold: Double,
       k: Int = 3): DataFrame = {
-    val sh = df.select(id.as("doc_id"), explode(TextFunctions.shingles(text, k)).as("g"))
+    // Shingles join on their 64-bit hash, not the string: the self-join
+    // shuffle moves 8-byte keys instead of ~20-byte strings, and the
+    // intersection count is unchanged absent xxhash64 collisions
+    // (negligible below ~2^32 distinct shingles per document pair).
+    val sh = df.select(id.as("doc_id"), explode(TextFunctions.shingles(text, k)).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("g"), col("doc_id").as("doc_a"))
     val b = sh.select(col("g"), col("doc_id").as("doc_b"))

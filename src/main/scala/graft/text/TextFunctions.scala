@@ -81,13 +81,27 @@ object TextFunctions {
   }
 
   /** Predicted language: argmax of stopword hits with a fixed priority
-    * order (list order breaks ties) — fully deterministic. */
+    * order (list order breaks ties on strict-greater comparison) —
+    * fully deterministic.
+    *
+    * Single-expression formulation: one fold over the tokens carries all
+    * per-language counters (array accumulator), a second tiny fold takes
+    * the argmax. Tokenization happens exactly once per row — separate
+    * hit-count columns would each re-tokenize, since higher-order
+    * functions get no common-subexpression elimination. */
   def langId(text: Column): Column = {
-    val hits = langHits(text)
-    hits.init.zipWithIndex.foldRight(lit(hits.last._1)) { case (((lang, c), i), acc) =>
-      val laterCols = hits.drop(i + 1).map(_._2)
-      when(laterCols.foldLeft(lit(true))((a, o) => a && c >= o), lit(lang)).otherwise(acc)
-    }
+    val langs = LangStopwords
+    val names = array(langs.map(l => lit(l._1)): _*)
+    val hits = aggregate(tokens(text), array_repeat(lit(0L), langs.size),
+      (acc, w) => zip_with(acc, names,
+        (c, name) => c + langs.foldRight(lit(0L): Column) { case ((lang, words), els) =>
+          when(name === lang, when(w.isin(words: _*), 1L).otherwise(0L)).otherwise(els)
+        }))
+    val best = aggregate(
+      zip_with(hits, names, (v, name) => struct(v.as("v"), name.as("lang"))),
+      struct(lit(-1L).as("v"), lit("?").as("lang")),
+      (acc, x) => when(x.getField("v") > acc.getField("v"), x).otherwise(acc))
+    best.getField("lang")
   }
 
   /** Content fingerprint: MD5 of the normalized text — stable across
