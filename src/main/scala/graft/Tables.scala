@@ -27,13 +27,16 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * cannot represent natively. We read nanos as LONG
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
-    * TimestampType column with integer division (a double division would
-    * lose precision above 2^53 ns). Narrow map — no shuffle.
+    * cannot represent natively. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` AT CONSTRUCTION (done in
+    * Bench/Verify/test builders) so nanos arrive as LONG; this loader then
+    * rebuilds a microsecond TimestampType column with integer division (a
+    * double division would lose precision above 2^53 ns). The flag is
+    * deliberately NOT set here — mutating shared session config inside a
+    * loader is a hidden side effect and race-prone across concurrent
+    * queries. Narrow map — no shuffle.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

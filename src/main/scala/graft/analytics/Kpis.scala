@@ -56,10 +56,14 @@ object Kpis {
     * (reference: kpis.py:134-152 franchise-vs-standalone stats).
     *
     * Exact `median` matches the oracle; at 100 TB swap `exact=false`
-    * for `percentile_approx` (single-pass sketch, no sort).
+    * for `percentile_approx` (single-pass mergeable sketch, no sort).
+    * When `accuracy` exceeds the group size the sketch is exact and
+    * returns the element at rank ceil(p·n); production runs use a
+    * smaller accuracy to bound sketch memory (error ≤ n/accuracy ranks).
     */
-  def groupFlagStats(df: DataFrame, flag: Column, value: Column, exact: Boolean = true): DataFrame = {
-    val med = if (exact) median(value) else percentile_approx(value, lit(0.5), lit(10000))
+  def groupFlagStats(df: DataFrame, flag: Column, value: Column, exact: Boolean = true,
+                     accuracy: Int = 10000): DataFrame = {
+    val med = if (exact) median(value) else percentile_approx(value, lit(0.5), lit(accuracy))
     df.groupBy(flag.as("flag"))
       .agg(count(lit(1)).as("n"),
         round(avg(value), 4).as("mean_value"),
@@ -87,19 +91,26 @@ object Kpis {
 
   /** Explode-and-aggregate: delimited string → tokens → per-token stats
     * (reference: visualization/visualize.py:79-105 — pipe-joined genres
-    * exploded to per-genre aggregates). */
+    * exploded to per-genre aggregates). The delimiter is a LITERAL
+    * string (regex-quoted before `split`), so "|" splits on pipes — the
+    * reference's genre separator — rather than on every character.
+    * Output column `token` is reserved; input columns of that name are
+    * rejected rather than silently overwritten. */
   def explodeAgg(
       df: DataFrame,
       listCol: Column,
       delimiter: String,
       measure: Column,
-      n: Int): DataFrame =
-    df.withColumn("token", explode(split(listCol, delimiter)))
+      n: Int): DataFrame = {
+    require(!df.columns.contains("token"),
+      "explodeAgg reserves output column 'token'; rename the input column")
+    df.withColumn("token", explode(split(listCol, java.util.regex.Pattern.quote(delimiter))))
       .filter(col("token") =!= "")
       .groupBy("token")
       .agg(count(lit(1)).as("n"), round(avg(measure), 4).as("avg_value"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(n)
+  }
 
   /** Per-period aggregation on a date part (reference: visualize.py year
     * extraction + per-year stats). */

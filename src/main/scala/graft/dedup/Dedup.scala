@@ -8,12 +8,19 @@ import org.apache.spark.sql.functions._
   * dedup, MinHash+LSH, SimHash, and exact n-gram Jaccard verification.
   *
   * Scale design (the invariant across all near-dup operators here):
-  * signatures are computed as narrow maps over the text column, and
-  * candidate generation is ALWAYS a bucket-keyed equi-join (LSH band,
-  * SimHash chunk, or shared shingle) — never a cartesian self-join.
-  * Comparisons are confined to rows that collide in at least one bucket,
-  * which is O(collisions), not O(n²), and the join shuffles on the
-  * bucket key so it parallelizes across executors.
+  * signatures are computed as narrow maps / partial aggregates over the
+  * text column, and candidate generation is ALWAYS a bucket-keyed
+  * equi-join (LSH band, SimHash chunk, or shared shingle) — never a
+  * cartesian self-join. Comparisons are confined to rows that collide in
+  * at least one bucket, which is O(collisions), not O(n²), and the join
+  * shuffles on the bucket key so it parallelizes across executors.
+  *
+  * The intended 100 TB pipeline is two-stage:
+  * [[minHashCandidates]] (cheap, probabilistic, high recall) →
+  * [[jaccardVerify]] (exact Jaccard on candidate pairs only). The
+  * full-corpus [[jaccardPairs]] exists for smaller corpora and as the
+  * oracle-checkable exact formulation; its `maxDf` stop-shingle cap
+  * bounds the inverted-index join at scale.
   */
 object Dedup {
 
@@ -51,18 +58,12 @@ object Dedup {
     (Math.floorMod(mix(i + 1), P - 1) + 1, Math.floorMod(mix(i + 0x10001), P))
   }
 
-  /** MinHash signature of the document's word-3-gram set: for each of
-    * `numHashes` universal-hash functions, min over shingles of
-    * (a·(xxhash64(s) mod P) + b) mod P. Pure column expression —
-    * per-row, no shuffle.
-    *
-    * Perf note: higher-order-function expressions are interpreted (no
-    * whole-stage codegen) and get NO common-subexpression elimination,
-    * so the shingle array must be computed exactly once — a single
-    * `aggregate` folds the hash array into all `numHashes` running
-    * minima at once (array accumulator + zip_with against the constant
-    * parameter array). A naive `array(min₁, …, min₃₂)` re-tokenizes the
-    * document 32×. */
+  /** MinHash signature of the document's word-3-gram set as a per-row
+    * column expression: for each of `numHashes` universal-hash functions,
+    * min over shingles of (a·(xxhash64(s) mod P) + b) mod P. No shuffle —
+    * useful for signature-only outputs. For candidate GENERATION prefer
+    * [[minHashCandidates]], whose explode + hash-aggregate formulation is
+    * codegen'd end-to-end. */
   def minHashSignature(text: Column, numHashes: Int): Column = {
     val hashes = transform(TextFunctions.shingles(text, 3), s => pmod(xxhash64(s), lit(P)))
     val params = array((0 until numHashes).map { i =>
@@ -86,13 +87,30 @@ object Dedup {
       concat_ws("_", lit(b) +: parts.map(_.cast("string")): _*)
     }: _*)
 
+  /** (doc_id, g) exploded 64-bit shingle hashes, distinct per document.
+    * Tokens are materialized in their own projection BEFORE the shingle
+    * higher-order function evaluates — interpreted HOFs get no common-
+    * subexpression elimination, so an inline `tokens(text)` would re-run
+    * the tokenizing regex per `element_at` (the root cause of r1's d2/d4
+    * bench times). Joining on the 64-bit hash instead of the shingle
+    * string moves 8-byte keys through the shuffle. */
+  private def shingleHashes(df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__toks"))
+      .select(col("doc_id"), explode(TextFunctions.shinglesOf(col("__toks"), k)).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+
   /** MinHash+LSH candidate pairs: (doc_a < doc_b, n_bands collided).
     *
-    * Plan: narrow signature map → explode bands (×numBands) → self-join
-    * keyed on the band string → distinct pair. The join shuffles on the
+    * Plan: staged tokens → explode shingles → codegen'd partial aggregate
+    * of `numHashes` running minima (map-side combine ⇒ the shuffle moves
+    * one numHashes-long row per document, not per shingle) → explode band
+    * keys → self-join keyed on the band string. The join shuffles on the
     * band key, so work distributes by bucket; hot buckets are bounded by
     * band selectivity (r rows/band), and AQE skew-join splits any
     * residual hot bucket.
+    *
+    * Recall: a pair with Jaccard j survives with prob 1-(1-j^r)^b; at the
+    * default b=8, r=4 a 0.9-Jaccard pair is missed with prob < 2e-4.
     */
   def minHashCandidates(
       df: DataFrame,
@@ -101,13 +119,11 @@ object Dedup {
       numHashes: Int = 32,
       numBands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    // Explode + hash-aggregate formulation: tokenize/hash each shingle
-    // exactly once, then fold the 32 running minima inside a codegen'd
-    // partial aggregate (map-side combine ⇒ the shuffle moves one
-    // 32-long row per document, not per shingle). Strictly better than
-    // the per-row expression at every scale.
-    val grams = df.select(id.as("doc_id"), explode(TextFunctions.shingles(text, 3)).as("g"))
-      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+    // Non-distinct shingles: the running minimum is unchanged by
+    // duplicates, so the O(n²) array_distinct pass is skipped.
+    val grams = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__toks"))
+      .select(col("doc_id"), explode(TextFunctions.shinglesAllOf(col("__toks"), 3)).as("gs"))
+      .select(col("doc_id"), pmod(xxhash64(col("gs")), lit(P)).as("h"))
     val minCols = (0 until numHashes).map { i =>
       val (a, b) = hashParams(i)
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
@@ -123,33 +139,50 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of the document's token multiset: per bit, sum +1/-1
-    * over tokens by that bit of xxhash64(token); bit set iff sum > 0.
+  /** SimHash signature width. 60 bits (not 64) so the per-token hash is
+    * the first 15 hex chars of md5(token) — parseable as a non-negative
+    * signed 64-bit integer in ANY engine with an md5 function, which
+    * makes the whole signature exactly reproducible by an external
+    * verifier (the DuckDB oracle recomputes it bit-for-bit). Losing 4 of
+    * 64 bits is immaterial for near-dup detection. */
+  val SimHashBits = 60
+
+  /** 60-bit token hash from the md5 hex prefix. (xxhash64 is cheaper but
+    * engine-specific; md5 keeps signatures cross-engine verifiable.) */
+  def tokenHash60(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  /** (doc_id, sim) SimHash signatures via explode + hash-aggregate:
+    * tokens explode to (doc_id, hash) rows, a codegen'd partial
+    * aggregate sums the 60 per-bit votes map-side (one 60-column row per
+    * document crosses the shuffle), and a final projection assembles the
+    * bits (bit b set iff its vote sum > 0).
     *
-    * Single-pass formulation: ONE fold over the token-hash array carries
-    * all 64 bit-vote counters as an array accumulator (zip_with against
-    * a constant mask array), then a second tiny fold assembles the final
-    * 64-bit value. Tokenization happens exactly once per row — 64
-    * independent per-bit aggregates would re-tokenize 64× because
-    * higher-order functions get no subexpression elimination. */
-  def simHash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), w => xxhash64(w))
-    val masks = array((0 until 64).map(bit => lit(1L << bit)): _*)
-    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, masks,
-        (v, m) => v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    * This replaces the r1 per-row `aggregate`+`zip_with` fold (60-wide
+    * array accumulator per token, interpreted, no codegen) that was the
+    * #4 bench hot spot — every expression here is a plain comparison or
+    * sum, so the whole stage compiles. */
+  def simHashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("w"))
+      .select(col("doc_id"), tokenHash60(col("w")).as("h"))
+    val votes = (0 until SimHashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L), 1L).otherwise(-1L)).as(s"v$b")
+    }
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimHashBits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sim"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
     *
-    * Pigeonhole bucketing: the 64-bit hash splits into `chunks` equal
-    * chunks; any pair within Hamming ≤ chunks-1 shares at least one
-    * exact chunk, so candidates are generated by equi-joining on
-    * (chunk_index, chunk_value) and verified with bit_count(xor).
-    * For maxHamming ≥ chunks, raise `chunks` (still equi-join, never
-    * cartesian). */
+    * Pigeonhole bucketing: the 60-bit signature splits into `chunks`
+    * equal chunks; any pair within Hamming ≤ chunks-1 shares at least
+    * one exact chunk, so the candidate set is COMPLETE (every qualifying
+    * pair is emitted — not probabilistic). Candidates come from an
+    * equi-join on (chunk_index, chunk_value) and are verified with
+    * bit_count(xor). For maxHamming ≥ chunks, raise `chunks` (still an
+    * equi-join, never cartesian). */
   def simHashPairs(
       df: DataFrame,
       id: Column,
@@ -157,8 +190,8 @@ object Dedup {
       maxHamming: Int = 3,
       chunks: Int = 4): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    val chunkBits = 64 / chunks
-    val sigs = df.select(id.as("doc_id"), simHash(text).as("sim"))
+    val chunkBits = SimHashBits / chunks
+    val sigs = simHashSignatures(df, id, text)
     val keyed = sigs.select(col("doc_id"), col("sim"), explode(array((0 until chunks).map { c =>
       concat_ws("_", lit(c),
         shiftright(col("sim"), c * chunkBits)
@@ -176,32 +209,70 @@ object Dedup {
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard similar pairs via the inverted-index join:
-    * explode distinct shingles, self-join on the shingle, count the
-    * intersection per pair, and compute |A∩B| / (|A|+|B|-|A∩B|).
+    * explode distinct shingles, drop stop-shingles (document frequency
+    * above `maxDf`), self-join on the shingle hash, count the
+    * intersection per pair, and compute |A∩B| / (|A|+|B|-|A∩B|) over the
+    * capped shingle universe (set sizes count surviving shingles only,
+    * so the result is a true set Jaccard of the capped sets).
     *
-    * This is the exact-verification stage run after MinHash candidate
-    * generation; candidates sharing zero shingles never materialize.
-    * The shingle join shuffles on the shingle value — band-partitioned,
-    * no cartesian. At 100 TB, cap hot shingles by dropping shingles with
-    * document frequency above a threshold (stopword shingles contribute
-    * nothing to near-dup detection).
+    * Scale: the join cost is O(Σ_shingle df²); the cap bounds every term
+    * at maxDf², and stop-shingles (boilerplate phrases shared by huge
+    * document sets) carry no near-dup signal. For corpus-scale runs
+    * prefer [[minHashCandidates]] → [[jaccardVerify]], which never
+    * builds the full inverted-index join at all.
     */
   def jaccardPairs(
       df: DataFrame,
       id: Column,
       text: Column,
       threshold: Double,
-      k: Int = 3): DataFrame = {
-    // Shingles join on their 64-bit hash, not the string: the self-join
-    // shuffle moves 8-byte keys instead of ~20-byte strings, and the
-    // intersection count is unchanged absent xxhash64 collisions
-    // (negligible below ~2^32 distinct shingles per document pair).
-    val sh = df.select(id.as("doc_id"), explode(TextFunctions.shingles(text, k)).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+      k: Int = 3,
+      maxDf: Int = 10000): DataFrame = {
+    val sh0 = shingleHashes(df, id, text, k)
+    val keep = sh0.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("g")
+    val sh = sh0.join(keep, Seq("g"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("g"), col("doc_id").as("doc_a"))
     val b = sh.select(col("g"), col("doc_id").as("doc_b"))
     val inter = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard verification over candidate pairs — the second
+    * stage of the MinHash→verify pipeline (`candidates` must expose
+    * `doc_a`/`doc_b`, e.g. [[minHashCandidates]] output). Emits each
+    * candidate pair with exact Jaccard ≥ `threshold`.
+    *
+    * Scale: shingle sets are computed ONLY for documents that appear in
+    * some candidate pair (left-semi prune) — at 100 TB this touches the
+    * near-dup cluster members, not the corpus. Intersections come from
+    * joining each pair to its two shingle sets ((doc_b, g) equi-join),
+    * so cost is O(Σ_pair |A|), linear in candidates — the full
+    * inverted-index self-join never materializes. */
+  def jaccardVerify(
+      candidates: DataFrame,
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      threshold: Double,
+      k: Int = 3): DataFrame = {
+    val pairs = candidates.select(col("doc_a"), col("doc_b"))
+    val ids = pairs.select(col("doc_a").as("__cid"))
+      .union(pairs.select(col("doc_b").as("__cid"))).distinct()
+    val docs = df.join(ids, id === col("__cid"), "left_semi")
+    val sh = shingleHashes(docs, id, text, k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("g"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("g"))
+    val inter = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")

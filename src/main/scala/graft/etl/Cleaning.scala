@@ -52,8 +52,10 @@ object Cleaning {
     */
   def dedupKeepFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // collision-proof internal rank column (never leaks into the output)
+    val rn = Iterator.from(0).map(i => s"__rn$i").find(!df.columns.contains(_)).get
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
   }
 
   /** Drop rows with nulls in required columns

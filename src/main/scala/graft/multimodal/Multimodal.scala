@@ -31,12 +31,15 @@ object Multimodal {
       encode(col(payload), "UTF-8").as("content"))
 
   /** Cheap, fully-native binary metrics (no decode): byte length, CRC32
-    * checksum, hex prefix. These run codegen'd at scan speed and are the
-    * first-pass filter before any expensive decode. */
+    * checksum, SHA-256 digest (hex — engine-portable, so external
+    * verifiers can re-derive it), hex prefix. These run codegen'd at
+    * scan speed and are the first-pass filter before any expensive
+    * decode. */
   def withBinaryMetrics(media: DataFrame): DataFrame =
     media
       .withColumn("byte_len", length(col("content")).cast("long"))
       .withColumn("checksum", crc32(col("content")))
+      .withColumn("sha256", sha2(col("content"), 256))
       .withColumn("head_hex", hex(substring(col("content"), 1, 4)))
 
   // ======================================================================

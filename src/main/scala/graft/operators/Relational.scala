@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** Top-k rows per group via `row_number` (rank column kept as `rn`).
+  /** Top-k rows per group via `row_number` (rank column kept as `rn` —
+    * a RESERVED output name; inputs already containing it are rejected
+    * rather than silently overwritten).
     * One shuffle on the partition keys; ranking is within-partition. */
   def topKPerGroup(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame = {
+    require(!df.columns.contains("rn"),
+      "topKPerGroup reserves output column 'rn'; rename the input column")
     val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
     df.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
@@ -25,6 +29,9 @@ object Relational {
     * shuffle on `entity`; both window functions share that partitioning,
     * so the plan shape is identical at any scale. `orderTieBreak` must
     * make the per-entity ordering total (unique) for determinism.
+    * Output columns `session_id` and `__us` (event-time micros, consumed
+    * by [[sessionStats]]) are RESERVED; inputs already containing them
+    * are rejected rather than silently overwritten.
     * Streaming equivalent: [[graft.streaming.StreamOps.sessionize]].
     */
   def sessionize(
@@ -33,6 +40,8 @@ object Relational {
       ts: Column,
       gapSeconds: Long,
       orderTieBreak: Seq[Column]): DataFrame = {
+    Seq("session_id", "__us").foreach(c => require(!df.columns.contains(c),
+      s"sessionize reserves output column '$c'; rename the input column"))
     val order = ts.asc +: orderTieBreak.map(_.asc)
     val w = Window.partitionBy(entity).orderBy(order: _*)
     val us = unix_micros(ts)

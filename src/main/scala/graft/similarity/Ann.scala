@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * Two tiers:
   *  - [[bruteForceTopK]] — exact cosine top-k: the correctness baseline.
   *    The (small) query set is broadcast against the corpus; per
-  *    (query, candidate) cosine is a codegen-friendly expression; top-k
-  *    per query is a `row_number` window over the query id.
+  *    (query, candidate) cosine is a single expression; top-k per query
+  *    is a `row_number` window over the query id.
   *  - [[lshTopK]] — random-hyperplane LSH: the 100 TB path. Corpus rows
-  *    are bucketed by sign-bit signatures across several tables;
-  *    exact cosine runs only inside colliding buckets, so per-query cost
-  *    is O(bucket) instead of O(corpus).
+  *    are bucketed by sign-bit signatures across several tables; exact
+  *    cosine runs only inside colliding buckets, so per-query cost is
+  *    O(bucket) instead of O(corpus).
+  *
+  * Parameter discipline at scale: bucket count must GROW with the corpus
+  * (fixed `bits` degenerates to quadratic per-bucket self-joins), so
+  * `bits` is derived from the corpus size and a target bucket size via
+  * [[bitsFor]] unless explicitly overridden. Recall is then tuned with
+  * `tables`; [[recallFor]] gives the closed form to size it.
   */
 object Ann {
 
@@ -28,10 +34,8 @@ object Ann {
     * query sets, chunk the queries and union.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String, k: Int): DataFrame = {
-    val c = corpus.select(col(id).as("cid"), VectorOps.toDouble(col(vec)).as("cv"))
-      .withColumn("cnorm", VectorOps.l2Norm(col("cv")))
-    val q = queries.select(col(id).as("qid"), VectorOps.toDouble(col(vec)).as("qv"))
-      .withColumn("qnorm", VectorOps.l2Norm(col("qv")))
+    val c = vecTable(corpus, id, vec, "cid", "cv", "cnorm")
+    val q = vecTable(queries, id, vec, "qid", "qv", "qnorm")
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("cos", VectorOps.cosineWithNorms(col("qv"), col("cv"), col("qnorm"), col("cnorm")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
@@ -59,51 +63,109 @@ object Ann {
     concat_ws("", lit(s"${t}_") +: bitCols: _*)
   }
 
+  /** Signature bits for a target bucket size: 2^bits ≈ corpus/target, so
+    * expected bucket population stays ≈ `targetBucketSize` as the corpus
+    * grows — per-bucket join work is bounded instead of quadratic in n.
+    * Clamped to [1, 24]. */
+  def bitsFor(corpusSize: Long, targetBucketSize: Int): Int = {
+    val raw = math.ceil(math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    math.max(1, math.min(24, raw))
+  }
+
+  /** Closed-form per-pair recall of sign-bit LSH: a pair at cosine `cos`
+    * agrees on one hyperplane bit with prob p = 1 − arccos(cos)/π, lands
+    * in the same bucket of one table with p^bits, and collides in ≥1 of
+    * `tables` tables with 1 − (1−p^bits)^tables. Use to size `tables`
+    * for the lowest cosine the caller must not miss. */
+  def recallFor(cos: Double, bits: Int, tables: Int): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+  }
+
+  /** (id, vector, norm) projection shared by scoring stages. */
+  private def vecTable(df: DataFrame, id: String, vec: String,
+                       idAs: String, vAs: String, nAs: String): DataFrame =
+    df.select(col(id).as(idAs), VectorOps.toDouble(col(vec)).as(vAs))
+      .withColumn(nAs, VectorOps.l2Norm(col(vAs)))
+
+  /** (id, sig) signature table, computed as a codegen'd matmul rather
+    * than per-plane interpreted `aggregate` folds: posexplode the vector
+    * to (id, dim, x), broadcast-join the (table, plane, dim, coef)
+    * hyperplane coefficients, partial-sum the dot per (id, table, plane)
+    * (map-side combine — the shuffle moves one row per id×table×plane),
+    * threshold to sign bits, and pack each table's bits into a numeric
+    * bucket. Two properties matter at 100 TB: (1) no interpreted
+    * higher-order functions anywhere on the corpus scan, and (2) the
+    * vector is dropped BEFORE candidate generation — only 8-byte ids and
+    * short signature strings ride the candidate shuffle; vectors are
+    * joined back exactly once per surviving pair (r1 shuffled the full
+    * vector ×tables, the dominant cost of the embedding near-dup query). */
+  private def sigTable(df: DataFrame, id: String, vec: String, idAs: String,
+                       dims: Int, tables: Int, bits: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = (0 until tables).flatMap(t => (0 until bits).flatMap(p =>
+      (0 until dims).map(d => (t, p, d, planeCoef(t, p, d))))).toDF("__t", "__p", "__d", "__coef")
+    df.select(col(id).as(idAs), posexplode(VectorOps.toDouble(col(vec))))
+      .toDF(idAs, "__d", "__x")
+      .join(broadcast(planes), "__d")
+      .groupBy(col(idAs), col("__t"), col("__p"))
+      .agg(sum(col("__x") * col("__coef")).as("__dot"))
+      .groupBy(col(idAs), col("__t"))
+      .agg(sum(when(col("__dot") > 0, pow(lit(2.0), col("__p")).cast("long")).otherwise(0L)).as("__bucket"))
+      .select(col(idAs), concat(col("__t").cast("string"), lit("_"), col("__bucket").cast("string")).as("sig"))
+  }
+
   /** LSH-bucketed ANN: exact cosine top-k within the union of the
     * query's buckets across `tables` signature tables.
     *
     * Plan shape: signatures are narrow maps; candidate generation is an
-    * equi-join on the signature string (shuffle keyed by bucket);
-    * duplicates from multi-table collisions collapse via max(cos) —
-    * cosine is identical for every collision of a pair. Recall/cost is
-    * tuned by (tables, bits): more tables → higher recall, fewer bits →
-    * bigger buckets.
+    * equi-join on the signature string (shuffle keyed by bucket) over
+    * (id, sig) pairs only; multi-table collisions collapse via distinct
+    * BEFORE vectors are joined back, so each surviving pair is scored
+    * exactly once. `bits = 0` (default) derives the bucket count from
+    * the corpus size via [[bitsFor]]; recall is then governed by
+    * `tables` (see [[recallFor]]).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              dims: Int, k: Int, tables: Int = 8, bits: Int = 8): DataFrame = {
-    def signed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val base = df.select(col(id).as(idAs), VectorOps.toDouble(col(vec)).as(vecAs))
-        .withColumn(s"${idAs}_norm", VectorOps.l2Norm(col(vecAs)))
-      base.withColumn("sig", explode(array(
-        (0 until tables).map(t => hyperplaneSignature(col(vecAs), dims, t, bits)): _*)))
-    }
-    val c = signed(corpus, "cid", "cv")
-    val q = signed(queries, "qid", "qv")
-    val cand = c.join(q, Seq("sig")).filter(col("qid") =!= col("cid"))
-      .withColumn("cos", VectorOps.cosineWithNorms(col("qv"), col("cv"), col("qid_norm"), col("cid_norm")))
-      .groupBy("qid", "cid").agg(max("cos").as("cos"))
+              dims: Int, k: Int, tables: Int = 16, bits: Int = 0,
+              targetBucketSize: Int = 64, corpusSize: Option[Long] = None): DataFrame = {
+    val nBits = if (bits > 0) bits else bitsFor(corpusSize.getOrElse(corpus.count()), targetBucketSize)
+    val cand = sigTable(corpus, id, vec, "cid", dims, tables, nBits)
+      .join(broadcast(sigTable(queries, id, vec, "qid", dims, tables, nBits)), Seq("sig"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val scored = cand
+      .join(vecTable(corpus, id, vec, "cid", "cv", "cnorm"), "cid")
+      .join(broadcast(vecTable(queries, id, vec, "qid", "qv", "qnorm")), "qid")
+      .withColumn("cos", VectorOps.cosineWithNorms(col("qv"), col("cv"), col("qnorm"), col("cnorm")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    cand.withColumn("rank", row_number().over(w).cast("long"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
   }
 
   /** Embedding near-duplicate pairs: corpus self-match where
     * cosine ≥ `threshold`, candidates restricted to LSH bucket
-    * collisions (same plan discipline as [[lshTopK]] — equi-join on the
-    * bucket, never cartesian). */
+    * collisions (same plan discipline as [[lshTopK]]: equi-join on the
+    * bucket over (id, sig) only, distinct pairs, then ONE vector
+    * re-join per side — never a cartesian, and never the full vector
+    * through the ×tables explode). */
   def embeddingNearDupPairs(corpus: DataFrame, id: String, vec: String,
                             dims: Int, threshold: Double,
-                            tables: Int = 8, bits: Int = 8): DataFrame = {
-    val base = corpus.select(col(id).as("vid"), VectorOps.toDouble(col(vec)).as("v"))
-      .withColumn("norm", VectorOps.l2Norm(col("v")))
-    val sig = base.withColumn("sig", explode(array(
-      (0 until tables).map(t => hyperplaneSignature(col("v"), dims, t, bits)): _*)))
-    val a = sig.select(col("sig"), col("vid").as("doc_a"), col("v").as("va"), col("norm").as("na"))
-    val b = sig.select(col("sig"), col("vid").as("doc_b"), col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("sig")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(max(VectorOps.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))).as("cos"))
+                            tables: Int = 16, bits: Int = 0,
+                            targetBucketSize: Int = 64, corpusSize: Option[Long] = None): DataFrame = {
+    val nBits = if (bits > 0) bits else bitsFor(corpusSize.getOrElse(corpus.count()), targetBucketSize)
+    val sigs = sigTable(corpus, id, vec, "vid", dims, tables, nBits)
+    val cand = sigs.select(col("sig"), col("vid").as("doc_a"))
+      .join(sigs.select(col("sig"), col("vid").as("doc_b")), Seq("sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val v = vecTable(corpus, id, vec, "vid", "v", "norm")
+    cand
+      .join(v.select(col("vid").as("doc_a"), col("v").as("va"), col("norm").as("na")), "doc_a")
+      .join(v.select(col("vid").as("doc_b"), col("v").as("vb"), col("norm").as("nb")), "doc_b")
+      .withColumn("cos", VectorOps.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cosine"))
   }

@@ -70,7 +70,13 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+              // Clamp: with EventTimeTimeout Spark rejects a timeout at or
+              // before the current watermark, and a late-but-in-watermark
+              // batch can leave s.last + gap behind it — such a session is
+              // already expired, so time it out on the next watermark tick.
+              val target = s.last + gapSeconds * 1000
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(target, wm + 1))
             }
             closed.reverseIterator
           }

@@ -28,16 +28,34 @@ object TextFunctions {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")
 
-  /** Word k-shingles ("a b c" 3-grams) of normalized text, distinct.
-    * Documents shorter than k tokens yield an empty array. */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
+  /** Word k-shingles ("a b c" 3-grams) over a PRE-MATERIALIZED token
+    * array column, distinct. Documents shorter than k tokens yield an
+    * empty array.
+    *
+    * Callers in hot paths should materialize `tokens(text)` in a prior
+    * projection and pass the attribute here: higher-order functions are
+    * interpreted with NO common-subexpression elimination, so referencing
+    * a raw `tokens(text)` expression would re-run the tokenizing regex
+    * for every `element_at` call — O(shingles × k) regex evaluations per
+    * row instead of one. */
+  def shinglesOf(t: Column, k: Int): Column =
+    array_distinct(shinglesAllOf(t, k))
+
+  /** Non-distinct k-shingles over a pre-materialized token array. Use
+    * when downstream semantics ignore duplicates (e.g. MinHash minima) —
+    * skips the O(n²) `array_distinct` pass. */
+  def shinglesAllOf(t: Column, k: Int): Column = {
     // sequence(1, n) flips to a descending sequence when n < 1, so short
     // documents must short-circuit to an empty array explicitly.
     val make = transform(sequence(lit(1), size(t) - (k - 1)), i =>
       concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*))
-    when(size(t) >= k, array_distinct(make)).otherwise(array().cast("array<string>"))
+    when(size(t) >= k, make).otherwise(array().cast("array<string>"))
   }
+
+  /** Word k-shingles of normalized text, distinct. Convenience form; hot
+    * paths should stage [[tokens]] and call [[shinglesOf]] (see note
+    * there). */
+  def shingles(text: Column, k: Int): Column = shinglesOf(tokens(text), k)
 
   /** Punctuation ratio over characters. */
   def punctRatio(text: Column): Column =
@@ -72,48 +90,58 @@ object TextFunctions {
     "es" -> Seq("el", "la", "de", "los", "que", "y", "un", "es"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "dans", "que"))
 
-  /** Per-language stopword hit counts as (lang → count) columns. */
-  def langHits(text: Column): Seq[(String, Column)] = {
-    val t = tokens(text)
+  /** Per-language stopword hit counts over a PRE-MATERIALIZED token
+    * array (see [[shinglesOf]] for why staging matters). */
+  def langHitsOf(t: Column): Seq[(String, Column)] =
     LangStopwords.map { case (lang, words) =>
       lang -> size(filter(t, w => w.isin(words: _*))).cast("long")
     }
+
+  /** Per-language stopword hit counts as (lang → count) columns. */
+  def langHits(text: Column): Seq[(String, Column)] = langHitsOf(tokens(text))
+
+  /** Argmax over per-language hit-count columns with list-order
+    * tie-break (an earlier language wins ties) — fully deterministic,
+    * and a plain comparison CASE chain, so it stays inside whole-stage
+    * codegen.
+    *
+    * (The r1 formulation folded an array accumulator over the tokens —
+    * one interpreted `aggregate`+`zip_with` per row — and was the #3
+    * bench hot spot. Hit counting via `size(filter(...))` over a staged
+    * token array plus this codegen'd argmax is strictly cheaper.) */
+  def langPred(hits: Seq[(String, Column)]): Column = {
+    val preds = hits.zipWithIndex.init.map { case ((lang, h), i) =>
+      val beatsRest = hits.drop(i + 1).map { case (_, h2) => h >= h2 }.reduce(_ && _)
+      (beatsRest, lang)
+    }
+    preds.foldRight(lit(hits.last._1)) { case ((cond, lang), els) =>
+      when(cond, lit(lang)).otherwise(els)
+    }
   }
 
-  /** Predicted language: argmax of stopword hits with a fixed priority
-    * order (list order breaks ties on strict-greater comparison) —
-    * fully deterministic.
-    *
-    * Single-expression formulation: one fold over the tokens carries all
-    * per-language counters (array accumulator), a second tiny fold takes
-    * the argmax. Tokenization happens exactly once per row — separate
-    * hit-count columns would each re-tokenize, since higher-order
-    * functions get no common-subexpression elimination. */
-  def langId(text: Column): Column = {
-    val langs = LangStopwords
-    val names = array(langs.map(l => lit(l._1)): _*)
-    val hits = aggregate(tokens(text), array_repeat(lit(0L), langs.size),
-      (acc, w) => zip_with(acc, names,
-        (c, name) => c + langs.foldRight(lit(0L): Column) { case ((lang, words), els) =>
-          when(name === lang, when(w.isin(words: _*), 1L).otherwise(0L)).otherwise(els)
-        }))
-    val best = aggregate(
-      zip_with(hits, names, (v, name) => struct(v.as("v"), name.as("lang"))),
-      struct(lit(-1L).as("v"), lit("?").as("lang")),
-      (acc, x) => when(x.getField("v") > acc.getField("v"), x).otherwise(acc))
-    best.getField("lang")
-  }
+  /** Predicted language: argmax of stopword hits, earlier language wins
+    * ties. Convenience one-shot form; hot paths should stage [[tokens]]
+    * once and compose [[langHitsOf]] + [[langPred]] across projections. */
+  def langId(text: Column): Column = langPred(langHits(text))
 
   /** Content fingerprint: MD5 of the normalized text — stable across
     * whitespace/case variation. */
   def contentFingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Winnowing-style minimum shingle fingerprint: the lexicographic min
-    * of the MD5s of all word 3-grams. Robust to local edits — two
-    * documents sharing most shingles usually share the min. Null for
-    * documents under 3 tokens. */
-  def minShingleFingerprint(text: Column, k: Int = 3): Column = {
-    val sh = shingles(text, k)
+  /** Winnowing-style minimum shingle fingerprint over a PRE-MATERIALIZED
+    * token array: the lexicographic min of the MD5s of all word
+    * k-grams. Robust to local edits — two documents sharing most
+    * shingles usually share the min. Null for documents under k tokens. */
+  def minShingleFingerprintOf(t: Column, k: Int = 3): Column = {
+    val sh = shinglesOf(t, k)
     when(size(sh) > 0, array_min(transform(sh, s => md5(s))))
   }
+
+  /** Min-shingle fingerprint of raw text. Convenience form; hot paths
+    * should stage [[tokens]] and call [[minShingleFingerprintOf]] — an
+    * inline token expression is re-evaluated per element access inside
+    * the interpreted shingle HOF (this was a 45s-at-sf0.1 bench query
+    * before staging; ~1s after). */
+  def minShingleFingerprint(text: Column, k: Int = 3): Column =
+    minShingleFingerprintOf(tokens(text), k)
 }

@@ -10,7 +10,10 @@ object TestSession {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.ansi.enabled", "false")
+    // Spark 4 default ANSI mode — tests exercise what users run.
+    .config("spark.sql.ansi.enabled", "true")
+    // events.parquet stores TIMESTAMP(NANOS); see Tables.events.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -54,11 +54,18 @@ class KpisSpec extends SparkSpec {
     assert(rows.head.getLong(1) == 2L)
   }
 
-  test("explodeAgg splits, drops empties, aggregates per token") {
+  test("explodeAgg splits on a LITERAL delimiter (pipe is not a regex), drops empties") {
     val df = Seq(("Action|Drama", 10.0), ("Drama", 20.0), ("|", 1.0)).toDF("genres", "score")
-    val out = Kpis.explodeAgg(df, col("genres"), "\\|", col("score"), 10)
+    val out = Kpis.explodeAgg(df, col("genres"), "|", col("score"), 10)
     val drama = out.filter(col("token") === "Drama").head()
     assert(drama.getLong(1) == 2L && drama.getDouble(2) == 15.0)
     assert(out.filter(col("token") === "").count() == 0)
+  }
+
+  test("explodeAgg rejects inputs that already have a 'token' column") {
+    val df = Seq(("a|b", "x")).toDF("genres", "token")
+    assertThrows[IllegalArgumentException] {
+      Kpis.explodeAgg(df, col("genres"), "|", lit(1.0), 10)
+    }
   }
 }
