@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Schema-typed loaders for the driver-generated test tables
   * (`/root/testdata/sf*`; see TESTDATA.md).
@@ -15,6 +15,34 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** JSON source with a DECLARED schema — the reference's Bronze layer
+    * is raw JSON validated against declared StructTypes
+    * (reference: ingestion/fetch_movies.py:37-45, src/schemas.py).
+    *
+    * The explicit schema matters twice at 100 TB: it skips Spark's
+    * schema-inference pre-pass (a full extra scan of every file), and it
+    * pins column types so drift in upstream payloads surfaces as
+    * parse-mode failures instead of silent type changes.
+    *
+    * `mode`:
+    *  - "FAILFAST" (default) — any malformed record aborts the read: the
+    *    right choice for Bronze ingestion where bad data must be loud.
+    *  - "PERMISSIVE" with `corruptColumn` — malformed records land with
+    *    nulls + the raw line in `corruptColumn`, so a [[etl.Validate]]
+    *    rule can route them to a rejected sink (the reference's
+    *    valid/rejected routing).
+    */
+  def readJson(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      mode: String = "FAILFAST",
+      corruptColumn: Option[String] = None): DataFrame = {
+    val withCorrupt = corruptColumn.fold(schema)(c => schema.add(c, "string"))
+    val reader = spark.read.schema(withCorrupt).option("mode", mode)
+    corruptColumn.fold(reader)(c => reader.option("columnNameOfCorruptRecord", c)).json(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")

@@ -43,16 +43,21 @@ object Medallion {
   /** Process every not-yet-done partition of `inRoot` with `transform`,
     * writing Hive-partitioned parquet under `outRoot` and marking each
     * partition `.done`. Returns the partition values processed this run.
+    *
+    * `read` defaults to a parquet scan; pass e.g.
+    * `(s, p) => Tables.readJson(s, p, schema)` when the Bronze layer is
+    * raw JSON (the reference's layout, fetch_movies.py:37-45).
     */
   def runIncremental(
       spark: SparkSession,
       inRoot: String,
       outRoot: String,
-      transform: DataFrame => DataFrame): Seq[String] = {
+      transform: DataFrame => DataFrame,
+      read: (SparkSession, String) => DataFrame = (s, p) => s.read.parquet(p)): Seq[String] = {
     Files.createDirectories(Paths.get(outRoot))
     val todo = listPartitions(inRoot).filterNot(isDone(outRoot, _))
     todo.foreach { value =>
-      val in = spark.read.parquet(s"$inRoot/$PartitionCol=$value")
+      val in = read(spark, s"$inRoot/$PartitionCol=$value")
       val out = transform(in)
       // Overwrite just this partition dir: idempotent re-run before the
       // marker lands never duplicates rows.

@@ -100,8 +100,8 @@ object Ann {
     * short signature strings ride the candidate shuffle; vectors are
     * joined back exactly once per surviving pair (r1 shuffled the full
     * vector ×tables, the dominant cost of the embedding near-dup query). */
-  private def sigTable(df: DataFrame, id: String, vec: String, idAs: String,
-                       dims: Int, tables: Int, bits: Int): DataFrame = {
+  private[graft] def sigTable(df: DataFrame, id: String, vec: String, idAs: String,
+                              dims: Int, tables: Int, bits: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val planes = (0 until tables).flatMap(t => (0 until bits).flatMap(p =>

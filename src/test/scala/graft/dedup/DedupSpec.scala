@@ -56,4 +56,47 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 4L)) == 0.75)
     assert(!pairs.contains((1L, 3L)))
   }
+
+  test("jaccardPairs maxDf drops stop-shingles from universe AND set sizes") {
+    // every doc shares the "x x x" boilerplate shingle run; with the cap at
+    // df<=2 those shingles leave the universe, so 1/2 remain exact dups and
+    // the boilerplate-only doc 3 no longer pairs with anything
+    val boiler = Seq(
+      (1L, "x x x alpha beta gamma"),
+      (2L, "x x x alpha beta gamma"),
+      (3L, "x x x unrelated entirely different")).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(boiler, col("doc_id"), col("text"),
+      threshold = 0.3, maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped((1L, 2L)) == 1.0)
+    assert(!capped.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccardVerify scores ONLY the candidate pairs it is given") {
+    val candidates = Seq((1L, 4L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val verified = Dedup.jaccardVerify(candidates, docs, col("doc_id"), col("text"),
+      threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified == Map((1L, 4L) -> 0.75)) // (1,3) fails threshold; (1,2) never considered
+  }
+
+  test("minHash→jaccardVerify composition equals full jaccardPairs on this corpus") {
+    val composed = Dedup.jaccardVerify(
+      Dedup.minHashCandidates(docs, col("doc_id"), col("text"), 32, 16),
+      docs, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(composed == full)
+  }
+
+  test("simHash signatures are engine-portable: 60-bit md5-derived, deterministic") {
+    val s1 = Dedup.simHashSignatures(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val s2 = Dedup.simHashSignatures(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(s1 == s2)
+    assert(s1.map(_._2).forall(s => s >= 0L && s < (1L << 60))) // 60-bit range
+    assert(s1(0)._2 == s1(1)._2) // normalized-identical docs share the signature
+  }
 }

@@ -52,4 +52,36 @@ class AnnSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(s1 == s2)
   }
+
+  test("bitsFor grows with the corpus so expected bucket size stays bounded") {
+    assert(Ann.bitsFor(500, 64) == 3)
+    assert(Ann.bitsFor(2000, 64) == 5)
+    // 1000× the corpus: +~10 bits, same target bucket
+    assert(Ann.bitsFor(2000L * 1000, 64) == 15)
+    assert(Ann.bitsFor(10, 64) == 1)          // floor
+    assert(Ann.bitsFor(Long.MaxValue, 1) == 24) // ceiling
+  }
+
+  test("recallFor: more tables raise recall; more bits lower per-table collision") {
+    val base = Ann.recallFor(0.45, 3, 24)
+    assert(base > 0.999)
+    assert(Ann.recallFor(0.45, 3, 48) > base)
+    assert(Ann.recallFor(0.45, 6, 24) < base)
+    assert(Ann.recallFor(1.0, 8, 1) == 1.0) // identical vectors always collide
+  }
+
+  test("sigTable buckets stay near the target size under auto-sized bits") {
+    // 512 deterministic pseudo-random 8-dim vectors
+    val n = 512
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (((i * 37 + d * 101) % 97) - 48) / 48.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val bits = Ann.bitsFor(n, 64) // 3 bits → 8 buckets/table, expect ~64/bucket
+    val sizes = Ann.sigTable(df, "vec_id", "embedding", "vid", 8, 4, bits)
+      .groupBy("sig").count().select("count").as[Long].collect()
+    assert(sizes.sum == 4L * n) // every row lands in exactly one bucket per table
+    // sign-bit buckets on centered data stay within a small factor of target
+    assert(sizes.max <= 4 * 64)
+  }
 }
