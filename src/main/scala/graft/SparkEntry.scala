@@ -4,7 +4,8 @@ import graft.analytics.Kpis
 import graft.dedup.Dedup
 import graft.etl.{Cleaning, Nested, Validate}
 import graft.multimodal.Multimodal
-import graft.operators.Relational
+import graft.operators.{Relational, Sampling}
+import graft.text.TfIdf
 import graft.similarity.Ann
 import graft.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -489,6 +490,34 @@ object SparkEntry {
           sum("byte_len").as("sum_bytes"),
           countDistinct(col("sha256")).as("n_checksums"))
         .orderBy("source")
+    }),
+
+    // Deterministic stratified sampling: md5-keyed buckets, so the
+    // selection is reproducible on any cluster layout and the oracle
+    // re-derives it exactly (df.sample's RNG cannot be verified).
+    "d14_sample" -> ((s, dir) => {
+      Sampling.stratifiedHashSample(Tables.documents(s, dir),
+          key = col("doc_id"), stratum = col("lang"),
+          fractions = Map("en" -> 0.25, "de" -> 1.0), default = 0.1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(length(col("text")).cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // Pairwise near-dups resolved to clusters (connected components):
+    // the keep/drop decision layer above d2. The oracle computes the
+    // same min-reachable-id labels with a recursive CTE.
+    "d15_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardVerify(
+        Dedup.minHashCandidates(docs, col("doc_id"), col("text"), 32, 8),
+        docs, col("doc_id"), col("text"), threshold = 0.5)
+      Dedup.clusterPairs(pairs).orderBy("doc_id")
+    }),
+
+    "d16_tfidf" -> ((s, dir) => {
+      TfIdf.topTerms(Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
+        .orderBy("doc_id", "term")
     })
   )
 
@@ -878,6 +907,44 @@ object SparkEntry {
       """SELECT source, 'text/plain' AS media_type, count(*) AS n,
         | CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
         | count(DISTINCT sha256(text)) AS n_checksums
-        |FROM documents GROUP BY 1,2 ORDER BY source""".stripMargin
+        |FROM documents GROUP BY 1,2 ORDER BY source""".stripMargin,
+
+    "d14_sample" ->
+      """WITH b AS (SELECT lang, text,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
+        | FROM documents)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM b
+        |WHERE bucket < (CASE WHEN lang = 'en' THEN 250000
+        |                     WHEN lang = 'de' THEN 1000000 ELSE 100000 END)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "d15_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |dup AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach(id, r) AS (SELECT src, src FROM e
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d16_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1,2),
+        |dfx AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |   tf.tf * (ln((n.n_docs + 1.0)/(dfx.df_t + 1.0)) + 1.0) AS score,
+        |   row_number() OVER (PARTITION BY tf.doc_id
+        |     ORDER BY tf.tf * (ln((n.n_docs + 1.0)/(dfx.df_t + 1.0)) + 1.0) DESC, tf.term) AS rnk
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, round(score, 4) AS score
+        |FROM s WHERE rnk <= 3 ORDER BY doc_id, term""".stripMargin
   )
 }

@@ -246,6 +246,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Resolve near-dup PAIRS into clusters: connected components by
+    * iterative min-label propagation. Each document in some pair gets a
+    * `cluster_id` = the minimum doc id reachable through the pair graph,
+    * so "keep one per cluster" is `filter(doc_id === cluster_id)` — the
+    * step that turns pairwise dedup output into an actual keep/drop
+    * decision (a pair list alone double-drops documents that chain:
+    * a~b, b~c must not drop both b and c against different keepers).
+    *
+    * Scale: each round is one shuffle join on doc id + a min-aggregate;
+    * rounds needed = graph diameter, and near-dup clusters are
+    * shallow (dozens of members, diameter a few hops), so `maxIter`
+    * rounds with an early-exit convergence check suffice. Lineage is
+    * truncated per round with `localCheckpoint` — without it the
+    * iterated plan grows exponentially. The convergence check is one
+    * count per round (a driver-side scalar, not a collect of data).
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("cluster_id").as("nl")), "src")
+        .groupBy(col("dst").as("id")).agg(min("nl").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard verification over candidate pairs — the second
     * stage of the MinHash→verify pipeline (`candidates` must expose
     * `doc_a`/`doc_b`, e.g. [[minHashCandidates]] output). Emits each

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: the selection changes
+  * with partitioning, retries, and scale-ups — useless for reproducible
+  * dataset curation. These operators hash a stable KEY instead: a row is
+  * in or out of the sample forever, on any cluster layout, and an
+  * external engine can re-derive the exact selection (the hash is
+  * md5-based, not engine-specific). Narrow map, no shuffle, applied at
+  * scan time — at 100 TB the filter reaches the parquet scan and
+  * row-group statistics still prune.
+  */
+object Sampling {
+
+  /** Parts-per-million resolution of the sampling hash. */
+  private val M = 1000000L
+
+  /** Stable per-key bucket in [0, 1e6): the first 15 hex chars of
+    * md5(key ++ salt) parsed as a 60-bit integer, mod 1e6. Changing
+    * `salt` draws an independent sample (e.g. train/validation splits
+    * from the same corpus use different salts). */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10).cast("long"), lit(M))
+
+  /** Keep ~`fraction` of rows, selected deterministically by `key`.
+    * Rows with the same key are kept or dropped together — sampling by
+    * a document id keeps documents whole; sampling by a user id keeps
+    * whole user histories (no leakage between splits). */
+  def hashSample(df: DataFrame, key: Column, fraction: Double, salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.filter(hashBucket(key, salt) < (fraction * M).toLong)
+  }
+
+  /** Stratified deterministic sampling: per-stratum fractions (e.g.
+    * downsample boilerplate-heavy sources, keep all rare-language docs),
+    * `default` for strata not in the map — the reference's
+    * quality-tiering pattern generalized. One narrow pass. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      fractions: Map[String, Double],
+      default: Double,
+      salt: String = ""): DataFrame = {
+    fractions.values.foreach(f => require(f >= 0 && f <= 1, s"fraction out of [0,1]: $f"))
+    require(default >= 0 && default <= 1, s"default fraction out of [0,1]: $default")
+    val cut = fractions.foldRight(lit((default * M).toLong)) { case ((s, f), els) =>
+      when(stratum === s, lit((f * M).toLong)).otherwise(els)
+    }
+    df.filter(hashBucket(key, salt) < cut)
+  }
+}

@@ -90,6 +90,22 @@ class DedupSpec extends SparkSpec {
     assert(composed == full)
   }
 
+  test("clusterPairs resolves transitive chains to min-id components") {
+    // chain 1-2-3 plus isolated pair (10, 11): b~c via a must label all three
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusterPairs: keep-one-per-cluster is doc_id == cluster_id") {
+    val pairs = Seq((5L, 9L), (9L, 2L)).toDF("doc_a", "doc_b") // component {2,5,9}
+    val keepers = Dedup.clusterPairs(pairs)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(keepers == Seq(2L))
+  }
+
   test("simHash signatures are engine-portable: 60-bit md5-derived, deterministic") {
     val s1 = Dedup.simHashSignatures(docs, col("doc_id"), col("text"))
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
