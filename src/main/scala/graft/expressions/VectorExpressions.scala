@@ -1,0 +1,71 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the dot product of two
+  * `array<double>` columns.
+  *
+  * Why a custom `Expression` and not `functions.aggregate`/`zip_with`:
+  * higher-order functions are interpreted — every element pays a lambda
+  * dispatch and boxing — and a fully unrolled `a[1]·b[1]+…` tower pays a
+  * per-element `GetArrayItem` null/bounds check and deep tree dispatch
+  * (measured 3-4× WORSE than the fold; see VectorOps.dot). This
+  * expression participates in whole-stage codegen via [[doGenCode]]: the
+  * generated code is one tight primitive loop over the two ArrayData
+  * buffers — no boxing, no dispatch, fused into the surrounding operator.
+  * This is the preferred extension path when built-in functions cannot
+  * express the computation efficiently: native Expression > UDF.
+  *
+  * Semantics: null if either array is null; elements are summed left to
+  * right (bit-identical to the fold formulation, so DuckDB-oracle parity
+  * is preserved); length mismatch sums over the shorter prefix.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs MUST be array<double> (callers apply VectorOps.toDouble);
+  // declared rather than coerced because the type-coercion traits are
+  // private[sql].
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column API for [[DotProduct]]. Inputs must be `array<double>`
+    * (apply `VectorOps.toDouble` to float embeddings first). */
+  def dotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -89,4 +89,19 @@ object StreamOps {
     * pattern. */
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming exact dedup: drop records whose key was already seen,
+    * with state bounded by the watermark — the streaming mirror of
+    * [[graft.dedup.Dedup.exactDedup]] for ingest-time duplicate
+    * suppression (retried fetches, at-least-once sources).
+    *
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes, so state is O(keys per watermark window), not
+    * O(stream length) — the property that makes exact dedup viable on an
+    * unbounded 100 TB/day stream. Duplicates arriving later than the
+    * watermark delay are NOT caught (that is the batch layer's job in a
+    * lambda-style pipeline). */
+  def streamDedup(events: DataFrame, ts: String, watermark: String, keys: String*): DataFrame =
+    events.withWatermark(ts, watermark)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
 }

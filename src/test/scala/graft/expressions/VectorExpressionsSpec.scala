@@ -1,0 +1,41 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.vectors.VectorOps
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotNative matches the fold formulation bit-for-bit") {
+    val df = (0 until 200).map { i =>
+      (Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6) / 6.0f),
+       Array.tabulate(64)(d => ((i * 17 + d * 3) % 11 - 5) / 5.0f))
+    }.toDF("a", "b")
+      .select(VectorOps.toDouble(col("a")).as("a"), VectorOps.toDouble(col("b")).as("b"))
+    val mismatches = df.select(
+        (VectorExpressions.dotNative(col("a"), col("b")) - VectorOps.dot(col("a"), col("b"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(mismatches == 0)
+  }
+
+  test("dotNative: null array yields null; shorter prefix on length mismatch") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0, 3.0)), Some(Array(2.0, 3.0))),
+      (None, Some(Array(1.0)))
+    ).toDF("a", "b")
+    val out = df.select(VectorExpressions.dotNative(col("a"), col("b")).as("d")).collect()
+    assert(out(0).getDouble(0) == 1.0 * 2 + 2.0 * 3)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("dotNative survives both codegen and interpreted evaluation") {
+    // force the interpreted path via eval() on the expression itself
+    val e = DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(3.0, 4.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 11.0)
+  }
+}

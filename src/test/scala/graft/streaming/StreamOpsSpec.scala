@@ -51,6 +51,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamDedup drops in-watermark duplicate keys, keeps first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamOps.streamDedup(
+      input.toDF().toDF("event_id", "ts", "value"),
+      ts = "ts", watermark = "10 minutes", "event_id")
+    val q = out.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:00:05"), 99.0), // duplicate retry — dropped
+        (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:02:00"), 77.0)) // still within watermark — dropped
+      q.processAllAvailable()
+      val rows = spark.table("dedup").orderBy("event_id")
+        .select("event_id", "value").as[(Long, Double)].collect()
+      assert(rows.toSeq == Seq((1L, 1.0), (2L, 2.0)))
+    } finally q.stop()
+  }
+
   test("enrich: stream-static broadcast join adds dimension columns") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
