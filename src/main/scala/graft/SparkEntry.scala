@@ -4,7 +4,7 @@ import graft.analytics.Kpis
 import graft.dedup.Dedup
 import graft.etl.{Cleaning, Nested, Validate}
 import graft.multimodal.Multimodal
-import graft.operators.{Relational, Sampling}
+import graft.operators.{Packing, Relational, Sampling}
 import graft.text.TfIdf
 import graft.similarity.Ann
 import graft.text.TextFunctions
@@ -518,6 +518,12 @@ object SparkEntry {
     "d16_tfidf" -> ((s, dir) => {
       TfIdf.topTerms(Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
         .orderBy("doc_id", "term")
+    }),
+
+    "d17_packing" -> ((s, dir) => {
+      Packing.packStats(Packing.packSequences(Tables.documents(s, dir),
+          col("doc_id"), col("text"), budget = 512, nShards = 8))
+        .orderBy("shard", "pack_id")
     })
   )
 
@@ -945,6 +951,17 @@ object SparkEntry {
         |     ORDER BY tf.tf * (ln((n.n_docs + 1.0)/(dfx.df_t + 1.0)) + 1.0) DESC, tf.term) AS rnk
         |  FROM tf JOIN dfx USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, round(score, 4) AS score
-        |FROM s WHERE rnk <= 3 ORDER BY doc_id, term""".stripMargin
+        |FROM s WHERE rnk <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    "d17_packing" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |   len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM t),
+        |p AS (SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id, n_tokens FROM c)
+        |SELECT shard, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM p GROUP BY 1,2 ORDER BY shard, pack_id""".stripMargin
   )
 }

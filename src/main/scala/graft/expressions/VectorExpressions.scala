@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * This is the preferred extension path when built-in functions cannot
   * express the computation efficiently: native Expression > UDF.
   *
-  * Semantics: null if either array is null; elements are summed left to
-  * right (bit-identical to the fold formulation, so DuckDB-oracle parity
-  * is preserved); length mismatch sums over the shorter prefix.
+  * Semantics are EXACTLY those of the fold formulation, so the
+  * [[graft.plans.RewriteDotProduct]] optimizer rule may substitute this
+  * expression unconditionally: null if either array is null, if the
+  * lengths differ (zip_with pads with nulls → null sum), or if any
+  * element is null; otherwise elements are summed left to right
+  * (bit-identical — DuckDB-oracle parity is preserved).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,14 +36,21 @@ case class DotProduct(left: Expression, right: Expression)
   // private[sql].
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // may return null even for non-null children (length mismatch)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -50,10 +60,15 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

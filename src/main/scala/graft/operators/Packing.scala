@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-batch construction: assign documents to
+  * fixed-token-budget packs so downstream batch assembly reads
+  * contiguous, budget-sized groups.
+  *
+  * Packing is inherently sequential, so it is SHARDED for scale: each of
+  * `nShards` hash shards packs independently in doc-id order (one window
+  * per shard — the shuffle is keyed by shard, and 100 TB packs as wide
+  * as the shard count). Within a shard the rule is contiguous
+  * prefix-sum packing: a document joins the pack its running token count
+  * starts in (`floor(exclusive_prefix / budget)`), so every pack except
+  * a shard's last holds ≥ budget tokens and overflows by less than one
+  * document — the standard streaming approximation of bin packing
+  * (optimal packing is NP-hard and non-deterministic under parallelism).
+  */
+object Packing {
+
+  /** (doc_id, shard, n_tokens, pack_id). Deterministic for a fixed
+    * corpus: shard = doc_id mod nShards, packing order = doc_id. */
+  def packSequences(df: DataFrame, id: Column, text: Column, budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    val staged = df.select(id.as("doc_id"),
+      pmod(id, lit(nShards.toLong)).as("shard"),
+      TextFunctions.tokenCount(text).as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged.withColumn("__cum", sum("n_tokens").over(w))
+      .withColumn("pack_id", floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Per-pack rollup: documents and token totals per (shard, pack). */
+  def packStats(packed: DataFrame): DataFrame =
+    packed.groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+}

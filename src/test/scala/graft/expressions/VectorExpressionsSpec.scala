@@ -19,14 +19,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
-  test("dotNative: null array yields null; shorter prefix on length mismatch") {
+  test("dotNative: null array or length mismatch yields null (HOF parity)") {
     val df = Seq(
-      (Some(Array(1.0, 2.0, 3.0)), Some(Array(2.0, 3.0))),
-      (None, Some(Array(1.0)))
+      (Some(Array(1.0, 2.0, 3.0)), Some(Array(2.0, 3.0))), // ragged → null, like zip_with padding
+      (None, Some(Array(1.0))),
+      (Some(Array(2.0, 5.0)), Some(Array(3.0, 4.0)))
     ).toDF("a", "b")
     val out = df.select(VectorExpressions.dotNative(col("a"), col("b")).as("d")).collect()
-    assert(out(0).getDouble(0) == 1.0 * 2 + 2.0 * 3)
+    assert(out(0).isNullAt(0))
     assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 26.0)
   }
 
   test("dotNative survives both codegen and interpreted evaluation") {
