@@ -342,6 +342,24 @@ object SparkEntry {
         .orderBy("bucket_start", "event_type")
     }),
 
+    // As-of join: each purchase picks up the user's most recent prior
+    // view (at-or-before event time) — implemented as the one-shuffle
+    // union+window operator; the oracle uses DuckDB's native ASOF JOIN.
+    "c11_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts")).agg(max("value").as("view_value"))
+        .withColumn("vts", col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Relational.asOfJoin(purchases, views, key = "user_id", ts = "ts",
+          rightVals = Seq("view_value", "vts"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_view_value"), 4).as("last_view_value"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_vts"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     "c10_sessionize" -> ((s, dir) => {
       val sessions = Relational.sessionize(Tables.events(s, dir),
         entity = col("user_id"), ts = col("ts"), gapSeconds = 1800,
@@ -775,6 +793,16 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         | CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
         |FROM g GROUP BY 1,2 ORDER BY user_id, session_id""".stripMargin,
+
+    "c11_asof_join" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1,2),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, round(v.view_value, 4) AS last_view_value,
+        | epoch_us(p.pts) - epoch_us(v.vts) AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.pts >= v.vts
+        |ORDER BY event_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,

@@ -68,6 +68,51 @@ object Relational {
       .withColumn("bucket_start", date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss"))
       .drop("bucket_ts")
 
+  /** As-of join: attach to each left row the most recent right row (by
+    * event time, at-or-before) with the same key — the canonical
+    * point-in-time enrichment (latest price for a trade, last view
+    * before a purchase) that plain SQL can only express as a range join.
+    *
+    * Spark has no native as-of join, and the naive formulation
+    * (`l JOIN r ON key AND r.ts <= l.ts` + max-per-row) explodes to
+    * O(|matches per key|²) rows before aggregating. This operator uses
+    * the union trick instead: tag both sides, union them, and take a
+    * running `last(value, ignoreNulls)` per key ordered by (ts, side) —
+    * right rows sort before left rows at equal timestamps, so "at or
+    * before" is exact. ONE shuffle on the key, zero row amplification,
+    * identical plan shape at any scale.
+    *
+    * `rightVals` are the right-side columns to carry (emitted as
+    * `asof_<name>`); right rows must be unique per (key, ts) —
+    * pre-aggregate if not, or the carried value is ill-defined.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    (Seq("__side", "__k", "__ts") ++ rightVals.map(c => s"asof_$c")).foreach(c =>
+      require(!leftCols.contains(c), s"asOfJoin reserves column '$c'; rename the input column"))
+    val l = left
+      .withColumn("__side", lit(1))
+      .select(col(key).as("__k") +: col(ts).as("__ts") +: col("__side") +:
+        leftCols.map(col) ++: rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select(col(key).as("__k") +: col(ts).as("__ts") +: col("__side") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy("__k").orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val asof = rightVals.foldLeft(l.unionByName(r)) { (d, c) =>
+      d.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    asof.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
+  }
+
   /** Pivot with an explicit value list. Passing `values` explicitly keeps
     * the plan single-pass at scale (no extra distinct-collect job) and
     * makes output columns deterministic. */

@@ -46,4 +46,25 @@ class RelationalSpec extends SparkSpec {
       .orderBy("bucket_start").select("bucket_start", "sum_value").as[(String, Double)].collect()
     assert(out.toSeq == Seq(("2024-01-01 10:00:00", 3.0), ("2024-01-01 11:00:00", 4.0)))
   }
+
+  test("asOfJoin picks the latest at-or-before right row per key") {
+    val trades = Seq((1L, "A", 10L), (2L, "A", 25L), (3L, "B", 10L), (4L, "A", 5L))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 50L, 9.0))
+      .toDF("sym", "ts", "px")
+    val out = Relational.asOfJoin(trades, quotes, key = "sym", ts = "ts", rightVals = Seq("px"))
+      .orderBy("trade_id").select("trade_id", "asof_px").collect()
+    assert(out(0).getDouble(1) == 1.0)  // equal ts: at-or-before includes it
+    assert(out(1).getDouble(1) == 2.0)  // latest of the two prior quotes
+    assert(out(2).isNullAt(1))          // B's only quote is in the future
+    assert(out(3).isNullAt(1))          // before any quote
+  }
+
+  test("asOfJoin rejects reserved column names") {
+    val l = Seq((1L, "A", 10L)).toDF("__side", "sym", "ts")
+    val r = Seq(("A", 5L, 1.0)).toDF("sym", "ts", "px")
+    assertThrows[IllegalArgumentException] {
+      Relational.asOfJoin(l, r, "sym", "ts", Seq("px"))
+    }
+  }
 }
