@@ -28,9 +28,11 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Σ vᵢ² */
+  /** Σ vᵢ² — a self-dot, so it reuses the native codegen'd
+    * [[graft.expressions.DotProduct]] (identical null semantics: a null
+    * element nulls the HOF fold's sum too). */
   def sumSquares(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    graft.expressions.VectorExpressions.dotNative(v, v)
 
   /** ‖v‖₂ */
   def l2Norm(v: Column): Column = sqrt(sumSquares(v))

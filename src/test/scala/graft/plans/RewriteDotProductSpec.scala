@@ -38,8 +38,9 @@ class RewriteDotProductSpec extends SparkSpec {
 
   test("unrelated aggregate folds are left alone") {
     withRule {
-      // sum of squares — merge is acc + x·x over ONE array, not the pattern
-      val q = df.select(VectorOps.sumSquares(col("a")).as("s"))
+      // a plain fold (no zip_with) — not the dot-product pattern
+      val q = df.select(
+        aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x).as("s"))
       assert(!containsDot(q))
       assert(q.as[Double].collect().length == 50)
     }
