@@ -267,8 +267,11 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
+    // fused round 0: every node (all appear as dst — edges are
+    // bidirectional) starts at min(self, direct neighbors), so
+    // triangle-shaped clusters are already converged entering the loop
+    var labels = edges.groupBy(col("dst").as("id")).agg(min("src").as("__nmin"))
+      .select(col("id"), least(col("id"), col("__nmin")).as("cluster_id"))
       .localCheckpoint()
     var iter = 0
     var converged = false

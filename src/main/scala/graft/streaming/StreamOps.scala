@@ -90,6 +90,31 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream–stream inner join: match events from two
+    * streams on a key within a bounded event-time interval (e.g. each
+    * purchase to the views that preceded it by at most `maxGap`).
+    *
+    * Both sides carry watermarks and the join condition bounds the
+    * right-side event time relative to the left's, so Spark can expire
+    * buffered state once the watermark passes the interval — without
+    * the time bound a stream-stream join must buffer both streams
+    * forever. State is O(events per watermark window per side).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      watermark: String,
+      maxGap: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND $rightTs <= $leftTs AND $rightTs >= $leftTs - INTERVAL $maxGap"))
+  }
+
   /** Streaming exact dedup: drop records whose key was already seen,
     * with state bounded by the watermark — the streaming mirror of
     * [[graft.dedup.Dedup.exactDedup]] for ingest-time duplicate

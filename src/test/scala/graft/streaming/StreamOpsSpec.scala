@@ -72,6 +72,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin matches purchases to views within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamOps.intervalJoin(
+      purchases.toDF().toDF("p_user", "p_ts", "amount"),
+      views.toDF().toDF("v_user", "v_ts"),
+      leftKey = "p_user", rightKey = "v_user",
+      leftTs = "p_ts", rightTs = "v_ts",
+      watermark = "10 minutes", maxGap = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      views.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:03:00"), 5.0),  // 3 min after the view → match
+        (2L, ts("2024-01-01 10:09:00"), 7.0),  // 9 min after → outside maxGap
+        (3L, ts("2024-01-01 10:03:00"), 9.0))  // no view at all
+      q.processAllAvailable()
+      val rows = spark.table("ij").select("p_user", "amount").as[(Long, Double)].collect()
+      assert(rows.toSeq == Seq((1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("enrich: stream-static broadcast join adds dimension columns") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
