@@ -542,6 +542,18 @@ object SparkEntry {
       Packing.packStats(Packing.packSequences(Tables.documents(s, dir),
           col("doc_id"), col("text"), budget = 512, nShards = 8))
         .orderBy("shard", "pack_id")
+    }),
+
+    // Per-group quantile quality filter: keep the top 25% of documents
+    // per source by the composite quality score — per-group cutoffs
+    // adapt to each source's score distribution.
+    "d19_quality_filter" -> ((s, dir) => {
+      val q = TextFunctions.qualityScore(col("text"))
+      Kpis.topFractionPerGroup(Tables.documents(s, dir),
+          group = col("source"), score = q, fraction = 0.25, tieBreak = Seq(col("doc_id")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), round(avg(q), 4).as("avg_quality"))
+        .orderBy("source")
     })
   )
 
@@ -990,6 +1002,17 @@ object SparkEntry {
         | FROM t),
         |p AS (SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id, n_tokens FROM c)
         |SELECT shard, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-        |FROM p GROUP BY 1,2 ORDER BY shard, pack_id""".stripMargin
+        |FROM p GROUP BY 1,2 ORDER BY shard, pack_id""".stripMargin,
+
+    "d19_quality_filter" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  least(1.0, len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '))/100.0)*0.5
+        |  + (1 - least(CAST(length(regexp_replace(text,'[^.!?,;]','','g')) AS DOUBLE)/length(text), 1.0))*0.3
+        |  + (1 - least(CAST(length(regexp_replace(text,'[^A-Z]','','g')) AS DOUBLE)/length(text), 1.0))*0.2 AS q
+        | FROM documents),
+        |r AS (SELECT source, q,
+        |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
+        |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
+        |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

@@ -112,6 +112,31 @@ object Kpis {
       .limit(n)
   }
 
+  /** Keep the top `fraction` of rows per group by `score` — quantile
+    * quality filtering (keep the best 20% of documents per source, the
+    * curation step above row-level thresholds: per-group cutoffs adapt
+    * to each group's score distribution).
+    *
+    * `percent_rank` is (rank−1)/(n−1) over the group, so the filter is a
+    * single window pass — one shuffle on the group key, no global sort.
+    * `tieBreak` must complete a total order for determinism; a group
+    * with one row is always kept (rank 0). */
+  def topFractionPerGroup(
+      df: DataFrame,
+      group: Column,
+      score: Column,
+      fraction: Double,
+      tieBreak: Seq[Column]): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    require(!df.columns.contains("__pr"),
+      "topFractionPerGroup reserves column '__pr'; rename the input column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(score.desc +: tieBreak.map(_.asc): _*)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= fraction)
+      .drop("__pr")
+  }
+
   /** Per-period aggregation on a date part (reference: visualize.py year
     * extraction + per-year stats). */
   def perPeriod(df: DataFrame, period: Column, measure: Column): DataFrame =

@@ -113,6 +113,27 @@ object Relational {
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
   }
 
+  /** Salted equi-join for skewed keys when the build side cannot
+    * broadcast: each fact row gets a deterministic salt in [0, nSalts)
+    * (hash of the whole row — no RNG, reproducible), the dim side
+    * replicates ×nSalts, and the join keys on (key, salt) — a hot key's
+    * rows spread over nSalts tasks instead of one straggler. Output is
+    * exactly the plain join's.
+    *
+    * Use when AQE skew splitting does not apply (e.g. the skew is in a
+    * subsequent aggregation, or a deterministic pre-planned layout is
+    * required); cost is ×nSalts replication of the dim side. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves column '__salt'; rename the input column")
+    val f = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(nSalts.toLong)))
+    val d = dim.withColumn("__salt",
+      explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Pivot with an explicit value list. Passing `values` explicitly keeps
     * the plan single-pass at scale (no extra distinct-collect job) and
     * makes output columns deterministic. */

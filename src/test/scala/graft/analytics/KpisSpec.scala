@@ -62,6 +62,17 @@ class KpisSpec extends SparkSpec {
     assert(out.filter(col("token") === "").count() == 0)
   }
 
+  test("topFractionPerGroup keeps the best fraction per group, cutoffs independent") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.1), ("a", 4L, 0.7), ("a", 5L, 0.3),
+      ("b", 6L, 0.2), ("b", 7L, 0.1)).toDF("g", "id", "q")
+    val kept = Kpis.topFractionPerGroup(df, col("g"), col("q"), 0.25, Seq(col("id")))
+      .select("id").as[Long].collect().toSet
+    // group a (n=5): percent_rank <= 0.25 keeps ranks 1-2 (pr 0, 0.25);
+    // group b (n=2): keeps rank 1 only — its cutoff adapts to b's scores
+    assert(kept == Set(1L, 4L, 6L))
+  }
+
   test("explodeAgg rejects inputs that already have a 'token' column") {
     val df = Seq(("a|b", "x")).toDF("genres", "token")
     assertThrows[IllegalArgumentException] {

@@ -60,6 +60,17 @@ class RelationalSpec extends SparkSpec {
     assert(out(3).isNullAt(1))          // before any quote
   }
 
+  test("saltedJoin equals the plain join on skewed keys") {
+    val fact = ((0 until 500).map(i => (1L, i.toDouble)) ++ Seq((2L, -1.0), (3L, -2.0)))
+      .toDF("k", "v") // key 1 is hot
+    val dim = Seq((1L, "hot"), (2L, "cold")).toDF("k", "name")
+    val salted = Relational.saltedJoin(fact, dim, "k", nSalts = 8)
+    val plain = fact.join(dim, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("v")).head().getDouble(0) == plain.agg(sum("v")).head().getDouble(0))
+    assert(salted.columns.toSeq == plain.columns.toSeq) // no __salt leakage
+  }
+
   test("asOfJoin rejects reserved column names") {
     val l = Seq((1L, "A", 10L)).toDF("__side", "sym", "ts")
     val r = Seq(("A", 5L, 1.0)).toDF("sym", "ts", "px")
