@@ -56,17 +56,25 @@ object Multimodal {
   }
 
   /** Partition-parallel feature extraction over media records.
-    * `mapPartitions` so real codecs initialize once per partition; the
-    * output is a typed Dataset with a stable schema for downstream SQL. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    * `mapPartitions` so the codec initializes ONCE per partition (here:
+    * one reusable CRC32 instance, reset per record — a real decoder
+    * would hold its native context the same way), and records stream
+    * through in batches so a batched codec API amortizes per-call
+    * overhead. Output is a typed Dataset with a stable schema for
+    * downstream SQL. */
+  def extractFeatures(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "media_type", "content").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, mt, bytes) =>
-          val c = new java.util.zip.CRC32()
-          c.update(bytes)
-          val (w, h) = stubDecode(bytes)
-          MediaFeatures(id, mt, bytes.length.toLong, c.getValue, w, h)
+        val c = new java.util.zip.CRC32() // per-partition codec state
+        it.grouped(batchSize).flatMap { batch =>
+          // batch boundary: a real codec would decode `batch` in one call
+          batch.map { case (id, mt, bytes) =>
+            c.reset()
+            c.update(bytes)
+            val (w, h) = stubDecode(bytes)
+            MediaFeatures(id, mt, bytes.length.toLong, c.getValue, w, h)
+          }
         }
       }
   }
