@@ -7,7 +7,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{Packing, Relational, Sampling}
 import graft.text.TfIdf
 import graft.similarity.Ann
-import graft.text.TextFunctions
+import graft.text.{Redact, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -544,6 +544,31 @@ object SparkEntry {
         .orderBy("shard", "pack_id")
     }),
 
+    // PII redaction over deterministically constructed PII-bearing text
+    // (the synthetic corpus carries none, so the query plants one email/
+    // URL/phone/IP per document from its id — the oracle mirrors the
+    // construction and each regex pass exactly).
+    "d20_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      val t2 = concat(col("text"),
+        lit(" contact user"), id.cast("string"),
+        lit("@example.com or https://site"), (id % 7).cast("string"),
+        lit(".org/p call 555-12"), (id % 10).cast("string"),
+        lit("-4567 from 10.0."), (id % 256).cast("string"), lit(".1"))
+      Tables.documents(s, dir)
+        .select(col("source"), t2.as("t2"))
+        .select(col("source"),
+          Redact.piiCount(col("t2"), Redact.EmailPattern).as("n_email"),
+          Redact.piiCount(col("t2"), Redact.UrlPattern).as("n_url"),
+          Redact.piiCount(col("t2"), Redact.PhonePattern).as("n_phone"),
+          (length(Redact.redactPii(col("t2"))) - length(col("t2"))).cast("long").as("len_delta"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_email").as("n_emails"), sum("n_url").as("n_urls"),
+          sum("n_phone").as("n_phones"), sum("len_delta").as("sum_len_delta"))
+        .orderBy("source")
+    }),
+
     // Per-group quantile quality filter: keep the top 25% of documents
     // per source by the composite quality score — per-group cutoffs
     // adapt to each source's score distribution.
@@ -1003,6 +1028,27 @@ object SparkEntry {
         |p AS (SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id, n_tokens FROM c)
         |SELECT shard, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM p GROUP BY 1,2 ORDER BY shard, pack_id""".stripMargin,
+
+    "d20_redact" ->
+      """WITH t AS (SELECT source,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |   || '@example.com or https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |   || '.org/p call 555-12' || CAST(doc_id % 10 AS VARCHAR)
+        |   || '-4567 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t2
+        | FROM documents),
+        |r AS (SELECT source, t2,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS red
+        | FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        | CAST(sum(len(regexp_extract_all(t2, 'https?://[^ ]+'))) AS BIGINT) AS n_urls,
+        | CAST(sum(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS n_phones,
+        | CAST(sum(length(red) - length(t2)) AS BIGINT) AS sum_len_delta
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
 
     "d19_quality_filter" ->
       """WITH t AS (SELECT doc_id, source,
