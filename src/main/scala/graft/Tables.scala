@@ -65,6 +65,11 @@ object Tables {
     * queries. Narrow map — no shuffle.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // fail with instructions instead of the cryptic "Illegal Parquet
+    // type: INT64 (TIMESTAMP(NANOS,...))" an unconfigured session hits
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "Tables.events requires spark.sql.legacy.parquet.nanosAsLong=true set at session " +
+        "construction (events.parquet stores TIMESTAMP(NANOS), which Spark cannot read natively)")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -227,11 +227,15 @@ object Dedup {
       text: Column,
       threshold: Double,
       k: Int = 3,
-      maxDf: Int = 10000): DataFrame = {
+      maxDf: Int = Int.MaxValue): DataFrame = {
     val sh0 = shingleHashes(df, id, text, k)
-    val keep = sh0.groupBy("g").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select("g")
-    val sh = sh0.join(keep, Seq("g"), "left_semi")
+    // cap is opt-in (default keeps exact semantics for existing callers);
+    // when disabled, skip the df-count job entirely
+    val sh = if (maxDf == Int.MaxValue) sh0 else {
+      val keep = sh0.groupBy("g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("g")
+      sh0.join(keep, Seq("g"), "left_semi")
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("g"), col("doc_id").as("doc_a"))
     val b = sh.select(col("g"), col("doc_id").as("doc_b"))
@@ -287,6 +291,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge in $maxIter rounds — a component's diameter exceeds " +
+          s"maxIter, and returning partial labels would silently under-dedup. Raise maxIter.")
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 

@@ -1,11 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the dot product of two
   * `array<double>` columns.
@@ -31,9 +32,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs MUST be array<double> (callers apply VectorOps.toDouble);
-  // declared rather than coerced because the type-coercion traits are
-  // private[sql].
+  // inputs MUST be array<double> (callers apply VectorOps.toDouble) —
+  // enforced at analysis time: getDouble on float-backed array data
+  // would be silent corruption, not an error. (The type-COERCION traits
+  // are private[sql], so inputs are validated, not auto-cast.)
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> inputs, got ${l.simpleString} and ${r.simpleString}")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
   // may return null even for non-null children (length mismatch)

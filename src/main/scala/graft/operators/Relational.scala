@@ -84,7 +84,10 @@ object Relational {
     *
     * `rightVals` are the right-side columns to carry (emitted as
     * `asof_<name>`); right rows must be unique per (key, ts) —
-    * pre-aggregate if not, or the carried value is ill-defined.
+    * pre-aggregate if not, or the carried value is ill-defined. The
+    * carried columns travel as ONE struct, so the output is always a
+    * consistent single right ROW — per-column running lasts would mix
+    * values from different rows whenever a carried value is null.
     */
   def asOfJoin(
       left: DataFrame,
@@ -93,24 +96,25 @@ object Relational {
       ts: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    (Seq("__side", "__k", "__ts") ++ rightVals.map(c => s"asof_$c")).foreach(c =>
+    (Seq("__side", "__k", "__ts", "__r") ++ rightVals.map(c => s"asof_$c")).foreach(c =>
       require(!leftCols.contains(c), s"asOfJoin reserves column '$c'; rename the input column"))
+    val rStructType = org.apache.spark.sql.types.StructType(rightVals.map(c => right.schema(c)))
     val l = left
       .withColumn("__side", lit(1))
       .select(col(key).as("__k") +: col(ts).as("__ts") +: col("__side") +:
-        leftCols.map(col) ++: rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.map(col) :+ lit(null).cast(rStructType).as("__r"): _*)
     val r = right
       .withColumn("__side", lit(0))
       .select(col(key).as("__k") +: col(ts).as("__ts") +: col("__side") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy("__k").orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val asof = rightVals.foldLeft(l.unionByName(r)) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    asof.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
+    l.unionByName(r)
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col("__last_r").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Salted equi-join for skewed keys when the build side cannot

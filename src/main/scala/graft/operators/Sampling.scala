@@ -32,7 +32,10 @@ object Sampling {
     * whole user histories (no leakage between splits). */
   def hashSample(df: DataFrame, key: Column, fraction: Double, salt: String = ""): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
-    df.filter(hashBucket(key, salt) < (fraction * M).toLong)
+    // round, don't truncate: 0.3·1e6 is 299999.99999999994 in binary —
+    // truncation would put the cutoff one ppm below what an external
+    // system re-deriving the split would compute
+    df.filter(hashBucket(key, salt) < math.round(fraction * M))
   }
 
   /** Stratified deterministic sampling: per-stratum fractions (e.g.
@@ -48,8 +51,8 @@ object Sampling {
       salt: String = ""): DataFrame = {
     fractions.values.foreach(f => require(f >= 0 && f <= 1, s"fraction out of [0,1]: $f"))
     require(default >= 0 && default <= 1, s"default fraction out of [0,1]: $default")
-    val cut = fractions.foldRight(lit((default * M).toLong)) { case ((s, f), els) =>
-      when(stratum === s, lit((f * M).toLong)).otherwise(els)
+    val cut = fractions.foldRight(lit(math.round(default * M))) { case ((s, f), els) =>
+      when(stratum === s, lit(math.round(f * M))).otherwise(els)
     }
     df.filter(hashBucket(key, salt) < cut)
   }

@@ -54,7 +54,12 @@ object Ann {
   }
 
   /** Sign-bit signature of `v` under `bits` hyperplanes of table `t`,
-    * encoded "t_b₀b₁…" so signatures from different tables never collide. */
+    * encoded "t_b₀b₁…" so signatures from different tables never collide.
+    *
+    * REFERENCE implementation: the production path is [[sigTable]]
+    * (codegen'd matmul over the same [[planeCoef]] planes); AnnSpec
+    * asserts both induce the same bucket partition so they cannot
+    * silently diverge. */
   def hyperplaneSignature(v: Column, dims: Int, t: Int, bits: Int): Column = {
     val bitCols = (0 until bits).map { p =>
       val plane = array((0 until dims).map(d => lit(planeCoef(t, p, d))): _*)
@@ -126,6 +131,11 @@ object Ann {
     * exactly once. `bits = 0` (default) derives the bucket count from
     * the corpus size via [[bitsFor]]; recall is then governed by
     * `tables` (see [[recallFor]]).
+    *
+    * NOTE: auto-sizing runs `corpus.count()` at plan-construction time
+    * (parquet counts are metadata-cheap, but it IS an extra job) —
+    * pass `corpusSize` or an explicit `bits` when building plans for
+    * very large or non-metadata-countable sources.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
               dims: Int, k: Int, tables: Int = 16, bits: Int = 0,

@@ -31,6 +31,14 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(2).getDouble(0) == 26.0)
   }
 
+  test("dotNative rejects non-double arrays at analysis time") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b") // array<float>
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExpressions.dotNative(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("graft_dot") || e.getMessage.toLowerCase.contains("data type"))
+  }
+
   test("dotNative survives both codegen and interpreted evaluation") {
     // force the interpreted path via eval() on the expression itself
     val e = DotProduct(

@@ -71,6 +71,17 @@ class RelationalSpec extends SparkSpec {
     assert(salted.columns.toSeq == plain.columns.toSeq) // no __salt leakage
   }
 
+  test("asOfJoin carries the whole most-recent right ROW even when its values are null") {
+    // most recent quote has px=null: the output must be (null, "x") from
+    // that row — not mix the older px=1.0 with the newer src="x"
+    val trades = Seq((1L, "A", 25L)).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(("A", 10L, Some(1.0), "y"), ("A", 20L, None, "x"))
+      .toDF("sym", "ts", "px", "src")
+    val out = Relational.asOfJoin(trades, quotes, "sym", "ts", Seq("px", "src")).head()
+    assert(out.isNullAt(out.fieldIndex("asof_px")))
+    assert(out.getString(out.fieldIndex("asof_src")) == "x")
+  }
+
   test("asOfJoin rejects reserved column names") {
     val l = Seq((1L, "A", 10L)).toDF("__side", "sym", "ts")
     val r = Seq(("A", 5L, 1.0)).toDF("sym", "ts", "px")

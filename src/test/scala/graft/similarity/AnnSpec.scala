@@ -70,6 +70,21 @@ class AnnSpec extends SparkSpec {
     assert(Ann.recallFor(1.0, 8, 1) == 1.0) // identical vectors always collide
   }
 
+  test("sigTable (matmul) and hyperplaneSignature (reference) induce the same buckets") {
+    val rows = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (((i * 37 + d * 101) % 97) - 48) / 48.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def partition(sigs: Seq[(Long, String)]): Set[Set[Long]] =
+      sigs.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val ref = df.select(col("vec_id"),
+        Ann.hyperplaneSignature(VectorOps.toDouble(col("embedding")), 8, 0, 3).as("sig"))
+      .as[(Long, String)].collect().toSeq
+    val prod = Ann.sigTable(df, "vec_id", "embedding", "vid", 8, 1, 3) // table 0 only
+      .as[(Long, String)].collect().toSeq
+    assert(partition(ref) == partition(prod))
+  }
+
   test("sigTable buckets stay near the target size under auto-sized bits") {
     // 512 deterministic pseudo-random 8-dim vectors
     val n = 512
