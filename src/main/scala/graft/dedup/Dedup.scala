@@ -39,6 +39,21 @@ object Dedup {
     df.join(keep, id === col("__keep"), "left_semi")
   }
 
+  /** (content_hash) index of a corpus — persist this (parquet, bucketed
+    * by hash) as the exact-dedup state. */
+  def contentHashIndex(df: DataFrame, text: Column): DataFrame =
+    df.select(TextFunctions.contentFingerprint(text).as("content_hash")).distinct()
+
+  /** Incremental exact dedup: drop new-batch rows whose content already
+    * exists in a persisted [[contentHashIndex]]. Only the NEW batch is
+    * hashed — the corpus contributes its stored index via an anti-join
+    * on the 32-byte digest. The day-2 ingest pattern at corpus scale:
+    * never re-scan yesterday's 100 TB to admit today's 100 GB. */
+  def exactDedupAgainst(newDocs: DataFrame, text: Column, index: DataFrame): DataFrame =
+    newDocs.withColumn("__h", TextFunctions.contentFingerprint(text))
+      .join(index.select(col("content_hash").as("__h")), Seq("__h"), "left_anti")
+      .drop("__h")
+
   // ---------------------------------------------------------------- MinHash
 
   /** Mersenne prime 2^31-1: the universal-hash modulus. Products stay
@@ -112,7 +127,10 @@ object Dedup {
     * Recall: a pair with Jaccard j survives with prob 1-(1-j^r)^b; at the
     * default b=8, r=4 a 0.9-Jaccard pair is missed with prob < 2e-4.
     */
-  def minHashCandidates(
+  /** (doc_id, band) LSH band table — the MinHash dedup INDEX. Persist it
+    * (parquet, bucketed by band) to dedup future batches incrementally
+    * via [[minHashCandidatesAgainst]] without re-shingling the corpus. */
+  def bandTable(
       df: DataFrame,
       id: Column,
       text: Column,
@@ -128,12 +146,42 @@ object Dedup {
       val (a, b) = hashParams(i)
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
     }
-    val sigs = grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    val bands = sigs.select(col("doc_id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+      .select(col("doc_id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+  }
+
+  def minHashCandidates(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      numHashes: Int = 32,
+      numBands: Int = 8): DataFrame = {
+    val bands = bandTable(df, id, text, numHashes, numBands)
     val a = bands.select(col("band"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Incremental MinHash candidates: NEW batch documents against a
+    * persisted corpus [[bandTable]]. Only the new batch is shingled and
+    * hashed; the join shuffles on the band key against the stored index
+    * (bucketed storage makes it co-located). Emits (doc_a = new doc,
+    * doc_b = indexed doc, n_bands); verify with [[jaccardVerify]]
+    * against the union of batch and corpus texts. The parameters must
+    * match those the index was built with. */
+  def minHashCandidatesAgainst(
+      newDocs: DataFrame,
+      id: Column,
+      text: Column,
+      index: DataFrame,
+      numHashes: Int = 32,
+      numBands: Int = 8): DataFrame = {
+    val newBands = bandTable(newDocs, id, text, numHashes, numBands)
+      .select(col("band"), col("doc_id").as("doc_a"))
+    newBands.join(index.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+      .filter(col("doc_a") =!= col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
   }
 

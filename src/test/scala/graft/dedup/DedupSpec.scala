@@ -90,6 +90,28 @@ class DedupSpec extends SparkSpec {
     assert(composed == full)
   }
 
+  test("incremental dedup: new batch vs persisted indexes, corpus never re-scanned") {
+    val corpus = docs // ids 1-4
+    val newBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy cat"), // exact dup of 4, near-dup of 1
+      (12L, "an entirely novel sentence about incremental indexes"))
+      .toDF("doc_id", "text")
+    // exact: anti-join against the stored content-hash index
+    val hashIdx = Dedup.contentHashIndex(corpus, col("text"))
+    val fresh = Dedup.exactDedupAgainst(newBatch, col("text"), hashIdx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fresh == Set(12L))
+    // near-dup: new bands join the stored band index
+    val bandIdx = Dedup.bandTable(corpus, col("doc_id"), col("text"), 32, 16)
+    val cands = Dedup.minHashCandidatesAgainst(newBatch, col("doc_id"), col("text"),
+        bandIdx, 32, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((10L, 1L))) // exact dup collides everywhere
+    assert(cands.contains((11L, 4L)))
+    assert(!cands.exists(_._1 == 12L)) // novel doc matches nothing
+  }
+
   test("clusterPairs resolves transitive chains to min-id components") {
     // chain 1-2-3 plus isolated pair (10, 11): b~c via a must label all three
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
