@@ -368,6 +368,16 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // Trailing 1-hour per-user moving aggregate at every event (RANGE
+    // frame over event time — tie-safe, order-independent).
+    "c14_moving_avg" -> ((s, dir) => {
+      Relational.movingAgg(Tables.events(s, dir),
+          entity = col("user_id"), ts = col("ts"), value = col("value"), windowSeconds = 3600)
+        .select(col("event_id"), col("user_id"), col("moving_n"),
+          round(col("moving_avg"), 4).as("moving_avg"))
+        .orderBy("event_id")
+    }),
+
     // ========================================== D: training-data operators
 
     "d1_dedup_exact" -> ((s, dir) => {
@@ -567,6 +577,17 @@ object SparkEntry {
           sum("n_email").as("n_emails"), sum("n_url").as("n_urls"),
           sum("n_phone").as("n_phones"), sum("len_delta").as("sum_len_delta"))
         .orderBy("source")
+    }),
+
+    // Repetition/boilerplate signal: 1 − distinct/total tokens per doc.
+    "d22_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
+          round(TextFunctions.repetitionRatioOf(col("__toks")), 4).as("repetition"))
+        .orderBy("doc_id")
     }),
 
     // Per-group quantile quality filter: keep the top 25% of documents
@@ -840,6 +861,22 @@ object SparkEntry {
         | epoch_us(p.pts) - epoch_us(v.vts) AS gap_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.pts >= v.vts
         |ORDER BY event_id""".stripMargin,
+
+    "c14_moving_avg" ->
+      """WITH e AS (SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT event_id, user_id,
+        | count(value) OVER w AS moving_n,
+        | round(avg(value) OVER w, 4) AS moving_avg
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "d22_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        | round(CASE WHEN len(w) > 0 THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w) ELSE 0.0 END, 4) AS repetition
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,

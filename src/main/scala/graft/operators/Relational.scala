@@ -117,6 +117,25 @@ object Relational {
         rightVals.map(c => col("__last_r").getField(c).as(s"asof_$c")): _*)
   }
 
+  /** Event-time moving aggregate per entity: count and average of
+    * `value` over the trailing `windowSeconds` at each event (RANGE
+    * frame over event-time micros, so simultaneous events share one
+    * frame and the result is order-independent under timestamp ties).
+    * One shuffle on the entity — the same plan shape as sessionize. */
+  def movingAgg(
+      df: DataFrame,
+      entity: Column,
+      ts: Column,
+      value: Column,
+      windowSeconds: Long): DataFrame = {
+    Seq("moving_n", "moving_avg").foreach(c => require(!df.columns.contains(c),
+      s"movingAgg reserves output column '$c'; rename the input column"))
+    val w = Window.partitionBy(entity).orderBy(unix_micros(ts))
+      .rangeBetween(-windowSeconds * 1000000L, 0)
+    df.withColumn("moving_n", count(value).over(w))
+      .withColumn("moving_avg", avg(value).over(w))
+  }
+
   /** Salted equi-join for skewed keys when the build side cannot
     * broadcast: each fact row gets a deterministic salt in [0, nSalts)
     * (hash of the whole row — no RNG, reproducible), the dim side

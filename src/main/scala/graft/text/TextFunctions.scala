@@ -124,6 +124,16 @@ object TextFunctions {
     * once and compose [[langHitsOf]] + [[langPred]] across projections. */
   def langId(text: Column): Column = langPred(langHits(text))
 
+  /** Repetition ratio over a PRE-MATERIALIZED token array: 1 −
+    * distinct/total. Boilerplate, keyword stuffing, and generation
+    * loops repeat tokens; clean prose stays low — a standard
+    * Gopher-style quality signal alongside [[qualityScore]]. 0 for
+    * empty/degenerate docs rather than null. */
+  def repetitionRatioOf(t: Column): Column =
+    when(size(t) > 0,
+      lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+      .otherwise(lit(0.0))
+
   /** Content fingerprint: MD5 of the normalized text — stable across
     * whitespace/case variation. */
   def contentFingerprint(text: Column): Column = md5(normalize(text))
