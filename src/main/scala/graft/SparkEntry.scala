@@ -319,6 +319,28 @@ object SparkEntry {
         .orderBy("status", "priority")
     }),
 
+    // Full CUBE over (status, priority) — all 2^2 grouping sets, vs
+    // ROLLUP's hierarchy in c6.
+    "c6b_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")
+    }),
+
+    // Fixed-width histogram of order totals — the distribution profile
+    // every curation/QA dashboard starts from. Plain floor-division
+    // binning (clamped top bucket) so any engine mirrors it exactly.
+    "c15_histogram" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(least(floor(col("o_totalprice") / 20000.0), lit(29.0)).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     "c7_pivot" -> ((s, dir) => {
       Relational.pivotAgg(Tables.events(s, dir), col("user_id"), "event_type",
           values = Seq("click", "error", "purchase", "signup", "view"), measure = col("value"))
@@ -818,6 +840,17 @@ object SparkEntry {
         | count(*) AS n, round(sum(o_totalprice),4) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "c6b_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),4) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "c15_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 20000.0), 29.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "c7_pivot" ->
       """SELECT user_id,
