@@ -44,6 +44,22 @@ object Tables {
     corruptColumn.fold(reader)(c => reader.option("columnNameOfCorruptRecord", c)).json(path)
   }
 
+  /** CSV source with a DECLARED schema — same contract as [[readJson]]
+    * (no inference pre-pass, FAILFAST by default, PERMISSIVE +
+    * `corruptColumn` for reject routing). */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = true,
+      mode: String = "FAILFAST",
+      corruptColumn: Option[String] = None): DataFrame = {
+    val withCorrupt = corruptColumn.fold(schema)(c => schema.add(c, "string"))
+    val reader = spark.read.schema(withCorrupt)
+      .option("mode", mode).option("header", header.toString)
+    corruptColumn.fold(reader)(c => reader.option("columnNameOfCorruptRecord", c)).csv(path)
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -90,6 +90,33 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming → Bronze ingest: write each micro-batch Hive-partitioned
+    * by `ingestion_date` derived from event time — the streaming mouth
+    * of the [[graft.etl.Medallion]] layer (downstream incremental
+    * Silver/Gold runs pick partitions up via `.done` markers exactly as
+    * with batch ingest).
+    *
+    * `foreachBatch` rather than a plain file sink so the partition
+    * column is derived per batch and the write path stays the shared
+    * [[graft.etl.Medallion.writePartitioned]]. Exactly-once comes from
+    * the checkpoint + append-only layout; re-processed batches re-append,
+    * so downstream Silver dedups on the record key (A7) as the
+    * reference's pipeline does. Returns the started query. */
+  def toBronze(
+      events: DataFrame,
+      ts: String,
+      outRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.etl.Medallion.writePartitioned(
+          batch.withColumn(graft.etl.Medallion.PartitionCol,
+            date_format(col(ts), "yyyy-MM-dd")),
+          outRoot)
+      }
+      .start()
+
   /** Watermarked stream–stream inner join: match events from two
     * streams on a key within a bounded event-time interval (e.g. each
     * purchase to the views that preceded it by at most `maxGap`).

@@ -44,6 +44,21 @@ class TablesSpec extends SparkSpec {
     assert(rows.filter(r => r.isNullAt(1)).map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("readCsv applies the declared schema and routes malformed rows") {
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "part-0.csv"),
+      """id,title,score
+        |1,a,0.5
+        |oops,b,not-a-double
+        |""".stripMargin)
+    val rows = Tables.readCsv(spark, dir, schema, mode = "PERMISSIVE", corruptColumn = Some("_raw"))
+      .select(col("id"), col("_raw")).collect()
+    assert(rows.length == 2)
+    assert(rows.count(r => !r.isNullAt(1)) == 1)
+    assert(rows.filter(r => r.isNullAt(1)).map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("JSON bronze round-trips through Medallion incremental runner") {
     val bronze = tmp()
     val silver = tmp()

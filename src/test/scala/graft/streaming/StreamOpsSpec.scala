@@ -51,6 +51,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toBronze lands micro-batches Hive-partitioned by ingestion date") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bronze")
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.toBronze(
+      input.toDF().toDF("event_id", "ts", "value"),
+      ts = "ts", outRoot = dir.resolve("bronze").toString,
+      checkpoint = dir.resolve("ckpt").toString)
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-02 09:00:00"), 2.0))
+      q.processAllAvailable()
+      val parts = graft.etl.Medallion.listPartitions(dir.resolve("bronze").toString)
+      assert(parts == Seq("2024-01-01", "2024-01-02"))
+      val day1 = spark.read.parquet(s"${dir.resolve("bronze")}/ingestion_date=2024-01-01")
+      assert(day1.select("event_id").as[Long].collect().toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("streamDedup drops in-watermark duplicate keys, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
