@@ -357,6 +357,23 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // Sketch distinct-count: at 100 TB exact countDistinct shuffles every
+    // distinct value; the HLL++ sketch is the production path. The sketch
+    // value is engine-specific, so the driver-checked output carries the
+    // exact count plus a boolean asserting the sketch landed within 5%
+    // (rsd=0.02 ⇒ ~2σ) — the oracle expects TRUE, so a drifting sketch
+    // fails the gate.
+    "c8b_distinct_approx" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__n_approx"))
+        .select(col("l_linestatus"), col("n_exact"),
+          (abs(col("__n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+            .as("within_bound"))
+        .orderBy("l_linestatus")
+    }),
+
     "c9_time_bucket" -> ((s, dir) => {
       Relational.timeBucketAgg(Tables.events(s, dir), col("ts"), "1 hour",
           groupBy = Seq(col("event_type")), value = col("value"))
@@ -866,6 +883,11 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps,
         | round(sum(CASE WHEN l_returnflag='R' THEN l_extendedprice ELSE 0 END),4) AS returned_price,
         | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "c8b_distinct_approx" ->
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_exact,
+        | TRUE AS within_bound
         |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
 
     "c9_time_bucket" ->

@@ -34,6 +34,20 @@ class MedallionSpec extends SparkSpec {
     assert(out.select(sum("x")).as[Long].head() == 6L)
   }
 
+  test("partition filters prune the Hive layout at the scan") {
+    val root = tmp()
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("id", Medallion.PartitionCol)
+      .write.partitionBy(Medallion.PartitionCol).parquet(root)
+    val q = spark.read.parquet(root).filter(col(Medallion.PartitionCol) === "2024-01-02")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "partition filter did not reach the scan")
+    assert(scan.relation.location.inputFiles.length == 3) // layout has 3 partitions...
+    assert(q.count() == 1) // ...but only one is read
+  }
+
   test("re-run after failed marker write overwrites, never duplicates") {
     val bronze = tmp()
     val silver = tmp()
