@@ -67,8 +67,19 @@ object SparkEntry {
     // job == "Director" → name; the Director's position alternates so the
     // filter is load-bearing), and size counts with empty-array cases.
     "a3b_flatten_nested" -> ((s, dir) => {
-      val k = get_json_object(col("props"), "$.k").cast("long")
-      val uid = col("user_id")
+      // `k` is staged in its own (codegen'd) projection before anything
+      // touches it: the projection that parses the assembled doc is
+      // interpreted end-to-end (JsonToStructs is CodegenFallback) and
+      // interpreted projections get NO common-subexpression elimination,
+      // so inlining the get_json_object-derived `k` would re-run its
+      // JSON scan once per reference per row — the r2 21s hot spot.
+      // CollapseProject cannot undo the staging: `k` (non-cheap) is
+      // referenced six times downstream.
+      val staged = Tables.events(s, dir).select(
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("user_id").as("uid"))
+      val k = col("k")
+      val uid = col("uid")
       val g1 = concat(lit("{\"name\":\"g"), (k % 5).cast("string"), lit("\"}"))
       val g2 = concat(lit("{\"name\":\"g"), (k % 3).cast("string"), lit("\"}"))
       val genresArr = when(k % 4 === 0, lit("[]"))
@@ -79,7 +90,7 @@ object SparkEntry {
         .otherwise(concat(lit("["), director, lit(","), editor, lit("]")))
       val doc = concat(lit("{\"genres\":"), genresArr, lit(",\"crew\":"), crewArr, lit("}"))
       val ddl = "genres array<struct<name:string>>, crew array<struct<job:string,name:string>>"
-      Tables.events(s, dir)
+      staged
         .select(k.as("k"), Nested.parseJson(doc, ddl).as("p"))
         .select(col("k"),
           Nested.joinField(col("p.genres"), "name", "|").as("genres_str"),
