@@ -32,7 +32,13 @@ object Bench {
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 times a subset while iterating on a
     // hot spot. Unset (the driver's invocation) → the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val selected = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(q => names(q._1)))
+    val selected0 = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(q => names(q._1)))
+    // SPARK_GRAFT_REPEAT=N times each selected query N times (keys
+    // suffixed #i past the first) to separate cold-JVM from warm cost.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = selected0.toSeq.flatMap { case (name, fn) =>
+      (0 until repeat).map(i => (if (i == 0) name else s"$name#$i") -> fn)
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -48,7 +54,7 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
