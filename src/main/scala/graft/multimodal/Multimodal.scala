@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
   *
   * Media payloads are opaque `binary` columns with a typed metadata
   * struct alongside — the layout a 100 TB multimodal corpus uses
-  * (parquet binary + stats, partition-prunable metadata). The Spark-side
-  * plumbing — schema, batch iteration, partition-parallel feature
-  * extraction — is real; only the codec itself is stubbed (this
-  * container has no image/audio libraries), clearly marked below.
+  * (parquet binary + stats, partition-prunable metadata). Image decode
+  * is REAL (JDK `javax.imageio`, header-only, per-partition reader
+  * reuse); only non-image codecs (audio/video, which the JDK does not
+  * ship) remain a clearly-marked deterministic stub.
   */
 object Multimodal {
 
@@ -18,8 +18,11 @@ object Multimodal {
     * in plain columns so filters prune without touching bytes. */
   final case class MediaRecord(media_id: Long, media_type: String, source: String, content: Array[Byte])
 
+  /** `decoded` is true only when a real codec parsed the payload; stubbed
+    * or failed decodes carry it false so downstream filters can separate
+    * measured dimensions from placeholders. */
   final case class MediaFeatures(media_id: Long, media_type: String, byte_len: Long,
-                                 checksum: Long, width: Int, height: Int)
+                                 checksum: Long, width: Int, height: Int, decoded: Boolean)
 
   /** Attach binary payload + metadata columns to a DataFrame with a
     * string column (stand-in for real media bytes in the test corpus). */
@@ -42,13 +45,47 @@ object Multimodal {
       .withColumn("sha256", sha2(col("content"), 256))
       .withColumn("head_hex", hex(substring(col("content"), 1, 4)))
 
+  /** Container format sniffed from magic bytes — trusted over the claimed
+    * `media_type` (a corpus's declared MIME types are routinely wrong;
+    * the bytes are not). Formats are the four the JDK decodes natively. */
+  def sniffImageFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+    else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) Some("jpeg")
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else None
+
+  /** Header-only image dimensions via a REUSED per-partition
+    * `ImageReader`: `getWidth(0)`/`getHeight(0)` parse the container
+    * header without decoding pixel data, so cost is O(header bytes) per
+    * record regardless of image size — the metadata-extraction fast path
+    * a 100 TB image corpus needs. Corrupt/truncated payloads return
+    * None rather than failing the task. */
+  private def headerDims(
+      readers: scala.collection.mutable.Map[String, javax.imageio.ImageReader],
+      fmt: String,
+      bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val reader = readers.getOrElseUpdate(fmt, {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        require(it.hasNext, s"no JDK ImageReader for $fmt")
+        it.next()
+      })
+      // memory-cached stream (no executor-disk temp files)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        Some((reader.getWidth(0), reader.getHeight(0)))
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ======================================================================
-  // STUB: media decode. A production build decodes with a per-partition
-  // codec (javax.imageio / ffmpeg bindings) inside mapPartitions — one
-  // codec instance per partition, batch-amortized, never per-row init.
-  // The container ships no media libraries, so decode derives
-  // DETERMINISTIC fake dimensions from the payload bytes. The plumbing
-  // (typed Dataset, partition iteration, schema) is the real pattern.
+  // STUB: non-image decode. The JDK ships no audio/video codecs, so
+  // dimensions for non-image media derive DETERMINISTICALLY from the
+  // payload bytes (decoded=false marks them as placeholders). A
+  // production build swaps this one function for an ffmpeg binding held
+  // per-partition exactly like the image readers above.
   // ======================================================================
   private def stubDecode(content: Array[Byte]): (Int, Int) = {
     val n = content.length
@@ -56,24 +93,32 @@ object Multimodal {
   }
 
   /** Partition-parallel feature extraction over media records.
-    * `mapPartitions` so the codec initializes ONCE per partition (here:
-    * one reusable CRC32 instance, reset per record — a real decoder
-    * would hold its native context the same way), and records stream
-    * through in batches so a batched codec API amortizes per-call
-    * overhead. Output is a typed Dataset with a stable schema for
-    * downstream SQL. */
+    * `mapPartitions` so codec state initializes ONCE per partition: one
+    * reusable CRC32 and one `ImageReader` per image format, never
+    * per-row. Records stream through in batches so a batched codec API
+    * amortizes per-call overhead. Decode routing: payloads whose magic
+    * bytes identify a JDK-decodable image get REAL header dimensions;
+    * undecodable payloads claiming an image MIME type get (-1, -1);
+    * everything
+    * else (audio/video) gets the labeled stub. Output is a typed Dataset
+    * with a stable schema for downstream SQL. */
   def extractFeatures(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "media_type", "content").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        val c = new java.util.zip.CRC32() // per-partition codec state
+        val crc = new java.util.zip.CRC32() // per-partition codec state
+        val readers = scala.collection.mutable.Map[String, javax.imageio.ImageReader]()
         it.grouped(batchSize).flatMap { batch =>
-          // batch boundary: a real codec would decode `batch` in one call
+          // batch boundary: a batched codec would decode `batch` in one call
           batch.map { case (id, mt, bytes) =>
-            c.reset()
-            c.update(bytes)
-            val (w, h) = stubDecode(bytes)
-            MediaFeatures(id, mt, bytes.length.toLong, c.getValue, w, h)
+            crc.reset()
+            crc.update(bytes)
+            val (w, h, decoded) = sniffImageFormat(bytes).flatMap(headerDims(readers, _, bytes)) match {
+              case Some((rw, rh)) => (rw, rh, true)
+              case None if mt.startsWith("image/") => (-1, -1, false)
+              case None => val (sw, sh) = stubDecode(bytes); (sw, sh, false)
+            }
+            MediaFeatures(id, mt, bytes.length.toLong, crc.getValue, w, h, decoded)
           }
         }
       }

@@ -9,6 +9,15 @@ class MultimodalSpec extends SparkSpec {
   private lazy val docs = Seq((1L, "hello", "s1"), (2L, "wörld", "s2"))
     .toDF("doc_id", "text", "source")
 
+  /** Real encoded image bytes of exact (w, h), via the JDK encoder. */
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF8040) // non-trivial pixel so encoders emit data
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+    bos.toByteArray
+  }
+
   test("asMedia produces binary content + metadata columns") {
     val m = Multimodal.asMedia(docs, "doc_id", "text", "text/plain", "source")
     assert(m.columns.toSeq == Seq("media_id", "media_type", "source", "content"))
@@ -25,11 +34,39 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getLong(1) == crc.getValue)
   }
 
-  test("extractFeatures runs partition-parallel with stable fake dims") {
-    val m = Multimodal.asMedia(docs, "doc_id", "text", "image/png", "source").repartition(2)
+  test("extractFeatures decodes real PNG/JPEG/GIF/BMP dimensions from the header") {
+    val media = Seq(
+      (1L, "image/png", "s", imageBytes("png", 17, 9)),
+      (2L, "image/jpeg", "s", imageBytes("jpeg", 33, 21)),
+      (3L, "image/gif", "s", imageBytes("gif", 5, 7)),
+      (4L, "image/bmp", "s", imageBytes("bmp", 12, 4)),
+      // declared PNG but the MIME type lies: bytes are a JPEG — the
+      // sniffer must trust the bytes
+      (5L, "image/png", "s", imageBytes("jpeg", 8, 8))
+    ).toDF("media_id", "media_type", "source", "content").repartition(2)
+    val f = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(f.map(r => (r.width, r.height)).toSeq ==
+      Seq((17, 9), (33, 21), (5, 7), (12, 4), (8, 8)))
+    assert(f.forall(_.decoded))
+  }
+
+  test("extractFeatures: corrupt image payload yields (-1,-1) undecoded, not a task failure") {
+    val media = Seq(
+      (1L, "image/png", "s", "not an image at all".getBytes("UTF-8")),
+      // valid magic, truncated body
+      (2L, "image/png", "s", imageBytes("png", 10, 10).take(12))
+    ).toDF("media_id", "media_type", "source", "content")
+    val f = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(f.map(r => (r.width, r.height, r.decoded)).toSeq ==
+      Seq((-1, -1, false), (-1, -1, false)))
+  }
+
+  test("extractFeatures stubs non-image media deterministically") {
+    val m = Multimodal.asMedia(docs, "doc_id", "text", "audio/wav", "source").repartition(2)
     val f = Multimodal.extractFeatures(spark, m).collect().sortBy(_.media_id)
     assert(f.length == 2)
     assert(f(0).byte_len == 5L && f(0).width == 64 + 5 % 64)
+    assert(f.forall(!_.decoded))
     // deterministic across runs
     val f2 = Multimodal.extractFeatures(spark, m).collect().sortBy(_.media_id)
     assert(f.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
