@@ -282,6 +282,12 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
+  /** Explicit opt-out of [[jaccardPairs]]'s stop-shingle cap: exact
+    * Jaccard over the FULL shingle universe. Unbounded join cost — a
+    * single boilerplate shingle shared by d documents contributes d²
+    * candidate rows. Small corpora and oracles only. */
+  val NoDfCap: Int = Int.MaxValue
+
   /** Exact n-gram Jaccard similar pairs via the inverted-index join:
     * explode distinct shingles, drop stop-shingles (document frequency
     * above `maxDf`), self-join on the shingle hash, count the
@@ -291,9 +297,12 @@ object Dedup {
     *
     * Scale: the join cost is O(Σ_shingle df²); the cap bounds every term
     * at maxDf², and stop-shingles (boilerplate phrases shared by huge
-    * document sets) carry no near-dup signal. For corpus-scale runs
-    * prefer [[minHashCandidates]] → [[jaccardVerify]], which never
-    * builds the full inverted-index join at all.
+    * document sets) carry no near-dup signal. The cap is ON by default —
+    * the unbounded formulation (pass [[NoDfCap]] explicitly) turns one
+    * viral boilerplate phrase into an O(d²) join and must be a conscious
+    * choice, never an omission. For corpus-scale runs prefer
+    * [[minHashCandidates]] → [[jaccardVerify]], which never builds the
+    * full inverted-index join at all.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -301,11 +310,11 @@ object Dedup {
       text: Column,
       threshold: Double,
       k: Int = 3,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = 1000): DataFrame = {
+    require(maxDf > 0, "maxDf must be positive (use NoDfCap to disable the stop-shingle cap)")
     val sh0 = shingleHashes(df, id, text, k)
-    // cap is opt-in (default keeps exact semantics for existing callers);
-    // when disabled, skip the df-count job entirely
-    val sh = if (maxDf == Int.MaxValue) sh0 else {
+    // NoDfCap skips the df-count job entirely
+    val sh = if (maxDf == NoDfCap) sh0 else {
       val keep = sh0.groupBy("g").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select("g")
       sh0.join(keep, Seq("g"), "left_semi")
