@@ -47,22 +47,50 @@ object Medallion {
     * `read` defaults to a parquet scan; pass e.g.
     * `(s, p) => Tables.readJson(s, p, schema)` when the Bronze layer is
     * raw JSON (the reference's layout, fetch_movies.py:37-45).
+    *
+    * `parallelism` bounds CONCURRENT job submission: each partition is
+    * its own Spark job, and serial submission leaves executors idle
+    * whenever one small partition's job cannot fill the cluster — a
+    * 1,000-partition backfill should keep `parallelism` jobs in flight
+    * (Spark's scheduler interleaves their stages; FAIR mode shares
+    * evenly). Default 1 preserves strictly ordered, easiest-to-reason
+    * processing for day-to-day incremental runs where `todo` is small.
+    * Markers are written per successful partition even when a sibling
+    * fails, so a failed parallel backfill resumes exactly where it
+    * stopped; the first failure rethrows after in-flight work settles.
     */
   def runIncremental(
       spark: SparkSession,
       inRoot: String,
       outRoot: String,
       transform: DataFrame => DataFrame,
-      read: (SparkSession, String) => DataFrame = (s, p) => s.read.parquet(p)): Seq[String] = {
+      read: (SparkSession, String) => DataFrame = (s, p) => s.read.parquet(p),
+      parallelism: Int = 1): Seq[String] = {
+    require(parallelism >= 1, "parallelism must be >= 1")
     Files.createDirectories(Paths.get(outRoot))
     val todo = listPartitions(inRoot).filterNot(isDone(outRoot, _))
-    todo.foreach { value =>
+    def processOne(value: String): Unit = {
       val in = read(spark, s"$inRoot/$PartitionCol=$value")
       val out = transform(in)
       // Overwrite just this partition dir: idempotent re-run before the
       // marker lands never duplicates rows.
       out.write.mode("overwrite").parquet(s"$outRoot/$PartitionCol=$value")
       Files.createFile(marker(outRoot, value))
+    }
+    if (parallelism == 1 || todo.size <= 1) todo.foreach(processOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(parallelism, todo.size))
+      try {
+        val futures = todo.map(v => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = processOne(v)
+        }))
+        // surface the FIRST failure (in todo order) after all submissions
+        // settle — successful siblings keep their markers either way
+        futures.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
     }
     todo
   }
