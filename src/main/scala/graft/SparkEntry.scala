@@ -23,6 +23,15 @@ object SparkEntry {
 
   private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Embeddings-corpus size memoized per sf dir. LSH auto-sizing needs
+    * |corpus|, and a production caller passes it from their metastore
+    * instead of paying a count job at every plan construction — here the
+    * first of d6/d12 to run pays one metadata-cheap parquet count and
+    * the rest reuse it. */
+  private val corpusSizes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingsCount(s: SparkSession, dir: String): Long =
+    corpusSizes.computeIfAbsent(dir, _ => Tables.embeddings(s, dir).count())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================================================================ A: ETL
@@ -480,7 +489,7 @@ object SparkEntry {
     "d6_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          dims = 64, k = 5, tables = 48)
+          dims = 64, k = 5, tables = 48, corpusSize = Some(embeddingsCount(s, dir)))
         .orderBy("qid", "rank")
     }),
 
@@ -556,7 +565,8 @@ object SparkEntry {
     // the LSH-restricted pair set equals the exact ≥τ set — the oracle.
     "d12_embed_neardup" -> ((s, dir) => {
       Ann.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          dims = 64, threshold = 0.45, tables = 24)
+          dims = 64, threshold = 0.45, tables = 24,
+          corpusSize = Some(embeddingsCount(s, dir)))
         .orderBy("doc_a", "doc_b")
     }),
 

@@ -85,6 +85,29 @@ class AnnSpec extends SparkSpec {
     assert(partition(ref) == partition(prod))
   }
 
+  test("recallFor PREDICTS observed lshTopK recall at production params (tables=8, target 64)") {
+    // The correctness-grade driver queries run tables=48/24 where the
+    // closed form says recall ≈ 1; this test runs the production-shaped
+    // cheap configuration and checks the closed form is predictive, not
+    // just an upper-bound story: observed recall over 500 true top-k
+    // pairs must land within ±0.1 of the mean per-pair prediction
+    // (binomial σ ≈ 0.02 here, so ±0.1 is a 5σ band).
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter(col("vec_id") < 50)
+    val k = 10
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select("qid", "cid", "cosine").as[(Long, Long, Double)].collect()
+    assert(exact.length == 50 * k)
+    val bits = Ann.bitsFor(500, 64)
+    val got = Ann.lshTopK(emb, queries, "vec_id", "embedding", dims = 64, k = k,
+        tables = 8, targetBucketSize = 64, corpusSize = Some(500L))
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val observed = exact.count(e => got.contains((e._1, e._2))).toDouble / exact.length
+    val predicted = exact.map(e => Ann.recallFor(e._3, bits, 8)).sum / exact.length
+    assert(math.abs(observed - predicted) < 0.1,
+      s"closed form not predictive: observed=$observed predicted=$predicted (bits=$bits)")
+  }
+
   test("sigTable buckets stay near the target size under auto-sized bits") {
     // 512 deterministic pseudo-random 8-dim vectors
     val n = 512
