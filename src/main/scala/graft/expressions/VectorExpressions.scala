@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * higher-order functions are interpreted — every element pays a lambda
   * dispatch and boxing — and a fully unrolled `a[1]·b[1]+…` tower pays a
   * per-element `GetArrayItem` null/bounds check and deep tree dispatch
-  * (measured 3-4× WORSE than the fold; see VectorOps.dot). This
+  * (measured ~2.7× WORSE than the fold's median — DOTBENCH.json, 1M×64;
+  * see VectorOps.dot). This
   * expression participates in whole-stage codegen via [[doGenCode]]: the
   * generated code is one tight primitive loop over the two ArrayData
   * buffers — no boxing, no dispatch, fused into the surrounding operator.

@@ -18,13 +18,16 @@ object VectorOps {
   /** Σ aᵢ·bᵢ — sequential left-to-right sum, matching the order a
     * columnar engine evaluates a dot product (bit-reproducible).
     *
-    * Measured note (sf0.1, 1M pairs × 64 dims, local[32]): this
-    * interpreted fold beats a fully unrolled
-    * `a[1]·b[1] + … + a[64]·b[64]` expression by 3-4× — per-element
-    * `element_at`/`GetArrayItem` towers pay bounds/null checks and
-    * deep expression-tree dispatch per access, while the fold walks
-    * the two arrays once. Do not "optimize" this into element
-    * accessors without re-benchmarking. */
+    * Measured (DOTBENCH.json — `graft.DotBench`, 1M pairs × 64 dims,
+    * local[32]): this interpreted fold runs ~1.0s median vs ~2.7s for a
+    * fully unrolled `a[1]·b[1] + … + a[64]·b[64]` expression — per-
+    * element `element_at`/`GetArrayItem` towers pay bounds/null checks
+    * and deep expression-tree dispatch per access, while the fold walks
+    * the two arrays once. The fold's run-to-run variance is high
+    * (0.85–5.5s; interpreted eval allocates per element), which is
+    * itself a reason hot paths use the native expression instead. Do
+    * not "optimize" this into element accessors without re-running
+    * DotBench. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -43,8 +46,10 @@ object VectorOps {
     *
     * The dot product here is the native codegen'd
     * [[graft.expressions.DotProduct]] (one primitive loop fused into the
-    * surrounding stage — measured 7-9× faster than the interpreted fold
-    * on the candidate-scoring hot path, bit-identical result). Both
+    * surrounding stage — measured faster than the interpreted fold and
+    * far more stable: DOTBENCH.json medians 0.72s vs 1.02s on 1M×64,
+    * best runs 0.16s vs 0.85s, and no multi-second GC spikes;
+    * bit-identical result). Both
     * inputs must therefore be `array<double>` ([[toDouble]] first). */
   def cosine(a: Column, b: Column): Column =
     graft.expressions.VectorExpressions.dotNative(a, b) / (l2Norm(a) * l2Norm(b))
