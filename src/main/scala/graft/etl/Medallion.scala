@@ -84,12 +84,14 @@ object Medallion {
         val futures = todo.map(v => pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = processOne(v)
         }))
-        // surface the FIRST failure (in todo order) after all submissions
-        // settle — successful siblings keep their markers either way
-        futures.foreach { f =>
-          try f.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        // settle EVERY in-flight partition before surfacing the first
+        // failure (in todo order) — successful siblings must finish and
+        // commit their markers even when an earlier partition failed
+        val outcomes = futures.map { f =>
+          try { f.get(); None }
+          catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) }
         }
+        outcomes.flatten.headOption.foreach(throw _)
       } finally pool.shutdown()
     }
     todo
