@@ -155,6 +155,103 @@ object Ann {
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Deterministic IVF coarse centroids: the `nLists` corpus vectors
+    * with the smallest md5-derived sample key — a uniform sample with no
+    * RNG state, so executors and re-runs agree, and md5 (not xxhash64)
+    * so ANY engine reproduces the selection (the DuckDB oracle mirrors
+    * it bit-for-bit, same rationale as [[graft.dedup.Dedup.tokenHash60]]).
+    * Emits (list_id, cvec, cnorm); `nLists` is small (≈ √corpus in
+    * production), so the result is broadcast by callers.
+    * `TakeOrderedAndProject` keeps selection O(nLists) per partition +
+    * one reduce — no global sort. */
+  def ivfCentroids(corpus: DataFrame, id: String, vec: String, nLists: Int): DataFrame = {
+    val w = Window.orderBy(col("__h"), col("__cid"))
+    corpus.select(col(id).as("__cid"), VectorOps.toDouble(col(vec)).as("cvec"))
+      .withColumn("__h", conv(substring(md5(col("__cid").cast("string")), 1, 15), 16, 10).cast("long"))
+      .orderBy(col("__h"), col("__cid")).limit(nLists)
+      // nLists rows total — the unpartitioned window is fine here
+      .withColumn("list_id", row_number().over(w))
+      .select(col("list_id"), col("cvec"), VectorOps.l2Norm(col("cvec")).as("cnorm"))
+  }
+
+  /** One Lloyd refinement round: recompute each centroid as the
+    * elementwise mean of its assigned vectors. Distributed k-means step
+    * with no driver-side state: assignment is [[ivfAssign]], the mean is
+    * a (list, dim)-keyed partial aggregate (map-side combine), and the
+    * array is reassembled per list from its ≤`dims` dimension rows.
+    * Lists that lost every member keep their previous centroid. */
+  def refineCentroids(corpus: DataFrame, id: String, vec: String, centroids: DataFrame): DataFrame = {
+    val assigned = ivfAssign(corpus, id, vec, centroids)
+      .join(corpus.select(col(id).as("__cid"), VectorOps.toDouble(col(vec)).as("v")), "__cid")
+    val means = assigned
+      .select(col("list_id"), posexplode(col("v")).as(Seq("__d", "__x")))
+      .groupBy("list_id", "__d").agg(avg("__x").as("__m"))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__dm"))
+      .select(col("list_id"),
+        transform(col("__dm"), s => s.getField("__m")).as("cvec"))
+      .withColumn("cnorm", VectorOps.l2Norm(col("cvec")))
+    centroids.select(col("list_id"), col("cvec").as("__old_v"), col("cnorm").as("__old_n"))
+      .join(means, Seq("list_id"), "left")
+      .select(col("list_id"),
+        coalesce(col("cvec"), col("__old_v")).as("cvec"),
+        coalesce(col("cnorm"), col("__old_n")).as("cnorm"))
+  }
+
+  /** (\_\_cid, list_id) inverted-list assignment: each corpus vector goes
+    * to its highest-cosine centroid. The centroid table is broadcast, the
+    * argmax is a `max(struct(score, -list_id))` hash aggregate — partial
+    * aggregation means one row per corpus vector crosses the shuffle,
+    * with ties broken to the smaller list deterministically. */
+  def ivfAssign(corpus: DataFrame, id: String, vec: String, centroids: DataFrame): DataFrame = {
+    val c = vecTable(corpus, id, vec, "__cid", "__v", "__n")
+    c.join(broadcast(centroids))
+      .withColumn("__score", VectorOps.cosineWithNorms(col("__v"), col("cvec"), col("__n"), col("cnorm")))
+      .groupBy("__cid")
+      .agg(max(struct(col("__score"), (-col("list_id")).as("__nl"))).as("__best"))
+      .select(col("__cid"), (-col("__best.__nl")).cast("int").as("list_id"))
+  }
+
+  /** IVF-Flat ANN: corpus vectors are sharded into `nLists` inverted
+    * lists by nearest coarse centroid; each query scores ONLY the lists
+    * of its `nProbe` nearest centroids, so per-query work is
+    * ≈ nProbe/nLists of the corpus — the other standard ANN scale path
+    * next to [[lshTopK]] (production sizes nLists ≈ √n with k-means-
+    * trained centroids; [[refineCentroids]] is the training round, and
+    * `trainRounds` applies it). The plan keeps the LSH discipline:
+    * centroids broadcast, assignment a partial-agg argmax, candidate
+    * generation an equi-join on `list_id`, vectors joined once.
+    *
+    * Exactness: with `nProbe == nLists` this IS brute force (every list
+    * probed). Below that, recall depends on the corpus geometry —
+    * measure against [[bruteForceTopK]] on a sample (see AnnSpec).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, nLists: Int, nProbe: Int, trainRounds: Int = 0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists, "need 1 <= nProbe <= nLists")
+    var cents = ivfCentroids(corpus, id, vec, nLists)
+    (0 until trainRounds).foreach(_ => cents = refineCentroids(corpus, id, vec, cents))
+    val assigned = ivfAssign(corpus, id, vec, cents)
+      .join(vecTable(corpus, id, vec, "cid", "cv", "__cn"), col("__cid") === col("cid"))
+      .select(col("list_id"), col("cid"), col("cv"), col("__cn"))
+    val q = vecTable(queries, id, vec, "qid", "qv", "qnorm")
+    val probes = q.join(broadcast(cents))
+      .withColumn("__score", VectorOps.cosineWithNorms(col("qv"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("__score").desc, col("list_id").asc)))
+      .filter(col("__pr") <= nProbe)
+      .select(col("qid"), col("qv"), col("qnorm"), col("list_id"))
+    val scored = probes.join(assigned, Seq("list_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", VectorOps.cosineWithNorms(col("qv"), col("cv"), col("qnorm"), col("__cn")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: corpus self-match where
     * cosine ≥ `threshold`, candidates restricted to LSH bucket
     * collisions (same plan discipline as [[lshTopK]]: equi-join on the

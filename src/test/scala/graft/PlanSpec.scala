@@ -14,8 +14,11 @@ class PlanSpec extends SparkSpec {
   /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
     * d5 broadcasts the query set against the corpus with a non-equi
     * (qid != cid) condition — the documented brute-force baseline; d16
-    * broadcasts a single-row corpus count. */
-  private val allowedBnlj = Set("d5_ann_bruteforce", "d16_tfidf")
+    * broadcasts a single-row corpus count; d23 broadcasts the nLists-row
+    * centroid table against corpus and query sides (every vector scores
+    * every coarse centroid by design — that product is O(n·nLists), the
+    * IVF cost model, not an accident). */
+  private val allowedBnlj = Set("d5_ann_bruteforce", "d16_tfidf", "d23_ann_ivf")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan of $name has no cartesian product${if (allowedBnlj(name)) "" else " and no nested-loop join"}") {

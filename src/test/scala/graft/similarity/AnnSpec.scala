@@ -108,6 +108,40 @@ class AnnSpec extends SparkSpec {
       s"closed form not predictive: observed=$observed predicted=$predicted (bits=$bits)")
   }
 
+  test("ivfTopK: nProbe == nLists is exact; assignment covers every vector once") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "cid", "cosine").as[(Long, Long, Double)].collect().toSet
+    val all = Ann.ivfTopK(emb, q, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 8)
+      .select("qid", "cid", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(all == exact, "probing every list must reduce to brute force")
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding",
+      Ann.ivfCentroids(emb, "vec_id", "embedding", 8))
+    assert(assigned.count() == 500L) // every vector in exactly one list
+    assert(assigned.select("list_id").distinct().count() == 8L)
+  }
+
+  test("ivfTopK recall grows with nProbe; a Lloyd round changes no invariants") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    def recall(nProbe: Int, train: Int): Double = {
+      val got = Ann.ivfTopK(emb, q, "vec_id", "embedding", 5, nLists = 8,
+          nProbe = nProbe, trainRounds = train)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r1 = recall(1, 0); val r4 = recall(4, 0); val r8 = recall(8, 0)
+    assert(r1 <= r4 && r4 <= r8 && r8 == 1.0, s"recall not monotone: $r1 / $r4 / $r8")
+    assert(r4 > 0.5, s"probing half the lists should recover most neighbors, got $r4")
+    // one k-means round re-centers lists; search must stay well-formed
+    // (5 results per query, recall in a sane band)
+    val trained = recall(4, 1)
+    assert(trained > 0.5, s"trained recall collapsed: $trained")
+  }
+
   test("sigTable buckets stay near the target size under auto-sized bits") {
     // 512 deterministic pseudo-random 8-dim vectors
     val n = 512
