@@ -142,6 +142,55 @@ object StreamOps {
       s"$leftKey = $rightKey AND $rightTs <= $leftTs AND $rightTs >= $leftTs - INTERVAL $maxGap"))
   }
 
+  /** Streaming ingest with CROSS-BATCH exact dedup against a persisted
+    * content-hash index — the streaming form of the day-2 pattern
+    * ([[graft.dedup.Dedup.exactDedupAgainst]]): never re-scan the
+    * corpus to admit today's batch, and never let a retried fetch
+    * re-admit yesterday's document. [[streamDedup]] bounds its state by
+    * the watermark, so it cannot catch a duplicate arriving days later;
+    * this sink can, because its state is the persisted hash index, not
+    * executor memory.
+    *
+    * Per micro-batch: (1) within-batch exact dedup (keep-min-id);
+    * (2) anti-join the batch's content hashes against the stored index
+    * — only the BATCH is hashed, the index contributes its (bucketable)
+    * 32-byte digests; (3) append survivors Hive-partitioned under
+    * `outRoot`; (4) append survivors' hashes to the index. A batch
+    * replayed after a crash between (3) and (4) re-appends its rows —
+    * same at-least-once contract as [[toBronze]]; downstream Silver
+    * key-dedup (A7) remains the exactly-once backstop. */
+  def toBronzeDeduped(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      ts: String,
+      outRoot: String,
+      indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.dedup.Dedup
+        val spark = batch.sparkSession
+        val inBatch = Dedup.exactDedup(batch, col(id), col(text))
+        val novel =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath)))
+            Dedup.exactDedupAgainst(inBatch, col(text), spark.read.parquet(indexPath))
+          else inBatch
+        // one batch, two actions — cache survivors so the text column is
+        // hashed once, not once per write
+        novel.persist()
+        try {
+          graft.etl.Medallion.writePartitioned(
+            novel.withColumn(graft.etl.Medallion.PartitionCol,
+              date_format(col(ts), "yyyy-MM-dd")),
+            outRoot)
+          Dedup.contentHashIndex(novel, col(text))
+            .write.mode("append").parquet(indexPath)
+        } finally novel.unpersist()
+      }
+      .start()
+
   /** Streaming exact dedup: drop records whose key was already seen,
     * with state bounded by the watermark — the streaming mirror of
     * [[graft.dedup.Dedup.exactDedup]] for ingest-time duplicate

@@ -69,6 +69,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toBronzeDeduped: cross-batch dups dropped via the persisted hash index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bronze-dedup")
+    val bronze = dir.resolve("bronze").toString
+    val index = dir.resolve("index").toString
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamOps.toBronzeDeduped(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      id = "doc_id", text = "text", ts = "ts",
+      outRoot = bronze, indexPath = index,
+      checkpoint = dir.resolve("ckpt").toString)
+    try {
+      // batch 1: two distinct docs + an in-batch duplicate of doc 1
+      input.addData(
+        (1L, "the quick brown fox", ts("2024-01-01 10:00:00")),
+        (2L, "an entirely different text", ts("2024-01-01 10:01:00")),
+        (3L, "the quick brown fox", ts("2024-01-01 10:02:00"))) // in-batch dup
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate of doc 1 (days later — far past
+      // any watermark) and one novel doc
+      input.addData(
+        (10L, "the quick brown fox", ts("2024-01-05 08:00:00")), // cross-batch dup
+        (11L, "fresh never-seen content", ts("2024-01-05 08:01:00")))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(bronze)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(landed == Seq(1L, 2L, 11L), s"got $landed")
+      // the index holds exactly the three distinct content hashes
+      assert(spark.read.parquet(index).distinct().count() == 3L)
+      // and the day-5 partition holds only the novel doc
+      val day5 = spark.read.parquet(s"$bronze/ingestion_date=2024-01-05")
+      assert(day5.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    } finally q.stop()
+  }
+
   test("streamDedup drops in-watermark duplicate keys, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
