@@ -394,6 +394,42 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // Binned range join: orders (as day offsets from 1992-01-01) matched
+    // into 20 overlapping 150-day windows. The bin trick turns interval
+    // containment into an equi-join (PlanSpec enforces no nested-loop
+    // product); the windows are constructed deterministically so DuckDB
+    // mirrors them with range(20).
+    "c16_range_join" -> ((s, dir) => {
+      val pts = Tables.orders(s, dir)
+        .select(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long").as("d"),
+          col("o_totalprice"))
+      val ranges = s.range(20).select(col("id").as("range_id"),
+        (col("id") * 100).as("r_start"), (col("id") * 100 + 149).as("r_end"))
+      Relational.rangeJoin(pts, ranges, col("d"), col("r_start"), col("r_end"), binWidth = 64)
+        .groupBy("range_id")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+        .orderBy("range_id")
+    }),
+
+    // Mergeable sketch TABLE rollup: per-(event_type, day) HLL sketches
+    // union up to per-type distinct users without rescanning events —
+    // the incremental distinct-count state pattern (see operators/
+    // Sketches). Verified like c8b: the estimate must sit within 5% of
+    // exact (lgK=12 ⇒ rse ≈ 1.6%), and the bucket count is exact.
+    "c8c_sketch_union" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, dir)
+      val daily = Sketches.sketchTable(ev,
+        Seq(col("event_type"), to_date(col("ts")).as("day")), col("user_id"))
+      val rolled = Sketches.unionEstimate(daily, Seq(col("event_type")))
+      val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+      rolled.join(exact, "event_type")
+        .select(col("event_type"), col("n_buckets"), col("n_exact"),
+          (abs(col("n_estimate") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+            .as("within_bound"))
+        .orderBy("event_type")
+    }),
+
     "c9_time_bucket" -> ((s, dir) => {
       Relational.timeBucketAgg(Tables.events(s, dir), col("ts"), "1 hour",
           groupBy = Seq(col("event_type")), value = col("value"))
@@ -924,6 +960,20 @@ object SparkEntry {
       """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_exact,
         | TRUE AS within_bound
         |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "c16_range_join" ->
+      """WITH pts AS (SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS d, o_totalprice FROM orders),
+        |r AS (SELECT CAST(range AS BIGINT) AS range_id, range*100 AS s, range*100+149 AS e FROM range(20)),
+        |j AS (SELECT range_id, o_totalprice FROM pts JOIN r ON d >= s AND d <= e)
+        |SELECT range_id, count(*) AS n, round(sum(o_totalprice),4) AS sum_price
+        |FROM j GROUP BY 1 ORDER BY range_id""".stripMargin,
+
+    "c8c_sketch_union" ->
+      """SELECT event_type,
+        | count(DISTINCT CAST(ts AS DATE)) AS n_buckets,
+        | count(DISTINCT user_id) AS n_exact,
+        | TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "c9_time_bucket" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket_start,

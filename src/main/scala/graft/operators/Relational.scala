@@ -146,6 +146,40 @@ object Relational {
     * Use when AQE skew splitting does not apply (e.g. the skew is in a
     * subsequent aggregation, or a deterministic pre-planned layout is
     * required); cost is ×nSalts replication of the dim side. */
+  /** Range (interval-containment) join without a cartesian: match each
+    * point row to every range row with `start <= point <= end`.
+    *
+    * A naive non-equi join degenerates to BroadcastNestedLoopJoin (or a
+    * cartesian) — O(points × ranges). Binning makes it an EQUI-join:
+    * each point keys by its `floor(point / binWidth)` bin, each range
+    * explodes to the bins it covers, and the join on the bin key
+    * shuffles both sides by bin — O(points + Σ range_span/binWidth)
+    * rows, exact containment re-checked post-join. Each (point, range)
+    * pair meets in exactly ONE bin (the point's), so no dedup pass is
+    * needed. Pick `binWidth` near the typical range length: one or two
+    * bins per range, a handful of candidate ranges per point.
+    *
+    * Ranges with `end < start` are dropped (they match nothing by
+    * definition, and `sequence` would mis-generate descending bins).
+    * Output column `__bin` is consumed internally; point/range column
+    * names must not collide (standard join-input contract). */
+  def rangeJoin(
+      points: DataFrame,
+      ranges: DataFrame,
+      point: Column,
+      start: Column,
+      end: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin", floor(point / binWidth).cast("long"))
+    val r = ranges.filter(end >= start)
+      .withColumn("__bin",
+        explode(sequence(floor(start / binWidth).cast("long"), floor(end / binWidth).cast("long"))))
+    p.join(r, "__bin")
+      .filter(point >= start && point <= end)
+      .drop("__bin")
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketch tables (Apache DataSketches HLL via
+  * Spark's `hll_sketch_agg` family).
+  *
+  * The at-scale pattern behind C8c: persist one HLL sketch per
+  * (group, bucket) — e.g. per (event_type, day) — and answer any
+  * coarser distinct-count rollup by UNIONING stored sketches instead of
+  * rescanning raw events. `approx_count_distinct` (C8b) gives one
+  * number per query over the raw data; a sketch TABLE is state:
+  * yesterday's 100 TB contributes kilobytes of sketch, today's query
+  * unions a year of days in milliseconds, and late data merges by
+  * re-sketching only its own bucket (the same idea as
+  * [[graft.dedup.Dedup.contentHashIndex]] for dedup state). HLL unions
+  * are lossless for a fixed lgK, so the rolled-up estimate is exactly
+  * the estimate a full rescan would produce.
+  */
+object Sketches {
+
+  /** Default log2 of the sketch register count: 2^12 registers ≈ 1.6%
+    * relative standard error, 4-8 KB per sketch. */
+  val DefaultLgK = 12
+
+  /** One HLL sketch of `value` per `keys` group — the persistable sketch
+    * table. A hash aggregate with map-side partial sketches: raw rows
+    * never cross the shuffle, per-partition sketches do. */
+  def sketchTable(df: DataFrame, keys: Seq[Column], value: Column, lgK: Int = DefaultLgK): DataFrame =
+    df.groupBy(keys: _*).agg(hll_sketch_agg(value, lgK).as("sketch"))
+
+  /** Roll a sketch table up to coarser `keys`: union the stored sketches
+    * (no raw-data rescan) and emit the distinct-count estimate with the
+    * number of buckets merged. */
+  def unionEstimate(sketches: DataFrame, keys: Seq[Column], sketch: Column = col("sketch")): DataFrame =
+    sketches.groupBy(keys: _*)
+      .agg(hll_sketch_estimate(hll_union_agg(sketch)).as("n_estimate"),
+        count(lit(1)).as("n_buckets"))
+}

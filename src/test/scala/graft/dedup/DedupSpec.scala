@@ -72,6 +72,22 @@ class DedupSpec extends SparkSpec {
     assert(!capped.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("jaccardPairs caps df BY DEFAULT; NoDfCap is the explicit opt-out") {
+    // the capped path prunes the inverted index through a df-count
+    // left-semi join — its presence in the optimized plan proves which
+    // path a call takes without needing a 1000-doc boilerplate corpus
+    def planOf(maxDfArgs: Int*): String = {
+      val q = maxDfArgs.headOption match {
+        case Some(m) => Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5, 3, m)
+        case None => Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5)
+      }
+      q.queryExecution.optimizedPlan.toString
+    }
+    assert(planOf().contains("LeftSemi"), "default call must run the df-capped path")
+    assert(!planOf(Dedup.NoDfCap).contains("LeftSemi"), "NoDfCap must skip the df-count job")
+    assertThrows[IllegalArgumentException](planOf(0))
+  }
+
   test("jaccardVerify scores ONLY the candidate pairs it is given") {
     val candidates = Seq((1L, 4L), (1L, 3L)).toDF("doc_a", "doc_b")
     val verified = Dedup.jaccardVerify(candidates, docs, col("doc_id"), col("text"),

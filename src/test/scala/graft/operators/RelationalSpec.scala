@@ -60,6 +60,27 @@ class RelationalSpec extends SparkSpec {
     assert(out(3).isNullAt(1))          // before any quote
   }
 
+  test("rangeJoin matches containment exactly across bin boundaries") {
+    val points = Seq(0L, 5L, 64L, 100L, 149L, 150L, 263L).toDF("p")
+    val ranges = Seq(
+      (1L, 0L, 149L),    // spans 3 bins at width 64
+      (2L, 100L, 200L),  // overlaps range 1
+      (3L, 300L, 200L),  // inverted — matches nothing
+      (4L, 263L, 263L))  // single-point range
+      .toDF("rid", "s", "e")
+    val got = Relational.rangeJoin(points, ranges, col("p"), col("s"), col("e"), binWidth = 64)
+      .select("rid", "p").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      p <- Seq(0L, 5L, 64L, 100L, 149L, 150L, 263L)
+      (rid, s, e) <- Seq((1L, 0L, 149L), (2L, 100L, 200L), (4L, 263L, 263L))
+      if p >= s && p <= e
+    } yield (rid, p)).toSet
+    assert(got == expected)
+    // each qualifying pair appears exactly once (no bin-duplication)
+    val rows = Relational.rangeJoin(points, ranges, col("p"), col("s"), col("e"), binWidth = 64).count()
+    assert(rows == expected.size)
+  }
+
   test("saltedJoin equals the plain join on skewed keys") {
     val fact = ((0 until 500).map(i => (1L, i.toDouble)) ++ Seq((2L, -1.0), (3L, -2.0)))
       .toDF("k", "v") // key 1 is hot
