@@ -366,12 +366,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("src"), col("cluster_id").as("nl")), "src")
         .groupBy(col("dst").as("id")).agg(min("nl").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+      // carry the previous label through the step: the convergence check
+      // is then a filter over the (already-materialized) checkpoint, not
+      // a second labels-to-labels join per round
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+          col("cluster_id").as("__prev"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next
+      converged = stepped.filter(col("cluster_id") =!= col("__prev")).isEmpty
+      labels = stepped.select("id", "cluster_id")
       iter += 1
     }
     if (!converged)
