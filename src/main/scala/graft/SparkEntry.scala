@@ -686,6 +686,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Context-window chunking: 32-token chunks, 8-token overlap; the
+    // chunk text is verified via an md5 prefix so the oracle checks
+    // CONTENT, not just counts.
+    "d24_chunking" -> ((s, dir) => {
+      graft.text.Chunking.chunkDocuments(Tables.documents(s, dir),
+          col("doc_id"), col("text"), chunkTokens = 32, overlapTokens = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          substring(md5(col("chunk_text")), 1, 8).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Decontamination: documents with doc_id % 50 == 0 stand in for the
+    // eval set; every other document reports its 3-gram overlap with
+    // that set's shingle universe.
+    "d25_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // IVF-Flat ANN at real approximate params (probe 4 of 8 lists —
     // observed recall ≈ 0.72 vs exact top-5 on this corpus, measured in
     // AnnSpec). The oracle does NOT fall back to exact search: centroid
@@ -1061,6 +1084,30 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter),4) AS jaccard
         |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
         |WHERE inter*1.0/(x.n + y.n - inter) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d24_chunking" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t
+        |       FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |c AS (SELECT doc_id, t, n, greatest(1, CAST(ceil((n - 8) / 24.0) AS BIGINT)) AS n_chunks FROM n),
+        |e AS (SELECT doc_id, t, n, CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id FROM c),
+        |s AS (SELECT doc_id, chunk_id, t[chunk_id*24 + 1 : least(chunk_id*24 + 32, n)] AS ct FROM e)
+        |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
+        | substr(md5(array_to_string(ct, ' ')), 1, 8) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d25_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM sh0 WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, g FROM sh0 WHERE doc_id % 50 <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+        |m AS (SELECT tr.doc_id, count(*) AS n_matched FROM tr JOIN ev USING (g) GROUP BY 1)
+        |SELECT m.doc_id, sz.n_shingles, m.n_matched,
+        | round(m.n_matched*1.0/sz.n_shingles, 4) AS overlap_ratio,
+        | (m.n_matched*1.0/sz.n_shingles >= 0.5) AS contaminated
+        |FROM m JOIN sz ON m.doc_id = sz.doc_id ORDER BY m.doc_id""".stripMargin,
 
     // Full IVF mirror: md5-keyed centroid sample → argmax-cosine list
     // assignment → top-4 probed lists per query → exact cosine within

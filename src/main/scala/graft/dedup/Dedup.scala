@@ -333,6 +333,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Eval-set decontamination report: per-training-document k-gram
+    * overlap with an evaluation set's shingle universe — the check that
+    * keeps benchmark questions out of a training corpus. Emits one row
+    * per training document sharing ≥1 shingle with the eval set:
+    * (doc_id, n_shingles, n_matched, overlap_ratio, contaminated).
+    *
+    * Scale: the eval side is a benchmark (thousands of documents, not
+    * billions) so its DISTINCT shingle-hash set is broadcast and the
+    * training corpus is filtered by a broadcast semi-join — training
+    * shingles never shuffle, and the only exchanges are the two per-doc
+    * count aggregates. Deciding what to DO with a contaminated document
+    * (drop, down-weight, audit) stays with the caller. */
+  def contaminationReport(
+      train: DataFrame,
+      eval: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val evalG = shingleHashes(eval, id, text, k).select("g").distinct()
+    val tr = shingleHashes(train, id, text, k)
+    val sizes = tr.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val matched = tr.join(broadcast(evalG), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    sizes.join(matched, "doc_id") // inner: only docs with >= 1 shared shingle
+      .withColumn("overlap_ratio", round(col("n_matched").cast("double") / col("n_shingles"), 4))
+      .withColumn("contaminated", col("overlap_ratio") >= threshold)
+  }
+
   /** Resolve near-dup PAIRS into clusters: connected components by
     * iterative min-label propagation. Each document in some pair gets a
     * `cluster_id` = the minimum doc id reachable through the pair graph,

@@ -106,6 +106,21 @@ class DedupSpec extends SparkSpec {
     assert(composed == full)
   }
 
+  test("contaminationReport flags training docs overlapping the eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // full eval dup
+      (2L, "completely unrelated content with no overlap at all"),
+      (3L, "partially the quick brown fox then diverges wildly here"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(train, eval, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(rep(1L)._1 == 7L && rep(1L)._2, "exact dup must be contaminated")
+    assert(rep.contains(3L) && !rep(3L)._2, "partial overlap reported but below threshold")
+    assert(!rep.contains(2L), "clean doc must not appear")
+  }
+
   test("incremental dedup: new batch vs persisted indexes, corpus never re-scanned") {
     val corpus = docs // ids 1-4
     val newBatch = Seq(
