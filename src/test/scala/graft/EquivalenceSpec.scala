@@ -1,0 +1,111 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence net: each non-trivial operator is compared on
+  * seeded pseudo-random inputs against a naive in-memory reference
+  * implementation. Fixed seeds keep CI deterministic while the inputs
+  * exercise combinations no hand-written example covers (bin-boundary
+  * points, tied timestamps, pigeonhole edge distances).
+  */
+class EquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("rangeJoin equals the naive containment filter on random data") {
+    val points = Seq.fill(300)(rnd.nextInt(2000).toLong)
+    val ranges = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(2000).toLong
+      (i.toLong, s, s + rnd.nextInt(300).toLong - 20) // some inverted
+    }
+    for (binWidth <- Seq(1L, 7L, 64L, 5000L)) {
+      val got = Relational.rangeJoin(
+          points.toDF("p"), ranges.toDF("rid", "s", "e"),
+          col("p"), col("s"), col("e"), binWidth)
+        .select("rid", "p").as[(Long, Long)].collect()
+      val expected = for { p <- points; (rid, s, e) <- ranges if p >= s && p <= e } yield (rid, p)
+      assert(got.sorted.toSeq == expected.sorted.toSeq, s"binWidth=$binWidth")
+    }
+  }
+
+  test("asOfJoin equals the naive latest-at-or-before scan on random data (with ties)") {
+    // small ts domain forces duplicate timestamps across and within sides
+    val left = Seq.tabulate(200)(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(50).toLong))
+    val right = Seq.tabulate(80)(i => (rnd.nextInt(6).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val got = Relational.asOfJoin(
+        left.toDF("lid", "k", "ts"),
+        right.toDF("k", "ts", "rv"),
+        key = "k", ts = "ts", rightVals = Seq("rv"))
+      .select("lid", "asof_rv").as[(Long, Option[Long])].collect().toMap
+    left.foreach { case (lid, k, ts) =>
+      val candidates = right.filter(r => r._1 == k && r._2 <= ts)
+      if (candidates.isEmpty) assert(got(lid).isEmpty, s"left row $lid expected no match")
+      else {
+        // among right rows tied at the max qualifying ts the operator
+        // picks one row consistently but unspecified — accept any of them
+        val maxTs = candidates.map(_._2).max
+        val admissible = candidates.filter(_._2 == maxTs).map(_._3).toSet
+        assert(got(lid).exists(admissible), s"left row $lid (k=$k, ts=$ts): ${got(lid)} not in $admissible")
+      }
+    }
+  }
+
+  test("simHashPairs emits EVERY pair within the Hamming bound (pigeonhole completeness)") {
+    // random word soup with heavy vocabulary overlap → many near-dup signatures
+    def doc(): String = Seq.fill(8)(s"w${rnd.nextInt(12)}").mkString(" ")
+    val docs = Seq.tabulate(120)(i => (i.toLong, doc())).toDF("doc_id", "text")
+    val sigs = Dedup.simHashSignatures(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 3, chunks = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "degenerate corpus — no near pairs generated")
+  }
+
+  test("jaccardPairs(NoDfCap) equals the naive set Jaccard on random data") {
+    def doc(): String = Seq.fill(6 + rnd.nextInt(6))(s"t${rnd.nextInt(9)}").mkString(" ")
+    val rows = Seq.tabulate(60)(i => (i.toLong, doc()))
+    val got = Dedup.jaccardPairs(rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        threshold = 0.3, k = 3, maxDf = Dedup.NoDfCap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      inter = (sa & sb).size if inter > 0
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.3
+    } yield (a, b)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("packSequences: packs are contiguous, budget-bounded, and partition the corpus") {
+    import graft.operators.Packing
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))).toDF("doc_id", "text")
+    val budget = 100L
+    val packed = Packing.packSequences(docs, col("doc_id"), col("text"), budget, nShards = 4)
+      .select("doc_id", "shard", "pack_id", "n_tokens").as[(Long, Long, Long, Long)].collect()
+    assert(packed.length == 200) // every document in exactly one pack
+    packed.groupBy(r => (r._2, r._3)).foreach { case ((shard, pack), rows) =>
+      val tokens = rows.map(_._4).sum
+      // a pack may exceed budget only by its LAST document (greedy
+      // prefix-sum packing: a doc starts a new pack when the budget is
+      // already consumed, so all but one doc fit within budget)
+      assert(tokens - rows.map(_._4).max < budget, s"pack ($shard,$pack) over-packed: $tokens")
+    }
+    // contiguity: within a shard, pack_id is non-decreasing in doc_id
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val byDoc = rows.sortBy(_._1).map(_._3)
+      assert(byDoc.zip(byDoc.drop(1)).forall { case (a, b) => a <= b })
+    }
+  }
+}
