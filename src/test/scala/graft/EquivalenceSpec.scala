@@ -44,8 +44,9 @@ class EquivalenceSpec extends SparkSpec {
       val candidates = right.filter(r => r._1 == k && r._2 <= ts)
       if (candidates.isEmpty) assert(got(lid).isEmpty, s"left row $lid expected no match")
       else {
-        // among right rows tied at the max qualifying ts the operator
-        // picks one row consistently but unspecified — accept any of them
+        // asOfJoin's documented contract: right rows unique per (key, ts),
+        // else the carried value is ill-defined — this random input
+        // violates it deliberately, so accept any row at the max ts
         val maxTs = candidates.map(_._2).max
         val admissible = candidates.filter(_._2 == maxTs).map(_._3).toSet
         assert(got(lid).exists(admissible), s"left row $lid (k=$k, ts=$ts): ${got(lid)} not in $admissible")
