@@ -686,6 +686,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Dataset-mixing signal: KL divergence of each source's unigram
+    // distribution from the corpus blend, in bits.
+    "d26_source_divergence" -> ((s, dir) => {
+      graft.text.CorpusStats.sourceDivergence(Tables.documents(s, dir),
+          col("source"), col("text"))
+        .orderBy("source")
+    }),
+
     // Context-window chunking: 32-token chunks, 8-token overlap; the
     // chunk text is verified via an md5 prefix so the oracle checks
     // CONTENT, not just counts.
@@ -1084,6 +1092,17 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter),4) AS jaccard
         |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
         |WHERE inter*1.0/(x.n + y.n - inter) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d26_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS t FROM documents),
+        |bs AS (SELECT source, t, count(*) AS c_st FROM tok GROUP BY 1,2),
+        |ts AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM bs GROUP BY 1),
+        |g AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM bs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_st) AS DOUBLE) AS n_total FROM bs)
+        |SELECT bs.source, max(ts.n_s) AS n_tokens, count(*) AS n_distinct,
+        | round(sum((c_st*1.0/n_s) * log2((c_st*1.0/n_s) / (c_t/n_total))), 4) AS kl_bits
+        |FROM bs JOIN g USING (t) JOIN ts ON bs.source = ts.source, tot
+        |GROUP BY 1 ORDER BY bs.source""".stripMargin,
 
     "d24_chunking" ->
       """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t

@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition statistics for dataset mixing: how far each
+  * source's token distribution sits from the corpus-wide distribution.
+  * Mixing decisions (up/down-weighting a source in the training blend)
+  * need exactly this signal, next to the per-document scores in
+  * [[TextFunctions]].
+  *
+  * Plan shape at 100 TB: one explode → (source, token) hash aggregate
+  * (map-side combine — the shuffle carries one row per distinct
+  * (source, token), not per occurrence), a token-keyed join to attach
+  * global counts (both sides already aggregated), and a final per-source
+  * aggregate. No driver-side vocabulary, no collects — the same shuffle
+  * discipline as [[TfIdf]].
+  */
+object CorpusStats {
+
+  /** Per-source token-distribution report:
+    * (source, n_tokens, n_distinct, kl_bits).
+    *
+    * `kl_bits` is the Kullback–Leibler divergence KL(source ‖ corpus) in
+    * bits: Σ_t p_s(t) · log2(p_s(t) / q(t)) over the source's tokens,
+    * where p_s is the source's empirical unigram distribution and q the
+    * whole corpus's. 0 = indistinguishable from the blend; larger =
+    * more idiosyncratic. Always finite: every token of a source is by
+    * construction part of the corpus distribution (q(t) > 0). */
+  def sourceDivergence(df: DataFrame, source: Column, text: Column): DataFrame = {
+    val tok = df.select(source.as("source"), explode(TextFunctions.tokens(text)).as("t"))
+    val bySource = tok.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val totals = bySource.groupBy("source").agg(sum("c_st").as("n_s"))
+    val global = bySource.groupBy("t").agg(sum("c_st").as("c_t"))
+    // corpus total rides as a single-row broadcast (the d16/TfIdf
+    // pattern) — no plan-time driver action, no extra job
+    val grandTotal = bySource.agg(sum("c_st").as("n_total"))
+    bySource
+      .join(global, "t")
+      .join(totals, "source")
+      .crossJoin(broadcast(grandTotal))
+      .withColumn("__p", col("c_st").cast("double") / col("n_s"))
+      .withColumn("__q", col("c_t").cast("double") / col("n_total"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(sum(col("__p") * log2(col("__p") / col("__q"))), 4).as("kl_bits"))
+  }
+}
