@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *
   * 1M vector pairs × 64 dims, materialized to parquet first so every
   * variant times the same scan + one dot per row through the noop sink
-  * (not vector generation). Three timed runs per variant after a warm-up
-  * pass; one JSON line out. The committed artifact is DOTBENCH.json —
+  * (not vector generation). Five timed runs per variant after two
+  * warm-up passes, median reported; one JSON line out. The committed artifact is DOTBENCH.json —
   * the evidence behind the "native beats fold beats unrolled" claims in
   * VectorOps/VectorExpressions docstrings.
   */

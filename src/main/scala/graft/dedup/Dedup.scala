@@ -200,13 +200,17 @@ object Dedup {
   def tokenHash60(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long")
 
-  /** Packed-counter width: 3 ones-counts of [[FieldBits]] bits share one
-    * long, so 60 bit-votes aggregate in 20 sum columns instead of 60.
+  /** Packed-counter width: 2 ones-counts of [[FieldBits]] bits share one
+    * long, so 60 bit-votes aggregate in 30 sum columns instead of 60.
     * Each field holds "tokens with bit b set" for one signature bit; a
-    * field saturates only if a single document has ≥ 2^20 tokens, which
+    * field saturates only if a single document has ≥ 2^30 tokens
+    * (≈ 4 GB of text in ONE row — beyond any real document), which
     * [[simHashSignatures]] rejects with raise_error rather than silently
-    * corrupting neighbor fields. */
-  private val FieldBits = 20
+    * corrupting the neighbor field. 30-bit fields were chosen over the
+    * denser 20-bit×3 packing precisely so realistic pathological
+    * documents (multi-million-token concatenated dumps) still sign
+    * correctly instead of failing the job. */
+  private val FieldBits = 30
   private val MaxSimHashTokens = 1L << FieldBits
 
   /** (doc_id, sim) SimHash signatures via explode + hash-aggregate:
@@ -215,27 +219,27 @@ object Dedup {
     * crosses the shuffle), and a final projection assembles the bits.
     *
     * The majority vote `sum(±1) > 0` is computed as `2·ones_b > n`, so
-    * only non-negative ones-counts are aggregated — and three 20-bit
-    * counts pack into each 64-bit sum column ([[FieldBits]]). 20 packed
+    * only non-negative ones-counts are aggregated — and two 30-bit
+    * counts pack into each 64-bit sum column ([[FieldBits]]). 30 packed
     * sums + 1 count replace the r2 formulation's 60 `sum(when(...))`
     * columns, whose generated row-update method was large enough to blow
     * the JIT's default bytecode budget (huge methods run in the bytecode
-    * interpreter): measured 6.4s → ~2s at sf0.1 for the full d3 query.
-    * (The r1 per-row `aggregate`+`zip_with` fold this line replaced was
-    * worse still — interpreted per token with a 60-wide array
-    * accumulator.) Carries cannot cross fields: every field ≤ n_tokens
-    * < 2^20, enforced post-aggregate per document. */
+    * interpreter): measured 6.4s → ~2.5s warm at sf0.1 for the full d3
+    * query. (The r1 per-row `aggregate`+`zip_with` fold this line
+    * replaced was worse still — interpreted per token with a 60-wide
+    * array accumulator.) Carries cannot cross fields: every field ≤
+    * n_tokens < 2^30, enforced post-aggregate per document. */
   def simHashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("w"))
       .select(col("doc_id"), tokenHash60(col("w")).as("h"))
-    val packs = (0 until SimHashBits / 3).map { j =>
-      val fields = (0 until 3).map { i =>
-        shiftleft(shiftright(col("h"), 3 * j + i).bitwiseAND(lit(1L)), FieldBits * i)
+    val packs = (0 until SimHashBits / 2).map { j =>
+      val fields = (0 until 2).map { i =>
+        shiftleft(shiftright(col("h"), 2 * j + i).bitwiseAND(lit(1L)), FieldBits * i)
       }
       sum(fields.reduce(_ + _)).as(s"p$j")
     }
     val onesOf: Int => Column = { b =>
-      shiftright(col(s"p${b / 3}"), FieldBits * (b % 3)).bitwiseAND(lit(MaxSimHashTokens - 1))
+      shiftright(col(s"p${b / 2}"), FieldBits * (b % 2)).bitwiseAND(lit(MaxSimHashTokens - 1))
     }
     val sim = (0 until SimHashBits)
       .map(b => when(onesOf(b) * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
@@ -358,8 +362,13 @@ object Dedup {
     val matched = tr.join(broadcast(evalG), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
     sizes.join(matched, "doc_id") // inner: only docs with >= 1 shared shingle
-      .withColumn("overlap_ratio", round(col("n_matched").cast("double") / col("n_shingles"), 4))
-      .withColumn("contaminated", col("overlap_ratio") >= threshold)
+      // the flag compares the UNROUNDED ratio (filter-then-round, as
+      // jaccardPairs does) — rounding first would flip knife-edge docs
+      // and diverge from the oracle's unrounded comparison
+      .withColumn("__ratio", col("n_matched").cast("double") / col("n_shingles"))
+      .withColumn("overlap_ratio", round(col("__ratio"), 4))
+      .withColumn("contaminated", col("__ratio") >= threshold)
+      .drop("__ratio")
   }
 
   /** Resolve near-dup PAIRS into clusters: connected components by

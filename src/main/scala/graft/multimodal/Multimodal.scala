@@ -52,7 +52,13 @@ object Multimodal {
     if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
     else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) Some("jpeg")
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
-    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
+    // "BM" alone is 2 bytes — 1/65536 of arbitrary payloads match it, so
+    // also require a known DIB header size at offset 14 before routing
+    // bytes into the BMP parser (which may not throw on garbage)
+    else if (b.length >= 18 && b(0) == 'B' && b(1) == 'M' &&
+        Set(12, 40, 52, 56, 64, 108, 124).contains(
+          (b(14) & 0xFF) | ((b(15) & 0xFF) << 8) | ((b(16) & 0xFF) << 16) | ((b(17) & 0xFF) << 24)))
+      Some("bmp")
     else None
 
   /** Header-only image dimensions via a REUSED per-partition
@@ -108,7 +114,7 @@ object Multimodal {
       .mapPartitions { it =>
         val crc = new java.util.zip.CRC32() // per-partition codec state
         val readers = scala.collection.mutable.Map[String, javax.imageio.ImageReader]()
-        it.grouped(batchSize).flatMap { batch =>
+        val out = it.grouped(batchSize).flatMap { batch =>
           // batch boundary: a batched codec would decode `batch` in one call
           batch.map { case (id, mt, bytes) =>
             crc.reset()
@@ -120,6 +126,12 @@ object Multimodal {
             }
             MediaFeatures(id, mt, bytes.length.toLong, crc.getValue, w, h, decoded)
           }
+        }
+        // release reader resources when the partition iterator exhausts
+        // (the ++ right operand is by-name: it runs after `out` is drained)
+        out ++ {
+          readers.valuesIterator.foreach(_.dispose())
+          Iterator.empty
         }
       }
   }

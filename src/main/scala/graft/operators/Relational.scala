@@ -161,8 +161,10 @@ object Relational {
     *
     * Ranges with `end < start` are dropped (they match nothing by
     * definition, and `sequence` would mis-generate descending bins).
-    * Output column `__bin` is consumed internally; point/range column
-    * names must not collide (standard join-input contract). */
+    * Column `__bin` is RESERVED (consumed internally) — inputs already
+    * containing it are rejected rather than silently overwritten;
+    * point/range column names must not collide (standard join-input
+    * contract). */
   def rangeJoin(
       points: DataFrame,
       ranges: DataFrame,
@@ -171,6 +173,8 @@ object Relational {
       end: Column,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.contains("__bin") && !ranges.columns.contains("__bin"),
+      "rangeJoin reserves column '__bin'; rename the input column")
     val p = points.withColumn("__bin", floor(point / binWidth).cast("long"))
     val r = ranges.filter(end >= start)
       .withColumn("__bin",

@@ -173,8 +173,13 @@ object StreamOps {
         import graft.dedup.Dedup
         val spark = batch.sparkSession
         val inBatch = Dedup.exactDedup(batch, col(id), col(text))
+        // existence via the Hadoop filesystem of the path's own scheme —
+        // java.nio would answer false forever on hdfs:// or s3a:// and
+        // silently disable the cross-batch dedup this sink exists for
+        val hPath = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
         val novel =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath)))
+          if (fs.exists(hPath))
             Dedup.exactDedupAgainst(inBatch, col(text), spark.read.parquet(indexPath))
           else inBatch
         // one batch, two actions — cache survivors so the text column is
