@@ -33,8 +33,13 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min("__id").as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Keep one row per exact-content group (min id wins). */
+  /** Keep one row per exact-content group (min id wins). `__keep` is a
+    * RESERVED internal name; inputs already containing it are rejected
+    * (the semi-join would otherwise throw an ambiguous-reference error
+    * mid-query). */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
+    require(!df.columns.contains("__keep"),
+      "exactDedup reserves column '__keep'; rename the input column")
     val keep = exactGroups(df, id, text).select(col("keep_id").as("__keep"))
     df.join(keep, id === col("__keep"), "left_semi")
   }
@@ -49,10 +54,13 @@ object Dedup {
     * hashed — the corpus contributes its stored index via an anti-join
     * on the 32-byte digest. The day-2 ingest pattern at corpus scale:
     * never re-scan yesterday's 100 TB to admit today's 100 GB. */
-  def exactDedupAgainst(newDocs: DataFrame, text: Column, index: DataFrame): DataFrame =
+  def exactDedupAgainst(newDocs: DataFrame, text: Column, index: DataFrame): DataFrame = {
+    require(!newDocs.columns.contains("__h"),
+      "exactDedupAgainst reserves column '__h'; rename the input column")
     newDocs.withColumn("__h", TextFunctions.contentFingerprint(text))
       .join(index.select(col("content_hash").as("__h")), Seq("__h"), "left_anti")
       .drop("__h")
+  }
 
   // ---------------------------------------------------------------- MinHash
 
@@ -136,6 +144,11 @@ object Dedup {
       text: Column,
       numHashes: Int = 32,
       numBands: Int = 8): DataFrame = {
+    // divisibility also forces rowsPerBand >= 1: numBands > numHashes
+    // would give every document identical band keys and degenerate the
+    // band self-join into a full cross product
+    require(numBands >= 1 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
     val rowsPerBand = numHashes / numBands
     // Non-distinct shingles: the running minimum is unchanged by
     // duplicates, so the O(n²) array_distinct pass is skipped.
@@ -268,6 +281,10 @@ object Dedup {
       maxHamming: Int = 3,
       chunks: Int = 4): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    // chunks > SimHashBits would give chunkBits = 0 — every chunk value
+    // identical, the candidate join a full cartesian product
+    require(chunks <= SimHashBits,
+      s"chunks ($chunks) must be <= $SimHashBits signature bits")
     val chunkBits = SimHashBits / chunks
     val sigs = simHashSignatures(df, id, text)
     val keyed = sigs.select(col("doc_id"), col("sim"), explode(array((0 until chunks).map { c =>
@@ -328,6 +345,14 @@ object Dedup {
     val b = sh.select(col("g"), col("doc_id").as("doc_b"))
     val inter = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    scoreJaccard(inter, sizes, threshold)
+  }
+
+  /** Attach set sizes to (doc_a, doc_b, inter) rows, compute the set
+    * Jaccard, threshold on the UNROUNDED value, round for output —
+    * shared by [[jaccardPairs]] and [[jaccardVerify]] so the exact and
+    * verify formulations cannot silently drift apart. */
+  private def scoreJaccard(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
@@ -335,7 +360,6 @@ object Dedup {
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** Eval-set decontamination report: per-training-document k-gram
     * overlap with an evaluation set's shingle universe — the check that
@@ -451,12 +475,6 @@ object Dedup {
     val b = sh.select(col("doc_id").as("doc_b"), col("g"))
     val inter = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    scoreJaccard(inter, sizes, threshold)
   }
 }

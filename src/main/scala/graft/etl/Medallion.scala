@@ -28,10 +28,14 @@ object Medallion {
   def listPartitions(root: String): Seq[String] = {
     val p = Paths.get(root)
     if (!Files.exists(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .filter(f => Files.isDirectory(f) && f.getFileName.toString.startsWith(s"$PartitionCol="))
-      .map(_.getFileName.toString.stripPrefix(s"$PartitionCol="))
-      .toSeq.sorted
+    else {
+      val stream = Files.list(p) // close it: each leaked stream holds a directory fd
+      try stream.iterator().asScala
+        .filter(f => Files.isDirectory(f) && f.getFileName.toString.startsWith(s"$PartitionCol="))
+        .map(_.getFileName.toString.stripPrefix(s"$PartitionCol="))
+        .toSeq.sorted
+      finally stream.close()
+    }
   }
 
   private def marker(outRoot: String, value: String) =

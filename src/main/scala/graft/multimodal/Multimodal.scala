@@ -114,7 +114,13 @@ object Multimodal {
       .mapPartitions { it =>
         val crc = new java.util.zip.CRC32() // per-partition codec state
         val readers = scala.collection.mutable.Map[String, javax.imageio.ImageReader]()
-        val out = it.grouped(batchSize).flatMap { batch =>
+        // release reader resources at task completion — the reliable hook
+        // even when the consumer stops early (e.g. a LIMIT drains only
+        // part of the partition and an end-of-iterator cleanup never runs)
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          readers.valuesIterator.foreach(_.dispose())
+        })
+        it.grouped(batchSize).flatMap { batch =>
           // batch boundary: a batched codec would decode `batch` in one call
           batch.map { case (id, mt, bytes) =>
             crc.reset()
@@ -126,12 +132,6 @@ object Multimodal {
             }
             MediaFeatures(id, mt, bytes.length.toLong, crc.getValue, w, h, decoded)
           }
-        }
-        // release reader resources when the partition iterator exhausts
-        // (the ++ right operand is by-name: it runs after `out` is drained)
-        out ++ {
-          readers.valuesIterator.foreach(_.dispose())
-          Iterator.empty
         }
       }
   }

@@ -88,6 +88,12 @@ object Relational {
     * carried columns travel as ONE struct, so the output is always a
     * consistent single right ROW — per-column running lasts would mix
     * values from different rows whenever a carried value is null.
+    *
+    * NULL keys follow equi-join semantics: null-key RIGHT rows are
+    * dropped (they can match nothing), and null-key LEFT rows pass
+    * through with null `asof_*` columns. Without the filter, window
+    * partitioning would group both sides' null keys together and
+    * "match" them — diverging from every SQL engine's ASOF JOIN.
     */
   def asOfJoin(
       left: DataFrame,
@@ -104,6 +110,7 @@ object Relational {
       .select(col(key).as("__k") +: col(ts).as("__ts") +: col("__side") +:
         leftCols.map(col) :+ lit(null).cast(rStructType).as("__r"): _*)
     val r = right
+      .filter(col(key).isNotNull) // equi semantics: null keys match nothing
       .withColumn("__side", lit(0))
       .select(col(key).as("__k") +: col(ts).as("__ts") +: col("__side") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
@@ -136,16 +143,6 @@ object Relational {
       .withColumn("moving_avg", avg(value).over(w))
   }
 
-  /** Salted equi-join for skewed keys when the build side cannot
-    * broadcast: each fact row gets a deterministic salt in [0, nSalts)
-    * (hash of the whole row — no RNG, reproducible), the dim side
-    * replicates ×nSalts, and the join keys on (key, salt) — a hot key's
-    * rows spread over nSalts tasks instead of one straggler. Output is
-    * exactly the plain join's.
-    *
-    * Use when AQE skew splitting does not apply (e.g. the skew is in a
-    * subsequent aggregation, or a deterministic pre-planned layout is
-    * required); cost is ×nSalts replication of the dim side. */
   /** Range (interval-containment) join without a cartesian: match each
     * point row to every range row with `start <= point <= end`.
     *
@@ -184,6 +181,16 @@ object Relational {
       .drop("__bin")
   }
 
+  /** Salted equi-join for skewed keys when the build side cannot
+    * broadcast: each fact row gets a deterministic salt in [0, nSalts)
+    * (hash of the whole row — no RNG, reproducible), the dim side
+    * replicates ×nSalts, and the join keys on (key, salt) — a hot key's
+    * rows spread over nSalts tasks instead of one straggler. Output is
+    * exactly the plain join's.
+    *
+    * Use when AQE skew splitting does not apply (e.g. the skew is in a
+    * subsequent aggregation, or a deterministic pre-planned layout is
+    * required); cost is ×nSalts replication of the dim side. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),

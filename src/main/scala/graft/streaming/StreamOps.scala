@@ -60,7 +60,18 @@ object StreamOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapSeconds * 1000 =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                  // min/max, not assignment: a late-but-in-watermark event
+                  // from a later micro-batch can precede the stored state
+                  // (t < s.last, even t < s.start) and must widen the
+                  // session, never rewind its end or truncate its start —
+                  // rewinding `last` corrupted durations and split
+                  // sessions whose true gap was within bounds. Such late
+                  // events merge into the ACTIVE session by design; a
+                  // session cannot be retroactively split once its events
+                  // were folded into state.
+                  cur = Some(s.copy(
+                    start = math.min(s.start, t), last = math.max(s.last, t),
+                    n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(userId, s.n, (s.last - s.start) / 1000, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -60,6 +60,15 @@ class RelationalSpec extends SparkSpec {
     assert(out(3).isNullAt(1))          // before any quote
   }
 
+  test("asOfJoin: null keys never match each other (equi semantics)") {
+    val left = Seq((1L, Option(7L), 10L), (2L, Option.empty[Long], 10L)).toDF("lid", "k", "ts")
+    val right = Seq((Option(7L), 5L, 100L), (Option.empty[Long], 5L, 999L)).toDF("k", "ts", "rv")
+    val got = Relational.asOfJoin(left, right, "k", "ts", Seq("rv"))
+      .select("lid", "asof_rv").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(100L))
+    assert(got(2L).isEmpty, "null-key left row must not pick up the null-key right row")
+  }
+
   test("rangeJoin matches containment exactly across bin boundaries") {
     val points = Seq(0L, 5L, 64L, 100L, 149L, 150L, 263L).toDF("p")
     val ranges = Seq(

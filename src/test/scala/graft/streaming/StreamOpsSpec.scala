@@ -51,6 +51,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a late-but-in-watermark event widens the session, never rewinds it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.SessionEvent]
+    val sessions = StreamOps.sessionize(spark, input.toDS(), "10 minutes", gapSeconds = 60)
+    val q = sessions.writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      input.addData(
+        StreamOps.SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        StreamOps.SessionEvent(1L, ts("2024-01-01 10:00:30"), 2.0))
+      q.processAllAvailable()
+      // a late event INSIDE the stored session span arrives in a later
+      // micro-batch; rewinding `last` to 10:00:10 would make the closer
+      // below measure a 10s session and miscount the true 30s span
+      input.addData(
+        StreamOps.SessionEvent(1L, ts("2024-01-01 10:00:10"), 4.0),
+        StreamOps.SessionEvent(1L, ts("2024-01-01 10:10:00"), 8.0)) // closes session
+      q.processAllAvailable()
+      val closed = spark.table("sess_late")
+        .select("user_id", "n_events", "duration_sec", "sum_value")
+        .as[(Long, Long, Long, Double)].collect()
+      assert(closed.toSeq == Seq((1L, 3L, 30L, 7.0)))
+    } finally q.stop()
+  }
+
   test("toBronze lands micro-batches Hive-partitioned by ingestion date") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-bronze")
