@@ -60,6 +60,15 @@ object Tables {
     corruptColumn.fold(reader)(c => reader.option("columnNameOfCorruptRecord", c)).csv(path)
   }
 
+  /** ORC source with a DECLARED schema — the other columnar format next
+    * to parquet (same footer statistics / predicate-pushdown story; no
+    * corrupt-record mode: ORC is self-describing binary, so a malformed
+    * file fails the read rather than yielding half-parsed rows). The
+    * declared schema prunes and type-checks the projection exactly as
+    * the parquet loaders do. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

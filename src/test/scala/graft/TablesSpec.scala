@@ -59,6 +59,20 @@ class TablesSpec extends SparkSpec {
     assert(rows.filter(r => r.isNullAt(1)).map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("readOrc round-trips the declared schema and prunes the projection") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("id", "title", "score")
+      .write.orc(dir)
+    val back = Tables.readOrc(spark, dir, schema).orderBy("id")
+    assert(back.schema == schema)
+    assert(back.select("id", "score").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 0.5), (2L, 1.5)))
+    // declared sub-schema reads a column subset without touching the rest
+    val narrow = org.apache.spark.sql.types.StructType(schema.filter(_.name != "title"))
+    assert(Tables.readOrc(spark, dir, narrow).columns.toSeq == Seq("id", "score"))
+  }
+
   test("JSON bronze round-trips through Medallion incremental runner") {
     val bronze = tmp()
     val silver = tmp()
