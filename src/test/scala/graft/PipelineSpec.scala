@@ -1,0 +1,62 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.operators.Packing
+import graft.text.{Chunking, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** Capstone: the composed training-data pipeline a user of this library
+  * would actually run — dedup → quality filter → decontaminate → chunk
+  * → pack — end-to-end over the real test corpus, with the invariants
+  * each stage owes the next asserted at the seams. Every stage here is
+  * individually oracled/specced; this test pins that they COMPOSE
+  * (column contracts line up, nothing double-drops, reruns are
+  * deterministic).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup → quality filter → decontaminate → chunk → pack composes end-to-end") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+
+    // 1. exact dedup: one survivor per content group
+    val deduped = Dedup.exactDedup(docs, col("doc_id"), col("text"))
+    val nDeduped = deduped.count()
+    assert(nDeduped > 0 && nDeduped <= docs.count())
+    assert(deduped.select(TextFunctions.contentFingerprint(col("text"))).distinct().count() == nDeduped)
+
+    // 2. quality floor: drop the bottom of the quality distribution
+    val scored = deduped.withColumn("__q", TextFunctions.qualityScore(col("text")))
+    val kept = scored.filter(col("__q") >= 0.2).drop("__q")
+    assert(kept.count() > 0)
+
+    // 3. decontaminate against the eval set (drop contaminated docs)
+    val report = Dedup.contaminationReport(
+      kept.filter(col("doc_id") % 50 =!= 0), evalSet, col("doc_id"), col("text"))
+    val contaminated = report.filter(col("contaminated")).select(col("doc_id").as("__cdoc"))
+    val clean = kept.join(contaminated, col("doc_id") === col("__cdoc"), "left_anti")
+    assert(clean.count() + contaminated.count() >= kept.filter(col("doc_id") % 50 =!= 0).count())
+
+    // 4. chunk to the context window
+    val chunks = Chunking.chunkDocuments(clean, col("doc_id"), col("text"), 32, 8)
+    assert(chunks.filter(col("n_tokens") > 32).isEmpty, "no chunk may exceed the window")
+
+    // 5. pack chunks into token budgets (chunk_text re-keyed per chunk)
+    val packed = Packing.packSequences(
+      chunks.select(
+        (col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"), col("chunk_text")),
+      col("chunk_key"), col("chunk_text"), budget = 256, nShards = 4)
+    assert(packed.count() == chunks.count(), "every chunk lands in exactly one pack")
+    val overPacked = Packing.packStats(packed).filter(col("sum_tokens") > 256 + 32)
+    assert(overPacked.isEmpty, "no pack may exceed budget by more than one chunk")
+
+    // determinism: the full composition yields byte-identical results on rerun
+    val rerun = Packing.packSequences(
+      Chunking.chunkDocuments(clean, col("doc_id"), col("text"), 32, 8)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"), col("chunk_text")),
+      col("chunk_key"), col("chunk_text"), budget = 256, nShards = 4)
+    assert(packed.orderBy("chunk_key").collect().toSeq ==
+      rerun.orderBy("chunk_key").collect().toSeq)
+  }
+}

@@ -122,6 +122,15 @@ class AnnSpec extends SparkSpec {
     assert(assigned.select("list_id").distinct().count() == 8L)
   }
 
+  test("ivfCentroids are identical across partition layouts (deterministic sample)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def cents(df: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Double])] =
+      Ann.ivfCentroids(df, "vec_id", "embedding", 8)
+        .select("list_id", "cvec").as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    assert(cents(emb) == cents(emb.repartition(7)),
+      "centroid selection must not depend on physical layout")
+  }
+
   test("ivfTopK recall grows with nProbe; a Lloyd round changes no invariants") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val q = emb.filter(col("vec_id") < 10)
