@@ -71,10 +71,17 @@ object Ann {
   /** Signature bits for a target bucket size: 2^bits ≈ corpus/target, so
     * expected bucket population stays ≈ `targetBucketSize` as the corpus
     * grows — per-bucket join work is bounded instead of quadratic in n.
-    * Clamped to [1, 24]. */
+    *
+    * Clamped to [1, 42]: the cap exists only to keep 2^bits exactly
+    * representable in the signature arithmetic, NOT to bound bucket
+    * count — a 24-bit cap (the r2 value) would silently let buckets grow
+    * to ~6,000 vectors at a 10^11-vector corpus (corpus/2^24), quietly
+    * re-introducing the quadratic per-bucket cost this function exists
+    * to prevent. 42 bits covers 4×10^14 vectors at the default target
+    * of 64 before the clamp binds. */
   def bitsFor(corpusSize: Long, targetBucketSize: Int): Int = {
     val raw = math.ceil(math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt
-    math.max(1, math.min(24, raw))
+    math.max(1, math.min(42, raw))
   }
 
   /** Closed-form per-pair recall of sign-bit LSH: a pair at cosine `cos`

@@ -59,7 +59,11 @@ class AnnSpec extends SparkSpec {
     // 1000× the corpus: +~10 bits, same target bucket
     assert(Ann.bitsFor(2000L * 1000, 64) == 15)
     assert(Ann.bitsFor(10, 64) == 1)          // floor
-    assert(Ann.bitsFor(Long.MaxValue, 1) == 24) // ceiling
+    // the clamp must NOT bind at trillion-scale corpora — at 10^11
+    // vectors / target 64 the bucket count keeps pace (2^31), where the
+    // r2 24-bit cap silently yielded ~6,000-vector buckets
+    assert(Ann.bitsFor(100000000000L, 64) == 31)
+    assert(Ann.bitsFor(Long.MaxValue, 1) == 42) // representability ceiling
   }
 
   test("recallFor: more tables raise recall; more bits lower per-table collision") {
