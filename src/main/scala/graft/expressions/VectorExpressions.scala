@@ -86,9 +86,110 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native hyperplane-LSH signature: ALL `tables × bits` sign bits of a
+  * vector against a fixed plane matrix, in one fused pass. Emits
+  * `array<long>` — element t is table t's bucket (bit p set iff
+  * `Σ_d v[d]·plane(t,p,d) > 0`).
+  *
+  * Why this exists (see SURVEY §5b): the matmul formulation it replaced
+  * (posexplode dims → broadcast-join plane coefficients → partial-sum
+  * per (id, table, plane) → sign-pack) was codegen'd but paid a
+  * (id, table, plane) SHUFFLE of ~tables×bits rows per vector — the
+  * dominant cost of signature generation at 10^10 vectors. This
+  * expression runs inside the corpus scan with zero shuffle and zero
+  * row amplification: the plane matrix is a reference object in the
+  * generated code, and the loop is the same tight primitive pattern as
+  * [[DotProduct]].
+  *
+  * Null semantics match [[DotProduct]]: null vector, wrong length, or
+  * any null element → null result. Plane coefficients are carried as an
+  * immutable Seq so plan canonicalization compares by value.
+  */
+case class HyperplaneSigs(child: Expression, planes: Seq[Double], tables: Int, bits: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(tables >= 1 && bits >= 1 && bits <= 62 && dims >= 1, "need tables>=1, 1<=bits<=62, dims>=1")
+  require(planes.length == tables * bits * dims,
+    s"planes has ${planes.length} coefficients, expected tables*bits*dims = ${tables * bits * dims}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> input, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_sigs"
+  override def nullable: Boolean = true
+
+  @transient private lazy val planeArr: Array[Double] = planes.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != dims) return null
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var p = 0
+      while (p < bits) {
+        var dot = 0.0
+        val base = (t * bits + p) * dims
+        var d = 0
+        while (d < dims) {
+          if (x.isNullAt(d)) return null
+          dot += x.getDouble(d) * planeArr(base + d)
+          d += 1
+        }
+        if (dot > 0) out(t) |= 1L << p
+        p += 1
+      }
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val pl = ctx.addReferenceObj("planes", planeArr, "double[]")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val base = ctx.freshName("base")
+      s"""
+         |long[] $out = new long[$tables];
+         |if ($v.numElements() != $dims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  outer: for (int $t = 0; $t < $tables; $t++) {
+         |    for (int $p = 0; $p < $bits; $p++) {
+         |      double $dot = 0.0;
+         |      final int $base = ($t * $bits + $p) * $dims;
+         |      for (int $d = 0; $d < $dims; $d++) {
+         |        if ($v.isNullAt($d)) { ${ev.isNull} = true; break outer; }
+         |        $dot += $v.getDouble($d) * $pl[$base + $d];
+         |      }
+         |      if ($dot > 0) $out[$t] |= 1L << $p;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. Inputs must be `array<double>`
     * (apply `VectorOps.toDouble` to float embeddings first). */
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[HyperplaneSigs]]. Input must be `array<double>`
+    * of exactly `dims` elements; `planes` is the flattened
+    * (table, plane, dim)-major coefficient matrix. */
+  def hyperplaneSigsNative(v: Column, planes: Seq[Double], tables: Int, bits: Int, dims: Int): Column =
+    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(v), planes, tables, bits, dims))
 }

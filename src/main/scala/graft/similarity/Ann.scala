@@ -100,13 +100,13 @@ object Ann {
     df.select(col(id).as(idAs), VectorOps.toDouble(col(vec)).as(vAs))
       .withColumn(nAs, VectorOps.l2Norm(col(vAs)))
 
-  /** (id, sig) signature table, computed as a codegen'd matmul rather
-    * than per-plane interpreted `aggregate` folds: posexplode the vector
-    * to (id, dim, x), broadcast-join the (table, plane, dim, coef)
-    * hyperplane coefficients, partial-sum the dot per (id, table, plane)
-    * (map-side combine — the shuffle moves one row per id×table×plane),
-    * threshold to sign bits, and pack each table's bits into a numeric
-    * bucket. Two properties matter at 100 TB: (1) no interpreted
+  /** (id, sig) signature table, computed by the native
+    * [[graft.expressions.HyperplaneSigs]] expression: every table's
+    * bucket emerges from ONE fused loop inside the corpus scan — zero
+    * shuffle, zero row amplification (the r2 matmul formulation this
+    * replaces was codegen'd but shuffled ~tables×bits partial-sum rows
+    * per vector, the dominant signature cost at 10^10 vectors; see
+    * SURVEY §5b). Two properties matter at 100 TB: (1) no interpreted
     * higher-order functions anywhere on the corpus scan, and (2) the
     * vector is dropped BEFORE candidate generation — only 8-byte ids and
     * short signature strings ride the candidate shuffle; vectors are
@@ -114,18 +114,12 @@ object Ann {
     * vector ×tables, the dominant cost of the embedding near-dup query). */
   private[graft] def sigTable(df: DataFrame, id: String, vec: String, idAs: String,
                               dims: Int, tables: Int, bits: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val planes = (0 until tables).flatMap(t => (0 until bits).flatMap(p =>
-      (0 until dims).map(d => (t, p, d, planeCoef(t, p, d))))).toDF("__t", "__p", "__d", "__coef")
-    df.select(col(id).as(idAs), posexplode(VectorOps.toDouble(col(vec))))
-      .toDF(idAs, "__d", "__x")
-      .join(broadcast(planes), "__d")
-      .groupBy(col(idAs), col("__t"), col("__p"))
-      .agg(sum(col("__x") * col("__coef")).as("__dot"))
-      .groupBy(col(idAs), col("__t"))
-      .agg(sum(when(col("__dot") > 0, pow(lit(2.0), col("__p")).cast("long")).otherwise(0L)).as("__bucket"))
-      .select(col(idAs), concat(col("__t").cast("string"), lit("_"), col("__bucket").cast("string")).as("sig"))
+      (0 until dims).map(d => planeCoef(t, p, d))))
+    val sigs = graft.expressions.VectorExpressions.hyperplaneSigsNative(
+      VectorOps.toDouble(col(vec)), planes, tables, bits, dims)
+    df.select(col(id).as(idAs), posexplode(sigs).as(Seq("__t", "__b")))
+      .select(col(idAs), concat(col("__t").cast("string"), lit("_"), col("__b").cast("string")).as("sig"))
   }
 
   /** LSH-bucketed ANN: exact cosine top-k within the union of the
