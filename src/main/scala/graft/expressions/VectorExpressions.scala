@@ -121,6 +121,11 @@ case class HyperplaneSigs(child: Expression, planes: Seq[Double], tables: Int, b
   override def prettyName: String = "graft_hyperplane_sigs"
   override def nullable: Boolean = true
 
+  // keep the (up to ~100k-element) coefficient Seq out of plan strings —
+  // the default stringArgs would render every double into each explain/
+  // treeString; equality/canonicalization still compare the full Seq
+  override def stringArgs: Iterator[Any] = Iterator(child, tables, bits, dims)
+
   @transient private lazy val planeArr: Array[Double] = planes.toArray
 
   override def nullSafeEval(v: Any): Any = {
