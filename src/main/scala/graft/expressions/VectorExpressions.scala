@@ -102,15 +102,17 @@ case class DotProduct(left: Expression, right: Expression)
   * [[DotProduct]].
   *
   * Null semantics match [[DotProduct]]: null vector, wrong length, or
-  * any null element → null result. Plane coefficients are carried as an
-  * immutable Seq so plan canonicalization compares by value.
+  * any null element → null result. The plane matrix is NOT carried in
+  * the plan — every coefficient is a pure seeded hash of
+  * (table, plane, dim) ([[VectorExpressions.planeCoef]]), so the
+  * expression holds only the three scalars and regenerates the matrix
+  * lazily on driver and executors alike (a 16×42×768 configuration
+  * would otherwise box ~516k doubles into every plan-equality probe).
   */
-case class HyperplaneSigs(child: Expression, planes: Seq[Double], tables: Int, bits: Int, dims: Int)
+case class HyperplaneSigs(child: Expression, tables: Int, bits: Int, dims: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(tables >= 1 && bits >= 1 && bits <= 62 && dims >= 1, "need tables>=1, 1<=bits<=62, dims>=1")
-  require(planes.length == tables * bits * dims,
-    s"planes has ${planes.length} coefficients, expected tables*bits*dims = ${tables * bits * dims}")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -121,12 +123,23 @@ case class HyperplaneSigs(child: Expression, planes: Seq[Double], tables: Int, b
   override def prettyName: String = "graft_hyperplane_sigs"
   override def nullable: Boolean = true
 
-  // keep the (up to ~100k-element) coefficient Seq out of plan strings —
-  // the default stringArgs would render every double into each explain/
-  // treeString; equality/canonicalization still compare the full Seq
-  override def stringArgs: Iterator[Any] = Iterator(child, tables, bits, dims)
-
-  @transient private lazy val planeArr: Array[Double] = planes.toArray
+  @transient private lazy val planeArr: Array[Double] = {
+    val a = new Array[Double](tables * bits * dims)
+    var t = 0
+    while (t < tables) {
+      var p = 0
+      while (p < bits) {
+        var d = 0
+        while (d < dims) {
+          a((t * bits + p) * dims + d) = VectorExpressions.planeCoef(t, p, d)
+          d += 1
+        }
+        p += 1
+      }
+      t += 1
+    }
+    a
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
@@ -187,14 +200,24 @@ case class HyperplaneSigs(child: Expression, planes: Seq[Double], tables: Int, b
 }
 
 object VectorExpressions {
+  /** Deterministic pseudo-random hyperplane coefficient for
+    * (table, plane, dim): a fixed-seed hash mapped to [-1, 1). No RNG
+    * state — driver, executors, and the reference formulation
+    * ([[graft.similarity.Ann.hyperplaneSignature]]) all regenerate
+    * identical planes from the indices alone. */
+  def planeCoef(table: Int, plane: Int, dim: Int): Double = {
+    var h = (table.toLong * 0x100000L + plane.toLong * 0x1000L + dim.toLong) * 0x9E3779B97F4A7C15L
+    h ^= (h >>> 32); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 29)
+    (Math.floorMod(h, 2000001L) - 1000000L).toDouble / 1000000.0
+  }
+
   /** Column API for [[DotProduct]]. Inputs must be `array<double>`
     * (apply `VectorOps.toDouble` to float embeddings first). */
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column API for [[HyperplaneSigs]]. Input must be `array<double>`
-    * of exactly `dims` elements; `planes` is the flattened
-    * (table, plane, dim)-major coefficient matrix. */
-  def hyperplaneSigsNative(v: Column, planes: Seq[Double], tables: Int, bits: Int, dims: Int): Column =
-    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(v), planes, tables, bits, dims))
+    * of exactly `dims` elements. */
+  def hyperplaneSigsNative(v: Column, tables: Int, bits: Int, dims: Int): Column =
+    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(v), tables, bits, dims))
 }

@@ -44,22 +44,19 @@ object Ann {
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane coefficient for
-    * (table, plane, dim): a fixed-seed hash mapped to [-1, 1). No RNG
-    * state — executors regenerate identical planes. */
-  private def planeCoef(table: Int, plane: Int, dim: Int): Double = {
-    var h = (table.toLong * 0x100000L + plane.toLong * 0x1000L + dim.toLong) * 0x9E3779B97F4A7C15L
-    h ^= (h >>> 32); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 29)
-    (Math.floorMod(h, 2000001L) - 1000000L).toDouble / 1000000.0
-  }
+  /** Shared deterministic plane coefficients — single source of truth in
+    * [[graft.expressions.VectorExpressions.planeCoef]], used by both the
+    * native expression and the reference formulation below. */
+  private def planeCoef(table: Int, plane: Int, dim: Int): Double =
+    graft.expressions.VectorExpressions.planeCoef(table, plane, dim)
 
   /** Sign-bit signature of `v` under `bits` hyperplanes of table `t`,
     * encoded "t_b₀b₁…" so signatures from different tables never collide.
     *
-    * REFERENCE implementation: the production path is [[sigTable]]
-    * (codegen'd matmul over the same [[planeCoef]] planes); AnnSpec
-    * asserts both induce the same bucket partition so they cannot
-    * silently diverge. */
+    * REFERENCE implementation: the production path is [[sigTable]] (the
+    * native fused [[graft.expressions.HyperplaneSigs]] expression over
+    * the same [[planeCoef]] planes); AnnSpec asserts both induce the
+    * same bucket partition so they cannot silently diverge. */
   def hyperplaneSignature(v: Column, dims: Int, t: Int, bits: Int): Column = {
     val bitCols = (0 until bits).map { p =>
       val plane = array((0 until dims).map(d => lit(planeCoef(t, p, d))): _*)
@@ -72,13 +69,18 @@ object Ann {
     * expected bucket population stays ≈ `targetBucketSize` as the corpus
     * grows — per-bucket join work is bounded instead of quadratic in n.
     *
-    * Clamped to [1, 42]: the cap exists only to keep 2^bits exactly
-    * representable in the signature arithmetic, NOT to bound bucket
-    * count — a 24-bit cap (the r2 value) would silently let buckets grow
-    * to ~6,000 vectors at a 10^11-vector corpus (corpus/2^24), quietly
-    * re-introducing the quadratic per-bucket cost this function exists
-    * to prevent. 42 bits covers 4×10^14 vectors at the default target
-    * of 64 before the clamp binds. */
+    * Clamped to [1, 42] (2.8×10^14 vectors at the default target of 64
+    * before the clamp binds; the r2 24-bit cap let buckets grow to
+    * ~6,000 vectors at 10^11 — quietly re-introducing the quadratic
+    * per-bucket cost this function exists to prevent).
+    *
+    * THE TRADE IS INHERENT TO LSH, not to the clamp: more bits means a
+    * lower per-table collision probability (p^bits), so a FIXED `tables`
+    * loses recall as the corpus — and therefore `bits` — grows. Callers
+    * must re-size `tables` from [[recallFor]] for the lowest cosine they
+    * cannot miss whenever the corpus scale changes; bounded buckets plus
+    * recallFor-sized tables is the contract, bounded buckets alone is
+    * not a recall guarantee. */
   def bitsFor(corpusSize: Long, targetBucketSize: Int): Int = {
     val raw = math.ceil(math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt
     math.max(1, math.min(42, raw))
@@ -114,11 +116,18 @@ object Ann {
     * vector ×tables, the dominant cost of the embedding near-dup query). */
   private[graft] def sigTable(df: DataFrame, id: String, vec: String, idAs: String,
                               dims: Int, tables: Int, bits: Int): DataFrame = {
-    val planes = (0 until tables).flatMap(t => (0 until bits).flatMap(p =>
-      (0 until dims).map(d => planeCoef(t, p, d))))
     val sigs = graft.expressions.VectorExpressions.hyperplaneSigsNative(
-      VectorOps.toDouble(col(vec)), planes, tables, bits, dims)
-    df.select(col(id).as(idAs), posexplode(sigs).as(Seq("__t", "__b")))
+      VectorOps.toDouble(col(vec)), tables, bits, dims)
+    // a vector of the wrong length must fail LOUDLY: the expression
+    // yields null for it, and silently dropping those rows would erase
+    // every signature of a mis-declared corpus (empty results, no
+    // error); genuinely null vectors still pass through as null and are
+    // dropped by the explode, as before
+    val checked = when(col(vec).isNotNull && size(col(vec)) =!= dims,
+        raise_error(concat(
+          lit(s"sigTable: expected $dims-dim vectors, found length "), size(col(vec)).cast("string"))))
+      .otherwise(sigs)
+    df.select(col(id).as(idAs), posexplode(checked).as(Seq("__t", "__b")))
       .select(col(idAs), concat(col("__t").cast("string"), lit("_"), col("__b").cast("string")).as("sig"))
   }
 

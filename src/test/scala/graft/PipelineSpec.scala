@@ -31,12 +31,17 @@ class PipelineSpec extends SparkSpec {
     val kept = scored.filter(col("__q") >= 0.2).drop("__q")
     assert(kept.count() > 0)
 
-    // 3. decontaminate against the eval set (drop contaminated docs)
-    val report = Dedup.contaminationReport(
-      kept.filter(col("doc_id") % 50 =!= 0), evalSet, col("doc_id"), col("text"))
+    // 3. decontaminate against the eval set: the training side is the
+    // NON-eval documents (eval docs themselves never enter training),
+    // and contaminated ones are dropped from it
+    val trainSide = kept.filter(col("doc_id") % 50 =!= 0)
+    val report = Dedup.contaminationReport(trainSide, evalSet, col("doc_id"), col("text"))
     val contaminated = report.filter(col("contaminated")).select(col("doc_id").as("__cdoc"))
-    val clean = kept.join(contaminated, col("doc_id") === col("__cdoc"), "left_anti")
-    assert(clean.count() + contaminated.count() >= kept.filter(col("doc_id") % 50 =!= 0).count())
+    val clean = trainSide.join(contaminated, col("doc_id") === col("__cdoc"), "left_anti")
+    assert(clean.count() == trainSide.count() - contaminated.count())
+    // no eval document and no contaminated document survives into training
+    assert(clean.filter(col("doc_id") % 50 === 0).isEmpty)
+    assert(clean.join(contaminated, col("doc_id") === col("__cdoc"), "left_semi").isEmpty)
 
     // 4. chunk to the context window
     val chunks = Chunking.chunkDocuments(clean, col("doc_id"), col("text"), 32, 8)
@@ -45,7 +50,7 @@ class PipelineSpec extends SparkSpec {
     // 5. pack chunks into token budgets (chunk_text re-keyed per chunk)
     val packed = Packing.packSequences(
       chunks.select(
-        (col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"), col("chunk_text")),
+        (col("doc_id") * 10000000 + col("chunk_id")).as("chunk_key"), col("chunk_text")),
       col("chunk_key"), col("chunk_text"), budget = 256, nShards = 4)
     assert(packed.count() == chunks.count(), "every chunk lands in exactly one pack")
     val overPacked = Packing.packStats(packed).filter(col("sum_tokens") > 256 + 32)
@@ -54,7 +59,7 @@ class PipelineSpec extends SparkSpec {
     // determinism: the full composition yields byte-identical results on rerun
     val rerun = Packing.packSequences(
       Chunking.chunkDocuments(clean, col("doc_id"), col("text"), 32, 8)
-        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"), col("chunk_text")),
+        .select((col("doc_id") * 10000000 + col("chunk_id")).as("chunk_key"), col("chunk_text")),
       col("chunk_key"), col("chunk_text"), budget = 256, nShards = 4)
     assert(packed.orderBy("chunk_key").collect().toSeq ==
       rerun.orderBy("chunk_key").collect().toSeq)

@@ -41,15 +41,14 @@ class VectorExpressionsSpec extends SparkSpec {
 
   test("hyperplaneSigsNative packs sign bits matching a scala-side recompute") {
     val tables = 3; val bits = 5; val dims = 8
-    val planes = Seq.tabulate(tables * bits * dims)(i => ((i * 37) % 19 - 9) / 9.0)
     val vecs = (0 until 50).map(i => Tuple1(Array.tabulate(dims)(d => ((i * 13 + d * 5) % 17 - 8) / 8.0)))
     val got = vecs.toDF("v")
-      .select(VectorExpressions.hyperplaneSigsNative(col("v"), planes, tables, bits, dims).as("s"))
+      .select(VectorExpressions.hyperplaneSigsNative(col("v"), tables, bits, dims).as("s"))
       .as[Seq[Long]].collect()
     vecs.map(_._1).zip(got).foreach { case (v, sigs) =>
       val expected = (0 until tables).map { t =>
         (0 until bits).map { p =>
-          val dot = (0 until dims).map(d => v(d) * planes((t * bits + p) * dims + d)).sum
+          val dot = (0 until dims).map(d => v(d) * VectorExpressions.planeCoef(t, p, d)).sum
           if (dot > 0) 1L << p else 0L
         }.reduce(_ | _)
       }
@@ -58,7 +57,6 @@ class VectorExpressionsSpec extends SparkSpec {
   }
 
   test("hyperplaneSigsNative: null vector, wrong dims, or null element yields null") {
-    val planes = Seq.tabulate(1 * 2 * 3)(_.toDouble + 1)
     val df = Seq(
       Some(Seq(Some(1.0), Some(2.0), Some(3.0))),
       Some(Seq(Some(1.0), Some(2.0))),             // wrong dims
@@ -66,24 +64,28 @@ class VectorExpressionsSpec extends SparkSpec {
       Option.empty[Seq[Option[Double]]]
     ).toDF("v")
     val out = df.select(
-      VectorExpressions.hyperplaneSigsNative(col("v"), planes, tables = 1, bits = 2, dims = 3).as("s"))
+      VectorExpressions.hyperplaneSigsNative(col("v"), tables = 1, bits = 2, dims = 3).as("s"))
       .collect()
     assert(!out(0).isNullAt(0))
     assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
   }
 
   test("hyperplaneSigsNative interpreted eval matches codegen output") {
-    val planes = Seq(1.0, -1.0, 0.5, -0.5, 2.0, -2.0) // tables=1, bits=2, dims=3
     val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0, 3.0),
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
-    val e = HyperplaneSigs(lit, planes, tables = 1, bits = 2, dims = 3)
+    val e = HyperplaneSigs(lit, tables = 2, bits = 3, dims = 3)
     val interp = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
     val viaDf = Seq(Tuple1(Array(1.0, 2.0, 3.0))).toDF("v")
-      .select(VectorExpressions.hyperplaneSigsNative(col("v"), planes, 1, 2, 3).as("s"))
+      .select(VectorExpressions.hyperplaneSigsNative(col("v"), 2, 3, 3).as("s"))
       .as[Seq[Long]].head()
     assert(interp == viaDf)
-    // dot0 = 1-2+1.5 = 0.5 > 0 → bit 0; dot1 = -0.5+4-6 = -2.5 → no bit 1
-    assert(interp == Seq(1L))
+    val expected = (0 until 2).map { t =>
+      (0 until 3).map { p =>
+        val dot = (0 until 3).map(d => Array(1.0, 2.0, 3.0)(d) * VectorExpressions.planeCoef(t, p, d)).sum
+        if (dot > 0) 1L << p else 0L
+      }.reduce(_ | _)
+    }
+    assert(interp == expected)
   }
 
   test("dotNative survives both codegen and interpreted evaluation") {

@@ -74,7 +74,7 @@ class AnnSpec extends SparkSpec {
     assert(Ann.recallFor(1.0, 8, 1) == 1.0) // identical vectors always collide
   }
 
-  test("sigTable (matmul) and hyperplaneSignature (reference) induce the same buckets") {
+  test("sigTable (native HyperplaneSigs) and hyperplaneSignature (reference) induce the same buckets") {
     val rows = (0 until 64).map { i =>
       (i.toLong, Array.tabulate(8)(d => (((i * 37 + d * 101) % 97) - 48) / 48.0f))
     }
