@@ -91,11 +91,20 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "dans", "que"))
 
   /** Per-language stopword hit counts over a PRE-MATERIALIZED token
-    * array (see [[shinglesOf]] for why staging matters). */
-  def langHitsOf(t: Column): Seq[(String, Column)] =
-    LangStopwords.map { case (lang, words) =>
-      lang -> size(filter(t, w => w.isin(words: _*))).cast("long")
+    * array (see [[shinglesOf]] for why staging matters).
+    *
+    * All languages are counted by ONE native pass
+    * ([[graft.expressions.StopwordHitCounts]]: a token → language-mask
+    * hash lookup per element, codegen'd) instead of one interpreted
+    * `size(filter(isin))` sweep per language — the per-language columns
+    * below are `element_at` projections over that single shared result
+    * (common-subexpression-eliminated in codegen). */
+  def langHitsOf(t: Column): Seq[(String, Column)] = {
+    val hits = graft.expressions.TextExpressions.setHitCounts(t, LangStopwords.map(_._2))
+    LangStopwords.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(hits, i + 1)
     }
+  }
 
   /** Per-language stopword hit counts as (lang → count) columns. */
   def langHits(text: Column): Seq[(String, Column)] = langHitsOf(tokens(text))
