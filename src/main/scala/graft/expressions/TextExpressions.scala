@@ -38,6 +38,11 @@ case class StopwordHitCounts(child: Expression, sets: Seq[Seq[String]])
   override def prettyName: String = "graft_set_hits"
   override def nullable: Boolean = child.nullable
 
+  // real stopword lists run to thousands of words per set — keep them out
+  // of plan strings (same rationale as HyperplaneSigs' coefficient
+  // matrix); equality/canonicalization still compare the full sets
+  override def stringArgs: Iterator[Any] = Iterator(child, sets.length)
+
   @transient private lazy val maskOf: java.util.HashMap[UTF8String, java.lang.Long] = {
     val m = new java.util.HashMap[UTF8String, java.lang.Long]()
     sets.zipWithIndex.foreach { case (words, i) =>

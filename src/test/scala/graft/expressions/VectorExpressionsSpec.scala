@@ -88,31 +88,6 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(interp == expected)
   }
 
-  test("setHitCounts matches the filter(isin) formulation on random token arrays") {
-    val sets = Seq(Seq("the", "a", "of"), Seq("der", "die", "the"), Seq("zz"))
-    val vocab = Array("the", "a", "of", "der", "die", "zz", "cat", "dog", "x9")
-    val rnd = new scala.util.Random(7)
-    val docs = (0 until 100).map(_ => Tuple1(Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length)))))
-    val df = docs.toDF("t")
-    val native = df.select(TextExpressions.setHitCounts(col("t"), sets).as("h"))
-      .as[Seq[Long]].collect()
-    val hof = df.select(array(sets.map(ws =>
-        size(filter(col("t"), w => w.isin(ws: _*))).cast("long")): _*).as("h"))
-      .as[Seq[Long]].collect()
-    assert(native.toSeq == hof.toSeq)
-  }
-
-  test("setHitCounts: null tokens count nowhere; null array yields null; overlap counts twice") {
-    val sets = Seq(Seq("a"), Seq("a", "b"))
-    val df = Seq(
-      Some(Seq(Some("a"), None, Some("b"), Some("a"))),
-      Option.empty[Seq[Option[String]]]
-    ).toDF("t")
-    val out = df.select(TextExpressions.setHitCounts(col("t"), sets).as("h")).collect()
-    assert(out(0).getSeq[Long](0) == Seq(2L, 3L)) // 'a'×2 in both sets, 'b' only in set 1
-    assert(out(1).isNullAt(0))
-  }
-
   test("dotNative survives both codegen and interpreted evaluation") {
     // force the interpreted path via eval() on the expression itself
     val e = DotProduct(
