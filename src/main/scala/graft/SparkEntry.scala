@@ -741,6 +741,33 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), round(avg(q), 4).as("avg_quality"))
         .orderBy("source")
+    }),
+
+    // Dataset-mixing rebalance: largest deterministic subsample whose
+    // language shares hit the 4:3:2:1 target (zh unweighted → dropped;
+    // the binding stratum keeps every row). The oracle re-derives the
+    // per-stratum cutoffs AND the md5 bucket selection.
+    "d27_rebalance_mix" -> ((s, dir) => {
+      Sampling.rebalanceToMix(Tables.documents(s, dir),
+          key = col("doc_id"), stratum = col("lang"),
+          weights = Map("en" -> 0.4, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.1))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(length(col("text")).cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // Sub-document duplication: share of 4-token windows that also
+    // occur in another document, aggregated per source.
+    "d28_dup_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.duplicatedSpanStats(docs, col("doc_id"), col("text"), w = 4)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_windows").as("n_windows"),
+          sum("n_dup_windows").as("n_dup"),
+          round(sum("n_dup_windows").cast("double") / sum("n_windows"), 4).as("dup_ratio"))
+        .orderBy("source")
     })
   )
 
@@ -1103,6 +1130,42 @@ object SparkEntry {
         | round(sum((c_st*1.0/n_s) * log2((c_st*1.0/n_s) / (c_t/n_total))), 4) AS kl_bits
         |FROM bs JOIN g USING (t) JOIN ts ON bs.source = ts.source, tot
         |GROUP BY 1 ORDER BY bs.source""".stripMargin,
+
+    // Mirrors the whole rebalance derivation: per-stratum counts, the
+    // binding total T = min(n/w), per-stratum ppm cutoffs (same
+    // left-associative double arithmetic and half-up rounding as the
+    // Spark plan), then the identical md5 bucket selection as d14.
+    "d27_rebalance_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.3 AS DOUBLE)),
+        |                     ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE))) AS v(lang, w)),
+        |t AS (SELECT min(n / w) AS T FROM c JOIN w USING (lang)),
+        |f AS (SELECT c.lang, CAST(round(w.w * t.T / c.n * 1000000) AS BIGINT) AS cut
+        |      FROM c JOIN w USING (lang) CROSS JOIN t),
+        |b AS (SELECT lang, text,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
+        | FROM documents)
+        |SELECT b.lang, count(*) AS n_kept, CAST(sum(length(b.text)) AS BIGINT) AS sum_chars
+        |FROM b JOIN f USING (lang) WHERE b.bucket < f.cut
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Duplicated 4-token windows recomputed from the raw text: same
+    // normalization, same window positions, duplicated iff the exact
+    // gram occurs in >= 2 distinct documents (the oracle compares gram
+    // TEXT; the Spark side's 128-bit md5 keys are collision-free at
+    // verification scale).
+    "d28_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, source, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |pg AS (SELECT doc_id, source, g, count(*) AS cnt FROM g GROUP BY 1,2,3),
+        |fr AS (SELECT g, count(*) AS n_docs FROM pg GROUP BY 1),
+        |d AS (SELECT doc_id, source, sum(cnt) AS nw,
+        |       sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS nd
+        |      FROM pg JOIN fr USING (g) GROUP BY 1,2)
+        |SELECT source, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_windows,
+        | CAST(sum(nd) AS BIGINT) AS n_dup, round(sum(nd)*1.0/sum(nw), 4) AS dup_ratio
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
 
     "d24_chunking" ->
       """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t

@@ -477,4 +477,41 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     scoreJaccard(inter, sizes, threshold)
   }
+
+  /** Duplicated-span statistics: for each document, how many of its
+    * w-token windows also occur in ANOTHER document — the sub-document
+    * duplication signal behind exact-substring training-data dedup
+    * (repeated boilerplate, licence blocks, templated passages that
+    * whole-document dedup like [[exactDedup]]/[[minHashCandidates]]
+    * cannot see). Emits (doc_id, n_windows, n_dup_windows, dup_ratio);
+    * documents shorter than `w` tokens have no windows and are absent.
+    *
+    * A window counts as duplicated iff its EXACT w-gram appears in ≥ 2
+    * distinct documents — within-document repeats alone do not flag
+    * (they are [[graft.text.TextFunctions.repetitionRatioOf]]'s signal,
+    * not cross-document contamination).
+    *
+    * Scale: windows never shuffle as text — each w-gram is reduced to
+    * its 128-bit md5 inside the scan, so the (doc_id, gram) shuffle
+    * carries ~24 B per window with map-side combine of within-document
+    * repeats. Gram document-frequency is a second hash aggregate on the
+    * already doc-distinct gram table, joined back by gram key — three
+    * hash-partitioned stages, no self-join over documents, nothing
+    * proportional to pairs. (At 10^13 corpus windows the 128-bit hash's
+    * collision odds are ~1e-13 — a collision can only over-count one
+    * window as duplicated.) */
+  def duplicatedSpanStats(df: DataFrame, id: Column, text: Column, w: Int = 4): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    val grams = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__toks"))
+      .select(col("doc_id"), explode(TextFunctions.shinglesAllOf(col("__toks"), w)).as("__g"))
+      .select(col("doc_id"), unhex(md5(col("__g"))).as("__gh"))
+    val perDocGram = grams.groupBy("doc_id", "__gh").agg(count(lit(1)).as("__cnt"))
+    val docFreq = perDocGram.groupBy("__gh").agg(count(lit(1)).as("__ndocs"))
+    perDocGram.join(docFreq, "__gh")
+      .groupBy("doc_id")
+      .agg(sum("__cnt").as("n_windows"),
+        sum(when(col("__ndocs") >= 2, col("__cnt")).otherwise(lit(0L))).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
+  }
 }

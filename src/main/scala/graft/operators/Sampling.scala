@@ -56,4 +56,48 @@ object Sampling {
     }
     df.filter(hashBucket(key, salt) < cut)
   }
+
+  /** Rebalance the corpus to a target stratum mix (dataset-mixing, the
+    * downsampling half of DoReMi-style source reweighting): keep the
+    * LARGEST deterministic subsample whose stratum shares match
+    * `weights`, never upsampling. With per-stratum counts n_s and
+    * relative weights w_s, the achievable total is T = min_s(n_s/w_s)
+    * and each stratum keeps fraction f_s = w_s·T/n_s — the binding
+    * (argmin) stratum keeps ALL its rows, every other stratum is
+    * hash-downsampled to match. Strata not in `weights` (weight 0) are
+    * dropped; weights are relative (they need not sum to 1).
+    *
+    * Scale: one count aggregate over the corpus (tiny result: one row
+    * per stratum), the per-stratum cutoffs are computed inside the plan
+    * (single-row cross join + broadcast fraction table — no counts ever
+    * reach the driver), and the selection itself is [[hashBucket]] —
+    * key-stable, layout-independent, re-derivable by an external
+    * engine. Rows with the same key stay or go together across strata
+    * boundaries only if the key is stratum-consistent (a document id
+    * keyed sample assumes one stratum per document). */
+  def rebalanceToMix(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      weights: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.values.foreach(w => require(w > 0, s"weights must be positive, got $w"))
+    Seq("__stratum", "__w", "__n", "__T", "__cut").foreach(c =>
+      require(!df.columns.contains(c), s"input already has reserved column $c"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF("__stratum", "__w")
+    val counts = df.groupBy(stratum.as("__stratum")).agg(count(lit(1)).as("__n"))
+    // inner join: weighted-but-absent strata cannot constrain T (their
+    // target share is unsatisfiable at any T > 0); unweighted strata drop
+    val joined = counts.join(broadcast(w), "__stratum")
+    val t = joined.select(min(col("__n").cast("double") / col("__w")).as("__T"))
+    val cuts = joined.crossJoin(broadcast(t))
+      .select(col("__stratum"),
+        round(col("__w") * col("__T") / col("__n") * lit(M)).cast("long").as("__cut"))
+    df.join(broadcast(cuts), stratum === col("__stratum"))
+      .filter(hashBucket(key, salt) < col("__cut"))
+      .drop("__stratum", "__cut")
+  }
 }

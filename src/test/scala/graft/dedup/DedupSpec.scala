@@ -168,4 +168,30 @@ class DedupSpec extends SparkSpec {
     assert(s1.map(_._2).forall(s => s >= 0L && s < (1L << 60))) // 60-bit range
     assert(s1(0)._2 == s1(1)._2) // normalized-identical docs share the signature
   }
+
+  test("duplicatedSpanStats flags only cross-document window repeats") {
+    val d = Seq(
+      (1L, "a b c d e"),      // windows: "a b c d", "b c d e"
+      (2L, "z a b c d"),      // windows: "z a b c", "a b c d" (shared with 1)
+      (3L, "x y q r s"),      // 2 windows, none shared
+      (4L, "w w w w w w w w"), // 5 identical windows, but only ONE doc → not dup
+      (5L, "t u"))            // under w tokens → absent from output
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(d, col("doc_id"), col("text"), w = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_dup_windows")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L), (4L, 5L, 0L)))
+  }
+
+  test("duplicatedSpanStats counts within-doc multiplicity of a shared gram") {
+    val d = Seq(
+      (1L, "a b c d x a b c d"), // "a b c d" twice + 4 other windows (6 total)
+      (2L, "a b c d"))           // the shared gram once
+      .toDF("doc_id", "text")
+    val one = Dedup.duplicatedSpanStats(d, col("doc_id"), col("text"), w = 4)
+      .filter(col("doc_id") === 1L).head()
+    assert(one.getAs[Long]("n_windows") == 6L)
+    assert(one.getAs[Long]("n_dup_windows") == 2L) // both occurrences count
+  }
 }

@@ -39,4 +39,48 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() == 500) // all en, no de
     assert(kept.filter(col("lang") === "de").count() == 0)
   }
+
+  test("rebalanceToMix hits the target shares with the binding stratum kept whole") {
+    // 500 en / 1500 de, target 1:1 → en binds (T = 1000): ALL en kept,
+    // de downsampled to ~500
+    val kept = Sampling.rebalanceToMix(rows, col("id"), col("lang"),
+      Map("en" -> 0.5, "de" -> 0.5))
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") == 500) // binding stratum: fraction exactly 1
+    assert(math.abs(byLang("de") - 500L) < 100) // hash sampling is approximate
+    assert(kept.columns.toSeq == rows.columns.toSeq) // helper columns dropped
+  }
+
+  test("rebalanceToMix drops unweighted strata and is deterministic") {
+    val kept = Sampling.rebalanceToMix(rows, col("id"), col("lang"), Map("en" -> 1.0))
+    assert(kept.filter(col("lang") === "de").count() == 0)
+    assert(kept.count() == 500)
+    val a = Sampling.rebalanceToMix(rows, col("id"), col("lang"),
+      Map("en" -> 0.3, "de" -> 0.7)).select("id").as[Long].collect().toSet
+    val b = Sampling.rebalanceToMix(rows.repartition(7), col("id"), col("lang"),
+      Map("en" -> 0.3, "de" -> 0.7)).select("id").as[Long].collect().toSet
+    assert(a == b) // layout-independent selection
+  }
+
+  test("rebalanceToMix kept rows are a subset of the input") {
+    val keptIds = Sampling.rebalanceToMix(rows, col("id"), col("lang"),
+      Map("en" -> 0.9, "de" -> 0.1)).select("id").as[Long].collect().toSet
+    val all = rows.select("id").as[Long].collect().toSet
+    assert(keptIds.subsetOf(all))
+    // 9:1 target from 500 en: T = min(500/.9, 1500/.1) = 555.5 →
+    // ~500 en + ~55 de; the de share lands near 10%
+    val de = Sampling.rebalanceToMix(rows, col("id"), col("lang"),
+      Map("en" -> 0.9, "de" -> 0.1)).filter(col("lang") === "de").count()
+    assert(de > 25 && de < 90, s"de kept $de, expected ~55")
+  }
+
+  test("rebalanceToMix rejects non-positive weights and reserved columns") {
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceToMix(rows, col("id"), col("lang"), Map("en" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceToMix(rows.withColumn("__cut", lit(1)), col("id"), col("lang"),
+        Map("en" -> 1.0))
+    }
+  }
 }
