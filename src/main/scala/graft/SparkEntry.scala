@@ -2,7 +2,7 @@ package graft
 
 import graft.analytics.Kpis
 import graft.dedup.Dedup
-import graft.etl.{Cleaning, Nested, Validate}
+import graft.etl.{Cleaning, Nested, Scd, Validate}
 import graft.multimodal.Multimodal
 import graft.operators.{Packing, Relational, Sampling}
 import graft.text.TfIdf
@@ -192,6 +192,21 @@ object SparkEntry {
       silver.groupBy("etype")
         .agg(count(lit(1)).as("n"), round(sum("value_c"), 4).as("sum_value"), sum("k").as("sum_k"))
         .orderBy("etype")
+    }),
+
+    // SCD2 dimension from a change log: each user's event_type history
+    // becomes one row per consecutive-distinct state with a validity
+    // interval (event_id breaks same-timestamp ties). Timestamps are
+    // emitted as epoch micros so the oracle compares exact instants.
+    "a14_scd2" -> ((s, dir) => {
+      Scd.fromChangeLog(Tables.events(s, dir),
+          keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+          tsCol = "ts", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_type")
     }),
 
     // =========================================================== B: KPIs
@@ -880,6 +895,21 @@ object SparkEntry {
         |SELECT etype, count(*) AS n, round(sum(value_c),4) AS sum_value,
         | CAST(sum(k) AS BIGINT) AS sum_k
         |FROM silver WHERE etype IS NOT NULL GROUP BY 1 ORDER BY etype""".stripMargin,
+
+    // Same two stacked windows as the Spark plan: null-safe change
+    // detection against the lagged state, then lead() over the change
+    // rows for the interval end — both ordered by (ts, event_id).
+    "a14_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+        |f AS (SELECT user_id, event_type, us, event_id,
+        |  (event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (SELECT user_id, event_type, us, event_id FROM f WHERE chg),
+        |v AS (SELECT user_id, event_type, us AS valid_from_us,
+        |   lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us FROM c)
+        |SELECT user_id, event_type, valid_from_us, valid_to_us,
+        | (valid_to_us IS NULL) AS is_current
+        |FROM v ORDER BY user_id, valid_from_us, event_type""".stripMargin,
 
     "b1_rank_topn" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS total_price

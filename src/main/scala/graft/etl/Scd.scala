@@ -1,0 +1,93 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension maintenance — the dimension half of
+  * the medallion Silver layer that append-only cleaning (the reference's
+  * clean_transform.py Hive-partitioned appends) does not cover: tracked
+  * attributes get one row PER VERSION with a validity interval, so facts
+  * can join the dimension as-of their event time ([[graft.operators
+  * .Relational]]'s as-of join) instead of seeing only today's state.
+  *
+  * Versions are derived from a CHANGE LOG (one row per observation of a
+  * key's attributes): consecutive observations with identical attribute
+  * state collapse into one interval; `valid_to` is the next version's
+  * `valid_from` (null = open / current).
+  */
+object Scd {
+
+  private val Reserved = Seq("__state", "__chg", "valid_to", "is_current")
+
+  /** Build the SCD2 dimension from a change log. `keyCols` identify the
+    * entity, `attrCols` are the tracked attributes, `tsCol` (any
+    * orderable type; kept as `valid_from`) orders observations, and
+    * `tieBreak` columns make same-timestamp observations deterministic.
+    * Output: keyCols ++ attrCols ++ (valid_from, valid_to, is_current).
+    *
+    * Scale: ONE shuffle on the key. The change-detection window and the
+    * interval window run over the same (key, order) partitioning, and
+    * the interleaved filter preserves distribution and sort, so Catalyst
+    * plans a single exchange with no second sort. State comparison is
+    * null-safe (`<=>` on a struct of the attributes). */
+  def fromChangeLog(
+      df: DataFrame,
+      keyCols: Seq[String],
+      attrCols: Seq[String],
+      tsCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "need at least one key and one attribute column")
+    Reserved.foreach(c => require(!df.columns.contains(c), s"input already has reserved column $c"))
+    val order = (tsCol +: tieBreak).map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val state = struct(attrCols.map(col): _*)
+    val changes = df
+      .select((keyCols ++ attrCols :+ tsCol).map(col) ++ tieBreak.map(col): _*)
+      .withColumn("__chg", !(state <=> lag(state, 1).over(w)))
+      .filter(col("__chg")) // lag null on the first row → <=> false → kept
+    // post-filter rows keep the (key, order) distribution and sort, so
+    // this second window reuses the first one's exchange
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCols ++ attrCols).map(col) :+ col(tsCol).as("valid_from")
+        :+ col("valid_to") :+ col("is_current"): _*)
+  }
+
+  /** Merge a batch of new observations into an existing SCD2 dimension
+    * (the output shape of [[fromChangeLog]]): versions of keys touched
+    * by the batch are re-derived from (their existing versions' change
+    * points ∪ the batch), everything else passes through UNTOUCHED.
+    * An observation equal to a key's current state is a no-op; a
+    * late-arriving observation interleaves into history correctly
+    * (its interval closes at the next known change).
+    *
+    * Scale: the batch's key set is the only thing joined against the
+    * dimension (left-semi / left-anti on the key), so a daily batch
+    * touching 0.1% of keys re-windows 0.1% of the dimension — the rest
+    * is a pass-through scan with no shuffle.
+    *
+    * Ordering inside a rebuilt key is by `tsCol` alone (existing
+    * versions carry no tie-break columns): observations must be unique
+    * per (key, ts) — true of any valid SCD dimension, and a batch
+    * observation timestamped exactly at an existing `valid_from` is
+    * ambiguous by construction. */
+  def applyUpdates(
+      dim: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      attrCols: Seq[String],
+      tsCol: String): DataFrame = {
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val affected = dim.join(keys, keyCols, "left_semi")
+    val untouched = dim.join(keys, keyCols, "left_anti")
+    // an existing version row IS its change point: (key, attrs, valid_from)
+    val logCols = keyCols ++ attrCols :+ tsCol
+    val affectedLog = affected.select(keyCols.map(col) ++ attrCols.map(col)
+      :+ col("valid_from").as(tsCol): _*)
+    val batchLog = updates.select(logCols.map(col): _*)
+    val rebuilt = fromChangeLog(affectedLog.unionByName(batchLog), keyCols, attrCols, tsCol)
+    untouched.unionByName(rebuilt)
+  }
+}
