@@ -899,10 +899,15 @@ object SparkEntry {
     // Same two stacked windows as the Spark plan: null-safe change
     // detection against the lagged state, then lead() over the change
     // rows for the interval end — both ordered by (ts, event_id).
+    // The first row of a key is ALWAYS a version (Spark's lagged state
+    // STRUCT is null there, never equal) — row_number()=1 encodes that,
+    // where bare IS DISTINCT FROM would drop a first row whose
+    // attribute value is itself null.
     "a14_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
         |f AS (SELECT user_id, event_type, us, event_id,
-        |  (event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+        |  (row_number() OVER w = 1
+        |   OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |c AS (SELECT user_id, event_type, us, event_id FROM f WHERE chg),
         |v AS (SELECT user_id, event_type, us AS valid_from_us,

@@ -18,7 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
-  private val Reserved = Seq("__state", "__chg", "valid_to", "is_current")
+  private val Reserved = Seq("__chg", "valid_from", "valid_to", "is_current")
+
+  /** The output owns `valid_from`/`valid_to`/`is_current` (and `__chg`
+    * internally): none may name a key/attribute/tie-break column, and
+    * the ts column may not collide with the two generated interval
+    * columns (`tsCol == "valid_from"` is fine — it is that column). */
+  private def checkNames(keyCols: Seq[String], attrCols: Seq[String],
+      tsCol: String, tieBreak: Seq[String]): Unit = {
+    val roles = keyCols ++ attrCols ++ tieBreak
+    Reserved.foreach(c => require(!roles.contains(c),
+      s"key/attribute/tie-break columns may not use reserved name $c"))
+    Seq("__chg", "valid_to", "is_current").foreach(c => require(tsCol != c,
+      s"ts column may not use reserved name $c"))
+  }
 
   /** Build the SCD2 dimension from a change log. `keyCols` identify the
     * entity, `attrCols` are the tracked attributes, `tsCol` (any
@@ -38,7 +51,7 @@ object Scd {
       tsCol: String,
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty, "need at least one key and one attribute column")
-    Reserved.foreach(c => require(!df.columns.contains(c), s"input already has reserved column $c"))
+    checkNames(keyCols, attrCols, tsCol, tieBreak)
     val order = (tsCol +: tieBreak).map(col)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val state = struct(attrCols.map(col): _*)
@@ -80,8 +93,13 @@ object Scd {
       attrCols: Seq[String],
       tsCol: String): DataFrame = {
     val keys = updates.select(keyCols.map(col): _*).distinct()
-    val affected = dim.join(keys, keyCols, "left_semi")
-    val untouched = dim.join(keys, keyCols, "left_anti")
+    // null-safe key match: Window.partitionBy groups null keys, so a
+    // dimension CAN hold null-key versions — a plain equi-semi/anti
+    // would route them to `untouched` while the batch re-windows its
+    // null-key observations alone, emitting two open versions
+    val cond = keyCols.map(k => dim(k) <=> keys(k)).reduce(_ && _)
+    val affected = dim.join(keys, cond, "left_semi")
+    val untouched = dim.join(keys, cond, "left_anti")
     // an existing version row IS its change point: (key, attrs, valid_from)
     val logCols = keyCols ++ attrCols :+ tsCol
     val affectedLog = affected.select(keyCols.map(col) ++ attrCols.map(col)

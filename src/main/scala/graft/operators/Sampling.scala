@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -92,8 +93,12 @@ object Sampling {
     // inner join: weighted-but-absent strata cannot constrain T (their
     // target share is unsatisfiable at any T > 0); unweighted strata drop
     val joined = counts.join(broadcast(w), "__stratum")
-    val t = joined.select(min(col("__n").cast("double") / col("__w")).as("__T"))
-    val cuts = joined.crossJoin(broadcast(t))
+    // T = min(n/w) via a global window over the joined table (one row
+    // per WEIGHTED stratum) — an agg + crossJoin formulation would give
+    // the counts aggregate two plan parents and scan the corpus twice
+    val all = Window.partitionBy()
+    val cuts = joined
+      .withColumn("__T", min(col("__n").cast("double") / col("__w")).over(all))
       .select(col("__stratum"),
         round(col("__w") * col("__T") / col("__n") * lit(M)).cast("long").as("__cut"))
     df.join(broadcast(cuts), stratum === col("__stratum"))

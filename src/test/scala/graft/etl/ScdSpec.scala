@@ -78,10 +78,33 @@ class ScdSpec extends SparkSpec {
     assert(dim == Seq(10L, 20L, 40L)) // the two nulls collapse into one interval
   }
 
-  test("fromChangeLog rejects reserved output columns in the input") {
+  test("fromChangeLog rejects reserved names in key/attr/tie-break roles") {
     intercept[IllegalArgumentException] {
-      Scd.fromChangeLog(log.withColumn("is_current", lit(true)),
-        Seq("uid"), Seq("state"), "ts")
+      Scd.fromChangeLog(log.withColumnRenamed("state", "is_current"),
+        Seq("uid"), Seq("is_current"), "ts")
     }
+    intercept[IllegalArgumentException] { // ts may not be a generated interval column
+      Scd.fromChangeLog(log.withColumnRenamed("ts", "valid_to"),
+        Seq("uid"), Seq("state"), "valid_to")
+    }
+    // a ts column literally named valid_from IS the output column — allowed
+    val ok = Scd.fromChangeLog(log.withColumnRenamed("ts", "valid_from"),
+      Seq("uid"), Seq("state"), "valid_from")
+    assert(ok.columns.count(_ == "valid_from") == 1)
+  }
+
+  test("applyUpdates matches null keys null-safely (no duplicate open versions)") {
+    val nlog = Seq((Option.empty[Long], 10L, "A"), (Some(9L), 10L, "Z"))
+      .toDF("uid", "ts", "state")
+    val dim = Scd.fromChangeLog(nlog, Seq("uid"), Seq("state"), "ts")
+    val batch = Seq((Option.empty[Long], 20L, "B")).toDF("uid", "ts", "state")
+    val merged = Scd.applyUpdates(dim, batch, Seq("uid"), Seq("state"), "ts")
+    val nullRows = merged.filter(col("uid").isNull)
+      .orderBy("valid_from")
+      .select("state", "valid_from", "valid_to", "is_current")
+      .as[(String, Long, Option[Long], Boolean)].collect().toSeq
+    // the null key's history is ONE chain: A closed at 20, B open
+    assert(nullRows == Seq(("A", 10L, Some(20L), false), ("B", 20L, None, true)))
+    assert(merged.filter(col("uid") === 9L).count() == 1) // untouched key intact
   }
 }

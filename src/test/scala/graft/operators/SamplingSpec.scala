@@ -74,6 +74,18 @@ class SamplingSpec extends SparkSpec {
     assert(de > 25 && de < 90, s"de kept $de, expected ~55")
   }
 
+  test("rebalanceToMix scans the corpus exactly twice: counts + filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rebal").toString
+    rows.write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val plan = Sampling.rebalanceToMix(pq, col("id"), col("lang"),
+      Map("en" -> 0.5, "de" -> 0.5)).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    // a third scan would mean the counts aggregate got two plan parents
+    // (the agg+crossJoin formulation this replaced)
+    assert(scans == 2, s"expected 2 parquet scans, got $scans in:\n$plan")
+  }
+
   test("rebalanceToMix rejects non-positive weights and reserved columns") {
     intercept[IllegalArgumentException] {
       Sampling.rebalanceToMix(rows, col("id"), col("lang"), Map("en" -> 0.0))
