@@ -409,6 +409,31 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // KLL quantile sketch TABLE (C8d): sketch per (status, returnflag),
+    // percentiles from a UNION rollup (no raw-data rescan), then the
+    // estimates' empirical ranks verified against the raw distribution
+    // — |rank(p_q) − q| ≤ 0.05 covers KLL's ~1.65% rank error plus the
+    // ~2% rank step of l_quantity's 50 tied values. The oracle mirrors
+    // the exact columns and pins the bound booleans to TRUE.
+    "c8d_quantile_sketch" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val li = Tables.lineitem(s, dir)
+      val table = Sketches.quantileSketchTable(li,
+        Seq(col("l_linestatus"), col("l_returnflag")), col("l_quantity"))
+      val rolled = Sketches.quantileRollup(table, Seq(col("l_linestatus")), Seq(0.5, 0.95))
+      li.join(broadcast(rolled), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(max("n_buckets").as("n_buckets"), count(lit(1)).as("n"),
+          (sum(when(col("l_quantity") <= col("p50"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("__r50"),
+          (sum(when(col("l_quantity") <= col("p95"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("__r95"))
+        .select(col("l_linestatus"), col("n_buckets"), col("n"),
+          (abs(col("__r50") - 0.5) <= 0.05).as("p50_in_bound"),
+          (abs(col("__r95") - 0.95) <= 0.05).as("p95_in_bound"))
+        .orderBy("l_linestatus")
+    }),
+
     // Binned range join: orders (as day offsets from 1992-01-01) matched
     // into 20 overlapping 150-day windows. The bin trick turns interval
     // containment into an equi-join (PlanSpec enforces no nested-loop
@@ -1052,6 +1077,11 @@ object SparkEntry {
     "c8b_distinct_approx" ->
       """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_exact,
         | TRUE AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "c8d_quantile_sketch" ->
+      """SELECT l_linestatus, count(DISTINCT l_returnflag) AS n_buckets, count(*) AS n,
+        | TRUE AS p50_in_bound, TRUE AS p95_in_bound
         |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
 
     "c16_range_join" ->

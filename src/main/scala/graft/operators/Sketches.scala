@@ -37,4 +37,33 @@ object Sketches {
     sketches.groupBy(keys: _*)
       .agg(hll_sketch_estimate(hll_union_agg(sketch)).as("n_estimate"),
         count(lit(1)).as("n_buckets"))
+
+  import graft.expressions.SketchExpressions
+
+  /** One KLL QUANTILE sketch of `value` per `keys` group — the
+    * percentile analogue of [[sketchTable]] (C8d). Same partial-agg
+    * shape: raw rows never cross the shuffle, serialized sketches do.
+    * Persist per fine bucket (e.g. per day); any coarser percentile
+    * rollup later unions stored sketches instead of rescanning. */
+  def quantileSketchTable(
+      df: DataFrame, keys: Seq[Column], value: Column,
+      k: Int = SketchExpressions.DefaultK): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(SketchExpressions.kllSketchAgg(value.cast("double"), k).as("qsketch"))
+
+  /** Roll a quantile sketch table up to coarser `keys` and extract the
+    * requested ranks as `p<rank·100>` columns. Estimates carry KLL's
+    * normalized rank-error bound for `k` regardless of how many stored
+    * sketches were unioned. */
+  def quantileRollup(
+      sketches: DataFrame, keys: Seq[Column], ranks: Seq[Double],
+      sketch: Column = col("qsketch"),
+      k: Int = SketchExpressions.DefaultK): DataFrame = {
+    require(ranks.nonEmpty, "need at least one rank")
+    val merged = sketches.groupBy(keys: _*)
+      .agg(SketchExpressions.kllUnionAgg(sketch, k).as("__u"), count(lit(1)).as("n_buckets"))
+    val qCols = ranks.map(q =>
+      SketchExpressions.kllQuantile(col("__u"), q).as(s"p${math.round(q * 100)}"))
+    merged.select(keys ++ qCols :+ col("n_buckets"): _*)
+  }
 }

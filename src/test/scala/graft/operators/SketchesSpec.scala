@@ -64,4 +64,48 @@ class SketchesSpec extends SparkSpec {
     // 100 distinct users per type; 1.6% rse → 5% is > 3σ
     rolled.values.foreach(e => assert(math.abs(e - 100.0) / 100.0 < 0.05))
   }
+
+  // ---- KLL quantile sketch tables (C8d) ----
+
+  // 3 groups × 4 buckets × 500 values: group g holds 0..1999 scaled by (g+1)
+  private lazy val measures = (0 until 6000).map { i =>
+    val g = i % 3
+    (s"g$g", s"b${i % 4}", ((i / 3) % 2000).toDouble * (g + 1))
+  }.toDF("grp", "bucket", "v")
+
+  test("quantile sketch table + rollup recover known quantiles within rank bound") {
+    val t = Sketches.quantileSketchTable(measures, Seq(col("grp"), col("bucket")), col("v"))
+    assert(t.count() == 12)
+    assert(t.columns.toSeq == Seq("grp", "bucket", "qsketch"))
+    val rolled = Sketches.quantileRollup(t, Seq(col("grp")), Seq(0.5, 0.95))
+      .select("grp", "p50", "p95", "n_buckets")
+      .as[(String, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rolled.values.forall(_._4 == 4L))
+    // group g is uniform on [0, 2000·(g+1)): true p50 = 1000·(g+1),
+    // p95 = 1900·(g+1); k=200 rank error ~1.65% → accept 3% of range
+    for (g <- 0 until 3; scale = (g + 1).toDouble) {
+      val (_, p50, p95, _) = rolled(s"g$g")
+      assert(math.abs(p50 - 1000 * scale) <= 0.03 * 2000 * scale, s"p50 g$g: $p50")
+      assert(math.abs(p95 - 1900 * scale) <= 0.03 * 2000 * scale, s"p95 g$g: $p95")
+    }
+  }
+
+  test("quantile sketches survive a parquet round-trip and union losslessly-in-bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll").toString
+    Sketches.quantileSketchTable(measures, Seq(col("grp"), col("bucket")), col("v"))
+      .write.mode("overwrite").parquet(dir)
+    val p50 = Sketches.quantileRollup(spark.read.parquet(dir), Seq(col("grp")), Seq(0.5))
+      .filter(col("grp") === "g0").select("p50").as[Double].head()
+    assert(math.abs(p50 - 1000.0) <= 60.0)
+  }
+
+  test("empty-input KLL aggregates yield null sketches, not failures") {
+    val empty = measures.filter(col("grp") === "nope")
+    val t = Sketches.quantileSketchTable(empty, Seq(col("grp")), col("v"))
+    assert(t.count() == 0)
+    val one = measures.limit(0)
+      .agg(graft.expressions.SketchExpressions.kllSketchAgg(col("v")).as("s"))
+      .select(col("s").isNull).as[Boolean].head()
+    assert(one) // global agg over zero rows → null sketch blob
+  }
 }
