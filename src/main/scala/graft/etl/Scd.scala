@@ -73,8 +73,14 @@ object Scd {
     * by the batch are re-derived from (their existing versions' change
     * points ∪ the batch), everything else passes through UNTOUCHED.
     * An observation equal to a key's current state is a no-op; a
-    * late-arriving observation interleaves into history correctly
-    * (its interval closes at the next known change).
+    * late-arriving observation interleaves against the RECORDED
+    * versions (its interval closes at the next known change point).
+    * For forward-arriving batches this merge provably equals a
+    * one-shot [[fromChangeLog]] over the combined log (EquivalenceSpec);
+    * for a batch row landing INSIDE an existing interval, the collapsed
+    * duplicate observations of that interval are — inherently to SCD2
+    * state — no longer visible, so a re-observation of the old state
+    * later in the run is not re-derived.
     *
     * Scale: the batch's key set is the only thing joined against the
     * dimension (left-semi / left-anti on the key), so a daily batch

@@ -109,4 +109,48 @@ class EquivalenceSpec extends SparkSpec {
       assert(byDoc.zip(byDoc.drop(1)).forall { case (a, b) => a <= b })
     }
   }
+
+  test("Scd.fromChangeLog equals the naive interval derivation on random data") {
+    import graft.etl.Scd
+    // 8 keys × small state alphabet → long runs of repeats to collapse;
+    // unique (key, ts) pairs (the applyUpdates contract)
+    val obs = rnd.shuffle(
+      (for { k <- 0L until 8L; ts <- 0L until 40L } yield (k, ts)).toSeq)
+      .take(180)
+      .map { case (k, ts) => (k, ts, s"s${rnd.nextInt(3)}") }
+    val got = Scd.fromChangeLog(obs.toDF("k", "ts", "st"), Seq("k"), Seq("st"), "ts")
+      .select("k", "st", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq.sorted
+    val expected = obs.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val changes = sorted.zip(None +: sorted.map(r => Some(r._3)))
+        .collect { case ((_, ts, st), prev) if !prev.contains(st) => (ts, st) }
+      changes.zip(changes.drop(1).map(c => Some(c._1)) :+ None).map {
+        case ((ts, st), next) => (k, st, ts, next, next.isEmpty)
+      }
+    }.sorted
+    assert(got == expected)
+  }
+
+  test("Scd.applyUpdates(fromChangeLog(a), b) equals fromChangeLog(a ∪ b) for forward batches") {
+    import graft.etl.Scd
+    // split by time: the batch arrives strictly after the initial load
+    // (per key). For ARBITRARY interleaving the identity cannot hold for
+    // any SCD2 merge: the dimension records collapsed versions, not the
+    // duplicate observations inside them, so a batch row landing inside
+    // a collapsed run cannot see the run's later re-observations.
+    val all = rnd.shuffle(
+      (for { k <- 0L until 6L; ts <- 0L until 30L } yield (k, ts)).toSeq)
+      .take(150)
+      .map { case (k, ts) => (k, ts, s"s${rnd.nextInt(3)}") }
+    val (initial, batch) = all.partition(_._2 < 15L)
+    val dim = Scd.fromChangeLog(initial.toDF("k", "ts", "st"), Seq("k"), Seq("st"), "ts")
+    val merged = Scd.applyUpdates(dim, batch.toDF("k", "ts", "st"), Seq("k"), Seq("st"), "ts")
+      .select("k", "st", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq.sorted
+    val oneShot = Scd.fromChangeLog(all.toDF("k", "ts", "st"), Seq("k"), Seq("st"), "ts")
+      .select("k", "st", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq.sorted
+    assert(merged == oneShot)
+  }
 }
