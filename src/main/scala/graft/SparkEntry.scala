@@ -434,6 +434,28 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // Theta sketch set algebra (C8e): distinct users who clicked AND
+    // purchased (purchases restricted to the user_id%3==0 cohort so the
+    // three set estimates differ). At verification scale the corpus has
+    // far fewer distinct users than the 4096 nominal entries, so the
+    // sketches are in EXACT mode and the oracle mirrors the set sizes
+    // exactly — the same sized-for-exactness pattern as d6/d12.
+    "c8e_theta_overlap" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, dir).filter(
+        col("event_type") === "click" ||
+          (col("event_type") === "purchase" && col("user_id") % 3 === 0))
+      val sk = Sketches.thetaSketchTable(ev, Seq(col("event_type")),
+        col("user_id").cast("string"))
+      sk.agg(
+          max(when(col("event_type") === "click", col("tsketch"))).as("__a"),
+          max(when(col("event_type") === "purchase", col("tsketch"))).as("__b"))
+        .select(
+          Sketches.thetaSetEstimate("intersect", col("__a"), col("__b")).as("n_both"),
+          Sketches.thetaSetEstimate("union", col("__a"), col("__b")).as("n_either"),
+          Sketches.thetaSetEstimate("diff", col("__a"), col("__b")).as("n_click_only"))
+    }),
+
     // Binned range join: orders (as day offsets from 1992-01-01) matched
     // into 20 overlapping 150-day windows. The bin trick turns interval
     // containment into an equi-join (PlanSpec enforces no nested-loop
@@ -1083,6 +1105,15 @@ object SparkEntry {
       """SELECT l_linestatus, count(DISTINCT l_returnflag) AS n_buckets, count(*) AS n,
         | TRUE AS p50_in_bound, TRUE AS p95_in_bound
         |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    // Exact set sizes (sketches are in exact mode at this scale — see
+    // the query comment).
+    "c8e_theta_overlap" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0)
+        |SELECT (SELECT count(*) FROM c JOIN p USING (user_id)) AS n_both,
+        | (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS n_either,
+        | (SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS n_click_only""".stripMargin,
 
     "c16_range_join" ->
       """WITH pts AS (SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS d, o_totalprice FROM orders),

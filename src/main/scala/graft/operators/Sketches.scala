@@ -66,4 +66,30 @@ object Sketches {
       SketchExpressions.kllQuantile(col("__u"), q).as(s"p${math.round(q * 100)}"))
     merged.select(keys ++ qCols :+ col("n_buckets"): _*)
   }
+
+  import graft.expressions.ThetaExpressions
+
+  /** One THETA sketch of `value` per `keys` group (C8e) — like
+    * [[sketchTable]] but supporting set ALGEBRA: stored sketches
+    * intersect and difference with bounded error ("distinct users who
+    * did A and B"), which HLL state cannot answer. */
+  def thetaSketchTable(
+      df: DataFrame, keys: Seq[Column], value: Column,
+      lgK: Int = ThetaExpressions.DefaultLgK): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(ThetaExpressions.thetaSketchAgg(value, lgK).as("tsketch"))
+
+  /** Roll a Theta sketch table up to coarser `keys` by union. */
+  def thetaRollup(
+      sketches: DataFrame, keys: Seq[Column],
+      sketch: Column = col("tsketch"),
+      lgK: Int = ThetaExpressions.DefaultLgK): DataFrame =
+    sketches.groupBy(keys: _*)
+      .agg(ThetaExpressions.thetaUnionAgg(sketch, lgK).as("tsketch"),
+        count(lit(1)).as("n_buckets"))
+
+  /** Distinct-count estimate of a set operation over two stored
+    * sketches: `op` ∈ union | intersect | diff. */
+  def thetaSetEstimate(op: String, a: Column, b: Column): Column =
+    ThetaExpressions.thetaEstimate(op, a, b)
 }

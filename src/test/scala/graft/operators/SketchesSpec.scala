@@ -99,6 +99,45 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(p50 - 1000.0) <= 60.0)
   }
 
+  // ---- Theta sketch tables (C8e): set algebra on sketch state ----
+
+  test("theta sketches: exact-mode set algebra on overlapping user sets") {
+    // click users 0..149, view users 100..249 → |∩|=50, |∪|=250, |click\view|=100
+    val ev = ((0 until 150).map(u => (s"u$u", "click")) ++
+      (100 until 250).map(u => (s"u$u", "view"))).toDF("user_id", "event_type")
+    val t = Sketches.thetaSketchTable(ev, Seq(col("event_type")), col("user_id"))
+    val row = t.agg(
+        max(when(col("event_type") === "click", col("tsketch"))).as("a"),
+        max(when(col("event_type") === "view", col("tsketch"))).as("b"))
+      .select(
+        Sketches.thetaSetEstimate("intersect", col("a"), col("b")).as("i"),
+        Sketches.thetaSetEstimate("union", col("a"), col("b")).as("u"),
+        Sketches.thetaSetEstimate("diff", col("a"), col("b")).as("d"))
+      .as[(Long, Long, Long)].head()
+    assert(row == ((50L, 250L, 100L))) // below 4096 entries → exact
+  }
+
+  test("theta union rollup survives parquet and matches a direct sketch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-theta").toString
+    Sketches.thetaSketchTable(events, Seq(col("event_type"), col("day")), col("user_id"))
+      .write.mode("overwrite").parquet(dir)
+    val rolled = Sketches.thetaRollup(spark.read.parquet(dir), Seq(col("event_type")))
+    val est = rolled.select(col("event_type"),
+        Sketches.thetaSetEstimate("union", col("tsketch"), col("tsketch")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(est.values.forall(_ == 100L)) // 100 distinct users per type, exact mode
+    assert(rolled.select("n_buckets").as[Long].collect().forall(_ == 3L))
+  }
+
+  test("theta estimation mode stays within bounds past the nominal entry count") {
+    // 20k distinct longs at lgK=12 (4096 nominal) → sampling mode
+    val big = spark.range(20000).select(col("id"))
+    val est = big.agg(graft.expressions.ThetaExpressions.thetaSketchAgg(col("id")).as("s"))
+      .select(Sketches.thetaSetEstimate("union", col("s"), col("s")).as("n"))
+      .as[Long].head()
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.05, s"estimate $est") // rse ~1.6%, 5% > 3σ
+  }
+
   test("empty-input KLL aggregates yield null sketches, not failures") {
     val empty = measures.filter(col("grp") === "nope")
     val t = Sketches.quantileSketchTable(empty, Seq(col("grp")), col("v"))
