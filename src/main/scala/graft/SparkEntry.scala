@@ -657,6 +657,26 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // Int8 embedding quantization (D29): per-label reconstruction-error
+    // stats, every arithmetic step (scale, clamp, half-up round, error)
+    // mirrored in the oracle. Staged projections per the HOF rule.
+    "d29_quantize" -> ((s, dir) => {
+      import graft.vectors.{Quantize, VectorOps}
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          VectorOps.toDouble(col("embedding")).as("__v"))
+        .withColumn("__scale", Quantize.int8Scale(col("__v")))
+        .withColumn("__q", Quantize.int8Quantize(col("__v"), col("__scale")))
+        .select(col("label"), col("__scale"),
+          Quantize.int8MaxError(col("__v"), col("__q"), col("__scale")).as("__err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("__scale"), 4).as("avg_scale"),
+          round(avg("__err"), 4).as("avg_max_err"),
+          round(max("__err"), 4).as("worst_err"))
+        .orderBy("label")
+    }),
+
     // τ=0.45 sits in a gap of this corpus's cosine distribution; bits
     // auto-size to 3 at sf0.01 and tables=24 gives per-pair recall
     // ≥ 1-5e-4 at the threshold (recallFor(0.4516, 3, 24) ≈ 0.9995), so
@@ -1397,6 +1417,24 @@ object SparkEntry {
         | round(avg(sqrt(list_inner_product(e, e))),4) AS avg_norm,
         | round(avg(e[1]),4) AS avg_dim1, round(avg(e[2]),4) AS avg_dim2
         |FROM v GROUP BY 1 ORDER BY label""".stripMargin,
+
+    // Same quantization arithmetic step for step: scale = max|v|/127,
+    // q = clamp(round(v/scale)) (round half away from zero in both
+    // engines), error = max|v - q*scale|.
+    "d29_quantize" ->
+      """WITH v AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT label, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        |q AS (SELECT label, e, scale,
+        |   CASE WHEN scale > 0
+        |        THEN list_transform(e, x -> CAST(greatest(-127, least(127, round(x/scale))) AS INT))
+        |        ELSE list_transform(e, x -> 0) END AS qv
+        |  FROM s),
+        |err AS (SELECT label, scale,
+        |   list_max(list_transform(range(1, len(e)+1), i -> abs(e[i] - qv[i]*scale))) AS merr
+        |  FROM q)
+        |SELECT label, count(*) AS n, round(avg(scale),4) AS avg_scale,
+        | round(avg(merr),4) AS avg_max_err, round(max(merr),4) AS worst_err
+        |FROM err GROUP BY 1 ORDER BY label""".stripMargin,
 
     // LSH parameters sized for recall ~1 at τ=0.45 (see query comment) —
     // the oracle is the exact all-pairs formulation.
