@@ -446,7 +446,7 @@ object SparkEntry {
         col("event_type") === "click" ||
           (col("event_type") === "purchase" && col("user_id") % 3 === 0))
       val sk = Sketches.thetaSketchTable(ev, Seq(col("event_type")),
-        col("user_id").cast("string"))
+        col("user_id")) // long input hashes natively — no per-row stringify
       sk.agg(
           max(when(col("event_type") === "click", col("tsketch"))).as("__a"),
           max(when(col("event_type") === "purchase", col("tsketch"))).as("__b"))

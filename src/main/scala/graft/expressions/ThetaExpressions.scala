@@ -27,50 +27,63 @@ import org.apache.spark.unsafe.types.UTF8String
   * is in EXACT mode — estimates are true distinct counts; above it,
   * sampling starts and the standard bounds apply.
   */
+abstract class ThetaAggBase
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  def lgK: Int
+
+  protected final def newUnion(): Union =
+    SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+
+  final override def dataType: DataType = BinaryType
+  final override def nullable: Boolean = true
+  final override def createAggregationBuffer(): Union = newUnion()
+  final override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+  final override def eval(buffer: Union): Any = {
+    val r = buffer.getResult
+    if (r.isEmpty) null else r.toByteArray
+  }
+  final override def serialize(buffer: Union): Array[Byte] = buffer.getResult.toByteArray
+  final override def deserialize(bytes: Array[Byte]): Union = {
+    val u = newUnion()
+    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+}
+
+/** Sketch raw values (string or long — each hashed in its NATIVE
+  * domain, so sketches only intersect meaningfully when built from the
+  * same input type). */
 case class ThetaSketchAgg(
     child: Expression,
     lgK: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+  extends ThetaAggBase {
 
   require(lgK >= 4 && lgK <= 26, s"lgK must be in [4, 26], got $lgK")
 
   override def prettyName: String = "graft_theta_sketch_agg"
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType | LongType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string or long input, got ${t.simpleString}")
   }
-  // the Union operator IS the mergeable buffer (it accepts both raw
-  // updates and sketch merges, unlike an UpdateSketch)
-  private def newUnion(): Union =
-    SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
-  override def createAggregationBuffer(): Union = newUnion()
   override def update(buffer: Union, input: InternalRow): Union = {
     child.eval(input) match {
       case null => ()
       case s: UTF8String => buffer.update(s.toString)
       case l: java.lang.Long => buffer.update(l.longValue())
-      case other => buffer.update(other.toString)
+      // strings and longs hash into disjoint domains; silently
+      // stringifying an unexpected type would make intersections
+      // against typed sketches return 0 instead of failing loudly
+      case other => throw new IllegalStateException(
+        s"$prettyName: unexpected input ${other.getClass.getName} (type check admits string|long)")
     }
     buffer
-  }
-  override def merge(buffer: Union, other: Union): Union = {
-    buffer.union(other.getResult)
-    buffer
-  }
-  override def eval(buffer: Union): Any = {
-    val r = buffer.getResult
-    if (r.isEmpty) null else r.toByteArray
-  }
-  override def serialize(buffer: Union): Array[Byte] = buffer.getResult.toByteArray
-  override def deserialize(bytes: Array[Byte]): Union = {
-    val u = newUnion()
-    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
-    u
   }
   override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -86,41 +99,22 @@ case class ThetaUnionAgg(
     lgK: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+  extends ThetaAggBase {
 
   require(lgK >= 4 && lgK <= 26, s"lgK must be in [4, 26], got $lgK")
 
   override def prettyName: String = "graft_theta_union_agg"
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a binary Theta sketch input, got ${t.simpleString}")
   }
-  private def newUnion(): Union =
-    SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
-  override def createAggregationBuffer(): Union = newUnion()
   override def update(buffer: Union, input: InternalRow): Union = {
     child.eval(input) match {
       case null => ()
       case b: Array[Byte] => buffer.union(Sketches.wrapSketch(Memory.wrap(b)))
     }
     buffer
-  }
-  override def merge(buffer: Union, other: Union): Union = {
-    buffer.union(other.getResult)
-    buffer
-  }
-  override def eval(buffer: Union): Any = {
-    val r = buffer.getResult
-    if (r.isEmpty) null else r.toByteArray
-  }
-  override def serialize(buffer: Union): Array[Byte] = buffer.getResult.toByteArray
-  override def deserialize(bytes: Array[Byte]): Union = {
-    val u = newUnion()
-    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
-    u
   }
   override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -132,12 +126,16 @@ case class ThetaUnionAgg(
 
 /** Set-operation estimate over two serialized Theta sketches:
   * `op` ∈ {union, intersect, diff} (diff = left \ right), rounded to a
-  * long. CodegenFallback is deliberate — this evaluates once per
-  * (usually single) result row after aggregation, never per scan row. */
-case class ThetaSetEstimate(left: Expression, right: Expression, op: String)
+  * long. `lgK` bounds the union's retained entries and must be ≥ the
+  * input sketches' lgK to preserve their accuracy (intersection and
+  * difference inherit precision from their inputs and ignore it).
+  * CodegenFallback is deliberate — this evaluates once per (usually
+  * single) result row after aggregation, never per scan row. */
+case class ThetaSetEstimate(left: Expression, right: Expression, op: String, lgK: Int)
   extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
 
   require(ThetaSetEstimate.Ops.contains(op), s"op must be one of ${ThetaSetEstimate.Ops}, got $op")
+  require(lgK >= 4 && lgK <= 26, s"lgK must be in [4, 26], got $lgK")
 
   override def prettyName: String = s"graft_theta_$op"
   override def dataType: DataType = LongType
@@ -151,7 +149,7 @@ case class ThetaSetEstimate(left: Expression, right: Expression, op: String)
     val sb = Sketches.wrapSketch(Memory.wrap(b.asInstanceOf[Array[Byte]]))
     val est = op match {
       case "union" =>
-        val u = SetOperation.builder().buildUnion()
+        val u = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
         u.union(sa); u.union(sb); u.getResult.getEstimate
       case "intersect" =>
         val i = SetOperation.builder().buildIntersection()
@@ -182,7 +180,7 @@ object ThetaExpressions {
     ColumnBridge.column(
       ThetaUnionAgg(ColumnBridge.expression(sketch), lgK).toAggregateExpression())
 
-  def thetaEstimate(op: String, a: Column, b: Column): Column =
+  def thetaEstimate(op: String, a: Column, b: Column, lgK: Int = DefaultLgK): Column =
     ColumnBridge.column(
-      ThetaSetEstimate(ColumnBridge.expression(a), ColumnBridge.expression(b), op))
+      ThetaSetEstimate(ColumnBridge.expression(a), ColumnBridge.expression(b), op, lgK))
 }

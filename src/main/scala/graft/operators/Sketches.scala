@@ -89,7 +89,11 @@ object Sketches {
         count(lit(1)).as("n_buckets"))
 
   /** Distinct-count estimate of a set operation over two stored
-    * sketches: `op` ∈ union | intersect | diff. */
-  def thetaSetEstimate(op: String, a: Column, b: Column): Column =
-    ThetaExpressions.thetaEstimate(op, a, b)
+    * sketches: `op` ∈ union | intersect | diff. Pass the table's `lgK`
+    * when it differs from the default — a union result is capped at
+    * 2^lgK retained entries (intersection/difference inherit precision
+    * from their inputs and ignore it). */
+  def thetaSetEstimate(op: String, a: Column, b: Column,
+      lgK: Int = ThetaExpressions.DefaultLgK): Column =
+    ThetaExpressions.thetaEstimate(op, a, b, lgK)
 }

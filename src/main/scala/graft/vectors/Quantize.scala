@@ -23,8 +23,10 @@ object Quantize {
     array_max(transform(v, x => abs(x))) / lit(127.0)
 
   /** Quantize to int8 range [-127, 127]: round(vᵢ/scale), clamped.
-    * Half-up rounding matches external engines (DuckDB, NumPy's
-    * away-from-zero) for bit-stable cross-engine verification. */
+    * Rounds half AWAY FROM ZERO, matching DuckDB for bit-stable
+    * cross-engine verification. (NumPy's np.round is half-to-even and
+    * WILL disagree on exact .5 ties — quantize offline with
+    * np.trunc(x + copysign(0.5, x)) if codes must match.) */
   def int8Quantize(v: Column, scale: Column): Column =
     when(scale > 0,
       transform(v, x => greatest(lit(-127L), least(lit(127L), round(x / scale))).cast("int")))
