@@ -710,6 +710,18 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Exactly-k-per-stratum deterministic sampling (D30): fixed-SIZE
+    // eval sets per language (fractional sampling can't promise a
+    // size). The oracle re-derives the md5 rank order and the exact
+    // selection — sum_ids pins the member set, not just the count.
+    "d30_sample_k" -> ((s, dir) => {
+      Sampling.exactKPerStratum(Tables.documents(s, dir),
+          key = col("doc_id"), stratum = col("lang"), k = 7)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // Pairwise near-dups resolved to clusters (connected components):
     // the keep/drop decision layer above d2. The oracle computes the
     // same min-reachable-id labels with a recursive CTE.
@@ -1461,6 +1473,15 @@ object SparkEntry {
         |WHERE bucket < (CASE WHEN lang = 'en' THEN 250000
         |                     WHEN lang = 'de' THEN 1000000 ELSE 100000 END)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "d30_sample_k" ->
+      """WITH b AS (SELECT lang, doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
+        | FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn FROM b)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM r WHERE rn <= 7 GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "d15_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),

@@ -58,6 +58,29 @@ object Sampling {
     df.filter(hashBucket(key, salt) < cut)
   }
 
+  /** EXACTLY min(k, |stratum|) rows per stratum, selected
+    * deterministically: rank by the md5 hash bucket (key as tie-break)
+    * within each stratum and keep the first k. Fractional sampling
+    * ([[stratifiedHashSample]]) cannot promise a sample SIZE; held-out
+    * eval sets and per-source audit samples need exactly-k semantics,
+    * reproducible on any layout and re-derivable by an external engine.
+    * Output keeps the rank as the reserved column `rn` (1-based) — a
+    * stable position for downstream "first n of the sample" cuts.
+    *
+    * Scale: one shuffle on the stratum; the rank is a per-stratum
+    * window (WindowGroupLimit pushes the k-filter below the sort at
+    * the physical level). */
+  def exactKPerStratum(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.operators.Relational.topKPerGroup(df,
+      partitionBy = Seq(stratum), orderBy = Seq(hashBucket(key, salt), key), k = k)
+  }
+
   /** Rebalance the corpus to a target stratum mix (dataset-mixing, the
     * downsampling half of DoReMi-style source reweighting): keep the
     * LARGEST deterministic subsample whose stratum shares match

@@ -86,6 +86,19 @@ class SamplingSpec extends SparkSpec {
     assert(scans == 2, s"expected 2 parquet scans, got $scans in:\n$plan")
   }
 
+  test("exactKPerStratum keeps exactly min(k, |stratum|) rows, layout-independent") {
+    val kept = Sampling.exactKPerStratum(rows, col("id"), col("lang"), k = 25)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 25L, "de" -> 25L)) // exact size, not approximate
+    val a = kept.select("id").as[Long].collect().toSet
+    val b = Sampling.exactKPerStratum(rows.repartition(11), col("id"), col("lang"), k = 25)
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // same members on any layout
+    // k larger than the stratum → whole stratum, no padding
+    val small = Sampling.exactKPerStratum(rows.filter(col("id") < 8), col("id"), col("lang"), k = 100)
+    assert(small.count() == 8)
+  }
+
   test("rebalanceToMix rejects non-positive weights and reserved columns") {
     intercept[IllegalArgumentException] {
       Sampling.rebalanceToMix(rows, col("id"), col("lang"), Map("en" -> 0.0))
