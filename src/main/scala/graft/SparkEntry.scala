@@ -434,6 +434,22 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // Frequent-items sketch table (C8f): per-priority approx_top_k
+    // sketches combined into a global top-3 — Spark 4's built-in state
+    // functions, no custom aggregate needed. maxItemsTracked (1000) far
+    // exceeds the distinct item count, so estimates are exact and the
+    // oracle is a plain GROUP BY.
+    "c8f_topk_sketch" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority"), length(col("o_orderkey").cast("string")).as("digits"))
+      val t = Sketches.topKSketchTable(o, Seq(col("o_orderpriority")), col("digits"),
+        maxItemsTracked = 1000)
+      Sketches.topKRollup(t, Seq.empty, k = 3)
+        .select(col("item").as("digits"), col("n_estimate").as("n"))
+        .orderBy(desc("n"), col("digits"))
+    }),
+
     // Theta sketch set algebra (C8e): distinct users who clicked AND
     // purchased (purchases restricted to the user_id%3==0 cohort so the
     // three set estimates differ). At verification scale the corpus has
@@ -1137,6 +1153,10 @@ object SparkEntry {
       """SELECT l_linestatus, count(DISTINCT l_returnflag) AS n_buckets, count(*) AS n,
         | TRUE AS p50_in_bound, TRUE AS p95_in_bound
         |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "c8f_topk_sketch" ->
+      """SELECT CAST(length(CAST(o_orderkey AS VARCHAR)) AS INT) AS digits, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY n DESC, digits LIMIT 3""".stripMargin,
 
     // Exact set sizes (sketches are in exact mode at this scale — see
     // the query comment).

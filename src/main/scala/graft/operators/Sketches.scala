@@ -96,4 +96,29 @@ object Sketches {
   def thetaSetEstimate(op: String, a: Column, b: Column,
       lgK: Int = ThetaExpressions.DefaultLgK): Column =
     ThetaExpressions.thetaEstimate(op, a, b, lgK)
+
+  /** FREQUENT-ITEMS sketch table (C8f): one `approx_top_k` sketch of
+    * `value` per `keys` group, via Spark 4's built-in state functions
+    * (extension altitude (a): this one needs no custom aggregate).
+    * Counts are EXACT while a sketch tracks ≤ `maxItemsTracked`
+    * distinct items; above that, standard frequent-items error bounds
+    * apply. Persist per bucket; heavy-hitter rollups combine stored
+    * sketches instead of rescanning raw data. */
+  def topKSketchTable(
+      df: DataFrame, keys: Seq[Column], value: Column,
+      maxItemsTracked: Int = 10000): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(call_function("approx_top_k_accumulate", value, lit(maxItemsTracked)).as("fsketch"))
+
+  /** Roll a frequent-items sketch table up to coarser `keys` and emit
+    * the top-`k` (item, n_estimate) rows, ordered by estimated count
+    * descending (item as tie-break). */
+  def topKRollup(
+      sketches: DataFrame, keys: Seq[Column], k: Int,
+      sketch: Column = col("fsketch"),
+      maxItemsTracked: Int = 10000): DataFrame =
+    sketches.groupBy(keys: _*)
+      .agg(call_function("approx_top_k_combine", sketch, lit(maxItemsTracked)).as("__c"))
+      .select(keys :+ explode(call_function("approx_top_k_estimate", col("__c"), lit(k))).as("__e"): _*)
+      .select(keys :+ col("__e.item").as("item") :+ col("__e.count").as("n_estimate"): _*)
 }

@@ -138,6 +138,32 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 20000.0) / 20000.0 < 0.05, s"estimate $est") // rse ~1.6%, 5% > 3σ
   }
 
+  // ---- approx_top_k frequent-items sketch tables (C8f) ----
+
+  test("top-k sketch table: bucket-combined heavy hitters match exact counts") {
+    // zipf-ish: item i appears 2^i times → unambiguous top-3 = 7,6,5
+    val freq = (0 to 7).flatMap(i => Seq.fill(1 << i)(i)).toDF("item")
+      .withColumn("bucket", (monotonically_increasing_id() % 4).cast("int"))
+    val t = Sketches.topKSketchTable(freq, Seq(col("bucket")), col("item"), maxItemsTracked = 100)
+    assert(t.count() == 4)
+    val top = Sketches.topKRollup(t, Seq.empty, k = 3)
+      .orderBy(desc("n_estimate"), col("item"))
+      .select("item", "n_estimate").as[(Int, Long)].collect().toSeq
+    // maxItemsTracked >= distinct items → exact counts
+    assert(top == Seq((7, 128L), (6, 64L), (5, 32L)))
+  }
+
+  test("top-k sketches survive parquet round-trips") {
+    val freq = (0 to 7).flatMap(i => Seq.fill(1 << i)(i)).toDF("item")
+      .withColumn("bucket", (col("item") % 2).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk").toString
+    Sketches.topKSketchTable(freq, Seq(col("bucket")), col("item"), maxItemsTracked = 100)
+      .write.mode("overwrite").parquet(dir)
+    val top = Sketches.topKRollup(spark.read.parquet(dir), Seq.empty, k = 1)
+      .select("item", "n_estimate").as[(Int, Long)].head()
+    assert(top == ((7, 128L)))
+  }
+
   test("empty-input KLL aggregates yield null sketches, not failures") {
     val empty = measures.filter(col("grp") === "nope")
     val t = Sketches.quantileSketchTable(empty, Seq(col("grp")), col("v"))
