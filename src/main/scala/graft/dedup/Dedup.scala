@@ -514,4 +514,48 @@ object Dedup {
       .withColumn("dup_ratio",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
   }
+
+  /** Duplicated-span REMOVAL — the rewrite half of [[duplicatedSpanStats]]
+    * (the signal says how contaminated a document is; this produces the
+    * CLEANED corpus): every token covered by a w-token window whose
+    * exact gram occurs in ≥ 2 distinct documents is dropped, and the
+    * survivors re-join into `clean_text`. Emits every input document
+    * with (clean_text, n_tokens, n_kept). The first occurrence is NOT
+    * preserved — cross-document boilerplate is removed everywhere it
+    * appears, the conservative policy for training data (keeping one
+    * copy requires electing a canonical owner per gram, a different
+    * operator).
+    *
+    * Scale: the gram side is [[duplicatedSpanStats]]'s plan (hashed
+    * windows, nothing pairwise). Per document, only the duplicated
+    * window START positions come back through an aggregate (bounded by
+    * the document's own window count), and the token mask is a narrow
+    * map over the staged token array. The mask costs
+    * O(tokens × dup-starts) interpreted HOF work per row — fine for
+    * the typical few contaminated spans; a document that is mostly
+    * boilerplate pays proportionally, which is acceptable for rows
+    * about to lose most of their text anyway. */
+  def removeDuplicatedSpans(df: DataFrame, id: Column, text: Column, w: Int = 4): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    val toks = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__t"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(TextFunctions.shinglesAllOf(col("__t"), w)))
+      .select(col("doc_id"), col("pos").as("__pos"), unhex(md5(col("col"))).as("__gh"))
+    val dupGrams = grams.select(col("doc_id"), col("__gh")).distinct()
+      .groupBy("__gh").agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") >= 2)
+      .select("__gh")
+    val dupStarts = grams.join(dupGrams, "__gh")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    val masked = toks.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
+      // token at 0-based index i survives iff no duplicated window
+      // starting at s covers it (s <= i <= s + w - 1)
+      .withColumn("__kept", filter(col("__t"), (x, i) =>
+        !exists(col("__starts"), s => s <= i && i <= s + (w - 1))))
+    masked.select(col("doc_id"),
+      array_join(col("__kept"), " ").as("clean_text"),
+      size(col("__t")).cast("long").as("n_tokens"),
+      size(col("__kept")).cast("long").as("n_kept"))
+  }
 }

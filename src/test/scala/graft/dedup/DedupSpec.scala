@@ -184,6 +184,33 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L), (4L, 5L, 0L)))
   }
 
+  test("removeDuplicatedSpans drops covered tokens everywhere, keeps clean docs whole") {
+    val d = Seq(
+      (1L, "a b c d e"),       // "a b c d" shared with 2 → tokens 0..3 dropped
+      (2L, "z a b c d"),       // start 1 → tokens 1..4 dropped
+      (3L, "x y q r s"),       // untouched
+      (4L, "w w w w w w"))     // within-doc repeats only → untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(d, col("doc_id"), col("text"), w = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_tokens", "n_kept")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "e", 5L, 1L),
+      (2L, "z", 5L, 1L),
+      (3L, "x y q r s", 5L, 5L),
+      (4L, "w w w w w w", 6L, 6L)))
+  }
+
+  test("removeDuplicatedSpans merges overlapping duplicated windows") {
+    // docs share a 5-token run "a b c d e" → two overlapping 4-windows in
+    // each; the union of their spans (tokens 0..4 / 1..5) must be dropped
+    val d = Seq((1L, "a b c d e x"), (2L, "y a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(d, col("doc_id"), col("text"), w = 4)
+      .orderBy("doc_id").select("clean_text").as[String].collect().toSeq
+    assert(out == Seq("x", "y"))
+  }
+
   test("duplicatedSpanStats counts within-doc multiplicity of a shared gram") {
     val d = Seq(
       (1L, "a b c d x a b c d"), // "a b c d" twice + 4 other windows (6 total)
