@@ -878,6 +878,19 @@ object SparkEntry {
           sum("n_dup_windows").as("n_dup"),
           round(sum("n_dup_windows").cast("double") / sum("n_windows"), 4).as("dup_ratio"))
         .orderBy("source")
+    }),
+
+    // Duplicated-span REMOVAL — the rewrite half of d28: every token
+    // covered by a cross-document 4-token window is dropped, and the
+    // cleaned text itself is verified via an md5 prefix (content, not
+    // just counts).
+    "d31_span_removal" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpans(Tables.documents(s, dir),
+          col("doc_id"), col("text"), w = 4)
+        .select(col("doc_id"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
+          col("n_tokens"), col("n_kept"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1314,6 +1327,22 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_windows,
         | CAST(sum(nd) AS BIGINT) AS n_dup, round(sum(nd)*1.0/sum(nw), 4) AS dup_ratio
         |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "d31_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
+        |        FROM g JOIN dup USING (g), UNNEST(range(4)) AS v(o)),
+        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
+        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
+        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
+        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
 
     "d24_chunking" ->
       """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t
