@@ -891,8 +891,43 @@ object SparkEntry {
           substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
           col("n_tokens"), col("n_kept"))
         .orderBy("doc_id")
+    }),
+
+    // BPE training step 1 at corpus scale: word-frequency vocabulary
+    // (the only corpus-wide pass), then frequency-weighted adjacent
+    // char-pair counts over the DISTINCT vocabulary.
+    "d34_bpe_pairs" -> ((s, dir) =>
+      graft.text.Bpe.topPairs(Tables.documents(s, dir), col("text"), 20)),
+
+    // Leakage-safe train/val/test split: assignment keyed on the
+    // CONTENT fingerprint so normalized-identical documents co-assign;
+    // the per-document assignment itself is hash-checked.
+    "d33_leakage_split" -> ((s, dir) => {
+      Sampling.leakageSafeSplit(Tables.documents(s, dir), col("text"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // fastText-style hashed-bag-of-words scoring: the model rides into
+    // the plan as a literal weight array, inference is a zero-shuffle
+    // narrow map; md5-derived buckets make the oracle bit-exact.
+    "d32_classifier_score" -> ((s, dir) => {
+      graft.text.Classifier.scoreDocuments(Tables.documents(s, dir),
+          col("doc_id"), col("text"), d32Weights, d32Bias)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
     })
   )
+
+  /** d32 model parameters: a deterministic pseudo-random weight vector
+    * (any fixed model works — the operator under test is the hashed
+    * inference, not the weights). Inlined as literals in BOTH the Spark
+    * plan and the generated DuckDB oracle. */
+  private val d32Dim = 64
+  private val d32Weights: Seq[Double] =
+    (0 until d32Dim).map(i => math.round(math.sin(i + 1.0) * 5000.0) / 10000.0)
+  private val d32Bias = -0.1
 
   /** The d3 SimHash oracle recomputes the 60-bit md5-derived signatures
     * in SQL: 60 per-bit vote sums over unnested tokens, then bit
@@ -1343,6 +1378,32 @@ object SparkEntry {
         |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
         | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
         |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
+
+    "d33_leakage_split" ->
+      """WITH t AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),
+        |b AS (SELECT doc_id, CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT) % 1000000 AS bk FROM t)
+        |SELECT doc_id,
+        | CASE WHEN bk < 800000 THEN 'train' WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "d32_classifier_score" -> {
+      val values = d32Weights.zipWithIndex
+        .map { case (w, i) => s"($i, CAST($w AS DOUBLE))" }.mkString(", ")
+      s"""WITH w(i, wt) AS (VALUES $values),
+         |toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\\s+',' ','g'), ' ') AS t FROM documents),
+         |e AS (SELECT doc_id, CAST('0x' || substr(md5(tok),1,15) AS BIGINT) % $d32Dim AS i
+         |      FROM toks, UNNEST(t) AS u(tok)),
+         |sc AS (SELECT e.doc_id, sum(w.wt)/count(*) AS m FROM e JOIN w USING (i) GROUP BY 1)
+         |SELECT toks.doc_id, round(1.0/(1.0 + exp(-($d32Bias + coalesce(sc.m, 0.0)))), 4) AS score
+         |FROM toks LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    "d34_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM tok WHERE length(w) > 0 GROUP BY 1),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wc FROM wc, UNNEST(range(1, length(w))) AS u(i)),
+        |s AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p GROUP BY 1)
+        |SELECT pair, n FROM s ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "d24_chunking" ->
       """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t

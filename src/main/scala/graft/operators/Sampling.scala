@@ -128,4 +128,39 @@ object Sampling {
       .filter(hashBucket(key, salt) < col("__cut"))
       .drop("__stratum", "__cut")
   }
+
+  /** Deterministic named-split assignment (train/val/test): the key's
+    * [[hashBucket]] lands in consecutive cumulative-fraction intervals,
+    * in `splits` order, with the LAST split absorbing the remainder (so
+    * rounding never leaves a key unassigned). Fractions must sum to 1
+    * (±1e-9). Same key ⇒ same split, on any layout, re-derivable
+    * externally — and any rows sharing the key co-assign. */
+  def assignSplit(key: Column, splits: Seq[(String, Double)], salt: String = ""): Column = {
+    require(splits.size >= 1, "need at least one split")
+    splits.foreach { case (_, f) => require(f >= 0 && f <= 1, s"fraction out of [0,1]: $f") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val bucket = hashBucket(key, salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * M))
+    splits.init.zip(cum).foldRight(lit(splits.last._1)) { case (((name, _), cut), els) =>
+      when(bucket < cut, lit(name)).otherwise(els)
+    }
+  }
+
+  /** Leakage-safe train/val/test split for a text corpus: the split key
+    * is the CONTENT fingerprint, so byte-identical documents (after
+    * normalization) can never straddle splits — the standard eval-
+    * hygiene failure when splitting by row id. For NEAR-dup safety,
+    * assign on a dup-cluster label instead:
+    * `df.withColumn("split", assignSplit(col("cluster_label"), splits))`
+    * with labels from `Dedup.resolveClusters` (every member of a
+    * near-dup cluster co-assigns). Adds a `split` column; one narrow
+    * map, no shuffle. */
+  def leakageSafeSplit(df: DataFrame, text: Column,
+                       splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(!df.columns.contains("split"),
+      "leakageSafeSplit adds column 'split'; rename the existing one")
+    df.withColumn("split",
+      assignSplit(graft.text.TextFunctions.contentFingerprint(text), splits, salt))
+  }
 }

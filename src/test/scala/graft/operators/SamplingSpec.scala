@@ -108,4 +108,44 @@ class SamplingSpec extends SparkSpec {
         Map("en" -> 1.0))
     }
   }
+
+  test("assignSplit covers every row, roughly honors fractions, is layout-stable") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s = rows.select(col("id"), Sampling.assignSplit(col("id"), splits).as("split"))
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("train") < 1700) // ~1600
+    val a = s.as[(Long, String)].collect().toMap
+    val b = rows.repartition(7)
+      .select(col("id"), Sampling.assignSplit(col("id"), splits).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("leakageSafeSplit co-assigns exact duplicates by content") {
+    val docs = Seq(
+      (1L, "The Quick  brown fox"),
+      (2L, "the quick brown FOX "), // same after normalization
+      (3L, "something else entirely"))
+      .toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(docs, col("text"),
+        Seq("train" -> 0.5, "eval" -> 0.5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out(1L) == out(2L)) // dups can never straddle the split
+  }
+
+  test("cluster-keyed assignSplit co-assigns chained near-duplicates") {
+    // a~b, b~c: all three must land in ONE split even though a and c
+    // never appear in a pair together
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val labels = graft.dedup.Dedup.clusterPairs(pairs)
+    val assigned = labels.select(col("doc_id"),
+        Sampling.assignSplit(col("cluster_id"), Seq("train" -> 0.5, "eval" -> 0.5)).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(assigned.values.toSet.size == 1)
+  }
 }
