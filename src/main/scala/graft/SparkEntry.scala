@@ -2,7 +2,7 @@ package graft
 
 import graft.analytics.Kpis
 import graft.dedup.Dedup
-import graft.etl.{Cleaning, Nested, Scd, Validate}
+import graft.etl.{Checks, Cleaning, Nested, Scd, Validate}
 import graft.multimodal.Multimodal
 import graft.operators.{Packing, Relational, Sampling}
 import graft.text.TfIdf
@@ -899,6 +899,28 @@ object SparkEntry {
     "d34_bpe_pairs" -> ((s, dir) =>
       graft.text.Bpe.topPairs(Tables.documents(s, dir), col("text"), 20)),
 
+    // Deequ-style declarative constraint suite: six checks over orders
+    // computed in ONE aggregation pass (plan-asserted in ChecksSpec).
+    "c18_quality_checks" -> ((s, dir) => {
+      Checks.audit(Tables.orders(s, dir), Seq(
+          Checks.RowCountBetween(1, 10000000),
+          Checks.NotNull("o_custkey", maxNullFrac = 0.0),
+          Checks.Unique("o_orderkey", maxDupFrac = 0.0),
+          Checks.InRange("o_totalprice", 1.0, 300000.0, maxViolFrac = 0.05),
+          Checks.InSet("o_orderstatus", Seq("O", "F", "P")),
+          Checks.MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$", minMatchFrac = 0.9)))
+        .orderBy("check")
+    }),
+
+    // CCNet-style LM quality signal: per-document cross-entropy under
+    // the corpus unigram distribution (bits/token) — both tails are
+    // filter targets (boilerplate low, gibberish high).
+    "d35_doc_xentropy" -> ((s, dir) => {
+      graft.text.CorpusStats.docCrossEntropy(Tables.documents(s, dir),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // Leakage-safe train/val/test split: assignment keyed on the
     // CONTENT fingerprint so normalized-identical documents co-assign;
     // the per-document assignment itself is hash-checked.
@@ -1378,6 +1400,33 @@ object SparkEntry {
         |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
         | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
         |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
+
+    "c18_quality_checks" ->
+      """WITH m AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS m0,
+        |  coalesce(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 0.0) AS m1,
+        |  CASE WHEN count(o_orderkey) > 0 THEN 1.0 - count(DISTINCT o_orderkey)*1.0/count(o_orderkey) ELSE 0.0 END AS m2,
+        |  coalesce(avg(CASE WHEN o_totalprice IS NOT NULL THEN CASE WHEN o_totalprice < 1.0 OR o_totalprice > 300000.0 THEN 1.0 ELSE 0.0 END END), 0.0) AS m3,
+        |  coalesce(avg(CASE WHEN o_orderstatus IS NOT NULL THEN CASE WHEN o_orderstatus IN ('O','F','P') THEN 0.0 ELSE 1.0 END END), 0.0) AS m4,
+        |  coalesce(avg(CASE WHEN o_orderpriority IS NOT NULL THEN CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1.0 ELSE 0.0 END END), 0.0) AS m5
+        | FROM orders)
+        |SELECT * FROM (
+        | SELECT 'row_count_between(1,10000000)' AS "check", '*' AS "column", round(m0,6) AS metric, 1.0 AS threshold, (m0 >= 1 AND m0 <= 10000000) AS passed FROM m
+        | UNION ALL SELECT 'not_null(o_custkey)', 'o_custkey', round(m1,6), 0.0, m1 <= 0.0 FROM m
+        | UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey', round(m2,6), 0.0, m2 <= 0.0 FROM m
+        | UNION ALL SELECT 'in_range(o_totalprice)', 'o_totalprice', round(m3,6), 0.05, m3 <= 0.05 FROM m
+        | UNION ALL SELECT 'in_set(o_orderstatus)', 'o_orderstatus', round(m4,6), 0.0, m4 <= 0.0 FROM m
+        | UNION ALL SELECT 'matches_regex(o_orderpriority)', 'o_orderpriority', round(m5,6), 0.9, m5 >= 0.9 FROM m
+        |) ORDER BY "check"""".stripMargin,
+
+    "d35_doc_xentropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS t FROM documents),
+        |bd AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1,2),
+        |g AS (SELECT t, sum(c) AS ct FROM bd GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS n FROM g)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | round(-sum(c * log2(ct*1.0/n))/sum(c), 4) AS xent_bits
+        |FROM bd JOIN g USING (t), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d33_leakage_split" ->
       """WITH t AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),

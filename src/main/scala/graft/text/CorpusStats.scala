@@ -46,4 +46,29 @@ object CorpusStats {
         count(lit(1)).as("n_distinct"),
         round(sum(col("__p") * log2(col("__p") / col("__q"))), 4).as("kl_bits"))
   }
+
+  /** Per-document cross-entropy under the corpus unigram LM, in bits
+    * per token: H(d) = −Σ_t (c_dt/n_d)·log2(q(t)) with q the corpus
+    * unigram distribution. The relational analog of CCNet's LM-
+    * perplexity filter: low = built from the corpus's most common
+    * tokens (boilerplate), high = rare-token-heavy (gibberish, wrong
+    * language, binary junk) — both tails are what quality filters cut.
+    * Always finite (every doc token is in the corpus distribution).
+    *
+    * Plan shape: (doc, token) hash aggregate → token-keyed join to the
+    * (already aggregated) global counts → per-doc aggregate; the corpus
+    * total is a single-row broadcast. n_d rides inside the final
+    * aggregate as Σc_dt, so one pass computes both count and entropy. */
+  def docCrossEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("t"))
+    val byDoc = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c_dt"))
+    val global = byDoc.groupBy("t").agg(sum("c_dt").as("c_t"))
+    val grandTotal = global.agg(sum("c_t").as("n_total"))
+    byDoc.join(global, "t")
+      .crossJoin(broadcast(grandTotal))
+      .groupBy("doc_id")
+      .agg(sum("c_dt").as("n_tokens"),
+        round(-sum(col("c_dt") * log2(col("c_t").cast("double") / col("n_total")))
+          / sum("c_dt"), 4).as("xent_bits"))
+  }
 }

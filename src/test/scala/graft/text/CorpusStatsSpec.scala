@@ -34,4 +34,17 @@ class CorpusStatsSpec extends SparkSpec {
     val expected = 0.75 * math.log(1.5) / math.log(2) + 0.25 * math.log(0.5) / math.log(2)
     assert(math.abs(kl - BigDecimal(expected).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("docCrossEntropy matches a hand-computed case and ranks rarity") {
+    // corpus: u×6, v×2 → q(u)=.75, q(v)=.25
+    // doc 1 = "u u u" → H = −log2(.75); doc 2 = "u v" → (−log2(.75)−log2(.25))/2
+    val docs = Seq((1L, "u u u"), (2L, "u v"), (3L, "u u v")).toDF("doc_id", "text")
+    val h = CorpusStats.docCrossEntropy(docs, col("doc_id"), col("text"))
+      .select("doc_id", "xent_bits").as[(Long, Double)].collect().toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lg = (x: Double) => math.log(x) / math.log(2)
+    assert(h(1L) == r4(-lg(0.75)))
+    assert(h(2L) == r4(-(lg(0.75) + lg(0.25)) / 2))
+    assert(h(2L) > h(1L)) // the rare-token doc is higher-entropy
+  }
 }
