@@ -38,6 +38,15 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(sketch)).as("n_estimate"),
         count(lit(1)).as("n_buckets"))
 
+  /** Collapse a sketch table holding multiple physical rows per key
+    * (e.g. appended per micro-batch by
+    * [[graft.streaming.StreamOps.toSketchState]]) back to one row per
+    * key. Unions are lossless, so compaction never changes any rollup's
+    * answer — it only bounds the state's row count. Output schema
+    * matches [[sketchTable]]. */
+  def compactTable(sketches: DataFrame, keys: Seq[Column], sketch: Column = col("sketch")): DataFrame =
+    sketches.groupBy(keys: _*).agg(hll_union_agg(sketch).as("sketch"))
+
   import graft.expressions.SketchExpressions
 
   /** One KLL QUANTILE sketch of `value` per `keys` group — the

@@ -221,4 +221,38 @@ object StreamOps {
   def streamDedup(events: DataFrame, ts: String, watermark: String, keys: String*): DataFrame =
     events.withWatermark(ts, watermark)
       .dropDuplicatesWithinWatermark(keys.toSeq)
+
+  /** Streaming maintenance of a mergeable HLL sketch TABLE (the C8c
+    * Gold state, fed incrementally): each micro-batch aggregates its
+    * rows into per-(keys) sketches and APPENDS them to `statePath`.
+    * Append-only is the point — no read-modify-write of the state per
+    * batch: HLL unions are lossless and associative, so any number of
+    * physical rows per bucket roll up to exactly the sketch a full
+    * rescan would produce ([[graft.operators.Sketches.unionEstimate]]
+    * unions at read; [[graft.operators.Sketches.compactTable]] collapses
+    * rows periodically — the same append-then-compact lifecycle as the
+    * Bronze layer itself).
+    *
+    * `keys` reference batch columns — include the time bucket (e.g. a
+    * `date_format(ts)` column added upstream) so late data only ever
+    * appends to its own bucket. A replayed batch appends duplicate
+    * sketch rows, which inflate estimates of RE-SKETCHED rows only if
+    * the same underlying rows also re-appended upstream — distinct
+    * counting is idempotent under re-unioning the same values (the
+    * at-least-once story here is strictly better than for additive
+    * counters). */
+  def toSketchState(
+      events: DataFrame,
+      keys: Seq[String],
+      value: String,
+      statePath: String,
+      checkpoint: String,
+      lgK: Int = graft.operators.Sketches.DefaultLgK): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Sketches.sketchTable(batch, keys.map(col), col(value), lgK)
+          .write.mode("append").parquet(statePath)
+      }
+      .start()
 }

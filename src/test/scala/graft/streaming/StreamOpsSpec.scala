@@ -187,4 +187,39 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows(1).isNullAt(1)) // left join keeps unmatched stream rows
     } finally q.stop()
   }
+
+  test("toSketchState: appended micro-batch sketches roll up to the full-scan answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val input = MemoryStream[(String, Long)]
+    val state = java.nio.file.Files.createTempDirectory("sketchstate").toString + "/hll"
+    val ckpt = java.nio.file.Files.createTempDirectory("sketchckpt").toString
+    val q = StreamOps.toSketchState(
+      input.toDF().toDF("day", "user_id"),
+      keys = Seq("day"), value = "user_id", statePath = state, checkpoint = ckpt)
+    try {
+      // batch 1: day1 users 1..50, day2 users 1..10
+      input.addData((1L to 50L).map(("d1", _)) ++ (1L to 10L).map(("d2", _)): _*)
+      q.processAllAvailable()
+      // batch 2: day1 users 26..60 (overlap!), day2 users 11..20
+      input.addData((26L to 60L).map(("d1", _)) ++ (11L to 20L).map(("d2", _)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(state)
+    assert(stored.count() == 4) // one appended sketch row per (day, batch)
+    // per-day rollup: overlap between batches must NOT double-count
+    val byDay = Sketches.unionEstimate(stored, Seq(col("day")))
+      .select("day", "n_estimate").as[(String, Long)].collect().toMap
+    assert(byDay("d1") == 60L && byDay("d2") == 20L) // HLL exact at this cardinality
+    // global rollup across days from the same state
+    val total = Sketches.unionEstimate(stored, Seq(lit(1).as("g")))
+      .select("n_estimate").as[Long].head()
+    assert(total == 60L) // users are shared across days
+    // compaction collapses rows without changing any answer
+    val compacted = Sketches.compactTable(stored, Seq(col("day")))
+    assert(compacted.count() == 2)
+    val byDay2 = Sketches.unionEstimate(compacted, Seq(col("day")))
+      .select("day", "n_estimate").as[(String, Long)].collect().toMap
+    assert(byDay2 == byDay)
+  }
 }
