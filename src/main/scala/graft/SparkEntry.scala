@@ -508,6 +508,14 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Cohort retention triangle over the events stream: first-active
+    // week per user → share still active k weeks later.
+    "b8_retention" -> ((s, dir) => {
+      graft.analytics.Retention.cohortRetention(Tables.events(s, dir),
+          col("user_id"), col("ts"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "c9_time_bucket" -> ((s, dir) => {
       Relational.timeBucketAgg(Tables.events(s, dir), col("ts"), "1 hour",
           groupBy = Seq(col("event_type")), value = col("value"))
@@ -1250,6 +1258,17 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "b8_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events),
+        |coh AS (SELECT user_id, min(w) AS cw FROM act GROUP BY 1),
+        |j AS (SELECT a.user_id, c.cw, CAST(date_diff('day', c.cw, a.w)/7 AS BIGINT) AS week_offset
+        |      FROM act a JOIN coh c USING (user_id)),
+        |r AS (SELECT cw, week_offset, count(*) AS n_users FROM j GROUP BY 1,2),
+        |s AS (SELECT cw, n_users AS cohort_size FROM r WHERE week_offset = 0)
+        |SELECT CAST(r.cw AS DATE) AS cohort_week, r.week_offset, r.n_users,
+        | round(r.n_users*1.0/s.cohort_size, 4) AS retention
+        |FROM r JOIN s USING (cw) ORDER BY cohort_week, week_offset""".stripMargin,
 
     "c9_time_bucket" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket_start,
