@@ -508,6 +508,26 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Fuzzy string join (entity resolution): customers matched against
+    // a typo'd mirror of themselves by char-trigram Jaccard over the
+    // stop-gram-capped universe — the record-linkage join an equi-join
+    // cannot express and a cross join cannot survive.
+    "c20_fuzzy_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+      val dirty = cust.select((col("id") + 1000000L).as("id"),
+        regexp_replace(col("name"), "Customer", "Custmr").as("name"))
+      // n=4 + maxDf=250: on zero-padded sequential names the join cost
+      // is Σ df² over surviving grams — 4-grams cut per-gram df ~20×
+      // vs trigrams, and the 250 cap drops the half-specific grams
+      // (df in the hundreds) that each cost df² comparisons while
+      // discriminating nothing (3-gram/df=1000 formulation: 8.9s at
+      // sf0.1; this one: ~1s)
+      graft.operators.Fuzzy.fuzzyJoinPairs(cust, col("id"), col("name"),
+          dirty, col("id"), col("name"), threshold = 0.5, n = 4, maxDf = 250)
+        .orderBy("left_id", "right_id")
+    }),
+
     // Cohort retention triangle over the events stream: first-active
     // week per user → share still active k weeks later.
     "b8_retention" -> ((s, dir) => {
@@ -1258,6 +1278,24 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "c20_fuzzy_join" ->
+      """WITH l AS (SELECT CAST(c_custkey AS BIGINT) AS id, regexp_replace(lower(trim(c_name)),'\s+',' ','g') AS s FROM customer),
+        |r AS (SELECT CAST(c_custkey AS BIGINT) + 1000000 AS id,
+        |      regexp_replace(lower(trim(regexp_replace(c_name,'Customer','Custmr','g'))),'\s+',' ','g') AS s FROM customer),
+        |lg AS (SELECT DISTINCT id, substr(s, CAST(i AS INT), 4) AS g FROM l, UNNEST(range(1, length(s)-2)) AS u(i)),
+        |rg AS (SELECT DISTINCT id, substr(s, CAST(i AS INT), 4) AS g FROM r, UNNEST(range(1, length(s)-2)) AS u(i)),
+        |keep AS (SELECT g FROM (SELECT g FROM lg UNION ALL SELECT g FROM rg) GROUP BY g HAVING count(*) <= 250),
+        |lk AS (SELECT lg.* FROM lg JOIN keep USING (g)),
+        |rk AS (SELECT rg.* FROM rg JOIN keep USING (g)),
+        |ls AS (SELECT id AS left_id, count(*) AS na FROM lk GROUP BY 1),
+        |rs AS (SELECT id AS right_id, count(*) AS nb FROM rk GROUP BY 1),
+        |sh AS (SELECT lk.id AS left_id, rk.id AS right_id, count(*) AS ns FROM lk JOIN rk USING (g) GROUP BY 1,2)
+        |SELECT left_id, right_id, n_shared, jaccard FROM (
+        | SELECT sh.left_id, sh.right_id, CAST(ns AS BIGINT) AS n_shared,
+        |  round(ns*1.0/(na+nb-ns), 4) AS jaccard
+        | FROM sh JOIN ls USING (left_id) JOIN rs USING (right_id))
+        |WHERE jaccard >= 0.5 ORDER BY left_id, right_id""".stripMargin,
 
     "b8_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events),
