@@ -508,6 +508,20 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // MERGE/upsert (SCD1): a derived update batch (every 10th order
+    // re-priced, every 100th tombstoned) merged into the snapshot,
+    // latest version per key wins.
+    "a16_upsert" -> ((s, dir) => {
+      val cur = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), lit(0L).as("v"))
+      val upd = Tables.orders(s, dir).filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit(1L).as("v"),
+          (col("o_orderkey") % 100 === 0).as("deleted"))
+      graft.etl.Upsert.upsert(cur, upd, Seq("o_orderkey"), "v", tombstone = Some("deleted"))
+        .orderBy("o_orderkey")
+    }),
+
     // Fuzzy string join (entity resolution): customers matched against
     // a typo'd mirror of themselves by char-trigram Jaccard over the
     // stop-gram-capped universe — the record-linkage join an equi-join
@@ -1278,6 +1292,17 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "a16_upsert" ->
+      """WITH upd AS (SELECT o_orderkey, o_custkey, o_totalprice*2 AS o_totalprice, 1 AS v,
+        |             (o_orderkey % 100 = 0) AS del
+        |      FROM orders WHERE o_orderkey % 10 = 0),
+        |allrows AS (SELECT o_orderkey, o_custkey, o_totalprice, 0 AS v, false AS del FROM orders
+        |            UNION ALL SELECT * FROM upd),
+        |latest AS (SELECT * FROM allrows
+        |           QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) = 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice, CAST(v AS BIGINT) AS v
+        |FROM latest WHERE NOT del ORDER BY o_orderkey""".stripMargin,
 
     "c20_fuzzy_join" ->
       """WITH l AS (SELECT CAST(c_custkey AS BIGINT) AS id, regexp_replace(lower(trim(c_name)),'\s+',' ','g') AS s FROM customer),
