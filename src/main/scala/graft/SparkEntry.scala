@@ -508,6 +508,15 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Ordered funnel: view → click-after-view → purchase-after-click
+    // per user, one user-keyed shuffle + chained window minima.
+    "c21_funnel" -> ((s, dir) => {
+      graft.analytics.Funnel.funnel(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .orderBy("step_index")
+    }),
+
     // MERGE/upsert (SCD1): a derived update batch (every 10th order
     // re-priced, every 100th tombstoned) merged into the snapshot,
     // latest version per key wins.
@@ -1292,6 +1301,18 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "c21_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type AS et FROM events),
+        |u1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN u1 USING (user_id) WHERE et = 'click' AND t > t1 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN u2 USING (user_id) WHERE et = 'purchase' AND t > t2 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM u1) AS n1, (SELECT count(*) FROM u2) AS n2, (SELECT count(*) FROM u3) AS n3)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step, CAST(n1 AS BIGINT) AS n_users, round(n1*1.0/n1,4) AS conversion FROM n
+        | UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT), round(n2*1.0/n1,4) FROM n
+        | UNION ALL SELECT 3, 'purchase', CAST(n3 AS BIGINT), round(n3*1.0/n1,4) FROM n
+        |) ORDER BY step_index""".stripMargin,
 
     "a16_upsert" ->
       """WITH upd AS (SELECT o_orderkey, o_custkey, o_totalprice*2 AS o_totalprice, 1 AS v,

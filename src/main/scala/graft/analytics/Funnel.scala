@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis: how many users complete step 1, then step 2
+  * AFTER their step-1 time, then step 3 after that — the conversion
+  * query behind every product analytics tool, and a semantics an
+  * equi-join cannot express (each step's matching event depends on the
+  * PREVIOUS step's matched time).
+  *
+  * Implementation: one shuffle on the user, then a CHAIN of
+  * full-partition window minima — step i's time is
+  * `min(ts WHERE type = sᵢ AND ts > tᵢ₋₁)` over the user's partition,
+  * with tᵢ₋₁ a materialized column from the previous window pass, so
+  * all k windows share one exchange and no self-joins appear at all
+  * (the naive formulation is k−1 user-keyed join-aggregates). The
+  * final count is a single tiny aggregate.
+  */
+object Funnel {
+
+  /** (step_index, step, n_users, conversion) — users reaching each
+    * step in order; `conversion` = n_users / step-1 users, 4 dp.
+    * `maxSpanSeconds` bounds the whole funnel: every step must land
+    * within that many seconds of the user's step-1 time. */
+  def funnel(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      typeCol: Column,
+      steps: Seq[String],
+      maxSpanSeconds: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    maxSpanSeconds.foreach(s => require(s > 0, s"maxSpanSeconds must be positive, got $s"))
+    val wu = Window.partitionBy(col("__u"))
+    val base = events.select(user.as("__u"), ts.as("__ts"), typeCol.as("__e"))
+    // chain of window minima: __t1, __t2, ... each referencing the
+    // previous MATERIALIZED column (same partitioning ⇒ one exchange)
+    val withTimes = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col("__e") === step
+        else {
+          val afterPrev = col("__e") === step && col("__ts") > col(s"__t$i")
+          maxSpanSeconds.fold(afterPrev)(s =>
+            afterPrev && col("__ts") <= col("__t1") + expr(s"INTERVAL $s SECONDS"))
+        }
+      df.withColumn(s"__t${i + 1}", min(when(cond, col("__ts"))).over(wu))
+    }
+    val tCols = steps.indices.map(i => max(col(s"__t${i + 1}")).as(s"__t${i + 1}"))
+    val perUser = withTimes.groupBy("__u").agg(tCols.head, tCols.tail: _*)
+    val nCols = steps.indices.map(i =>
+      sum(when(col(s"__t${i + 1}").isNotNull, 1L).otherwise(0L)).as(s"__n${i + 1}"))
+    val counts = perUser.agg(nCols.head, nCols.tail: _*)
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1L).as("step_index"), lit(step).as("step"),
+        col(s"__n${i + 1}").as("n_users"),
+        round(when(col("__n1") > 0,
+          col(s"__n${i + 1}").cast("double") / col("__n1")), 4).as("conversion"))
+    }
+    counts.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+}
