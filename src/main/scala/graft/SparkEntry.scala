@@ -508,6 +508,26 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Per-group winsorization: tails clipped into [p05, p95] per
+    // return flag; rows kept (contrast with a4's nulling).
+    "a17_winsorize" -> ((s, dir) => {
+      Cleaning.winsorizeByGroup(Tables.lineitem(s, dir),
+          col("l_returnflag"), "l_extendedprice", lo = 0.05, hi = 0.95)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(avg("l_extendedprice"), 4).as("avg_raw"),
+          round(avg("l_extendedprice_w"), 4).as("avg_winsorized"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Time-weighted average per user: value held until the next
+    // observation; duration-weighted, not count-weighted.
+    "c22_twap" -> ((s, dir) => {
+      Relational.timeWeightedAvg(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("value"), tieBreak = Seq(col("event_id")))
+        .orderBy("entity")
+    }),
+
     // Ordered funnel: view → click-after-view → purchase-after-click
     // per user, one user-keyed shuffle + chained window minima.
     "c21_funnel" -> ((s, dir) => {
@@ -1301,6 +1321,21 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "a17_winsorize" ->
+      """WITH b AS (SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.05) AS qlo,
+        |            quantile_cont(l_extendedprice, 0.95) AS qhi FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, round(avg(l_extendedprice),4) AS avg_raw,
+        | round(avg(least(greatest(l_extendedprice, qlo), qhi)),4) AS avg_winsorized
+        |FROM lineitem JOIN b ON l_returnflag = b.g GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "c22_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value AS v, event_id FROM events),
+        |l AS (SELECT user_id, v, us,
+        |      lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur FROM e)
+        |SELECT user_id AS entity, CAST(count(*) AS BIGINT) AS n_obs,
+        | round(sum(v*dur)/sum(dur), 4) AS twap
+        |FROM l GROUP BY 1 ORDER BY entity""".stripMargin,
 
     "c21_funnel" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type AS et FROM events),

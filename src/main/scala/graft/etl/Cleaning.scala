@@ -75,4 +75,35 @@ object Cleaning {
     * (reference: clean_transform.py:161-172 final column selection). */
   def project(df: DataFrame, targets: Seq[(String, Column)]): DataFrame =
     df.select(targets.map { case (name, c) => c.as(name) }: _*)
+
+  /** Per-group winsorization: clip `value` into its group's
+    * [lo, hi] percentile interval — the outlier treatment that keeps
+    * rows (a raw-range filter like [[nullifyNonPositive]] drops or
+    * nulls them) so downstream means/regressions aren't dominated by a
+    * fat tail. Adds `<value>_w`.
+    *
+    * `exact = true` (default) computes exact linear-interpolation
+    * percentiles — oracle-checkable, one sort-based aggregate per
+    * group. At corpus scale prefer `exact = false`:
+    * `percentile_approx`'s mergeable sketch keeps the aggregate
+    * single-pass with map-side partials (the B4b trade-off). The tiny
+    * per-group bounds table broadcasts back; the clip itself is a
+    * narrow map. */
+  def winsorizeByGroup(
+      df: DataFrame, group: Column, value: String,
+      lo: Double = 0.05, hi: Double = 0.95,
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val out = value + "_w"
+    require(!df.columns.contains(out) && !df.columns.contains("__grp"),
+      s"winsorizeByGroup reserves columns $out and __grp; rename the input column")
+    def pct(p: Double) =
+      if (exact) percentile(col(value), lit(p))
+      else percentile_approx(col(value), lit(p), lit(accuracy))
+    val bounds = df.groupBy(group.as("__grp"))
+      .agg(pct(lo).as("__qlo"), pct(hi).as("__qhi"))
+    df.join(broadcast(bounds), group <=> col("__grp"))
+      .withColumn(out, least(greatest(col(value), col("__qlo")), col("__qhi")))
+      .drop("__grp", "__qlo", "__qhi")
+  }
 }

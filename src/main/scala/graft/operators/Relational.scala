@@ -209,4 +209,28 @@ object Relational {
     val pivoted = df.groupBy(groupBy).pivot(pivotCol, values).agg(sum(measure))
     values.foldLeft(pivoted)((d, v) => d.withColumn(v, round(coalesce(col(v), lit(0.0)), 4)))
   }
+
+  /** Time-weighted average per entity (TWAP): each observation's value
+    * holds until the entity's NEXT observation, so the average weights
+    * by holding duration instead of observation count — the correct
+    * summary for irregularly sampled series (prices, sensor states,
+    * feature values), where a plain `avg` over-weights chatty periods.
+    * The last observation has no duration and contributes only to
+    * `n_obs`; single-observation entities get a null `twap`.
+    *
+    * One shuffle on the entity; `lead` + the final aggregate share the
+    * partitioning (the C10/C14 window discipline). `tieBreak` makes
+    * same-timestamp ordering deterministic (zero-duration rows drop out
+    * of the sum either way, but the oracle needs a pinned order). */
+  def timeWeightedAvg(
+      df: DataFrame, entity: Column, ts: Column, value: Column,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(col("__e")).orderBy(col("__us") +: tieBreak.map(_.asc): _*)
+    df.select(Seq(entity.as("__e"), unix_micros(ts).as("__us"), value.as("__v"))
+        ++ tieBreak: _*)
+      .withColumn("__dur", lead(col("__us"), 1).over(w) - col("__us"))
+      .groupBy(col("__e").as("entity"))
+      .agg(count(lit(1)).as("n_obs"),
+        round(sum(col("__v") * col("__dur")) / sum(col("__dur")), 4).as("twap"))
+  }
 }

@@ -47,4 +47,19 @@ class CleaningSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("b", "a2"))
     assert(out.schema("a2").dataType.typeName == "long")
   }
+
+  test("winsorizeByGroup clips into per-group percentile bounds, keeps rows") {
+    // group g: values 1..10 → p10 = 1.9, p90 = 9.1 (linear interpolation)
+    val df = ((1 to 10).map(v => ("g", v.toDouble)) :+ (("h", 1000.0)))
+      .toDF("grp", "x")
+    val out = Cleaning.winsorizeByGroup(df, col("grp"), "x", lo = 0.1, hi = 0.9)
+    assert(out.count() == 11) // nothing dropped
+    val g = out.filter(col("grp") === "g").select("x", "x_w")
+      .as[(Double, Double)].collect().toMap
+    assert(g(1.0) == 1.9 && g(10.0) == 9.1) // tails clipped
+    assert(g(5.0) == 5.0)                    // middle untouched
+    // a single-row group clips to itself
+    val h = out.filter(col("grp") === "h").select("x_w").as[Double].head()
+    assert(h == 1000.0)
+  }
 }

@@ -119,4 +119,21 @@ class RelationalSpec extends SparkSpec {
       Relational.asOfJoin(l, r, "sym", "ts", Seq("px"))
     }
   }
+
+  test("timeWeightedAvg weights by holding duration, not observation count") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val obs = Seq(
+      // value 10 held for 90s, value 20 held for 10s, final obs open
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 00:01:30"), 20.0),
+      (1L, ts("2024-01-01 00:01:40"), 99.0),
+      (2L, ts("2024-01-01 00:00:00"), 7.0)) // single obs → null twap
+      .toDF("entity", "ts", "v")
+    val out = Relational.timeWeightedAvg(obs, col("entity"), col("ts"), col("v"))
+      .orderBy("entity").collect()
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == (10.0 * 90 + 20.0 * 10) / 100) // 11.0
+    assert(out(1).getLong(1) == 1L && out(1).isNullAt(2))
+  }
 }
