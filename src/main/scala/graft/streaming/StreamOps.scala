@@ -241,6 +241,44 @@ object StreamOps {
     * counting is idempotent under re-unioning the same values (the
     * at-least-once story here is strictly better than for additive
     * counters). */
+  /** Streaming CDC apply: maintain a keyed SNAPSHOT table from a
+    * change stream ([[graft.etl.Upsert]] per micro-batch). Each batch
+    * merges into the latest snapshot version and writes a NEW
+    * `v=N` directory — read-modify-write against the directory being
+    * read is never safe on object stores, and versioned writes give
+    * time travel + a trivially atomic "latest = max N" pointer for
+    * free (the Delta/Iceberg snapshot idea reduced to plain parquet).
+    * Old versions are retained; pruning them is ordinary directory
+    * deletion once readers drain. A replayed batch merges the same
+    * updates again — upsert is idempotent per (key, version), so the
+    * extra snapshot version is byte-equal, not wrong. */
+  def toSnapshot(
+      updates: DataFrame,
+      keyCols: Seq[String],
+      version: String,
+      outRoot: String,
+      checkpoint: String,
+      tombstone: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(outRoot)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val latest: Option[Long] =
+          if (!fs.exists(root)) None
+          else fs.listStatus(root).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+            .map(_.getPath.getName.drop(2).toLong)
+            .maxOption
+        val cur = latest
+          .map(v => spark.read.parquet(s"$outRoot/v=$v"))
+          .getOrElse(tombstone.fold(batch.toDF())(batch.toDF().drop(_)).limit(0))
+        graft.etl.Upsert.upsert(cur, batch.toDF(), keyCols, version, tombstone)
+          .write.mode("overwrite").parquet(s"$outRoot/v=${latest.getOrElse(0L) + 1}")
+      }
+      .start()
+
   def toSketchState(
       events: DataFrame,
       keys: Seq[String],

@@ -188,6 +188,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toSnapshot: CDC batches maintain a versioned keyed snapshot with deletes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val root = java.nio.file.Files.createTempDirectory("snap").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("snapckpt").toString
+    val q = StreamOps.toSnapshot(
+      input.toDF().toDF("k", "payload", "v", "deleted"),
+      keyCols = Seq("k"), version = "v", outRoot = root, checkpoint = ckpt,
+      tombstone = Some("deleted"))
+    try {
+      input.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+      q.processAllAvailable()
+      input.addData((2L, "b2", 2L, false), (1L, "gone", 2L, true), (3L, "c", 1L, false))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("v=1", "v=2")) // one snapshot version per batch
+    val fin = spark.read.parquet(s"$root/v=2").orderBy("k")
+      .select("k", "payload", "v").as[(Long, String, Long)].collect().toSeq
+    assert(fin == Seq((2L, "b2", 2L), (3L, "c", 1L))) // k=1 deleted, k=2 updated
+    // time travel: the previous version still answers
+    val v1 = spark.read.parquet(s"$root/v=1").select("k").as[Long].collect().toSet
+    assert(v1 == Set(1L, 2L))
+  }
+
   test("toSketchState: appended micro-batch sketches roll up to the full-scan answer") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sketches
