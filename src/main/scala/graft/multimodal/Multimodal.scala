@@ -108,6 +108,54 @@ object Multimodal {
     * everything
     * else (audio/video) gets the labeled stub. Output is a typed Dataset
     * with a stable schema for downstream SQL. */
+  /** A generated thumbnail: re-encoded PNG bytes + final dimensions.
+    * `ok = false` (empty bytes, -1×-1) marks undecodable payloads. */
+  final case class Thumbnail(media_id: Long, width: Int, height: Int,
+                             thumb_png: Array[Byte], ok: Boolean)
+
+  /** REAL image resize: full pixel decode (`ImageIO.read`), aspect-
+    * preserving bilinear scale to fit `maxDim` (never upscales), PNG
+    * re-encode — the thumbnail/normalize step of a multimodal training
+    * pipeline, all JDK (headless `Graphics2D`), no native deps.
+    *
+    * Unlike [[extractFeatures]]'s header-only fast path this touches
+    * every pixel, so it belongs AFTER metadata filters have pruned the
+    * corpus (decode cost is O(pixels); run it on the survivors, not the
+    * 100 TB raw table). `mapPartitions` keeps the per-task codec
+    * footprint allocated once; undecodable payloads yield `ok = false`
+    * rather than failing the task. */
+  def thumbnails(spark: SparkSession, media: DataFrame, maxDim: Int = 256): Dataset[Thumbnail] = {
+    import spark.implicits._
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) Thumbnail(id, -1, -1, Array.empty, ok = false)
+            else {
+              val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+              val (tw, th) = (math.max(1, math.round(img.getWidth * scale).toInt),
+                math.max(1, math.round(img.getHeight * scale).toInt))
+              val out = new java.awt.image.BufferedImage(tw, th,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, tw, th, null)
+              } finally g.dispose()
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", baos)
+              Thumbnail(id, tw, th, baos.toByteArray, ok = true)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Thumbnail(id, -1, -1, Array.empty, ok = false)
+          }
+        }
+      }
+  }
+
   def extractFeatures(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "media_type", "content").as[(Long, String, Array[Byte])]

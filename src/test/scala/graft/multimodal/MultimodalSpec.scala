@@ -71,4 +71,19 @@ class MultimodalSpec extends SparkSpec {
     val f2 = Multimodal.extractFeatures(spark, m).collect().sortBy(_.media_id)
     assert(f.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
   }
+
+  test("thumbnails: real pixel decode + aspect-preserving resize + PNG re-encode") {
+    val media = Seq(
+      (1L, imageBytes("png", 100, 40)),   // landscape → 50×20 at maxDim 50
+      (2L, imageBytes("jpg", 30, 10)),    // already small → untouched dims
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val t = Multimodal.thumbnails(spark, media, maxDim = 50).collect().sortBy(_.media_id)
+    assert(t(0).ok && t(0).width == 50 && t(0).height == 20)
+    assert(t(1).ok && t(1).width == 30 && t(1).height == 10) // never upscales
+    assert(!t(2).ok && t(2).thumb_png.isEmpty)
+    // the emitted bytes are a REAL decodable PNG of the stated size
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t(0).thumb_png))
+    assert(back.getWidth == 50 && back.getHeight == 20)
+  }
 }
