@@ -27,17 +27,19 @@ object Retention {
     * n_users / cohort size (offset-0 count of the same cohort).
     * Weeks are ISO `date_trunc("week")` Mondays. */
   def cohortRetention(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val act = df.select(user.as("user_id"), date_trunc("week", ts).as("__w")).distinct()
-    val coh = act.groupBy("user_id").agg(min("__w").as("__cw"))
-    // act ⋈ coh is user-keyed on both sides — co-partitioned after the
-    // aggregates, no extra shuffle
-    val j = act.join(coh, "user_id")
-      .select(col("__cw"),
-        (datediff(col("__w"), col("__cw")) / 7).cast("long").as("week_offset"))
-    val r = j.groupBy("__cw", "week_offset").agg(count(lit(1)).as("n_users"))
-    val sizes = r.filter(col("week_offset") === 0)
-      .select(col("__cw"), col("n_users").as("__size"))
-    r.join(sizes, "__cw")
+    // cohort and cohort-size come from WINDOWS, not groupBy+self-join:
+    // a join-back formulation gives the expensive (user, week) distinct
+    // TWO plan parents, and Spark re-executes the subtree per parent
+    // (the c20/rebalanceToMix lesson — lineage must stay linear)
+    val withCoh = act.withColumn("__cw",
+      min(col("__w")).over(Window.partitionBy(col("user_id"))))
+    val r = withCoh
+      .select(col("__cw"), (datediff(col("__w"), col("__cw")) / 7).cast("long").as("week_offset"))
+      .groupBy("__cw", "week_offset").agg(count(lit(1)).as("n_users"))
+    r.withColumn("__size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(Window.partitionBy(col("__cw"))))
       .select(col("__cw").cast("date").as("cohort_week"),
         col("week_offset"), col("n_users"),
         round(col("n_users").cast("double") / col("__size"), 4).as("retention"))

@@ -63,7 +63,13 @@ object Upsert {
     val keys = updates.select(keyCols.map(col): _*).distinct()
     val cond = keyCols.map(k => current(k) <=> keys(k)).reduce(_ && _)
     val affected = current.join(keys, cond, "left_semi")
-    val untouched = current.join(keys, cond, "left_anti")
+    // upsert's output never carries the tombstone column; a snapshot
+    // that (unusually) still has one must shed it from the untouched
+    // branch too — keeping its schema would fail the union, and keeping
+    // tombstoned rows would contradict upsert's delete contract
+    val untouched0 = current.join(keys, cond, "left_anti")
+    val untouched = tombstone.filter(current.columns.contains)
+      .foldLeft(untouched0)((d, t) => d.filter(!coalesce(col(t), lit(false))).drop(t))
     untouched.unionByName(upsert(affected, updates, keyCols, version, tombstone))
   }
 }

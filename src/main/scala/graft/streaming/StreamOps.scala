@@ -251,7 +251,8 @@ object StreamOps {
     * Old versions are retained; pruning them is ordinary directory
     * deletion once readers drain. A replayed batch merges the same
     * updates again — upsert is idempotent per (key, version), so the
-    * extra snapshot version is byte-equal, not wrong. */
+    * extra snapshot version holds the same ROWS (file layout may
+    * differ), not wrong data. */
   def toSnapshot(
       updates: DataFrame,
       keyCols: Seq[String],

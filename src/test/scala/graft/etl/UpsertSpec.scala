@@ -48,4 +48,14 @@ class UpsertSpec extends SparkSpec {
       .orderBy("k").collect().toSeq
     assert(inc == full)
   }
+
+  test("upsertIncremental handles a snapshot that still carries the tombstone column") {
+    val snap = Seq((1L, "a", 1L, false), (2L, "zombie", 1L, true), (3L, "c", 1L, false))
+      .toDF("k", "payload", "v", "deleted")
+    val updates = Seq((1L, "a2", 2L, false)).toDF("k", "payload", "v", "deleted")
+    val out = Upsert.upsertIncremental(snap, updates, Seq("k"), "v", tombstone = Some("deleted"))
+      .orderBy("k").select("k", "payload").as[(Long, String)].collect().toSeq
+    // untouched branch sheds the column AND its tombstoned rows
+    assert(out == Seq((1L, "a2"), (3L, "c")))
+  }
 }

@@ -50,4 +50,16 @@ class CompactionSpec extends SparkSpec {
     val orig = df.as[(Long, String)].collect().toSet
     assert(back == orig)
   }
+
+  test("compactPartitioned survives path-escaped partition values (spaces etc.)") {
+    val in = tmp(); val out = tmp()
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "NOT SPECIFIED" else "a:b"))
+      .toDF("id", "pv") // space and colon both get Hive path-escaped
+    df.repartition(5).write.mode("overwrite").partitionBy("pv").parquet(in)
+    val stats = Compaction.compactPartitioned(spark, in, out, Seq("pv"),
+      targetBytes = 1L << 40)
+    // every row survives — a raw path-segment comparison would drop them all
+    assert(spark.read.parquet(out).count() == 100)
+    assert(stats.filesAfter <= 2)
+  }
 }
