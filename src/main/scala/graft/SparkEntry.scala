@@ -508,6 +508,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // PageRank over the supplier→part supply graph (5 fixed rounds,
+    // dangling part-vertices redistribute their mass) — the iterative
+    // graph workload; crawl-curation's domain-ranking shape.
+    "c23_pagerank" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir).select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      graft.graph.PageRank.pageRank(edges, damping = 0.85, iters = 5)
+        .orderBy("vertex")
+    }),
+
     // Per-group winsorization: tails clipped into [p05, p95] per
     // return flag; rows kept (contrast with a4's nulling).
     "a17_winsorize" -> ((s, dir) => {
@@ -1321,6 +1332,28 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "c23_pagerank" -> {
+      // 5 unrolled power-iteration rounds (standard SQL forbids
+      // aggregates over a recursive CTE term, so the oracle generates
+      // the rounds mechanically); same IEEE op order as the Spark plan
+      val rounds = (1 to 5).map { i =>
+        s"""dm$i AS (SELECT coalesce(sum(CASE WHEN d IS NULL THEN rank END), 0) AS m FROM r${i - 1}),
+           |inc$i AS (SELECT e.dst AS v, sum(r.rank/r.d) AS s FROM r${i - 1} r JOIN e ON r.v = e.src
+           |          WHERE r.d IS NOT NULL GROUP BY 1),
+           |r$i AS (SELECT vd.v, vd.d,
+           |        (1.0-0.85)*(1.0/nn.n) + 0.85*(coalesce(inc$i.s, 0) + dm$i.m*(1.0/nn.n)) AS rank
+           |        FROM vd LEFT JOIN inc$i ON vd.v = inc$i.v, dm$i, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, 'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src AS v, count(*) AS d FROM e GROUP BY 1),
+         |vd AS (SELECT v.v, deg.d FROM v LEFT JOIN deg USING (v)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |r0 AS (SELECT vd.v, vd.d, 1.0/nn.n AS rank FROM vd, nn),
+         |$rounds
+         |SELECT v AS vertex, round(rank, 6) AS rank FROM r5 ORDER BY vertex""".stripMargin
+    },
 
     "a17_winsorize" ->
       """WITH b AS (SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.05) AS qlo,

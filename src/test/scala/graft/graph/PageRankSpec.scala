@@ -1,0 +1,45 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive in-memory power iteration with the same fixed rounds and
+    * dangling handling — the ground truth. */
+  private def naive(edges: Seq[(String, String)], d: Double, iters: Int): Map[String, Double] = {
+    val e = edges.distinct
+    val vs = (e.map(_._1) ++ e.map(_._2)).distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = vs.size
+    var rank = vs.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val dm = vs.filterNot(deg.contains).map(rank).sum
+      val in = e.groupBy(_._2).view.mapValues(_.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+      rank = vs.map(v => v -> ((1.0 - d) / n + d * (in.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches naive power iteration incl. dangling mass") {
+    // C has no out-edges (dangling); duplicate edge A→B must count once
+    val edges = Seq(("A", "B"), ("A", "B"), ("A", "C"), ("B", "C"), ("D", "A"))
+    val got = PageRank.pageRank(edges.toDF("src", "dst"), damping = 0.85, iters = 5)
+      .as[(String, Double)].collect().toMap
+    val expect = naive(edges, 0.85, 5)
+    expect.foreach { case (v, r) =>
+      assert(math.abs(got(v) - r) < 1e-6, s"$v: ${got(v)} vs $r")
+    }
+    // stochastic: ranks sum to 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+    // the sink C (fed by A and B) outranks the source D (fed by nobody)
+    assert(got("C") > got("D"))
+  }
+
+  test("pageRank of a cycle is uniform") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val got = PageRank.pageRank(edges, iters = 3).as[(String, Double)].collect().toMap
+    got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-6)) // output is rounded to 6 dp
+  }
+}
