@@ -508,6 +508,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Johnson–Lindenstrauss random projection 64 → 16 dims: the cheap
+    // dimensionality cut before ANN/clustering; 16 fused dot products
+    // in the scan, matrix regenerated from indices on any engine.
+    "d36_random_projection" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(graft.vectors.VectorOps.randomProject(
+            graft.vectors.VectorOps.toDouble(col("embedding")), dims = 64, outDim = 16)))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          round(col("col"), 4).as("val"))
+        .orderBy("vec_id", "j")
+    }),
+
     // PageRank over the supplier→part supply graph (5 fixed rounds,
     // dangling part-vertices redistribute their mass) — the iterative
     // graph workload; crawl-curation's domain-ranking shape.
@@ -1332,6 +1345,21 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "d36_random_projection" -> {
+      // the 16×64 projection matrix inlined row-wise — regenerated from
+      // the same (outIdx, seed, dimIdx) splitmix derivation as the plan
+      val scale = math.sqrt(3.0 / 16.0)
+      val values = (for { j <- 0 until 16; d <- 0 until 64 } yield
+        s"($j, $d, CAST(${graft.vectors.VectorOps.projCoef(0, j, d) * scale} AS DOUBLE))")
+        .mkString(", ")
+      s"""WITH m(j, d, c) AS (VALUES $values),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT vec_id, CAST(u.d AS INT) AS d, v[CAST(u.d AS INT) + 1] AS val
+         |      FROM e, UNNEST(range(64)) AS u(d)),
+         |p AS (SELECT vec_id, m.j, sum(x.val * m.c) AS s FROM x JOIN m ON x.d = m.d GROUP BY 1,2)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j, round(s, 4) AS val FROM p ORDER BY vec_id, j""".stripMargin
+    },
 
     "c23_pagerank" -> {
       // 5 unrolled power-iteration rounds (standard SQL forbids

@@ -56,4 +56,30 @@ object VectorOps {
 
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
     graft.expressions.VectorExpressions.dotNative(a, b) / (normA * normB)
+
+  /** Deterministic projection coefficient for [[randomProject]] —
+    * the shared [[graft.expressions.VectorExpressions.planeCoef]]
+    * splitmix derivation, keyed by (output dim, seed, input dim), so
+    * any engine regenerates the identical matrix from indices alone. */
+  def projCoef(seed: Int, outIdx: Int, dimIdx: Int): Double =
+    graft.expressions.VectorExpressions.planeCoef(outIdx, seed, dimIdx)
+
+  /** Johnson–Lindenstrauss random projection: map a `dims`-dimensional
+    * vector to `outDim` components, each the native codegen'd dot
+    * product with a deterministic pseudo-random plane (uniform in
+    * [−1, 1] — variance 1/3 — scaled by √(3/outDim) so expected
+    * pairwise distances are preserved). The standard cheap dimensionality cut before ANN /
+    * clustering: storage and shuffle width drop dims/outDim× (compose
+    * with [[Quantize]] for another 4×), JL distortion is
+    * O(√(log n / outDim)) independent of the input dimension. Pure
+    * narrow map — `outDim` fused dot products inside the scan. Input
+    * must be `array<double>` ([[toDouble]] first). */
+  def randomProject(v: Column, dims: Int, outDim: Int, seed: Int = 0): Column = {
+    require(dims >= 1 && outDim >= 1, s"bad dims: $dims → $outDim")
+    val scale = math.sqrt(3.0 / outDim.toDouble)
+    array((0 until outDim).map { j =>
+      val plane = array((0 until dims).map(d => lit(projCoef(seed, j, d) * scale)): _*)
+      graft.expressions.VectorExpressions.dotNative(v, plane)
+    }: _*)
+  }
 }
