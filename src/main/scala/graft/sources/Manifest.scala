@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max manifest over a plain-parquet dataset — the
+  * data-skipping index of Delta/Iceberg, without a table format.
+  *
+  * Spark's own row-group pruning happens per file AT READ TIME: the
+  * scan still lists, opens, and reads the footer of every file. At
+  * 100 TB (~800k files) the win is pruning the FILE LIST first: a
+  * persisted manifest answers "which files can possibly contain
+  * l_orderkey ∈ [a, b]" with a metadata-only lookup, and the query
+  * then reads only those paths. Combined with a sorted/Z-ordered
+  * layout ([[Zorder]]) the candidate set collapses to a handful of
+  * files per predicate.
+  *
+  * [[build]] reads ONLY parquet footers (no row data), distributed:
+  * the file list parallelizes across the cluster and each task opens
+  * its files' metadata — ~KBs per file. Rebuild incrementally by
+  * manifesting new files and unioning (the parquet layout is
+  * append-only, so old manifest rows stay valid — the same argument
+  * as C8c's sketch state).
+  */
+object Manifest {
+
+  /** Tall manifest: one row per (file, numeric column) with
+    * `(n_rows, min_val, max_val, has_nulls)`, doubles covering both
+    * integer and floating columns (exact for longs up to 2^53 — at
+    * larger magnitudes widen the bound by 1 ulp rather than tighten).
+    * Non-numeric columns are skipped (string bounds need
+    * truncation-aware comparison; out of scope). Missing stats
+    * (ancient writers) yield null bounds — treated as "may contain
+    * anything" by [[candidateFiles]]. */
+  def build(spark: SparkSession, dir: String, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "need at least one column")
+    import spark.implicits._
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    // Hadoop Configuration is not Serializable; ship its entries as a
+    // plain map and rebuild per task (so s3a/hdfs credentials and
+    // filesystem settings survive into the executors)
+    import scala.jdk.CollectionConverters._
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val confB = spark.sparkContext.broadcast(confEntries)
+    val cols = columns.toArray
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 64)))
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confB.value.foreach { case (k, v) => conf.set(k, v) }
+        paths.flatMap { path =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+          try {
+            val meta = reader.getFooter.getBlocks
+            import scala.jdk.CollectionConverters._
+            val blocks = meta.asScala.toSeq
+            val nRows = blocks.map(_.getRowCount).sum
+            cols.toSeq.flatMap { c =>
+              val chunks = blocks.flatMap(_.getColumns.asScala
+                .find(_.getPath.toDotString == c))
+              if (chunks.isEmpty) None
+              else {
+                val stats = chunks.map(_.getStatistics)
+                def num(v: Any): Option[Double] = v match {
+                  case n: java.lang.Number => Some(n.doubleValue())
+                  case _ => None
+                }
+                val mins = stats.map(s =>
+                  if (s == null || !s.hasNonNullValue) None else num(s.genericGetMin()))
+                val maxs = stats.map(s =>
+                  if (s == null || !s.hasNonNullValue) None else num(s.genericGetMax()))
+                val hasNulls = stats.exists(s => s == null || s.getNumNulls != 0)
+                // any row-group without usable stats ⇒ unknown bounds
+                val mn = if (mins.exists(_.isEmpty)) None else Some(mins.flatten.min)
+                val mx = if (maxs.exists(_.isEmpty)) None else Some(maxs.flatten.max)
+                Some((path, nRows, c, mn, mx, hasNulls))
+              }
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("file", "n_rows", "column", "min_val", "max_val", "has_nulls")
+  }
+
+  /** Files that may contain `column` values in [lo, hi]: bounds
+    * disjoint from the interval are pruned; null bounds are kept
+    * (unknown ⇒ must read). Returns the path list for
+    * `spark.read.parquet(paths: _*)`. */
+  def candidateFiles(manifest: DataFrame, column: String, lo: Double, hi: Double): Seq[String] = {
+    require(lo <= hi, s"empty interval [$lo, $hi]")
+    manifest.filter(col("column") === column)
+      .filter(col("min_val").isNull || col("max_val").isNull ||
+        !(col("max_val") < lo || col("min_val") > hi))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+}
