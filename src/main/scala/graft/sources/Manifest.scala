@@ -40,10 +40,16 @@ object Manifest {
     import spark.implicits._
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
-        && !st.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
+    // recursive: a Hive-partitioned layout keeps data files under
+    // col=value subdirectories — a top-level-only listing would yield
+    // an EMPTY manifest there, and empty manifests prune everything
+    def walk(d: Path): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        if (st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath.toString)
+      }
+    val files = walk(p)
     // Hadoop Configuration is not Serializable; ship its entries as a
     // plain map and rebuild per task (so s3a/hdfs credentials and
     // filesystem settings survive into the executors)

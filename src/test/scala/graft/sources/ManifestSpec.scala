@@ -31,6 +31,19 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.candidateFiles(m, "score", 0.0, 1.0).length == 1)
   }
 
+  test("build walks Hive-partitioned layouts recursively") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest3").toString
+    (0L until 100L).map(i => (i, if (i < 50) "a" else "b")).toDF("id", "part")
+      .repartitionByRange(2, col("id"))
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val m = Manifest.build(spark, dir, Seq("id"))
+    assert(m.count() > 0, "partitioned layout must not yield an empty manifest")
+    assert(m.agg(sum("n_rows")).head().getLong(0) == 100L)
+    // id>=50 lives only under part=b — its files prune away for [0, 10]
+    val cand = Manifest.candidateFiles(m, "id", 0, 10)
+    assert(cand.nonEmpty && cand.forall(_.contains("part=a")))
+  }
+
   test("null bounds (stat-less) files are kept, never pruned") {
     val dir = java.nio.file.Files.createTempDirectory("manifest2").toString
     Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.mode("overwrite").parquet(dir)
