@@ -64,4 +64,44 @@ class PipelineSpec extends SparkSpec {
     assert(packed.orderBy("chunk_key").collect().toSeq ==
       rerun.orderBy("chunk_key").collect().toSeq)
   }
+
+  test("near-dup clusters → keep-one → rebalance → cluster-keyed split composes") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+    // 1. near-dup pairs → connected components; EVERY doc gets a label
+    // (docs in no pair are their own cluster)
+    val pairs = Dedup.jaccardVerify(
+      Dedup.minHashCandidates(docs, col("doc_id"), col("text"), 32, 8),
+      docs, col("doc_id"), col("text"), threshold = 0.5)
+    val labels = Dedup.clusterPairs(pairs)
+    val labeled = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+
+    // 2. keep one doc per cluster (the representative)
+    val kept = labeled.filter(col("doc_id") === col("cluster_id"))
+    assert(kept.count() == labeled.select("cluster_id").distinct().count())
+
+    // 3. rebalance the kept corpus to a target language mix
+    val langs = kept.select("lang").distinct().as[String].collect().toSet
+    val mix = langs.map(_ -> 1.0 / langs.size).toMap
+    val balanced = Sampling.rebalanceToMix(kept, col("doc_id"), col("lang"), mix)
+    val counts = balanced.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val maxDev = counts.values.map(_.toDouble / counts.values.sum - 1.0 / langs.size)
+      .map(math.abs).max
+    assert(maxDev < 0.1, s"mix off target: $counts")
+
+    // 4. cluster-keyed split: near-dups (had any survived) CANNOT
+    // straddle train/eval — key the assignment on the cluster label
+    val split = balanced.withColumn("split",
+      Sampling.assignSplit(col("cluster_id"), Seq("train" -> 0.9, "eval" -> 0.1)))
+    val byCluster = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+    assert(byCluster.filter(col("n_splits") > 1).isEmpty)
+    // deterministic on rerun
+    val rerun = balanced.withColumn("split",
+      Sampling.assignSplit(col("cluster_id"), Seq("train" -> 0.9, "eval" -> 0.1)))
+    assert(split.select("doc_id", "split").orderBy("doc_id").collect().toSeq ==
+      rerun.select("doc_id", "split").orderBy("doc_id").collect().toSeq)
+  }
 }
