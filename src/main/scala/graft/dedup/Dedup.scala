@@ -494,20 +494,25 @@ object Dedup {
     * Scale: windows never shuffle as text — each w-gram is reduced to
     * its 128-bit md5 inside the scan, so the (doc_id, gram) shuffle
     * carries ~24 B per window with map-side combine of within-document
-    * repeats. Gram document-frequency is a second hash aggregate on the
-    * already doc-distinct gram table, joined back by gram key — three
-    * hash-partitioned stages, no self-join over documents, nothing
-    * proportional to pairs. (At 10^13 corpus windows the 128-bit hash's
-    * collision odds are ~1e-13 — a collision can only over-count one
-    * window as duplicated.) */
+    * repeats. Gram document-frequency is a WINDOW count over the
+    * already doc-distinct gram table — the per-doc table is doc-distinct
+    * per gram, so `count(*) over (partition by gram)` IS the number of
+    * documents carrying it. A groupBy+self-join formulation would give
+    * the (expensive) gram-explosion subtree two plan parents, which
+    * Spark re-executes under AQE (the defect that cost c20 12 parquet
+    * scans before the same fix); the window keeps the lineage strictly
+    * linear: explode → hash-agg → window → hash-agg, one scan total.
+    * (At 10^13 corpus windows the 128-bit hash's collision odds are
+    * ~1e-13 — a collision can only over-count one window as
+    * duplicated.) */
   def duplicatedSpanStats(df: DataFrame, id: Column, text: Column, w: Int = 4): DataFrame = {
     require(w >= 1, s"window width must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
     val grams = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__toks"))
       .select(col("doc_id"), explode(TextFunctions.shinglesAllOf(col("__toks"), w)).as("__g"))
       .select(col("doc_id"), unhex(md5(col("__g"))).as("__gh"))
-    val perDocGram = grams.groupBy("doc_id", "__gh").agg(count(lit(1)).as("__cnt"))
-    val docFreq = perDocGram.groupBy("__gh").agg(count(lit(1)).as("__ndocs"))
-    perDocGram.join(docFreq, "__gh")
+    grams.groupBy("doc_id", "__gh").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__ndocs", count(lit(1)).over(Window.partitionBy(col("__gh"))))
       .groupBy("doc_id")
       .agg(sum("__cnt").as("n_windows"),
         sum(when(col("__ndocs") >= 2, col("__cnt")).otherwise(lit(0L))).as("n_dup_windows"))
@@ -527,25 +532,32 @@ object Dedup {
     * operator).
     *
     * Scale: the gram side is [[duplicatedSpanStats]]'s plan (hashed
-    * windows, nothing pairwise). Per document, only the duplicated
-    * window START positions come back through an aggregate (bounded by
-    * the document's own window count), and the token mask is a narrow
-    * map over the staged token array. The mask costs
-    * O(tokens × dup-starts) interpreted HOF work per row — fine for
-    * the typical few contaminated spans; a document that is mostly
-    * boilerplate pays proportionally, which is acceptable for rows
-    * about to lose most of their text anyway. */
+    * windows, nothing pairwise), kept STRICTLY LINEAR: positions ride
+    * the per-(doc, gram) aggregate as a collected list, document
+    * frequency is a window count over that doc-distinct table, and the
+    * surviving starts re-explode — so the expensive gram explosion has
+    * exactly one plan parent and runs once (the c20/SURVEY §6d rule; a
+    * `grams.join(f(grams))` shape re-executes the explosion under AQE).
+    * The per-(doc, gram) position list is bounded by within-document
+    * repeats of ONE gram — boilerplate-heavy rows pay proportionally,
+    * never more than their own window count. The mask side re-reads the
+    * source (scan + tokenize, a narrow column-pruned second scan — the
+    * deliberate trade against materializing the tokenized corpus) and
+    * joins the bounded per-doc start arrays back by doc id. The mask
+    * costs O(tokens × dup-starts) interpreted HOF work per row — fine
+    * for the typical few contaminated spans. */
   def removeDuplicatedSpans(df: DataFrame, id: Column, text: Column, w: Int = 4): DataFrame = {
     require(w >= 1, s"window width must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
     val toks = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__t"))
     val grams = toks
       .select(col("doc_id"), posexplode(TextFunctions.shinglesAllOf(col("__t"), w)))
       .select(col("doc_id"), col("pos").as("__pos"), unhex(md5(col("col"))).as("__gh"))
-    val dupGrams = grams.select(col("doc_id"), col("__gh")).distinct()
-      .groupBy("__gh").agg(count(lit(1)).as("__ndocs"))
+    val dupStarts = grams
+      .groupBy("doc_id", "__gh").agg(collect_list(col("__pos")).as("__ps"))
+      .withColumn("__ndocs", count(lit(1)).over(Window.partitionBy(col("__gh"))))
       .filter(col("__ndocs") >= 2)
-      .select("__gh")
-    val dupStarts = grams.join(dupGrams, "__gh")
+      .select(col("doc_id"), explode(col("__ps")).as("__pos"))
       .groupBy("doc_id").agg(sort_array(collect_set(col("__pos"))).as("__starts"))
     val masked = toks.join(dupStarts, Seq("doc_id"), "left")
       .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))

@@ -43,6 +43,34 @@ class ScanSpec extends SparkSpec {
     assert(pushed.contains("l_shipdate"), s"ship-date filter not pushed: $pushed")
   }
 
+  // d28/d31 lineage pins: the gram-explosion subtree must have exactly ONE
+  // plan parent (df via window count, not groupBy+self-join), or the planner
+  // duplicates it and AQE re-executes the explosion per consumer. The scan
+  // count in the executed plan is the observable: one duplicated consumer
+  // of the explosion adds a whole extra source scan.
+  test("duplicatedSpanStats itself is single-scan (linear gram lineage)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.dedup.Dedup
+      .duplicatedSpanStats(docs, org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"), w = 4)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val n = plan.collect { case s: FileSourceScanExec => s }.length
+    assert(n == 1, s"expected 1 documents scan, got $n — the gram subtree has multiple plan parents")
+  }
+
+  test("d28_dup_spans scans documents exactly twice (single-scan operator + source enrich)") {
+    val n = scans("d28_dup_spans").length
+    assert(n == 2, s"expected 2 documents scans (stats + source join), got $n")
+  }
+
+  test("d31_span_removal scans documents exactly twice (linear gram side + mask re-read)") {
+    val n = scans("d31_span_removal").length
+    assert(n == 2, s"expected 2 documents scans (gram side + mask side), got $n")
+  }
+
   test("c3_star_join pushes the region filter and prunes every dimension scan") {
     val all = scans("c3_star_join")
     val regionScan = all.find(_.requiredSchema.fieldNames.contains("r_name")).get
