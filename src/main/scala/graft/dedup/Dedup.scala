@@ -407,21 +407,24 @@ object Dedup {
     * rounds needed = graph diameter, and near-dup clusters are
     * shallow (dozens of members, diameter a few hops), so `maxIter`
     * rounds with an early-exit convergence check suffice. Lineage is
-    * truncated per round with `localCheckpoint` — without it the
-    * iterated plan grows exponentially. The convergence check is one
-    * count per round (a driver-side scalar, not a collect of data).
+    * truncated per round with [[graft.operators.Lineage.truncate]]
+    * (reliable checkpoint when the session has a checkpoint dir,
+    * localCheckpoint otherwise) — without it the iterated plan grows
+    * exponentially. The convergence check is one count per round (a
+    * driver-side scalar, not a collect of data).
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    import graft.operators.Lineage
+    val edges = Lineage.truncate(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
     // fused round 0: every node (all appear as dst — edges are
     // bidirectional) starts at min(self, direct neighbors), so
     // triangle-shaped clusters are already converged entering the loop
-    var labels = edges.groupBy(col("dst").as("id")).agg(min("src").as("__nmin"))
-      .select(col("id"), least(col("id"), col("__nmin")).as("cluster_id"))
-      .localCheckpoint()
+    var labels = Lineage.truncate(
+      edges.groupBy(col("dst").as("id")).agg(min("src").as("__nmin"))
+        .select(col("id"), least(col("id"), col("__nmin")).as("cluster_id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -431,11 +434,10 @@ object Dedup {
       // carry the previous label through the step: the convergence check
       // is then a filter over the (already-materialized) checkpoint, not
       // a second labels-to-labels join per round
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
+      val stepped = Lineage.truncate(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
-          col("cluster_id").as("__prev"))
-        .localCheckpoint()
+          col("cluster_id").as("__prev")))
       converged = stepped.filter(col("cluster_id") =!= col("__prev")).isEmpty
       labels = stepped.select("id", "cluster_id")
       iter += 1

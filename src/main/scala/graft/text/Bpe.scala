@@ -81,15 +81,17 @@ object Bpe {
     * runs over the vocabulary table only: a pair-count aggregate, a
     * single-row argmax collect (a SCALAR per round, like d15's
     * convergence check — never data), and a narrow symbol-merge map.
-    * The vocabulary is localCheckpointed per round to truncate lineage,
-    * exactly the d15 iteration pattern. */
+    * The vocabulary's lineage is truncated per round via
+    * [[graft.operators.Lineage.truncate]] (reliable checkpoint when the
+    * session has a checkpoint dir, localCheckpoint otherwise), exactly
+    * the d15 iteration pattern. */
   def trainMerges(df: DataFrame, text: Column, numMerges: Int): Seq[(String, String, Long)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    var vocab = wordCounts(df, text)
+    import graft.operators.Lineage
+    var vocab = Lineage.truncate(wordCounts(df, text)
       .select(transform(sequence(lit(1), length(col("word"))),
           i => substr(col("word"), i, lit(1))).as("syms"),
-        col("wc"))
-      .localCheckpoint()
+        col("wc")))
     val merges = Seq.newBuilder[(String, String, Long)]
     var round = 0
     var exhausted = false
@@ -111,9 +113,8 @@ object Bpe {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((a, b, n))
-        vocab = vocab
-          .select(mergeSymbols(col("syms"), a, b).as("syms"), col("wc"))
-          .localCheckpoint()
+        vocab = Lineage.truncate(vocab
+          .select(mergeSymbols(col("syms"), a, b).as("syms"), col("wc")))
       }
       round += 1
     }
