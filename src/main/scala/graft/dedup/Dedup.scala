@@ -395,58 +395,84 @@ object Dedup {
       .drop("__ratio")
   }
 
-  /** Resolve near-dup PAIRS into clusters: connected components by
-    * iterative min-label propagation. Each document in some pair gets a
-    * `cluster_id` = the minimum doc id reachable through the pair graph,
-    * so "keep one per cluster" is `filter(doc_id === cluster_id)` — the
-    * step that turns pairwise dedup output into an actual keep/drop
-    * decision (a pair list alone double-drops documents that chain:
-    * a~b, b~c must not drop both b and c against different keepers).
+  /** Resolve near-dup PAIRS into clusters: connected components via the
+    * alternating large-star/small-star algorithm. Each document in some
+    * pair gets a `cluster_id` = the minimum doc id reachable through
+    * the pair graph, so "keep one per cluster" is
+    * `filter(doc_id === cluster_id)` — the step that turns pairwise
+    * dedup output into an actual keep/drop decision (a pair list alone
+    * double-drops documents that chain: a~b, b~c must not drop both b
+    * and c against different keepers).
     *
-    * Scale: each round is one shuffle join on doc id + a min-aggregate;
-    * rounds needed = graph diameter, and near-dup clusters are
-    * shallow (dozens of members, diameter a few hops), so `maxIter`
-    * rounds with an early-exit convergence check suffice. Lineage is
-    * truncated per round with [[graft.operators.Lineage.truncate]]
-    * (reliable checkpoint when the session has a checkpoint dir,
-    * localCheckpoint otherwise) — without it the iterated plan grows
-    * exponentially. The convergence check is one count per round (a
-    * driver-side scalar, not a collect of data).
+    * Each round rewires edges toward each node's minimum neighbor:
+    * large-star points every HIGHER neighbor of u at
+    * m = min(Γ(u) ∪ u); small-star then points every remaining (lower)
+    * neighbor and u itself at m. The fixpoint is a forest of stars,
+    * each rooted at its component's minimum — and the round count is
+    * O(log² n) in the component size, INDEPENDENT of its diameter
+    * (plain min-label propagation needs diameter-many rounds, and
+    * chain-shaped boilerplate components grow their diameter with the
+    * corpus — the previous formulation here died exactly at scale).
+    *
+    * Scale shape per round: two window-min passes over the edge table
+    * (each one hash shuffle on the star center) and a set-equality
+    * check (one shuffle) — edges only ever carry (long, long), nothing
+    * pairwise, no driver-side graph state. Per-round lineage is
+    * truncated via [[graft.operators.Lineage.truncate]] (reliable
+    * checkpoint when the session has a checkpoint dir, localCheckpoint
+    * otherwise). The convergence check is a driver-side boolean, not a
+    * collect of data.
     */
-  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import graft.operators.Lineage
-    val edges = Lineage.truncate(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    import org.apache.spark.sql.expressions.Window
+    val raw = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // every node that appears in any pair gets a label, even nodes whose
+    // only pair is a self-loop (dropped from the edge set below)
+    val nodes = Lineage.truncate(
+      raw.select(col("u").as("id")).union(raw.select(col("v").as("id"))).distinct())
+    var edges = Lineage.truncate(
+      raw.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct())
-    // fused round 0: every node (all appear as dst — edges are
-    // bidirectional) starts at min(self, direct neighbors), so
-    // triangle-shaped clusters are already converged entering the loop
-    var labels = Lineage.truncate(
-      edges.groupBy(col("dst").as("id")).agg(min("src").as("__nmin"))
-        .select(col("id"), least(col("id"), col("__nmin")).as("cluster_id")))
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty // nothing to contract: all singletons
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("src"), col("cluster_id").as("nl")), "src")
-        .groupBy(col("dst").as("id")).agg(min("nl").as("nmin"))
-      // carry the previous label through the step: the convergence check
-      // is then a filter over the (already-materialized) checkpoint, not
-      // a second labels-to-labels join per round
-      val stepped = Lineage.truncate(labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
-          col("cluster_id").as("__prev")))
-      converged = stepped.filter(col("cluster_id") =!= col("__prev")).isEmpty
-      labels = stepped.select("id", "cluster_id")
+      // large-star over the symmetrized edges: per center u, point every
+      // neighbor v > u at m = min(u, min neighbors). Output stays
+      // high→low oriented (v > u ≥ m).
+      val sym = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym
+        .withColumn("m", least(col("u"), min("v").over(Window.partitionBy("u"))))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the (already high→low) edges: per center u, point
+      // every neighbor AND u itself at m = min neighbor (< u).
+      val ss = ls.withColumn("m", min("v").over(Window.partitionBy("u")))
+      val stepped = Lineage.truncate(
+        ss.select(col("v").as("u"), col("m").as("v"))
+          .unionAll(ss.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct())
+      // set equality with the previous round's (distinct) edge set: any
+      // edge appearing in exactly one of the two unions means not done
+      converged = stepped.unionAll(edges)
+        .groupBy("u", "v").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") === 1).isEmpty
+      edges = stepped
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"clusterPairs did not converge in $maxIter rounds — a component's diameter exceeds " +
-          s"maxIter, and returning partial labels would silently under-dedup. Raise maxIter.")
-    labels.select(col("id").as("doc_id"), col("cluster_id"))
+        s"clusterPairs did not converge in $maxIter rounds — pathological for star " +
+          s"contraction (O(log² n) rounds); returning partial labels would silently " +
+          s"under-dedup. Raise maxIter.")
+    // fixpoint edges ARE the labels (node → component min); roots and
+    // singleton nodes label themselves
+    nodes.join(edges, nodes("id") === edges("u"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("cluster_id"))
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs — the second

@@ -153,4 +153,29 @@ class EquivalenceSpec extends SparkSpec {
       .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq.sorted
     assert(merged == oneShot)
   }
+
+  test("clusterPairs equals naive union-find; a 200-link chain converges in default rounds") {
+    // the chain's diameter (199) is far beyond what diameter-bound
+    // min-label propagation covers in default rounds — star contraction
+    // must resolve it in O(log² n); ids offset so the chain and the
+    // random graph are distinct components
+    val chain = (0L until 200L).sliding(2).map(s => (s.head + 1000L, s.last + 1000L)).toSeq
+    val randPairs = Seq.fill(150)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+    val all = chain ++ randPairs
+    val got = Dedup.clusterPairs(all.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    // naive union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- all) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == expected)
+    assert(got.filter(_._1 >= 1000L).values.toSet == Set(1000L))
+  }
 }
