@@ -1,0 +1,188 @@
+package graft.sources
+
+import graft.etl.Validate
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Distributed HTTP ingestion — the reference's entry point
+  * (reference: ingestion/fetch_movies.py:103-220,
+  * `ConcurrentMovieIngestion`), re-expressed as a Spark operator. The
+  * reference runs a driver-side thread pool over a hardcoded id list;
+  * here the id/URL table IS a DataFrame and the fetch is a
+  * `mapPartitions` pass, so a 1,000-executor cluster fetches a
+  * billion-row URL table with per-partition connection pooling and no
+  * driver bottleneck. Same per-request contract as the reference:
+  *
+  *  - 200 → success, body captured.
+  *  - 429 → honor `Retry-After` (seconds; capped by
+  *    `Policy.maxWaitMillis`), falling back to exponential backoff,
+  *    then retry; each wait consumes an attempt.
+  *  - 401/403/404 → PERMANENT: reject immediately as `HTTP_<code>`
+  *    with no retry (fetch_movies.py:160-170).
+  *  - other statuses, timeouts, connection errors → RETRYABLE:
+  *    exponential backoff (`backoffMillis · 2^(attempt−1)`), then
+  *    `MAX_RETRIES_EXCEEDED` once attempts run out.
+  *  - anything non-I/O → `UNEXPECTED_<exception>` without retry.
+  *
+  * Scale notes: one `HttpClient` per PARTITION (the reference pools
+  * per worker thread; fetch_movies.py:108-115), so parallelism — and
+  * therefore the aggregate request rate against the remote API — is
+  * set by partition count × executor cores; use `parallelism` to pin
+  * it independently of the input's layout. Results stream out of the
+  * partition iterator lazily: nothing accumulates in memory and the
+  * downstream Bronze write backpressures the fetch.
+  */
+object HttpFetch {
+
+  /** One fetched URL. `status` is the LAST status seen (None when the
+    * request never got a response); `error` is null on success. */
+  final case class FetchResult(
+      id: Long,
+      url: String,
+      success: Boolean,
+      status: Option[Int],
+      body: Option[String],
+      error: Option[String],
+      attempts: Int)
+
+  /** Retry policy; defaults mirror the reference (3 attempts, 2 s
+    * exponential base, 10 s request timeout). */
+  final case class Policy(
+      maxRetries: Int = 3,
+      backoffMillis: Long = 2000L,
+      timeoutMillis: Long = 10000L,
+      maxWaitMillis: Long = 60000L,
+      permanentStatuses: Set[Int] = Set(401, 403, 404)) {
+    require(maxRetries >= 1, s"maxRetries must be >= 1, got $maxRetries")
+    require(backoffMillis >= 0 && maxWaitMillis >= 0 && timeoutMillis > 0,
+      "backoff/wait must be >= 0 and timeout > 0")
+  }
+
+  /** Fetch every (id, url) row of `requests`. Emits one [[FetchResult]]
+    * per input row; `parallelism` repartitions first so the request
+    * concurrency (and the politeness toward the remote API) is chosen
+    * explicitly rather than inherited from the input's file layout. */
+  def fetchAll(
+      requests: DataFrame,
+      policy: Policy = Policy(),
+      parallelism: Option[Int] = None): Dataset[FetchResult] = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val in = requests.select(col("id").cast("long"), col("url").cast("string"))
+      .as[(Long, String)]
+    val shaped = parallelism.fold(in)(n => in.repartition(n))
+    val p = policy
+    shaped.mapPartitions { it =>
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(p.timeoutMillis))
+        .build()
+      it.map { case (id, url) => fetchOne(client, id, url, p) }
+    }
+  }
+
+  /** The per-request retry loop (reference: fetch_single_movie,
+    * fetch_movies.py:117-205). Package-private for direct unit tests. */
+  private[sources] def fetchOne(
+      client: java.net.http.HttpClient, id: Long, url: String, p: Policy): FetchResult = {
+    var lastStatus: Option[Int] = None
+    var attempt = 0
+    while (attempt < p.maxRetries) {
+      attempt += 1
+      val backoff = math.min(p.backoffMillis << (attempt - 1), p.maxWaitMillis)
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(p.timeoutMillis))
+          .GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val status = resp.statusCode()
+        lastStatus = Some(status)
+        if (status == 200)
+          return FetchResult(id, url, success = true, Some(200), Some(resp.body()), None, attempt)
+        if (p.permanentStatuses(status))
+          return FetchResult(id, url, success = false, Some(status), None,
+            Some(s"HTTP_$status"), attempt)
+        if (attempt < p.maxRetries) {
+          val retryAfter = resp.headers().firstValue("Retry-After")
+          val wait =
+            if (status == 429 && retryAfter.isPresent)
+              try math.min(retryAfter.get.trim.toLong * 1000L, p.maxWaitMillis)
+              catch { case _: NumberFormatException => backoff }
+            else backoff
+          Thread.sleep(wait)
+        }
+      } catch {
+        case _: java.net.http.HttpTimeoutException | _: java.io.IOException =>
+          // transient transport failure — retryable, like the
+          // reference's Timeout/RequestException arms
+          if (attempt < p.maxRetries) Thread.sleep(backoff)
+        case e: InterruptedException => throw e
+        case e: Throwable =>
+          return FetchResult(id, url, success = false, lastStatus, None,
+            Some(s"UNEXPECTED_${e.getClass.getSimpleName}"), attempt)
+      }
+    }
+    FetchResult(id, url, success = false, lastStatus, None,
+      Some("MAX_RETRIES_EXCEEDED"), attempt)
+  }
+
+  /** The reference's structural payload validation
+    * (fetch_movies.py:67-105, `is_valid_movie`) as [[Validate.Rule]]s
+    * over a raw JSON body column: numeric id, non-empty title,
+    * credits.cast/crew present AND arrays, and not an API-error
+    * payload (`"success": false`). First failing rule names the
+    * rejection, same as every other A1 routing. */
+  def movieRules(body: Column): Seq[Validate.Rule] = Seq(
+    // rlike, not cast: ANSI mode makes a failed cast THROW mid-scan,
+    // and the whole point of this rule is routing malformed payloads
+    Validate.Rule("missing_id",
+      coalesce(get_json_object(body, "$.id"), lit("")).rlike("^-?[0-9]+$")),
+    Validate.Rule("missing_title",
+      length(trim(coalesce(get_json_object(body, "$.title"), lit("")))) > 0),
+    Validate.Rule("bad_credits_cast",
+      json_array_length(get_json_object(body, "$.credits.cast")).isNotNull),
+    Validate.Rule("bad_credits_crew",
+      json_array_length(get_json_object(body, "$.credits.crew")).isNotNull),
+    Validate.Rule("api_error_payload",
+      coalesce(get_json_object(body, "$.success"), lit("")) =!= "false"))
+
+  /** Bronze routing for a fetch pass (reference: fetch_movies.py
+    * main — raw JSON dump, parquet with audit columns, rejected-ids
+    * file). All three writes are DISTRIBUTED (the reference collects
+    * to the driver and json.dumps — a non-starter beyond toy scale):
+    *
+    *  - `<outRoot>/raw_json/run_id=<runId>/` — line-delimited raw
+    *    bodies, the immutable Bronze of record.
+    *  - `<outRoot>/bronze/run_id=<runId>/` — parquet of valid rows
+    *    (id, body, ingestion_ts) — audit columns per A2.
+    *  - `<outRoot>/rejected/run_id=<runId>/` — parquet of (id, error):
+    *    fetch failures keep their transport error; fetched-but-invalid
+    *    payloads carry their first failing rule.
+    *
+    * Returns (validCount, rejectedCount).
+    *
+    * The fetch results are MATERIALIZED once up front
+    * ([[graft.operators.Lineage.truncate]]): the three writes and two
+    * counts are five plan consumers, and without truncation each one
+    * would RE-EXECUTE the fetch — five full passes of network traffic
+    * against the remote API. */
+  def writeBronze(results: Dataset[FetchResult], outRoot: String, runId: String): (Long, Long) = {
+    val df = graft.operators.Lineage.truncate(results.toDF())
+    val fetched = df.filter(col("success"))
+    val checked = Validate.withRejectReason(fetched, movieRules(col("body")))
+    val valid = checked.filter(col("reject_reason").isNull)
+    valid.select(col("body")).write.mode("overwrite")
+      .text(s"$outRoot/raw_json/run_id=$runId")
+    valid.select(col("id"), col("body"),
+        current_timestamp().as("ingestion_ts"), lit(runId).as("run_id"))
+      .write.mode("overwrite").parquet(s"$outRoot/bronze/run_id=$runId")
+    val rejected = df.filter(!col("success"))
+      .select(col("id"), col("error"))
+      .unionByName(checked.filter(col("reject_reason").isNotNull)
+        .select(col("id"), col("reject_reason").as("error")))
+    rejected.write.mode("overwrite").parquet(s"$outRoot/rejected/run_id=$runId")
+    val nValid = valid.count()
+    val nRejected = rejected.count()
+    (nValid, nRejected)
+  }
+}

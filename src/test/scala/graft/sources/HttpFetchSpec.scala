@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.SparkSpec
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+/** The ingestion connector against an in-process HTTP stub (no external
+  * network): retry-then-success, Retry-After honoring, permanent
+  * failures without retry, exhaustion, and the Bronze routing layout.
+  */
+class HttpFetchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hits = new ConcurrentHashMap[String, AtomicInteger]()
+  private var server: HttpServer = _
+  private var base: String = _
+
+  private def count(path: String): Int =
+    hits.computeIfAbsent(path, _ => new AtomicInteger()).incrementAndGet()
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+      headers: Map[String, String] = Map.empty): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def movieJson(id: Long, title: String = "A Film"): String =
+    s"""{"id":$id,"title":"$title","credits":{"cast":[{"name":"x"}],"crew":[]}}"""
+
+  override protected def withFixture(test: NoArgTest) = {
+    if (server == null) {
+      server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", { ex =>
+        val path = ex.getRequestURI.getPath
+        val n = count(path)
+        path match {
+          case p if p.startsWith("/ok/") =>
+            respond(ex, 200, movieJson(p.stripPrefix("/ok/").toLong))
+          case p if p.startsWith("/flaky/") => // 500 twice, then 200
+            if (n <= 2) respond(ex, 500, "boom")
+            else respond(ex, 200, movieJson(p.stripPrefix("/flaky/").toLong))
+          case p if p.startsWith("/throttle/") => // one 429 w/ Retry-After, then 200
+            if (n == 1) respond(ex, 429, "slow down", Map("Retry-After" -> "1"))
+            else respond(ex, 200, movieJson(p.stripPrefix("/throttle/").toLong))
+          case p if p.startsWith("/gone/") => respond(ex, 404, "nope")
+          case p if p.startsWith("/always500/") => respond(ex, 500, "boom")
+          case p if p.startsWith("/badpayload/") => // fetches fine, fails validation
+            respond(ex, 200, s"""{"id":"not-a-number","title":""}""")
+          case p if p.startsWith("/apierror/") =>
+            respond(ex, 200, """{"id":7,"title":"t","credits":{"cast":[],"crew":[]},"success":false}""")
+          case _ => respond(ex, 404, "")
+        }
+      })
+      server.start()
+      base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    }
+    super.withFixture(test)
+  }
+
+  private val fastPolicy = HttpFetch.Policy(maxRetries = 3, backoffMillis = 10L,
+    timeoutMillis = 5000L, maxWaitMillis = 1500L)
+
+  private def fetch(idPaths: (Long, String)*): Map[Long, HttpFetch.FetchResult] =
+    HttpFetch.fetchAll(
+        idPaths.map { case (id, p) => (id, s"$base$p") }.toSeq.toDF("id", "url"),
+        fastPolicy)
+      .collect().map(r => r.id -> r).toMap
+
+  test("success, retry-then-success, and permanent failure route correctly") {
+    val r = fetch(1L -> "/ok/1", 2L -> "/flaky/2", 3L -> "/gone/3")
+    assert(r(1L).success && r(1L).attempts == 1 && r(1L).body.get.contains("\"id\":1"))
+    assert(r(2L).success && r(2L).attempts == 3, s"flaky: ${r(2L)}")
+    assert(hits.get("/flaky/2").get == 3)
+    assert(!r(3L).success && r(3L).error.contains("HTTP_404") && r(3L).attempts == 1)
+    assert(hits.get("/gone/3").get == 1, "permanent failure must not retry")
+  }
+
+  test("429 honors Retry-After and then succeeds") {
+    val t0 = System.nanoTime()
+    val r = fetch(4L -> "/throttle/4")
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(r(4L).success && r(4L).attempts == 2)
+    assert(hits.get("/throttle/4").get == 2)
+    assert(elapsedMs >= 1000, s"Retry-After: 1 not honored (took ${elapsedMs}ms)")
+  }
+
+  test("persistent 500 exhausts retries with MAX_RETRIES_EXCEEDED") {
+    val r = fetch(5L -> "/always500/5")
+    assert(!r(5L).success && r(5L).error.contains("MAX_RETRIES_EXCEEDED"))
+    assert(r(5L).status.contains(500) && r(5L).attempts == 3)
+    assert(hits.get("/always500/5").get == 3)
+  }
+
+  test("connection refused is retryable and ends in MAX_RETRIES_EXCEEDED") {
+    // a port nothing listens on — IOException path
+    val r = HttpFetch.fetchAll(
+        Seq((6L, "http://127.0.0.1:1/x")).toDF("id", "url"), fastPolicy)
+      .collect().head
+    assert(!r.success && r.error.contains("MAX_RETRIES_EXCEEDED") && r.status.isEmpty)
+  }
+
+  test("writeBronze lays out raw json, bronze parquet, and rejected routing") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bronze").toString
+    val results = HttpFetch.fetchAll(
+      Seq((10L, s"$base/ok/10"), (11L, s"$base/gone/11"),
+        (12L, s"$base/badpayload/12"), (13L, s"$base/apierror/13"))
+        .toDF("id", "url"),
+      fastPolicy)
+    val (nValid, nRejected) = HttpFetch.writeBronze(results, out, runId = "r1")
+    assert(nValid == 1 && nRejected == 3)
+    // raw json: one line per valid doc, verbatim body
+    val raw = spark.read.text(s"$out/raw_json/run_id=r1").as[String].collect()
+    assert(raw.length == 1 && raw.head == movieJson(10L))
+    // bronze parquet carries audit columns
+    val bronze = spark.read.parquet(s"$out/bronze/run_id=r1")
+    assert(bronze.columns.toSet == Set("id", "body", "ingestion_ts", "run_id"))
+    assert(bronze.select("id").as[Long].collect().toSeq == Seq(10L))
+    // rejected: transport error for 11, first failing rule for 12/13
+    val rej = spark.read.parquet(s"$out/rejected/run_id=r1")
+      .as[(Long, String)].collect().toMap
+    assert(rej == Map(11L -> "HTTP_404", 12L -> "missing_id", 13L -> "api_error_payload"))
+  }
+}
