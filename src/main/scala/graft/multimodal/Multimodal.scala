@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   *
   * Media payloads are opaque `binary` columns with a typed metadata
   * struct alongside — the layout a 100 TB multimodal corpus uses
-  * (parquet binary + stats, partition-prunable metadata). Image decode
-  * is REAL (JDK `javax.imageio`, header-only, per-partition reader
-  * reuse); only non-image codecs (audio/video, which the JDK does not
-  * ship) remain a clearly-marked deterministic stub.
+  * (parquet binary + stats, partition-prunable metadata). All decode is
+  * REAL and pure-JDK: images via `javax.imageio` (header-only,
+  * per-partition reader reuse), WAV/AIFF/AU via
+  * `javax.sound.sampled`'s header parser, MP4/MOV via a defensive
+  * ISO-BMFF box walk. Payloads matching no parseable container are
+  * flagged `decoded = false` with sentinel fields — never fabricated
+  * values, never a task failure.
   */
 object Multimodal {
 
@@ -87,27 +90,168 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   // ======================================================================
-  // STUB: non-image decode. The JDK ships no audio/video codecs, so
-  // dimensions for non-image media derive DETERMINISTICALLY from the
-  // payload bytes (decoded=false marks them as placeholders). A
-  // production build swaps this one function for an ffmpeg binding held
-  // per-partition exactly like the image readers above.
+  // Audio/video metadata — pure JDK, no native codecs: WAV (and AIFF/AU)
+  // through javax.sound.sampled's header parser, MP4/MOV through a
+  // defensive ISO-BMFF box walk (mvhd for timescale/duration, tkhd for
+  // the video track's 16.16 fixed-point dimensions). Header-only, like
+  // the image fast path: cost is O(header bytes) per record.
   // ======================================================================
-  private def stubDecode(content: Array[Byte]): (Int, Int) = {
-    val n = content.length
-    (64 + n % 64, 64 + (n / 64) % 64) // fake width/height — deterministic
+
+  /** Audio/video container sniffed from magic bytes: RIFF/WAVE, ISO
+    * base-media ftyp (mp4/mov/m4a), AIFF `FORM`, AU `.snd`. */
+  def sniffAvFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') Some("wav")
+    else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') Some("mp4")
+    else if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F') Some("aiff")
+    else if (b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') Some("au")
+    else None
+
+  /** Parsed audio stream properties (header-only; no sample decode). */
+  final case class AudioMeta(durationMs: Long, sampleRate: Int, channels: Int, bitsPerSample: Int)
+
+  /** WAV/AIFF/AU metadata via `javax.sound.sampled` — the JDK's own
+    * header parser, so malformed payloads are ITS problem to reject
+    * (wrapped to None, never a task failure). */
+  def audioMetadata(bytes: Array[Byte]): Option[AudioMeta] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength
+      val durMs =
+        if (frames >= 0 && fmt.getFrameRate > 0)
+          math.round(frames * 1000.0 / fmt.getFrameRate)
+        else -1L
+      Some(AudioMeta(durMs, math.round(fmt.getSampleRate),
+        fmt.getChannels, fmt.getSampleSizeInBits))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Parsed MP4 movie-header properties: presentation duration plus the
+    * first video track's pixel dimensions (0×0 when no track carries
+    * spatial extent, e.g. audio-only m4a). */
+  final case class Mp4Meta(durationMs: Long, width: Int, height: Int)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  /** ISO-BMFF box walk. Every offset is bounds-checked and sizes are
+    * validated to strictly advance, so truncated or adversarial payloads
+    * return None instead of looping or throwing. */
+  def mp4Metadata(bytes: Array[Byte]): Option[Mp4Meta] = {
+    // children of [start, end): Seq of (boxType, contentStart, contentEnd)
+    def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var o = start
+      var sane = true
+      while (sane && o + 8 <= end) {
+        val size32 = be32(bytes, o)
+        val tpe = new String(bytes, o + 4, 4, "ISO-8859-1")
+        val (contentStart, boxEnd) =
+          if (size32 == 1L && o + 16 <= end) (o + 16, o + be64(bytes, o + 8))
+          else if (size32 == 0L) (o + 8, end.toLong) // box runs to end
+          else (o + 8, o + size32)
+        if (boxEnd > end || boxEnd <= o || contentStart > boxEnd) sane = false
+        else {
+          out += ((tpe, contentStart, boxEnd.toInt))
+          o = boxEnd.toInt
+        }
+      }
+      if (sane) out.result() else Seq.empty
+    }
+    def find(start: Int, end: Int, tpe: String): Option[(Int, Int)] =
+      boxes(start, end).collectFirst { case (`tpe`, s, e) => (s, e) }
+    try {
+      for {
+        _ <- sniffAvFormat(bytes).filter(_ == "mp4")
+        (moovS, moovE) <- find(0, bytes.length, "moov")
+        (mvhdS, mvhdE) <- find(moovS, moovE, "mvhd")
+        meta <- {
+          val v = bytes(mvhdS) & 0xFF
+          // v0: ver/flags 4, creation 4, modification 4, timescale 4, duration 4
+          // v1: ver/flags 4, creation 8, modification 8, timescale 4, duration 8
+          val (tsOff, durOff, dur64) = if (v == 1) (20, 24, true) else (12, 16, false)
+          if (mvhdS + durOff + (if (dur64) 8 else 4) > mvhdE) None
+          else {
+            val timescale = be32(bytes, mvhdS + tsOff)
+            val duration = if (dur64) be64(bytes, mvhdS + durOff) else be32(bytes, mvhdS + durOff)
+            val durMs = if (timescale > 0) duration * 1000L / timescale else -1L
+            // first trak whose tkhd carries nonzero 16.16 dimensions
+            val dims = boxes(moovS, moovE).collect { case ("trak", s, e) => (s, e) }
+              .flatMap { case (s, e) => find(s, e, "tkhd") }
+              .flatMap { case (ts, te) =>
+                val tv = bytes(ts) & 0xFF
+                // width/height are the last 8 bytes of the fixed-size
+                // body: ver/flags 4 + times/id/duration (20 v0, 32 v1)
+                // + reserved 8 + layer/group/volume/reserved 8 +
+                // matrix 36 → width at 76 (v0) / 88 (v1)
+                val wOff = ts + (if (tv == 1) 88 else 76)
+                if (wOff + 8 > te) None
+                else Some(((be32(bytes, wOff) >> 16).toInt, (be32(bytes, wOff + 4) >> 16).toInt))
+              }
+              .find { case (w, h) => w > 0 && h > 0 }
+            val (w, h) = dims.getOrElse((0, 0))
+            Some(Mp4Meta(durMs, w, h))
+          }
+        }
+      } yield meta
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One media row's audio/video metadata: container from magic bytes,
+    * duration always, stream properties where the container carries
+    * them (audio: rate/channels/bits; video: width/height). `decoded`
+    * false ⇒ the payload matched no parseable container and every
+    * numeric field is -1. */
+  final case class AvMetadata(media_id: Long, container: String, duration_ms: Long,
+                              sample_rate: Int, channels: Int, bits_per_sample: Int,
+                              width: Int, height: Int, decoded: Boolean)
+
+  /** Partition-parallel audio/video metadata extraction — the A/V
+    * sibling of [[extractFeatures]], same shape: `mapPartitions`,
+    * header-only parsing, malformed payloads flagged instead of failing
+    * the task. Fields that do not apply to a container are 0 (parsed,
+    * dimensionless), -1 only when nothing parsed. */
+  def extractAvMetadata(spark: SparkSession, media: DataFrame): Dataset[AvMetadata] = {
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          sniffAvFormat(bytes) match {
+            case Some("mp4") =>
+              mp4Metadata(bytes) match {
+                case Some(m) => AvMetadata(id, "mp4", m.durationMs, 0, 0, 0, m.width, m.height, decoded = true)
+                case None => AvMetadata(id, "mp4", -1, -1, -1, -1, -1, -1, decoded = false)
+              }
+            case Some(container) => // wav/aiff/au → the JDK audio parser
+              audioMetadata(bytes) match {
+                case Some(a) =>
+                  AvMetadata(id, container, a.durationMs, a.sampleRate, a.channels,
+                    a.bitsPerSample, 0, 0, decoded = true)
+                case None => AvMetadata(id, container, -1, -1, -1, -1, -1, -1, decoded = false)
+              }
+            case None => AvMetadata(id, "unknown", -1, -1, -1, -1, -1, -1, decoded = false)
+          }
+        }
+      }
   }
 
   /** Partition-parallel feature extraction over media records.
     * `mapPartitions` so codec state initializes ONCE per partition: one
     * reusable CRC32 and one `ImageReader` per image format, never
     * per-row. Records stream through in batches so a batched codec API
-    * amortizes per-call overhead. Decode routing: payloads whose magic
-    * bytes identify a JDK-decodable image get REAL header dimensions;
-    * undecodable payloads claiming an image MIME type get (-1, -1);
-    * everything
-    * else (audio/video) gets the labeled stub. Output is a typed Dataset
-    * with a stable schema for downstream SQL. */
+    * amortizes per-call overhead. Decode routing by magic bytes (never
+    * the claimed MIME type): JDK-decodable images get REAL header
+    * dimensions; MP4 video gets its tkhd dimensions; parseable audio
+    * gets (0, 0) decoded=true (real parse, dimensionless container —
+    * stream properties live in [[extractAvMetadata]]); anything else is
+    * (-1, -1) decoded=false. Output is a typed Dataset with a stable
+    * schema for downstream SQL. */
   /** A generated thumbnail: re-encoded PNG bytes + final dimensions.
     * `ok = false` (empty bytes, -1×-1) marks undecodable payloads. */
   final case class Thumbnail(media_id: Long, width: Int, height: Int,
@@ -175,8 +319,15 @@ object Multimodal {
             crc.update(bytes)
             val (w, h, decoded) = sniffImageFormat(bytes).flatMap(headerDims(readers, _, bytes)) match {
               case Some((rw, rh)) => (rw, rh, true)
-              case None if mt.startsWith("image/") => (-1, -1, false)
-              case None => val (sw, sh) = stubDecode(bytes); (sw, sh, false)
+              case None => sniffAvFormat(bytes) match {
+                case Some("mp4") => mp4Metadata(bytes) match {
+                  case Some(m) => (m.width, m.height, true)
+                  case None => (-1, -1, false)
+                }
+                case Some(_) =>
+                  if (audioMetadata(bytes).isDefined) (0, 0, true) else (-1, -1, false)
+                case None => (-1, -1, false)
+              }
             }
             MediaFeatures(id, mt, bytes.length.toLong, crc.getValue, w, h, decoded)
           }

@@ -61,15 +61,89 @@ class MultimodalSpec extends SparkSpec {
       Seq((-1, -1, false), (-1, -1, false)))
   }
 
-  test("extractFeatures stubs non-image media deterministically") {
+  test("extractFeatures: unparseable non-image media is flagged, never fabricated") {
     val m = Multimodal.asMedia(docs, "doc_id", "text", "audio/wav", "source").repartition(2)
     val f = Multimodal.extractFeatures(spark, m).collect().sortBy(_.media_id)
     assert(f.length == 2)
-    assert(f(0).byte_len == 5L && f(0).width == 64 + 5 % 64)
-    assert(f.forall(!_.decoded))
-    // deterministic across runs
-    val f2 = Multimodal.extractFeatures(spark, m).collect().sortBy(_.media_id)
-    assert(f.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
+    assert(f(0).byte_len == 5L)
+    assert(f.forall(r => !r.decoded && r.width == -1 && r.height == -1))
+  }
+
+  /** A REAL in-memory WAV payload via the JDK encoder: 16-bit PCM,
+    * `seconds` of frames at `sampleRate`. */
+  private def wavBytes(sampleRate: Float, channels: Int, seconds: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val nFrames = math.round(sampleRate * seconds).toInt
+    val data = new Array[Byte](nFrames * fmt.getFrameSize)
+    data.indices.foreach(i => data(i) = (i % 251).toByte)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  // ---- minimal REAL ISO-BMFF (MP4) payload, built box by box ----
+  private def be32(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def box(tpe: String, content: Array[Byte]*): Array[Byte] = {
+    val body = content.flatten.toArray
+    be32(8L + body.length) ++ tpe.getBytes("ISO-8859-1") ++ body
+  }
+  private def mp4Bytes(timescale: Long, duration: Long, w: Int, h: Int): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes, be32(512), "isomiso2".getBytes)
+    // mvhd v0 up through duration (the parsed prefix), zero-padded tail
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(timescale), be32(duration),
+      new Array[Byte](80))
+    // audio-only track first (0×0) to prove the video-track scan skips it
+    def tkhd(tw: Int, th: Int) = box("tkhd",
+      new Array[Byte](24 + 16 + 36), // ver/flags..duration + reserveds + matrix
+      be32(tw.toLong << 16), be32(th.toLong << 16))
+    val moov = box("moov", mvhd, box("trak", tkhd(0, 0)), box("trak", tkhd(w, h)))
+    ftyp ++ moov
+  }
+
+  test("audioMetadata parses a real WAV header: rate, channels, bits, duration") {
+    val b = wavBytes(8000f, 2, 0.5)
+    assert(Multimodal.sniffAvFormat(b).contains("wav"))
+    val m = Multimodal.audioMetadata(b).get
+    assert(m.sampleRate == 8000 && m.channels == 2 && m.bitsPerSample == 16)
+    assert(m.durationMs == 500L)
+  }
+
+  test("mp4Metadata walks boxes to mvhd duration + video-track dimensions") {
+    val b = mp4Bytes(timescale = 600, duration = 3000, w = 640, h = 360)
+    assert(Multimodal.sniffAvFormat(b).contains("mp4"))
+    val m = Multimodal.mp4Metadata(b).get
+    assert(m.durationMs == 5000L && m.width == 640 && m.height == 360)
+    // truncated/garbage payloads parse to None, never throw
+    assert(Multimodal.mp4Metadata(b.take(40)).isEmpty)
+    assert(Multimodal.mp4Metadata("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("extractAvMetadata routes wav/mp4/unknown per partition") {
+    val media = Seq(
+      (1L, wavBytes(16000f, 1, 0.25)),
+      (2L, mp4Bytes(1000, 2500, 320, 240)),
+      (3L, "definitely not media".getBytes("UTF-8")))
+      .toDF("media_id", "content").repartition(2)
+    val f = Multimodal.extractAvMetadata(spark, media).collect().sortBy(_.media_id)
+    assert(f(0).container == "wav" && f(0).decoded &&
+      f(0).sample_rate == 16000 && f(0).channels == 1 && f(0).duration_ms == 250L &&
+      f(0).width == 0 && f(0).height == 0)
+    assert(f(1).container == "mp4" && f(1).decoded &&
+      f(1).duration_ms == 2500L && f(1).width == 320 && f(1).height == 240)
+    assert(f(2).container == "unknown" && !f(2).decoded && f(2).duration_ms == -1L)
+  }
+
+  test("extractFeatures gives mp4 video its real dimensions and audio (0,0) decoded") {
+    val media = Seq(
+      (1L, "video/mp4", "s", mp4Bytes(600, 600, 128, 96)),
+      (2L, "audio/wav", "s", wavBytes(8000f, 1, 0.1)))
+      .toDF("media_id", "media_type", "source", "content")
+    val f = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(f(0).decoded && f(0).width == 128 && f(0).height == 96)
+    assert(f(1).decoded && f(1).width == 0 && f(1).height == 0)
   }
 
   test("thumbnails: real pixel decode + aspect-preserving resize + PNG re-encode") {
