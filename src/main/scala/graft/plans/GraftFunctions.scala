@@ -1,0 +1,94 @@
+package graft.plans
+
+import graft.expressions._
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+/** SQL surface for graft's native expressions. Without this, `graft_dot`,
+  * hyperplane signatures, and the KLL/Theta sketch aggregates are
+  * Scala-API-only and a SQL-first user cannot reach them; registered
+  * through the same `spark.sql.extensions=graft.plans.GraftExtensions`
+  * hook that already carries the dot-product optimizer rule, they work
+  * in `spark.sql(...)`, views, and thrift-server queries exactly like
+  * built-ins.
+  *
+  * Config arguments (k, lgK, tables/bits/dims, set op) must be LITERALS
+  * — they parameterize the expression itself (sketch size, plane count)
+  * and cannot vary per row, mirroring how Spark's own
+  * `approx_count_distinct` treats its precision argument.
+  */
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  private def intArg(fn: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got ${other.sql}")
+  }
+
+  private def strArg(fn: String, arg: String, e: Expression): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got ${other.sql}")
+  }
+
+  private def arity(fn: String, expected: String, got: Seq[Expression]): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn expects $expected arguments, got ${got.length}")
+
+  private def fn(name: String, usage: String)(builder: Builder): (FunctionIdentifier, ExpressionInfo, Builder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.plans.GraftFunctions", null, name, usage, ""),
+      builder)
+
+  /** Every registered SQL function. One list so the extensions hook and
+    * any direct registry use stay in lockstep. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    fn("graft_dot",
+      "graft_dot(a array<double>, b array<double>) - fused native dot product") {
+      case Seq(a, b) => DotProduct(a, b)
+      case args => arity("graft_dot", "2", args)
+    },
+    fn("graft_hyperplane_sigs",
+      "graft_hyperplane_sigs(v array<double>, tables int, bits int, dims int) - LSH band signatures") {
+      case Seq(v, t, b, d) =>
+        HyperplaneSigs(v, intArg("graft_hyperplane_sigs", "tables", t),
+          intArg("graft_hyperplane_sigs", "bits", b),
+          intArg("graft_hyperplane_sigs", "dims", d))
+      case args => arity("graft_hyperplane_sigs", "4", args)
+    },
+    fn("graft_kll_sketch_agg",
+      "graft_kll_sketch_agg(x double, k int) - mergeable KLL quantile sketch (binary)") {
+      case Seq(x, k) => KllSketchAgg(x, intArg("graft_kll_sketch_agg", "k", k))
+      case args => arity("graft_kll_sketch_agg", "2", args)
+    },
+    fn("graft_kll_union_agg",
+      "graft_kll_union_agg(sketch binary, k int) - union of serialized KLL sketches") {
+      case Seq(s, k) => KllUnionAgg(s, intArg("graft_kll_union_agg", "k", k))
+      case args => arity("graft_kll_union_agg", "2", args)
+    },
+    fn("graft_kll_quantile",
+      "graft_kll_quantile(sketch binary, q double) - quantile estimate from a KLL sketch") {
+      case Seq(s, q) => KllQuantile(s, q)
+      case args => arity("graft_kll_quantile", "2", args)
+    },
+    fn("graft_theta_sketch_agg",
+      "graft_theta_sketch_agg(x string|long, lgK int) - mergeable Theta distinct sketch (binary)") {
+      case Seq(x, lgK) => ThetaSketchAgg(x, intArg("graft_theta_sketch_agg", "lgK", lgK))
+      case args => arity("graft_theta_sketch_agg", "2", args)
+    },
+    fn("graft_theta_union_agg",
+      "graft_theta_union_agg(sketch binary, lgK int) - union of serialized Theta sketches") {
+      case Seq(s, lgK) => ThetaUnionAgg(s, intArg("graft_theta_union_agg", "lgK", lgK))
+      case args => arity("graft_theta_union_agg", "2", args)
+    },
+    fn("graft_theta_estimate",
+      "graft_theta_estimate(a binary, b binary, op string, lgK int) - union/intersect/diff estimate") {
+      case Seq(a, b, op, lgK) =>
+        ThetaSetEstimate(a, b, strArg("graft_theta_estimate", "op", op),
+          intArg("graft_theta_estimate", "lgK", lgK))
+      case args => arity("graft_theta_estimate", "4", args)
+    })
+}

@@ -54,8 +54,12 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
 }
 
 /** Session-extensions entry point:
-  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. Injects
+  * the dot-product rewrite rule AND the SQL registrations of every
+  * native graft expression ([[GraftFunctions.all]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    GraftFunctions.all.foreach(ext.injectFunction)
+  }
 }

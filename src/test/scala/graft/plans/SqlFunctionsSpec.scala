@@ -1,0 +1,96 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+
+/** The SQL surface: every native expression must be reachable from
+  * `spark.sql(...)` when the session carries
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. Runs in a
+  * SECOND session on the shared SparkContext so the extension path is
+  * exercised exactly as a user's cluster config would.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+
+  private lazy val ext: SparkSession = {
+    spark // force the shared session (and its SparkContext) first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions, not the spark.sql.extensions conf: the static conf
+    // is read from the (already-running, shared) SparkContext, so only
+    // the builder hook can attach extensions to this second session
+    try SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sql-ext")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.ansi.enabled", "true")
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("graft_dot evaluates natively from SQL") {
+    val d = ext.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(d == 11.0)
+  }
+
+  test("graft_hyperplane_sigs from SQL matches the Scala column API") {
+    import org.apache.spark.sql.functions._
+    val fromSql = ext.sql(
+      "SELECT graft_hyperplane_sigs(array(0.5d, -1.25d, 2.0d), 4, 8, 3) AS s")
+      .collect().head.getSeq[Long](0)
+    val fromApi = ext.range(1)
+      .select(graft.expressions.VectorExpressions.hyperplaneSigsNative(
+        expr("array(0.5d, -1.25d, 2.0d)"), 4, 8, 3).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(fromSql == fromApi && fromSql.length == 4)
+  }
+
+  test("KLL sketch → union → quantile, all in SQL") {
+    ext.range(0, 1000).createOrReplaceTempView("xs")
+    val med = ext.sql(
+      """WITH parts AS (
+        |  SELECT id % 4 AS g, graft_kll_sketch_agg(CAST(id AS DOUBLE), 200) AS sk
+        |  FROM xs GROUP BY id % 4)
+        |SELECT graft_kll_quantile(graft_kll_union_agg(sk, 200), 0.5d) AS med
+        |FROM parts""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(med - 500.0) < 25, s"median estimate $med")
+  }
+
+  test("Theta sketch set algebra in SQL") {
+    ext.range(0, 600).createOrReplaceTempView("ids")
+    // group 0: ids [0, 400); group 1: ids [200, 600) — overlap 200
+    val row = ext.sql(
+      """WITH sk AS (
+        |  SELECT 0 AS g, graft_theta_sketch_agg(id, 14) AS s FROM ids WHERE id < 400
+        |  UNION ALL
+        |  SELECT 1 AS g, graft_theta_sketch_agg(id, 14) AS s FROM ids WHERE id >= 200)
+        |SELECT graft_theta_estimate(a.s, b.s, 'union', 14) AS u,
+        |       graft_theta_estimate(a.s, b.s, 'intersect', 14) AS i,
+        |       graft_theta_estimate(a.s, b.s, 'diff', 14) AS d
+        |FROM sk a JOIN sk b ON a.g = 0 AND b.g = 1""".stripMargin)
+      .collect().head
+    assert(row.getLong(0) == 600L && row.getLong(1) == 200L && row.getLong(2) == 200L,
+      s"got ${row}")
+  }
+
+  test("config arguments reject non-literals with a clear error") {
+    val e = intercept[Exception] {
+      ext.sql("SELECT graft_kll_sketch_agg(CAST(id AS DOUBLE), CAST(id AS INT)) FROM range(3)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
+  test("the shared session is NOT polluted by the extension session") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d), array(1.0d))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("unresolved")
+      || err.getMessage.contains("graft_dot"), err.getMessage)
+  }
+}
