@@ -109,4 +109,39 @@ object Manifest {
       .select("file").distinct()
       .collect().map(_.getString(0)).toSeq
   }
+
+  /** Manifest-pruned range scan — C24's manifest composed with C17's
+    * layout into the one-call read path: prune the FILE LIST through
+    * the manifest, open only survivors, then apply the row-level
+    * predicate on what remains. Semantically identical to
+    * `spark.read.parquet(dir).filter(column between lo and hi)` —
+    * file-level stats give a SUPERSET of matching files, and the kept
+    * row filter (still pushed into the surviving scans) removes the
+    * rest — but on a z-ordered/sorted layout the scan opens a handful
+    * of files instead of listing and footer-reading all of them, which
+    * at 800k files is the difference between a metadata lookup and a
+    * minute of driver/NN churn.
+    *
+    * Pass the persisted `manifest` (the production path — rebuilding
+    * per query would re-read every footer); omit it only for ad-hoc
+    * use, where [[build]] runs first over just `column`. An empty
+    * candidate set returns an empty DataFrame with the layout's schema
+    * without touching a single data file. */
+  def prunedRead(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double,
+      manifest: Option[DataFrame] = None): DataFrame = {
+    val m = manifest.getOrElse(build(spark, dir, Seq(column)))
+    val paths = candidateFiles(m, column, lo, hi)
+    val rowPredicate = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (paths.isEmpty) {
+      // schema-only: no data files are opened for a fully-pruned read
+      val schema = spark.read.parquet(dir).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      spark.read.option("basePath", dir).parquet(paths: _*).filter(rowPredicate)
+  }
 }

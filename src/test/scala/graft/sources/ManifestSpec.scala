@@ -44,6 +44,32 @@ class ManifestSpec extends SparkSpec {
     assert(cand.nonEmpty && cand.forall(_.contains("part=a")))
   }
 
+  test("prunedRead on a z-ordered layout opens fewer files than the naive scan") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest4").toString
+    val df = (0L until 4000L).map(i => (i, (i * 37) % 1000, i.toDouble / 40))
+      .toDF("id", "k", "score")
+    Zorder.writeZOrdered(df, dir,
+      Zorder.zValue(Seq(
+        Zorder.normalize(col("id"), 0, 4000, 10),
+        Zorder.normalize(col("k"), 0, 1000, 10)), 10),
+      nFiles = 16)
+    val totalFiles = spark.read.parquet(dir).inputFiles.length
+    assert(totalFiles >= 8, s"layout produced only $totalFiles files")
+    val manifest = Manifest.build(spark, dir, Seq("id", "k"))
+    val out = Manifest.prunedRead(spark, dir, "id", 100, 220, Some(manifest))
+    // correctness: identical rows to the naive full-scan filter
+    val naive = spark.read.parquet(dir)
+      .filter(col("id") >= 100 && col("id") <= 220)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out.select("id").as[Long].collect().sorted.toSeq == naive && naive.length == 121)
+    // efficiency: the executed plan touches a strict subset of the files
+    val opened = out.inputFiles.length
+    assert(opened < totalFiles, s"opened $opened of $totalFiles — nothing pruned")
+    // fully-disjoint interval: zero data files, schema preserved
+    val empty = Manifest.prunedRead(spark, dir, "id", 1e7, 2e7, Some(manifest))
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("id", "k", "score"))
+  }
+
   test("null bounds (stat-less) files are kept, never pruned") {
     val dir = java.nio.file.Files.createTempDirectory("manifest2").toString
     Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.mode("overwrite").parquet(dir)
