@@ -988,6 +988,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Canonical-owner variant of d31: the min-id document owning each
+    // cross-document gram KEEPS its spans; only non-owners drop tokens —
+    // one copy of shared boilerplate survives the corpus.
+    "d31b_span_keepfirst" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpansKeepFirst(Tables.documents(s, dir),
+          col("doc_id"), col("text"), w = 4)
+        .select(col("doc_id"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
+          col("n_tokens"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // BPE training step 1 at corpus scale: word-frequency vocabulary
     // (the only corpus-wide pass), then frequency-weighted adjacent
     // char-pair counts over the DISTINCT vocabulary.
@@ -1591,6 +1603,26 @@ object SparkEntry {
         |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g HAVING count(*) >= 2),
         |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
         |        FROM g JOIN dup USING (g), UNNEST(range(4)) AS v(o)),
+        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
+        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
+        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
+        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
+
+    // d31 oracle with per-gram owner election: min-doc_id owner keeps
+    // its occurrences, only non-owner occurrences are covered.
+    "d31b_span_keepfirst" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |dup AS (SELECT g, min(doc_id) AS owner FROM (SELECT DISTINCT doc_id, g FROM g)
+        |        GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
+        |        FROM g JOIN dup USING (g), UNNEST(range(4)) AS v(o)
+        |        WHERE g.doc_id <> dup.owner),
         |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
         |kept AS (SELECT te.doc_id, te.i, te.w FROM te
         |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),

@@ -598,4 +598,43 @@ object Dedup {
       size(col("__t")).cast("long").as("n_tokens"),
       size(col("__kept")).cast("long").as("n_kept"))
   }
+
+  /** Duplicated-span removal, CANONICAL-OWNER policy — the variant
+    * [[removeDuplicatedSpans]] deliberately does not implement: each
+    * cross-document gram elects the document with the MINIMUM id as its
+    * owner, which keeps every occurrence; all other documents drop the
+    * covered tokens. One copy of shared boilerplate survives the
+    * corpus (the reference-dedup policy when the duplicated text is
+    * legitimate content somewhere — licence headers, canonical
+    * definitions — rather than noise to purge everywhere).
+    *
+    * Same strictly-linear gram plan as [[removeDuplicatedSpans]]; the
+    * owner election is a second window aggregate over the SAME gram
+    * partition key, so it rides the one existing shuffle — no extra
+    * exchange, no second consumer of the explosion. Deterministic:
+    * min-id ownership needs no tie-break. */
+  def removeDuplicatedSpansKeepFirst(df: DataFrame, id: Column, text: Column, w: Int = 4): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__t"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(TextFunctions.shinglesAllOf(col("__t"), w)))
+      .select(col("doc_id"), col("pos").as("__pos"), unhex(md5(col("col"))).as("__gh"))
+    val byGram = Window.partitionBy(col("__gh"))
+    val dupStarts = grams
+      .groupBy("doc_id", "__gh").agg(collect_list(col("__pos")).as("__ps"))
+      .withColumn("__ndocs", count(lit(1)).over(byGram))
+      .withColumn("__owner", min("doc_id").over(byGram))
+      .filter(col("__ndocs") >= 2 && col("doc_id") =!= col("__owner"))
+      .select(col("doc_id"), explode(col("__ps")).as("__pos"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    val masked = toks.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__t"), (x, i) =>
+        !exists(col("__starts"), s => s <= i && i <= s + (w - 1))))
+    masked.select(col("doc_id"),
+      array_join(col("__kept"), " ").as("clean_text"),
+      size(col("__t")).cast("long").as("n_tokens"),
+      size(col("__kept")).cast("long").as("n_kept"))
+  }
 }

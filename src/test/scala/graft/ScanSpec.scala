@@ -71,6 +71,11 @@ class ScanSpec extends SparkSpec {
     assert(n == 2, s"expected 2 documents scans (gram side + mask side), got $n")
   }
 
+  test("d31b_span_keepfirst keeps the same 2-scan shape (owner election rides the gram shuffle)") {
+    val n = scans("d31b_span_keepfirst").length
+    assert(n == 2, s"expected 2 documents scans, got $n")
+  }
+
   test("c3_star_join pushes the region filter and prunes every dimension scan") {
     val all = scans("c3_star_join")
     val regionScan = all.find(_.requiredSchema.fieldNames.contains("r_name")).get

@@ -211,6 +211,37 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq("x", "y"))
   }
 
+  test("removeDuplicatedSpansKeepFirst: min-id owner keeps every occurrence, others drop") {
+    val d = Seq(
+      (1L, "a b c d e"),       // owner of "a b c d" → keeps everything
+      (2L, "z a b c d"),       // non-owner → tokens 1..4 dropped
+      (3L, "a b c d q"),       // non-owner → tokens 0..3 dropped
+      (4L, "x y q r s"))       // untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpansKeepFirst(d, col("doc_id"), col("text"), w = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c d e", 5L),
+      (2L, "z", 1L),
+      (3L, "q", 1L),
+      (4L, "x y q r s", 5L)))
+  }
+
+  test("removeDuplicatedSpansKeepFirst elects owners per gram independently") {
+    // doc 1 owns "a b c d"; doc 2 owns "p q r s" and loses "a b c d";
+    // doc 3 loses both — ownership is per gram, not per document
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "p q r s x a b c d"),
+      (3L, "p q r s y a b c d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpansKeepFirst(d, col("doc_id"), col("text"), w = 4)
+      .orderBy("doc_id").select("clean_text").as[String].collect().toSeq
+    assert(out == Seq("a b c d", "p q r s x", "y"))
+  }
+
   test("duplicatedSpanStats counts within-doc multiplicity of a shared gram") {
     val d = Seq(
       (1L, "a b c d x a b c d"), // "a b c d" twice + 4 other windows (6 total)
