@@ -936,6 +936,19 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // SemDeDup-style semantic dedup: the corpus sharded into d23's 8
+    // md5-keyed IVF clusters, cosine compared ONLY within a cluster
+    // (the paper's own cost bound), lower-id member of every ≥τ pair
+    // survives. τ=0.45 = d12's corpus-gap threshold. The oracle mirrors
+    // centroid sample, assignment, in-cluster pairing and the keep rule,
+    // so the approximate (cluster-blocked) result itself is hash-checked.
+    "d38_semantic_dedup" -> ((s, dir) => {
+      Ann.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.45, nLists = 8)
+        .select(col("vid").as("vec_id"), col("list_id"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
     // Per-group quantile quality filter: keep the top 25% of documents
     // per source by the composite quality score — per-group cutoffs
     // adapt to each source's score distribution.
@@ -1025,6 +1038,16 @@ object SparkEntry {
     "d35_doc_xentropy" -> ((s, dir) => {
       graft.text.CorpusStats.docCrossEntropy(Tables.documents(s, dir),
           col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Order-2 upgrade of d35: cross-entropy under the interpolated
+    // BIGRAM corpus LM (λ·P(w|prev) + (1−λ)·unigram floor). The
+    // first-order-structure signal: a scrambled token bag scores
+    // exactly like clean text under d35's unigram model but high here.
+    "d37_bigram_xentropy" -> ((s, dir) => {
+      graft.text.CorpusStats.docBigramCrossEntropy(Tables.documents(s, dir),
+          col("doc_id"), col("text"), lambda = 0.8)
         .orderBy("doc_id")
     }),
 
@@ -1659,6 +1682,24 @@ object SparkEntry {
         | round(-sum(c * log2(ct*1.0/n))/sum(c), 4) AS xent_bits
         |FROM bd JOIN g USING (t), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Interpolation arithmetic mirrored at DOUBLE precision: the Scala
+    // side computes (1.0 − λ) in the plan (not pre-folded), so both
+    // engines run the identical IEEE subtraction.
+    "d37_bigram_xentropy" ->
+      """WITH ts AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents),
+        |bgs AS (SELECT doc_id, w[CAST(i AS INT)] AS p, w[CAST(i AS INT) + 1] AS t
+        |        FROM ts, UNNEST(range(1, len(w))) AS r(i)),
+        |bd AS (SELECT doc_id, p, t, count(*) AS c FROM bgs GROUP BY 1,2,3),
+        |bg AS (SELECT p, t, sum(c) AS cpt FROM bd GROUP BY 1,2),
+        |ctx AS (SELECT p, sum(cpt) AS cp FROM bg GROUP BY 1),
+        |uni AS (SELECT t, sum(cpt) AS ct FROM bg GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS n FROM uni)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        | round(-sum(c * log2(CAST(0.8 AS DOUBLE) * (CAST(cpt AS DOUBLE) / cp)
+        |   + (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) * (CAST(ct AS DOUBLE) / n)))/sum(c), 4) AS xent_bits
+        |FROM bd JOIN bg USING (p, t) JOIN ctx USING (p) JOIN uni USING (t), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d33_leakage_split" ->
       """WITH t AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),
         |b AS (SELECT doc_id, CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT) % 1000000 AS bk FROM t)
@@ -1740,6 +1781,28 @@ object SparkEntry {
         |r AS (SELECT qid, cid, cos,
         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank FROM s)
         |SELECT qid, cid, round(cos,4) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Mirrors the ENTIRE cluster-blocked pipeline (same centroid sample
+    // + argmax assignment as d23), then the in-cluster pairwise ≥τ drop
+    // rule — the approximate dedup decision itself is hash-checked.
+    "d38_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |k0 AS (SELECT vec_id AS kid, v AS cvec,
+        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+        |  FROM c ORDER BY hk, kid LIMIT 8),
+        |cents AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS list_id, cvec FROM k0),
+        |assign AS (SELECT cid, list_id FROM (
+        |  SELECT cc.vec_id AS cid, k.list_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
+        |      k.list_id) AS rn
+        |  FROM c cc, cents k) WHERE rn = 1),
+        |m AS (SELECT a.cid AS vid, a.list_id, c.v FROM assign a JOIN c ON c.vec_id = a.cid),
+        |drp AS (SELECT DISTINCT b.vid AS vid
+        |  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vid < b.vid
+        |  WHERE list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)
+        |SELECT m.vid AS vec_id, m.list_id, (drp.vid IS NULL) AS kept
+        |FROM m LEFT JOIN drp USING (vid) ORDER BY vec_id""".stripMargin,
 
     "d5_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),

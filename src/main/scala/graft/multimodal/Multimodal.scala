@@ -140,32 +140,36 @@ object Multimodal {
   private def be64(b: Array[Byte], o: Int): Long =
     (be32(b, o) << 32) | be32(b, o + 4)
 
-  /** ISO-BMFF box walk. Every offset is bounds-checked and sizes are
+  /** Children of ISO-BMFF range [start, end): (boxType, contentStart,
+    * contentEnd) triples. Every offset is bounds-checked and sizes are
     * validated to strictly advance, so truncated or adversarial payloads
-    * return None instead of looping or throwing. */
-  def mp4Metadata(bytes: Array[Byte]): Option[Mp4Meta] = {
-    // children of [start, end): Seq of (boxType, contentStart, contentEnd)
-    def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
-      val out = Seq.newBuilder[(String, Int, Int)]
-      var o = start
-      var sane = true
-      while (sane && o + 8 <= end) {
-        val size32 = be32(bytes, o)
-        val tpe = new String(bytes, o + 4, 4, "ISO-8859-1")
-        val (contentStart, boxEnd) =
-          if (size32 == 1L && o + 16 <= end) (o + 16, o + be64(bytes, o + 8))
-          else if (size32 == 0L) (o + 8, end.toLong) // box runs to end
-          else (o + 8, o + size32)
-        if (boxEnd > end || boxEnd <= o || contentStart > boxEnd) sane = false
-        else {
-          out += ((tpe, contentStart, boxEnd.toInt))
-          o = boxEnd.toInt
-        }
+    * yield an empty walk instead of looping or throwing. */
+  private def boxes(bytes: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var o = start
+    var sane = true
+    while (sane && o + 8 <= end) {
+      val size32 = be32(bytes, o)
+      val tpe = new String(bytes, o + 4, 4, "ISO-8859-1")
+      val (contentStart, boxEnd) =
+        if (size32 == 1L && o + 16 <= end) (o + 16, o + be64(bytes, o + 8))
+        else if (size32 == 0L) (o + 8, end.toLong) // box runs to end
+        else (o + 8, o + size32)
+      if (boxEnd > end || boxEnd <= o || contentStart > boxEnd) sane = false
+      else {
+        out += ((tpe, contentStart, boxEnd.toInt))
+        o = boxEnd.toInt
       }
-      if (sane) out.result() else Seq.empty
     }
-    def find(start: Int, end: Int, tpe: String): Option[(Int, Int)] =
-      boxes(start, end).collectFirst { case (`tpe`, s, e) => (s, e) }
+    if (sane) out.result() else Seq.empty
+  }
+
+  private def findBox(bytes: Array[Byte], start: Int, end: Int, tpe: String): Option[(Int, Int)] =
+    boxes(bytes, start, end).collectFirst { case (`tpe`, s, e) => (s, e) }
+
+  /** ISO-BMFF box walk to the movie header + video-track dimensions. */
+  def mp4Metadata(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def find(start: Int, end: Int, tpe: String): Option[(Int, Int)] = findBox(bytes, start, end, tpe)
     try {
       for {
         _ <- sniffAvFormat(bytes).filter(_ == "mp4")
@@ -182,7 +186,7 @@ object Multimodal {
             val duration = if (dur64) be64(bytes, mvhdS + durOff) else be32(bytes, mvhdS + durOff)
             val durMs = if (timescale > 0) duration * 1000L / timescale else -1L
             // first trak whose tkhd carries nonzero 16.16 dimensions
-            val dims = boxes(moovS, moovE).collect { case ("trak", s, e) => (s, e) }
+            val dims = boxes(bytes, moovS, moovE).collect { case ("trak", s, e) => (s, e) }
               .flatMap { case (s, e) => find(s, e, "tkhd") }
               .flatMap { case (ts, te) =>
                 val tv = bytes(ts) & 0xFF
@@ -201,6 +205,158 @@ object Multimodal {
         }
       } yield meta
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One MP4 media sample: 1-based index, decode timestamp (media-
+    * timescale → ms; DTS, not composition time — `ctts` b-frame offsets
+    * are ignored, fine for every-Nth sampling), absolute file byte
+    * offset, and byte length. */
+  final case class Mp4Sample(idx: Int, dtsMs: Long, offset: Long, size: Long)
+
+  /** Full per-sample table of the first VIDEO track (hdlr = `vide`;
+    * falls back to the first track carrying a sample table): walks
+    * `stts` (time-to-sample), `stsz` (sizes), `stsc` (sample-to-chunk)
+    * and `stco`/`co64` (chunk offsets) — the four mandatory stbl boxes —
+    * and lays samples out within their chunks exactly as a demuxer
+    * would. Header-only: `mdat` payload bytes are never touched.
+    *
+    * This is what makes frame sampling cheap at corpus scale: the
+    * expensive part (WHERE each frame lives) is answered from a few KB
+    * of moov headers, and the reader then fetches exactly the chosen
+    * (offset, size) ranges — object-store range GETs, not whole-file
+    * decode. Malformed/truncated tables, inconsistent counts, or tables
+    * above `maxSamples` (bounds the per-row memory a hostile payload
+    * can demand) return None, never a task failure. */
+  def mp4SampleTable(bytes: Array[Byte], maxSamples: Int = 1 << 20): Option[Vector[Mp4Sample]] =
+    try {
+      for {
+        _ <- sniffAvFormat(bytes).filter(_ == "mp4")
+        (moovS, moovE) <- findBox(bytes, 0, bytes.length, "moov")
+        traks = boxes(bytes, moovS, moovE).collect { case ("trak", s, e) => (s, e) }
+        mdias = traks.flatMap { case (s, e) => findBox(bytes, s, e, "mdia") }
+        mdia <- mdias.find { case (s, e) =>
+          // hdlr: ver/flags 4, pre_defined 4, handler_type 4
+          findBox(bytes, s, e, "hdlr").exists { case (hs, he) =>
+            hs + 12 <= he && new String(bytes, hs + 8, 4, "ISO-8859-1") == "vide" }
+        }.orElse(mdias.find { case (s, e) =>
+          findBox(bytes, s, e, "minf").exists { case (ms, me) =>
+            findBox(bytes, ms, me, "stbl").isDefined } })
+        (mdhdS, mdhdE) <- findBox(bytes, mdia._1, mdia._2, "mdhd")
+        timescale <- {
+          val v = bytes(mdhdS) & 0xFF
+          val tsOff = if (v == 1) 20 else 12
+          if (mdhdS + tsOff + 4 > mdhdE) None
+          else Some(be32(bytes, mdhdS + tsOff)).filter(_ > 0)
+        }
+        (minfS, minfE) <- findBox(bytes, mdia._1, mdia._2, "minf")
+        (stblS, stblE) <- findBox(bytes, minfS, minfE, "stbl")
+        (sttsS, sttsE) <- findBox(bytes, stblS, stblE, "stts")
+        (stszS, stszE) <- findBox(bytes, stblS, stblE, "stsz")
+        (stscS, stscE) <- findBox(bytes, stblS, stblE, "stsc")
+        chunkOffsets <- findBox(bytes, stblS, stblE, "stco")
+          .flatMap { case (s, e) =>
+            val n = be32(bytes, s + 4).toInt
+            if (n < 0 || s + 8 + 4L * n > e) None
+            else Some(Vector.tabulate(n)(i => be32(bytes, s + 8 + 4 * i)))
+          }
+          .orElse(findBox(bytes, stblS, stblE, "co64").flatMap { case (s, e) =>
+            val n = be32(bytes, s + 4).toInt
+            if (n < 0 || s + 8 + 8L * n > e) None
+            else Some(Vector.tabulate(n)(i => be64(bytes, s + 8 + 8 * i)))
+          })
+        sizes <- {
+          val fixed = be32(bytes, stszS + 4) // nonzero ⇒ every sample this size
+          val n = be32(bytes, stszS + 8).toInt
+          if (n < 0 || n > maxSamples) None
+          else if (fixed != 0L) Some(Vector.fill(n)(fixed))
+          else if (stszS + 12 + 4L * n > stszE) None
+          else Some(Vector.tabulate(n)(i => be32(bytes, stszS + 12 + 4 * i)))
+        }
+        deltas <- {
+          val n = be32(bytes, sttsS + 4).toInt
+          if (n < 0 || sttsS + 8 + 8L * n > sttsE) None
+          else Some(Vector.tabulate(n)(i =>
+            (be32(bytes, sttsS + 8 + 8 * i), be32(bytes, sttsS + 8 + 8 * i + 4))))
+        }
+        stsc <- {
+          val n = be32(bytes, stscS + 4).toInt
+          if (n < 0 || stscS + 8 + 12L * n > stscE) None
+          else Some(Vector.tabulate(n)(i =>
+            (be32(bytes, stscS + 8 + 12 * i).toInt, // first_chunk, 1-based
+              be32(bytes, stscS + 8 + 12 * i + 4).toInt))) // samples_per_chunk
+        }
+        table <- {
+          val nSamples = sizes.length
+          // per-sample DTS from the (count, delta) run-length pairs
+          val dts = new Array[Long](nSamples)
+          var si = 0
+          var t = 0L
+          deltas.foreach { case (cnt, delta) =>
+            var c = 0L
+            while (c < cnt && si < nSamples) { dts(si) = t; t += delta; si += 1; c += 1 }
+          }
+          // expand sample-to-chunk: entry applies from first_chunk until
+          // the next entry's first_chunk
+          val out = Vector.newBuilder[Mp4Sample]
+          var sample = 0
+          var chunk = 0
+          var ok = stsc.nonEmpty && si == nSamples
+          while (ok && chunk < chunkOffsets.length && sample < nSamples) {
+            val spc = stsc.takeWhile(_._1 <= chunk + 1).lastOption.map(_._2).getOrElse(0)
+            if (spc <= 0) ok = false
+            else {
+              var within = 0
+              var off = chunkOffsets(chunk)
+              while (within < spc && sample < nSamples) {
+                out += Mp4Sample(sample + 1, dts(sample) * 1000L / timescale, off, sizes(sample))
+                off += sizes(sample)
+                sample += 1
+                within += 1
+              }
+              chunk += 1
+            }
+          }
+          if (ok && sample == nSamples) Some(out.result()) else None
+        }
+      } yield table
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One planned frame fetch. `n_samples` is the track's total so
+    * downstream can reason about coverage; `decoded = false` rows are
+    * payloads with no parseable video sample table (all numerics -1). */
+  final case class FrameSampleRef(media_id: Long, sample_idx: Int, pts_ms: Long,
+                                  byte_offset: Long, byte_len: Long, n_samples: Int,
+                                  decoded: Boolean)
+
+  /** Frame-sample PLANNING over a video corpus: every `everyNth` sample
+    * of each payload's video track (sample 1, 1+N, 1+2N, …), capped at
+    * `maxFrames` per video, as (offset, length) fetch instructions.
+    * This is the scale-correct decomposition of "sample K frames per
+    * video at 100 TB": a header-only `mapPartitions` pass plans the
+    * byte ranges (this operator), and the pixel-decode stage then reads
+    * ONLY those ranges — `Σ sampled frame bytes`, not `Σ video bytes`,
+    * typically a 100–1000× I/O cut. Same partition discipline as
+    * [[extractFeatures]]; malformed payloads flag, never fail. */
+  def planFrameSamples(spark: SparkSession, media: DataFrame,
+                       everyNth: Int, maxFrames: Int = Int.MaxValue): Dataset[FrameSampleRef] = {
+    import spark.implicits._
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          mp4SampleTable(bytes) match {
+            case Some(samples) =>
+              samples.iterator.zipWithIndex
+                .collect { case (s, i) if i % everyNth == 0 => s }
+                .take(maxFrames)
+                .map(s => FrameSampleRef(id, s.idx, s.dtsMs, s.offset, s.size,
+                  samples.length, decoded = true))
+            case None =>
+              Iterator.single(FrameSampleRef(id, -1, -1L, -1L, -1L, -1, decoded = false))
+          }
+        }
+      }
   }
 
   /** One media row's audio/video metadata: container from magic bytes,

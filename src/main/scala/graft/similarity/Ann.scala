@@ -268,6 +268,49 @@ object Ann {
     * bucket over (id, sig) only, distinct pairs, then ONE vector
     * re-join per side — never a cartesian, and never the full vector
     * through the ×tables explode). */
+  /** SemDeDup-style semantic deduplication (public method: Abbas et al.
+    * 2023, arXiv 2303.09540): shard the corpus into coarse clusters with
+    * the IVF quantizer ([[ivfCentroids]] + optional [[refineCentroids]]
+    * Lloyd rounds = distributed k-means), compare embeddings ONLY within
+    * a cluster, and drop every vector that has a lower-id cluster-mate
+    * with cosine ≥ `threshold` — one representative per semantic-
+    * duplicate pair survives. Emits the full per-vector report
+    * (id, list_id, kept) so callers can either filter `kept` or audit
+    * drop rates per cluster.
+    *
+    * Deviations from the paper, both deliberate: the keep policy is
+    * min-id (deterministic, engine-reproducible — the paper keeps a
+    * random/low-centroid-sim member), and the drop is pairwise rather
+    * than per-connected-group — for strict one-per-component semantics
+    * compose the ≥τ pairs with [[graft.dedup.Dedup.clusterPairs]]
+    * (D15), exactly as the leakage-safe split does.
+    *
+    * Scale: this is the paper's own cost model — within-cluster
+    * pairwise is O(Σ|cluster|²), tractable because nLists is sized so
+    * clusters are ~corpus/nLists (50k clusters over 1e9 embeddings in
+    * the paper). The cluster equi-join is the only place pairs form;
+    * centroids broadcast; assignment is the partial-agg argmax; the
+    * assigned table's two pair-sides reuse one exchange. */
+  def semanticDedup(corpus: DataFrame, id: String, vec: String,
+                    threshold: Double, nLists: Int, trainRounds: Int = 0): DataFrame = {
+    var cents = ivfCentroids(corpus, id, vec, nLists)
+    (0 until trainRounds).foreach(_ => cents = refineCentroids(corpus, id, vec, cents))
+    val m = ivfAssign(corpus, id, vec, cents)
+      .join(vecTable(corpus, id, vec, "vid", "v", "n"), col("__cid") === col("vid"))
+      .select(col("list_id"), col("vid"), col("v"), col("n"))
+    val dropped = m.select(col("list_id"), col("vid").as("a"), col("v").as("va"), col("n").as("na"))
+      .join(m.select(col("list_id"), col("vid").as("b"), col("v").as("vb"), col("n").as("nb")),
+        Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("__cos", VectorOps.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("__cos") >= threshold)
+      // b is the victim: it has a lower-id close mate in its cluster
+      .select(col("b").as("vid")).distinct()
+    m.select(col("vid"), col("list_id"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq("vid"), "left")
+      .select(col("vid"), col("list_id"), coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+
   def embeddingNearDupPairs(corpus: DataFrame, id: String, vec: String,
                             dims: Int, threshold: Double,
                             tables: Int = 16, bits: Int = 0,

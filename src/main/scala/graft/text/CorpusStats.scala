@@ -71,4 +71,55 @@ object CorpusStats {
         round(-sum(col("c_dt") * log2(col("c_t").cast("double") / col("n_total")))
           / sum("c_dt"), 4).as("xent_bits"))
   }
+
+  /** Per-document cross-entropy under an interpolated BIGRAM corpus LM,
+    * in bits per bigram event: the order-2 upgrade of [[docCrossEntropy]]
+    * (CCNet's actual filter model is a 5-gram LM; the bigram captures the
+    * first-order structure signal a unigram model cannot — scrambled
+    * token bags score identically under unigrams but high here).
+    *
+    * P(w | p) = λ · c(p,w)/c(p,·)  +  (1 − λ) · c(w)/N
+    * H(d) = −Σ_{(p,w)∈d} c_d(p,w) · log2 P(w|p) / n_d
+    *
+    * The unigram back-off term keeps every probability strictly positive
+    * (each cur token occurs in the corpus), so H is always finite even
+    * for bigrams the corpus saw only in this document. Documents with
+    * fewer than 2 tokens have no bigram events and are absent.
+    *
+    * Plan shape at 100 TB: bigram pairing happens in the ARRAY domain
+    * (`zip_with` of the token array with its own shift — a narrow map,
+    * no positional self-join), then one explode → (doc, prev, cur) hash
+    * aggregate with map-side combine. Corpus bigram / context / unigram
+    * tables all derive from that aggregate's exchange (identical
+    * subtrees — ReusedExchange dedupes them, the same reuse d26/d35
+    * rely on), the grand total rides as a single-row broadcast, and the
+    * final per-doc aggregate folds n_d in as Σc. The (prev, cur) join
+    * key is vocabulary², but counts-only rows: ~40 B per distinct
+    * corpus bigram, not per occurrence. */
+  def docBigramCrossEntropy(df: DataFrame, id: Column, text: Column,
+                            lambda: Double = 0.8): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "need 0 < lambda < 1 (λ=1 loses the unigram floor)")
+    val ts = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__ts"))
+    val pairs = ts
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__ts"), lit(1), greatest(size(col("__ts")) - 1, lit(0))),
+        slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0))),
+        (a, b) => struct(a.as("p"), b.as("t")))).as("__bg"))
+      .select(col("doc_id"), col("__bg.p").as("p"), col("__bg.t").as("t"))
+    val byDoc = pairs.groupBy("doc_id", "p", "t").agg(count(lit(1)).as("c_dpt"))
+    val bg = byDoc.groupBy("p", "t").agg(sum("c_dpt").as("c_pt"))
+    val ctx = bg.groupBy("p").agg(sum("c_pt").as("c_p"))
+    val uni = bg.groupBy("t").agg(sum("c_pt").as("c_t"))
+    val grandTotal = uni.agg(sum("c_t").as("n_total"))
+    // (1 − λ) is computed IN the plan (not pre-folded in Scala) so the
+    // DuckDB oracle's literal `1 - λ` arithmetic matches bit-for-bit
+    byDoc.join(bg, Seq("p", "t")).join(ctx, "p").join(uni, "t")
+      .crossJoin(broadcast(grandTotal))
+      .withColumn("__pi",
+        lit(lambda) * (col("c_pt").cast("double") / col("c_p")) +
+          (lit(1.0) - lit(lambda)) * (col("c_t").cast("double") / col("n_total")))
+      .groupBy("doc_id")
+      .agg(sum("c_dpt").as("n_bigrams"),
+        round(-sum(col("c_dpt") * log2(col("__pi"))) / sum("c_dpt"), 4).as("xent_bits"))
+  }
 }

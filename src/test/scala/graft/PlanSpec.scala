@@ -17,10 +17,12 @@ class PlanSpec extends SparkSpec {
     * broadcasts a single-row corpus count; d23 broadcasts the nLists-row
     * centroid table against corpus and query sides (every vector scores
     * every coarse centroid by design — that product is O(n·nLists), the
-    * IVF cost model, not an accident); d26 and d35 broadcast a
-    * single-row corpus-total aggregate (the d16 pattern). */
+    * IVF cost model, not an accident); d26, d35 and d37 broadcast a
+    * single-row corpus-total aggregate (the d16 pattern); d38 broadcasts
+    * the nLists-row centroid table like d23. */
   private val allowedBnlj = Set("d5_ann_bruteforce", "d16_tfidf", "d23_ann_ivf",
-    "d26_source_divergence", "d35_doc_xentropy")
+    "d26_source_divergence", "d35_doc_xentropy", "d37_bigram_xentropy",
+    "d38_semantic_dedup")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan of $name has no cartesian product${if (allowedBnlj(name)) "" else " and no nested-loop join"}") {

@@ -146,6 +146,63 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1).decoded && f(1).width == 0 && f(1).height == 0)
   }
 
+  // MP4 with a REAL sample table: 5 samples of sizes 10..50, chunked
+  // (1,2)+(3,4,5), chunk offsets 1000/2000, stts runs (2×100)+(3×200)
+  // at timescale 1000 — a layout a demuxer would actually produce.
+  private def mp4WithSamples(handler: String = "vide"): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes, be32(512), "isomiso2".getBytes)
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000), be32(600), new Array[Byte](80))
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000), be32(600), be32(0))
+    val hdlr = box("hdlr", be32(0), be32(0), handler.getBytes("ISO-8859-1"), new Array[Byte](12))
+    val stts = box("stts", be32(0), be32(2), be32(2), be32(100), be32(3), be32(200))
+    val stsz = box("stsz", be32(0), be32(0), be32(5),
+      be32(10), be32(20), be32(30), be32(40), be32(50))
+    val stsc = box("stsc", be32(0), be32(2),
+      be32(1), be32(2), be32(1), be32(2), be32(3), be32(1))
+    val stco = box("stco", be32(0), be32(2), be32(1000), be32(2000))
+    val stbl = box("stbl", stts, stsz, stsc, stco)
+    val trak = box("trak", box("mdia", mdhd, hdlr, box("minf", stbl)))
+    // an audio trak with no stbl first, to prove track selection skips it
+    val audioTrak = box("trak", box("mdia",
+      box("mdhd", be32(0), be32(0), be32(0), be32(8000), be32(100), be32(0)),
+      box("hdlr", be32(0), be32(0), "soun".getBytes("ISO-8859-1"), new Array[Byte](12))))
+    ftyp ++ box("moov", mvhd, audioTrak, trak)
+  }
+
+  test("mp4SampleTable lays samples out exactly as the stbl describes") {
+    val t = Multimodal.mp4SampleTable(mp4WithSamples()).get
+    assert(t.map(s => (s.idx, s.dtsMs, s.offset, s.size)) == Vector(
+      (1, 0L, 1000L, 10L),    // chunk 1 start
+      (2, 100L, 1010L, 20L),  // packed after sample 1
+      (3, 200L, 2000L, 30L),  // chunk 2 start
+      (4, 400L, 2030L, 40L),
+      (5, 600L, 2070L, 50L)))
+    // truncated payloads and non-video-only files parse to None, never throw
+    assert(Multimodal.mp4SampleTable(mp4WithSamples().take(60)).isEmpty)
+    assert(Multimodal.mp4SampleTable("junk that is not iso-bmff".getBytes).isEmpty)
+  }
+
+  test("mp4SampleTable falls back to the only stbl track when hdlr is not vide") {
+    // handler says 'soun' but it is the only track with a sample table
+    assert(Multimodal.mp4SampleTable(mp4WithSamples(handler = "soun")).get.length == 5)
+  }
+
+  test("planFrameSamples emits every-Nth fetch ranges, capped, flagging failures") {
+    val media = Seq(
+      (1L, mp4WithSamples()),
+      (2L, "not a video".getBytes("UTF-8")))
+      .toDF("media_id", "content").repartition(2)
+    val plan = Multimodal.planFrameSamples(spark, media, everyNth = 2, maxFrames = 2)
+      .collect().sortBy(r => (r.media_id, r.sample_idx))
+    val v = plan.filter(_.media_id == 1L)
+    // samples 1 and 3 (every 2nd, capped at 2 of the 3 eligible)
+    assert(v.map(r => (r.sample_idx, r.pts_ms, r.byte_offset, r.byte_len)).toSeq ==
+      Seq((1, 0L, 1000L, 10L), (3, 200L, 2000L, 30L)))
+    assert(v.forall(r => r.decoded && r.n_samples == 5))
+    val bad = plan.filter(_.media_id == 2L)
+    assert(bad.length == 1 && !bad.head.decoded && bad.head.sample_idx == -1)
+  }
+
   test("thumbnails: real pixel decode + aspect-preserving resize + PNG re-encode") {
     val media = Seq(
       (1L, imageBytes("png", 100, 40)),   // landscape → 50×20 at maxDim 50

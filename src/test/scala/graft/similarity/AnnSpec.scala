@@ -155,6 +155,45 @@ class AnnSpec extends SparkSpec {
     assert(trained > 0.5, s"trained recall collapsed: $trained")
   }
 
+  test("semanticDedup with nLists=1 equals the naive pairwise drop rule") {
+    // single cluster ⇒ the cluster blocking vanishes and the operator
+    // must reduce EXACTLY to: drop v iff some lower-id u has cos ≥ τ
+    val n = 24
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(6)(d => (((i * 31 + d * 57) % 83) - 41) / 41.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val tau = 0.7
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val expectDropped = (for {
+      (bi, b) <- rows; (ai, a) <- rows if ai < bi && cos(a, b) >= tau
+    } yield bi).toSet
+    assert(expectDropped.nonEmpty && expectDropped.size < n,
+      s"degenerate fixture: ${expectDropped.size} dropped of $n")
+    val got = Ann.semanticDedup(df, "vec_id", "embedding", threshold = tau, nLists = 1)
+      .select("vid", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got.size == n, "one report row per corpus vector")
+    assert(got.filterNot(_._2).keySet == expectDropped)
+  }
+
+  test("semanticDedup co-assigns identical vectors and keeps the min id") {
+    // vecs: 0 and 1 identical, 3 near them, 2 orthogonal — whatever the
+    // md5-keyed centroid draw, identical vectors share an argmax, so 1
+    // must drop and 0 must survive; the orthogonal vector always survives
+    val out = Ann.semanticDedup(vecs, "vec_id", "embedding", threshold = 0.99, nLists = 2)
+      .select("vid", "list_id", "kept").as[(Long, Int, Boolean)].collect()
+    val kept = out.map(r => r._1 -> r._3).toMap
+    assert(out.length == 4)
+    assert(kept(0L) && !kept(1L), s"min-id keep policy violated: $kept")
+    assert(kept(2L), "orthogonal vector has no ≥τ mate anywhere")
+    val lists = out.map(r => r._1 -> r._2).toMap
+    assert(lists(0L) == lists(1L), "identical vectors must share a cluster")
+  }
+
   test("sigTable buckets stay near the target size under auto-sized bits") {
     // 512 deterministic pseudo-random 8-dim vectors
     val n = 512

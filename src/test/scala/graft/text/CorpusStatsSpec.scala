@@ -35,6 +35,44 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(kl - BigDecimal(expected).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("docBigramCrossEntropy matches a hand-computed interpolated case") {
+    // bigram events: d1 = (a,b)×2 (b,a)×1; d2 = (a,b); d3 = (b,b)
+    // corpus: c(a,b)=3 c(b,a)=1 c(b,b)=1; contexts c(a,·)=3 c(b,·)=2
+    // cur-unigrams: c(b)=4 c(a)=1, N=5; λ=0.8
+    // P(b|a) = .8·(3/3) + .2·(4/5) = 0.96
+    // P(a|b) = .8·(1/2) + .2·(1/5) = 0.44
+    // P(b|b) = .8·(1/2) + .2·(4/5) = 0.56
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b b"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val h = CorpusStats.docBigramCrossEntropy(docs, col("doc_id"), col("text"), lambda = 0.8)
+      .select("doc_id", "n_bigrams", "xent_bits").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lg = (x: Double) => math.log(x) / math.log(2)
+    // "solo" contributes the unigram 'solo' nowhere: it has no bigram
+    // events, so it is absent — exactly the w<2-token contract
+    assert(!h.contains(4L) && h.size == 3)
+    assert(h(1L)._2 == 3L && h(2L)._2 == 1L)
+    assert(h(1L)._3 == r4(-(2 * lg(0.96) + lg(0.44)) / 3))
+    assert(h(2L)._3 == r4(-lg(0.96)))
+    assert(h(3L)._3 == r4(-lg(0.56)))
+  }
+
+  test("docBigramCrossEntropy flags scrambled text a unigram model cannot see") {
+    // five structured docs + one token-scramble of the same bag: unigram
+    // distributions are identical, so d35 scores them equally — the
+    // bigram model must rank the scramble strictly higher
+    val natural = "x y x y x y"
+    val docs = ((1L to 5L).map(i => (i, natural)) :+ (6L, "x x y y x y"))
+      .toDF("doc_id", "text")
+    val uni = CorpusStats.docCrossEntropy(docs, col("doc_id"), col("text"))
+      .select("doc_id", "xent_bits").as[(Long, Double)].collect().toMap
+    assert(uni(6L) == uni(1L), "unigram model must NOT separate the scramble")
+    val bi = CorpusStats.docBigramCrossEntropy(docs, col("doc_id"), col("text"))
+      .select("doc_id", "xent_bits").as[(Long, Double)].collect().toMap
+    assert(bi(6L) > bi(1L), s"scramble must score higher: ${bi(6L)} vs ${bi(1L)}")
+  }
+
   test("docCrossEntropy matches a hand-computed case and ranks rarity") {
     // corpus: u×6, v×2 → q(u)=.75, q(v)=.25
     // doc 1 = "u u u" → H = −log2(.75); doc 2 = "u v" → (−log2(.75)−log2(.25))/2
