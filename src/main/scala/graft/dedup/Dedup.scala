@@ -426,11 +426,17 @@ object Dedup {
   def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import graft.operators.Lineage
     import org.apache.spark.sql.expressions.Window
-    val raw = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // Truncate the PAIR table itself, exactly once: `nodes` and `edges`
+    // both consume it, and the producing pipeline (e.g. MinHash bands +
+    // exact-Jaccard verify) is routinely the most expensive plan in the
+    // job — two lineage-carrying consumers would execute it twice. After
+    // this point every derivation reads the materialized pairs.
+    val raw = Lineage.truncate(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     // every node that appears in any pair gets a label, even nodes whose
-    // only pair is a self-loop (dropped from the edge set below)
-    val nodes = Lineage.truncate(
-      raw.select(col("u").as("id")).union(raw.select(col("v").as("id"))).distinct())
+    // only pair is a self-loop (dropped from the edge set below); reads
+    // the checkpoint, so no truncation of its own needed
+    val nodes = raw.select(col("u").as("id")).union(raw.select(col("v").as("id"))).distinct()
     var edges = Lineage.truncate(
       raw.filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -440,14 +446,17 @@ object Dedup {
     while (!converged && iter < maxIter) {
       // large-star over the symmetrized edges: per center u, point every
       // neighbor v > u at m = min(u, min neighbors). Output stays
-      // high→low oriented (v > u ≥ m).
+      // high→low oriented (v > u ≥ m). NO dedup here: duplicate (v, m)
+      // rows (same result from different centers) are ≤ |sym| and the
+      // small-star min is insensitive to multiplicity — a distinct would
+      // cost a full extra shuffle per round to save carrying ≤ 2|E| rows
+      // through ONE window.
       val sym = edges.select(col("u"), col("v"))
         .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
       val ls = sym
         .withColumn("m", least(col("u"), min("v").over(Window.partitionBy("u"))))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star on the (already high→low) edges: per center u, point
       // every neighbor AND u itself at m = min neighbor (< u).
       val ss = ls.withColumn("m", min("v").over(Window.partitionBy("u")))
@@ -457,10 +466,15 @@ object Dedup {
           .filter(col("u") =!= col("v"))
           .distinct())
       // set equality with the previous round's (distinct) edge set: any
-      // edge appearing in exactly one of the two unions means not done
-      converged = stepped.unionAll(edges)
-        .groupBy("u", "v").agg(count(lit(1)).as("__c"))
-        .filter(col("__c") === 1).isEmpty
+      // edge appearing in exactly one of the two unions means not done.
+      // Size equality is necessary for set equality and both sides are
+      // already materialized by the checkpoint, so the count() pair is a
+      // cheap gate that skips the shuffling diff job in the (many)
+      // not-yet-converged rounds.
+      converged = stepped.count() == edges.count() &&
+        stepped.unionAll(edges)
+          .groupBy("u", "v").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") === 1).isEmpty
       edges = stepped
       iter += 1
     }
