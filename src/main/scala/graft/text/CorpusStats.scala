@@ -89,31 +89,51 @@ object CorpusStats {
     * Plan shape at 100 TB: bigram pairing happens in the ARRAY domain
     * (`zip_with` of the token array with its own shift — a narrow map,
     * no positional self-join), then one explode → (doc, prev, cur) hash
-    * aggregate with map-side combine. Corpus bigram / context / unigram
-    * tables all derive from that aggregate's exchange (identical
-    * subtrees — ReusedExchange dedupes them, the same reuse d26/d35
-    * rely on), the grand total rides as a single-row broadcast, and the
-    * final per-doc aggregate folds n_d in as Σc. The (prev, cur) join
-    * key is vocabulary², but counts-only rows: ~40 B per distinct
-    * corpus bigram, not per occurrence. */
+    * aggregate with map-side combine. Context and cur-unigram totals are
+    * WINDOW sums over the corpus-bigram table — a strictly linear chain
+    * byDoc → bg → windows, so the expensive explosion has ONE derived
+    * consumer (the d28/c20 discipline: AQE stage reuse covers identical
+    * duplicate subtrees only when canonicalization happens to line up —
+    * measured here, the 4-way join formulation re-ran the explode 3×).
+    * Window partitions are vocabulary-bounded (bg is corpus-distinct
+    * (prev, cur); the heaviest `p` partition is one context's vocab
+    * fan-out, not its occurrence count). The grand total Σ(len−1) comes
+    * from a second, explode-FREE scan of the source (narrow length sum,
+    * single-row broadcast), and the final per-doc aggregate folds n_d
+    * in as Σc. */
   def docBigramCrossEntropy(df: DataFrame, id: Column, text: Column,
                             lambda: Double = 0.8): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, "need 0 < lambda < 1 (λ=1 loses the unigram floor)")
-    val ts = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__ts"))
-    val pairs = ts
+    import org.apache.spark.sql.expressions.Window
+    val nBigrams = greatest(size(TextFunctions.tokens(text)) - 1, lit(0))
+    val pairs = df
+      .select(id.as("doc_id"), TextFunctions.tokens(text).as("__ts"))
       .select(col("doc_id"), explode(zip_with(
         slice(col("__ts"), lit(1), greatest(size(col("__ts")) - 1, lit(0))),
         slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0))),
         (a, b) => struct(a.as("p"), b.as("t")))).as("__bg"))
       .select(col("doc_id"), col("__bg.p").as("p"), col("__bg.t").as("t"))
+    // byDoc deliberately has TWO consumers (join left + the bg chain),
+    // both of which re-run the scan→explode→partial-agg map stage when
+    // AQE's canonical-plan stage reuse misses (measured: it covers the
+    // first duplicate in d35's shape but not deeper copies). That is
+    // the RIGHT trade here, stated explicitly: the alternatives are a
+    // checkpoint of the (doc, prev, cur) table — rewriting an
+    // intermediate ~the size of the tokenized corpus, far costlier than
+    // re-running an embarrassingly-parallel map stage — or occurrence-
+    // level window counts over byDoc, whose per-token partitions are
+    // Zipf-skewed (every "the"-bigram row in one reducer). ScanSpec pins
+    // the executed plan at ≤ 2 explosions so a regression to the 3× of
+    // the naive 4-way-join formulation stays visible.
     val byDoc = pairs.groupBy("doc_id", "p", "t").agg(count(lit(1)).as("c_dpt"))
     val bg = byDoc.groupBy("p", "t").agg(sum("c_dpt").as("c_pt"))
-    val ctx = bg.groupBy("p").agg(sum("c_pt").as("c_p"))
-    val uni = bg.groupBy("t").agg(sum("c_pt").as("c_t"))
-    val grandTotal = uni.agg(sum("c_t").as("n_total"))
+      .withColumn("c_p", sum("c_pt").over(Window.partitionBy("p")))
+      .withColumn("c_t", sum("c_pt").over(Window.partitionBy("t")))
+    // Σ(len−1) over all docs ≡ Σ c_pt, without touching the explosion
+    val grandTotal = df.agg(sum(nBigrams.cast("long")).as("n_total"))
     // (1 − λ) is computed IN the plan (not pre-folded in Scala) so the
     // DuckDB oracle's literal `1 - λ` arithmetic matches bit-for-bit
-    byDoc.join(bg, Seq("p", "t")).join(ctx, "p").join(uni, "t")
+    byDoc.join(bg, Seq("p", "t"))
       .crossJoin(broadcast(grandTotal))
       .withColumn("__pi",
         lit(lambda) * (col("c_pt").cast("double") / col("c_p")) +

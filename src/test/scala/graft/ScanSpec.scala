@@ -76,6 +76,33 @@ class ScanSpec extends SparkSpec {
     assert(n == 2, s"expected 2 documents scans, got $n")
   }
 
+  // d37 lineage pin: the bigram explosion may execute at most TWICE
+  // (join-left + the bg stats chain — the documented map-stage re-run
+  // trade in CorpusStats.docBigramCrossEntropy); the third scan is the
+  // explode-free Σ(len−1) length pass. A regression to the naive
+  // 4-way-join formulation (3 explosions, 4 scans) must fail here.
+  // EXECUTED counts: collect() first, then descend materialized stages,
+  // stopping at ReusedExchange (those subtrees ran once elsewhere).
+  test("d37_bigram_xentropy executes ≤2 explosions and ≤3 scans") {
+    val df = SparkEntry.queries("d37_bigram_xentropy")(spark, dir)
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): (Int, Int) = p match {
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => (0, 0)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: FileSourceScanExec => (1, 0)
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        val (cs, cg) = g.children.map(walk).foldLeft((0, 0)) { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) }
+        (cs, cg + 1)
+      case other =>
+        (other.children ++ other.subqueries).map(walk)
+          .foldLeft((0, 0)) { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) }
+    }
+    val (scans, gens) = walk(df.queryExecution.executedPlan)
+    assert(gens <= 2, s"bigram explosion executed $gens times — lineage regressed")
+    assert(scans <= 3, s"expected ≤3 documents scans, got $scans")
+  }
+
   test("c3_star_join pushes the region filter and prunes every dimension scan") {
     val all = scans("c3_star_join")
     val regionScan = all.find(_.requiredSchema.fieldNames.contains("r_name")).get
