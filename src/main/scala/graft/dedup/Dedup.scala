@@ -170,7 +170,13 @@ object Dedup {
       text: Column,
       numHashes: Int = 32,
       numBands: Int = 8): DataFrame = {
-    val bands = bandTable(df, id, text, numHashes, numBands)
+    // Truncate the band table before the self-join: its two sides are
+    // lineage parents of the shingle explosion + signature aggregate
+    // (the corpus-scale map work), and AQE stage reuse does not reliably
+    // dedupe the copies (measured: the explosion executed twice). The
+    // materialized table is numBands small rows per document —
+    // negligible next to re-shingling the corpus.
+    val bands = graft.operators.Lineage.truncate(bandTable(df, id, text, numHashes, numBands))
     val a = bands.select(col("band"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
@@ -333,12 +339,21 @@ object Dedup {
       k: Int = 3,
       maxDf: Int = 1000): DataFrame = {
     require(maxDf > 0, "maxDf must be positive (use NoDfCap to disable the stop-shingle cap)")
-    val sh0 = shingleHashes(df, id, text, k)
+    // The raw shingle table feeds the df-cap AND the capped survivor
+    // set, which itself has three consumers (sizes + both join sides) —
+    // truncate both so the explosion runs ONCE regardless of AQE's
+    // stage-reuse luck (measured 4 executions without). The df-cap
+    // stays a groupBy+semi-join, NOT a window count: partial
+    // aggregation is what absorbs the very stop-shingle skew the cap
+    // exists to remove. Materializing doc-distinct shingle hashes is
+    // within this operator's documented small-corpus contract (the
+    // corpus-scale path is minHashCandidates → jaccardVerify).
+    val sh0 = graft.operators.Lineage.truncate(shingleHashes(df, id, text, k))
     // NoDfCap skips the df-count job entirely
     val sh = if (maxDf == NoDfCap) sh0 else {
       val keep = sh0.groupBy("g").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select("g")
-      sh0.join(keep, Seq("g"), "left_semi")
+      graft.operators.Lineage.truncate(sh0.join(keep, Seq("g"), "left_semi"))
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("g"), col("doc_id").as("doc_a"))
@@ -507,11 +522,19 @@ object Dedup {
       text: Column,
       threshold: Double,
       k: Int = 3): DataFrame = {
-    val pairs = candidates.select(col("doc_a"), col("doc_b"))
+    // Two truncation points, both deliberately SMALL tables:
+    // - the candidate pairs: consumed by the intersection join AND the
+    //   id semi-join — without truncation each consumer re-executes the
+    //   producing pipeline (for d2/d15 that is the whole MinHash stage);
+    // - the candidate shingles: consumed by the sizes aggregate and
+    //   both pair sides — bounded by the near-dup cluster members'
+    //   shingles, not the corpus, because the semi-join prunes first.
+    val pairs = graft.operators.Lineage.truncate(
+      candidates.select(col("doc_a"), col("doc_b")))
     val ids = pairs.select(col("doc_a").as("__cid"))
       .union(pairs.select(col("doc_b").as("__cid"))).distinct()
     val docs = df.join(ids, id === col("__cid"), "left_semi")
-    val sh = shingleHashes(docs, id, text, k)
+    val sh = graft.operators.Lineage.truncate(shingleHashes(docs, id, text, k))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("g"))
     val b = sh.select(col("doc_id").as("doc_b"), col("g"))

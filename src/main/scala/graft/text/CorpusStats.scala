@@ -28,16 +28,25 @@ object CorpusStats {
     * more idiosyncratic. Always finite: every token of a source is by
     * construction part of the corpus distribution (q(t) > 0). */
   def sourceDivergence(df: DataFrame, source: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = df.select(source.as("source"), explode(TextFunctions.tokens(text)).as("t"))
+    // STRICTLY LINEAR from the explosion down: per-source totals and
+    // global token counts are window sums over the (source, token)
+    // aggregate instead of groupBy+join-back — the joins gave the
+    // explosion three lineage parents, and AQE's stage reuse only
+    // deduped one of them (measured: 2 executed explosions). Both
+    // window partitions are structurally bounded on the DISTINCT
+    // (source, token) table: by-source rows = that source's vocabulary,
+    // by-token rows = the number of sources carrying the token — no
+    // occurrence-level Zipf skew (which is why this rewrite is safe
+    // here but NOT for per-doc tables like d35's).
     val bySource = tok.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
-    val totals = bySource.groupBy("source").agg(sum("c_st").as("n_s"))
-    val global = bySource.groupBy("t").agg(sum("c_st").as("c_t"))
-    // corpus total rides as a single-row broadcast (the d16/TfIdf
-    // pattern) — no plan-time driver action, no extra job
-    val grandTotal = bySource.agg(sum("c_st").as("n_total"))
+      .withColumn("n_s", sum("c_st").over(Window.partitionBy("source")))
+      .withColumn("c_t", sum("c_st").over(Window.partitionBy("t")))
+    // corpus total = Σ token-array lengths: an explode-FREE second scan,
+    // broadcast as a single row (the d16/TfIdf pattern)
+    val grandTotal = df.agg(sum(size(TextFunctions.tokens(text)).cast("long")).as("n_total"))
     bySource
-      .join(global, "t")
-      .join(totals, "source")
       .crossJoin(broadcast(grandTotal))
       .withColumn("__p", col("c_st").cast("double") / col("n_s"))
       .withColumn("__q", col("c_t").cast("double") / col("n_total"))

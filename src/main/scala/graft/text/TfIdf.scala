@@ -35,7 +35,15 @@ object TfIdf {
   def topTerms(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     val tf = termFrequencies(docs, id, text)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-    val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    // N = documents with ≥1 non-empty token — counted with an
+    // explode-FREE scan of the source instead of countDistinct over tf,
+    // which gave the token explosion a third lineage parent that AQE's
+    // stage reuse did not cover (measured: 3 executed explosions; the
+    // doc-frequency side stays a groupBy+join because its partial
+    // aggregation is what absorbs Zipf-skewed terms)
+    val n = docs.agg(
+      sum(when(exists(TextFunctions.tokens(text), t => t =!= ""), 1L).otherwise(0L))
+        .as("n_docs"))
     val scored = tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * idf(col("n_docs"), col("df_t")))

@@ -73,19 +73,28 @@ class DedupSpec extends SparkSpec {
   }
 
   test("jaccardPairs caps df BY DEFAULT; NoDfCap is the explicit opt-out") {
-    // the capped path prunes the inverted index through a df-count
-    // left-semi join — its presence in the optimized plan proves which
-    // path a call takes without needing a 1000-doc boilerplate corpus
-    def planOf(maxDfArgs: Int*): String = {
+    // Behavioral probe (the old optimized-plan LeftSemi probe went blind
+    // when the operator started checkpointing its shingle tables): every
+    // pair shares ONLY the viral trigram, so the capped path — where the
+    // trigram's df exceeds maxDf — returns nothing, and NoDfCap keeps
+    // the pairs. The default call runs with its documented maxDf=1000,
+    // so the corpus carries the trigram in 1005 documents to prove the
+    // cap is on BY DEFAULT, not only when asked for.
+    val corpus = (0 until 1005)
+      .map(i => (i.toLong, s"click here now unique$i token$i filler$i"))
+      .toDF("doc_id", "text")
+    def pairsOf(maxDfArgs: Int*): Set[(Long, Long)] = {
       val q = maxDfArgs.headOption match {
-        case Some(m) => Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5, 3, m)
-        case None => Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5)
+        case Some(m) => Dedup.jaccardPairs(corpus, col("doc_id"), col("text"), 0.1, 3, m)
+        case None => Dedup.jaccardPairs(corpus, col("doc_id"), col("text"), 0.1)
       }
-      q.queryExecution.optimizedPlan.toString
+      q.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     }
-    assert(planOf().contains("LeftSemi"), "default call must run the df-capped path")
-    assert(!planOf(Dedup.NoDfCap).contains("LeftSemi"), "NoDfCap must skip the df-count job")
-    assertThrows[IllegalArgumentException](planOf(0))
+    // each pair: 1 shared shingle of 4+4 → jaccard 1/7 ≈ 0.143 ≥ 0.1
+    assert(pairsOf().isEmpty, "default call must cap the df=1005 stop-shingle")
+    assert(pairsOf(Dedup.NoDfCap).size == 1005L * 1004 / 2,
+      "NoDfCap must keep every boilerplate-only pair")
+    assertThrows[IllegalArgumentException](pairsOf(0))
   }
 
   test("jaccardVerify scores ONLY the candidate pairs it is given") {
