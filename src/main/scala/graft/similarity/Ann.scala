@@ -295,7 +295,14 @@ object Ann {
                     threshold: Double, nLists: Int, trainRounds: Int = 0): DataFrame = {
     var cents = ivfCentroids(corpus, id, vec, nLists)
     (0 until trainRounds).foreach(_ => cents = refineCentroids(corpus, id, vec, cents))
-    val m = ivfAssign(corpus, id, vec, cents)
+    // Truncate the (id, list) assignment — 12 B/row — before it fans
+    // out into the pair self-join and the report: without it each
+    // consumer re-runs the centroid argmax over the corpus (AQE stage
+    // reuse does not reliably cover the copies). The vector re-joins
+    // stay lazy: re-scanning a column-pruned vector table is cheaper
+    // than materializing it.
+    val assigned = graft.operators.Lineage.truncate(ivfAssign(corpus, id, vec, cents))
+    val m = assigned
       .join(vecTable(corpus, id, vec, "vid", "v", "n"), col("__cid") === col("vid"))
       .select(col("list_id"), col("vid"), col("v"), col("n"))
     val dropped = m.select(col("list_id"), col("vid").as("a"), col("v").as("va"), col("n").as("na"))
@@ -316,7 +323,11 @@ object Ann {
                             tables: Int = 16, bits: Int = 0,
                             targetBucketSize: Int = 64, corpusSize: Option[Long] = None): DataFrame = {
     val nBits = if (bits > 0) bits else bitsFor(corpusSize.getOrElse(corpus.count()), targetBucketSize)
-    val sigs = sigTable(corpus, id, vec, "vid", dims, tables, nBits)
+    // (sig, vid) is tables× small rows per vector; truncated so the
+    // self-join's two sides read one materialization instead of each
+    // re-running the corpus-wide signature pass (measured: 2 executions)
+    val sigs = graft.operators.Lineage.truncate(
+      sigTable(corpus, id, vec, "vid", dims, tables, nBits))
     val cand = sigs.select(col("sig"), col("vid").as("doc_a"))
       .join(sigs.select(col("sig"), col("vid").as("doc_b")), Seq("sig"))
       .filter(col("doc_a") < col("doc_b"))
