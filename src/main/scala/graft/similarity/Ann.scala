@@ -262,6 +262,51 @@ object Ann {
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
   }
 
+  /** (vid, list_id, v, n) index rows for a semantic-dedup survivor set:
+    * what [[semanticDedupAgainst]] consumes. Persist it (parquet,
+    * ideally bucketed by `list_id`) and keep ONLY `kept` rows in it —
+    * the index is the survivor registry, so dropped vectors never
+    * suppress future arrivals. */
+  def semanticIndex(corpus: DataFrame, id: String, vec: String, centroids: DataFrame): DataFrame =
+    ivfAssign(corpus, id, vec, centroids)
+      .join(vecTable(corpus, id, vec, "vid", "v", "n"), col("__cid") === col("vid"))
+      .select(col("vid"), col("list_id"), col("v"), col("n"))
+
+  /** Incremental SemDeDup: a NEW batch judged against a persisted
+    * survivor [[semanticIndex]] — the D21 discipline applied to D38. A
+    * batch vector drops iff (a) any index survivor in its cluster has
+    * cosine ≥ `threshold`, or (b) a lower-id batch-mate in its cluster
+    * does. Index rows are never re-judged and the indexed corpus is
+    * never re-scanned: the only corpus-sized input is the index itself,
+    * joined once on `list_id`. Centroids MUST be the ones the index was
+    * built with (a re-trained quantizer re-shards the space and the
+    * cluster-blocked comparison loses its guarantee). Emits the same
+    * (vid, list_id, kept) report as [[semanticDedup]], for the batch
+    * only — append `kept` rows (via [[semanticIndex]]) to the index to
+    * continue the chain. */
+  def semanticDedupAgainst(newBatch: DataFrame, id: String, vec: String,
+                           centroids: DataFrame, index: DataFrame,
+                           threshold: Double): DataFrame = {
+    val assigned = graft.operators.Lineage.truncate(ivfAssign(newBatch, id, vec, centroids))
+    val m = assigned
+      .join(vecTable(newBatch, id, vec, "vid", "v", "n"), col("__cid") === col("vid"))
+      .select(col("list_id"), col("vid"), col("v"), col("n"))
+    val vsIndex = m.select(col("list_id"), col("vid"), col("v").as("vb"), col("n").as("nb"))
+      .join(index.select(col("list_id"), col("v").as("va"), col("n").as("na")), Seq("list_id"))
+      .filter(VectorOps.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")) >= threshold)
+      .select(col("vid"))
+    val inBatch = m.select(col("list_id"), col("vid").as("a"), col("v").as("va"), col("n").as("na"))
+      .join(m.select(col("list_id"), col("vid").as("b"), col("v").as("vb"), col("n").as("nb")),
+        Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .filter(VectorOps.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")) >= threshold)
+      .select(col("b").as("vid"))
+    val dropped = vsIndex.unionAll(inBatch).distinct()
+    m.select(col("vid"), col("list_id"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq("vid"), "left")
+      .select(col("vid"), col("list_id"), coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+
   /** Embedding near-duplicate pairs: corpus self-match where
     * cosine ≥ `threshold`, candidates restricted to LSH bucket
     * collisions (same plan discipline as [[lshTopK]]: equi-join on the

@@ -280,6 +280,57 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming SemDeDup ingest: per micro-batch, judge arriving
+    * embeddings against the persisted survivor index with
+    * [[graft.similarity.Ann.semanticDedupAgainst]] (cluster-blocked
+    * cosine, min-id keep), write ONLY the semantic survivors to
+    * `outRoot`, and append their [[graft.similarity.Ann.semanticIndex]]
+    * rows to `indexPath` — so duplicates are suppressed across batches
+    * and restarts, far beyond any watermark horizon (the E7 pattern
+    * with a vector index instead of a content-hash index).
+    *
+    * `centroids` is the FROZEN coarse quantizer (train once on a
+    * bootstrap corpus via [[graft.similarity.Ann.ivfCentroids]] /
+    * `refineCentroids`): every batch and the index must shard the
+    * space identically or the cluster-blocked comparison loses its
+    * guarantee. First batch bootstraps the index from a typed empty
+    * frame. Index state lives on disk, not in executors — executor
+    * loss costs nothing; replays re-judge against the already-appended
+    * survivors, so an at-least-once replay cannot double-admit a
+    * near-dup pair. */
+  def toSemanticDeduped(
+      docs: DataFrame,
+      id: String,
+      vec: String,
+      centroids: DataFrame,
+      threshold: Double,
+      outRoot: String,
+      indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.similarity.Ann
+        val spark = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val index =
+          if (fs.exists(hPath)) spark.read.parquet(indexPath)
+          // typed empty index: same derivation, zero rows — keeps the
+          // bootstrap batch on the exact code path every other batch runs
+          else Ann.semanticIndex(batch.limit(0).toDF(), id, vec, centroids)
+        val keptIds = Ann.semanticDedupAgainst(batch.toDF(), id, vec, centroids, index, threshold)
+          .filter(col("kept")).select(col("vid"))
+        val kept = batch.join(keptIds, batch(id) === col("vid"), "left_semi")
+        kept.persist()
+        try {
+          kept.write.mode("append").parquet(outRoot)
+          Ann.semanticIndex(kept, id, vec, centroids)
+            .write.mode("append").parquet(indexPath)
+        } finally kept.unpersist()
+      }
+      .start()
+
   def toSketchState(
       events: DataFrame,
       keys: Seq[String],

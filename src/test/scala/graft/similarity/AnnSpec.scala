@@ -194,6 +194,32 @@ class AnnSpec extends SparkSpec {
     assert(lists(0L) == lists(1L), "identical vectors must share a cluster")
   }
 
+  test("semanticDedupAgainst: index survivors suppress, batch-mates dedup, index never re-judged") {
+    // base corpus: 0 and 1 identical → survivor 0; 2 orthogonal survivor
+    val base = vecs
+    val cents = Ann.ivfCentroids(base, "vec_id", "embedding", 2)
+    val survivors = Ann.semanticDedup(base, "vec_id", "embedding", 0.99, nLists = 2)
+      .filter(col("kept")).select(col("vid"))
+    val index = Ann.semanticIndex(
+      base.join(survivors, base("vec_id") === col("vid"), "left_semi"),
+      "vec_id", "embedding", cents)
+    val indexed = index.select("vid").as[Long].collect().toSet
+    // 0 beats identical 1; 2 is orthogonal; 3's fate depends on the
+    // centroid draw (near 0, kept only if clustered apart) — irrelevant here
+    assert(indexed.contains(0L) && indexed.contains(2L) && !indexed.contains(1L))
+    val batch = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // ≡ survivor 0 → dropped vs index
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.0f)),  // novel direction → kept
+      (12L, Array(0.0f, 0.0f, 1.0f, 0.0f)))  // ≡ batch-mate 11 → dropped in-batch
+      .toDF("vec_id", "embedding")
+    val got = Ann.semanticDedupAgainst(batch, "vec_id", "embedding", cents, index, 0.99)
+      .select("vid", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 3, "one report row per batch vector")
+    assert(!got(10L), "vector matching an index survivor must drop")
+    assert(got(11L), "novel vector must survive")
+    assert(!got(12L), "higher-id batch-mate of a kept batch vector must drop")
+  }
+
   test("sigTable buckets stay near the target size under auto-sized bits") {
     // 512 deterministic pseudo-random 8-dim vectors
     val n = 512

@@ -128,6 +128,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toSemanticDeduped: cross-batch near-dups dropped via the persisted vector index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-semantic-dedup")
+    val out = dir.resolve("out").toString
+    val index = dir.resolve("index").toString
+    // frozen quantizer trained on a 4-vector bootstrap corpus
+    val boot = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (101L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (102L, Array(0.0f, 0.0f, 1.0f, 0.0f)), (103L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.similarity.Ann.ivfCentroids(boot, "vec_id", "embedding", 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.toSemanticDeduped(
+      input.toDF().toDF("vec_id", "embedding"),
+      id = "vec_id", vec = "embedding", centroids = cents, threshold = 0.99,
+      outRoot = out, indexPath = index,
+      checkpoint = dir.resolve("ckpt").toString)
+    try {
+      // batch 1 bootstraps the index: 1 and 2 distinct, 3 ≡ 1 in-batch
+      input.addData(
+        (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+        (3L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      // batch 2: near-dup of survivor 1 (0.9998 cosine) + one novel
+      input.addData(
+        (10L, Array(0.99f, 0.02f, 0.0f, 0.0f)),
+        (11L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out).select("vec_id").as[Long].collect().toSeq.sorted
+      assert(landed == Seq(1L, 2L, 11L), s"got $landed")
+      // the survivor index carries exactly the landed vectors, clustered
+      val idx = spark.read.parquet(index)
+      assert(idx.select("vid").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 11L))
+      assert(idx.select("list_id").distinct().count() <= 2)
+    } finally q.stop()
+  }
+
   test("streamDedup drops in-watermark duplicate keys, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
