@@ -891,6 +891,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Token-stutter collapse: runs of identical consecutive tokens
+    // reduced to one occurrence — the token-granularity form of C4's
+    // repeated-line cleanup (same collapseRuns works on line arrays).
+    // Narrow map, zero shuffle; the cleaned text is content-verified
+    // via an md5 prefix like d24/d31.
+    "d39_stutter_collapse" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("__toks"),
+          TextFunctions.collapseRuns(col("__toks")).as("__kept"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          size(col("__kept")).cast("long").as("n_kept"),
+          substring(md5(array_join(col("__kept"), " ")), 1, 8).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Dataset-mixing signal: KL divergence of each source's unigram
     // distribution from the corpus blend, in bits.
     "d26_source_divergence" -> ((s, dir) => {
@@ -1527,6 +1544,17 @@ object SparkEntry {
         | CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
         | round(CASE WHEN len(w) > 0 THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w) ELSE 0.0 END, 4) AS repetition
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // DuckDB list lambdas take the same optional 1-based index; i = 1
+    // keeps the first element, i > 1 compares against w[i-1] exactly as
+    // the Spark when/element_at formulation does
+    "d39_stutter_collapse" ->
+      """WITH t AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents),
+        |k AS (SELECT doc_id, w, list_filter(w, (x, i) -> i = 1 OR x <> w[i-1]) AS kept FROM t)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | substr(md5(array_to_string(kept, ' ')), 1, 8) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,

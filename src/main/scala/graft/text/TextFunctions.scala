@@ -16,6 +16,22 @@ object TextFunctions {
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Collapse runs of identical consecutive elements to one occurrence
+    * ("the the the" → "the"; works on any array — tokens for stutter
+    * removal, lines for C4-style repeated-line cleanup). Element i
+    * survives iff it differs from element i−1; the comparison is
+    * null-safe and the index guard is a `when`, not a boolean OR, so
+    * the 1-based `element_at` never sees index 0 under ANSI mode.
+    *
+    * `arr` MUST be a staged column (materialized in its own projection),
+    * not an inline expression: interpreted HOFs get no common-
+    * subexpression elimination, so an inline `tokens(text)` would
+    * re-tokenize per element via the lambda's `element_at` — the O(n²)
+    * trap [[shinglesOf]] documents. Narrow map; no shuffle. */
+  def collapseRuns(arr: Column): Column =
+    filter(arr, (x, i) =>
+      when(i === 0, lit(true)).otherwise(!(x <=> element_at(arr, i))))
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

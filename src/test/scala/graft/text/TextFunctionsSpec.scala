@@ -13,6 +13,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(eval1[String](TextFunctions.normalize(col("t")), "  Hello   WORLD \t x ") == "hello world x")
   }
 
+  test("collapseRuns keeps one element per run, on a STAGED array") {
+    def collapsed(text: String): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TextFunctions.tokens(col("t")).as("__ts"))
+        .select(TextFunctions.collapseRuns(col("__ts")).as("r"))
+        .head().getSeq[String](0)
+    assert(collapsed("the the the quick quick fox") == Seq("the", "quick", "fox"))
+    // non-adjacent repeats survive — this is stutter removal, not distinct
+    assert(collapsed("a a b a") == Seq("a", "b", "a"))
+    assert(collapsed("solo") == Seq("solo"))
+    assert(collapsed("x") == Seq("x"))
+  }
+
   test("shingles: distinct word 3-grams; short docs yield empty") {
     def shingles(text: String): Seq[String] =
       Seq(text).toDF("t").select(TextFunctions.shingles(col("t"), 3).as("r"))
