@@ -103,6 +103,34 @@ class ScanSpec extends SparkSpec {
     assert(scans <= 3, s"expected ≤3 documents scans, got $scans")
   }
 
+  // Executed-explosion budgets for the operators whose multi-parent
+  // re-execution was purged this round. Checkpointed operators (d2, d4,
+  // d12, d15, d38) must show ZERO explosions in the final query plan —
+  // every corpus-scale Generate runs exactly once inside an eager
+  // truncation; removing a Lineage.truncate makes the count jump and
+  // this fail. d16/d26 bound the live-plan explosions of their linear
+  // rewrites.
+  private val generateBudgets = Seq(
+    "d2_dedup_minhash" -> 0, "d4_ngram_jaccard" -> 0, "d12_embed_neardup" -> 0,
+    "d15_dedup_clusters" -> 0, "d38_semantic_dedup" -> 0,
+    "d16_tfidf" -> 2, "d26_source_divergence" -> 1)
+
+  generateBudgets.foreach { case (name, budget) =>
+    test(s"$name executes ≤$budget explosions in its final plan") {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      def gens(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => gens(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => gens(a.executedPlan)
+        case g: org.apache.spark.sql.execution.GenerateExec => 1 + g.children.map(gens).sum
+        case other => (other.children ++ other.subqueries).map(gens).sum
+      }
+      val n = gens(df.queryExecution.executedPlan)
+      assert(n <= budget, s"$name executed $n explosions (budget $budget) — re-execution regressed")
+    }
+  }
+
   test("c3_star_join pushes the region filter and prunes every dimension scan") {
     val all = scans("c3_star_join")
     val regionScan = all.find(_.requiredSchema.fieldNames.contains("r_name")).get
