@@ -396,11 +396,18 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val evalG = shingleHashes(eval, id, text, k).select("g").distinct()
+    // ONE pass over the training shingles: the broadcast LEFT join (not
+    // semi) tags each shingle as eval-hit or not — evalG is distinct, so
+    // no row multiplication — and a single doc aggregate then yields
+    // BOTH the size and the match count. The former sizes/matched pair
+    // gave the corpus-scale explosion two lineage parents and executed
+    // it twice (AQE stage reuse did not cover the copies).
     val tr = shingleHashes(train, id, text, k)
-    val sizes = tr.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val matched = tr.join(broadcast(evalG), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    sizes.join(matched, "doc_id") // inner: only docs with >= 1 shared shingle
+    tr.join(broadcast(evalG.withColumn("__hit", lit(true))), Seq("g"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        coalesce(sum(when(col("__hit"), lit(1L))), lit(0L)).as("n_matched"))
+      .filter(col("n_matched") >= 1) // only docs with ≥ 1 shared shingle
       // the flag compares the UNROUNDED ratio (filter-then-round, as
       // jaccardPairs does) — rounding first would flip knife-edge docs
       // and diverge from the oracle's unrounded comparison

@@ -113,7 +113,9 @@ class ScanSpec extends SparkSpec {
   private val generateBudgets = Seq(
     "d2_dedup_minhash" -> 0, "d4_ngram_jaccard" -> 0, "d12_embed_neardup" -> 0,
     "d15_dedup_clusters" -> 0, "d38_semantic_dedup" -> 0,
-    "d16_tfidf" -> 2, "d26_source_divergence" -> 1)
+    "d16_tfidf" -> 2, "d26_source_divergence" -> 1,
+    // d25: one training-corpus explosion + one (small) eval-side explosion
+    "d25_decontaminate" -> 2)
 
   generateBudgets.foreach { case (name, budget) =>
     test(s"$name executes ≤$budget explosions in its final plan") {
