@@ -456,6 +456,62 @@ object Multimodal {
       }
   }
 
+  /** Pixel-level image features: per-channel means in [0,1] and an
+    * `histBins`-bucket luminance histogram (counts sum to the pixel
+    * count). `ok = false` ⇒ undecodable payload, empty histogram, -1
+    * means. */
+  final case class PixelStats(media_id: Long, width: Int, height: Int,
+                              mean_r: Double, mean_g: Double, mean_b: Double,
+                              luma_hist: Array[Long], ok: Boolean)
+
+  /** REAL pixel feature extraction — the feature step of a multimodal
+    * training pipeline between metadata filtering and model input: full
+    * `ImageIO` decode, one pass over the pixels accumulating RGB sums
+    * and a Rec.601 luminance histogram. Deterministic (integer RGB from
+    * the decoded raster; no resampling), so specs assert exact values
+    * on synthetic payloads. Like [[thumbnails]] this touches every
+    * pixel — run it on the metadata-pruned survivors, never the raw
+    * corpus; `mapPartitions` keeps codec state per-task, undecodable
+    * payloads flag rather than fail. */
+  def pixelStats(spark: SparkSession, media: DataFrame, histBins: Int = 8): Dataset[PixelStats] = {
+    import spark.implicits._
+    require(histBins >= 1, s"histBins must be >= 1, got $histBins")
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) PixelStats(id, -1, -1, -1, -1, -1, Array.empty, ok = false)
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              val hist = new Array[Long](histBins)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+                  sr += r; sg += g; sb += b
+                  // Rec.601 integer luma in [0, 255]; bin index scaled to histBins
+                  val luma = (299 * r + 587 * g + 114 * b) / 1000
+                  hist(math.min(histBins - 1, luma * histBins / 256)) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h * 255
+              PixelStats(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+                hist, ok = true)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              PixelStats(id, -1, -1, -1, -1, -1, Array.empty, ok = false)
+          }
+        }
+      }
+  }
+
   def extractFeatures(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "media_type", "content").as[(Long, String, Array[Byte])]

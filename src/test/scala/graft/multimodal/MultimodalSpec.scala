@@ -203,6 +203,30 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.length == 1 && !bad.head.decoded && bad.head.sample_idx == -1)
   }
 
+  test("pixelStats: exact channel means + luminance histogram from a real decode") {
+    // 4×2 solid red (255,0,0): mean_r = 1, mean_g = mean_b = 0;
+    // luma = 299·255/1000 = 76 → bin 76·8/256 = 2 holds all 8 pixels
+    def solid(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, solid(0xFF0000, 4, 2)),
+      (2L, solid(0xFFFFFF, 3, 3)),   // white: all means 1, luma 255 → last bin
+      (3L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "content").repartition(2)
+    val s = Multimodal.pixelStats(spark, media, histBins = 8).collect().sortBy(_.media_id)
+    assert(s(0).ok && s(0).width == 4 && s(0).height == 2)
+    assert(s(0).mean_r == 1.0 && s(0).mean_g == 0.0 && s(0).mean_b == 0.0)
+    assert(s(0).luma_hist.toSeq == Seq(0L, 0L, 8L, 0L, 0L, 0L, 0L, 0L))
+    assert(s(1).ok && s(1).mean_r == 1.0 && s(1).mean_g == 1.0 && s(1).mean_b == 1.0)
+    assert(s(1).luma_hist.last == 9L && s(1).luma_hist.sum == 9L)
+    assert(!s(2).ok && s(2).luma_hist.isEmpty)
+  }
+
   test("thumbnails: real pixel decode + aspect-preserving resize + PNG re-encode") {
     val media = Seq(
       (1L, imageBytes("png", 100, 40)),   // landscape → 50×20 at maxDim 50
