@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants over randomized inputs — the complement of
+  * the example-based suites: each law here must hold for EVERY input,
+  * not just the hand-picked fixtures. Generation is seeded (fixed
+  * seeds, not `sample`) so failures reproduce, and Spark round-trips
+  * are batched — all generated cases ride ONE DataFrame per property,
+  * so a property costs one job, not one job per case.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def generate[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val tokenGen: Gen[List[String]] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "aa")))
+
+  test("collapseRuns: no adjacent dups, order-preserving, idempotent, = naive — for all inputs") {
+    val cases = generate(Gen.listOfN(200, tokenGen), 42L).zipWithIndex
+    val out = cases.map { case (t, i) => (t, i) }.toDF("toks", "i")
+      .select(col("i"), col("toks"),
+        graft.text.TextFunctions.collapseRuns(col("toks")).as("once"))
+      .select(col("i"), col("once"),
+        graft.text.TextFunctions.collapseRuns(col("once")).as("twice"))
+      .as[(Int, Seq[String], Seq[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    cases.foreach { case (toks, i) =>
+      val (once, twice) = out(i)
+      // law 1: no two adjacent survivors are equal
+      assert(once.zip(once.drop(1)).forall { case (x, y) => x != y }, s"adjacent dup in $once")
+      // law 2: idempotent
+      assert(twice == once, s"not idempotent: $once -> $twice")
+      // law 3: equals the naive single-threaded reference
+      val expected = toks.foldLeft(List.empty[String]) {
+        case (acc, x) if acc.headOption.contains(x) => acc
+        case (acc, x) => x :: acc
+      }.reverse
+      assert(once == expected, s"input $toks: got $once, expected $expected")
+    }
+  }
+
+  test("int8 quantization round-trip error is bounded by scale/2 — for all vectors") {
+    import graft.vectors.Quantize
+    val vecGen = Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100.0, 100.0).map(_.toFloat)))
+    val cases = generate(Gen.listOfN(150, vecGen), 7L).zipWithIndex
+    val rows = cases.map { case (v, i) => (v, i) }.toDF("v", "i")
+      .select(col("i"), col("v"), Quantize.int8Scale(col("v")).as("s"))
+      .select(col("i"), col("s"),
+        Quantize.int8MaxError(col("v"), Quantize.int8Quantize(col("v"), col("s")), col("s")).as("err"))
+      .as[(Int, Double, Double)].collect()
+    rows.foreach { case (i, s, err) =>
+      assert(err <= s / 2 + 1e-9, s"case $i: round-trip error $err exceeds scale/2 = ${s / 2}")
+    }
+  }
+
+  test("packSequences: every doc lands once; non-final packs reach the budget — for all corpora") {
+    import graft.operators.Packing
+    val docGen = Gen.choose(0, 40).map(n => List.fill(n)("tok").mkString(" "))
+    (1 to 5).foreach { seed =>
+      val docs = generate(Gen.listOfN(30, docGen), seed.toLong)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val packed = Packing.packSequences(df, col("doc_id"), col("text"), budget = 50, nShards = 3)
+        .select("doc_id", "shard", "n_tokens", "pack_id")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(packed.length == docs.length) // every doc in exactly one pack
+      // exact reference: within each shard, in doc-id order, a doc's
+      // pack is floor(exclusive running token count / budget) — an
+      // overshooting doc legitimately eats into the next pack's
+      // interval (the documented streaming approximation), so the
+      // invariant is the prefix-sum rule itself, not per-pack totals
+      packed.groupBy(_._2).foreach { case (_, shardRows) =>
+        var cum = 0L
+        shardRows.sortBy(_._1).foreach { case (docId, _, n, pack) =>
+          assert(pack == cum / 50,
+            s"seed $seed doc $docId: pack $pack, expected ${cum / 50} (prefix $cum)")
+          cum += n
+        }
+      }
+      // and cumulative coverage: when pack P+1 opens, at least (P+1)·b
+      // tokens have been absorbed by packs ≤ P
+      packed.groupBy(_._2).foreach { case (_, shardRows) =>
+        val byPack = shardRows.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+        val maxPack = byPack.keys.max
+        (0L until maxPack).foreach { p =>
+          val through = byPack.filter(_._1 <= p).values.sum
+          assert(through >= (p + 1) * 50,
+            s"seed $seed: packs 0..$p absorbed only $through tokens")
+        }
+      }
+    }
+  }
+}
