@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Empty-input hardening: a 100 TB pipeline routinely feeds operators
+  * empty slices (an empty micro-batch, a filter that matched nothing, a
+  * bootstrap run before any data landed). Every operator must return an
+  * empty, correctly-SCHEMAED result — not throw, not return null — so
+  * composed pipelines and streaming sinks survive the empty case
+  * without special-casing it.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup operators accept an empty corpus") {
+    import graft.dedup.Dedup
+    assert(Dedup.exactDedup(noDocs, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.minHashCandidates(noDocs, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.jaccardPairs(noDocs, col("doc_id"), col("text"), 0.5).count() == 0)
+    assert(Dedup.simHashPairs(noDocs, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.duplicatedSpanStats(noDocs, col("doc_id"), col("text"), w = 4).count() == 0)
+    val clusters = Dedup.clusterPairs(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(clusters.columns.toSeq == Seq("doc_id", "cluster_id") && clusters.count() == 0)
+  }
+
+  test("similarity operators accept an empty corpus") {
+    import graft.similarity.Ann
+    // nLists=1 keeps ivfCentroids' LIMIT sample valid on zero rows
+    val dedup = Ann.semanticDedup(noVecs, "vec_id", "embedding", 0.9, nLists = 1)
+    assert(dedup.columns.toSeq == Seq("vid", "list_id", "kept") && dedup.count() == 0)
+    assert(Ann.embeddingNearDupPairs(noVecs, "vec_id", "embedding", dims = 4, threshold = 0.9,
+      bits = 2).count() == 0)
+  }
+
+  test("text operators accept an empty corpus") {
+    import graft.text.{CorpusStats, CorpusProfile, TfIdf}
+    assert(CorpusStats.sourceDivergence(noDocs.withColumnRenamed("doc_id", "src"),
+      col("src"), col("text")).count() == 0)
+    assert(CorpusStats.docBigramCrossEntropy(noDocs, col("doc_id"), col("text")).count() == 0)
+    assert(TfIdf.topTerms(noDocs, col("doc_id"), col("text"), k = 3).count() == 0)
+    // the profile card still emits its single row, with zero counts
+    val card = CorpusProfile.profile(noDocs.withColumn("source", lit("s")),
+      col("text"), col("source")).head()
+    assert(card.getAs[Long]("n_docs") == 0L && card.getAs[Long]("n_sources") == 0L)
+  }
+
+  test("packing and sampling accept an empty corpus") {
+    import graft.operators.{Packing, Sampling}
+    assert(Packing.packSequences(noDocs, col("doc_id"), col("text"), 50, 3).count() == 0)
+    assert(Sampling.exactKPerStratum(noDocs.withColumn("s", lit("x")),
+      key = col("doc_id"), stratum = col("s"), k = 5).count() == 0)
+  }
+
+  test("incremental semantic dedup accepts an empty batch AND an empty index") {
+    import graft.similarity.Ann
+    val cents = Ann.ivfCentroids(
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 2)
+    val emptyIndex = Ann.semanticIndex(noVecs, "vec_id", "embedding", cents)
+    // empty batch vs empty index: no rows, no throw — the E10 bootstrap path
+    assert(Ann.semanticDedupAgainst(noVecs, "vec_id", "embedding", cents, emptyIndex, 0.9)
+      .count() == 0)
+    // real batch vs empty index: everything novel survives
+    val batch = Seq((5L, Array(1.0f, 0.0f)), (6L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val rep = Ann.semanticDedupAgainst(batch, "vec_id", "embedding", cents, emptyIndex, 0.9)
+      .select("vid", "kept").as[(Long, Boolean)].collect().toMap
+    assert(rep == Map(5L -> true, 6L -> true))
+  }
+}
