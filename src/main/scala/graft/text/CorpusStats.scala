@@ -72,7 +72,13 @@ object CorpusStats {
     val tok = df.select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("t"))
     val byDoc = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c_dt"))
     val global = byDoc.groupBy("t").agg(sum("c_dt").as("c_t"))
-    val grandTotal = global.agg(sum("c_t").as("n_total"))
+    // corpus total = Σ token-array lengths ≡ Σ c_t, from an explode-FREE
+    // scan: with the total derived from `global` the explosion had a
+    // third lineage parent, surviving only by AQE's canonical-plan
+    // stage-reuse luck (global counts can't become window sums here —
+    // byDoc is a PER-DOC table, so partition-by-token windows carry
+    // occurrence-level Zipf skew; the d26 rewrite does not apply)
+    val grandTotal = df.agg(sum(size(TextFunctions.tokens(text)).cast("long")).as("n_total"))
     byDoc.join(global, "t")
       .crossJoin(broadcast(grandTotal))
       .groupBy("doc_id")

@@ -115,7 +115,12 @@ class ScanSpec extends SparkSpec {
     "d15_dedup_clusters" -> 0, "d38_semantic_dedup" -> 0,
     "d16_tfidf" -> 2, "d26_source_divergence" -> 1,
     // d25: one training-corpus explosion + one (small) eval-side explosion
-    "d25_decontaminate" -> 2)
+    "d25_decontaminate" -> 2,
+    // d35: join-left + the global-counts chain (the structural bound;
+    // stage reuse currently collapses them to 1 — the pin catches a
+    // regression to a third parent, e.g. re-deriving the total from
+    // the explosion instead of the narrow length scan)
+    "d35_doc_xentropy" -> 2)
 
   generateBudgets.foreach { case (name, budget) =>
     test(s"$name executes ≤$budget explosions in its final plan") {
