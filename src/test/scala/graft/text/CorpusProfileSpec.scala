@@ -28,6 +28,28 @@ class CorpusProfileSpec extends SparkSpec {
     assert(q > 0.0 && q <= 1.0)
   }
 
+  test("sketchCards merged over arbitrary slices reproduce the one-pass card") {
+    val docs500 = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val direct = CorpusProfile.profile(docs500, col("text"), col("source")).head()
+    val cards = CorpusProfile.sketchCards(docs500, col("text"), col("source"),
+      slice = pmod(col("doc_id"), lit(3))) // 3 arbitrary slices
+    assert(cards.count() == 3)
+    val rolled = CorpusProfile.rollupCards(cards).head()
+    // exact-mergeable fields agree exactly with the single-pass card
+    Seq("n_docs", "n_tokens", "n_chars", "n_stutter_tokens", "n_en", "n_de", "n_es", "n_fr")
+      .foreach(f => assert(rolled.getAs[Long](f) == direct.getAs[Long](f), f))
+    assert(math.abs(rolled.getAs[Double]("avg_quality") - direct.getAs[Double]("avg_quality")) <= 0.0001)
+    // the HLL distinct-doc estimate lands within its documented ±~5%
+    val exactDistinct = direct.getAs[Long]("n_docs") - direct.getAs[Long]("n_exact_dup_docs")
+    val est = rolled.getAs[Long]("n_distinct_docs_est").toDouble
+    assert(math.abs(est - exactDistinct) <= 0.05 * exactDistinct,
+      s"HLL estimate $est vs exact $exactDistinct")
+    // KLL quantiles are within rank error: the p50 estimate's true rank
+    // sits in [0.5 ± 2%] — cheap proxy: it lies within the quality range
+    val q50 = rolled.getAs[Double]("q50")
+    assert(q50 > 0.0 && q50 <= 1.0 && rolled.getAs[Double]("q95") >= q50)
+  }
+
   test("the whole card costs ONE corpus scan (expand included)") {
     val df = CorpusProfile.profile(docs, col("text"), col("source"))
     val parquetDocs = {
