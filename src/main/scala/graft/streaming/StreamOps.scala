@@ -331,6 +331,31 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming corpus profiling: each micro-batch APPENDS its mergeable
+    * [[graft.text.CorpusProfile.sketchCards]] rows to `cardsPath` —
+    * the E8 append-only discipline (no read-modify-write on object
+    * stores) applied to the corpus card. The global card at any moment
+    * is `CorpusProfile.rollupCards(spark.read.parquet(cardsPath))`:
+    * sums merge exactly, distinct fingerprints and quality quantiles
+    * merge sketch-side, and no raw document is ever re-read. Compact
+    * periodically by rolling old rows up per slice if the row count
+    * matters; rollups are union-lossless either way. */
+  def toCorpusCards(
+      docs: DataFrame,
+      text: String,
+      source: String,
+      slice: String,
+      cardsPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.text.CorpusProfile
+          .sketchCards(batch.toDF(), col(text), col(source), col(slice))
+          .write.mode("append").parquet(cardsPath)
+      }
+      .start()
+
   def toSketchState(
       events: DataFrame,
       keys: Seq[String],

@@ -166,6 +166,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toCorpusCards: appended micro-batch cards roll up to the full-corpus profile") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cards")
+    val cards = dir.resolve("cards").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.toCorpusCards(
+      input.toDF().toDF("doc_id", "text", "source"),
+      text = "text", source = "source", slice = "source",
+      cardsPath = cards, checkpoint = dir.resolve("ckpt").toString)
+    val b1 = Seq((1L, "the rain of spain", "web"), (2L, "der und das ist", "books"))
+    val b2 = Seq((3L, "the rain of spain", "web"), (4L, "el que la y", "web"))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val rolled = graft.text.CorpusProfile.rollupCards(spark.read.parquet(cards)).head()
+      // reference: the one-pass profile over everything that streamed
+      val direct = graft.text.CorpusProfile.profile(
+        (b1 ++ b2).toDF("doc_id", "text", "source"), col("text"), col("source")).head()
+      Seq("n_docs", "n_tokens", "n_chars", "n_stutter_tokens", "n_en", "n_de", "n_es", "n_fr")
+        .foreach(f => assert(rolled.getAs[Long](f) == direct.getAs[Long](f), f))
+      assert(math.abs(rolled.getAs[Double]("avg_quality") - direct.getAs[Double]("avg_quality")) <= 0.0001)
+      // docs 1 and 3 are content-identical across batches: 3 distinct
+      assert(rolled.getAs[Long]("n_distinct_docs_est") == 3L) // HLL exact at this cardinality
+      // the state is append-only: web appears in two physical rows
+      assert(spark.read.parquet(cards).filter(col("slice") === "web").count() == 2)
+    } finally q.stop()
+  }
+
   test("streamDedup drops in-watermark duplicate keys, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
