@@ -566,28 +566,38 @@ object Dedup {
     * Scale: windows never shuffle as text — each w-gram is reduced to
     * its 128-bit md5 inside the scan, so the (doc_id, gram) shuffle
     * carries ~24 B per window with map-side combine of within-document
-    * repeats. Gram document-frequency is a WINDOW count over the
-    * already doc-distinct gram table — the per-doc table is doc-distinct
-    * per gram, so `count(*) over (partition by gram)` IS the number of
-    * documents carrying it. A groupBy+self-join formulation would give
-    * the (expensive) gram-explosion subtree two plan parents, which
-    * Spark re-executes under AQE (the defect that cost c20 12 parquet
-    * scans before the same fix); the window keeps the lineage strictly
-    * linear: explode → hash-agg → window → hash-agg, one scan total.
+    * repeats. Gram document-frequency is a partial-aggregating
+    * `groupBy(gram)` over the doc-distinct gram table, joined back —
+    * NOT `count(*) over (partition by gram)`: a window partition gets
+    * no map-side combine and AQE cannot split it, so one universal
+    * boilerplate gram ("all rights reserved …" as a w-gram) would put
+    * ~n_docs rows into ONE task at corpus scale. The groupBy absorbs
+    * the Zipf skew in partial aggregation, and the join back is a
+    * shuffle join AQE's skew handling CAN split. The per-(doc, gram)
+    * table is eagerly truncated ([[graft.operators.Lineage.truncate]])
+    * before growing its two consumers (the df aggregate and the join
+    * probe), so the expensive gram explosion still executes exactly
+    * once (the c20/SURVEY §6d single-parent rule) — the materialized
+    * ~24 B/window table is the price of a skew-splittable df.
     * (At 10^13 corpus windows the 128-bit hash's collision odds are
     * ~1e-13 — a collision can only over-count one window as
     * duplicated.) */
   def duplicatedSpanStats(df: DataFrame, id: Column, text: Column, w: Int = 4): DataFrame = {
     require(w >= 1, s"window width must be >= 1, got $w")
-    import org.apache.spark.sql.expressions.Window
     val grams = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__toks"))
       .select(col("doc_id"), explode(TextFunctions.shinglesAllOf(col("__toks"), w)).as("__g"))
       .select(col("doc_id"), unhex(md5(col("__g"))).as("__gh"))
-    grams.groupBy("doc_id", "__gh").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__ndocs", count(lit(1)).over(Window.partitionBy(col("__gh"))))
+    val perDoc = graft.operators.Lineage.truncate(
+      grams.groupBy("doc_id", "__gh").agg(count(lit(1)).as("__cnt")))
+    // doc-distinct per gram, so count(*) per gram IS its document
+    // frequency; only the (typically rare) duplicated grams join back
+    val dup = perDoc.groupBy("__gh").agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") >= 2)
+      .select(col("__gh"), lit(true).as("__dup"))
+    perDoc.join(dup, Seq("__gh"), "left")
       .groupBy("doc_id")
       .agg(sum("__cnt").as("n_windows"),
-        sum(when(col("__ndocs") >= 2, col("__cnt")).otherwise(lit(0L))).as("n_dup_windows"))
+        sum(when(col("__dup"), col("__cnt")).otherwise(lit(0L))).as("n_dup_windows"))
       .withColumn("dup_ratio",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
   }
@@ -604,11 +614,16 @@ object Dedup {
     * operator).
     *
     * Scale: the gram side is [[duplicatedSpanStats]]'s plan (hashed
-    * windows, nothing pairwise), kept STRICTLY LINEAR: positions ride
-    * the per-(doc, gram) aggregate as a collected list, document
-    * frequency is a window count over that doc-distinct table, and the
-    * surviving starts re-explode — so the expensive gram explosion has
-    * exactly one plan parent and runs once (the c20/SURVEY §6d rule; a
+    * windows, nothing pairwise): positions ride the per-(doc, gram)
+    * aggregate as a collected list, that table is eagerly truncated
+    * ONCE, and document frequency is a partial-aggregating
+    * `groupBy(gram)` semi-joined back — not a window count, which
+    * would put every occurrence of one universal boilerplate gram into
+    * a single unsplittable task (no map-side combine, no AQE split; the
+    * d4/c20 stop-gram lesson). The groupBy absorbs the Zipf skew in
+    * partial agg and the semi-join is AQE-skew-splittable; the
+    * truncation keeps the expensive gram explosion at exactly one
+    * execution (the c20/SURVEY §6d single-parent rule; an untruncated
     * `grams.join(f(grams))` shape re-executes the explosion under AQE).
     * The per-(doc, gram) position list is bounded by within-document
     * repeats of ONE gram — boilerplate-heavy rows pay proportionally,
@@ -620,15 +635,16 @@ object Dedup {
     * for the typical few contaminated spans. */
   def removeDuplicatedSpans(df: DataFrame, id: Column, text: Column, w: Int = 4): DataFrame = {
     require(w >= 1, s"window width must be >= 1, got $w")
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__t"))
     val grams = toks
       .select(col("doc_id"), posexplode(TextFunctions.shinglesAllOf(col("__t"), w)))
       .select(col("doc_id"), col("pos").as("__pos"), unhex(md5(col("col"))).as("__gh"))
-    val dupStarts = grams
-      .groupBy("doc_id", "__gh").agg(collect_list(col("__pos")).as("__ps"))
-      .withColumn("__ndocs", count(lit(1)).over(Window.partitionBy(col("__gh"))))
+    val perDoc = graft.operators.Lineage.truncate(
+      grams.groupBy("doc_id", "__gh").agg(collect_list(col("__pos")).as("__ps")))
+    val dup = perDoc.groupBy("__gh").agg(count(lit(1)).as("__ndocs"))
       .filter(col("__ndocs") >= 2)
+      .select(col("__gh"))
+    val dupStarts = perDoc.join(dup, Seq("__gh"), "left_semi")
       .select(col("doc_id"), explode(col("__ps")).as("__pos"))
       .groupBy("doc_id").agg(sort_array(collect_set(col("__pos"))).as("__starts"))
     val masked = toks.join(dupStarts, Seq("doc_id"), "left")
@@ -652,24 +668,28 @@ object Dedup {
     * legitimate content somewhere — licence headers, canonical
     * definitions — rather than noise to purge everywhere).
     *
-    * Same strictly-linear gram plan as [[removeDuplicatedSpans]]; the
-    * owner election is a second window aggregate over the SAME gram
-    * partition key, so it rides the one existing shuffle — no extra
-    * exchange, no second consumer of the explosion. Deterministic:
-    * min-id ownership needs no tie-break. */
+    * Same truncated-gram, skew-splittable plan as
+    * [[removeDuplicatedSpans]]; the owner election rides the df
+    * aggregate (`min(doc_id)` alongside the count in the SAME
+    * partial-aggregating groupBy — one shuffle, combiners absorb the
+    * Zipf skew that a per-gram window would concentrate into one
+    * task), and non-owner occurrences come from the inner join back to
+    * the truncated per-(doc, gram) table. Deterministic: min-id
+    * ownership needs no tie-break. */
   def removeDuplicatedSpansKeepFirst(df: DataFrame, id: Column, text: Column, w: Int = 4): DataFrame = {
     require(w >= 1, s"window width must be >= 1, got $w")
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__t"))
     val grams = toks
       .select(col("doc_id"), posexplode(TextFunctions.shinglesAllOf(col("__t"), w)))
       .select(col("doc_id"), col("pos").as("__pos"), unhex(md5(col("col"))).as("__gh"))
-    val byGram = Window.partitionBy(col("__gh"))
-    val dupStarts = grams
-      .groupBy("doc_id", "__gh").agg(collect_list(col("__pos")).as("__ps"))
-      .withColumn("__ndocs", count(lit(1)).over(byGram))
-      .withColumn("__owner", min("doc_id").over(byGram))
-      .filter(col("__ndocs") >= 2 && col("doc_id") =!= col("__owner"))
+    val perDoc = graft.operators.Lineage.truncate(
+      grams.groupBy("doc_id", "__gh").agg(collect_list(col("__pos")).as("__ps")))
+    val owners = perDoc.groupBy("__gh")
+      .agg(count(lit(1)).as("__ndocs"), min("doc_id").as("__owner"))
+      .filter(col("__ndocs") >= 2)
+      .select(col("__gh"), col("__owner"))
+    val dupStarts = perDoc.join(owners, Seq("__gh"))
+      .filter(col("doc_id") =!= col("__owner"))
       .select(col("doc_id"), explode(col("__ps")).as("__pos"))
       .groupBy("doc_id").agg(sort_array(collect_set(col("__pos"))).as("__starts"))
     val masked = toks.join(dupStarts, Seq("doc_id"), "left")

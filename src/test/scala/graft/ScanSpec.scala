@@ -43,37 +43,67 @@ class ScanSpec extends SparkSpec {
     assert(pushed.contains("l_shipdate"), s"ship-date filter not pushed: $pushed")
   }
 
-  // d28/d31 lineage pins: the gram-explosion subtree must have exactly ONE
-  // plan parent (df via window count, not groupBy+self-join), or the planner
-  // duplicates it and AQE re-executes the explosion per consumer. The scan
-  // count in the executed plan is the observable: one duplicated consumer
-  // of the explosion adds a whole extra source scan.
-  test("duplicatedSpanStats itself is single-scan (linear gram lineage)") {
+  // d28/d31 lineage + skew pins. The gram explosion executes exactly ONCE,
+  // inside the eager Lineage.truncate of the per-(doc, gram) table; both
+  // downstream consumers (the groupBy(gram) document-frequency aggregate and
+  // the join probe) read the checkpoint. Two observables guard the two
+  // regression classes:
+  //  - file-scan count in the final plan: an untruncated groupBy+join-back
+  //    would re-plan the explosion per consumer (2+ source scans, the c20
+  //    defect); with the truncate in place only the mask/enrich re-read of
+  //    the source appears;
+  //  - ZERO WindowExec: the pre-round-7 `count() over (partition by gram)`
+  //    formulation put every occurrence of one universal boilerplate gram
+  //    into a single unsplittable task (no map-side combine, no AQE skew
+  //    split) — the df must stay a partial-aggregating groupBy.
+  private def windows(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    inner.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.length
+  }
+
+  test("duplicatedSpanStats: gram side truncated once, df is a partial agg (no window)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val plan = graft.dedup.Dedup
+    val qe = graft.dedup.Dedup
       .duplicatedSpanStats(docs, org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text"), w = 4)
-      .queryExecution.executedPlan match {
+      .queryExecution
+    val plan = qe.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
     val n = plan.collect { case s: FileSourceScanExec => s }.length
-    assert(n == 1, s"expected 1 documents scan, got $n — the gram subtree has multiple plan parents")
+    assert(n == 0, s"expected 0 file scans in the final plan (gram side reads the " +
+      s"checkpoint), got $n — the explosion has an untruncated consumer")
+    assert(windows(qe.executedPlan) == 0,
+      "gram document-frequency regressed to a window — unsplittable under Zipf skew")
   }
 
-  test("d28_dup_spans scans documents exactly twice (single-scan operator + source enrich)") {
+  test("d28_dup_spans: 1 final-plan scan (source enrich), gram df not a window") {
+    val df = SparkEntry.queries("d28_dup_spans")(spark, dir)
     val n = scans("d28_dup_spans").length
-    assert(n == 2, s"expected 2 documents scans (stats + source join), got $n")
+    assert(n == 1, s"expected 1 documents scan in the final plan (source enrich; the " +
+      s"gram side ran once inside the truncate), got $n")
+    assert(windows(df.queryExecution.executedPlan) == 0,
+      "gram document-frequency regressed to a window")
   }
 
-  test("d31_span_removal scans documents exactly twice (linear gram side + mask re-read)") {
+  test("d31_span_removal: 1 final-plan scan (mask re-read), gram df not a window") {
+    val df = SparkEntry.queries("d31_span_removal")(spark, dir)
     val n = scans("d31_span_removal").length
-    assert(n == 2, s"expected 2 documents scans (gram side + mask side), got $n")
+    assert(n == 1, s"expected 1 documents scan in the final plan (mask side), got $n")
+    assert(windows(df.queryExecution.executedPlan) == 0,
+      "gram document-frequency regressed to a window")
   }
 
-  test("d31b_span_keepfirst keeps the same 2-scan shape (owner election rides the gram shuffle)") {
+  test("d31b_span_keepfirst: 1 final-plan scan, owner election rides the partial agg") {
+    val df = SparkEntry.queries("d31b_span_keepfirst")(spark, dir)
     val n = scans("d31b_span_keepfirst").length
-    assert(n == 2, s"expected 2 documents scans, got $n")
+    assert(n == 1, s"expected 1 documents scan in the final plan, got $n")
+    assert(windows(df.queryExecution.executedPlan) == 0,
+      "owner election regressed to a window — unsplittable under Zipf skew")
   }
 
   // d37 lineage pin: the bigram explosion may execute at most TWICE
