@@ -32,30 +32,42 @@ object Bench {
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 times a subset while iterating on a
     // hot spot. Unset (the driver's invocation) → the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val selected0 = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(q => names(q._1)))
-    // SPARK_GRAFT_REPEAT=N times each selected query N times (keys
-    // suffixed #i past the first) to separate cold-JVM from warm cost.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    val selected = selected0.toSeq.flatMap { case (name, fn) =>
-      (0 until repeat).map(i => (if (i == 0) name else s"$name#$i") -> fn)
-    }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    val selected = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(q => names(q._1)))
+    // SPARK_GRAFT_REPEAT=N runs each query N times: run 1 is the cold
+    // time ("queries", comparable round-over-round), runs 2..N feed a
+    // warm MEDIAN ("queries_warm") that strips one-off JIT/IO noise and
+    // ambient machine load — the signal a load-polluted cold run lies
+    // about. Default 2 so every artifact carries both columns.
+    val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt)
+    val results = selected.toSeq.map { case (name, fn) =>
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (cold, ok) = once()
+      // a failed query fails identically warm — don't re-record the error
+      val warms = if (ok) (1 until repeat).map(_ => once()._1) else Seq.empty[Double]
+      val warmMedian = warms.sorted.drop((warms.size - 1) / 2).headOption
+      (name, cold, warmMedian)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val warm = results.collect { case (k, _, Some(w)) => s"${jstr(k)}:$w" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val totalWarm = results.flatMap(_._3).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,""" +
+      s""""queries":$qs,"queries_warm":$warm,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // The stdout line travels through sbt's log, which truncates long
     // tails — per-round grading lost 18 of 83 timings to that. Always

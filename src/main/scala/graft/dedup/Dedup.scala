@@ -436,18 +436,22 @@ object Dedup {
     * chain-shaped boilerplate components grow their diameter with the
     * corpus — the previous formulation here died exactly at scale).
     *
-    * Scale shape per round: two window-min passes over the edge table
-    * (each one hash shuffle on the star center) and a set-equality
-    * check (one shuffle) — edges only ever carry (long, long), nothing
-    * pairwise, no driver-side graph state. Per-round lineage is
+    * Scale shape per round ([[starRound]]): two per-center min passes,
+    * each a partial-aggregating `groupBy(center).agg(min)` joined back
+    * to the edge table — NOT window minima: a 10^8-degree hub (every
+    * near-dup of one boilerplate doc) is one window partition = one
+    * straggler task per round, while the groupBy reduces with
+    * combiners and the join back is AQE-skew-splittable (the published
+    * MR formulation's combiner reduce, re-expressed). Edges only ever
+    * carry (long, long), nothing pairwise, no driver-side graph state;
+    * the set-equality convergence check is one more shuffle and a
+    * driver-side boolean, not a collect of data. Per-round lineage is
     * truncated via [[graft.operators.Lineage.truncate]] (reliable
     * checkpoint when the session has a checkpoint dir, localCheckpoint
-    * otherwise). The convergence check is a driver-side boolean, not a
-    * collect of data.
+    * otherwise).
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import graft.operators.Lineage
-    import org.apache.spark.sql.expressions.Window
     // Truncate the PAIR table itself, exactly once: `nodes` and `edges`
     // both consume it, and the producing pipeline (e.g. MinHash bands +
     // exact-Jaccard verify) is routinely the most expensive plan in the
@@ -466,27 +470,7 @@ object Dedup {
     var iter = 0
     var converged = edges.isEmpty // nothing to contract: all singletons
     while (!converged && iter < maxIter) {
-      // large-star over the symmetrized edges: per center u, point every
-      // neighbor v > u at m = min(u, min neighbors). Output stays
-      // high→low oriented (v > u ≥ m). NO dedup here: duplicate (v, m)
-      // rows (same result from different centers) are ≤ |sym| and the
-      // small-star min is insensitive to multiplicity — a distinct would
-      // cost a full extra shuffle per round to save carrying ≤ 2|E| rows
-      // through ONE window.
-      val sym = edges.select(col("u"), col("v"))
-        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      val ls = sym
-        .withColumn("m", least(col("u"), min("v").over(Window.partitionBy("u"))))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-      // small-star on the (already high→low) edges: per center u, point
-      // every neighbor AND u itself at m = min neighbor (< u).
-      val ss = ls.withColumn("m", min("v").over(Window.partitionBy("u")))
-      val stepped = Lineage.truncate(
-        ss.select(col("v").as("u"), col("m").as("v"))
-          .unionAll(ss.select(col("u"), col("m").as("v")))
-          .filter(col("u") =!= col("v"))
-          .distinct())
+      val stepped = starRound(edges)
       // set equality with the previous round's (distinct) edge set: any
       // edge appearing in exactly one of the two unions means not done.
       // Size equality is necessary for set equality and both sides are
@@ -509,6 +493,51 @@ object Dedup {
     // singleton nodes label themselves
     nodes.join(edges, nodes("id") === edges("u"), "left")
       .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("cluster_id"))
+  }
+
+  /** One large-star + small-star contraction round over a (checkpointed)
+    * high→low edge table — the loop body of [[clusterPairs]], exposed
+    * for plan-shape tests. Input and output are both distinct (u, v)
+    * edge sets with u > v; the output is eagerly truncated.
+    *
+    * Both per-center minima are `groupBy(center).agg(min)` + join back,
+    * never window minima: combiners absorb hub-degree skew map-side and
+    * AQE can split the skewed join partitions, where a window partition
+    * is one unsplittable task. `sym` is consumed twice (the aggregate
+    * and the join probe) — safe without its own truncation because it
+    * derives narrowly from the ALREADY-checkpointed edge table, so the
+    * second consumer re-reads checkpoint blocks, not a recomputed plan.
+    * The large-star output `ls` IS a join product, so it gets truncated
+    * once before its two consumers for the same single-execution
+    * guarantee (one extra ≤|E|-row (long, long) materialization per
+    * round). `truncate = false` skips both materializations so tests
+    * can assert the round's FULL plan shape; production always
+    * truncates. */
+  private[graft] def starRound(edges: DataFrame, truncate: Boolean = true): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (truncate) graft.operators.Lineage.truncate(df) else df
+    // large-star over the symmetrized edges: per center u, point every
+    // neighbor v > u at m = min(u, min neighbors). Output stays
+    // high→low oriented (v > u ≥ m). NO dedup here: duplicate (v, m)
+    // rows (same result from different centers) are ≤ |sym| and the
+    // small-star min is insensitive to multiplicity — a distinct would
+    // cost a full extra shuffle per round to save carrying ≤ 2|E| rows
+    // through one aggregate.
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val ls = cut(
+      sym.join(sym.groupBy("u").agg(min("v").as("__mn")), Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("__mn")).as("v")))
+    // small-star on the (already high→low) edges: per center u, point
+    // every neighbor AND u itself at m = min neighbor (< u). The
+    // 2-element explode emits both rewired edges in ONE pass over the
+    // join output instead of a self-union that would consume it twice.
+    val ss = ls.join(ls.groupBy("u").agg(min("v").as("__m")), Seq("u"))
+    cut(
+      ss.select(explode(array(col("v"), col("u"))).as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs — the second

@@ -295,9 +295,18 @@ object StreamOps {
     * space identically or the cluster-blocked comparison loses its
     * guarantee. First batch bootstraps the index from a typed empty
     * frame. Index state lives on disk, not in executors — executor
-    * loss costs nothing; replays re-judge against the already-appended
-    * survivors, so an at-least-once replay cannot double-admit a
-    * near-dup pair. */
+    * loss costs nothing.
+    *
+    * Replay safety: both outputs land under `batch=<epochId>`
+    * subdirectories in OVERWRITE mode, and the index read EXCLUDES the
+    * current epoch's own rows — so an at-least-once replay (including
+    * a crash BETWEEN the two writes, which under plain appends left
+    * the index behind the output and double-admitted on retry)
+    * re-judges against exactly the pre-batch index and rewrites both
+    * directories to the same state. Idempotent per epoch as long as
+    * the source replays the same batch content, which Structured
+    * Streaming's checkpoint contract guarantees for replayable
+    * sources. */
   def toSemanticDeduped(
       docs: DataFrame,
       id: String,
@@ -309,27 +318,47 @@ object StreamOps {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        import graft.similarity.Ann
-        val spark = batch.sparkSession
-        val hPath = new org.apache.hadoop.fs.Path(indexPath)
-        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val index =
-          if (fs.exists(hPath)) spark.read.parquet(indexPath)
-          // typed empty index: same derivation, zero rows — keeps the
-          // bootstrap batch on the exact code path every other batch runs
-          else Ann.semanticIndex(batch.limit(0).toDF(), id, vec, centroids)
-        val keptIds = Ann.semanticDedupAgainst(batch.toDF(), id, vec, centroids, index, threshold)
-          .filter(col("kept")).select(col("vid"))
-        val kept = batch.join(keptIds, batch(id) === col("vid"), "left_semi")
-        kept.persist()
-        try {
-          kept.write.mode("append").parquet(outRoot)
-          Ann.semanticIndex(kept, id, vec, centroids)
-            .write.mode("append").parquet(indexPath)
-        } finally kept.unpersist()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        semanticDedupBatch(batch.toDF(), epochId, id, vec, centroids, threshold,
+          outRoot, indexPath)
       }
       .start()
+
+  /** One micro-batch of [[toSemanticDeduped]], exposed for replay tests:
+    * running the same (batch, epochId) twice must leave identical
+    * output and index state. */
+  private[graft] def semanticDedupBatch(
+      batch: DataFrame,
+      epochId: Long,
+      id: String,
+      vec: String,
+      centroids: DataFrame,
+      threshold: Double,
+      outRoot: String,
+      indexPath: String): Unit = {
+    import graft.similarity.Ann
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val index =
+      if (fs.exists(hPath))
+        // drop any half-written state of THIS epoch (crash + replay):
+        // the batch must be judged against exactly the pre-batch index
+        spark.read.parquet(indexPath)
+          .filter(col("batch") =!= lit(epochId)).drop("batch")
+      // typed empty index: same derivation, zero rows — keeps the
+      // bootstrap batch on the exact code path every other batch runs
+      else Ann.semanticIndex(batch.limit(0), id, vec, centroids)
+    val keptIds = Ann.semanticDedupAgainst(batch, id, vec, centroids, index, threshold)
+      .filter(col("kept")).select(col("vid"))
+    val kept = batch.join(keptIds, batch(id) === col("vid"), "left_semi")
+    kept.persist()
+    try {
+      kept.write.mode("overwrite").parquet(s"$outRoot/batch=$epochId")
+      Ann.semanticIndex(kept, id, vec, centroids)
+        .write.mode("overwrite").parquet(s"$indexPath/batch=$epochId")
+    } finally kept.unpersist()
+  }
 
   /** Streaming corpus profiling: each micro-batch APPENDS its mergeable
     * [[graft.text.CorpusProfile.sketchCards]] rows to `cardsPath` —
@@ -339,7 +368,14 @@ object StreamOps {
     * sums merge exactly, distinct fingerprints and quality quantiles
     * merge sketch-side, and no raw document is ever re-read. Compact
     * periodically by rolling old rows up per slice if the row count
-    * matters; rollups are union-lossless either way. */
+    * matters; rollups are union-lossless either way.
+    *
+    * Replay safety: card rows are ADDITIVE counters (unlike
+    * [[toSketchState]]'s union-tolerant HLLs), so a plain append would
+    * double-count on an at-least-once replay. Each batch's cards land
+    * under a `batch=<epochId>` subdirectory in OVERWRITE mode instead
+    * — a replayed epoch rewrites its own rows, never inflates the
+    * rollup. */
   def toCorpusCards(
       docs: DataFrame,
       text: String,
@@ -349,12 +385,24 @@ object StreamOps {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.text.CorpusProfile
-          .sketchCards(batch.toDF(), col(text), col(source), col(slice))
-          .write.mode("append").parquet(cardsPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        corpusCardsBatch(batch.toDF(), epochId, text, source, slice, cardsPath)
       }
       .start()
+
+  /** One micro-batch of [[toCorpusCards]], exposed for replay tests:
+    * running the same (batch, epochId) twice must not inflate the
+    * rolled-up counters. */
+  private[graft] def corpusCardsBatch(
+      batch: DataFrame,
+      epochId: Long,
+      text: String,
+      source: String,
+      slice: String,
+      cardsPath: String): Unit =
+    graft.text.CorpusProfile
+      .sketchCards(batch, col(text), col(source), col(slice))
+      .write.mode("overwrite").parquet(s"$cardsPath/batch=$epochId")
 
   def toSketchState(
       events: DataFrame,

@@ -35,14 +35,16 @@ object TfIdf {
   def topTerms(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     val tf = termFrequencies(docs, id, text)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-    // N = documents with ≥1 non-empty token — counted with an
+    // N = DISTINCT documents with ≥1 non-empty token — counted with an
     // explode-FREE scan of the source instead of countDistinct over tf,
     // which gave the token explosion a third lineage parent that AQE's
     // stage reuse did not cover (measured: 3 executed explosions; the
     // doc-frequency side stays a groupBy+join because its partial
-    // aggregation is what absorbs Zipf-skewed terms)
+    // aggregation is what absorbs Zipf-skewed terms). Distinct on the
+    // id, not a row count: termFrequencies merges duplicate doc_id rows
+    // into one document, and N must agree or every idf silently shifts.
     val n = docs.agg(
-      sum(when(exists(TextFunctions.tokens(text), t => t =!= ""), 1L).otherwise(0L))
+      countDistinct(when(exists(TextFunctions.tokens(text), t => t =!= ""), id))
         .as("n_docs"))
     val scored = tf.join(df, "term")
       .crossJoin(broadcast(n))

@@ -178,4 +178,31 @@ class EquivalenceSpec extends SparkSpec {
     assert(got == expected)
     assert(got.filter(_._1 >= 1000L).values.toSet == Set(1000L))
   }
+
+  test("clusterPairs hub skew: star graph resolves, round plan has no window minima") {
+    // one hub node adjacent to everything — the degenerate degree
+    // distribution where a per-center window min would put the whole
+    // component into one task. The groupBy+join round must (a) keep the
+    // per-center minima OUT of any WindowExec and (b) still converge to
+    // a single component rooted at the min id.
+    val hub = (1L to 800L).map(i => (5L, 5000L + i)) // hub id 5, spokes above
+    val labels = Dedup.clusterPairs(hub.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 801 && labels.values.toSet == Set(5L))
+
+    // plan shape, pinned on the round body itself (truncate=false keeps
+    // the whole round in ONE lazy plan): per-center minima must be
+    // partial-aggregating HashAggregates + joins, zero WindowExec
+    val edges = hub.map { case (a, b) => (b, a) }.toDF("u", "v") // high→low
+    val stepped = Dedup.starRound(edges, truncate = false)
+    stepped.collect()
+    def wins(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => wins(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => wins(a.executedPlan)
+      case w: org.apache.spark.sql.execution.window.WindowExec => 1 + w.children.map(wins).sum
+      case other => (other.children ++ other.subqueries).map(wins).sum
+    }
+    assert(wins(stepped.queryExecution.executedPlan) == 0,
+      "star-round minima regressed to window functions")
+  }
 }

@@ -194,6 +194,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDedupBatch replay: same epoch twice leaves identical output and index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-replay")
+    val out = dir.resolve("out").toString
+    val index = dir.resolve("index").toString
+    val boot = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (101L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (102L, Array(0.0f, 0.0f, 1.0f, 0.0f)), (103L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.similarity.Ann.ivfCentroids(boot, "vec_id", "embedding", 2)
+    val b0 = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b1 = Seq(
+      (10L, Array(0.99f, 0.02f, 0.0f, 0.0f)), // near-dup of survivor 1
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    StreamOps.semanticDedupBatch(b0, 0L, "vec_id", "embedding", cents, 0.99, out, index)
+    StreamOps.semanticDedupBatch(b1, 1L, "vec_id", "embedding", cents, 0.99, out, index)
+    // at-least-once: epoch 1 fires again (crash after writes, before the
+    // checkpoint commit) — the old append formulation re-admitted kept
+    // rows a second time; the epoch-keyed overwrite must not
+    StreamOps.semanticDedupBatch(b1, 1L, "vec_id", "embedding", cents, 0.99, out, index)
+    val landed = spark.read.parquet(out).select("vec_id").as[Long].collect().toSeq.sorted
+    assert(landed == Seq(1L, 2L, 11L), s"replay duplicated rows: $landed")
+    val vids = spark.read.parquet(index).select("vid").as[Long].collect().toSeq.sorted
+    assert(vids == Seq(1L, 2L, 11L), s"replay duplicated index rows: $vids")
+  }
+
+  test("corpusCardsBatch replay: same epoch twice does not inflate the rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cards-replay")
+    val cards = dir.resolve("cards").toString
+    val b0 = Seq((1L, "the rain of spain", "web"), (2L, "der und das ist", "books"))
+      .toDF("doc_id", "text", "source")
+    val b1 = Seq((3L, "el que la y", "web")).toDF("doc_id", "text", "source")
+    StreamOps.corpusCardsBatch(b0, 0L, "text", "source", "source", cards)
+    StreamOps.corpusCardsBatch(b1, 1L, "text", "source", "source", cards)
+    StreamOps.corpusCardsBatch(b1, 1L, "text", "source", "source", cards) // replay
+    val rolled = graft.text.CorpusProfile.rollupCards(spark.read.parquet(cards)).head()
+    assert(rolled.getAs[Long]("n_docs") == 3L,
+      s"replayed epoch inflated n_docs to ${rolled.getAs[Long]("n_docs")}")
+  }
+
   test("streamDedup drops in-watermark duplicate keys, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]

@@ -33,4 +33,20 @@ class TfIdfSpec extends SparkSpec {
     val top = TfIdf.topTerms(tied, col("doc_id"), col("text"), k = 1).head()
     assert(top.getString(1) == "a")
   }
+
+  test("duplicate doc_id rows do not inflate N (idf stays stable)") {
+    // doc 1 appears as TWO source rows; termFrequencies merges them into
+    // one document, so N must be 3 (distinct ids), not 4 (rows) — a row
+    // count silently shifts every idf score
+    val dup = Seq(
+      (1L, "spark spark shuffle"),
+      (1L, "spark extra"),
+      (2L, "spark join"),
+      (3L, "window join")).toDF("doc_id", "text")
+    val scored = TfIdf.topTerms(dup, col("doc_id"), col("text"), k = 10)
+      .filter(col("doc_id") === 3L && col("term") === "window").head()
+    // window: tf=1, df=1, N=3 → 1·(ln(4/2)+1) ≈ 1.6931
+    assert(math.abs(scored.getDouble(3) - 1.6931) < 0.0005,
+      s"score ${scored.getDouble(3)} implies N != distinct-doc count")
+  }
 }
