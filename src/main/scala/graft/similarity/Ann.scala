@@ -262,6 +262,176 @@ object Ann {
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
   }
 
+  /** Two-level coarse quantizer: `top` shards the space into ~√nLists
+    * cells, `sub` holds each cell's sub-centroids (flat schema
+    * (list_id, top_id, cvec, cnorm) — `list_id` is globally unique, so
+    * every flat-IVF consumer of a (list_id → vectors) sharding works
+    * unchanged on hierarchical assignments). */
+  final case class HierCentroids(top: DataFrame, sub: DataFrame)
+
+  /** Train the two-level quantizer: ~√nLists deterministic top-level
+    * centroids ([[ivfCentroids]]), then ≈ nLists/√nLists sub-centroids
+    * INSIDE each top cell, so [[ivfAssignHier]] costs ~2√nLists dot
+    * products per corpus vector instead of flat assignment's nLists —
+    * the difference between dead and fine at 10^10 vectors with
+    * nLists = 10^5 (flat: 10^15 corpus-side dots; hierarchical:
+    * ~6×10^12). This is the standard IVF-on-IVF coarse quantizer
+    * (FAISS's IVF_HNSW / two-level IMI family, re-expressed
+    * relationally).
+    *
+    * Sub-centroid selection is the same deterministic md5-key sample as
+    * [[ivfCentroids]], but PER CELL — and deliberately NOT via a window
+    * rank over the full cell population (a mega-cell would become one
+    * unsplittable sort task, the d28/d15 skew lesson). Instead each
+    * cell's expected-4×-oversample survives a per-cell hash-threshold
+    * filter (thresholds from a broadcast per-cell count), and only the
+    * bounded survivor set (~4·perCell rows per cell) pays a window
+    * rank. Cells smaller than the oversample keep everything, so every
+    * non-empty cell yields ≥1 sub-centroid and [[ivfAssignHier]]'s
+    * inner join loses no vector.
+    *
+    * `trainRounds` (default 1) Lloyd-refines the sub-centroids through
+    * [[refineHier]] — paid out of the √nLists assignment savings, it
+    * adapts the lists to the data where flat IVF's sampled centroids
+    * stay random, which is what keeps hierarchical recall at-or-above
+    * flat at equal probe budget (AnnSpec measures this). Both returned
+    * tables are eagerly truncated: `sub` is consumed by every
+    * assignment AND every query probe pass, and its selection pipeline
+    * must not re-run per consumer. */
+  def hierCentroids(corpus: DataFrame, id: String, vec: String, nLists: Int,
+                    trainRounds: Int = 1): HierCentroids = {
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    val nTop = math.max(1, math.round(math.sqrt(nLists.toDouble)).toInt)
+    val perCell = math.max(1, math.ceil(nLists.toDouble / nTop).toInt)
+    val top = ivfCentroids(corpus, id, vec, nTop)
+      .select(col("list_id").as("top_id"), col("cvec").as("tvec"), col("cnorm").as("tnorm"))
+    val c = vecTable(corpus, id, vec, "__cid", "__v", "__n")
+    // truncated: the per-cell count AND the survivor filter both consume
+    // this corpus-wide argmax — untruncated, each would re-run it
+    val assignedTop = graft.operators.Lineage.truncate(
+      c.join(broadcast(top))
+        .withColumn("__s", VectorOps.cosineWithNorms(col("__v"), col("tvec"), col("__n"), col("tnorm")))
+        .groupBy("__cid").agg(max(struct(col("__s"), (-col("top_id")).as("__nt"))).as("__b"))
+        .select(col("__cid"), (-col("__b.__nt")).cast("int").as("top_id"))
+        .withColumn("__h", conv(substring(md5(col("__cid").cast("string")), 1, 15), 16, 10).cast("long")))
+    // per-cell survivor threshold: keep ~4·perCell smallest hash keys of
+    // each cell (all of a small cell), computed from one tiny count table
+    val maxH = (1L << 60).toDouble
+    val cellCounts = assignedTop.groupBy("top_id").agg(count(lit(1)).as("__cn"))
+    val survivors = assignedTop.join(broadcast(cellCounts), Seq("top_id"))
+      .filter(col("__cn") <= 4L * perCell ||
+        col("__h") <= (lit(maxH) * 4.0 * perCell / col("__cn")).cast("long"))
+    val ranked = survivors
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("top_id").orderBy(col("__h"), col("__cid"))))
+      .filter(col("__r") <= perCell)
+    val sub = broadcast(ranked)
+      .join(corpus.select(col(id).as("__cid"), VectorOps.toDouble(col(vec)).as("cvec")), "__cid")
+      // global list ids over ≤ nLists + nTop rows — the unpartitioned
+      // window is fine at quantizer size, as in ivfCentroids
+      .withColumn("list_id", row_number().over(
+        Window.orderBy(col("top_id"), col("__h"), col("__cid"))))
+      .select(col("list_id"), col("top_id"), col("cvec"),
+        VectorOps.l2Norm(col("cvec")).as("cnorm"))
+    val init = HierCentroids(
+      graft.operators.Lineage.truncate(top),
+      graft.operators.Lineage.truncate(sub))
+    (0 until trainRounds).foldLeft(init)((h, _) => refineHier(corpus, id, vec, h))
+  }
+
+  /** One Lloyd refinement round for the two-level quantizer: re-center
+    * each sub-centroid on the mean of its hierarchically-assigned
+    * vectors ([[refineCentroids]]'s distributed k-means step, with the
+    * assignment going through the cheap [[ivfAssignHier]] instead of
+    * the full flat argmax — a round costs ~(1+searchTop)√nLists dots
+    * per vector). Sub-centroids keep their `top_id`: the cell routing
+    * is the index structure; only the in-cell geometry adapts. Lists
+    * that lost every member keep their previous centroid. */
+  def refineHier(corpus: DataFrame, id: String, vec: String, hier: HierCentroids,
+                 searchTop: Int = 2): HierCentroids = {
+    val means = ivfAssignHier(corpus, id, vec, hier, searchTop)
+      .join(corpus.select(col(id).as("__cid"), VectorOps.toDouble(col(vec)).as("__mv")), "__cid")
+      .select(col("list_id"), posexplode(col("__mv")).as(Seq("__d", "__x")))
+      .groupBy("list_id", "__d").agg(avg("__x").as("__m"))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__dm"))
+      .select(col("list_id"), transform(col("__dm"), s => s.getField("__m")).as("cvec"))
+      .withColumn("cnorm", VectorOps.l2Norm(col("cvec")))
+    val refreshed = hier.sub
+      .select(col("list_id"), col("top_id"), col("cvec").as("__ov"), col("cnorm").as("__on"))
+      .join(means, Seq("list_id"), "left")
+      .select(col("list_id"), col("top_id"),
+        coalesce(col("cvec"), col("__ov")).as("cvec"),
+        coalesce(col("cnorm"), col("__on")).as("cnorm"))
+    HierCentroids(hier.top, graft.operators.Lineage.truncate(refreshed))
+  }
+
+  /** (\_\_cid, list_id) assignment through the two-level quantizer:
+    * stage 1 finds the `searchTop` nearest top cells (~√nLists dots per
+    * vector), stage 2 the nearest sub-centroid within THOSE cells
+    * (~searchTop·√nLists more — the broadcast-join fan-out is the
+    * probed cells' sub-centroids only, never the full `sub` table).
+    * Same output contract as [[ivfAssign]].
+    *
+    * `searchTop = 2` (default) is the standard multi-cell assignment
+    * cure for quantizer boundary error: a vector near a top-cell border
+    * may have its globally nearest sub-centroid in the NEIGHBORING
+    * cell, and single-cell assignment strands it in a list that
+    * queries ranking sub-centroids globally will not probe — measured
+    * on the sf0.01 corpus this costs ~20% recall at equal probe
+    * budget, recovered exactly by the second cell. Stage 1 keeps its
+    * top cells with a bounded collect_list aggregate (buffer ≤ nTop =
+    * √nLists structs — never corpus-sized, so no window and no skew).
+    * The corpus is re-scanned column-pruned for stage 2 rather than
+    * shuffling vectors through stage 1's argmax (the semanticDedup
+    * trade: lazy vector re-joins beat materializing them). */
+  def ivfAssignHier(corpus: DataFrame, id: String, vec: String, hier: HierCentroids,
+                    searchTop: Int = 2): DataFrame = {
+    require(searchTop >= 1, s"searchTop must be >= 1, got $searchTop")
+    val c = vecTable(corpus, id, vec, "__cid", "__v", "__n")
+    val topOf = c.join(broadcast(hier.top))
+      .withColumn("__s", VectorOps.cosineWithNorms(col("__v"), col("tvec"), col("__n"), col("tnorm")))
+      .groupBy("__cid")
+      .agg(slice(reverse(array_sort(
+        collect_list(struct(col("__s"), (-col("top_id")).as("__nt"))))), 1, searchTop).as("__tops"))
+      .select(col("__cid"), explode(col("__tops")).as("__b"))
+      .select(col("__cid"), (-col("__b.__nt")).cast("int").as("top_id"))
+    vecTable(corpus, id, vec, "__cid", "__v", "__n")
+      .join(topOf, "__cid")
+      .join(broadcast(hier.sub), "top_id")
+      .withColumn("__s", VectorOps.cosineWithNorms(col("__v"), col("cvec"), col("__n"), col("cnorm")))
+      .groupBy("__cid").agg(max(struct(col("__s"), (-col("list_id")).as("__nl"))).as("__best"))
+      .select(col("__cid"), (-col("__best.__nl")).cast("int").as("list_id"))
+  }
+
+  /** IVF-Flat ANN through the two-level quantizer: [[ivfTopK]]'s plan
+    * with [[ivfAssignHier]] sharding the corpus. Queries still rank the
+    * FULL flat sub-centroid table (broadcast; queries are few and
+    * nLists is small next to the corpus — the corpus-side assignment is
+    * where the √nLists economy matters), so `nProbe` is the same probe
+    * budget as flat IVF and results compare list-for-list. */
+  def ivfTopKHier(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                  k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    val hier = hierCentroids(corpus, id, vec, nLists)
+    val assigned = ivfAssignHier(corpus, id, vec, hier)
+      .join(vecTable(corpus, id, vec, "cid", "cv", "__cn"), col("__cid") === col("cid"))
+      .select(col("list_id"), col("cid"), col("cv"), col("__cn"))
+    val q = vecTable(queries, id, vec, "qid", "qv", "qnorm")
+    val probes = q.join(broadcast(hier.sub))
+      .withColumn("__score", VectorOps.cosineWithNorms(col("qv"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("__score").desc, col("list_id").asc)))
+      .filter(col("__pr") <= nProbe)
+      .select(col("qid"), col("qv"), col("qnorm"), col("list_id"))
+    val scored = probes.join(assigned, Seq("list_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", VectorOps.cosineWithNorms(col("qv"), col("cv"), col("qnorm"), col("__cn")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
+  }
+
   /** (vid, list_id, v, n) index rows for a semantic-dedup survivor set:
     * what [[semanticDedupAgainst]] consumes. Persist it (parquet,
     * ideally bucketed by `list_id`) and keep ONLY `kept` rows in it —

@@ -46,16 +46,54 @@ object HttpFetch {
       attempts: Int)
 
   /** Retry policy; defaults mirror the reference (3 attempts, 2 s
-    * exponential base, 10 s request timeout). */
+    * exponential base, 10 s request timeout).
+    *
+    * `requestsPerSecond` (0 = unthrottled) caps each PARTITION's request
+    * rate through a token bucket, so the aggregate rate against the
+    * remote API is `partitions × requestsPerSecond` — an explicit
+    * politeness budget instead of an accident of layout (the
+    * reference's thread-pool throttle, fetch_movies.py:108-115,
+    * generalized: pick `parallelism` and `requestsPerSecond` so their
+    * product respects the API's published limit). `burst` allows that
+    * many back-to-back requests before pacing binds. Retries consume
+    * tokens like first attempts — a backoff storm must not breach the
+    * budget. */
   final case class Policy(
       maxRetries: Int = 3,
       backoffMillis: Long = 2000L,
       timeoutMillis: Long = 10000L,
       maxWaitMillis: Long = 60000L,
-      permanentStatuses: Set[Int] = Set(401, 403, 404)) {
+      permanentStatuses: Set[Int] = Set(401, 403, 404),
+      requestsPerSecond: Double = 0.0,
+      burst: Int = 1) {
     require(maxRetries >= 1, s"maxRetries must be >= 1, got $maxRetries")
     require(backoffMillis >= 0 && maxWaitMillis >= 0 && timeoutMillis > 0,
       "backoff/wait must be >= 0 and timeout > 0")
+    require(requestsPerSecond >= 0, s"requestsPerSecond must be >= 0, got $requestsPerSecond")
+    require(burst >= 1, s"burst must be >= 1, got $burst")
+  }
+
+  /** Token bucket: refills at `ratePerSec`, holds at most `burst`
+    * tokens; [[acquire]] blocks until a token is available. One
+    * instance per partition (single-threaded iterator), created inside
+    * `mapPartitions` so executors never share state. */
+  private[sources] final class TokenBucket(ratePerSec: Double, burst: Int) {
+    require(ratePerSec > 0 && burst >= 1, "rate must be > 0 and burst >= 1")
+    private var tokens = burst.toDouble
+    private var last = System.nanoTime()
+    def acquire(): Unit = {
+      var got = false
+      while (!got) {
+        val now = System.nanoTime()
+        tokens = math.min(burst.toDouble, tokens + (now - last) * ratePerSec / 1e9)
+        last = now
+        if (tokens >= 1.0) { tokens -= 1.0; got = true }
+        else {
+          val needNanos = ((1.0 - tokens) * 1e9 / ratePerSec).toLong
+          Thread.sleep(needNanos / 1000000L, (needNanos % 1000000L).toInt)
+        }
+      }
+    }
   }
 
   /** Fetch every (id, url) row of `requests`. Emits one [[FetchResult]]
@@ -76,20 +114,26 @@ object HttpFetch {
       val client = java.net.http.HttpClient.newBuilder()
         .connectTimeout(java.time.Duration.ofMillis(p.timeoutMillis))
         .build()
-      it.map { case (id, url) => fetchOne(client, id, url, p) }
+      val limiter =
+        if (p.requestsPerSecond > 0) Some(new TokenBucket(p.requestsPerSecond, p.burst))
+        else None
+      it.map { case (id, url) => fetchOne(client, id, url, p, limiter) }
     }
   }
 
   /** The per-request retry loop (reference: fetch_single_movie,
-    * fetch_movies.py:117-205). Package-private for direct unit tests. */
+    * fetch_movies.py:117-205). Package-private for direct unit tests.
+    * The limiter gates EVERY attempt, including retries. */
   private[sources] def fetchOne(
-      client: java.net.http.HttpClient, id: Long, url: String, p: Policy): FetchResult = {
+      client: java.net.http.HttpClient, id: Long, url: String, p: Policy,
+      limiter: Option[TokenBucket] = None): FetchResult = {
     var lastStatus: Option[Int] = None
     var attempt = 0
     while (attempt < p.maxRetries) {
       attempt += 1
       val backoff = math.min(p.backoffMillis << (attempt - 1), p.maxWaitMillis)
       try {
+        limiter.foreach(_.acquire())
         val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
           .timeout(java.time.Duration.ofMillis(p.timeoutMillis))
           .GET().build()

@@ -155,6 +155,84 @@ class AnnSpec extends SparkSpec {
     assert(trained > 0.5, s"trained recall collapsed: $trained")
   }
 
+  test("hierCentroids: every vector lands in exactly one list; ids globally unique") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val hier = Ann.hierCentroids(emb, "vec_id", "embedding", nLists = 16)
+    val sub = hier.sub.collect()
+    assert(hier.top.count() == 4L) // √16 top cells
+    assert(sub.map(_.getAs[Int]("list_id")).distinct.length == sub.length,
+      "list ids must be globally unique across cells")
+    assert(sub.map(_.getAs[Int]("top_id")).distinct.length == 4,
+      "every top cell must own at least one sub-centroid")
+    assert(sub.length >= 16 && sub.length <= 20, s"expected ~nLists subs, got ${sub.length}")
+    val assigned = Ann.ivfAssignHier(emb, "vec_id", "embedding", hier)
+    assert(assigned.count() == 500L)
+    assert(assigned.groupBy("__cid").count().filter(col("count") > 1).isEmpty,
+      "a vector assigned to two lists")
+  }
+
+  test("ivfAssignHier scores ~2√nLists dots/vector — measured on the executed plan") {
+    // flat assignment broadcasts ALL nLists centroids against every
+    // vector (join output n·nLists); hierarchical stages it through the
+    // top cells (n·√L) then one cell's subs (n·~√L). The join operators'
+    // numOutputRows metric IS the number of scored (vector, centroid)
+    // pairs — assert the hierarchical total stays at the 2√L bound while
+    // flat pays the full nLists fan-out.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val nLists = 16
+    def scoredPairs(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          j.metrics("numOutputRows").value + j.children.map(walk).sum
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          j.metrics("numOutputRows").value + j.children.map(walk).sum
+        case other => (other.children ++ other.subqueries).map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val hier = Ann.hierCentroids(emb, "vec_id", "embedding", nLists)
+    val n = 500L
+    val nTop = hier.top.count()
+    val perCell = math.ceil(nLists.toDouble / nTop).toInt
+    val searchTop = 2
+    val hierPairs = scoredPairs(Ann.ivfAssignHier(emb, "vec_id", "embedding", hier, searchTop))
+    // stage 1: n·nTop; stage 2: n·searchTop·(subs/cell ≤ perCell) + the
+    // n·searchTop equi-join rows carrying the probed cell ids
+    assert(hierPairs <= n * (nTop + searchTop * (perCell + 1)),
+      s"hier assignment scored $hierPairs pairs — exceeds the ~(1+searchTop)√nLists bound")
+    val flatPairs = scoredPairs(Ann.ivfAssign(emb, "vec_id", "embedding",
+      Ann.ivfCentroids(emb, "vec_id", "embedding", nLists)))
+    assert(flatPairs >= n * nLists, s"flat baseline unexpectedly cheap: $flatPairs")
+    assert(hierPairs < flatPairs,
+      s"hierarchical ($hierPairs) must beat flat ($flatPairs) at nLists=$nLists")
+  }
+
+  test("ivfTopKHier: recall >= flat IVF at equal probe budget; full probe is near-exact") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb.filter(col("vec_id") < 20)
+    val k = 10
+    val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    def recallOf(got: Set[(Long, Long)]): Double =
+      exact.intersect(got).size.toDouble / exact.size
+    def hier(nProbe: Int): Double = recallOf(
+      Ann.ivfTopKHier(emb, q, "vec_id", "embedding", k, nLists = 16, nProbe = nProbe)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet)
+    def flat(nProbe: Int): Double = recallOf(
+      Ann.ivfTopK(emb, q, "vec_id", "embedding", k, nLists = 16, nProbe = nProbe)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet)
+    val (h4, f4) = (hier(4), flat(4))
+    assert(h4 >= f4 - 1e-9,
+      s"hier recall $h4 below flat $f4 at equal probe budget nProbe=4")
+    assert(h4 > 0.3, s"hier recall collapsed: $h4")
+    // probing every list reduces to brute force over all assigned lists
+    val all = hier(16)
+    assert(all >= 0.99, s"full-probe hier recall should be ~1.0, got $all")
+  }
+
   test("semanticDedup with nLists=1 equals the naive pairwise drop rule") {
     // single cluster ⇒ the cluster blocking vanishes and the operator
     // must reduce EXACTLY to: drop v iff some lower-id u has cos ≥ τ

@@ -15,11 +15,14 @@ class HttpFetchSpec extends SparkSpec {
   import spark.implicits._
 
   private val hits = new ConcurrentHashMap[String, AtomicInteger]()
+  private val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
   private var server: HttpServer = _
   private var base: String = _
 
-  private def count(path: String): Int =
+  private def count(path: String): Int = {
+    arrivals.add((path, System.nanoTime()))
     hits.computeIfAbsent(path, _ => new AtomicInteger()).incrementAndGet()
+  }
 
   private def respond(ex: HttpExchange, status: Int, body: String,
       headers: Map[String, String] = Map.empty): Unit = {
@@ -42,6 +45,8 @@ class HttpFetchSpec extends SparkSpec {
         path match {
           case p if p.startsWith("/ok/") =>
             respond(ex, 200, movieJson(p.stripPrefix("/ok/").toLong))
+          case p if p.startsWith("/rate/") =>
+            respond(ex, 200, movieJson(p.stripPrefix("/rate/").toLong))
           case p if p.startsWith("/flaky/") => // 500 twice, then 200
             if (n <= 2) respond(ex, 500, "boom")
             else respond(ex, 200, movieJson(p.stripPrefix("/flaky/").toLong))
@@ -103,6 +108,35 @@ class HttpFetchSpec extends SparkSpec {
         Seq((6L, "http://127.0.0.1:1/x")).toDF("id", "url"), fastPolicy)
       .collect().head
     assert(!r.success && r.error.contains("MAX_RETRIES_EXCEEDED") && r.status.isEmpty)
+  }
+
+  test("token bucket paces a 2 req/s policy: server-side gaps >= ~500ms") {
+    val polite = fastPolicy.copy(requestsPerSecond = 2.0, burst = 1)
+    val reqs = (1L to 5L).map(i => (i, s"$base/rate/$i")).toDF("id", "url")
+    val r = HttpFetch.fetchAll(reqs, polite, parallelism = Some(1)).collect()
+    assert(r.forall(_.success))
+    val times = arrivals.toArray(Array.empty[(String, Long)])
+      .collect { case (p, t) if p.startsWith("/rate/") => t }.sorted
+    assert(times.length == 5)
+    val gapsMs = times.sliding(2).map(w => (w(1) - w(0)) / 1e6).toSeq
+    // 2 req/s ⇒ nominal 500ms spacing; allow scheduler jitter downward
+    assert(gapsMs.forall(_ >= 420.0),
+      s"inter-request gaps breached the 2 req/s budget: ${gapsMs.map(_.round)}ms")
+  }
+
+  test("rate limiter also gates retries (backoff storm stays in budget)") {
+    val polite = fastPolicy.copy(requestsPerSecond = 4.0, burst = 1, backoffMillis = 1L)
+    val r = HttpFetch.fetchAll(
+        Seq((9L, s"$base/always500/9")).toDF("id", "url"), polite,
+        parallelism = Some(1)).collect().head
+    assert(!r.success && r.attempts == 3)
+    val times = arrivals.toArray(Array.empty[(String, Long)])
+      .collect { case (p, t) if p == "/always500/9" => t }.sorted
+    assert(times.length == 3)
+    val gapsMs = times.sliding(2).map(w => (w(1) - w(0)) / 1e6).toSeq
+    // 4 req/s ⇒ 250ms floor even though backoff is 1ms
+    assert(gapsMs.forall(_ >= 200.0),
+      s"retry gaps breached the 4 req/s budget: ${gapsMs.map(_.round)}ms")
   }
 
   test("writeBronze lays out raw json, bronze parquet, and rejected routing") {
