@@ -1,0 +1,981 @@
+package graft
+
+import graft.analytics.Kpis
+import graft.dedup.Dedup
+import graft.etl.{Checks, Cleaning, Nested, Scd, Validate}
+import graft.multimodal.Multimodal
+import graft.operators.{Packing, Relational, Sampling}
+import graft.text.TfIdf
+import graft.similarity.Ann
+import graft.text.{Redact, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+
+/** D-series driver queries (training-data operators: dedup, ANN, text
+  * analysis, sampling, multimodal) with their DuckDB oracles — split
+  * from SparkEntry, which documents the alias/ordering contract. */
+private[graft] object DataQueries {
+
+  /** Embeddings-corpus size memoized per sf dir. LSH auto-sizing needs
+    * |corpus|, and a production caller passes it from their metastore
+    * instead of paying a count job at every plan construction — here the
+    * first of d6/d12 to run pays one metadata-cheap parquet count and
+    * the rest reuse it. */
+  private val corpusSizes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingsCount(s: SparkSession, dir: String): Long =
+    corpusSizes.computeIfAbsent(dir, _ => Tables.embeddings(s, dir).count())
+
+  /** d32 model parameters: a deterministic pseudo-random weight vector
+    * (any fixed model works — the operator under test is the hashed
+    * inference, not the weights). Inlined as literals in BOTH the Spark
+    * plan and the generated DuckDB oracle. */
+  private val d32Dim = 64
+  private val d32Weights: Seq[Double] =
+    (0 until d32Dim).map(i => math.round(math.sin(i + 1.0) * 5000.0) / 10000.0)
+  private val d32Bias = -0.1
+
+  /** The d3 SimHash oracle recomputes the 60-bit md5-derived signatures
+    * in SQL: 60 per-bit vote sums over unnested tokens, then bit
+    * assembly and an O(n²) Hamming join (fine at oracle scale; the
+    * Spark side uses the pigeonhole equi-join, which is complete, so
+    * both formulations define the same pair set). */
+  private val simHashVotesSql: String =
+    (0 until 60).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+  private val simHashBitsSql: String =
+    (0 until 60).map(b => s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)").mkString(" | ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ========================================== D: training-data operators
+
+    "d1_dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactGroups(docs, col("doc_id"), col("text"))
+        .orderBy("content_hash")
+    }),
+
+    // The production two-stage dedup pipeline: MinHash+LSH candidate
+    // generation composed with exact-Jaccard verification on candidates
+    // only. The oracle is the full exact-Jaccard pair set: at b=8/r=4 a
+    // true pair (every ≥0.5-Jaccard pair in this corpus is ≥0.9) is
+    // missed with prob < 2e-4, and the signature hashes are fixed, so
+    // the composed result equals the exact set deterministically.
+    "d2_dedup_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.jaccardVerify(
+          Dedup.minHashCandidates(docs, col("doc_id"), col("text"),
+            numHashes = 32, numBands = 8),
+          docs, col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Pigeonhole candidates are COMPLETE (not probabilistic), so the
+    // emitted set is exactly "all pairs with Hamming ≤ 3" — which the
+    // oracle recomputes bit-for-bit from the md5-derived signatures.
+    "d3_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          maxHamming = 3, chunks = 4)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          threshold = 0.5, k = 3, maxDf = 100)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d5_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // bits auto-sized from the corpus (bitsFor: 500/64 → 3 bits at
+    // sf0.01); tables=48 puts per-pair recall above 1-3e-5 even at the
+    // lowest top-5 cosine in this corpus (~0.26 ⇒ p=0.582,
+    // recallFor(0.26, 3, 48) ≈ 0.99997), so the deterministic-plane LSH
+    // result equals exact brute-force top-k — the oracle below.
+    "d6_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          dims = 64, k = 5, tables = 48, corpusSize = Some(embeddingsCount(s, dir)))
+        .orderBy("qid", "rank")
+    }),
+
+    "d7_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      val enStop = TextFunctions.LangStopwords.head._2
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(t).cast("long").as("n_chars"),
+          TextFunctions.tokenCount(t).as("n_words"),
+          round(length(t).cast("double") / TextFunctions.tokenCount(t), 4).as("avg_word_len"),
+          round(TextFunctions.punctRatio(t), 4).as("punct_ratio"),
+          round(TextFunctions.upperRatio(t), 4).as("upper_ratio"),
+          round(TextFunctions.stopwordRatio(t, enStop), 4).as("stopword_ratio"),
+          round(TextFunctions.qualityScore(t), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Confusion cells (pred_lang × labeled lang) so the oracle
+    // discriminates across multiple rows. Tokens are staged once, hit
+    // counts staged next, argmax last — each projection materializes
+    // what the next one's higher-order functions reference (interpreted
+    // HOFs get no subexpression elimination; see TextFunctions).
+    "d8_lang_id" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), TextFunctions.tokens(col("text")).as("__toks"))
+      val hits = toks.select(
+        col("lang") +: TextFunctions.langHitsOf(col("__toks")).map { case (l, c) => c.as(s"__h_$l") }: _*)
+      hits.select(col("lang"),
+          TextFunctions.langPred(TextFunctions.LangStopwords.map { case (l, _) => l -> col(s"__h_$l") }).as("pred_lang"))
+        .groupBy("pred_lang", "lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang", "lang")
+    }),
+
+    "d9_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("ws_tokens"),
+          sum(TextFunctions.regexTokenCount(col("text"))).as("re_tokens"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_ws_tokens"))
+        .orderBy("source")
+    }),
+
+    // Tokens staged in their own projection so the interpreted shingle
+    // HOF references a materialized array (see TextFunctions.shinglesOf).
+    "d10_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.contentFingerprint(col("text")).as("content_md5"),
+          TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("content_md5"),
+          TextFunctions.minShingleFingerprintOf(col("__toks")).as("min_shingle_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "d11_vector_stats" -> ((s, dir) => {
+      import graft.vectors.VectorOps
+      val v = VectorOps.toDouble(col("embedding"))
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          VectorOps.l2Norm(v).as("norm"), element_at(v, 1).as("d1"), element_at(v, 2).as("d2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"),
+          round(avg("d1"), 4).as("avg_dim1"), round(avg("d2"), 4).as("avg_dim2"))
+        .orderBy("label")
+    }),
+
+    // Int8 embedding quantization (D29): per-label reconstruction-error
+    // stats, every arithmetic step (scale, clamp, half-up round, error)
+    // mirrored in the oracle. Staged projections per the HOF rule.
+    "d29_quantize" -> ((s, dir) => {
+      import graft.vectors.{Quantize, VectorOps}
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          VectorOps.toDouble(col("embedding")).as("__v"))
+        .withColumn("__scale", Quantize.int8Scale(col("__v")))
+        .withColumn("__q", Quantize.int8Quantize(col("__v"), col("__scale")))
+        .select(col("label"), col("__scale"),
+          Quantize.int8MaxError(col("__v"), col("__q"), col("__scale")).as("__err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("__scale"), 4).as("avg_scale"),
+          round(avg("__err"), 4).as("avg_max_err"),
+          round(max("__err"), 4).as("worst_err"))
+        .orderBy("label")
+    }),
+
+    // τ=0.45 sits in a gap of this corpus's cosine distribution; bits
+    // auto-size to 3 at sf0.01 and tables=24 gives per-pair recall
+    // ≥ 1-5e-4 at the threshold (recallFor(0.4516, 3, 24) ≈ 0.9995), so
+    // the LSH-restricted pair set equals the exact ≥τ set — the oracle.
+    "d12_embed_neardup" -> ((s, dir) => {
+      Ann.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dims = 64, threshold = 0.45, tables = 24,
+          corpusSize = Some(embeddingsCount(s, dir)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d13_multimodal" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain", "source")
+      Multimodal.withBinaryMetrics(media)
+        .groupBy("source", "media_type")
+        .agg(count(lit(1)).as("n"),
+          sum("byte_len").as("sum_bytes"),
+          countDistinct(col("sha256")).as("n_checksums"))
+        .orderBy("source")
+    }),
+
+    // Deterministic stratified sampling: md5-keyed buckets, so the
+    // selection is reproducible on any cluster layout and the oracle
+    // re-derives it exactly (df.sample's RNG cannot be verified).
+    "d14_sample" -> ((s, dir) => {
+      Sampling.stratifiedHashSample(Tables.documents(s, dir),
+          key = col("doc_id"), stratum = col("lang"),
+          fractions = Map("en" -> 0.25, "de" -> 1.0), default = 0.1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(length(col("text")).cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // Exactly-k-per-stratum deterministic sampling (D30): fixed-SIZE
+    // eval sets per language (fractional sampling can't promise a
+    // size). The oracle re-derives the md5 rank order and the exact
+    // selection — sum_ids pins the member set, not just the count.
+    "d30_sample_k" -> ((s, dir) => {
+      Sampling.exactKPerStratum(Tables.documents(s, dir),
+          key = col("doc_id"), stratum = col("lang"), k = 7)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
+    // Pairwise near-dups resolved to clusters (connected components):
+    // the keep/drop decision layer above d2. The oracle computes the
+    // same min-reachable-id labels with a recursive CTE.
+    "d15_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardVerify(
+        Dedup.minHashCandidates(docs, col("doc_id"), col("text"), 32, 8),
+        docs, col("doc_id"), col("text"), threshold = 0.5)
+      Dedup.clusterPairs(pairs).orderBy("doc_id")
+    }),
+
+    "d16_tfidf" -> ((s, dir) => {
+      TfIdf.topTerms(Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
+        .orderBy("doc_id", "term")
+    }),
+
+    "d17_packing" -> ((s, dir) => {
+      Packing.packStats(Packing.packSequences(Tables.documents(s, dir),
+          col("doc_id"), col("text"), budget = 512, nShards = 8))
+        .orderBy("shard", "pack_id")
+    }),
+
+    // PII redaction over deterministically constructed PII-bearing text
+    // (the synthetic corpus carries none, so the query plants one email/
+    // URL/phone/IP per document from its id — the oracle mirrors the
+    // construction and each regex pass exactly).
+    "d20_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      val t2 = concat(col("text"),
+        lit(" contact user"), id.cast("string"),
+        lit("@example.com or https://site"), (id % 7).cast("string"),
+        lit(".org/p call 555-12"), (id % 10).cast("string"),
+        lit("-4567 from 10.0."), (id % 256).cast("string"), lit(".1"))
+      Tables.documents(s, dir)
+        .select(col("source"), t2.as("t2"))
+        .select(col("source"),
+          Redact.piiCount(col("t2"), Redact.EmailPattern).as("n_email"),
+          Redact.piiCount(col("t2"), Redact.UrlPattern).as("n_url"),
+          Redact.piiCount(col("t2"), Redact.PhonePattern).as("n_phone"),
+          (length(Redact.redactPii(col("t2"))) - length(col("t2"))).cast("long").as("len_delta"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_email").as("n_emails"), sum("n_url").as("n_urls"),
+          sum("n_phone").as("n_phones"), sum("len_delta").as("sum_len_delta"))
+        .orderBy("source")
+    }),
+
+    // Repetition/boilerplate signal: 1 − distinct/total tokens per doc.
+    "d22_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
+          round(TextFunctions.repetitionRatioOf(col("__toks")), 4).as("repetition"))
+        .orderBy("doc_id")
+    }),
+
+    // One-pass corpus card: volume, source/language mix, exact-dup
+    // volume, stutter noise, mean quality — every metric an aggregate
+    // over ONE documents scan (CorpusProfileSpec pins the scan count).
+    // All metrics exact, so the whole card hash-checks against DuckDB.
+    "d40_corpus_profile" -> ((s, dir) => {
+      graft.text.CorpusProfile.profile(Tables.documents(s, dir),
+        col("text"), col("source"))
+    }),
+
+    // Token-stutter collapse: runs of identical consecutive tokens
+    // reduced to one occurrence — the token-granularity form of C4's
+    // repeated-line cleanup (same collapseRuns works on line arrays).
+    // Narrow map, zero shuffle; the cleaned text is content-verified
+    // via an md5 prefix like d24/d31.
+    "d39_stutter_collapse" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("__toks"),
+          TextFunctions.collapseRuns(col("__toks")).as("__kept"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          size(col("__kept")).cast("long").as("n_kept"),
+          substring(md5(array_join(col("__kept"), " ")), 1, 8).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Dataset-mixing signal: KL divergence of each source's unigram
+    // distribution from the corpus blend, in bits.
+    "d26_source_divergence" -> ((s, dir) => {
+      graft.text.CorpusStats.sourceDivergence(Tables.documents(s, dir),
+          col("source"), col("text"))
+        .orderBy("source")
+    }),
+
+    // Context-window chunking: 32-token chunks, 8-token overlap; the
+    // chunk text is verified via an md5 prefix so the oracle checks
+    // CONTENT, not just counts.
+    "d24_chunking" -> ((s, dir) => {
+      graft.text.Chunking.chunkDocuments(Tables.documents(s, dir),
+          col("doc_id"), col("text"), chunkTokens = 32, overlapTokens = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          substring(md5(col("chunk_text")), 1, 8).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Decontamination: documents with doc_id % 50 == 0 stand in for the
+    // eval set; every other document reports its 3-gram overlap with
+    // that set's shingle universe.
+    "d25_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // IVF-Flat ANN at real approximate params (probe 4 of 8 lists —
+    // observed recall ≈ 0.72 vs exact top-5 on this corpus, measured in
+    // AnnSpec). The oracle does NOT fall back to exact search: centroid
+    // selection is md5-keyed and assignment/probe/top-k are plain
+    // argmax-cosine relational steps, so DuckDB mirrors the ENTIRE IVF
+    // pipeline bit-for-bit (same double upcast, same dot/norm formula,
+    // same tie-breaks) — the approximate result itself is hash-checked.
+    "d23_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nLists = 8, nProbe = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    // SemDeDup-style semantic dedup: the corpus sharded into d23's 8
+    // md5-keyed IVF clusters, cosine compared ONLY within a cluster
+    // (the paper's own cost bound), lower-id member of every ≥τ pair
+    // survives. τ=0.45 = d12's corpus-gap threshold. The oracle mirrors
+    // centroid sample, assignment, in-cluster pairing and the keep rule,
+    // so the approximate (cluster-blocked) result itself is hash-checked.
+    "d38_semantic_dedup" -> ((s, dir) => {
+      Ann.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.45, nLists = 8)
+        .select(col("vid").as("vec_id"), col("list_id"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
+    // Per-group quantile quality filter: keep the top 25% of documents
+    // per source by the composite quality score — per-group cutoffs
+    // adapt to each source's score distribution.
+    "d19_quality_filter" -> ((s, dir) => {
+      val q = TextFunctions.qualityScore(col("text"))
+      Kpis.topFractionPerGroup(Tables.documents(s, dir),
+          group = col("source"), score = q, fraction = 0.25, tieBreak = Seq(col("doc_id")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), round(avg(q), 4).as("avg_quality"))
+        .orderBy("source")
+    }),
+
+    // Dataset-mixing rebalance: largest deterministic subsample whose
+    // language shares hit the 4:3:2:1 target (zh unweighted → dropped;
+    // the binding stratum keeps every row). The oracle re-derives the
+    // per-stratum cutoffs AND the md5 bucket selection.
+    "d27_rebalance_mix" -> ((s, dir) => {
+      Sampling.rebalanceToMix(Tables.documents(s, dir),
+          key = col("doc_id"), stratum = col("lang"),
+          weights = Map("en" -> 0.4, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.1))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(length(col("text")).cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // Sub-document duplication: share of 4-token windows that also
+    // occur in another document, aggregated per source.
+    "d28_dup_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.duplicatedSpanStats(docs, col("doc_id"), col("text"), w = 4)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_windows").as("n_windows"),
+          sum("n_dup_windows").as("n_dup"),
+          round(sum("n_dup_windows").cast("double") / sum("n_windows"), 4).as("dup_ratio"))
+        .orderBy("source")
+    }),
+
+    // Duplicated-span REMOVAL — the rewrite half of d28: every token
+    // covered by a cross-document 4-token window is dropped, and the
+    // cleaned text itself is verified via an md5 prefix (content, not
+    // just counts).
+    "d31_span_removal" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpans(Tables.documents(s, dir),
+          col("doc_id"), col("text"), w = 4)
+        .select(col("doc_id"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
+          col("n_tokens"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Canonical-owner variant of d31: the min-id document owning each
+    // cross-document gram KEEPS its spans; only non-owners drop tokens —
+    // one copy of shared boilerplate survives the corpus.
+    "d31b_span_keepfirst" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpansKeepFirst(Tables.documents(s, dir),
+          col("doc_id"), col("text"), w = 4)
+        .select(col("doc_id"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
+          col("n_tokens"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE training step 1 at corpus scale: word-frequency vocabulary
+    // (the only corpus-wide pass), then frequency-weighted adjacent
+    // char-pair counts over the DISTINCT vocabulary.
+    "d34_bpe_pairs" -> ((s, dir) =>
+      graft.text.Bpe.topPairs(Tables.documents(s, dir), col("text"), 20)),
+
+    // Deequ-style declarative constraint suite: six checks over orders
+    // computed in ONE aggregation pass (plan-asserted in ChecksSpec).
+    "c18_quality_checks" -> ((s, dir) => {
+      Checks.audit(Tables.orders(s, dir), Seq(
+          Checks.RowCountBetween(1, 10000000),
+          Checks.NotNull("o_custkey", maxNullFrac = 0.0),
+          Checks.Unique("o_orderkey", maxDupFrac = 0.0),
+          Checks.InRange("o_totalprice", 1.0, 300000.0, maxViolFrac = 0.05),
+          Checks.InSet("o_orderstatus", Seq("O", "F", "P")),
+          Checks.MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$", minMatchFrac = 0.9)))
+        .orderBy("check")
+    }),
+
+    // CCNet-style LM quality signal: per-document cross-entropy under
+    // the corpus unigram distribution (bits/token) — both tails are
+    // filter targets (boilerplate low, gibberish high).
+    "d35_doc_xentropy" -> ((s, dir) => {
+      graft.text.CorpusStats.docCrossEntropy(Tables.documents(s, dir),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Order-2 upgrade of d35: cross-entropy under the interpolated
+    // BIGRAM corpus LM (λ·P(w|prev) + (1−λ)·unigram floor). The
+    // first-order-structure signal: a scrambled token bag scores
+    // exactly like clean text under d35's unigram model but high here.
+    "d37_bigram_xentropy" -> ((s, dir) => {
+      graft.text.CorpusStats.docBigramCrossEntropy(Tables.documents(s, dir),
+          col("doc_id"), col("text"), lambda = 0.8)
+        .orderBy("doc_id")
+    }),
+
+    // Leakage-safe train/val/test split: assignment keyed on the
+    // CONTENT fingerprint so normalized-identical documents co-assign;
+    // the per-document assignment itself is hash-checked.
+    "d33_leakage_split" -> ((s, dir) => {
+      Sampling.leakageSafeSplit(Tables.documents(s, dir), col("text"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // fastText-style hashed-bag-of-words scoring: the model rides into
+    // the plan as a literal weight array, inference is a zero-shuffle
+    // narrow map; md5-derived buckets make the oracle bit-exact.
+    "d32_classifier_score" -> ((s, dir) => {
+      graft.text.Classifier.scoreDocuments(Tables.documents(s, dir),
+          col("doc_id"), col("text"), d32Weights, d32Bias)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+        | min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    // d2 emits MinHash candidates verified to exact Jaccard ≥ 0.5; with
+    // b=8/r=4 the composed result equals the full exact pair set (see
+    // the query comment), so the oracle is the exact formulation.
+    "d2_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter),4) AS jaccard
+        |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE inter*1.0/(x.n + y.n - inter) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d3_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\\s+',' ','g'), ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM toks),
+         |v AS (SELECT doc_id, $simHashVotesSql FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, $simHashBitsSql AS sim FROM v)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Mirrors the maxDf=100 stop-shingle cap: shingles in >100 documents
+    // leave the universe before sizes and intersections are counted.
+    "d4_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter),4) AS jaccard
+        |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE inter*1.0/(x.n + y.n - inter) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d26_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS t FROM documents),
+        |bs AS (SELECT source, t, count(*) AS c_st FROM tok GROUP BY 1,2),
+        |ts AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM bs GROUP BY 1),
+        |g AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM bs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_st) AS DOUBLE) AS n_total FROM bs)
+        |SELECT bs.source, max(ts.n_s) AS n_tokens, count(*) AS n_distinct,
+        | round(sum((c_st*1.0/n_s) * log2((c_st*1.0/n_s) / (c_t/n_total))), 4) AS kl_bits
+        |FROM bs JOIN g USING (t) JOIN ts ON bs.source = ts.source, tot
+        |GROUP BY 1 ORDER BY bs.source""".stripMargin,
+
+    // Mirrors the whole rebalance derivation: per-stratum counts, the
+    // binding total T = min(n/w), per-stratum ppm cutoffs (same
+    // left-associative double arithmetic and half-up rounding as the
+    // Spark plan), then the identical md5 bucket selection as d14.
+    "d27_rebalance_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.3 AS DOUBLE)),
+        |                     ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE))) AS v(lang, w)),
+        |t AS (SELECT min(n / w) AS T FROM c JOIN w USING (lang)),
+        |f AS (SELECT c.lang, CAST(round(w.w * t.T / c.n * 1000000) AS BIGINT) AS cut
+        |      FROM c JOIN w USING (lang) CROSS JOIN t),
+        |b AS (SELECT lang, text,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
+        | FROM documents)
+        |SELECT b.lang, count(*) AS n_kept, CAST(sum(length(b.text)) AS BIGINT) AS sum_chars
+        |FROM b JOIN f USING (lang) WHERE b.bucket < f.cut
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Duplicated 4-token windows recomputed from the raw text: same
+    // normalization, same window positions, duplicated iff the exact
+    // gram occurs in >= 2 distinct documents (the oracle compares gram
+    // TEXT; the Spark side's 128-bit md5 keys are collision-free at
+    // verification scale).
+    "d28_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, source, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |pg AS (SELECT doc_id, source, g, count(*) AS cnt FROM g GROUP BY 1,2,3),
+        |fr AS (SELECT g, count(*) AS n_docs FROM pg GROUP BY 1),
+        |d AS (SELECT doc_id, source, sum(cnt) AS nw,
+        |       sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS nd
+        |      FROM pg JOIN fr USING (g) GROUP BY 1,2)
+        |SELECT source, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_windows,
+        | CAST(sum(nd) AS BIGINT) AS n_dup, round(sum(nd)*1.0/sum(nw), 4) AS dup_ratio
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "d31_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
+        |        FROM g JOIN dup USING (g), UNNEST(range(4)) AS v(o)),
+        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
+        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
+        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
+        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
+
+    // d31 oracle with per-gram owner election: min-doc_id owner keeps
+    // its occurrences, only non-owner occurrences are covered.
+    "d31b_span_keepfirst" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |dup AS (SELECT g, min(doc_id) AS owner FROM (SELECT DISTINCT doc_id, g FROM g)
+        |        GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
+        |        FROM g JOIN dup USING (g), UNNEST(range(4)) AS v(o)
+        |        WHERE g.doc_id <> dup.owner),
+        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
+        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
+        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
+        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
+
+    "c18_quality_checks" ->
+      """WITH m AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS m0,
+        |  coalesce(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 0.0) AS m1,
+        |  CASE WHEN count(o_orderkey) > 0 THEN 1.0 - count(DISTINCT o_orderkey)*1.0/count(o_orderkey) ELSE 0.0 END AS m2,
+        |  coalesce(avg(CASE WHEN o_totalprice IS NOT NULL THEN CASE WHEN o_totalprice < 1.0 OR o_totalprice > 300000.0 THEN 1.0 ELSE 0.0 END END), 0.0) AS m3,
+        |  coalesce(avg(CASE WHEN o_orderstatus IS NOT NULL THEN CASE WHEN o_orderstatus IN ('O','F','P') THEN 0.0 ELSE 1.0 END END), 0.0) AS m4,
+        |  coalesce(avg(CASE WHEN o_orderpriority IS NOT NULL THEN CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1.0 ELSE 0.0 END END), 0.0) AS m5
+        | FROM orders)
+        |SELECT * FROM (
+        | SELECT 'row_count_between(1,10000000)' AS "check", '*' AS "column", round(m0,6) AS metric, 1.0 AS threshold, (m0 >= 1 AND m0 <= 10000000) AS passed FROM m
+        | UNION ALL SELECT 'not_null(o_custkey)', 'o_custkey', round(m1,6), 0.0, m1 <= 0.0 FROM m
+        | UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey', round(m2,6), 0.0, m2 <= 0.0 FROM m
+        | UNION ALL SELECT 'in_range(o_totalprice)', 'o_totalprice', round(m3,6), 0.05, m3 <= 0.05 FROM m
+        | UNION ALL SELECT 'in_set(o_orderstatus)', 'o_orderstatus', round(m4,6), 0.0, m4 <= 0.0 FROM m
+        | UNION ALL SELECT 'matches_regex(o_orderpriority)', 'o_orderpriority', round(m5,6), 0.9, m5 >= 0.9 FROM m
+        |) ORDER BY "check"""".stripMargin,
+
+    "d35_doc_xentropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS t FROM documents),
+        |bd AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1,2),
+        |g AS (SELECT t, sum(c) AS ct FROM bd GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS n FROM g)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | round(-sum(c * log2(ct*1.0/n))/sum(c), 4) AS xent_bits
+        |FROM bd JOIN g USING (t), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Interpolation arithmetic mirrored at DOUBLE precision: the Scala
+    // side computes (1.0 − λ) in the plan (not pre-folded), so both
+    // engines run the identical IEEE subtraction.
+    "d37_bigram_xentropy" ->
+      """WITH ts AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents),
+        |bgs AS (SELECT doc_id, w[CAST(i AS INT)] AS p, w[CAST(i AS INT) + 1] AS t
+        |        FROM ts, UNNEST(range(1, len(w))) AS r(i)),
+        |bd AS (SELECT doc_id, p, t, count(*) AS c FROM bgs GROUP BY 1,2,3),
+        |bg AS (SELECT p, t, sum(c) AS cpt FROM bd GROUP BY 1,2),
+        |ctx AS (SELECT p, sum(cpt) AS cp FROM bg GROUP BY 1),
+        |uni AS (SELECT t, sum(cpt) AS ct FROM bg GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS n FROM uni)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        | round(-sum(c * log2(CAST(0.8 AS DOUBLE) * (CAST(cpt AS DOUBLE) / cp)
+        |   + (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) * (CAST(ct AS DOUBLE) / n)))/sum(c), 4) AS xent_bits
+        |FROM bd JOIN bg USING (p, t) JOIN ctx USING (p) JOIN uni USING (t), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d33_leakage_split" ->
+      """WITH t AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),
+        |b AS (SELECT doc_id, CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT) % 1000000 AS bk FROM t)
+        |SELECT doc_id,
+        | CASE WHEN bk < 800000 THEN 'train' WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "d32_classifier_score" -> {
+      val values = d32Weights.zipWithIndex
+        .map { case (w, i) => s"($i, CAST($w AS DOUBLE))" }.mkString(", ")
+      s"""WITH w(i, wt) AS (VALUES $values),
+         |toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\\s+',' ','g'), ' ') AS t FROM documents),
+         |e AS (SELECT doc_id, CAST('0x' || substr(md5(tok),1,15) AS BIGINT) % $d32Dim AS i
+         |      FROM toks, UNNEST(t) AS u(tok)),
+         |sc AS (SELECT e.doc_id, sum(w.wt)/count(*) AS m FROM e JOIN w USING (i) GROUP BY 1)
+         |SELECT toks.doc_id, round(1.0/(1.0 + exp(-($d32Bias + coalesce(sc.m, 0.0)))), 4) AS score
+         |FROM toks LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    "d34_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM tok WHERE length(w) > 0 GROUP BY 1),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wc FROM wc, UNNEST(range(1, length(w))) AS u(i)),
+        |s AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p GROUP BY 1)
+        |SELECT pair, n FROM s ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "d24_chunking" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t
+        |       FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |c AS (SELECT doc_id, t, n, greatest(1, CAST(ceil((n - 8) / 24.0) AS BIGINT)) AS n_chunks FROM n),
+        |e AS (SELECT doc_id, t, n, CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id FROM c),
+        |s AS (SELECT doc_id, chunk_id, t[chunk_id*24 + 1 : least(chunk_id*24 + 32, n)] AS ct FROM e)
+        |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
+        | substr(md5(array_to_string(ct, ' ')), 1, 8) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d25_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM sh0 WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, g FROM sh0 WHERE doc_id % 50 <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+        |m AS (SELECT tr.doc_id, count(*) AS n_matched FROM tr JOIN ev USING (g) GROUP BY 1)
+        |SELECT m.doc_id, sz.n_shingles, m.n_matched,
+        | round(m.n_matched*1.0/sz.n_shingles, 4) AS overlap_ratio,
+        | (m.n_matched*1.0/sz.n_shingles >= 0.5) AS contaminated
+        |FROM m JOIN sz ON m.doc_id = sz.doc_id ORDER BY m.doc_id""".stripMargin,
+
+    // Full IVF mirror: md5-keyed centroid sample → argmax-cosine list
+    // assignment → top-4 probed lists per query → exact cosine within
+    // probed lists → top-5. Same expressions as the Spark plan
+    // (double-upcast vectors, dot/(norm·norm), ties to smaller
+    // list_id/cid), so the APPROXIMATE result is reproduced exactly.
+    "d23_ann_ivf" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |k0 AS (SELECT vec_id AS kid, v AS cvec,
+        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+        |  FROM c ORDER BY hk, kid LIMIT 8),
+        |cents AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS list_id, cvec FROM k0),
+        |assign AS (SELECT cid, list_id FROM (
+        |  SELECT cc.vec_id AS cid, k.list_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
+        |      k.list_id) AS rn
+        |  FROM c cc, cents k) WHERE rn = 1),
+        |probes AS (SELECT qid, list_id FROM (
+        |  SELECT q.vec_id AS qid, k.list_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_inner_product(q.v,k.cvec)/(sqrt(list_inner_product(q.v,q.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
+        |      k.list_id) AS rn
+        |  FROM c q, cents k WHERE q.vec_id < 10) WHERE rn <= 4),
+        |s AS (SELECT p.qid, a.cid,
+        |   list_inner_product(qv.v,cv.v)/(sqrt(list_inner_product(qv.v,qv.v))*sqrt(list_inner_product(cv.v,cv.v))) AS cos
+        |  FROM probes p JOIN assign a USING (list_id)
+        |  JOIN c qv ON qv.vec_id = p.qid JOIN c cv ON cv.vec_id = a.cid
+        |  WHERE p.qid <> a.cid),
+        |r AS (SELECT qid, cid, cos,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank FROM s)
+        |SELECT qid, cid, round(cos,4) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Mirrors the ENTIRE cluster-blocked pipeline (same centroid sample
+    // + argmax assignment as d23), then the in-cluster pairwise ≥τ drop
+    // rule — the approximate dedup decision itself is hash-checked.
+    "d38_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |k0 AS (SELECT vec_id AS kid, v AS cvec,
+        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+        |  FROM c ORDER BY hk, kid LIMIT 8),
+        |cents AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS list_id, cvec FROM k0),
+        |assign AS (SELECT cid, list_id FROM (
+        |  SELECT cc.vec_id AS cid, k.list_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
+        |      k.list_id) AS rn
+        |  FROM c cc, cents k) WHERE rn = 1),
+        |m AS (SELECT a.cid AS vid, a.list_id, c.v FROM assign a JOIN c ON c.vec_id = a.cid),
+        |drp AS (SELECT DISTINCT b.vid AS vid
+        |  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vid < b.vid
+        |  WHERE list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)
+        |SELECT m.vid AS vec_id, m.list_id, (drp.vid IS NULL) AS kept
+        |FROM m LEFT JOIN drp USING (vid) ORDER BY vec_id""".stripMargin,
+
+    "d5_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, cid,
+        |   list_inner_product(qv,cv) / (sqrt(list_inner_product(qv,qv)) * sqrt(list_inner_product(cv,cv))) AS cos
+        |  FROM q, c WHERE qid <> cid),
+        |r AS (SELECT qid, cid, cos,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank FROM s)
+        |SELECT qid, cid, round(cos,4) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // LSH parameters are sized so recall is ~1 at this corpus's top-5
+    // cosine floor (see the d6 query comment) — the oracle is exact
+    // brute-force top-k, identical to d5's.
+    "d6_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, cid,
+        |   list_inner_product(qv,cv) / (sqrt(list_inner_product(qv,qv)) * sqrt(list_inner_product(cv,cv))) AS cos
+        |  FROM q, c WHERE qid <> cid),
+        |r AS (SELECT qid, cid, cos,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank FROM s)
+        |SELECT qid, cid, round(cos,4) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "d7_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  length(text) AS nc,
+        |  len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS nw,
+        |  length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS np,
+        |  length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu,
+        |  len(list_filter(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '),
+        |      x -> x IN ('the','a','of','to','and','is','in','it'))) AS ns
+        | FROM documents)
+        |SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(nw AS BIGINT) AS n_words,
+        | round(CAST(nc AS DOUBLE)/nw, 4) AS avg_word_len,
+        | round(CAST(np AS DOUBLE)/nc, 4) AS punct_ratio,
+        | round(CAST(nu AS DOUBLE)/nc, 4) AS upper_ratio,
+        | round(CAST(ns AS DOUBLE)/nw, 4) AS stopword_ratio,
+        | round(least(1.0, nw/100.0)*0.5 + (1 - least(CAST(np AS DOUBLE)/nc, 1.0))*0.3
+        |     + (1 - least(CAST(nu AS DOUBLE)/nc, 1.0))*0.2, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "d8_lang_id" ->
+      """WITH t AS (SELECT lang, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents),
+        |h AS (SELECT lang,
+        |  len(list_filter(w, x -> x IN ('the','a','of','to','and','is','in','it'))) AS h_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','nicht','zu'))) AS h_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','los','que','y','un','es'))) AS h_es,
+        |  len(list_filter(w, x -> x IN ('le','la','les','et','est','un','dans','que'))) AS h_fr
+        | FROM t),
+        |p AS (SELECT lang, CASE
+        |  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+        |  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+        |  WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred_lang FROM h)
+        |SELECT pred_lang, lang, count(*) AS n
+        |FROM p GROUP BY 1,2 ORDER BY pred_lang, lang""".stripMargin,
+
+    "d9_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '))) AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS re_tokens,
+        | round(avg(len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '))),4) AS avg_ws_tokens
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "d10_fingerprint" ->
+      """WITH s AS (SELECT doc_id, regexp_replace(lower(trim(text)),'\s+',' ','g') AS norm FROM documents),
+        |w AS (SELECT doc_id, norm, string_split(norm,' ') AS t FROM s)
+        |SELECT doc_id, md5(norm) AS content_md5,
+        | CASE WHEN len(t) >= 3 THEN
+        |   list_min(list_transform(range(1, len(t)-1), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+        | END AS min_shingle_md5
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "d11_vector_stats" ->
+      """WITH v AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT label, count(*) AS n,
+        | round(avg(sqrt(list_inner_product(e, e))),4) AS avg_norm,
+        | round(avg(e[1]),4) AS avg_dim1, round(avg(e[2]),4) AS avg_dim2
+        |FROM v GROUP BY 1 ORDER BY label""".stripMargin,
+
+    // Same quantization arithmetic step for step: scale = max|v|/127,
+    // q = clamp(round(v/scale)) (round half away from zero in both
+    // engines), error = max|v - q*scale|.
+    "d29_quantize" ->
+      """WITH v AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT label, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        |q AS (SELECT label, e, scale,
+        |   CASE WHEN scale > 0
+        |        THEN list_transform(e, x -> CAST(greatest(-127, least(127, round(x/scale))) AS INT))
+        |        ELSE list_transform(e, x -> 0) END AS qv
+        |  FROM s),
+        |err AS (SELECT label, scale,
+        |   list_max(list_transform(range(1, len(e)+1), i -> abs(e[i] - qv[i]*scale))) AS merr
+        |  FROM q)
+        |SELECT label, count(*) AS n, round(avg(scale),4) AS avg_scale,
+        | round(avg(merr),4) AS avg_max_err, round(max(merr),4) AS worst_err
+        |FROM err GROUP BY 1 ORDER BY label""".stripMargin,
+
+    // LSH parameters sized for recall ~1 at τ=0.45 (see query comment) —
+    // the oracle is the exact all-pairs formulation.
+    "d12_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |   list_inner_product(a.e,b.e) / (sqrt(list_inner_product(a.e,a.e)) * sqrt(list_inner_product(b.e,b.e))) AS cos
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT doc_a, doc_b, round(cos,4) AS cosine
+        |FROM p WHERE cos >= 0.45 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d13_multimodal" ->
+      """SELECT source, 'text/plain' AS media_type, count(*) AS n,
+        | CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+        | count(DISTINCT sha256(text)) AS n_checksums
+        |FROM documents GROUP BY 1,2 ORDER BY source""".stripMargin,
+
+    "d14_sample" ->
+      """WITH b AS (SELECT lang, text,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
+        | FROM documents)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM b
+        |WHERE bucket < (CASE WHEN lang = 'en' THEN 250000
+        |                     WHEN lang = 'de' THEN 1000000 ELSE 100000 END)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "d30_sample_k" ->
+      """WITH b AS (SELECT lang, doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
+        | FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn FROM b)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM r WHERE rn <= 7 GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "d15_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |dup AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach(id, r) AS (SELECT src, src FROM e
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d16_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1,2),
+        |dfx AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |   tf.tf * (ln((n.n_docs + 1.0)/(dfx.df_t + 1.0)) + 1.0) AS score,
+        |   row_number() OVER (PARTITION BY tf.doc_id
+        |     ORDER BY tf.tf * (ln((n.n_docs + 1.0)/(dfx.df_t + 1.0)) + 1.0) DESC, tf.term) AS rnk
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, round(score, 4) AS score
+        |FROM s WHERE rnk <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    "d17_packing" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |   len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM t),
+        |p AS (SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id, n_tokens FROM c)
+        |SELECT shard, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM p GROUP BY 1,2 ORDER BY shard, pack_id""".stripMargin,
+
+    "d20_redact" ->
+      """WITH t AS (SELECT source,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |   || '@example.com or https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |   || '.org/p call 555-12' || CAST(doc_id % 10 AS VARCHAR)
+        |   || '-4567 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t2
+        | FROM documents),
+        |r AS (SELECT source, t2,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS red
+        | FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        | CAST(sum(len(regexp_extract_all(t2, 'https?://[^ ]+'))) AS BIGINT) AS n_urls,
+        | CAST(sum(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS n_phones,
+        | CAST(sum(length(red) - length(t2)) AS BIGINT) AS sum_len_delta
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "d19_quality_filter" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  least(1.0, len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '))/100.0)*0.5
+        |  + (1 - least(CAST(length(regexp_replace(text,'[^.!?,;]','','g')) AS DOUBLE)/length(text), 1.0))*0.3
+        |  + (1 - least(CAST(length(regexp_replace(text,'[^A-Z]','','g')) AS DOUBLE)/length(text), 1.0))*0.2 AS q
+        | FROM documents),
+        |r AS (SELECT source, q,
+        |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
+        |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
+        |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin
+  )
+}

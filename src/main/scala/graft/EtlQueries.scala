@@ -1,0 +1,315 @@
+package graft
+
+import graft.analytics.Kpis
+import graft.dedup.Dedup
+import graft.etl.{Checks, Cleaning, Nested, Scd, Validate}
+import graft.multimodal.Multimodal
+import graft.operators.{Packing, Relational, Sampling}
+import graft.text.TfIdf
+import graft.similarity.Ann
+import graft.text.{Redact, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.RelationalQueries.revenue
+
+
+/** A-series driver queries (ETL: validation, flattening, cleaning,
+  * medallion composition, SCD2) with their DuckDB oracles — split from
+  * SparkEntry, which documents the alias/ordering contract. */
+private[graft] object EtlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ================================================================ A: ETL
+
+    "a1_validate" -> ((s, dir) => {
+      val rules = Seq(
+        Validate.Rule("missing_custkey", col("o_custkey").isNotNull),
+        Validate.Rule("nonpositive_price", col("o_totalprice").isNotNull && col("o_totalprice") > 0),
+        Validate.Rule("bad_status", col("o_orderstatus").isin("O", "F", "P")),
+        Validate.Rule("price_below_floor", col("o_totalprice") >= 5000))
+      Validate.withRejectReason(Tables.orders(s, dir), rules)
+        .groupBy(coalesce(col("reject_reason"), lit("valid")).as("reject_reason"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("reject_reason")
+    }),
+
+    "a2_audit" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("source_name", lit("orders"))
+        .withColumn("ingest_year", year(col("o_orderdate")).cast("long"))
+        .withColumn("batch_id", concat(lit("orders_"), year(col("o_orderdate")).cast("string")))
+        .groupBy("source_name", "ingest_year", "batch_id")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("first_key"), max("o_orderkey").as("last_key"))
+        .orderBy("ingest_year")
+    }),
+
+    "a3_flatten_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
+    // Array-of-struct flattening — the reference's signature transform
+    // (clean_transform.py:78-113). The testdata has no array-of-struct
+    // column, so a nested JSON document is CONSTRUCTED deterministically
+    // from scalar columns, then flattened through the real path under
+    // test: from_json with a declared array<struct> schema, transform+
+    // array_join (genres[].name → "a|b"), filter-then-first (crew with
+    // job == "Director" → name; the Director's position alternates so the
+    // filter is load-bearing), and size counts with empty-array cases.
+    "a3b_flatten_nested" -> ((s, dir) => {
+      // `k` is staged in its own (codegen'd) projection before anything
+      // touches it: the projection that parses the assembled doc is
+      // interpreted end-to-end (JsonToStructs is CodegenFallback) and
+      // interpreted projections get NO common-subexpression elimination,
+      // so inlining the get_json_object-derived `k` would re-run its
+      // JSON scan once per reference per row — the r2 21s hot spot.
+      // CollapseProject cannot undo the staging: `k` (non-cheap) is
+      // referenced six times downstream.
+      val staged = Tables.events(s, dir).select(
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("user_id").as("uid"))
+      val k = col("k")
+      val uid = col("uid")
+      val g1 = concat(lit("{\"name\":\"g"), (k % 5).cast("string"), lit("\"}"))
+      val g2 = concat(lit("{\"name\":\"g"), (k % 3).cast("string"), lit("\"}"))
+      val genresArr = when(k % 4 === 0, lit("[]"))
+        .otherwise(concat(lit("["), g1, lit(","), g2, lit("]")))
+      val director = concat(lit("{\"job\":\"Director\",\"name\":\"d"), (uid % 7).cast("string"), lit("\"}"))
+      val editor = concat(lit("{\"job\":\"Editor\",\"name\":\"e"), (k % 4).cast("string"), lit("\"}"))
+      val crewArr = when(k % 2 === 0, concat(lit("["), editor, lit(","), director, lit("]")))
+        .otherwise(concat(lit("["), director, lit(","), editor, lit("]")))
+      val doc = concat(lit("{\"genres\":"), genresArr, lit(",\"crew\":"), crewArr, lit("}"))
+      val ddl = "genres array<struct<name:string>>, crew array<struct<job:string,name:string>>"
+      staged
+        .select(k.as("k"), Nested.parseJson(doc, ddl).as("p"))
+        .select(col("k"),
+          Nested.joinField(col("p.genres"), "name", "|").as("genres_str"),
+          Nested.fieldOfFirstWhere(col("p.crew"), c => c.getField("job") === "Director", "name").as("director"),
+          Nested.countOf(col("p.genres")).as("n_genres"))
+        .groupBy("genres_str", "director")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("n_genres").as("n_genres"))
+        .orderBy("genres_str", "director")
+    }),
+
+    "a4_clean_numeric" -> ((s, dir) => {
+      val cleaned = {
+        val base = Cleaning.castColumns(Tables.lineitem(s, dir),
+          Map("l_quantity" -> "double", "l_extendedprice" -> "double"))
+        val np = Cleaning.nullifyNonPositive(base, Seq("l_quantity", "l_extendedprice"))
+        val rng = Cleaning.nullifyWhere(np, "l_discount", col("l_discount") < 0 || col("l_discount") > 0.5)
+        Cleaning.conditionalNull(rng, "l_tax", col("l_discount") === 0)
+      }
+      cleaned.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count("l_quantity").as("n_qty"), count("l_tax").as("n_tax"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "a5_clean_text" -> ((s, dir) => {
+      Cleaning.placeholderToNull(Tables.events(s, dir), "event_type", Seq("error", "unknown", ""))
+        .groupBy(coalesce(col("event_type"), lit("(null)")).as("event_type_clean"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type_clean")
+    }),
+
+    "a6_derived" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .withColumn("net", revenue)
+        .withColumn("ratio", when(col("l_quantity") >= 5, col("net") / col("l_quantity")))
+        .withColumn("net_m", col("net") / lit(1000000.0))
+        .groupBy("l_returnflag")
+        .agg(round(sum("net"), 4).as("sum_net"),
+          round(avg("ratio"), 4).as("avg_ratio"),
+          count("ratio").as("n_ratio"),
+          round(sum("net_m"), 6).as("sum_net_millions"))
+        .orderBy("l_returnflag")
+    }),
+
+    "a7_dedup_key" -> ((s, dir) => {
+      Cleaning.dedupKeepFirst(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 97 === 0),
+          keys = Seq(col("l_orderkey")),
+          order = Seq(col("l_linenumber"), col("l_partkey")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(col("l_quantity"), 4).as("qty"))
+        .orderBy("l_orderkey")
+    }),
+
+    "a8_row_quality" -> ((s, dir) => {
+      val staged = Tables.orders(s, dir)
+        .withColumn("price_c", when(col("o_totalprice") < 20000, lit(null)).otherwise(col("o_totalprice")))
+        .withColumn("prio_c", when(col("o_orderpriority") === "1-URGENT", lit(null)).otherwise(col("o_orderpriority")))
+      Cleaning.minNonNull(
+          Cleaning.requireNonNull(staged, Seq("o_orderkey", "o_custkey")),
+          Seq("price_c", "prio_c"), 1)
+        .agg(count(lit(1)).as("n_kept"), round(sum("price_c"), 4).as("sum_price"))
+    }),
+
+    "a9_project" -> ((s, dir) => {
+      Cleaning.project(Tables.orders(s, dir).filter(col("o_orderkey") % 101 === 0), Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "total_price" -> col("o_totalprice").cast("double"),
+          "status" -> col("o_orderstatus"),
+          "order_year" -> year(col("o_orderdate")).cast("long")))
+        .orderBy("o_orderkey")
+    }),
+
+    "a10_silver_pipeline" -> ((s, dir) => {
+      val bronze = Tables.events(s, dir)
+      val validated = Validate.valid(bronze, Seq(
+        Validate.Rule("missing_id", col("event_id").isNotNull),
+        Validate.Rule("missing_user", col("user_id").isNotNull)))
+      val flattened = validated.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      val cleaned = Cleaning.placeholderToNull(
+        Cleaning.nullifyNonPositive(flattened, Seq("value")),
+        "event_type", Seq("error", "unknown"))
+      val deduped = Cleaning.dedupKeepFirst(cleaned, Seq(col("event_id")), Seq(col("ts")))
+      val silver = Cleaning.project(
+        Cleaning.requireNonNull(deduped, Seq("event_type")),
+        Seq("event_id" -> col("event_id"), "user_id" -> col("user_id"),
+          "etype" -> col("event_type"), "value_c" -> col("value"), "k" -> col("k")))
+      silver.groupBy("etype")
+        .agg(count(lit(1)).as("n"), round(sum("value_c"), 4).as("sum_value"), sum("k").as("sum_k"))
+        .orderBy("etype")
+    }),
+
+    // SCD2 dimension from a change log: each user's event_type history
+    // becomes one row per consecutive-distinct state with a validity
+    // interval (event_id breaks same-timestamp ties). Timestamps are
+    // emitted as epoch micros so the oracle compares exact instants.
+    "a14_scd2" -> ((s, dir) => {
+      Scd.fromChangeLog(Tables.events(s, dir),
+          keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+          tsCol = "ts", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_type")
+    }),
+
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "a1_validate" ->
+      """SELECT coalesce(CASE
+        |   WHEN o_custkey IS NULL THEN 'missing_custkey'
+        |   WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 'nonpositive_price'
+        |   WHEN o_orderstatus NOT IN ('O','F','P') THEN 'bad_status'
+        |   WHEN o_totalprice < 5000 THEN 'price_below_floor' END, 'valid') AS reject_reason,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY reject_reason""".stripMargin,
+
+    "a2_audit" ->
+      """SELECT 'orders' AS source_name, year(o_orderdate) AS ingest_year,
+        | 'orders_' || CAST(year(o_orderdate) AS VARCHAR) AS batch_id,
+        | count(*) AS n, min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        |FROM orders GROUP BY 1,2,3 ORDER BY ingest_year""".stripMargin,
+
+    "a3_flatten_json" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(*) AS n,
+        | round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "a3b_flatten_nested" ->
+      """WITH e AS (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k, user_id AS uid FROM events),
+        |f AS (SELECT k,
+        |  CASE WHEN k % 4 = 0 THEN ''
+        |       ELSE 'g' || CAST(k % 5 AS VARCHAR) || '|g' || CAST(k % 3 AS VARCHAR) END AS genres_str,
+        |  'd' || CAST(uid % 7 AS VARCHAR) AS director,
+        |  CASE WHEN k % 4 = 0 THEN 0 ELSE 2 END AS n_genres
+        | FROM e)
+        |SELECT genres_str, director, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(max(n_genres) AS BIGINT) AS n_genres
+        |FROM f GROUP BY 1,2 ORDER BY genres_str, director""".stripMargin,
+
+    "a4_clean_numeric" ->
+      """WITH c AS (SELECT l_returnflag,
+        |  CASE WHEN l_quantity <= 0 THEN NULL ELSE l_quantity END AS qty_c,
+        |  CASE WHEN l_extendedprice <= 0 THEN NULL ELSE l_extendedprice END AS price_c,
+        |  CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN NULL ELSE l_discount END AS disc_c,
+        |  CASE WHEN l_discount = 0 THEN NULL ELSE l_tax END AS tax_c
+        | FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n, count(qty_c) AS n_qty, count(tax_c) AS n_tax,
+        | round(sum(qty_c),4) AS sum_qty, round(sum(price_c),4) AS sum_price
+        |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a5_clean_text" ->
+      """SELECT coalesce(CASE WHEN event_type IN ('error','unknown','') THEN NULL
+        |   ELSE event_type END, '(null)') AS event_type_clean, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type_clean""".stripMargin,
+
+    "a6_derived" ->
+      """WITH d AS (SELECT l_returnflag, l_quantity,
+        |  l_extendedprice*(1-l_discount) AS net,
+        |  CASE WHEN l_quantity >= 5 THEN l_extendedprice*(1-l_discount)/l_quantity END AS ratio,
+        |  l_extendedprice*(1-l_discount)/1000000.0 AS net_m
+        | FROM lineitem)
+        |SELECT l_returnflag, round(sum(net),4) AS sum_net, round(avg(ratio),4) AS avg_ratio,
+        | count(ratio) AS n_ratio, round(sum(net_m),6) AS sum_net_millions
+        |FROM d GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a7_dedup_key" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity,4) AS qty
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+        |      FROM lineitem WHERE l_orderkey % 97 = 0)
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "a8_row_quality" ->
+      """WITH s AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_totalprice < 20000 THEN NULL ELSE o_totalprice END AS price_c,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END AS prio_c
+        | FROM orders)
+        |SELECT count(*) AS n_kept, round(sum(price_c),4) AS sum_price
+        |FROM s WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        | AND (CASE WHEN price_c IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN prio_c IS NOT NULL THEN 1 ELSE 0 END) >= 1""".stripMargin,
+
+    "a9_project" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price,
+        | o_orderstatus AS status, year(o_orderdate) AS order_year
+        |FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "a10_silver_pipeline" ->
+      """WITH silver AS (
+        | SELECT event_id, user_id,
+        |  CASE WHEN event_type IN ('error','unknown') THEN NULL ELSE event_type END AS etype,
+        |  CASE WHEN value <= 0 THEN NULL ELSE value END AS value_c,
+        |  CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        | FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT etype, count(*) AS n, round(sum(value_c),4) AS sum_value,
+        | CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM silver WHERE etype IS NOT NULL GROUP BY 1 ORDER BY etype""".stripMargin,
+
+    // Same two stacked windows as the Spark plan: null-safe change
+    // detection against the lagged state, then lead() over the change
+    // rows for the interval end — both ordered by (ts, event_id).
+    // The first row of a key is ALWAYS a version (Spark's lagged state
+    // STRUCT is null there, never equal) — row_number()=1 encodes that,
+    // where bare IS DISTINCT FROM would drop a first row whose
+    // attribute value is itself null.
+    "a14_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+        |f AS (SELECT user_id, event_type, us, event_id,
+        |  (row_number() OVER w = 1
+        |   OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (SELECT user_id, event_type, us, event_id FROM f WHERE chg),
+        |v AS (SELECT user_id, event_type, us AS valid_from_us,
+        |   lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us FROM c)
+        |SELECT user_id, event_type, valid_from_us, valid_to_us,
+        | (valid_to_us IS NULL) AS is_current
+        |FROM v ORDER BY user_id, valid_from_us, event_type""".stripMargin,
+
+  )
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.analytics.Kpis
+import graft.dedup.Dedup
+import graft.etl.{Checks, Cleaning, Nested, Scd, Validate}
+import graft.multimodal.Multimodal
+import graft.operators.{Packing, Relational, Sampling}
+import graft.text.TfIdf
+import graft.similarity.Ann
+import graft.text.{Redact, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.RelationalQueries.revenue
+
+
+/** B-series driver queries (analytics KPIs: ranks, searches, grouped
+  * stats, retention) with their DuckDB oracles — split from SparkEntry,
+  * which documents the alias/ordering contract. */
+private[graft] object KpiQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // =========================================================== B: KPIs
+
+    "b1_rank_topn" -> ((s, dir) => {
+      Kpis.rankTopN(Tables.orders(s, dir), col("o_totalprice"),
+          descending = true, n = 10, tieBreak = Seq(col("o_orderkey")))
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 4).as("total_price"))
+    }),
+
+    // Ascending instantiation of the generic ranker — the reference runs
+    // rank_movies with order="asc" for lowest-profit/roi (kpis.py:85-88).
+    "b1b_rank_bottomn" -> ((s, dir) => {
+      Kpis.rankTopN(Tables.orders(s, dir), col("o_totalprice"),
+          descending = false, n = 10, tieBreak = Seq(col("o_orderkey")))
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 4).as("total_price"))
+    }),
+
+    "b2_rank_ratio" -> ((s, dir) => {
+      Kpis.rankByRatio(Tables.lineitem(s, dir),
+          numer = col("l_extendedprice"), denom = col("l_quantity"),
+          denomOk = col("l_quantity") >= 10, as = "unit_price", n = 10,
+          tieBreak = Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("unit_price"), 4).as("unit_price"))
+    }),
+
+    "b3_search_multi" -> ((s, dir) => {
+      Kpis.search(Tables.part(s, dir),
+          predicates = Seq(col("p_name").contains("re"), col("p_type").contains("AN")),
+          orderBy = Seq(col("p_retailprice").desc, col("p_partkey").asc), limit = 20)
+        .select(col("p_partkey"), col("p_name"), col("p_type"),
+          round(col("p_retailprice"), 4).as("retail"))
+    }),
+
+    "b4_group_flag_stats" -> ((s, dir) => {
+      Kpis.groupFlagStats(Tables.orders(s, dir),
+          flag = col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          value = col("o_totalprice"))
+        .orderBy("flag")
+    }),
+
+    // Approx-median instantiation — the reference's grouped stats use
+    // percentile_approx(roi, 0.5) (kpis.py:137). At accuracy > n the
+    // sketch is exact (element at rank ceil(p·n)), which the oracle
+    // mirrors with a window rank selection.
+    "b4b_group_flag_approx" -> ((s, dir) => {
+      Kpis.groupFlagStats(Tables.orders(s, dir),
+          flag = col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          value = col("o_totalprice"), exact = false, accuracy = 1000000)
+        .orderBy("flag")
+    }),
+
+    "b5_top_groups" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = broadcast(Tables.supplier(s, dir))
+      Kpis.topGroups(li.join(sup, col("l_suppkey") === col("s_suppkey")),
+        groupCol = col("s_name"), measure = revenue, n = 10,
+        countAs = "n_items", sumAs = "revenue", avgAs = "avg_revenue")
+    }),
+
+    "b6_explode_agg" -> ((s, dir) => {
+      Kpis.explodeAgg(Tables.documents(s, dir), lower(col("text")), " ",
+        measure = col("n_chars"), n = 20)
+    }),
+
+    "b7_per_year" -> ((s, dir) => {
+      Kpis.perPeriod(Tables.orders(s, dir),
+        period = year(col("o_orderdate")).cast("long"), measure = col("o_totalprice"))
+    }),
+
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "b1_rank_topn" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS total_price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "b1b_rank_bottomn" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS total_price
+        |FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 10""".stripMargin,
+
+    "b2_rank_ratio" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice/l_quantity,4) AS unit_price
+        |FROM lineitem WHERE l_quantity >= 10
+        |ORDER BY l_extendedprice/l_quantity DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "b3_search_multi" ->
+      """SELECT p_partkey, p_name, p_type, round(p_retailprice,4) AS retail
+        |FROM part WHERE p_name LIKE '%re%' AND p_type LIKE '%AN%'
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin,
+
+    "b4_group_flag_stats" ->
+      """SELECT o_orderpriority IN ('1-URGENT','2-HIGH') AS flag, count(*) AS n,
+        | round(avg(o_totalprice),4) AS mean_value, round(median(o_totalprice),4) AS median_value
+        |FROM orders GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "b4b_group_flag_approx" ->
+      """WITH s AS (SELECT o_orderpriority IN ('1-URGENT','2-HIGH') AS flag, o_totalprice AS v FROM orders),
+        |r AS (SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY flag) AS cnt FROM s)
+        |SELECT flag, count(*) AS n, round(avg(v),4) AS mean_value,
+        | round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5*cnt) AS BIGINT)) THEN v END),4) AS median_value
+        |FROM r GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "b5_top_groups" ->
+      """SELECT s_name, count(*) AS n_items,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        | round(avg(l_extendedprice*(1-l_discount)),4) AS avg_revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY revenue DESC, s_name LIMIT 10""".stripMargin,
+
+    "b6_explode_agg" ->
+      """SELECT t.word AS token, count(*) AS n, round(avg(t.n_chars),4) AS avg_value
+        |FROM (SELECT n_chars, unnest(string_split(lower(text),' ')) AS word FROM documents) t
+        |WHERE t.word <> '' GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "b7_per_year" ->
+      """SELECT year(o_orderdate) AS period, count(*) AS n,
+        | round(sum(o_totalprice),4) AS sum_value, round(avg(o_totalprice),4) AS avg_value
+        |FROM orders GROUP BY 1 ORDER BY period""".stripMargin,
+
+  )
+}

@@ -1,0 +1,711 @@
+package graft
+
+import graft.analytics.Kpis
+import graft.dedup.Dedup
+import graft.etl.{Checks, Cleaning, Nested, Scd, Validate}
+import graft.multimodal.Multimodal
+import graft.operators.{Packing, Relational, Sampling}
+import graft.text.TfIdf
+import graft.similarity.Ann
+import graft.text.{Redact, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+
+/** C-series driver queries (relational core: star joins, windows,
+  * sketches, sessionization, graph) with their DuckDB oracles — split
+  * from SparkEntry, which documents the alias/ordering contract. */
+private[graft] object RelationalQueries {
+
+  private[graft] def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ==================================================== C: relational core
+
+    "c1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(revenue), 4).as("sum_disc_price"),
+          round(sum(revenue * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "c2_join_topk" -> ((s, dir) => {
+      val cust = broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+      val ord = Tables.orders(s, dir).filter(col("o_orderdate") < to_timestamp(lit("1998-03-15 00:00:00")))
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > to_timestamp(lit("1998-03-15 00:00:00")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
+        .agg(round(sum(revenue), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+    }),
+
+    "c3_star_join" -> ((s, dir) => {
+      val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val nat = broadcast(Tables.nation(s, dir).join(broadcast(reg), col("n_regionkey") === col("r_regionkey")))
+      val sup = broadcast(Tables.supplier(s, dir))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(revenue), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "c4_anti_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 4).as("sum_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "c5_window_topk" -> ((s, dir) => {
+      Relational.topKPerGroup(
+          Tables.orders(s, dir).filter(col("o_custkey") % 50 === 0),
+          partitionBy = Seq(col("o_custkey")),
+          orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("total_price"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "c6_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")
+    }),
+
+    // Full CUBE over (status, priority) — all 2^2 grouping sets, vs
+    // ROLLUP's hierarchy in c6.
+    "c6b_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")
+    }),
+
+    // Fixed-width histogram of order totals — the distribution profile
+    // every curation/QA dashboard starts from. Plain floor-division
+    // binning (clamped top bucket) so any engine mirrors it exactly.
+    "c15_histogram" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(least(floor(col("o_totalprice") / 20000.0), lit(29.0)).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    "c7_pivot" -> ((s, dir) => {
+      Relational.pivotAgg(Tables.events(s, dir), col("user_id"), "event_type",
+          values = Seq("click", "error", "purchase", "signup", "view"), measure = col("value"))
+        .orderBy("user_id")
+    }),
+
+    "c8_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 4).as("returned_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus")
+    }),
+
+    // Sketch distinct-count: at 100 TB exact countDistinct shuffles every
+    // distinct value; the HLL++ sketch is the production path. The sketch
+    // value is engine-specific, so the driver-checked output carries the
+    // exact count plus a boolean asserting the sketch landed within 5%
+    // (rsd=0.02 ⇒ ~2σ) — the oracle expects TRUE, so a drifting sketch
+    // fails the gate.
+    "c8b_distinct_approx" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__n_approx"))
+        .select(col("l_linestatus"), col("n_exact"),
+          (abs(col("__n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+            .as("within_bound"))
+        .orderBy("l_linestatus")
+    }),
+
+    // KLL quantile sketch TABLE (C8d): sketch per (status, returnflag),
+    // percentiles from a UNION rollup (no raw-data rescan), then the
+    // estimates' empirical ranks verified against the raw distribution
+    // — |rank(p_q) − q| ≤ 0.05 covers KLL's ~1.65% rank error plus the
+    // ~2% rank step of l_quantity's 50 tied values. The oracle mirrors
+    // the exact columns and pins the bound booleans to TRUE.
+    "c8d_quantile_sketch" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val li = Tables.lineitem(s, dir)
+      val table = Sketches.quantileSketchTable(li,
+        Seq(col("l_linestatus"), col("l_returnflag")), col("l_quantity"))
+      val rolled = Sketches.quantileRollup(table, Seq(col("l_linestatus")), Seq(0.5, 0.95))
+      li.join(broadcast(rolled), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(max("n_buckets").as("n_buckets"), count(lit(1)).as("n"),
+          (sum(when(col("l_quantity") <= col("p50"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("__r50"),
+          (sum(when(col("l_quantity") <= col("p95"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("__r95"))
+        .select(col("l_linestatus"), col("n_buckets"), col("n"),
+          (abs(col("__r50") - 0.5) <= 0.05).as("p50_in_bound"),
+          (abs(col("__r95") - 0.95) <= 0.05).as("p95_in_bound"))
+        .orderBy("l_linestatus")
+    }),
+
+    // Frequent-items sketch table (C8f): per-priority approx_top_k
+    // sketches combined into a global top-3 — Spark 4's built-in state
+    // functions, no custom aggregate needed. maxItemsTracked (1000) far
+    // exceeds the distinct item count, so estimates are exact and the
+    // oracle is a plain GROUP BY.
+    "c8f_topk_sketch" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority"), length(col("o_orderkey").cast("string")).as("digits"))
+      val t = Sketches.topKSketchTable(o, Seq(col("o_orderpriority")), col("digits"),
+        maxItemsTracked = 1000)
+      Sketches.topKRollup(t, Seq.empty, k = 3)
+        .select(col("item").as("digits"), col("n_estimate").as("n"))
+        .orderBy(desc("n"), col("digits"))
+    }),
+
+    // Theta sketch set algebra (C8e): distinct users who clicked AND
+    // purchased (purchases restricted to the user_id%3==0 cohort so the
+    // three set estimates differ). At verification scale the corpus has
+    // far fewer distinct users than the 4096 nominal entries, so the
+    // sketches are in EXACT mode and the oracle mirrors the set sizes
+    // exactly — the same sized-for-exactness pattern as d6/d12.
+    "c8e_theta_overlap" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, dir).filter(
+        col("event_type") === "click" ||
+          (col("event_type") === "purchase" && col("user_id") % 3 === 0))
+      val sk = Sketches.thetaSketchTable(ev, Seq(col("event_type")),
+        col("user_id")) // long input hashes natively — no per-row stringify
+      sk.agg(
+          max(when(col("event_type") === "click", col("tsketch"))).as("__a"),
+          max(when(col("event_type") === "purchase", col("tsketch"))).as("__b"))
+        .select(
+          Sketches.thetaSetEstimate("intersect", col("__a"), col("__b")).as("n_both"),
+          Sketches.thetaSetEstimate("union", col("__a"), col("__b")).as("n_either"),
+          Sketches.thetaSetEstimate("diff", col("__a"), col("__b")).as("n_click_only"))
+    }),
+
+    // Binned range join: orders (as day offsets from 1992-01-01) matched
+    // into 20 overlapping 150-day windows. The bin trick turns interval
+    // containment into an equi-join (PlanSpec enforces no nested-loop
+    // product); the windows are constructed deterministically so DuckDB
+    // mirrors them with range(20).
+    "c16_range_join" -> ((s, dir) => {
+      val pts = Tables.orders(s, dir)
+        .select(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long").as("d"),
+          col("o_totalprice"))
+      val ranges = s.range(20).select(col("id").as("range_id"),
+        (col("id") * 100).as("r_start"), (col("id") * 100 + 149).as("r_end"))
+      Relational.rangeJoin(pts, ranges, col("d"), col("r_start"), col("r_end"), binWidth = 64)
+        .groupBy("range_id")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+        .orderBy("range_id")
+    }),
+
+    // Mergeable sketch TABLE rollup: per-(event_type, day) HLL sketches
+    // union up to per-type distinct users without rescanning events —
+    // the incremental distinct-count state pattern (see operators/
+    // Sketches). Verified like c8b: the estimate must sit within 5% of
+    // exact (lgK=12 ⇒ rse ≈ 1.6%), and the bucket count is exact.
+    "c8c_sketch_union" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, dir)
+      val daily = Sketches.sketchTable(ev,
+        Seq(col("event_type"), to_date(col("ts")).as("day")), col("user_id"))
+      val rolled = Sketches.unionEstimate(daily, Seq(col("event_type")))
+      val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+      rolled.join(exact, "event_type")
+        .select(col("event_type"), col("n_buckets"), col("n_exact"),
+          (abs(col("n_estimate") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+            .as("within_bound"))
+        .orderBy("event_type")
+    }),
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims: the cheap
+    // dimensionality cut before ANN/clustering; 16 fused dot products
+    // in the scan, matrix regenerated from indices on any engine.
+    "d36_random_projection" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(graft.vectors.VectorOps.randomProject(
+            graft.vectors.VectorOps.toDouble(col("embedding")), dims = 64, outDim = 16)))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          round(col("col"), 4).as("val"))
+        .orderBy("vec_id", "j")
+    }),
+
+    // PageRank over the supplier→part supply graph (5 fixed rounds,
+    // dangling part-vertices redistribute their mass) — the iterative
+    // graph workload; crawl-curation's domain-ranking shape.
+    "c23_pagerank" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir).select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      graft.graph.PageRank.pageRank(edges, damping = 0.85, iters = 5)
+        .orderBy("vertex")
+    }),
+
+    // Per-group winsorization: tails clipped into [p05, p95] per
+    // return flag; rows kept (contrast with a4's nulling).
+    "a17_winsorize" -> ((s, dir) => {
+      Cleaning.winsorizeByGroup(Tables.lineitem(s, dir),
+          col("l_returnflag"), "l_extendedprice", lo = 0.05, hi = 0.95)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(avg("l_extendedprice"), 4).as("avg_raw"),
+          round(avg("l_extendedprice_w"), 4).as("avg_winsorized"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Time-weighted average per user: value held until the next
+    // observation; duration-weighted, not count-weighted.
+    "c22_twap" -> ((s, dir) => {
+      Relational.timeWeightedAvg(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("value"), tieBreak = Seq(col("event_id")))
+        .orderBy("entity")
+    }),
+
+    // Ordered funnel: view → click-after-view → purchase-after-click
+    // per user, one user-keyed shuffle + chained window minima.
+    "c21_funnel" -> ((s, dir) => {
+      graft.analytics.Funnel.funnel(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .orderBy("step_index")
+    }),
+
+    // MERGE/upsert (SCD1): a derived update batch (every 10th order
+    // re-priced, every 100th tombstoned) merged into the snapshot,
+    // latest version per key wins.
+    "a16_upsert" -> ((s, dir) => {
+      val cur = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), lit(0L).as("v"))
+      val upd = Tables.orders(s, dir).filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit(1L).as("v"),
+          (col("o_orderkey") % 100 === 0).as("deleted"))
+      graft.etl.Upsert.upsert(cur, upd, Seq("o_orderkey"), "v", tombstone = Some("deleted"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Fuzzy string join (entity resolution): customers matched against
+    // a typo'd mirror of themselves by char-trigram Jaccard over the
+    // stop-gram-capped universe — the record-linkage join an equi-join
+    // cannot express and a cross join cannot survive.
+    "c20_fuzzy_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+      val dirty = cust.select((col("id") + 1000000L).as("id"),
+        regexp_replace(col("name"), "Customer", "Custmr").as("name"))
+      // n=4 + maxDf=250: on zero-padded sequential names the join cost
+      // is Σ df² over surviving grams — 4-grams cut per-gram df ~20×
+      // vs trigrams, and the 250 cap drops the half-specific grams
+      // (df in the hundreds) that each cost df² comparisons while
+      // discriminating nothing (3-gram/df=1000 formulation: 8.9s at
+      // sf0.1; this one: ~1s)
+      graft.operators.Fuzzy.fuzzyJoinPairs(cust, col("id"), col("name"),
+          dirty, col("id"), col("name"), threshold = 0.5, n = 4, maxDf = 250)
+        .orderBy("left_id", "right_id")
+    }),
+
+    // Cohort retention triangle over the events stream: first-active
+    // week per user → share still active k weeks later.
+    "b8_retention" -> ((s, dir) => {
+      graft.analytics.Retention.cohortRetention(Tables.events(s, dir),
+          col("user_id"), col("ts"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    "c9_time_bucket" -> ((s, dir) => {
+      Relational.timeBucketAgg(Tables.events(s, dir), col("ts"), "1 hour",
+          groupBy = Seq(col("event_type")), value = col("value"))
+        .select("bucket_start", "event_type", "n", "sum_value")
+        .orderBy("bucket_start", "event_type")
+    }),
+
+    // As-of join: each purchase picks up the user's most recent prior
+    // view (at-or-before event time) — implemented as the one-shuffle
+    // union+window operator; the oracle uses DuckDB's native ASOF JOIN.
+    "c11_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts")).agg(max("value").as("view_value"))
+        .withColumn("vts", col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Relational.asOfJoin(purchases, views, key = "user_id", ts = "ts",
+          rightVals = Seq("view_value", "vts"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_view_value"), 4).as("last_view_value"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_vts"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    "c10_sessionize" -> ((s, dir) => {
+      val sessions = Relational.sessionize(Tables.events(s, dir),
+        entity = col("user_id"), ts = col("ts"), gapSeconds = 1800,
+        orderTieBreak = Seq(col("event_id")))
+      Relational.sessionStats(sessions, col("user_id"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Trailing 1-hour per-user moving aggregate at every event (RANGE
+    // frame over event time — tie-safe, order-independent).
+    "c14_moving_avg" -> ((s, dir) => {
+      Relational.movingAgg(Tables.events(s, dir),
+          entity = col("user_id"), ts = col("ts"), value = col("value"), windowSeconds = 3600)
+        .select(col("event_id"), col("user_id"), col("moving_n"),
+          round(col("moving_avg"), 4).as("moving_avg"))
+        .orderBy("event_id")
+    }),
+
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "c1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "c2_join_topk" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        | CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY 1,3,4 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "c3_star_join" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "c4_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal),4) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "c5_window_topk" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS total_price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        | FROM orders WHERE o_custkey % 50 = 0)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "c6_rollup" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),4) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "c6b_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),4) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "c15_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 20000.0), 29.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "c7_pivot" ->
+      """SELECT user_id,
+        | round(coalesce(sum(CASE WHEN event_type='click' THEN value END),0),4) AS click,
+        | round(coalesce(sum(CASE WHEN event_type='error' THEN value END),0),4) AS error,
+        | round(coalesce(sum(CASE WHEN event_type='purchase' THEN value END),0),4) AS purchase,
+        | round(coalesce(sum(CASE WHEN event_type='signup' THEN value END),0),4) AS signup,
+        | round(coalesce(sum(CASE WHEN event_type='view' THEN value END),0),4) AS view
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "c8_distinct" ->
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | round(sum(CASE WHEN l_returnflag='R' THEN l_extendedprice ELSE 0 END),4) AS returned_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "c8b_distinct_approx" ->
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_exact,
+        | TRUE AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "c8d_quantile_sketch" ->
+      """SELECT l_linestatus, count(DISTINCT l_returnflag) AS n_buckets, count(*) AS n,
+        | TRUE AS p50_in_bound, TRUE AS p95_in_bound
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "c8f_topk_sketch" ->
+      """SELECT CAST(length(CAST(o_orderkey AS VARCHAR)) AS INT) AS digits, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY n DESC, digits LIMIT 3""".stripMargin,
+
+    // Exact set sizes (sketches are in exact mode at this scale — see
+    // the query comment).
+    "c8e_theta_overlap" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0)
+        |SELECT (SELECT count(*) FROM c JOIN p USING (user_id)) AS n_both,
+        | (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS n_either,
+        | (SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS n_click_only""".stripMargin,
+
+    "c16_range_join" ->
+      """WITH pts AS (SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS d, o_totalprice FROM orders),
+        |r AS (SELECT CAST(range AS BIGINT) AS range_id, range*100 AS s, range*100+149 AS e FROM range(20)),
+        |j AS (SELECT range_id, o_totalprice FROM pts JOIN r ON d >= s AND d <= e)
+        |SELECT range_id, count(*) AS n, round(sum(o_totalprice),4) AS sum_price
+        |FROM j GROUP BY 1 ORDER BY range_id""".stripMargin,
+
+    "c8c_sketch_union" ->
+      """SELECT event_type,
+        | count(DISTINCT CAST(ts AS DATE)) AS n_buckets,
+        | count(DISTINCT user_id) AS n_exact,
+        | TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "d36_random_projection" -> {
+      // the 16×64 projection matrix inlined row-wise — regenerated from
+      // the same (outIdx, seed, dimIdx) splitmix derivation as the plan
+      val scale = math.sqrt(3.0 / 16.0)
+      val values = (for { j <- 0 until 16; d <- 0 until 64 } yield
+        s"($j, $d, CAST(${graft.vectors.VectorOps.projCoef(0, j, d) * scale} AS DOUBLE))")
+        .mkString(", ")
+      s"""WITH m(j, d, c) AS (VALUES $values),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT vec_id, CAST(u.d AS INT) AS d, v[CAST(u.d AS INT) + 1] AS val
+         |      FROM e, UNNEST(range(64)) AS u(d)),
+         |p AS (SELECT vec_id, m.j, sum(x.val * m.c) AS s FROM x JOIN m ON x.d = m.d GROUP BY 1,2)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j, round(s, 4) AS val FROM p ORDER BY vec_id, j""".stripMargin
+    },
+
+    "c23_pagerank" -> {
+      // 5 unrolled power-iteration rounds (standard SQL forbids
+      // aggregates over a recursive CTE term, so the oracle generates
+      // the rounds mechanically); same IEEE op order as the Spark plan
+      val rounds = (1 to 5).map { i =>
+        s"""dm$i AS (SELECT coalesce(sum(CASE WHEN d IS NULL THEN rank END), 0) AS m FROM r${i - 1}),
+           |inc$i AS (SELECT e.dst AS v, sum(r.rank/r.d) AS s FROM r${i - 1} r JOIN e ON r.v = e.src
+           |          WHERE r.d IS NOT NULL GROUP BY 1),
+           |r$i AS (SELECT vd.v, vd.d,
+           |        (1.0-0.85)*(1.0/nn.n) + 0.85*(coalesce(inc$i.s, 0) + dm$i.m*(1.0/nn.n)) AS rank
+           |        FROM vd LEFT JOIN inc$i ON vd.v = inc$i.v, dm$i, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, 'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src AS v, count(*) AS d FROM e GROUP BY 1),
+         |vd AS (SELECT v.v, deg.d FROM v LEFT JOIN deg USING (v)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |r0 AS (SELECT vd.v, vd.d, 1.0/nn.n AS rank FROM vd, nn),
+         |$rounds
+         |SELECT v AS vertex, round(rank, 6) AS rank FROM r5 ORDER BY vertex""".stripMargin
+    },
+
+    "a17_winsorize" ->
+      """WITH b AS (SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.05) AS qlo,
+        |            quantile_cont(l_extendedprice, 0.95) AS qhi FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, round(avg(l_extendedprice),4) AS avg_raw,
+        | round(avg(least(greatest(l_extendedprice, qlo), qhi)),4) AS avg_winsorized
+        |FROM lineitem JOIN b ON l_returnflag = b.g GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "c22_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value AS v, event_id FROM events),
+        |l AS (SELECT user_id, v, us,
+        |      lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur FROM e)
+        |SELECT user_id AS entity, CAST(count(*) AS BIGINT) AS n_obs,
+        | round(sum(v*dur)/sum(dur), 4) AS twap
+        |FROM l GROUP BY 1 ORDER BY entity""".stripMargin,
+
+    "c21_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type AS et FROM events),
+        |u1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN u1 USING (user_id) WHERE et = 'click' AND t > t1 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN u2 USING (user_id) WHERE et = 'purchase' AND t > t2 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM u1) AS n1, (SELECT count(*) FROM u2) AS n2, (SELECT count(*) FROM u3) AS n3)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step, CAST(n1 AS BIGINT) AS n_users, round(n1*1.0/n1,4) AS conversion FROM n
+        | UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT), round(n2*1.0/n1,4) FROM n
+        | UNION ALL SELECT 3, 'purchase', CAST(n3 AS BIGINT), round(n3*1.0/n1,4) FROM n
+        |) ORDER BY step_index""".stripMargin,
+
+    "a16_upsert" ->
+      """WITH upd AS (SELECT o_orderkey, o_custkey, o_totalprice*2 AS o_totalprice, 1 AS v,
+        |             (o_orderkey % 100 = 0) AS del
+        |      FROM orders WHERE o_orderkey % 10 = 0),
+        |allrows AS (SELECT o_orderkey, o_custkey, o_totalprice, 0 AS v, false AS del FROM orders
+        |            UNION ALL SELECT * FROM upd),
+        |latest AS (SELECT * FROM allrows
+        |           QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) = 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice, CAST(v AS BIGINT) AS v
+        |FROM latest WHERE NOT del ORDER BY o_orderkey""".stripMargin,
+
+    "c20_fuzzy_join" ->
+      """WITH l AS (SELECT CAST(c_custkey AS BIGINT) AS id, regexp_replace(lower(trim(c_name)),'\s+',' ','g') AS s FROM customer),
+        |r AS (SELECT CAST(c_custkey AS BIGINT) + 1000000 AS id,
+        |      regexp_replace(lower(trim(regexp_replace(c_name,'Customer','Custmr','g'))),'\s+',' ','g') AS s FROM customer),
+        |lg AS (SELECT DISTINCT id, substr(s, CAST(i AS INT), 4) AS g FROM l, UNNEST(range(1, length(s)-2)) AS u(i)),
+        |rg AS (SELECT DISTINCT id, substr(s, CAST(i AS INT), 4) AS g FROM r, UNNEST(range(1, length(s)-2)) AS u(i)),
+        |keep AS (SELECT g FROM (SELECT g FROM lg UNION ALL SELECT g FROM rg) GROUP BY g HAVING count(*) <= 250),
+        |lk AS (SELECT lg.* FROM lg JOIN keep USING (g)),
+        |rk AS (SELECT rg.* FROM rg JOIN keep USING (g)),
+        |ls AS (SELECT id AS left_id, count(*) AS na FROM lk GROUP BY 1),
+        |rs AS (SELECT id AS right_id, count(*) AS nb FROM rk GROUP BY 1),
+        |sh AS (SELECT lk.id AS left_id, rk.id AS right_id, count(*) AS ns FROM lk JOIN rk USING (g) GROUP BY 1,2)
+        |SELECT left_id, right_id, n_shared, jaccard FROM (
+        | SELECT sh.left_id, sh.right_id, CAST(ns AS BIGINT) AS n_shared,
+        |  round(ns*1.0/(na+nb-ns), 4) AS jaccard
+        | FROM sh JOIN ls USING (left_id) JOIN rs USING (right_id))
+        |WHERE jaccard >= 0.5 ORDER BY left_id, right_id""".stripMargin,
+
+    "b8_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events),
+        |coh AS (SELECT user_id, min(w) AS cw FROM act GROUP BY 1),
+        |j AS (SELECT a.user_id, c.cw, CAST(date_diff('day', c.cw, a.w)/7 AS BIGINT) AS week_offset
+        |      FROM act a JOIN coh c USING (user_id)),
+        |r AS (SELECT cw, week_offset, count(*) AS n_users FROM j GROUP BY 1,2),
+        |s AS (SELECT cw, n_users AS cohort_size FROM r WHERE week_offset = 0)
+        |SELECT CAST(r.cw AS DATE) AS cohort_week, r.week_offset, r.n_users,
+        | round(r.n_users*1.0/s.cohort_size, 4) AS retention
+        |FROM r JOIN s USING (cw) ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "c9_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        | event_type, count(*) AS n, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY bucket_start, event_type""".stripMargin,
+
+    "c10_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+        |FROM g GROUP BY 1,2 ORDER BY user_id, session_id""".stripMargin,
+
+    "c11_asof_join" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1,2),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, round(v.view_value, 4) AS last_view_value,
+        | epoch_us(p.pts) - epoch_us(v.vts) AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.pts >= v.vts
+        |ORDER BY event_id""".stripMargin,
+
+    "c14_moving_avg" ->
+      """WITH e AS (SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT event_id, user_id,
+        | count(value) OVER w AS moving_n,
+        | round(avg(value) OVER w, 4) AS moving_avg
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "d22_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        | round(CASE WHEN len(w) > 0 THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w) ELSE 0.0 END, 4) AS repetition
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Composes the established d1/d7/d8/d39 mirrors into one profile:
+    // md5 fingerprints, the quality formula, the stopword-argmax
+    // language ID, and the indexed-lambda stutter collapse.
+    "d40_corpus_profile" ->
+      """WITH t AS (SELECT source, text,
+        |  string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w,
+        |  md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),
+        |h AS (SELECT source, fp, CAST(len(w) AS BIGINT) AS n_toks,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(w) - len(list_filter(w, (x, i) -> i = 1 OR x <> w[i-1])) AS BIGINT) AS stutter,
+        |  least(1.0, len(w)/100.0)*0.5
+        |    + (1 - least(CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)/length(text), 1.0))*0.3
+        |    + (1 - least(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)/length(text), 1.0))*0.2 AS q,
+        |  len(list_filter(w, x -> x IN ('the','a','of','to','and','is','in','it'))) AS h_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','nicht','zu'))) AS h_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','los','que','y','un','es'))) AS h_es,
+        |  len(list_filter(w, x -> x IN ('le','la','les','et','est','un','dans','que'))) AS h_fr
+        | FROM t),
+        |p AS (SELECT *, CASE
+        |  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+        |  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+        |  WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        | CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs,
+        | CAST(sum(stutter) AS BIGINT) AS n_stutter_tokens,
+        | round(avg(q), 4) AS avg_quality,
+        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        | CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+        | CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+        | CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr
+        |FROM p""".stripMargin,
+
+    // DuckDB list lambdas take the same optional 1-based index; i = 1
+    // keeps the first element, i > 1 compares against w[i-1] exactly as
+    // the Spark when/element_at formulation does
+    "d39_stutter_collapse" ->
+      """WITH t AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents),
+        |k AS (SELECT doc_id, w, list_filter(w, (x, i) -> i = 1 OR x <> w[i-1]) AS kept FROM t)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | substr(md5(array_to_string(kept, ' ')), 1, 8) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+  )
+}

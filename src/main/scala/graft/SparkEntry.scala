@@ -1,19 +1,14 @@
 package graft
 
-import graft.analytics.Kpis
-import graft.dedup.Dedup
-import graft.etl.{Checks, Cleaning, Nested, Scd, Validate}
-import graft.multimodal.Multimodal
-import graft.operators.{Packing, Relational, Sampling}
-import graft.text.TfIdf
-import graft.similarity.Ann
-import graft.text.{Redact, TextFunctions}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — one entry per operator in SURVEY.md §2, with a
   * DuckDB oracle for every SQL-expressible operator. Column aliases and
   * ordering are kept IDENTICAL between the Spark query and its oracle.
+  * The registries live in per-domain objects ([[EtlQueries]] A-series,
+  * [[KpiQueries]] B, [[RelationalQueries]] C, [[DataQueries]] D) and
+  * compose here; key sets are disjoint by the name prefix convention.
   */
 object SparkEntry {
 
@@ -21,1101 +16,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("c1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
-
-  /** Embeddings-corpus size memoized per sf dir. LSH auto-sizing needs
-    * |corpus|, and a production caller passes it from their metastore
-    * instead of paying a count job at every plan construction — here the
-    * first of d6/d12 to run pays one metadata-cheap parquet count and
-    * the rest reuse it. */
-  private val corpusSizes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def embeddingsCount(s: SparkSession, dir: String): Long =
-    corpusSizes.computeIfAbsent(dir, _ => Tables.embeddings(s, dir).count())
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // ================================================================ A: ETL
-
-    "a1_validate" -> ((s, dir) => {
-      val rules = Seq(
-        Validate.Rule("missing_custkey", col("o_custkey").isNotNull),
-        Validate.Rule("nonpositive_price", col("o_totalprice").isNotNull && col("o_totalprice") > 0),
-        Validate.Rule("bad_status", col("o_orderstatus").isin("O", "F", "P")),
-        Validate.Rule("price_below_floor", col("o_totalprice") >= 5000))
-      Validate.withRejectReason(Tables.orders(s, dir), rules)
-        .groupBy(coalesce(col("reject_reason"), lit("valid")).as("reject_reason"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("reject_reason")
-    }),
-
-    "a2_audit" -> ((s, dir) => {
-      Tables.orders(s, dir)
-        .withColumn("source_name", lit("orders"))
-        .withColumn("ingest_year", year(col("o_orderdate")).cast("long"))
-        .withColumn("batch_id", concat(lit("orders_"), year(col("o_orderdate")).cast("string")))
-        .groupBy("source_name", "ingest_year", "batch_id")
-        .agg(count(lit(1)).as("n"),
-          min("o_orderkey").as("first_key"), max("o_orderkey").as("last_key"))
-        .orderBy("ingest_year")
-    }),
-
-    "a3_flatten_json" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .groupBy("event_type")
-        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"))
-        .orderBy("event_type")
-    }),
-
-    // Array-of-struct flattening — the reference's signature transform
-    // (clean_transform.py:78-113). The testdata has no array-of-struct
-    // column, so a nested JSON document is CONSTRUCTED deterministically
-    // from scalar columns, then flattened through the real path under
-    // test: from_json with a declared array<struct> schema, transform+
-    // array_join (genres[].name → "a|b"), filter-then-first (crew with
-    // job == "Director" → name; the Director's position alternates so the
-    // filter is load-bearing), and size counts with empty-array cases.
-    "a3b_flatten_nested" -> ((s, dir) => {
-      // `k` is staged in its own (codegen'd) projection before anything
-      // touches it: the projection that parses the assembled doc is
-      // interpreted end-to-end (JsonToStructs is CodegenFallback) and
-      // interpreted projections get NO common-subexpression elimination,
-      // so inlining the get_json_object-derived `k` would re-run its
-      // JSON scan once per reference per row — the r2 21s hot spot.
-      // CollapseProject cannot undo the staging: `k` (non-cheap) is
-      // referenced six times downstream.
-      val staged = Tables.events(s, dir).select(
-        get_json_object(col("props"), "$.k").cast("long").as("k"),
-        col("user_id").as("uid"))
-      val k = col("k")
-      val uid = col("uid")
-      val g1 = concat(lit("{\"name\":\"g"), (k % 5).cast("string"), lit("\"}"))
-      val g2 = concat(lit("{\"name\":\"g"), (k % 3).cast("string"), lit("\"}"))
-      val genresArr = when(k % 4 === 0, lit("[]"))
-        .otherwise(concat(lit("["), g1, lit(","), g2, lit("]")))
-      val director = concat(lit("{\"job\":\"Director\",\"name\":\"d"), (uid % 7).cast("string"), lit("\"}"))
-      val editor = concat(lit("{\"job\":\"Editor\",\"name\":\"e"), (k % 4).cast("string"), lit("\"}"))
-      val crewArr = when(k % 2 === 0, concat(lit("["), editor, lit(","), director, lit("]")))
-        .otherwise(concat(lit("["), director, lit(","), editor, lit("]")))
-      val doc = concat(lit("{\"genres\":"), genresArr, lit(",\"crew\":"), crewArr, lit("}"))
-      val ddl = "genres array<struct<name:string>>, crew array<struct<job:string,name:string>>"
-      staged
-        .select(k.as("k"), Nested.parseJson(doc, ddl).as("p"))
-        .select(col("k"),
-          Nested.joinField(col("p.genres"), "name", "|").as("genres_str"),
-          Nested.fieldOfFirstWhere(col("p.crew"), c => c.getField("job") === "Director", "name").as("director"),
-          Nested.countOf(col("p.genres")).as("n_genres"))
-        .groupBy("genres_str", "director")
-        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("n_genres").as("n_genres"))
-        .orderBy("genres_str", "director")
-    }),
-
-    "a4_clean_numeric" -> ((s, dir) => {
-      val cleaned = {
-        val base = Cleaning.castColumns(Tables.lineitem(s, dir),
-          Map("l_quantity" -> "double", "l_extendedprice" -> "double"))
-        val np = Cleaning.nullifyNonPositive(base, Seq("l_quantity", "l_extendedprice"))
-        val rng = Cleaning.nullifyWhere(np, "l_discount", col("l_discount") < 0 || col("l_discount") > 0.5)
-        Cleaning.conditionalNull(rng, "l_tax", col("l_discount") === 0)
-      }
-      cleaned.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          count("l_quantity").as("n_qty"), count("l_tax").as("n_tax"),
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_price"))
-        .orderBy("l_returnflag")
-    }),
-
-    "a5_clean_text" -> ((s, dir) => {
-      Cleaning.placeholderToNull(Tables.events(s, dir), "event_type", Seq("error", "unknown", ""))
-        .groupBy(coalesce(col("event_type"), lit("(null)")).as("event_type_clean"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("event_type_clean")
-    }),
-
-    "a6_derived" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .withColumn("net", revenue)
-        .withColumn("ratio", when(col("l_quantity") >= 5, col("net") / col("l_quantity")))
-        .withColumn("net_m", col("net") / lit(1000000.0))
-        .groupBy("l_returnflag")
-        .agg(round(sum("net"), 4).as("sum_net"),
-          round(avg("ratio"), 4).as("avg_ratio"),
-          count("ratio").as("n_ratio"),
-          round(sum("net_m"), 6).as("sum_net_millions"))
-        .orderBy("l_returnflag")
-    }),
-
-    "a7_dedup_key" -> ((s, dir) => {
-      Cleaning.dedupKeepFirst(
-          Tables.lineitem(s, dir).filter(col("l_orderkey") % 97 === 0),
-          keys = Seq(col("l_orderkey")),
-          order = Seq(col("l_linenumber"), col("l_partkey")))
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          round(col("l_quantity"), 4).as("qty"))
-        .orderBy("l_orderkey")
-    }),
-
-    "a8_row_quality" -> ((s, dir) => {
-      val staged = Tables.orders(s, dir)
-        .withColumn("price_c", when(col("o_totalprice") < 20000, lit(null)).otherwise(col("o_totalprice")))
-        .withColumn("prio_c", when(col("o_orderpriority") === "1-URGENT", lit(null)).otherwise(col("o_orderpriority")))
-      Cleaning.minNonNull(
-          Cleaning.requireNonNull(staged, Seq("o_orderkey", "o_custkey")),
-          Seq("price_c", "prio_c"), 1)
-        .agg(count(lit(1)).as("n_kept"), round(sum("price_c"), 4).as("sum_price"))
-    }),
-
-    "a9_project" -> ((s, dir) => {
-      Cleaning.project(Tables.orders(s, dir).filter(col("o_orderkey") % 101 === 0), Seq(
-          "o_orderkey" -> col("o_orderkey"),
-          "total_price" -> col("o_totalprice").cast("double"),
-          "status" -> col("o_orderstatus"),
-          "order_year" -> year(col("o_orderdate")).cast("long")))
-        .orderBy("o_orderkey")
-    }),
-
-    "a10_silver_pipeline" -> ((s, dir) => {
-      val bronze = Tables.events(s, dir)
-      val validated = Validate.valid(bronze, Seq(
-        Validate.Rule("missing_id", col("event_id").isNotNull),
-        Validate.Rule("missing_user", col("user_id").isNotNull)))
-      val flattened = validated.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      val cleaned = Cleaning.placeholderToNull(
-        Cleaning.nullifyNonPositive(flattened, Seq("value")),
-        "event_type", Seq("error", "unknown"))
-      val deduped = Cleaning.dedupKeepFirst(cleaned, Seq(col("event_id")), Seq(col("ts")))
-      val silver = Cleaning.project(
-        Cleaning.requireNonNull(deduped, Seq("event_type")),
-        Seq("event_id" -> col("event_id"), "user_id" -> col("user_id"),
-          "etype" -> col("event_type"), "value_c" -> col("value"), "k" -> col("k")))
-      silver.groupBy("etype")
-        .agg(count(lit(1)).as("n"), round(sum("value_c"), 4).as("sum_value"), sum("k").as("sum_k"))
-        .orderBy("etype")
-    }),
-
-    // SCD2 dimension from a change log: each user's event_type history
-    // becomes one row per consecutive-distinct state with a validity
-    // interval (event_id breaks same-timestamp ties). Timestamps are
-    // emitted as epoch micros so the oracle compares exact instants.
-    "a14_scd2" -> ((s, dir) => {
-      Scd.fromChangeLog(Tables.events(s, dir),
-          keyCols = Seq("user_id"), attrCols = Seq("event_type"),
-          tsCol = "ts", tieBreak = Seq("event_id"))
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("valid_from")).as("valid_from_us"),
-          unix_micros(col("valid_to")).as("valid_to_us"),
-          col("is_current"))
-        .orderBy("user_id", "valid_from_us", "event_type")
-    }),
-
-    // =========================================================== B: KPIs
-
-    "b1_rank_topn" -> ((s, dir) => {
-      Kpis.rankTopN(Tables.orders(s, dir), col("o_totalprice"),
-          descending = true, n = 10, tieBreak = Seq(col("o_orderkey")))
-        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 4).as("total_price"))
-    }),
-
-    // Ascending instantiation of the generic ranker — the reference runs
-    // rank_movies with order="asc" for lowest-profit/roi (kpis.py:85-88).
-    "b1b_rank_bottomn" -> ((s, dir) => {
-      Kpis.rankTopN(Tables.orders(s, dir), col("o_totalprice"),
-          descending = false, n = 10, tieBreak = Seq(col("o_orderkey")))
-        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 4).as("total_price"))
-    }),
-
-    "b2_rank_ratio" -> ((s, dir) => {
-      Kpis.rankByRatio(Tables.lineitem(s, dir),
-          numer = col("l_extendedprice"), denom = col("l_quantity"),
-          denomOk = col("l_quantity") >= 10, as = "unit_price", n = 10,
-          tieBreak = Seq(col("l_orderkey"), col("l_linenumber")))
-        .select(col("l_orderkey"), col("l_linenumber"), round(col("unit_price"), 4).as("unit_price"))
-    }),
-
-    "b3_search_multi" -> ((s, dir) => {
-      Kpis.search(Tables.part(s, dir),
-          predicates = Seq(col("p_name").contains("re"), col("p_type").contains("AN")),
-          orderBy = Seq(col("p_retailprice").desc, col("p_partkey").asc), limit = 20)
-        .select(col("p_partkey"), col("p_name"), col("p_type"),
-          round(col("p_retailprice"), 4).as("retail"))
-    }),
-
-    "b4_group_flag_stats" -> ((s, dir) => {
-      Kpis.groupFlagStats(Tables.orders(s, dir),
-          flag = col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
-          value = col("o_totalprice"))
-        .orderBy("flag")
-    }),
-
-    // Approx-median instantiation — the reference's grouped stats use
-    // percentile_approx(roi, 0.5) (kpis.py:137). At accuracy > n the
-    // sketch is exact (element at rank ceil(p·n)), which the oracle
-    // mirrors with a window rank selection.
-    "b4b_group_flag_approx" -> ((s, dir) => {
-      Kpis.groupFlagStats(Tables.orders(s, dir),
-          flag = col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
-          value = col("o_totalprice"), exact = false, accuracy = 1000000)
-        .orderBy("flag")
-    }),
-
-    "b5_top_groups" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val sup = broadcast(Tables.supplier(s, dir))
-      Kpis.topGroups(li.join(sup, col("l_suppkey") === col("s_suppkey")),
-        groupCol = col("s_name"), measure = revenue, n = 10,
-        countAs = "n_items", sumAs = "revenue", avgAs = "avg_revenue")
-    }),
-
-    "b6_explode_agg" -> ((s, dir) => {
-      Kpis.explodeAgg(Tables.documents(s, dir), lower(col("text")), " ",
-        measure = col("n_chars"), n = 20)
-    }),
-
-    "b7_per_year" -> ((s, dir) => {
-      Kpis.perPeriod(Tables.orders(s, dir),
-        period = year(col("o_orderdate")).cast("long"), measure = col("o_totalprice"))
-    }),
-
-    // ==================================================== C: relational core
-
-    "c1_pricing_summary" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(revenue), 4).as("sum_disc_price"),
-          round(sum(revenue * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-
-    "c2_join_topk" -> ((s, dir) => {
-      val cust = broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
-      val ord = Tables.orders(s, dir).filter(col("o_orderdate") < to_timestamp(lit("1998-03-15 00:00:00")))
-      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > to_timestamp(lit("1998-03-15 00:00:00")))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
-        .agg(round(sum(revenue), 4).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey").asc)
-        .limit(10)
-        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
-    }),
-
-    "c3_star_join" -> ((s, dir) => {
-      val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
-      val nat = broadcast(Tables.nation(s, dir).join(broadcast(reg), col("n_regionkey") === col("r_regionkey")))
-      val sup = broadcast(Tables.supplier(s, dir))
-      val ord = Tables.orders(s, dir)
-        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
-          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
-      Tables.lineitem(s, dir)
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(nat, col("s_nationkey") === col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(round(sum(revenue), 4).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name").asc)
-    }),
-
-    "c4_anti_join" -> ((s, dir) => {
-      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
-      Tables.customer(s, dir)
-        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 4).as("sum_acctbal"))
-        .orderBy("c_mktsegment")
-    }),
-
-    "c5_window_topk" -> ((s, dir) => {
-      Relational.topKPerGroup(
-          Tables.orders(s, dir).filter(col("o_custkey") % 50 === 0),
-          partitionBy = Seq(col("o_custkey")),
-          orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
-        .select(col("o_custkey"), col("o_orderkey"),
-          round(col("o_totalprice"), 4).as("total_price"), col("rn"))
-        .orderBy("o_custkey", "rn")
-    }),
-
-    "c6_rollup" -> ((s, dir) => {
-      Tables.orders(s, dir)
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
-        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("n"), col("sum_price"))
-        .orderBy("status", "priority")
-    }),
-
-    // Full CUBE over (status, priority) — all 2^2 grouping sets, vs
-    // ROLLUP's hierarchy in c6.
-    "c6b_cube" -> ((s, dir) => {
-      Tables.orders(s, dir)
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
-        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("n"), col("sum_price"))
-        .orderBy("status", "priority")
-    }),
-
-    // Fixed-width histogram of order totals — the distribution profile
-    // every curation/QA dashboard starts from. Plain floor-division
-    // binning (clamped top bucket) so any engine mirrors it exactly.
-    "c15_histogram" -> ((s, dir) => {
-      Tables.orders(s, dir)
-        .select(least(floor(col("o_totalprice") / 20000.0), lit(29.0)).cast("long").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n"))
-        .orderBy("bucket")
-    }),
-
-    "c7_pivot" -> ((s, dir) => {
-      Relational.pivotAgg(Tables.events(s, dir), col("user_id"), "event_type",
-          values = Seq("click", "error", "purchase", "signup", "view"), measure = col("value"))
-        .orderBy("user_id")
-    }),
-
-    "c8_distinct" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy("l_linestatus")
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 4).as("returned_price"),
-          count(lit(1)).as("n"))
-        .orderBy("l_linestatus")
-    }),
-
-    // Sketch distinct-count: at 100 TB exact countDistinct shuffles every
-    // distinct value; the HLL++ sketch is the production path. The sketch
-    // value is engine-specific, so the driver-checked output carries the
-    // exact count plus a boolean asserting the sketch landed within 5%
-    // (rsd=0.02 ⇒ ~2σ) — the oracle expects TRUE, so a drifting sketch
-    // fails the gate.
-    "c8b_distinct_approx" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy("l_linestatus")
-        .agg(countDistinct(col("l_partkey")).as("n_exact"),
-          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__n_approx"))
-        .select(col("l_linestatus"), col("n_exact"),
-          (abs(col("__n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
-            .as("within_bound"))
-        .orderBy("l_linestatus")
-    }),
-
-    // KLL quantile sketch TABLE (C8d): sketch per (status, returnflag),
-    // percentiles from a UNION rollup (no raw-data rescan), then the
-    // estimates' empirical ranks verified against the raw distribution
-    // — |rank(p_q) − q| ≤ 0.05 covers KLL's ~1.65% rank error plus the
-    // ~2% rank step of l_quantity's 50 tied values. The oracle mirrors
-    // the exact columns and pins the bound booleans to TRUE.
-    "c8d_quantile_sketch" -> ((s, dir) => {
-      import graft.operators.Sketches
-      val li = Tables.lineitem(s, dir)
-      val table = Sketches.quantileSketchTable(li,
-        Seq(col("l_linestatus"), col("l_returnflag")), col("l_quantity"))
-      val rolled = Sketches.quantileRollup(table, Seq(col("l_linestatus")), Seq(0.5, 0.95))
-      li.join(broadcast(rolled), "l_linestatus")
-        .groupBy("l_linestatus")
-        .agg(max("n_buckets").as("n_buckets"), count(lit(1)).as("n"),
-          (sum(when(col("l_quantity") <= col("p50"), 1L).otherwise(0L)).cast("double")
-            / count(lit(1))).as("__r50"),
-          (sum(when(col("l_quantity") <= col("p95"), 1L).otherwise(0L)).cast("double")
-            / count(lit(1))).as("__r95"))
-        .select(col("l_linestatus"), col("n_buckets"), col("n"),
-          (abs(col("__r50") - 0.5) <= 0.05).as("p50_in_bound"),
-          (abs(col("__r95") - 0.95) <= 0.05).as("p95_in_bound"))
-        .orderBy("l_linestatus")
-    }),
-
-    // Frequent-items sketch table (C8f): per-priority approx_top_k
-    // sketches combined into a global top-3 — Spark 4's built-in state
-    // functions, no custom aggregate needed. maxItemsTracked (1000) far
-    // exceeds the distinct item count, so estimates are exact and the
-    // oracle is a plain GROUP BY.
-    "c8f_topk_sketch" -> ((s, dir) => {
-      import graft.operators.Sketches
-      val o = Tables.orders(s, dir)
-        .select(col("o_orderpriority"), length(col("o_orderkey").cast("string")).as("digits"))
-      val t = Sketches.topKSketchTable(o, Seq(col("o_orderpriority")), col("digits"),
-        maxItemsTracked = 1000)
-      Sketches.topKRollup(t, Seq.empty, k = 3)
-        .select(col("item").as("digits"), col("n_estimate").as("n"))
-        .orderBy(desc("n"), col("digits"))
-    }),
-
-    // Theta sketch set algebra (C8e): distinct users who clicked AND
-    // purchased (purchases restricted to the user_id%3==0 cohort so the
-    // three set estimates differ). At verification scale the corpus has
-    // far fewer distinct users than the 4096 nominal entries, so the
-    // sketches are in EXACT mode and the oracle mirrors the set sizes
-    // exactly — the same sized-for-exactness pattern as d6/d12.
-    "c8e_theta_overlap" -> ((s, dir) => {
-      import graft.operators.Sketches
-      val ev = Tables.events(s, dir).filter(
-        col("event_type") === "click" ||
-          (col("event_type") === "purchase" && col("user_id") % 3 === 0))
-      val sk = Sketches.thetaSketchTable(ev, Seq(col("event_type")),
-        col("user_id")) // long input hashes natively — no per-row stringify
-      sk.agg(
-          max(when(col("event_type") === "click", col("tsketch"))).as("__a"),
-          max(when(col("event_type") === "purchase", col("tsketch"))).as("__b"))
-        .select(
-          Sketches.thetaSetEstimate("intersect", col("__a"), col("__b")).as("n_both"),
-          Sketches.thetaSetEstimate("union", col("__a"), col("__b")).as("n_either"),
-          Sketches.thetaSetEstimate("diff", col("__a"), col("__b")).as("n_click_only"))
-    }),
-
-    // Binned range join: orders (as day offsets from 1992-01-01) matched
-    // into 20 overlapping 150-day windows. The bin trick turns interval
-    // containment into an equi-join (PlanSpec enforces no nested-loop
-    // product); the windows are constructed deterministically so DuckDB
-    // mirrors them with range(20).
-    "c16_range_join" -> ((s, dir) => {
-      val pts = Tables.orders(s, dir)
-        .select(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long").as("d"),
-          col("o_totalprice"))
-      val ranges = s.range(20).select(col("id").as("range_id"),
-        (col("id") * 100).as("r_start"), (col("id") * 100 + 149).as("r_end"))
-      Relational.rangeJoin(pts, ranges, col("d"), col("r_start"), col("r_end"), binWidth = 64)
-        .groupBy("range_id")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
-        .orderBy("range_id")
-    }),
-
-    // Mergeable sketch TABLE rollup: per-(event_type, day) HLL sketches
-    // union up to per-type distinct users without rescanning events —
-    // the incremental distinct-count state pattern (see operators/
-    // Sketches). Verified like c8b: the estimate must sit within 5% of
-    // exact (lgK=12 ⇒ rse ≈ 1.6%), and the bucket count is exact.
-    "c8c_sketch_union" -> ((s, dir) => {
-      import graft.operators.Sketches
-      val ev = Tables.events(s, dir)
-      val daily = Sketches.sketchTable(ev,
-        Seq(col("event_type"), to_date(col("ts")).as("day")), col("user_id"))
-      val rolled = Sketches.unionEstimate(daily, Seq(col("event_type")))
-      val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
-      rolled.join(exact, "event_type")
-        .select(col("event_type"), col("n_buckets"), col("n_exact"),
-          (abs(col("n_estimate") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
-            .as("within_bound"))
-        .orderBy("event_type")
-    }),
-
-    // Johnson–Lindenstrauss random projection 64 → 16 dims: the cheap
-    // dimensionality cut before ANN/clustering; 16 fused dot products
-    // in the scan, matrix regenerated from indices on any engine.
-    "d36_random_projection" -> ((s, dir) => {
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"),
-          posexplode(graft.vectors.VectorOps.randomProject(
-            graft.vectors.VectorOps.toDouble(col("embedding")), dims = 64, outDim = 16)))
-        .select(col("vec_id"), col("pos").cast("long").as("j"),
-          round(col("col"), 4).as("val"))
-        .orderBy("vec_id", "j")
-    }),
-
-    // PageRank over the supplier→part supply graph (5 fixed rounds,
-    // dangling part-vertices redistribute their mass) — the iterative
-    // graph workload; crawl-curation's domain-ranking shape.
-    "c23_pagerank" -> ((s, dir) => {
-      val edges = Tables.lineitem(s, dir).select(
-        concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
-      graft.graph.PageRank.pageRank(edges, damping = 0.85, iters = 5)
-        .orderBy("vertex")
-    }),
-
-    // Per-group winsorization: tails clipped into [p05, p95] per
-    // return flag; rows kept (contrast with a4's nulling).
-    "a17_winsorize" -> ((s, dir) => {
-      Cleaning.winsorizeByGroup(Tables.lineitem(s, dir),
-          col("l_returnflag"), "l_extendedprice", lo = 0.05, hi = 0.95)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          round(avg("l_extendedprice"), 4).as("avg_raw"),
-          round(avg("l_extendedprice_w"), 4).as("avg_winsorized"))
-        .orderBy("l_returnflag")
-    }),
-
-    // Time-weighted average per user: value held until the next
-    // observation; duration-weighted, not count-weighted.
-    "c22_twap" -> ((s, dir) => {
-      Relational.timeWeightedAvg(Tables.events(s, dir),
-          col("user_id"), col("ts"), col("value"), tieBreak = Seq(col("event_id")))
-        .orderBy("entity")
-    }),
-
-    // Ordered funnel: view → click-after-view → purchase-after-click
-    // per user, one user-keyed shuffle + chained window minima.
-    "c21_funnel" -> ((s, dir) => {
-      graft.analytics.Funnel.funnel(Tables.events(s, dir),
-          col("user_id"), col("ts"), col("event_type"),
-          Seq("view", "click", "purchase"))
-        .orderBy("step_index")
-    }),
-
-    // MERGE/upsert (SCD1): a derived update batch (every 10th order
-    // re-priced, every 100th tombstoned) merged into the snapshot,
-    // latest version per key wins.
-    "a16_upsert" -> ((s, dir) => {
-      val cur = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), lit(0L).as("v"))
-      val upd = Tables.orders(s, dir).filter(col("o_orderkey") % 10 === 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          (col("o_totalprice") * 2).as("o_totalprice"), lit(1L).as("v"),
-          (col("o_orderkey") % 100 === 0).as("deleted"))
-      graft.etl.Upsert.upsert(cur, upd, Seq("o_orderkey"), "v", tombstone = Some("deleted"))
-        .orderBy("o_orderkey")
-    }),
-
-    // Fuzzy string join (entity resolution): customers matched against
-    // a typo'd mirror of themselves by char-trigram Jaccard over the
-    // stop-gram-capped universe — the record-linkage join an equi-join
-    // cannot express and a cross join cannot survive.
-    "c20_fuzzy_join" -> ((s, dir) => {
-      val cust = Tables.customer(s, dir)
-        .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
-      val dirty = cust.select((col("id") + 1000000L).as("id"),
-        regexp_replace(col("name"), "Customer", "Custmr").as("name"))
-      // n=4 + maxDf=250: on zero-padded sequential names the join cost
-      // is Σ df² over surviving grams — 4-grams cut per-gram df ~20×
-      // vs trigrams, and the 250 cap drops the half-specific grams
-      // (df in the hundreds) that each cost df² comparisons while
-      // discriminating nothing (3-gram/df=1000 formulation: 8.9s at
-      // sf0.1; this one: ~1s)
-      graft.operators.Fuzzy.fuzzyJoinPairs(cust, col("id"), col("name"),
-          dirty, col("id"), col("name"), threshold = 0.5, n = 4, maxDf = 250)
-        .orderBy("left_id", "right_id")
-    }),
-
-    // Cohort retention triangle over the events stream: first-active
-    // week per user → share still active k weeks later.
-    "b8_retention" -> ((s, dir) => {
-      graft.analytics.Retention.cohortRetention(Tables.events(s, dir),
-          col("user_id"), col("ts"))
-        .orderBy("cohort_week", "week_offset")
-    }),
-
-    "c9_time_bucket" -> ((s, dir) => {
-      Relational.timeBucketAgg(Tables.events(s, dir), col("ts"), "1 hour",
-          groupBy = Seq(col("event_type")), value = col("value"))
-        .select("bucket_start", "event_type", "n", "sum_value")
-        .orderBy("bucket_start", "event_type")
-    }),
-
-    // As-of join: each purchase picks up the user's most recent prior
-    // view (at-or-before event time) — implemented as the one-shuffle
-    // union+window operator; the oracle uses DuckDB's native ASOF JOIN.
-    "c11_asof_join" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val views = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts")).agg(max("value").as("view_value"))
-        .withColumn("vts", col("ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      Relational.asOfJoin(purchases, views, key = "user_id", ts = "ts",
-          rightVals = Seq("view_value", "vts"))
-        .select(col("event_id"), col("user_id"),
-          round(col("asof_view_value"), 4).as("last_view_value"),
-          (unix_micros(col("ts")) - unix_micros(col("asof_vts"))).as("gap_us"))
-        .orderBy("event_id")
-    }),
-
-    "c10_sessionize" -> ((s, dir) => {
-      val sessions = Relational.sessionize(Tables.events(s, dir),
-        entity = col("user_id"), ts = col("ts"), gapSeconds = 1800,
-        orderTieBreak = Seq(col("event_id")))
-      Relational.sessionStats(sessions, col("user_id"))
-        .orderBy("user_id", "session_id")
-    }),
-
-    // Trailing 1-hour per-user moving aggregate at every event (RANGE
-    // frame over event time — tie-safe, order-independent).
-    "c14_moving_avg" -> ((s, dir) => {
-      Relational.movingAgg(Tables.events(s, dir),
-          entity = col("user_id"), ts = col("ts"), value = col("value"), windowSeconds = 3600)
-        .select(col("event_id"), col("user_id"), col("moving_n"),
-          round(col("moving_avg"), 4).as("moving_avg"))
-        .orderBy("event_id")
-    }),
-
-    // ========================================== D: training-data operators
-
-    "d1_dedup_exact" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.exactGroups(docs, col("doc_id"), col("text"))
-        .orderBy("content_hash")
-    }),
-
-    // The production two-stage dedup pipeline: MinHash+LSH candidate
-    // generation composed with exact-Jaccard verification on candidates
-    // only. The oracle is the full exact-Jaccard pair set: at b=8/r=4 a
-    // true pair (every ≥0.5-Jaccard pair in this corpus is ≥0.9) is
-    // missed with prob < 2e-4, and the signature hashes are fixed, so
-    // the composed result equals the exact set deterministically.
-    "d2_dedup_minhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.jaccardVerify(
-          Dedup.minHashCandidates(docs, col("doc_id"), col("text"),
-            numHashes = 32, numBands = 8),
-          docs, col("doc_id"), col("text"), threshold = 0.5)
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    // Pigeonhole candidates are COMPLETE (not probabilistic), so the
-    // emitted set is exactly "all pairs with Hamming ≤ 3" — which the
-    // oracle recomputes bit-for-bit from the md5-derived signatures.
-    "d3_dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
-          maxHamming = 3, chunks = 4)
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    "d4_ngram_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
-          threshold = 0.5, k = 3, maxDf = 100)
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    "d5_ann_bruteforce" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-        .orderBy("qid", "rank")
-    }),
-
-    // bits auto-sized from the corpus (bitsFor: 500/64 → 3 bits at
-    // sf0.01); tables=48 puts per-pair recall above 1-3e-5 even at the
-    // lowest top-5 cosine in this corpus (~0.26 ⇒ p=0.582,
-    // recallFor(0.26, 3, 48) ≈ 0.99997), so the deterministic-plane LSH
-    // result equals exact brute-force top-k — the oracle below.
-    "d6_ann_lsh" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          dims = 64, k = 5, tables = 48, corpusSize = Some(embeddingsCount(s, dir)))
-        .orderBy("qid", "rank")
-    }),
-
-    "d7_text_quality" -> ((s, dir) => {
-      val t = col("text")
-      val enStop = TextFunctions.LangStopwords.head._2
-      Tables.documents(s, dir).select(
-          col("doc_id"),
-          length(t).cast("long").as("n_chars"),
-          TextFunctions.tokenCount(t).as("n_words"),
-          round(length(t).cast("double") / TextFunctions.tokenCount(t), 4).as("avg_word_len"),
-          round(TextFunctions.punctRatio(t), 4).as("punct_ratio"),
-          round(TextFunctions.upperRatio(t), 4).as("upper_ratio"),
-          round(TextFunctions.stopwordRatio(t, enStop), 4).as("stopword_ratio"),
-          round(TextFunctions.qualityScore(t), 4).as("quality"))
-        .orderBy("doc_id")
-    }),
-
-    // Confusion cells (pred_lang × labeled lang) so the oracle
-    // discriminates across multiple rows. Tokens are staged once, hit
-    // counts staged next, argmax last — each projection materializes
-    // what the next one's higher-order functions reference (interpreted
-    // HOFs get no subexpression elimination; see TextFunctions).
-    "d8_lang_id" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("lang"), TextFunctions.tokens(col("text")).as("__toks"))
-      val hits = toks.select(
-        col("lang") +: TextFunctions.langHitsOf(col("__toks")).map { case (l, c) => c.as(s"__h_$l") }: _*)
-      hits.select(col("lang"),
-          TextFunctions.langPred(TextFunctions.LangStopwords.map { case (l, _) => l -> col(s"__h_$l") }).as("pred_lang"))
-        .groupBy("pred_lang", "lang")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("pred_lang", "lang")
-    }),
-
-    "d9_token_count" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextFunctions.tokenCount(col("text"))).as("ws_tokens"),
-          sum(TextFunctions.regexTokenCount(col("text"))).as("re_tokens"),
-          round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_ws_tokens"))
-        .orderBy("source")
-    }),
-
-    // Tokens staged in their own projection so the interpreted shingle
-    // HOF references a materialized array (see TextFunctions.shinglesOf).
-    "d10_fingerprint" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          TextFunctions.contentFingerprint(col("text")).as("content_md5"),
-          TextFunctions.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), col("content_md5"),
-          TextFunctions.minShingleFingerprintOf(col("__toks")).as("min_shingle_md5"))
-        .orderBy("doc_id")
-    }),
-
-    "d11_vector_stats" -> ((s, dir) => {
-      import graft.vectors.VectorOps
-      val v = VectorOps.toDouble(col("embedding"))
-      Tables.embeddings(s, dir)
-        .select(col("label").cast("long").as("label"),
-          VectorOps.l2Norm(v).as("norm"), element_at(v, 1).as("d1"), element_at(v, 2).as("d2"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"),
-          round(avg("d1"), 4).as("avg_dim1"), round(avg("d2"), 4).as("avg_dim2"))
-        .orderBy("label")
-    }),
-
-    // Int8 embedding quantization (D29): per-label reconstruction-error
-    // stats, every arithmetic step (scale, clamp, half-up round, error)
-    // mirrored in the oracle. Staged projections per the HOF rule.
-    "d29_quantize" -> ((s, dir) => {
-      import graft.vectors.{Quantize, VectorOps}
-      Tables.embeddings(s, dir)
-        .select(col("label").cast("long").as("label"),
-          VectorOps.toDouble(col("embedding")).as("__v"))
-        .withColumn("__scale", Quantize.int8Scale(col("__v")))
-        .withColumn("__q", Quantize.int8Quantize(col("__v"), col("__scale")))
-        .select(col("label"), col("__scale"),
-          Quantize.int8MaxError(col("__v"), col("__q"), col("__scale")).as("__err"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n"),
-          round(avg("__scale"), 4).as("avg_scale"),
-          round(avg("__err"), 4).as("avg_max_err"),
-          round(max("__err"), 4).as("worst_err"))
-        .orderBy("label")
-    }),
-
-    // τ=0.45 sits in a gap of this corpus's cosine distribution; bits
-    // auto-size to 3 at sf0.01 and tables=24 gives per-pair recall
-    // ≥ 1-5e-4 at the threshold (recallFor(0.4516, 3, 24) ≈ 0.9995), so
-    // the LSH-restricted pair set equals the exact ≥τ set — the oracle.
-    "d12_embed_neardup" -> ((s, dir) => {
-      Ann.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          dims = 64, threshold = 0.45, tables = 24,
-          corpusSize = Some(embeddingsCount(s, dir)))
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    "d13_multimodal" -> ((s, dir) => {
-      val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain", "source")
-      Multimodal.withBinaryMetrics(media)
-        .groupBy("source", "media_type")
-        .agg(count(lit(1)).as("n"),
-          sum("byte_len").as("sum_bytes"),
-          countDistinct(col("sha256")).as("n_checksums"))
-        .orderBy("source")
-    }),
-
-    // Deterministic stratified sampling: md5-keyed buckets, so the
-    // selection is reproducible on any cluster layout and the oracle
-    // re-derives it exactly (df.sample's RNG cannot be verified).
-    "d14_sample" -> ((s, dir) => {
-      Sampling.stratifiedHashSample(Tables.documents(s, dir),
-          key = col("doc_id"), stratum = col("lang"),
-          fractions = Map("en" -> 0.25, "de" -> 1.0), default = 0.1)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_kept"), sum(length(col("text")).cast("long")).as("sum_chars"))
-        .orderBy("lang")
-    }),
-
-    // Exactly-k-per-stratum deterministic sampling (D30): fixed-SIZE
-    // eval sets per language (fractional sampling can't promise a
-    // size). The oracle re-derives the md5 rank order and the exact
-    // selection — sum_ids pins the member set, not just the count.
-    "d30_sample_k" -> ((s, dir) => {
-      Sampling.exactKPerStratum(Tables.documents(s, dir),
-          key = col("doc_id"), stratum = col("lang"), k = 7)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
-        .orderBy("lang")
-    }),
-
-    // Pairwise near-dups resolved to clusters (connected components):
-    // the keep/drop decision layer above d2. The oracle computes the
-    // same min-reachable-id labels with a recursive CTE.
-    "d15_dedup_clusters" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardVerify(
-        Dedup.minHashCandidates(docs, col("doc_id"), col("text"), 32, 8),
-        docs, col("doc_id"), col("text"), threshold = 0.5)
-      Dedup.clusterPairs(pairs).orderBy("doc_id")
-    }),
-
-    "d16_tfidf" -> ((s, dir) => {
-      TfIdf.topTerms(Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
-        .orderBy("doc_id", "term")
-    }),
-
-    "d17_packing" -> ((s, dir) => {
-      Packing.packStats(Packing.packSequences(Tables.documents(s, dir),
-          col("doc_id"), col("text"), budget = 512, nShards = 8))
-        .orderBy("shard", "pack_id")
-    }),
-
-    // PII redaction over deterministically constructed PII-bearing text
-    // (the synthetic corpus carries none, so the query plants one email/
-    // URL/phone/IP per document from its id — the oracle mirrors the
-    // construction and each regex pass exactly).
-    "d20_redact" -> ((s, dir) => {
-      val id = col("doc_id")
-      val t2 = concat(col("text"),
-        lit(" contact user"), id.cast("string"),
-        lit("@example.com or https://site"), (id % 7).cast("string"),
-        lit(".org/p call 555-12"), (id % 10).cast("string"),
-        lit("-4567 from 10.0."), (id % 256).cast("string"), lit(".1"))
-      Tables.documents(s, dir)
-        .select(col("source"), t2.as("t2"))
-        .select(col("source"),
-          Redact.piiCount(col("t2"), Redact.EmailPattern).as("n_email"),
-          Redact.piiCount(col("t2"), Redact.UrlPattern).as("n_url"),
-          Redact.piiCount(col("t2"), Redact.PhonePattern).as("n_phone"),
-          (length(Redact.redactPii(col("t2"))) - length(col("t2"))).cast("long").as("len_delta"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_email").as("n_emails"), sum("n_url").as("n_urls"),
-          sum("n_phone").as("n_phones"), sum("len_delta").as("sum_len_delta"))
-        .orderBy("source")
-    }),
-
-    // Repetition/boilerplate signal: 1 − distinct/total tokens per doc.
-    "d22_repetition" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"),
-          size(col("__toks")).cast("long").as("n_tokens"),
-          size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
-          round(TextFunctions.repetitionRatioOf(col("__toks")), 4).as("repetition"))
-        .orderBy("doc_id")
-    }),
-
-    // One-pass corpus card: volume, source/language mix, exact-dup
-    // volume, stutter noise, mean quality — every metric an aggregate
-    // over ONE documents scan (CorpusProfileSpec pins the scan count).
-    // All metrics exact, so the whole card hash-checks against DuckDB.
-    "d40_corpus_profile" -> ((s, dir) => {
-      graft.text.CorpusProfile.profile(Tables.documents(s, dir),
-        col("text"), col("source"))
-    }),
-
-    // Token-stutter collapse: runs of identical consecutive tokens
-    // reduced to one occurrence — the token-granularity form of C4's
-    // repeated-line cleanup (same collapseRuns works on line arrays).
-    // Narrow map, zero shuffle; the cleaned text is content-verified
-    // via an md5 prefix like d24/d31.
-    "d39_stutter_collapse" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), col("__toks"),
-          TextFunctions.collapseRuns(col("__toks")).as("__kept"))
-        .select(col("doc_id"),
-          size(col("__toks")).cast("long").as("n_tokens"),
-          size(col("__kept")).cast("long").as("n_kept"),
-          substring(md5(array_join(col("__kept"), " ")), 1, 8).as("clean_md5"))
-        .orderBy("doc_id")
-    }),
-
-    // Dataset-mixing signal: KL divergence of each source's unigram
-    // distribution from the corpus blend, in bits.
-    "d26_source_divergence" -> ((s, dir) => {
-      graft.text.CorpusStats.sourceDivergence(Tables.documents(s, dir),
-          col("source"), col("text"))
-        .orderBy("source")
-    }),
-
-    // Context-window chunking: 32-token chunks, 8-token overlap; the
-    // chunk text is verified via an md5 prefix so the oracle checks
-    // CONTENT, not just counts.
-    "d24_chunking" -> ((s, dir) => {
-      graft.text.Chunking.chunkDocuments(Tables.documents(s, dir),
-          col("doc_id"), col("text"), chunkTokens = 32, overlapTokens = 8)
-        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
-          substring(md5(col("chunk_text")), 1, 8).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_id")
-    }),
-
-    // Decontamination: documents with doc_id % 50 == 0 stand in for the
-    // eval set; every other document reports its 3-gram overlap with
-    // that set's shingle universe.
-    "d25_decontaminate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.contaminationReport(
-          docs.filter(col("doc_id") % 50 =!= 0),
-          docs.filter(col("doc_id") % 50 === 0),
-          col("doc_id"), col("text"))
-        .orderBy("doc_id")
-    }),
-
-    // IVF-Flat ANN at real approximate params (probe 4 of 8 lists —
-    // observed recall ≈ 0.72 vs exact top-5 on this corpus, measured in
-    // AnnSpec). The oracle does NOT fall back to exact search: centroid
-    // selection is md5-keyed and assignment/probe/top-k are plain
-    // argmax-cosine relational steps, so DuckDB mirrors the ENTIRE IVF
-    // pipeline bit-for-bit (same double upcast, same dot/norm formula,
-    // same tie-breaks) — the approximate result itself is hash-checked.
-    "d23_ann_ivf" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nLists = 8, nProbe = 4)
-        .orderBy("qid", "rank")
-    }),
-
-    // SemDeDup-style semantic dedup: the corpus sharded into d23's 8
-    // md5-keyed IVF clusters, cosine compared ONLY within a cluster
-    // (the paper's own cost bound), lower-id member of every ≥τ pair
-    // survives. τ=0.45 = d12's corpus-gap threshold. The oracle mirrors
-    // centroid sample, assignment, in-cluster pairing and the keep rule,
-    // so the approximate (cluster-blocked) result itself is hash-checked.
-    "d38_semantic_dedup" -> ((s, dir) => {
-      Ann.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.45, nLists = 8)
-        .select(col("vid").as("vec_id"), col("list_id"), col("kept"))
-        .orderBy("vec_id")
-    }),
-
-    // Per-group quantile quality filter: keep the top 25% of documents
-    // per source by the composite quality score — per-group cutoffs
-    // adapt to each source's score distribution.
-    "d19_quality_filter" -> ((s, dir) => {
-      val q = TextFunctions.qualityScore(col("text"))
-      Kpis.topFractionPerGroup(Tables.documents(s, dir),
-          group = col("source"), score = q, fraction = 0.25, tieBreak = Seq(col("doc_id")))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"), round(avg(q), 4).as("avg_quality"))
-        .orderBy("source")
-    }),
-
-    // Dataset-mixing rebalance: largest deterministic subsample whose
-    // language shares hit the 4:3:2:1 target (zh unweighted → dropped;
-    // the binding stratum keeps every row). The oracle re-derives the
-    // per-stratum cutoffs AND the md5 bucket selection.
-    "d27_rebalance_mix" -> ((s, dir) => {
-      Sampling.rebalanceToMix(Tables.documents(s, dir),
-          key = col("doc_id"), stratum = col("lang"),
-          weights = Map("en" -> 0.4, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.1))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_kept"), sum(length(col("text")).cast("long")).as("sum_chars"))
-        .orderBy("lang")
-    }),
-
-    // Sub-document duplication: share of 4-token windows that also
-    // occur in another document, aggregated per source.
-    "d28_dup_spans" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.duplicatedSpanStats(docs, col("doc_id"), col("text"), w = 4)
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_windows").as("n_windows"),
-          sum("n_dup_windows").as("n_dup"),
-          round(sum("n_dup_windows").cast("double") / sum("n_windows"), 4).as("dup_ratio"))
-        .orderBy("source")
-    }),
-
-    // Duplicated-span REMOVAL — the rewrite half of d28: every token
-    // covered by a cross-document 4-token window is dropped, and the
-    // cleaned text itself is verified via an md5 prefix (content, not
-    // just counts).
-    "d31_span_removal" -> ((s, dir) => {
-      Dedup.removeDuplicatedSpans(Tables.documents(s, dir),
-          col("doc_id"), col("text"), w = 4)
-        .select(col("doc_id"),
-          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
-          col("n_tokens"), col("n_kept"))
-        .orderBy("doc_id")
-    }),
-
-    // Canonical-owner variant of d31: the min-id document owning each
-    // cross-document gram KEEPS its spans; only non-owners drop tokens —
-    // one copy of shared boilerplate survives the corpus.
-    "d31b_span_keepfirst" -> ((s, dir) => {
-      Dedup.removeDuplicatedSpansKeepFirst(Tables.documents(s, dir),
-          col("doc_id"), col("text"), w = 4)
-        .select(col("doc_id"),
-          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
-          col("n_tokens"), col("n_kept"))
-        .orderBy("doc_id")
-    }),
-
-    // BPE training step 1 at corpus scale: word-frequency vocabulary
-    // (the only corpus-wide pass), then frequency-weighted adjacent
-    // char-pair counts over the DISTINCT vocabulary.
-    "d34_bpe_pairs" -> ((s, dir) =>
-      graft.text.Bpe.topPairs(Tables.documents(s, dir), col("text"), 20)),
-
-    // Deequ-style declarative constraint suite: six checks over orders
-    // computed in ONE aggregation pass (plan-asserted in ChecksSpec).
-    "c18_quality_checks" -> ((s, dir) => {
-      Checks.audit(Tables.orders(s, dir), Seq(
-          Checks.RowCountBetween(1, 10000000),
-          Checks.NotNull("o_custkey", maxNullFrac = 0.0),
-          Checks.Unique("o_orderkey", maxDupFrac = 0.0),
-          Checks.InRange("o_totalprice", 1.0, 300000.0, maxViolFrac = 0.05),
-          Checks.InSet("o_orderstatus", Seq("O", "F", "P")),
-          Checks.MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$", minMatchFrac = 0.9)))
-        .orderBy("check")
-    }),
-
-    // CCNet-style LM quality signal: per-document cross-entropy under
-    // the corpus unigram distribution (bits/token) — both tails are
-    // filter targets (boilerplate low, gibberish high).
-    "d35_doc_xentropy" -> ((s, dir) => {
-      graft.text.CorpusStats.docCrossEntropy(Tables.documents(s, dir),
-          col("doc_id"), col("text"))
-        .orderBy("doc_id")
-    }),
-
-    // Order-2 upgrade of d35: cross-entropy under the interpolated
-    // BIGRAM corpus LM (λ·P(w|prev) + (1−λ)·unigram floor). The
-    // first-order-structure signal: a scrambled token bag scores
-    // exactly like clean text under d35's unigram model but high here.
-    "d37_bigram_xentropy" -> ((s, dir) => {
-      graft.text.CorpusStats.docBigramCrossEntropy(Tables.documents(s, dir),
-          col("doc_id"), col("text"), lambda = 0.8)
-        .orderBy("doc_id")
-    }),
-
-    // Leakage-safe train/val/test split: assignment keyed on the
-    // CONTENT fingerprint so normalized-identical documents co-assign;
-    // the per-document assignment itself is hash-checked.
-    "d33_leakage_split" -> ((s, dir) => {
-      Sampling.leakageSafeSplit(Tables.documents(s, dir), col("text"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select(col("doc_id"), col("split"))
-        .orderBy("doc_id")
-    }),
-
-    // fastText-style hashed-bag-of-words scoring: the model rides into
-    // the plan as a literal weight array, inference is a zero-shuffle
-    // narrow map; md5-derived buckets make the oracle bit-exact.
-    "d32_classifier_score" -> ((s, dir) => {
-      graft.text.Classifier.scoreDocuments(Tables.documents(s, dir),
-          col("doc_id"), col("text"), d32Weights, d32Bias)
-        .select(col("doc_id"), round(col("score"), 4).as("score"))
-        .orderBy("doc_id")
-    })
-  )
-
-  /** d32 model parameters: a deterministic pseudo-random weight vector
-    * (any fixed model works — the operator under test is the hashed
-    * inference, not the weights). Inlined as literals in BOTH the Spark
-    * plan and the generated DuckDB oracle. */
-  private val d32Dim = 64
-  private val d32Weights: Seq[Double] =
-    (0 until d32Dim).map(i => math.round(math.sin(i + 1.0) * 5000.0) / 10000.0)
-  private val d32Bias = -0.1
-
-  /** The d3 SimHash oracle recomputes the 60-bit md5-derived signatures
-    * in SQL: 60 per-bit vote sums over unnested tokens, then bit
-    * assembly and an O(n²) Hamming join (fine at oracle scale; the
-    * Spark side uses the pigeonhole equi-join, which is complete, so
-    * both formulations define the same pair set). */
-  private val simHashVotesSql: String =
-    (0 until 60).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
-  private val simHashBitsSql: String =
-    (0 until 60).map(b => s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)").mkString(" | ")
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EtlQueries.queries ++ KpiQueries.queries ++
+      RelationalQueries.queries ++ DataQueries.queries
 
   /** DuckDB oracles — identical aliases, identical deterministic
     * ordering. Every query has one (round 1's five `no_oracle` gaps are
@@ -1123,960 +26,7 @@ object SparkEntry {
     * signatures are md5-derived and recomputed in SQL, d6/d12 use
     * deterministic planes with parameters sized so the LSH result
     * equals the exact set, d13's checksum is sha256 — portable). */
-  def oracleSql: Map[String, String] = Map(
-
-    "a1_validate" ->
-      """SELECT coalesce(CASE
-        |   WHEN o_custkey IS NULL THEN 'missing_custkey'
-        |   WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 'nonpositive_price'
-        |   WHEN o_orderstatus NOT IN ('O','F','P') THEN 'bad_status'
-        |   WHEN o_totalprice < 5000 THEN 'price_below_floor' END, 'valid') AS reject_reason,
-        | count(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY reject_reason""".stripMargin,
-
-    "a2_audit" ->
-      """SELECT 'orders' AS source_name, year(o_orderdate) AS ingest_year,
-        | 'orders_' || CAST(year(o_orderdate) AS VARCHAR) AS batch_id,
-        | count(*) AS n, min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
-        |FROM orders GROUP BY 1,2,3 ORDER BY ingest_year""".stripMargin,
-
-    "a3_flatten_json" ->
-      """SELECT event_type,
-        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        | count(*) AS n,
-        | round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    "a3b_flatten_nested" ->
-      """WITH e AS (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k, user_id AS uid FROM events),
-        |f AS (SELECT k,
-        |  CASE WHEN k % 4 = 0 THEN ''
-        |       ELSE 'g' || CAST(k % 5 AS VARCHAR) || '|g' || CAST(k % 3 AS VARCHAR) END AS genres_str,
-        |  'd' || CAST(uid % 7 AS VARCHAR) AS director,
-        |  CASE WHEN k % 4 = 0 THEN 0 ELSE 2 END AS n_genres
-        | FROM e)
-        |SELECT genres_str, director, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
-        | CAST(max(n_genres) AS BIGINT) AS n_genres
-        |FROM f GROUP BY 1,2 ORDER BY genres_str, director""".stripMargin,
-
-    "a4_clean_numeric" ->
-      """WITH c AS (SELECT l_returnflag,
-        |  CASE WHEN l_quantity <= 0 THEN NULL ELSE l_quantity END AS qty_c,
-        |  CASE WHEN l_extendedprice <= 0 THEN NULL ELSE l_extendedprice END AS price_c,
-        |  CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN NULL ELSE l_discount END AS disc_c,
-        |  CASE WHEN l_discount = 0 THEN NULL ELSE l_tax END AS tax_c
-        | FROM lineitem)
-        |SELECT l_returnflag, count(*) AS n, count(qty_c) AS n_qty, count(tax_c) AS n_tax,
-        | round(sum(qty_c),4) AS sum_qty, round(sum(price_c),4) AS sum_price
-        |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
-
-    "a5_clean_text" ->
-      """SELECT coalesce(CASE WHEN event_type IN ('error','unknown','') THEN NULL
-        |   ELSE event_type END, '(null)') AS event_type_clean, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY event_type_clean""".stripMargin,
-
-    "a6_derived" ->
-      """WITH d AS (SELECT l_returnflag, l_quantity,
-        |  l_extendedprice*(1-l_discount) AS net,
-        |  CASE WHEN l_quantity >= 5 THEN l_extendedprice*(1-l_discount)/l_quantity END AS ratio,
-        |  l_extendedprice*(1-l_discount)/1000000.0 AS net_m
-        | FROM lineitem)
-        |SELECT l_returnflag, round(sum(net),4) AS sum_net, round(avg(ratio),4) AS avg_ratio,
-        | count(ratio) AS n_ratio, round(sum(net_m),6) AS sum_net_millions
-        |FROM d GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
-
-    "a7_dedup_key" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity,4) AS qty
-        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
-        |      FROM lineitem WHERE l_orderkey % 97 = 0)
-        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
-
-    "a8_row_quality" ->
-      """WITH s AS (SELECT o_orderkey, o_custkey,
-        |  CASE WHEN o_totalprice < 20000 THEN NULL ELSE o_totalprice END AS price_c,
-        |  CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END AS prio_c
-        | FROM orders)
-        |SELECT count(*) AS n_kept, round(sum(price_c),4) AS sum_price
-        |FROM s WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
-        | AND (CASE WHEN price_c IS NOT NULL THEN 1 ELSE 0 END
-        |    + CASE WHEN prio_c IS NOT NULL THEN 1 ELSE 0 END) >= 1""".stripMargin,
-
-    "a9_project" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price,
-        | o_orderstatus AS status, year(o_orderdate) AS order_year
-        |FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""".stripMargin,
-
-    "a10_silver_pipeline" ->
-      """WITH silver AS (
-        | SELECT event_id, user_id,
-        |  CASE WHEN event_type IN ('error','unknown') THEN NULL ELSE event_type END AS etype,
-        |  CASE WHEN value <= 0 THEN NULL ELSE value END AS value_c,
-        |  CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
-        | FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL)
-        |SELECT etype, count(*) AS n, round(sum(value_c),4) AS sum_value,
-        | CAST(sum(k) AS BIGINT) AS sum_k
-        |FROM silver WHERE etype IS NOT NULL GROUP BY 1 ORDER BY etype""".stripMargin,
-
-    // Same two stacked windows as the Spark plan: null-safe change
-    // detection against the lagged state, then lead() over the change
-    // rows for the interval end — both ordered by (ts, event_id).
-    // The first row of a key is ALWAYS a version (Spark's lagged state
-    // STRUCT is null there, never equal) — row_number()=1 encodes that,
-    // where bare IS DISTINCT FROM would drop a first row whose
-    // attribute value is itself null.
-    "a14_scd2" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
-        |f AS (SELECT user_id, event_type, us, event_id,
-        |  (row_number() OVER w = 1
-        |   OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |c AS (SELECT user_id, event_type, us, event_id FROM f WHERE chg),
-        |v AS (SELECT user_id, event_type, us AS valid_from_us,
-        |   lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us FROM c)
-        |SELECT user_id, event_type, valid_from_us, valid_to_us,
-        | (valid_to_us IS NULL) AS is_current
-        |FROM v ORDER BY user_id, valid_from_us, event_type""".stripMargin,
-
-    "b1_rank_topn" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS total_price
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
-
-    "b1b_rank_bottomn" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS total_price
-        |FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 10""".stripMargin,
-
-    "b2_rank_ratio" ->
-      """SELECT l_orderkey, l_linenumber, round(l_extendedprice/l_quantity,4) AS unit_price
-        |FROM lineitem WHERE l_quantity >= 10
-        |ORDER BY l_extendedprice/l_quantity DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
-
-    "b3_search_multi" ->
-      """SELECT p_partkey, p_name, p_type, round(p_retailprice,4) AS retail
-        |FROM part WHERE p_name LIKE '%re%' AND p_type LIKE '%AN%'
-        |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin,
-
-    "b4_group_flag_stats" ->
-      """SELECT o_orderpriority IN ('1-URGENT','2-HIGH') AS flag, count(*) AS n,
-        | round(avg(o_totalprice),4) AS mean_value, round(median(o_totalprice),4) AS median_value
-        |FROM orders GROUP BY 1 ORDER BY flag""".stripMargin,
-
-    "b4b_group_flag_approx" ->
-      """WITH s AS (SELECT o_orderpriority IN ('1-URGENT','2-HIGH') AS flag, o_totalprice AS v FROM orders),
-        |r AS (SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
-        |        count(*) OVER (PARTITION BY flag) AS cnt FROM s)
-        |SELECT flag, count(*) AS n, round(avg(v),4) AS mean_value,
-        | round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5*cnt) AS BIGINT)) THEN v END),4) AS median_value
-        |FROM r GROUP BY flag ORDER BY flag""".stripMargin,
-
-    "b5_top_groups" ->
-      """SELECT s_name, count(*) AS n_items,
-        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
-        | round(avg(l_extendedprice*(1-l_discount)),4) AS avg_revenue
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY 1 ORDER BY revenue DESC, s_name LIMIT 10""".stripMargin,
-
-    "b6_explode_agg" ->
-      """SELECT t.word AS token, count(*) AS n, round(avg(t.n_chars),4) AS avg_value
-        |FROM (SELECT n_chars, unnest(string_split(lower(text),' ')) AS word FROM documents) t
-        |WHERE t.word <> '' GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
-
-    "b7_per_year" ->
-      """SELECT year(o_orderdate) AS period, count(*) AS n,
-        | round(sum(o_totalprice),4) AS sum_value, round(avg(o_totalprice),4) AS avg_value
-        |FROM orders GROUP BY 1 ORDER BY period""".stripMargin,
-
-    "c1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),4) AS sum_qty,
-        | round(sum(l_extendedprice),4) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
-        | count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "c2_join_topk" ->
-      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
-        | CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        | JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        | AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-        | AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-        |GROUP BY 1,3,4 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-
-    "c3_star_join" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        | JOIN lineitem ON l_orderkey = o_orderkey
-        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        | JOIN nation ON s_nationkey = n_nationkey
-        | JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
-
-    "c4_anti_join" ->
-      """SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal),4) AS sum_acctbal
-        |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
-
-    "c5_window_topk" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS total_price, rn
-        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-        | FROM orders WHERE o_custkey % 50 = 0)
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
-
-    "c6_rollup" ->
-      """SELECT coalesce(o_orderstatus,'ALL') AS status,
-        | coalesce(o_orderpriority,'ALL') AS priority,
-        | count(*) AS n, round(sum(o_totalprice),4) AS sum_price
-        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin,
-
-    "c6b_cube" ->
-      """SELECT coalesce(o_orderstatus,'ALL') AS status,
-        | coalesce(o_orderpriority,'ALL') AS priority,
-        | count(*) AS n, round(sum(o_totalprice),4) AS sum_price
-        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin,
-
-    "c15_histogram" ->
-      """SELECT CAST(least(floor(o_totalprice / 20000.0), 29.0) AS BIGINT) AS bucket, count(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
-
-    "c7_pivot" ->
-      """SELECT user_id,
-        | round(coalesce(sum(CASE WHEN event_type='click' THEN value END),0),4) AS click,
-        | round(coalesce(sum(CASE WHEN event_type='error' THEN value END),0),4) AS error,
-        | round(coalesce(sum(CASE WHEN event_type='purchase' THEN value END),0),4) AS purchase,
-        | round(coalesce(sum(CASE WHEN event_type='signup' THEN value END),0),4) AS signup,
-        | round(coalesce(sum(CASE WHEN event_type='view' THEN value END),0),4) AS view
-        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
-
-    "c8_distinct" ->
-      """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_parts,
-        | count(DISTINCT l_suppkey) AS n_supps,
-        | round(sum(CASE WHEN l_returnflag='R' THEN l_extendedprice ELSE 0 END),4) AS returned_price,
-        | count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
-
-    "c8b_distinct_approx" ->
-      """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_exact,
-        | TRUE AS within_bound
-        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
-
-    "c8d_quantile_sketch" ->
-      """SELECT l_linestatus, count(DISTINCT l_returnflag) AS n_buckets, count(*) AS n,
-        | TRUE AS p50_in_bound, TRUE AS p95_in_bound
-        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
-
-    "c8f_topk_sketch" ->
-      """SELECT CAST(length(CAST(o_orderkey AS VARCHAR)) AS INT) AS digits, count(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY n DESC, digits LIMIT 3""".stripMargin,
-
-    // Exact set sizes (sketches are in exact mode at this scale — see
-    // the query comment).
-    "c8e_theta_overlap" ->
-      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0)
-        |SELECT (SELECT count(*) FROM c JOIN p USING (user_id)) AS n_both,
-        | (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS n_either,
-        | (SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS n_click_only""".stripMargin,
-
-    "c16_range_join" ->
-      """WITH pts AS (SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS d, o_totalprice FROM orders),
-        |r AS (SELECT CAST(range AS BIGINT) AS range_id, range*100 AS s, range*100+149 AS e FROM range(20)),
-        |j AS (SELECT range_id, o_totalprice FROM pts JOIN r ON d >= s AND d <= e)
-        |SELECT range_id, count(*) AS n, round(sum(o_totalprice),4) AS sum_price
-        |FROM j GROUP BY 1 ORDER BY range_id""".stripMargin,
-
-    "c8c_sketch_union" ->
-      """SELECT event_type,
-        | count(DISTINCT CAST(ts AS DATE)) AS n_buckets,
-        | count(DISTINCT user_id) AS n_exact,
-        | TRUE AS within_bound
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    "d36_random_projection" -> {
-      // the 16×64 projection matrix inlined row-wise — regenerated from
-      // the same (outIdx, seed, dimIdx) splitmix derivation as the plan
-      val scale = math.sqrt(3.0 / 16.0)
-      val values = (for { j <- 0 until 16; d <- 0 until 64 } yield
-        s"($j, $d, CAST(${graft.vectors.VectorOps.projCoef(0, j, d) * scale} AS DOUBLE))")
-        .mkString(", ")
-      s"""WITH m(j, d, c) AS (VALUES $values),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |x AS (SELECT vec_id, CAST(u.d AS INT) AS d, v[CAST(u.d AS INT) + 1] AS val
-         |      FROM e, UNNEST(range(64)) AS u(d)),
-         |p AS (SELECT vec_id, m.j, sum(x.val * m.c) AS s FROM x JOIN m ON x.d = m.d GROUP BY 1,2)
-         |SELECT vec_id, CAST(j AS BIGINT) AS j, round(s, 4) AS val FROM p ORDER BY vec_id, j""".stripMargin
-    },
-
-    "c23_pagerank" -> {
-      // 5 unrolled power-iteration rounds (standard SQL forbids
-      // aggregates over a recursive CTE term, so the oracle generates
-      // the rounds mechanically); same IEEE op order as the Spark plan
-      val rounds = (1 to 5).map { i =>
-        s"""dm$i AS (SELECT coalesce(sum(CASE WHEN d IS NULL THEN rank END), 0) AS m FROM r${i - 1}),
-           |inc$i AS (SELECT e.dst AS v, sum(r.rank/r.d) AS s FROM r${i - 1} r JOIN e ON r.v = e.src
-           |          WHERE r.d IS NOT NULL GROUP BY 1),
-           |r$i AS (SELECT vd.v, vd.d,
-           |        (1.0-0.85)*(1.0/nn.n) + 0.85*(coalesce(inc$i.s, 0) + dm$i.m*(1.0/nn.n)) AS rank
-           |        FROM vd LEFT JOIN inc$i ON vd.v = inc$i.v, dm$i, nn)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, 'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
-         |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
-         |deg AS (SELECT src AS v, count(*) AS d FROM e GROUP BY 1),
-         |vd AS (SELECT v.v, deg.d FROM v LEFT JOIN deg USING (v)),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
-         |r0 AS (SELECT vd.v, vd.d, 1.0/nn.n AS rank FROM vd, nn),
-         |$rounds
-         |SELECT v AS vertex, round(rank, 6) AS rank FROM r5 ORDER BY vertex""".stripMargin
-    },
-
-    "a17_winsorize" ->
-      """WITH b AS (SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.05) AS qlo,
-        |            quantile_cont(l_extendedprice, 0.95) AS qhi FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, round(avg(l_extendedprice),4) AS avg_raw,
-        | round(avg(least(greatest(l_extendedprice, qlo), qhi)),4) AS avg_winsorized
-        |FROM lineitem JOIN b ON l_returnflag = b.g GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
-
-    "c22_twap" ->
-      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value AS v, event_id FROM events),
-        |l AS (SELECT user_id, v, us,
-        |      lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur FROM e)
-        |SELECT user_id AS entity, CAST(count(*) AS BIGINT) AS n_obs,
-        | round(sum(v*dur)/sum(dur), 4) AS twap
-        |FROM l GROUP BY 1 ORDER BY entity""".stripMargin,
-
-    "c21_funnel" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type AS et FROM events),
-        |u1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
-        |u2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN u1 USING (user_id) WHERE et = 'click' AND t > t1 GROUP BY 1),
-        |u3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN u2 USING (user_id) WHERE et = 'purchase' AND t > t2 GROUP BY 1),
-        |n AS (SELECT (SELECT count(*) FROM u1) AS n1, (SELECT count(*) FROM u2) AS n2, (SELECT count(*) FROM u3) AS n3)
-        |SELECT * FROM (
-        | SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step, CAST(n1 AS BIGINT) AS n_users, round(n1*1.0/n1,4) AS conversion FROM n
-        | UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT), round(n2*1.0/n1,4) FROM n
-        | UNION ALL SELECT 3, 'purchase', CAST(n3 AS BIGINT), round(n3*1.0/n1,4) FROM n
-        |) ORDER BY step_index""".stripMargin,
-
-    "a16_upsert" ->
-      """WITH upd AS (SELECT o_orderkey, o_custkey, o_totalprice*2 AS o_totalprice, 1 AS v,
-        |             (o_orderkey % 100 = 0) AS del
-        |      FROM orders WHERE o_orderkey % 10 = 0),
-        |allrows AS (SELECT o_orderkey, o_custkey, o_totalprice, 0 AS v, false AS del FROM orders
-        |            UNION ALL SELECT * FROM upd),
-        |latest AS (SELECT * FROM allrows
-        |           QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) = 1)
-        |SELECT o_orderkey, o_custkey, o_totalprice, CAST(v AS BIGINT) AS v
-        |FROM latest WHERE NOT del ORDER BY o_orderkey""".stripMargin,
-
-    "c20_fuzzy_join" ->
-      """WITH l AS (SELECT CAST(c_custkey AS BIGINT) AS id, regexp_replace(lower(trim(c_name)),'\s+',' ','g') AS s FROM customer),
-        |r AS (SELECT CAST(c_custkey AS BIGINT) + 1000000 AS id,
-        |      regexp_replace(lower(trim(regexp_replace(c_name,'Customer','Custmr','g'))),'\s+',' ','g') AS s FROM customer),
-        |lg AS (SELECT DISTINCT id, substr(s, CAST(i AS INT), 4) AS g FROM l, UNNEST(range(1, length(s)-2)) AS u(i)),
-        |rg AS (SELECT DISTINCT id, substr(s, CAST(i AS INT), 4) AS g FROM r, UNNEST(range(1, length(s)-2)) AS u(i)),
-        |keep AS (SELECT g FROM (SELECT g FROM lg UNION ALL SELECT g FROM rg) GROUP BY g HAVING count(*) <= 250),
-        |lk AS (SELECT lg.* FROM lg JOIN keep USING (g)),
-        |rk AS (SELECT rg.* FROM rg JOIN keep USING (g)),
-        |ls AS (SELECT id AS left_id, count(*) AS na FROM lk GROUP BY 1),
-        |rs AS (SELECT id AS right_id, count(*) AS nb FROM rk GROUP BY 1),
-        |sh AS (SELECT lk.id AS left_id, rk.id AS right_id, count(*) AS ns FROM lk JOIN rk USING (g) GROUP BY 1,2)
-        |SELECT left_id, right_id, n_shared, jaccard FROM (
-        | SELECT sh.left_id, sh.right_id, CAST(ns AS BIGINT) AS n_shared,
-        |  round(ns*1.0/(na+nb-ns), 4) AS jaccard
-        | FROM sh JOIN ls USING (left_id) JOIN rs USING (right_id))
-        |WHERE jaccard >= 0.5 ORDER BY left_id, right_id""".stripMargin,
-
-    "b8_retention" ->
-      """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events),
-        |coh AS (SELECT user_id, min(w) AS cw FROM act GROUP BY 1),
-        |j AS (SELECT a.user_id, c.cw, CAST(date_diff('day', c.cw, a.w)/7 AS BIGINT) AS week_offset
-        |      FROM act a JOIN coh c USING (user_id)),
-        |r AS (SELECT cw, week_offset, count(*) AS n_users FROM j GROUP BY 1,2),
-        |s AS (SELECT cw, n_users AS cohort_size FROM r WHERE week_offset = 0)
-        |SELECT CAST(r.cw AS DATE) AS cohort_week, r.week_offset, r.n_users,
-        | round(r.n_users*1.0/s.cohort_size, 4) AS retention
-        |FROM r JOIN s USING (cw) ORDER BY cohort_week, week_offset""".stripMargin,
-
-    "c9_time_bucket" ->
-      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket_start,
-        | event_type, count(*) AS n, round(sum(value),4) AS sum_value
-        |FROM events GROUP BY 1,2 ORDER BY bucket_start, event_type""".stripMargin,
-
-    "c10_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |f AS (SELECT user_id, event_id, us,
-        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |g AS (SELECT user_id, us,
-        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        | FROM f)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        | CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
-        |FROM g GROUP BY 1,2 ORDER BY user_id, session_id""".stripMargin,
-
-    "c11_asof_join" ->
-      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, max(value) AS view_value
-        |           FROM events WHERE event_type = 'view' GROUP BY 1,2),
-        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
-        |      FROM events WHERE event_type = 'purchase')
-        |SELECT p.event_id, p.user_id, round(v.view_value, 4) AS last_view_value,
-        | epoch_us(p.pts) - epoch_us(v.vts) AS gap_us
-        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.pts >= v.vts
-        |ORDER BY event_id""".stripMargin,
-
-    "c14_moving_avg" ->
-      """WITH e AS (SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
-        |SELECT event_id, user_id,
-        | count(value) OVER w AS moving_n,
-        | round(avg(value) OVER w, 4) AS moving_avg
-        |FROM e
-        |WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-
-    "d22_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents)
-        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-        | CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-        | round(CASE WHEN len(w) > 0 THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w) ELSE 0.0 END, 4) AS repetition
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    // Composes the established d1/d7/d8/d39 mirrors into one profile:
-    // md5 fingerprints, the quality formula, the stopword-argmax
-    // language ID, and the indexed-lambda stutter collapse.
-    "d40_corpus_profile" ->
-      """WITH t AS (SELECT source, text,
-        |  string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w,
-        |  md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),
-        |h AS (SELECT source, fp, CAST(len(w) AS BIGINT) AS n_toks,
-        |  CAST(length(text) AS BIGINT) AS n_chars,
-        |  CAST(len(w) - len(list_filter(w, (x, i) -> i = 1 OR x <> w[i-1])) AS BIGINT) AS stutter,
-        |  least(1.0, len(w)/100.0)*0.5
-        |    + (1 - least(CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)/length(text), 1.0))*0.3
-        |    + (1 - least(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)/length(text), 1.0))*0.2 AS q,
-        |  len(list_filter(w, x -> x IN ('the','a','of','to','and','is','in','it'))) AS h_en,
-        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','nicht','zu'))) AS h_de,
-        |  len(list_filter(w, x -> x IN ('el','la','de','los','que','y','un','es'))) AS h_es,
-        |  len(list_filter(w, x -> x IN ('le','la','les','et','est','un','dans','que'))) AS h_fr
-        | FROM t),
-        |p AS (SELECT *, CASE
-        |  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
-        |  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
-        |  WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang FROM h)
-        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-        | CAST(sum(n_chars) AS BIGINT) AS n_chars,
-        | CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs,
-        | CAST(sum(stutter) AS BIGINT) AS n_stutter_tokens,
-        | round(avg(q), 4) AS avg_quality,
-        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-        | CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
-        | CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
-        | CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr
-        |FROM p""".stripMargin,
-
-    // DuckDB list lambdas take the same optional 1-based index; i = 1
-    // keeps the first element, i > 1 compares against w[i-1] exactly as
-    // the Spark when/element_at formulation does
-    "d39_stutter_collapse" ->
-      """WITH t AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents),
-        |k AS (SELECT doc_id, w, list_filter(w, (x, i) -> i = 1 OR x <> w[i-1]) AS kept FROM t)
-        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-        | CAST(len(kept) AS BIGINT) AS n_kept,
-        | substr(md5(array_to_string(kept, ' ')), 1, 8) AS clean_md5
-        |FROM k ORDER BY doc_id""".stripMargin,
-
-    "d1_dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
-        | min(doc_id) AS keep_id, count(*) AS n_dups
-        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
-
-    // d2 emits MinHash candidates verified to exact Jaccard ≥ 0.5; with
-    // b=8/r=4 the composed result equals the full exact pair set (see
-    // the query comment), so the oracle is the exact formulation.
-    "d2_dedup_minhash" ->
-      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
-        |SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter),4) AS jaccard
-        |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-        |WHERE inter*1.0/(x.n + y.n - inter) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
-
-    "d3_dedup_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\\s+',' ','g'), ' ')) AS w FROM documents),
-         |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM toks),
-         |v AS (SELECT doc_id, $simHashVotesSql FROM h GROUP BY doc_id),
-         |s AS (SELECT doc_id, $simHashBitsSql AS sim FROM v)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         | CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
-
-    // Mirrors the maxDf=100 stop-shingle cap: shingles in >100 documents
-    // leave the universe before sizes and intersections are counted.
-    "d4_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
-        |sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
-        |keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
-        |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
-        |SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter),4) AS jaccard
-        |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-        |WHERE inter*1.0/(x.n + y.n - inter) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
-
-    "d26_source_divergence" ->
-      """WITH tok AS (SELECT source, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS t FROM documents),
-        |bs AS (SELECT source, t, count(*) AS c_st FROM tok GROUP BY 1,2),
-        |ts AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM bs GROUP BY 1),
-        |g AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM bs GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c_st) AS DOUBLE) AS n_total FROM bs)
-        |SELECT bs.source, max(ts.n_s) AS n_tokens, count(*) AS n_distinct,
-        | round(sum((c_st*1.0/n_s) * log2((c_st*1.0/n_s) / (c_t/n_total))), 4) AS kl_bits
-        |FROM bs JOIN g USING (t) JOIN ts ON bs.source = ts.source, tot
-        |GROUP BY 1 ORDER BY bs.source""".stripMargin,
-
-    // Mirrors the whole rebalance derivation: per-stratum counts, the
-    // binding total T = min(n/w), per-stratum ppm cutoffs (same
-    // left-associative double arithmetic and half-up rounding as the
-    // Spark plan), then the identical md5 bucket selection as d14.
-    "d27_rebalance_mix" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        |w AS (SELECT * FROM (VALUES ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.3 AS DOUBLE)),
-        |                     ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE))) AS v(lang, w)),
-        |t AS (SELECT min(n / w) AS T FROM c JOIN w USING (lang)),
-        |f AS (SELECT c.lang, CAST(round(w.w * t.T / c.n * 1000000) AS BIGINT) AS cut
-        |      FROM c JOIN w USING (lang) CROSS JOIN t),
-        |b AS (SELECT lang, text,
-        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
-        | FROM documents)
-        |SELECT b.lang, count(*) AS n_kept, CAST(sum(length(b.text)) AS BIGINT) AS sum_chars
-        |FROM b JOIN f USING (lang) WHERE b.bucket < f.cut
-        |GROUP BY 1 ORDER BY lang""".stripMargin,
-
-    // Duplicated 4-token windows recomputed from the raw text: same
-    // normalization, same window positions, duplicated iff the exact
-    // gram occurs in >= 2 distinct documents (the oracle compares gram
-    // TEXT; the Spark side's 128-bit md5 keys are collision-free at
-    // verification scale).
-    "d28_dup_spans" ->
-      """WITH toks AS (SELECT doc_id, source, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
-        |g AS (SELECT doc_id, source, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
-        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
-        |pg AS (SELECT doc_id, source, g, count(*) AS cnt FROM g GROUP BY 1,2,3),
-        |fr AS (SELECT g, count(*) AS n_docs FROM pg GROUP BY 1),
-        |d AS (SELECT doc_id, source, sum(cnt) AS nw,
-        |       sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS nd
-        |      FROM pg JOIN fr USING (g) GROUP BY 1,2)
-        |SELECT source, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_windows,
-        | CAST(sum(nd) AS BIGINT) AS n_dup, round(sum(nd)*1.0/sum(nw), 4) AS dup_ratio
-        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
-
-    "d31_span_removal" ->
-      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
-        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
-        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
-        |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g HAVING count(*) >= 2),
-        |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
-        |        FROM g JOIN dup USING (g), UNNEST(range(4)) AS v(o)),
-        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
-        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
-        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
-        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
-        |        FROM kept GROUP BY 1)
-        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
-        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
-        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
-
-    // d31 oracle with per-gram owner election: min-doc_id owner keeps
-    // its occurrences, only non-owner occurrences are covered.
-    "d31b_span_keepfirst" ->
-      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
-        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
-        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
-        |dup AS (SELECT g, min(doc_id) AS owner FROM (SELECT DISTINCT doc_id, g FROM g)
-        |        GROUP BY g HAVING count(*) >= 2),
-        |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
-        |        FROM g JOIN dup USING (g), UNNEST(range(4)) AS v(o)
-        |        WHERE g.doc_id <> dup.owner),
-        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
-        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
-        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
-        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
-        |        FROM kept GROUP BY 1)
-        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
-        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
-        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
-
-    "c18_quality_checks" ->
-      """WITH m AS (SELECT
-        |  CAST(count(*) AS DOUBLE) AS m0,
-        |  coalesce(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 0.0) AS m1,
-        |  CASE WHEN count(o_orderkey) > 0 THEN 1.0 - count(DISTINCT o_orderkey)*1.0/count(o_orderkey) ELSE 0.0 END AS m2,
-        |  coalesce(avg(CASE WHEN o_totalprice IS NOT NULL THEN CASE WHEN o_totalprice < 1.0 OR o_totalprice > 300000.0 THEN 1.0 ELSE 0.0 END END), 0.0) AS m3,
-        |  coalesce(avg(CASE WHEN o_orderstatus IS NOT NULL THEN CASE WHEN o_orderstatus IN ('O','F','P') THEN 0.0 ELSE 1.0 END END), 0.0) AS m4,
-        |  coalesce(avg(CASE WHEN o_orderpriority IS NOT NULL THEN CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1.0 ELSE 0.0 END END), 0.0) AS m5
-        | FROM orders)
-        |SELECT * FROM (
-        | SELECT 'row_count_between(1,10000000)' AS "check", '*' AS "column", round(m0,6) AS metric, 1.0 AS threshold, (m0 >= 1 AND m0 <= 10000000) AS passed FROM m
-        | UNION ALL SELECT 'not_null(o_custkey)', 'o_custkey', round(m1,6), 0.0, m1 <= 0.0 FROM m
-        | UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey', round(m2,6), 0.0, m2 <= 0.0 FROM m
-        | UNION ALL SELECT 'in_range(o_totalprice)', 'o_totalprice', round(m3,6), 0.05, m3 <= 0.05 FROM m
-        | UNION ALL SELECT 'in_set(o_orderstatus)', 'o_orderstatus', round(m4,6), 0.0, m4 <= 0.0 FROM m
-        | UNION ALL SELECT 'matches_regex(o_orderpriority)', 'o_orderpriority', round(m5,6), 0.9, m5 >= 0.9 FROM m
-        |) ORDER BY "check"""".stripMargin,
-
-    "d35_doc_xentropy" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS t FROM documents),
-        |bd AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1,2),
-        |g AS (SELECT t, sum(c) AS ct FROM bd GROUP BY 1),
-        |tot AS (SELECT sum(ct) AS n FROM g)
-        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-        | round(-sum(c * log2(ct*1.0/n))/sum(c), 4) AS xent_bits
-        |FROM bd JOIN g USING (t), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // Interpolation arithmetic mirrored at DOUBLE precision: the Scala
-    // side computes (1.0 − λ) in the plan (not pre-folded), so both
-    // engines run the identical IEEE subtraction.
-    "d37_bigram_xentropy" ->
-      """WITH ts AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents),
-        |bgs AS (SELECT doc_id, w[CAST(i AS INT)] AS p, w[CAST(i AS INT) + 1] AS t
-        |        FROM ts, UNNEST(range(1, len(w))) AS r(i)),
-        |bd AS (SELECT doc_id, p, t, count(*) AS c FROM bgs GROUP BY 1,2,3),
-        |bg AS (SELECT p, t, sum(c) AS cpt FROM bd GROUP BY 1,2),
-        |ctx AS (SELECT p, sum(cpt) AS cp FROM bg GROUP BY 1),
-        |uni AS (SELECT t, sum(cpt) AS ct FROM bg GROUP BY 1),
-        |tot AS (SELECT sum(ct) AS n FROM uni)
-        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-        | round(-sum(c * log2(CAST(0.8 AS DOUBLE) * (CAST(cpt AS DOUBLE) / cp)
-        |   + (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) * (CAST(ct AS DOUBLE) / n)))/sum(c), 4) AS xent_bits
-        |FROM bd JOIN bg USING (p, t) JOIN ctx USING (p) JOIN uni USING (t), tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "d33_leakage_split" ->
-      """WITH t AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),
-        |b AS (SELECT doc_id, CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT) % 1000000 AS bk FROM t)
-        |SELECT doc_id,
-        | CASE WHEN bk < 800000 THEN 'train' WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin,
-
-    "d32_classifier_score" -> {
-      val values = d32Weights.zipWithIndex
-        .map { case (w, i) => s"($i, CAST($w AS DOUBLE))" }.mkString(", ")
-      s"""WITH w(i, wt) AS (VALUES $values),
-         |toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\\s+',' ','g'), ' ') AS t FROM documents),
-         |e AS (SELECT doc_id, CAST('0x' || substr(md5(tok),1,15) AS BIGINT) % $d32Dim AS i
-         |      FROM toks, UNNEST(t) AS u(tok)),
-         |sc AS (SELECT e.doc_id, sum(w.wt)/count(*) AS m FROM e JOIN w USING (i) GROUP BY 1)
-         |SELECT toks.doc_id, round(1.0/(1.0 + exp(-($d32Bias + coalesce(sc.m, 0.0)))), 4) AS score
-         |FROM toks LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
-    },
-
-    "d34_bpe_pairs" ->
-      """WITH tok AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS w FROM documents),
-        |wc AS (SELECT w, count(*) AS wc FROM tok WHERE length(w) > 0 GROUP BY 1),
-        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wc FROM wc, UNNEST(range(1, length(w))) AS u(i)),
-        |s AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p GROUP BY 1)
-        |SELECT pair, n FROM s ORDER BY n DESC, pair LIMIT 20""".stripMargin,
-
-    "d24_chunking" ->
-      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t
-        |       FROM documents WHERE length(trim(text)) > 0),
-        |n AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
-        |c AS (SELECT doc_id, t, n, greatest(1, CAST(ceil((n - 8) / 24.0) AS BIGINT)) AS n_chunks FROM n),
-        |e AS (SELECT doc_id, t, n, CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id FROM c),
-        |s AS (SELECT doc_id, chunk_id, t[chunk_id*24 + 1 : least(chunk_id*24 + 32, n)] AS ct FROM e)
-        |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
-        | substr(md5(array_to_string(ct, ' ')), 1, 8) AS chunk_md5
-        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
-
-    "d25_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
-        |sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
-        |ev AS (SELECT DISTINCT g FROM sh0 WHERE doc_id % 50 = 0),
-        |tr AS (SELECT doc_id, g FROM sh0 WHERE doc_id % 50 <> 0),
-        |sz AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
-        |m AS (SELECT tr.doc_id, count(*) AS n_matched FROM tr JOIN ev USING (g) GROUP BY 1)
-        |SELECT m.doc_id, sz.n_shingles, m.n_matched,
-        | round(m.n_matched*1.0/sz.n_shingles, 4) AS overlap_ratio,
-        | (m.n_matched*1.0/sz.n_shingles >= 0.5) AS contaminated
-        |FROM m JOIN sz ON m.doc_id = sz.doc_id ORDER BY m.doc_id""".stripMargin,
-
-    // Full IVF mirror: md5-keyed centroid sample → argmax-cosine list
-    // assignment → top-4 probed lists per query → exact cosine within
-    // probed lists → top-5. Same expressions as the Spark plan
-    // (double-upcast vectors, dot/(norm·norm), ties to smaller
-    // list_id/cid), so the APPROXIMATE result is reproduced exactly.
-    "d23_ann_ivf" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |k0 AS (SELECT vec_id AS kid, v AS cvec,
-        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
-        |  FROM c ORDER BY hk, kid LIMIT 8),
-        |cents AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS list_id, cvec FROM k0),
-        |assign AS (SELECT cid, list_id FROM (
-        |  SELECT cc.vec_id AS cid, k.list_id,
-        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
-        |      list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
-        |      k.list_id) AS rn
-        |  FROM c cc, cents k) WHERE rn = 1),
-        |probes AS (SELECT qid, list_id FROM (
-        |  SELECT q.vec_id AS qid, k.list_id,
-        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      list_inner_product(q.v,k.cvec)/(sqrt(list_inner_product(q.v,q.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
-        |      k.list_id) AS rn
-        |  FROM c q, cents k WHERE q.vec_id < 10) WHERE rn <= 4),
-        |s AS (SELECT p.qid, a.cid,
-        |   list_inner_product(qv.v,cv.v)/(sqrt(list_inner_product(qv.v,qv.v))*sqrt(list_inner_product(cv.v,cv.v))) AS cos
-        |  FROM probes p JOIN assign a USING (list_id)
-        |  JOIN c qv ON qv.vec_id = p.qid JOIN c cv ON cv.vec_id = a.cid
-        |  WHERE p.qid <> a.cid),
-        |r AS (SELECT qid, cid, cos,
-        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank FROM s)
-        |SELECT qid, cid, round(cos,4) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-
-    // Mirrors the ENTIRE cluster-blocked pipeline (same centroid sample
-    // + argmax assignment as d23), then the in-cluster pairwise ≥τ drop
-    // rule — the approximate dedup decision itself is hash-checked.
-    "d38_semantic_dedup" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |k0 AS (SELECT vec_id AS kid, v AS cvec,
-        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
-        |  FROM c ORDER BY hk, kid LIMIT 8),
-        |cents AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS list_id, cvec FROM k0),
-        |assign AS (SELECT cid, list_id FROM (
-        |  SELECT cc.vec_id AS cid, k.list_id,
-        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
-        |      list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
-        |      k.list_id) AS rn
-        |  FROM c cc, cents k) WHERE rn = 1),
-        |m AS (SELECT a.cid AS vid, a.list_id, c.v FROM assign a JOIN c ON c.vec_id = a.cid),
-        |drp AS (SELECT DISTINCT b.vid AS vid
-        |  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vid < b.vid
-        |  WHERE list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)
-        |SELECT m.vid AS vec_id, m.list_id, (drp.vid IS NULL) AS kept
-        |FROM m LEFT JOIN drp USING (vid) ORDER BY vec_id""".stripMargin,
-
-    "d5_ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |s AS (SELECT qid, cid,
-        |   list_inner_product(qv,cv) / (sqrt(list_inner_product(qv,qv)) * sqrt(list_inner_product(cv,cv))) AS cos
-        |  FROM q, c WHERE qid <> cid),
-        |r AS (SELECT qid, cid, cos,
-        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank FROM s)
-        |SELECT qid, cid, round(cos,4) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-
-    // LSH parameters are sized so recall is ~1 at this corpus's top-5
-    // cosine floor (see the d6 query comment) — the oracle is exact
-    // brute-force top-k, identical to d5's.
-    "d6_ann_lsh" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |s AS (SELECT qid, cid,
-        |   list_inner_product(qv,cv) / (sqrt(list_inner_product(qv,qv)) * sqrt(list_inner_product(cv,cv))) AS cos
-        |  FROM q, c WHERE qid <> cid),
-        |r AS (SELECT qid, cid, cos,
-        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank FROM s)
-        |SELECT qid, cid, round(cos,4) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-
-    "d7_text_quality" ->
-      """WITH t AS (SELECT doc_id, text,
-        |  length(text) AS nc,
-        |  len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS nw,
-        |  length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS np,
-        |  length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu,
-        |  len(list_filter(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '),
-        |      x -> x IN ('the','a','of','to','and','is','in','it'))) AS ns
-        | FROM documents)
-        |SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(nw AS BIGINT) AS n_words,
-        | round(CAST(nc AS DOUBLE)/nw, 4) AS avg_word_len,
-        | round(CAST(np AS DOUBLE)/nc, 4) AS punct_ratio,
-        | round(CAST(nu AS DOUBLE)/nc, 4) AS upper_ratio,
-        | round(CAST(ns AS DOUBLE)/nw, 4) AS stopword_ratio,
-        | round(least(1.0, nw/100.0)*0.5 + (1 - least(CAST(np AS DOUBLE)/nc, 1.0))*0.3
-        |     + (1 - least(CAST(nu AS DOUBLE)/nc, 1.0))*0.2, 4) AS quality
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    "d8_lang_id" ->
-      """WITH t AS (SELECT lang, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents),
-        |h AS (SELECT lang,
-        |  len(list_filter(w, x -> x IN ('the','a','of','to','and','is','in','it'))) AS h_en,
-        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','nicht','zu'))) AS h_de,
-        |  len(list_filter(w, x -> x IN ('el','la','de','los','que','y','un','es'))) AS h_es,
-        |  len(list_filter(w, x -> x IN ('le','la','les','et','est','un','dans','que'))) AS h_fr
-        | FROM t),
-        |p AS (SELECT lang, CASE
-        |  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
-        |  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
-        |  WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred_lang FROM h)
-        |SELECT pred_lang, lang, count(*) AS n
-        |FROM p GROUP BY 1,2 ORDER BY pred_lang, lang""".stripMargin,
-
-    "d9_token_count" ->
-      """SELECT source, count(*) AS n_docs,
-        | CAST(sum(len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '))) AS BIGINT) AS ws_tokens,
-        | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS re_tokens,
-        | round(avg(len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '))),4) AS avg_ws_tokens
-        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
-
-    "d10_fingerprint" ->
-      """WITH s AS (SELECT doc_id, regexp_replace(lower(trim(text)),'\s+',' ','g') AS norm FROM documents),
-        |w AS (SELECT doc_id, norm, string_split(norm,' ') AS t FROM s)
-        |SELECT doc_id, md5(norm) AS content_md5,
-        | CASE WHEN len(t) >= 3 THEN
-        |   list_min(list_transform(range(1, len(t)-1), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
-        | END AS min_shingle_md5
-        |FROM w ORDER BY doc_id""".stripMargin,
-
-    "d11_vector_stats" ->
-      """WITH v AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-        |SELECT label, count(*) AS n,
-        | round(avg(sqrt(list_inner_product(e, e))),4) AS avg_norm,
-        | round(avg(e[1]),4) AS avg_dim1, round(avg(e[2]),4) AS avg_dim2
-        |FROM v GROUP BY 1 ORDER BY label""".stripMargin,
-
-    // Same quantization arithmetic step for step: scale = max|v|/127,
-    // q = clamp(round(v/scale)) (round half away from zero in both
-    // engines), error = max|v - q*scale|.
-    "d29_quantize" ->
-      """WITH v AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |s AS (SELECT label, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
-        |q AS (SELECT label, e, scale,
-        |   CASE WHEN scale > 0
-        |        THEN list_transform(e, x -> CAST(greatest(-127, least(127, round(x/scale))) AS INT))
-        |        ELSE list_transform(e, x -> 0) END AS qv
-        |  FROM s),
-        |err AS (SELECT label, scale,
-        |   list_max(list_transform(range(1, len(e)+1), i -> abs(e[i] - qv[i]*scale))) AS merr
-        |  FROM q)
-        |SELECT label, count(*) AS n, round(avg(scale),4) AS avg_scale,
-        | round(avg(merr),4) AS avg_max_err, round(max(merr),4) AS worst_err
-        |FROM err GROUP BY 1 ORDER BY label""".stripMargin,
-
-    // LSH parameters sized for recall ~1 at τ=0.45 (see query comment) —
-    // the oracle is the exact all-pairs formulation.
-    "d12_embed_neardup" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-        |   list_inner_product(a.e,b.e) / (sqrt(list_inner_product(a.e,a.e)) * sqrt(list_inner_product(b.e,b.e))) AS cos
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        |SELECT doc_a, doc_b, round(cos,4) AS cosine
-        |FROM p WHERE cos >= 0.45 ORDER BY doc_a, doc_b""".stripMargin,
-
-    "d13_multimodal" ->
-      """SELECT source, 'text/plain' AS media_type, count(*) AS n,
-        | CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
-        | count(DISTINCT sha256(text)) AS n_checksums
-        |FROM documents GROUP BY 1,2 ORDER BY source""".stripMargin,
-
-    "d14_sample" ->
-      """WITH b AS (SELECT lang, text,
-        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
-        | FROM documents)
-        |SELECT lang, count(*) AS n_kept, CAST(sum(length(text)) AS BIGINT) AS sum_chars
-        |FROM b
-        |WHERE bucket < (CASE WHEN lang = 'en' THEN 250000
-        |                     WHEN lang = 'de' THEN 1000000 ELSE 100000 END)
-        |GROUP BY 1 ORDER BY lang""".stripMargin,
-
-    "d30_sample_k" ->
-      """WITH b AS (SELECT lang, doc_id,
-        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
-        | FROM documents),
-        |r AS (SELECT lang, doc_id,
-        |  row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn FROM b)
-        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
-        |FROM r WHERE rn <= 7 GROUP BY 1 ORDER BY lang""".stripMargin,
-
-    "d15_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
-        |dup AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
-        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
-        |reach(id, r) AS (SELECT src, src FROM e
-        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
-        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
-
-    "d16_tfidf" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1,2),
-        |dfx AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
-        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
-        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
-        |   tf.tf * (ln((n.n_docs + 1.0)/(dfx.df_t + 1.0)) + 1.0) AS score,
-        |   row_number() OVER (PARTITION BY tf.doc_id
-        |     ORDER BY tf.tf * (ln((n.n_docs + 1.0)/(dfx.df_t + 1.0)) + 1.0) DESC, tf.term) AS rnk
-        |  FROM tf JOIN dfx USING (term) CROSS JOIN n)
-        |SELECT doc_id, term, tf, round(score, 4) AS score
-        |FROM s WHERE rnk <= 3 ORDER BY doc_id, term""".stripMargin,
-
-    "d17_packing" ->
-      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
-        |   len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS n_tokens
-        | FROM documents),
-        |c AS (SELECT doc_id, shard, n_tokens,
-        |   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        | FROM t),
-        |p AS (SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id, n_tokens FROM c)
-        |SELECT shard, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-        |FROM p GROUP BY 1,2 ORDER BY shard, pack_id""".stripMargin,
-
-    "d20_redact" ->
-      """WITH t AS (SELECT source,
-        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
-        |   || '@example.com or https://site' || CAST(doc_id % 7 AS VARCHAR)
-        |   || '.org/p call 555-12' || CAST(doc_id % 10 AS VARCHAR)
-        |   || '-4567 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t2
-        | FROM documents),
-        |r AS (SELECT source, t2,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
-        |    'https?://[^ ]+', '<URL>', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS red
-        | FROM t)
-        |SELECT source, count(*) AS n_docs,
-        | CAST(sum(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
-        | CAST(sum(len(regexp_extract_all(t2, 'https?://[^ ]+'))) AS BIGINT) AS n_urls,
-        | CAST(sum(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS n_phones,
-        | CAST(sum(length(red) - length(t2)) AS BIGINT) AS sum_len_delta
-        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
-
-    "d19_quality_filter" ->
-      """WITH t AS (SELECT doc_id, source,
-        |  least(1.0, len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '))/100.0)*0.5
-        |  + (1 - least(CAST(length(regexp_replace(text,'[^.!?,;]','','g')) AS DOUBLE)/length(text), 1.0))*0.3
-        |  + (1 - least(CAST(length(regexp_replace(text,'[^A-Z]','','g')) AS DOUBLE)/length(text), 1.0))*0.2 AS q
-        | FROM documents),
-        |r AS (SELECT source, q,
-        |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
-        |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
-        |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    EtlQueries.oracleSql ++ KpiQueries.oracleSql ++
+      RelationalQueries.oracleSql ++ DataQueries.oracleSql
 }
