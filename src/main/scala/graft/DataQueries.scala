@@ -362,6 +362,21 @@ private[graft] object DataQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Hierarchical (two-level) IVF at the same probe discipline: 3
+    // md5-keyed top cells, ≤3 sub-centroids per cell (the per-cell
+    // hash-threshold oversample + rank), corpus assigned through the
+    // top-2 cells, queries probe 4 of the 9 lists. trainRounds=0 HERE
+    // (and only here): Lloyd means average floats in partition order,
+    // which is run-nondeterministic — raw-vector centroids keep every
+    // double bit-identical so the oracle mirrors the WHOLE two-level
+    // pipeline and the approximate result itself is hash-checked.
+    "d23b_ann_ivf_hier" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopKHier(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nLists = 9, nProbe = 4, trainRounds = 0)
+        .orderBy("qid", "rank")
+    }),
+
     // SemDeDup-style semantic dedup: the corpus sharded into d23's 8
     // md5-keyed IVF clusters, cosine compared ONLY within a cluster
     // (the paper's own cost bound), lower-id member of every ≥τ pair
@@ -751,6 +766,64 @@ private[graft] object DataQueries {
         |  WHERE p.qid <> a.cid),
         |r AS (SELECT qid, cid, cos,
         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank FROM s)
+        |SELECT qid, cid, round(cos,4) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Mirrors the ENTIRE two-level pipeline: 3 md5-keyed top cells →
+    // per-vector top-cell argmax → per-cell 4× hash-threshold
+    // oversample (floor() = Spark's positive-double cast-to-long) →
+    // per-cell rank-3 sub-centroids with global list ids → corpus
+    // assigned through its top-2 cells → queries probe 4 lists ranked
+    // over ALL subs → exact cosine top-5. Every double is computed in
+    // the same order as the Spark plan (raw-vector centroids, no
+    // averaged floats), so the approximate result hash-matches.
+    "d23b_ann_ivf_hier" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t0 AS (SELECT vec_id AS kid, v AS tvec,
+        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+        |  FROM c ORDER BY hk, kid LIMIT 3),
+        |tops AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS top_id, tvec FROM t0),
+        |ta AS (SELECT cid, top_id FROM (
+        |  SELECT cc.vec_id AS cid, t.top_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      list_inner_product(cc.v,t.tvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(t.tvec,t.tvec))) DESC,
+        |      t.top_id) AS rn
+        |  FROM c cc, tops t) WHERE rn = 1),
+        |th AS (SELECT cid, top_id,
+        |   CAST('0x' || substr(md5(CAST(cid AS VARCHAR)),1,15) AS BIGINT) AS h FROM ta),
+        |cnt AS (SELECT top_id, count(*) AS n FROM th GROUP BY 1),
+        |surv AS (SELECT th.cid, th.top_id, th.h FROM th JOIN cnt USING (top_id)
+        |  WHERE cnt.n <= 12
+        |     OR th.h <= CAST(floor(1152921504606846976.0 * 4.0 * 3 / cnt.n) AS BIGINT)),
+        |rk AS (SELECT cid, top_id, h,
+        |   row_number() OVER (PARTITION BY top_id ORDER BY h, cid) AS r FROM surv),
+        |subs AS (SELECT CAST(row_number() OVER (ORDER BY rk.top_id, rk.h, rk.cid) AS INT) AS list_id,
+        |   rk.top_id, c.v AS cvec
+        |  FROM rk JOIN c ON c.vec_id = rk.cid WHERE rk.r <= 3),
+        |ha AS (SELECT cid, top_id FROM (
+        |  SELECT cc.vec_id AS cid, t.top_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      list_inner_product(cc.v,t.tvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(t.tvec,t.tvec))) DESC,
+        |      t.top_id) AS rn
+        |  FROM c cc, tops t) WHERE rn <= 2),
+        |assign AS (SELECT cid, list_id FROM (
+        |  SELECT ha.cid, s.list_id,
+        |    row_number() OVER (PARTITION BY ha.cid ORDER BY
+        |      list_inner_product(cv.v,s.cvec)/(sqrt(list_inner_product(cv.v,cv.v))*sqrt(list_inner_product(s.cvec,s.cvec))) DESC,
+        |      s.list_id) AS rn
+        |  FROM ha JOIN c cv ON cv.vec_id = ha.cid JOIN subs s ON s.top_id = ha.top_id) WHERE rn = 1),
+        |probes AS (SELECT qid, list_id FROM (
+        |  SELECT q.vec_id AS qid, s.list_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_inner_product(q.v,s.cvec)/(sqrt(list_inner_product(q.v,q.v))*sqrt(list_inner_product(s.cvec,s.cvec))) DESC,
+        |      s.list_id) AS rn
+        |  FROM c q, subs s WHERE q.vec_id < 10) WHERE rn <= 4),
+        |sc AS (SELECT p.qid, a.cid,
+        |   list_inner_product(qv.v,cv.v)/(sqrt(list_inner_product(qv.v,qv.v))*sqrt(list_inner_product(cv.v,cv.v))) AS cos
+        |  FROM probes p JOIN assign a USING (list_id)
+        |  JOIN c qv ON qv.vec_id = p.qid JOIN c cv ON cv.vec_id = a.cid
+        |  WHERE p.qid <> a.cid),
+        |r AS (SELECT qid, cid, cos,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank FROM sc)
         |SELECT qid, cid, round(cos,4) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // Mirrors the ENTIRE cluster-blocked pipeline (same centroid sample

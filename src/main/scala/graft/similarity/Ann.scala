@@ -411,8 +411,8 @@ object Ann {
     * where the √nLists economy matters), so `nProbe` is the same probe
     * budget as flat IVF and results compare list-for-list. */
   def ivfTopKHier(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-                  k: Int, nLists: Int, nProbe: Int): DataFrame = {
-    val hier = hierCentroids(corpus, id, vec, nLists)
+                  k: Int, nLists: Int, nProbe: Int, trainRounds: Int = 1): DataFrame = {
+    val hier = hierCentroids(corpus, id, vec, nLists, trainRounds)
     val assigned = ivfAssignHier(corpus, id, vec, hier)
       .join(vecTable(corpus, id, vec, "cid", "cv", "__cn"), col("__cid") === col("cid"))
       .select(col("list_id"), col("cid"), col("cv"), col("__cn"))

@@ -21,6 +21,7 @@ class PlanSpec extends SparkSpec {
     * single-row corpus-total aggregate (the d16 pattern); d38 broadcasts
     * the nLists-row centroid table like d23. */
   private val allowedBnlj = Set("d5_ann_bruteforce", "d16_tfidf", "d23_ann_ivf",
+    "d23b_ann_ivf_hier", // broadcasts the top/sub centroid tables like d23
     "d26_source_divergence", "d35_doc_xentropy", "d37_bigram_xentropy",
     "d38_semantic_dedup")
 
