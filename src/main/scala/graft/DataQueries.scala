@@ -2,13 +2,13 @@ package graft
 
 import graft.analytics.Kpis
 import graft.dedup.Dedup
-import graft.etl.{Checks, Cleaning, Nested, Scd, Validate}
+import graft.etl.Checks
 import graft.multimodal.Multimodal
-import graft.operators.{Packing, Relational, Sampling}
+import graft.operators.{Packing, Sampling}
 import graft.text.TfIdf
 import graft.similarity.Ann
 import graft.text.{Redact, TextFunctions}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 

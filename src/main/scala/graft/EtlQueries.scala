@@ -1,14 +1,7 @@
 package graft
 
-import graft.analytics.Kpis
-import graft.dedup.Dedup
-import graft.etl.{Checks, Cleaning, Nested, Scd, Validate}
-import graft.multimodal.Multimodal
-import graft.operators.{Packing, Relational, Sampling}
-import graft.text.TfIdf
-import graft.similarity.Ann
-import graft.text.{Redact, TextFunctions}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.etl.{Cleaning, Nested, Scd, Validate}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.RelationalQueries.revenue
 

@@ -9,7 +9,7 @@ object Verify {
     // optional 3rd arg: comma-separated query names, for fast local
     // iteration on a subset (the driver always runs the full map)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -246,6 +246,18 @@ object Ann {
     val assigned = ivfAssign(corpus, id, vec, cents)
       .join(vecTable(corpus, id, vec, "cid", "cv", "__cn"), col("__cid") === col("cid"))
       .select(col("list_id"), col("cid"), col("cv"), col("__cn"))
+    probeTopK(assigned, cents, queries, id, vec, k, nProbe)
+  }
+
+  /** Shared query tail of [[ivfTopK]]/[[ivfTopKHier]]: rank the
+    * broadcast centroid table per query, probe the top-`nProbe` lists,
+    * exact cosine within them, deterministic top-k. ONE implementation
+    * so a tie-break or rounding change can never diverge the flat and
+    * hierarchical paths — their results must stay comparable
+    * list-for-list. `cents` needs (list_id, cvec, cnorm); extra
+    * columns (hier's top_id) are ignored. */
+  private def probeTopK(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+                        id: String, vec: String, k: Int, nProbe: Int): DataFrame = {
     val q = vecTable(queries, id, vec, "qid", "qv", "qnorm")
     val probes = q.join(broadcast(cents))
       .withColumn("__score", VectorOps.cosineWithNorms(col("qv"), col("cvec"), col("qnorm"), col("cnorm")))
@@ -412,24 +424,12 @@ object Ann {
     * budget as flat IVF and results compare list-for-list. */
   def ivfTopKHier(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
                   k: Int, nLists: Int, nProbe: Int, trainRounds: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists, "need 1 <= nProbe <= nLists")
     val hier = hierCentroids(corpus, id, vec, nLists, trainRounds)
     val assigned = ivfAssignHier(corpus, id, vec, hier)
       .join(vecTable(corpus, id, vec, "cid", "cv", "__cn"), col("__cid") === col("cid"))
       .select(col("list_id"), col("cid"), col("cv"), col("__cn"))
-    val q = vecTable(queries, id, vec, "qid", "qv", "qnorm")
-    val probes = q.join(broadcast(hier.sub))
-      .withColumn("__score", VectorOps.cosineWithNorms(col("qv"), col("cvec"), col("qnorm"), col("cnorm")))
-      .withColumn("__pr", row_number().over(
-        Window.partitionBy("qid").orderBy(col("__score").desc, col("list_id").asc)))
-      .filter(col("__pr") <= nProbe)
-      .select(col("qid"), col("qv"), col("qnorm"), col("list_id"))
-    val scored = probes.join(assigned, Seq("list_id"))
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("cos", VectorOps.cosineWithNorms(col("qv"), col("cv"), col("qnorm"), col("__cn")))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
+    probeTopK(assigned, hier.sub, queries, id, vec, k, nProbe)
   }
 
   /** (vid, list_id, v, n) index rows for a semantic-dedup survivor set:

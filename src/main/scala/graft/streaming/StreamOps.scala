@@ -341,11 +341,19 @@ object StreamOps {
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val index =
-      if (fs.exists(hPath))
+      if (fs.exists(hPath)) {
+        val raw = spark.read.parquet(indexPath)
         // drop any half-written state of THIS epoch (crash + replay):
-        // the batch must be judged against exactly the pre-batch index
-        spark.read.parquet(indexPath)
-          .filter(col("batch") =!= lit(epochId)).drop("batch")
+        // the batch must be judged against exactly the pre-batch index.
+        // An index written by the pre-epoch-keyed layout (flat files,
+        // no batch= dirs) has no `batch` column — all its rows are by
+        // definition prior state, so it reads unfiltered; do NOT mix
+        // the two layouts in one directory (parquet partition
+        // discovery rejects that), start a new indexPath instead.
+        if (raw.columns.contains("batch"))
+          raw.filter(col("batch") =!= lit(epochId)).drop("batch")
+        else raw
+      }
       // typed empty index: same derivation, zero rows — keeps the
       // bootstrap batch on the exact code path every other batch runs
       else Ann.semanticIndex(batch.limit(0), id, vec, centroids)

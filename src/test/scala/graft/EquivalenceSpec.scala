@@ -195,14 +195,7 @@ class EquivalenceSpec extends SparkSpec {
     // partial-aggregating HashAggregates + joins, zero WindowExec
     val edges = hub.map { case (a, b) => (b, a) }.toDF("u", "v") // high→low
     val stepped = Dedup.starRound(edges, truncate = false)
-    stepped.collect()
-    def wins(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => wins(q.plan)
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => wins(a.executedPlan)
-      case w: org.apache.spark.sql.execution.window.WindowExec => 1 + w.children.map(wins).sum
-      case other => (other.children ++ other.subqueries).map(wins).sum
-    }
-    assert(wins(stepped.queryExecution.executedPlan) == 0,
+    assert(PlanShapes.executedShape(stepped).windows == 0,
       "star-round minima regressed to window functions")
   }
 }

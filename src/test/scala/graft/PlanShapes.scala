@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec, SparkPlan}
+import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
 
@@ -9,20 +10,22 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExc
   * the audit mains: counts the operators that RAN, by collecting first
   * and then descending materialized adaptive stages, stopping at
   * ReusedExchange/ReusedSubquery (those subtrees executed once
-  * elsewhere). These four counts are the scale fingerprints of a query:
+  * elsewhere). These five counts are the scale fingerprints of a query:
   * extra scans mean multi-parent re-execution, extra generates mean a
-  * re-run explosion, and the exchange counts are its shuffle/broadcast
-  * budget. */
+  * re-run explosion, the exchange counts are its shuffle/broadcast
+  * budget, and windows are unsplittable-partition risks. */
 object PlanShapes {
 
-  final case class Shape(scans: Int, generates: Int, shuffles: Int, broadcasts: Int) {
+  final case class Shape(scans: Int, generates: Int, shuffles: Int,
+      broadcasts: Int, windows: Int) {
     def +(o: Shape): Shape =
-      Shape(scans + o.scans, generates + o.generates,
-        shuffles + o.shuffles, broadcasts + o.broadcasts)
+      Shape(scans + o.scans, generates + o.generates, shuffles + o.shuffles,
+        broadcasts + o.broadcasts, windows + o.windows)
     override def toString =
-      s"scans=$scans generates=$generates shuffles=$shuffles broadcasts=$broadcasts"
+      s"scans=$scans generates=$generates shuffles=$shuffles " +
+        s"broadcasts=$broadcasts windows=$windows"
   }
-  object Shape { val zero: Shape = Shape(0, 0, 0, 0) }
+  object Shape { val zero: Shape = Shape(0, 0, 0, 0, 0) }
 
   /** Execute `df` and count what ran. NOTE: operators that truncate
     * lineage internally (Lineage.truncate) run their upstream during
@@ -38,7 +41,7 @@ object PlanShapes {
     case _: ReusedExchangeExec => Shape.zero
     case q: QueryStageExec => walk(q.plan)
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-    case _: FileSourceScanExec => Shape(1, 0, 0, 0)
+    case _: FileSourceScanExec => Shape(1, 0, 0, 0, 0)
     case other =>
       val subs = other.subqueries.collect {
         case s if !s.isInstanceOf[org.apache.spark.sql.execution.ReusedSubqueryExec] => walk(s)
@@ -48,9 +51,17 @@ object PlanShapes {
         case _: GenerateExec => kids.copy(generates = kids.generates + 1)
         case _: ShuffleExchangeExec => kids.copy(shuffles = kids.shuffles + 1)
         case _: BroadcastExchangeExec => kids.copy(broadcasts = kids.broadcasts + 1)
+        // window partitions get no partial agg and AQE cannot split
+        // them — per-query window counts are pinned so a skewable-key
+        // window cannot slip in silently (the d28/d15 lesson)
+        case _: WindowExec => kids.copy(windows = kids.windows + 1)
         case _ => kids
       }
   }
+
+  /** WindowExec count of a (possibly not-yet-executed) plan — the
+    * skew-shape pin several specs assert is zero on data-sized keys. */
+  def windowCount(df: DataFrame): Int = walk(df.queryExecution.executedPlan).windows
 
   val goldenPath: java.nio.file.Path =
     java.nio.file.Paths.get("src/test/resources/golden_plans.txt")

@@ -56,14 +56,6 @@ class ScanSpec extends SparkSpec {
   //    formulation put every occurrence of one universal boilerplate gram
   //    into a single unsplittable task (no map-side combine, no AQE skew
   //    split) — the df must stay a partial-aggregating groupBy.
-  private def windows(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
-    val inner = plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    inner.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.length
-  }
-
   test("duplicatedSpanStats: gram side truncated once, df is a partial agg (no window)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val qe = graft.dedup.Dedup
@@ -77,7 +69,7 @@ class ScanSpec extends SparkSpec {
     val n = plan.collect { case s: FileSourceScanExec => s }.length
     assert(n == 0, s"expected 0 file scans in the final plan (gram side reads the " +
       s"checkpoint), got $n — the explosion has an untruncated consumer")
-    assert(windows(qe.executedPlan) == 0,
+    assert(PlanShapes.walk(qe.executedPlan).windows == 0,
       "gram document-frequency regressed to a window — unsplittable under Zipf skew")
   }
 
@@ -86,7 +78,7 @@ class ScanSpec extends SparkSpec {
     val n = scans("d28_dup_spans").length
     assert(n == 1, s"expected 1 documents scan in the final plan (source enrich; the " +
       s"gram side ran once inside the truncate), got $n")
-    assert(windows(df.queryExecution.executedPlan) == 0,
+    assert(PlanShapes.windowCount(df) == 0,
       "gram document-frequency regressed to a window")
   }
 
@@ -94,7 +86,7 @@ class ScanSpec extends SparkSpec {
     val df = SparkEntry.queries("d31_span_removal")(spark, dir)
     val n = scans("d31_span_removal").length
     assert(n == 1, s"expected 1 documents scan in the final plan (mask side), got $n")
-    assert(windows(df.queryExecution.executedPlan) == 0,
+    assert(PlanShapes.windowCount(df) == 0,
       "gram document-frequency regressed to a window")
   }
 
@@ -102,7 +94,7 @@ class ScanSpec extends SparkSpec {
     val df = SparkEntry.queries("d31b_span_keepfirst")(spark, dir)
     val n = scans("d31b_span_keepfirst").length
     assert(n == 1, s"expected 1 documents scan in the final plan, got $n")
-    assert(windows(df.queryExecution.executedPlan) == 0,
+    assert(PlanShapes.windowCount(df) == 0,
       "owner election regressed to a window — unsplittable under Zipf skew")
   }
 

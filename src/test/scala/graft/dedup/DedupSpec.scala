@@ -270,29 +270,22 @@ class DedupSpec extends SparkSpec {
   // join). Plan shape is pinned here on the operator itself; ScanSpec pins
   // it on the driver queries.
   test("span operators survive a universal gram (every doc shares one window)") {
-    def windowNodes(df: org.apache.spark.sql.DataFrame): Int = {
-      val p = df.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.length
-    }
     // the shared 4-gram opens every doc; the x$i y$i tail stays unique
     val shared = (1 to 300).map(i => (i.toLong, s"one two three four x$i y$i"))
       .toDF("doc_id", "text")
     val stats = Dedup.duplicatedSpanStats(shared, col("doc_id"), col("text"), w = 4)
-    assert(windowNodes(stats) == 0, "gram df must be a partial agg, not a window")
+    assert(graft.PlanShapes.windowCount(stats) == 0, "gram df must be a partial agg, not a window")
     val out = stats.agg(sum("n_windows"), sum("n_dup_windows")).head()
     // 6 tokens → 3 windows/doc; only "one two three four" (start 0) is dup
     assert(out.getLong(0) == 900L && out.getLong(1) == 300L)
 
     val cleaned = Dedup.removeDuplicatedSpans(shared, col("doc_id"), col("text"), w = 4)
-    assert(windowNodes(cleaned) == 0)
+    assert(graft.PlanShapes.windowCount(cleaned) == 0)
     val k = cleaned.filter(col("doc_id") === 7L).head()
     assert(k.getAs[String]("clean_text") == "x7 y7" && k.getAs[Long]("n_kept") == 2L)
 
     val kept = Dedup.removeDuplicatedSpansKeepFirst(shared, col("doc_id"), col("text"), w = 4)
-    assert(windowNodes(kept) == 0)
+    assert(graft.PlanShapes.windowCount(kept) == 0)
     val rows = kept.filter(col("doc_id").isin(1L, 9L))
       .orderBy("doc_id").select("clean_text").as[String].collect().toSeq
     assert(rows == Seq("one two three four x1 y1", "x9 y9")) // doc 1 owns the gram

@@ -210,6 +210,20 @@ class AnnSpec extends SparkSpec {
       s"hierarchical ($hierPairs) must beat flat ($flatPairs) at nLists=$nLists")
   }
 
+  test("hierCentroids are identical across partition layouts (deterministic two-level sample)") {
+    // the d23b oracle reproduces the quantizer externally, so layout
+    // independence is a correctness contract, not a nicety: md5 sample
+    // keys, per-cell count thresholds and rank tie-breaks must not see
+    // physical partitioning
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def subs(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int, Seq[Double])] =
+      Ann.hierCentroids(df, "vec_id", "embedding", nLists = 9, trainRounds = 0).sub
+        .select("list_id", "top_id", "cvec")
+        .as[(Int, Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    assert(subs(emb) == subs(emb.repartition(7)),
+      "two-level centroid selection must not depend on physical layout")
+  }
+
   test("ivfTopKHier: recall >= flat IVF at equal probe budget; full probe is near-exact") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val q = emb.filter(col("vec_id") < 20)
