@@ -438,7 +438,19 @@ object Ann {
     * the index is the survivor registry, so dropped vectors never
     * suppress future arrivals. */
   def semanticIndex(corpus: DataFrame, id: String, vec: String, centroids: DataFrame): DataFrame =
-    ivfAssign(corpus, id, vec, centroids)
+    indexRows(ivfAssign(corpus, id, vec, centroids), corpus, id, vec)
+
+  /** [[semanticIndex]] through the two-level quantizer — at 10^10
+    * vectors the flat argmax is the indexing wall (see
+    * [[hierCentroids]]); the index rows and every downstream consumer
+    * ([[semanticDedupAgainst]], the E10 streaming sink) are unchanged,
+    * only the assignment path is. The SAME quantizer must then be used
+    * for every batch judged against this index. */
+  def semanticIndex(corpus: DataFrame, id: String, vec: String, hier: HierCentroids): DataFrame =
+    indexRows(ivfAssignHier(corpus, id, vec, hier), corpus, id, vec)
+
+  private def indexRows(assigned: DataFrame, corpus: DataFrame, id: String, vec: String): DataFrame =
+    assigned
       .join(vecTable(corpus, id, vec, "vid", "v", "n"), col("__cid") === col("vid"))
       .select(col("vid"), col("list_id"), col("v"), col("n"))
 
@@ -456,8 +468,23 @@ object Ann {
     * continue the chain. */
   def semanticDedupAgainst(newBatch: DataFrame, id: String, vec: String,
                            centroids: DataFrame, index: DataFrame,
-                           threshold: Double): DataFrame = {
-    val assigned = graft.operators.Lineage.truncate(ivfAssign(newBatch, id, vec, centroids))
+                           threshold: Double): DataFrame =
+    dedupAgainst(ivfAssign(newBatch, id, vec, centroids), newBatch, id, vec, index, threshold)
+
+  /** [[semanticDedupAgainst]] through the two-level quantizer: the
+    * batch is assigned hierarchically and judged against an index that
+    * MUST have been built with the same [[HierCentroids]] (a different
+    * quantizer re-shards the space and the cluster-blocked comparison
+    * loses its guarantee — the same frozen-quantizer contract as the
+    * flat path). */
+  def semanticDedupAgainst(newBatch: DataFrame, id: String, vec: String,
+                           hier: HierCentroids, index: DataFrame,
+                           threshold: Double): DataFrame =
+    dedupAgainst(ivfAssignHier(newBatch, id, vec, hier), newBatch, id, vec, index, threshold)
+
+  private def dedupAgainst(assignedRaw: DataFrame, newBatch: DataFrame, id: String, vec: String,
+                           index: DataFrame, threshold: Double): DataFrame = {
+    val assigned = graft.operators.Lineage.truncate(assignedRaw)
     val m = assigned
       .join(vecTable(newBatch, id, vec, "vid", "v", "n"), col("__cid") === col("vid"))
       .select(col("list_id"), col("vid"), col("v"), col("n"))

@@ -33,6 +33,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(dedup.columns.toSeq == Seq("vid", "list_id", "kept") && dedup.count() == 0)
     assert(Ann.embeddingNearDupPairs(noVecs, "vec_id", "embedding", dims = 4, threshold = 0.9,
       bits = 2).count() == 0)
+    val hier = Ann.hierCentroids(noVecs, "vec_id", "embedding", nLists = 4, trainRounds = 1)
+    assert(hier.top.count() == 0 && hier.sub.count() == 0)
+    assert(Ann.ivfAssignHier(noVecs, "vec_id", "embedding", hier).count() == 0)
+  }
+
+  test("hierarchical IVF degenerate sizes: nLists=1 and searchTop beyond cell count") {
+    import graft.similarity.Ann
+    val four = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    // nLists=1: one top cell, one sub-centroid — everything lands in list 1
+    val one = Ann.hierCentroids(four, "vec_id", "embedding", nLists = 1, trainRounds = 0)
+    assert(one.sub.count() == 1L)
+    val assigned = Ann.ivfAssignHier(four, "vec_id", "embedding", one)
+    assert(assigned.count() == 4L)
+    assert(assigned.select("list_id").distinct().as[Int].collect().toSeq == Seq(1))
+    // searchTop larger than the number of top cells: slice pads nothing,
+    // assignment still covers every vector exactly once
+    val wide = Ann.ivfAssignHier(four, "vec_id", "embedding", one, searchTop = 5)
+    assert(wide.count() == 4L)
+    // full-probe search on the degenerate quantizer equals brute force
+    val got = Ann.ivfTopKHier(four, four.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", k = 3, nLists = 1, nProbe = 1, trainRounds = 0)
+      .select("cid").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 4L))
   }
 
   test("text operators accept an empty corpus") {

@@ -312,6 +312,24 @@ class AnnSpec extends SparkSpec {
     assert(!got(12L), "higher-id batch-mate of a kept batch vector must drop")
   }
 
+  test("semanticDedupAgainst composes with the hierarchical quantizer") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val hier = Ann.hierCentroids(emb, "vec_id", "embedding", nLists = 9, trainRounds = 0)
+    // index the corpus hierarchically, then judge a batch holding an
+    // exact copy of an indexed vector and a clearly novel one
+    val index = Ann.semanticIndex(emb, "vec_id", "embedding", hier)
+    assert(index.count() == 500L)
+    val dup = emb.filter(col("vec_id") === 7L)
+      .select(lit(9007L).as("vec_id"), col("embedding"))
+    val novel = Seq((9008L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val rep = Ann.semanticDedupAgainst(dup.unionByName(novel), "vec_id", "embedding",
+        hier, index, threshold = 0.999)
+      .select("vid", "kept").as[(Long, Boolean)].collect().toMap
+    assert(rep(9007L) == false, "exact copy of an indexed survivor must drop")
+    assert(rep(9008L) == true, "novel vector must survive")
+  }
+
   test("sigTable buckets stay near the target size under auto-sized bits") {
     // 512 deterministic pseudo-random 8-dim vectors
     val n = 512

@@ -110,6 +110,18 @@ class HttpFetchSpec extends SparkSpec {
     assert(!r.success && r.error.contains("MAX_RETRIES_EXCEEDED") && r.status.isEmpty)
   }
 
+  test("TokenBucket: burst tokens pass back-to-back, then pacing binds") {
+    val tb = new HttpFetch.TokenBucket(10.0, burst = 3)
+    val t0 = System.nanoTime()
+    (1 to 3).foreach(_ => tb.acquire())
+    val burstMs = (System.nanoTime() - t0) / 1e6
+    assert(burstMs < 50.0, s"burst tokens must not block, took ${burstMs}ms")
+    val t1 = System.nanoTime()
+    tb.acquire() // bucket drained: ~100ms refill at 10/s
+    val waitMs = (System.nanoTime() - t1) / 1e6
+    assert(waitMs >= 80.0, s"post-burst acquire should pace ~100ms, took ${waitMs}ms")
+  }
+
   test("token bucket paces a 2 req/s policy: server-side gaps >= ~500ms") {
     val polite = fastPolicy.copy(requestsPerSecond = 2.0, burst = 1)
     val reqs = (1L to 5L).map(i => (i, s"$base/rate/$i")).toDF("id", "url")
