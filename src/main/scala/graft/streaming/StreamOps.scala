@@ -324,9 +324,32 @@ object StreamOps {
       }
       .start()
 
-  /** One micro-batch of [[toSemanticDeduped]], exposed for replay tests:
-    * running the same (batch, epochId) twice must leave identical
-    * output and index state. */
+  /** [[toSemanticDeduped]] through the two-level quantizer (D23b):
+    * identical sink semantics, but batch assignment and index rows go
+    * through [[graft.similarity.Ann.ivfAssignHier]] — the 10^10-vector
+    * indexing wall applies to a streaming semantic index exactly as it
+    * does to batch SemDeDup. The hier quantizer is FROZEN like the
+    * flat one: every batch and the index must shard identically. */
+  def toSemanticDeduped(
+      docs: DataFrame,
+      id: String,
+      vec: String,
+      hier: graft.similarity.Ann.HierCentroids,
+      threshold: Double,
+      outRoot: String,
+      indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        semanticDedupBatch(batch.toDF(), epochId, id, vec, hier, threshold,
+          outRoot, indexPath)
+      }
+      .start()
+
+  /** One micro-batch of [[toSemanticDeduped]] (flat quantizer), exposed
+    * for replay tests: running the same (batch, epochId) twice must
+    * leave identical output and index state. */
   private[graft] def semanticDedupBatch(
       batch: DataFrame,
       epochId: Long,
@@ -337,6 +360,42 @@ object StreamOps {
       outRoot: String,
       indexPath: String): Unit = {
     import graft.similarity.Ann
+    semanticDedupBatchImpl(batch, epochId, id, outRoot, indexPath,
+      emptyIndex = () => Ann.semanticIndex(batch.limit(0), id, vec, centroids),
+      judge = idx => Ann.semanticDedupAgainst(batch, id, vec, centroids, idx, threshold),
+      indexOf = kept => Ann.semanticIndex(kept, id, vec, centroids))
+  }
+
+  /** One micro-batch of the hierarchical-quantizer sink. */
+  private[graft] def semanticDedupBatch(
+      batch: DataFrame,
+      epochId: Long,
+      id: String,
+      vec: String,
+      hier: graft.similarity.Ann.HierCentroids,
+      threshold: Double,
+      outRoot: String,
+      indexPath: String): Unit = {
+    import graft.similarity.Ann
+    semanticDedupBatchImpl(batch, epochId, id, outRoot, indexPath,
+      emptyIndex = () => Ann.semanticIndex(batch.limit(0), id, vec, hier),
+      judge = idx => Ann.semanticDedupAgainst(batch, id, vec, hier, idx, threshold),
+      indexOf = kept => Ann.semanticIndex(kept, id, vec, hier))
+  }
+
+  /** Shared epoch-keyed sink body: ONE implementation of the replay
+    * contract (pre-batch index read excluding the replaying epoch,
+    * overwrite-per-epoch dual write) so the flat and hierarchical
+    * quantizer paths cannot diverge on idempotency. */
+  private def semanticDedupBatchImpl(
+      batch: DataFrame,
+      epochId: Long,
+      id: String,
+      outRoot: String,
+      indexPath: String,
+      emptyIndex: () => DataFrame,
+      judge: DataFrame => DataFrame,
+      indexOf: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -356,15 +415,13 @@ object StreamOps {
       }
       // typed empty index: same derivation, zero rows — keeps the
       // bootstrap batch on the exact code path every other batch runs
-      else Ann.semanticIndex(batch.limit(0), id, vec, centroids)
-    val keptIds = Ann.semanticDedupAgainst(batch, id, vec, centroids, index, threshold)
-      .filter(col("kept")).select(col("vid"))
+      else emptyIndex()
+    val keptIds = judge(index).filter(col("kept")).select(col("vid"))
     val kept = batch.join(keptIds, batch(id) === col("vid"), "left_semi")
     kept.persist()
     try {
       kept.write.mode("overwrite").parquet(s"$outRoot/batch=$epochId")
-      Ann.semanticIndex(kept, id, vec, centroids)
-        .write.mode("overwrite").parquet(s"$indexPath/batch=$epochId")
+      indexOf(kept).write.mode("overwrite").parquet(s"$indexPath/batch=$epochId")
     } finally kept.unpersist()
   }
 

@@ -221,6 +221,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(vids == Seq(1L, 2L, 11L), s"replay duplicated index rows: $vids")
   }
 
+  test("toSemanticDeduped (hierarchical quantizer): cross-batch near-dups dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-hier")
+    val out = dir.resolve("out").toString
+    val index = dir.resolve("index").toString
+    val boot = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (101L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (102L, Array(0.0f, 0.0f, 1.0f, 0.0f)), (103L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val hier = graft.similarity.Ann.hierCentroids(boot, "vec_id", "embedding",
+      nLists = 4, trainRounds = 0)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.toSemanticDeduped(
+      input.toDF().toDF("vec_id", "embedding"),
+      id = "vec_id", vec = "embedding", hier = hier, threshold = 0.99,
+      outRoot = out, indexPath = index,
+      checkpoint = dir.resolve("ckpt").toString)
+    try {
+      input.addData(
+        (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      input.addData(
+        (10L, Array(0.99f, 0.02f, 0.0f, 0.0f)), // near-dup of survivor 1
+        (11L, Array(0.0f, 0.0f, 1.0f, 0.0f)))   // novel
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out).select("vec_id").as[Long].collect().toSeq.sorted
+      assert(landed == Seq(1L, 2L, 11L), s"got $landed")
+    } finally q.stop()
+  }
+
   test("corpusCardsBatch replay: same epoch twice does not inflate the rollup") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cards-replay")
     val cards = dir.resolve("cards").toString
