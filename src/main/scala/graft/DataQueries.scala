@@ -460,6 +460,18 @@ private[graft] object DataQueries {
     "d34_bpe_pairs" -> ((s, dir) =>
       graft.text.Bpe.topPairs(Tables.documents(s, dir), col("text"), 20)),
 
+    // BPE ENCODING under a fixed ordered merge list: the expensive
+    // merge loop runs per DISTINCT word (vocabulary-sized), then joins
+    // back to the corpus positions. Unit content is verified via an
+    // md5 prefix over the space-joined subword units.
+    "d34b_bpe_encode" -> ((s, dir) => {
+      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"))
+      graft.text.Bpe.encode(Tables.documents(s, dir), col("doc_id"), col("text"), merges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          substring(md5(array_join(col("bpe_tokens"), " ")), 1, 8).as("units_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Deequ-style declarative constraint suite: six checks over orders
     // computed in ONE aggregation pass (plan-asserted in ChecksSpec).
     "c18_quality_checks" -> ((s, dir) => {
@@ -711,6 +723,27 @@ private[graft] object DataQueries {
         |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wc FROM wc, UNNEST(range(1, length(w))) AS u(i)),
         |s AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p GROUP BY 1)
         |SELECT pair, n FROM s ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // Greedy leftmost non-overlapping symbol merge ≡ global string
+    // replace over the unit-separator (chr 31) joined chars: replace()
+    // scans left and restarts AFTER each replacement, exactly one BPE
+    // round's semantics; successive merges chain as successive
+    // replaces. Separator-joined symbols (not raw chars) keep merges
+    // from matching across unit boundaries.
+    "d34b_bpe_encode" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i) WHERE len(t[i]) > 0),
+        |s0 AS (SELECT doc_id, i, array_to_string(string_split_regex(w, ''), chr(31)) AS s FROM w),
+        |r1 AS (SELECT doc_id, i, replace(s, 't'||chr(31)||'h', 'th') AS s FROM s0),
+        |r2 AS (SELECT doc_id, i, replace(s, 'th'||chr(31)||'e', 'the') AS s FROM r1),
+        |r3 AS (SELECT doc_id, i, replace(s, 'i'||chr(31)||'n', 'in') AS s FROM r2),
+        |r4 AS (SELECT doc_id, i, replace(s, 'a'||chr(31)||'n', 'an') AS s FROM r3),
+        |r5 AS (SELECT doc_id, i, replace(s, 'e'||chr(31)||'r', 'er') AS s FROM r4),
+        |f AS (SELECT doc_id, flatten(array_agg(string_split(s, chr(31)) ORDER BY i)) AS us
+        |      FROM r5 GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(us) AS BIGINT) AS n_bpe_tokens,
+        | substr(md5(array_to_string(us, ' ')), 1, 8) AS units_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "d24_chunking" ->
       """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t

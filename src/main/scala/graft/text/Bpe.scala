@@ -85,6 +85,48 @@ object Bpe {
     * [[graft.operators.Lineage.truncate]] (reliable checkpoint when the
     * session has a checkpoint dir, localCheckpoint otherwise), exactly
     * the d15 iteration pattern. */
+  /** Encode each document into BPE subword units under an ORDERED merge
+    * list (the (a, b) prefix of [[trainMerges]] output). Emits
+    * (doc_id, bpe_tokens, n_bpe_tokens); documents with no tokens are
+    * absent (the [[graft.dedup.Dedup.duplicatedSpanStats]] convention).
+    *
+    * Scale shape — the training insight applied to encoding: the merge
+    * loop is O(merges × word length) PER DISTINCT WORD, so it runs on
+    * the vocabulary table (~10^6-10^7 rows at 100 TB), never the
+    * corpus. The corpus-side work is one tokenize/posexplode pass into
+    * a (doc, pos, word) table joined back to the encoded vocabulary —
+    * an equi-join on the word that AQE skew-handling can split when
+    * Zipf-head words ("the" in ~5% of positions) pile up, and that
+    * broadcasts outright when the vocabulary fits. The tokenize pass
+    * deliberately has TWO plan parents (vocabulary + join-back): it is
+    * an embarrassingly-parallel narrow map, and re-running it beats
+    * checkpointing a corpus-sized (doc, pos, word) table — the
+    * documented d35/d37 trade. Merges fold into the vocabulary as
+    * `mergesPerStage`-deep expression chains with lineage truncated
+    * between stages (one giant k-deep expression tree would bloat
+    * analysis; thousands of un-truncated stages would bloat lineage). */
+  def encode(df: DataFrame, id: Column, text: Column,
+             merges: Seq[(String, String)], mergesPerStage: Int = 16): DataFrame = {
+    require(mergesPerStage >= 1, s"mergesPerStage must be >= 1, got $mergesPerStage")
+    import graft.operators.Lineage
+    val toks = df
+      .select(id.as("doc_id"), posexplode(TextFunctions.tokens(text)).as(Seq("__pos", "__w")))
+      .filter(length(col("__w")) > 0)
+    var enc = Lineage.truncate(toks.select(col("__w")).distinct()
+      .select(col("__w"), transform(sequence(lit(1), length(col("__w"))),
+        i => substr(col("__w"), i, lit(1))).as("__syms")))
+    merges.grouped(mergesPerStage).foreach { grp =>
+      enc = Lineage.truncate(enc.select(col("__w"),
+        grp.foldLeft(col("__syms")) { case (c, (a, b)) => mergeSymbols(c, a, b) }.as("__syms")))
+    }
+    toks.join(enc, Seq("__w"))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__syms")))),
+        s => s.getField("__syms"))).as("bpe_tokens"))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+
   def trainMerges(df: DataFrame, text: Column, numMerges: Int): Seq[(String, String, Long)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     import graft.operators.Lineage

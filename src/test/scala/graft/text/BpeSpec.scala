@@ -85,4 +85,40 @@ class BpeSpec extends SparkSpec {
     val got = Bpe.trainMerges(docs, col("text"), 6)
     assert(got == expect)
   }
+
+  test("encode applies ordered merges per word, preserving token order") {
+    val d = Seq((1L, "abab cab"), (2L, "abc")).toDF("doc_id", "text")
+    // merge order matters: (a,b)→ab first, then (ab,ab)→abab
+    val out = Bpe.encode(d, col("doc_id"), col("text"),
+        Seq(("a", "b"), ("ab", "ab")))
+      .orderBy("doc_id")
+      .select("bpe_tokens", "n_bpe_tokens")
+      .as[(Seq[String], Long)].collect().toSeq
+    assert(out == Seq(
+      (Seq("abab", "c", "ab"), 3L),   // "abab"→[abab], "cab"→[c, ab]
+      (Seq("ab", "c"), 2L)))          // "abc"→[ab, c]
+  }
+
+  test("encode round-trips: units concatenate back to the normalized words") {
+    val merges = Bpe.trainMerges(docs, col("text"), 5).map(m => (m._1, m._2))
+    val enc = Bpe.encode(docs, col("doc_id"), col("text"), merges, mergesPerStage = 2)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    // reconstruct each doc's concatenated text from its subword units and
+    // compare against the same normalization the encoder consumed
+    val expected = docs
+      .select(col("doc_id"), concat_ws("", TextFunctions.tokens(col("text"))).as("t"))
+      .as[(Long, String)].collect().toMap
+    enc.foreach { case (id, units) =>
+      assert(units.mkString("") == expected(id), s"doc $id lost characters")
+    }
+    // the trained merges actually compress: fewer units than characters
+    assert(enc(1L).size < expected(1L).length)
+  }
+
+  test("encode with zero merges is character splitting") {
+    val d = Seq((1L, "hi yo")).toDF("doc_id", "text")
+    val out = Bpe.encode(d, col("doc_id"), col("text"), Seq.empty)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(out == Seq("h", "i", "y", "o"))
+  }
 }
