@@ -151,6 +151,34 @@ class HttpFetchSpec extends SparkSpec {
       s"retry gaps breached the 4 req/s budget: ${gapsMs.map(_.round)}ms")
   }
 
+  test("fetchAllPerHost: each host has its own bucket — per-host gaps hold, hosts overlap") {
+    // 127.0.0.1 and localhost are DIFFERENT hosts to the limiter but hit
+    // the same stub; 3 requests each at 2 req/s per host
+    val port = server.getAddress.getPort
+    val polite = fastPolicy.copy(requestsPerSecond = 2.0, burst = 1)
+    val hostA = (1 to 3).map(i => s"/rate/91$i").toSet
+    val hostB = (1 to 3).map(i => s"/rate/92$i").toSet
+    val reqs = (1 to 3).flatMap(i => Seq(
+        (i.toLong, s"http://127.0.0.1:$port/rate/91$i"),
+        (i + 10L, s"http://localhost:$port/rate/92$i")))
+      .toDF("id", "url")
+    val r = HttpFetch.fetchAllPerHost(reqs, polite, parallelism = Some(1)).collect()
+    assert(r.forall(_.success))
+    val byPath = arrivals.toArray(Array.empty[(String, Long)])
+      .filter(e => hostA(e._1) || hostB(e._1))
+    def gaps(paths: Set[String]): Seq[Double] = {
+      val ts = byPath.collect { case (p, t) if paths(p) => t }.sorted
+      ts.sliding(2).map(w => (w(1) - w(0)) / 1e6).toSeq
+    }
+    assert(gaps(hostA).forall(_ >= 420.0), s"host A breached: ${gaps(hostA).map(_.round)}")
+    assert(gaps(hostB).forall(_ >= 420.0), s"host B breached: ${gaps(hostB).map(_.round)}")
+    // independence: 6 requests through ONE shared 2 req/s bucket need
+    // >= 2500ms first-to-last; two per-host buckets finish sooner
+    val all = byPath.map(_._2)
+    val spanMs = (all.max - all.min) / 1e6
+    assert(spanMs < 2400.0, s"hosts appear to share one bucket: span=${spanMs.round}ms")
+  }
+
   test("writeBronze lays out raw json, bronze parquet, and rejected routing") {
     val out = java.nio.file.Files.createTempDirectory("graft-bronze").toString
     val results = HttpFetch.fetchAll(

@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(u).toDF("url").select(Urls.canonicalUrl(col("url"))).as[String].head()
+
+  test("canonicalUrl: case, default ports, fragments, doubled slashes, trailing slash") {
+    assert(canon("HTTP://Example.COM:80//a//b/?") == "http://example.com/a/b")
+    assert(canon("https://example.com:443/x/") == "https://example.com/x")
+    assert(canon("https://example.com:8443/x") == "https://example.com:8443/x") // non-default kept
+    assert(canon("http://example.com") == "http://example.com/")
+    assert(canon("http://example.com/a#section-2") == "http://example.com/a")
+    assert(canon("http://example.com/CaseSensitive/Path") == "http://example.com/CaseSensitive/Path")
+  }
+
+  test("canonicalUrl: tracking params dropped, remainder sorted, empty query removed") {
+    assert(canon("http://e.com/p?utm_source=x&b=2&a=1&fbclid=abc") == "http://e.com/p?a=1&b=2")
+    assert(canon("http://e.com/p?utm_source=x&UTM_CAMPAIGN=y") == "http://e.com/p")
+    assert(canon("http://e.com/p?z=9&a=1") == "http://e.com/p?a=1&z=9")
+  }
+
+  test("canonicalUrl: null and unparseable inputs yield null") {
+    val out = Seq("not a url at all", null)
+      .toDF("url").select(Urls.canonicalUrl(col("url"))).as[String].collect()
+    assert(out.forall(_ == null))
+  }
+
+  test("registeredDomainOf: plain TLDs and short-second-level ccTLD patterns") {
+    def dom(u: String): String =
+      Seq(u).toDF("url").select(Urls.registeredDomainOf(col("url"))).as[String].head()
+    assert(dom("http://www.example.com/x") == "example.com")
+    assert(dom("http://news.bbc.co.uk/story") == "bbc.co.uk")
+    assert(dom("http://example.com") == "example.com")
+    assert(dom("http://a.b.c.example.org") == "example.org")
+  }
+
+  test("dedupByCanonicalUrl groups aliases, keeps the min id") {
+    val urls = Seq(
+      (3L, "http://E.com:80/a/?utm_source=mail"),
+      (1L, "http://e.com/a"),
+      (2L, "http://e.com/a#frag"),
+      (9L, "http://other.com/b"))
+      .toDF("id", "url")
+    val out = Urls.dedupByCanonicalUrl(urls, col("id"), col("url"))
+      .orderBy("canonical_url")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("http://e.com/a", 1L, 3L),
+      ("http://other.com/b", 9L, 1L)))
+  }
+}
