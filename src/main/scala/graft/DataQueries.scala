@@ -460,6 +460,24 @@ private[graft] object DataQueries {
     "d34_bpe_pairs" -> ((s, dir) =>
       graft.text.Bpe.topPairs(Tables.documents(s, dir), col("text"), 20)),
 
+    // Gopher-rule hard quality gates (arXiv 2112.11446 Table A1): one
+    // narrow-map struct of per-rule booleans, aggregated per source —
+    // pass/fail counts for every rule are hash-checked.
+    "d41_gopher_filter" -> ((s, dir) => {
+      val f = graft.text.GopherFilter.flags(col("text"))
+      Tables.documents(s, dir)
+        .select(col("source"), f.as("f"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("f.keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(when(!col("f.ok_word_count"), 1L).otherwise(0L)).as("n_fail_words"),
+          sum(when(!col("f.ok_mean_word_len"), 1L).otherwise(0L)).as("n_fail_mean_len"),
+          sum(when(!col("f.ok_symbol_ratio"), 1L).otherwise(0L)).as("n_fail_symbols"),
+          sum(when(!col("f.ok_alpha_words"), 1L).otherwise(0L)).as("n_fail_alpha"),
+          sum(when(!col("f.ok_stop_words"), 1L).otherwise(0L)).as("n_fail_stop"))
+        .orderBy("source")
+    }),
+
     // BPE ENCODING under a fixed ordered merge list: the expensive
     // merge loop runs per DISTINCT word (vocabulary-sized), then joins
     // back to the corpus positions. Unit content is verified via an
@@ -723,6 +741,42 @@ private[graft] object DataQueries {
         |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wc FROM wc, UNNEST(range(1, length(w))) AS u(i)),
         |s AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p GROUP BY 1)
         |SELECT pair, n FROM s ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // Mirrors every Gopher rule: same tokenization, same line split,
+    // same integer→double ratio math, so each per-rule fail count (and
+    // the keep conjunction) hash-matches.
+    "d41_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |   string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |m AS (SELECT source,
+        |   len(t) AS nw,
+        |   list_aggregate(list_transform(t, x -> length(x)), 'sum') * 1.0 / len(t) AS mean_len,
+        |   ((length(text) - length(replace(text, '#', ''))) * 1.0
+        |     + len(regexp_extract_all(text, '(\.{3}|…)'))) / greatest(len(t), 1) AS sym_ratio,
+        |   len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0 / greatest(len(t), 1) AS alpha_ratio,
+        |   len(list_filter(t, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop,
+        |   list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+        |  FROM t),
+        |f AS (SELECT source,
+        |   (nw >= 50 AND nw <= 100000) AS ok_words,
+        |   (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean,
+        |   (sym_ratio <= 0.1) AS ok_sym,
+        |   (alpha_ratio >= 0.8) AS ok_alpha,
+        |   (n_stop >= 2) AS ok_stop,
+        |   (len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+        |      / greatest(len(lines), 1) <= 0.9) AS ok_bullet,
+        |   (len(list_filter(lines, l -> regexp_matches(trim(l), '(\.{3}|…)$'))) * 1.0
+        |      / greatest(len(lines), 1) <= 0.3) AS ok_ellipsis
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN ok_words AND ok_mean AND ok_sym AND ok_alpha AND ok_stop
+        |     AND ok_bullet AND ok_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        | CAST(sum(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+        | CAST(sum(CASE WHEN NOT ok_mean THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_len,
+        | CAST(sum(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbols,
+        | CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+        | CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // Greedy leftmost non-overlapping symbol merge ≡ global string
     // replace over the unit-separator (chr 31) joined chars: replace()
