@@ -478,6 +478,27 @@ private[graft] object DataQueries {
         .orderBy("source")
     }),
 
+    // Gopher repetition gates (Table A1 bottom half): duplicate
+    // line/paragraph fractions, top n-gram and duplicated n-gram char
+    // fractions — all per-row narrow maps (grams never leave their
+    // row). Per-rule fail counts plus two rounded metric means are
+    // hash-checked per source.
+    "d42_gopher_repetition" -> ((s, dir) => {
+      graft.text.GopherRepetition.addFlags(Tables.documents(s, dir), col("text"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rep.keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(when(!col("rep.ok_dup_lines"), 1L).otherwise(0L)).as("n_fail_dup_lines"),
+          sum(when(!col("rep.ok_dup_line_chars"), 1L).otherwise(0L)).as("n_fail_dup_line_chars"),
+          sum(when(!col("rep.ok_dup_paras"), 1L).otherwise(0L)).as("n_fail_dup_paras"),
+          sum(when(!col("rep.ok_dup_para_chars"), 1L).otherwise(0L)).as("n_fail_dup_para_chars"),
+          sum(when(!col("rep.ok_top_ngrams"), 1L).otherwise(0L)).as("n_fail_top_ngrams"),
+          sum(when(!col("rep.ok_dup_ngrams"), 1L).otherwise(0L)).as("n_fail_dup_ngrams"),
+          round(avg(col("rep.top_2gram_char_frac")), 4).as("avg_top_2gram"),
+          round(avg(col("rep.dup_line_char_frac")), 4).as("avg_dup_line_chars"))
+        .orderBy("source")
+    }),
+
     // BPE ENCODING under a fixed ordered merge list: the expensive
     // merge loop runs per DISTINCT word (vocabulary-sized), then joins
     // back to the corpus positions. Unit content is verified via an
@@ -542,6 +563,78 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** The d42 oracle, generated per n (top n = 2..4, dup n = 5..10) so
+    * the nine structurally-identical gram CTEs stay maintainable.
+    * Mirrors GopherRepetition exactly: empty tokens filtered before
+    * shingling, per-doc gram counts via unnest+GROUP BY (the oracle may
+    * explode; the engine must not), top tie-break = max chars among
+    * max-count grams, duplicated chars = Σ c·len over grams with c ≥ 2,
+    * denominators = greatest(normalized length, 1). */
+  private def d42Oracle: String = {
+    val tops = Seq((2, "0.20"), (3, "0.18"), (4, "0.16"))
+    val dups = Seq((5, "0.15"), (6, "0.14"), (7, "0.13"), (8, "0.12"), (9, "0.11"), (10, "0.10"))
+    val ns = tops.map(_._1) ++ dups.map(_._1)
+    val gramCtes = ns.map { n =>
+      s"""g$n AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - ${n - 2}, 1)),
+         |   i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))) AS g FROM tok),
+         |c$n AS (SELECT doc_id, g, count(*) AS c, length(g) AS gl FROM g$n GROUP BY 1, 2),
+         |m$n AS (SELECT doc_id, max(c) AS mx,
+         |   CAST(sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS BIGINT) AS dup FROM c$n GROUP BY 1)""".stripMargin
+    }
+    val topCtes = tops.map { case (n, _) =>
+      s"""t$n AS (SELECT c.doc_id, max(c.c * c.gl) AS top FROM c$n c
+         |   JOIN m$n m ON c.doc_id = m.doc_id AND c.c = m.mx GROUP BY 1)""".stripMargin
+    }
+    val fCols =
+      tops.map { case (n, _) => s"coalesce(t$n.top, 0) * 1.0 / k.nchars AS top$n" } ++
+        dups.map { case (n, _) => s"coalesce(m$n.dup, 0) * 1.0 / k.nchars AS dup$n" }
+    val fJoins =
+      tops.map { case (n, _) => s"LEFT JOIN t$n ON t$n.doc_id = k.doc_id" } ++
+        dups.map { case (n, _) => s"LEFT JOIN m$n ON m$n.doc_id = k.doc_id" }
+    val okTop = tops.map { case (n, cap) => s"top$n <= $cap" }.mkString(" AND ")
+    val okDup = dups.map { case (n, cap) => s"dup$n <= $cap" }.mkString(" AND ")
+    s"""WITH base AS (SELECT doc_id, source, text,
+       |   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+       |tok AS (SELECT doc_id, source, greatest(length(norm), 1) AS nchars,
+       |   list_filter(string_split(norm, ' '), x -> length(x) > 0) AS t,
+       |   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> length(x) > 0) AS ls,
+       |   list_filter(list_transform(string_split_regex(text, '\\n{2,}'), x -> trim(x)), x -> length(x) > 0) AS ps
+       |  FROM base),
+       |lm AS (SELECT doc_id,
+       |   CASE WHEN len(ls) > 0 THEN (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls) ELSE 0.0 END AS dlf,
+       |   CASE WHEN coalesce(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0) > 0
+       |     THEN (list_aggregate(list_transform(ls, x -> length(x)), 'sum')
+       |           - coalesce(list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum'), 0)) * 1.0
+       |          / list_aggregate(list_transform(ls, x -> length(x)), 'sum') ELSE 0.0 END AS dlcf,
+       |   CASE WHEN len(ps) > 0 THEN (len(ps) - len(list_distinct(ps))) * 1.0 / len(ps) ELSE 0.0 END AS dpf,
+       |   CASE WHEN coalesce(list_aggregate(list_transform(ps, x -> length(x)), 'sum'), 0) > 0
+       |     THEN (list_aggregate(list_transform(ps, x -> length(x)), 'sum')
+       |           - coalesce(list_aggregate(list_transform(list_distinct(ps), x -> length(x)), 'sum'), 0)) * 1.0
+       |          / list_aggregate(list_transform(ps, x -> length(x)), 'sum') ELSE 0.0 END AS dpcf
+       |  FROM tok),
+       |${gramCtes.mkString(",\n")},
+       |${topCtes.mkString(",\n")},
+       |f AS (SELECT k.source, lm.dlf, lm.dlcf, lm.dpf, lm.dpcf,
+       |   ${fCols.mkString(",\n   ")}
+       |  FROM tok k JOIN lm ON lm.doc_id = k.doc_id
+       |  ${fJoins.mkString("\n  ")}),
+       |fl AS (SELECT source, top2, dlcf,
+       |   (dlf <= 0.30) AS ok_dl, (dlcf <= 0.20) AS ok_dlc,
+       |   (dpf <= 0.30) AS ok_dp, (dpcf <= 0.20) AS ok_dpc,
+       |   ($okTop) AS ok_top, ($okDup) AS ok_dup FROM f)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN ok_dl AND ok_dlc AND ok_dp AND ok_dpc AND ok_top AND ok_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       | CAST(sum(CASE WHEN NOT ok_dl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup_lines,
+       | CAST(sum(CASE WHEN NOT ok_dlc THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup_line_chars,
+       | CAST(sum(CASE WHEN NOT ok_dp THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup_paras,
+       | CAST(sum(CASE WHEN NOT ok_dpc THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup_para_chars,
+       | CAST(sum(CASE WHEN NOT ok_top THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top_ngrams,
+       | CAST(sum(CASE WHEN NOT ok_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup_ngrams,
+       | round(avg(top2), 4) AS avg_top_2gram,
+       | round(avg(dlcf), 4) AS avg_dup_line_chars
+       |FROM fl GROUP BY source ORDER BY source""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -777,6 +870,8 @@ private[graft] object DataQueries {
         | CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
         | CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "d42_gopher_repetition" -> d42Oracle,
 
     // Greedy leftmost non-overlapping symbol merge ≡ global string
     // replace over the unit-separator (chr 31) joined chars: replace()
