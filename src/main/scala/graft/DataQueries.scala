@@ -499,6 +499,15 @@ private[graft] object DataQueries {
         .orderBy("source")
     }),
 
+    // Cross-document paragraph dedup with reassembly: keep-first on the
+    // normalized-paragraph fingerprint, survivors rejoin in order. The
+    // reassembled text is verified via md5.
+    "d43_paragraph_dedup" -> ((s, dir) =>
+      graft.dedup.Dedup.paragraphDedup(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")),
+
     // BPE ENCODING under a fixed ordered merge list: the expensive
     // merge loop runs per DISTINCT word (vocabulary-sized), then joins
     // back to the corpus positions. Unit content is verified via an
@@ -872,6 +881,25 @@ private[graft] object DataQueries {
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "d42_gopher_repetition" -> d42Oracle,
+
+    // Keep-first = lexicographic min (doc_id, pos) per fingerprint,
+    // computed as two chained mins (min doc, then min pos within it) —
+    // the same winner Spark's min(struct) elects. Reassembly mirrors
+    // the "\n\n" join ordered by original position.
+    "d43_paragraph_dedup" ->
+      """WITH ps AS (SELECT doc_id, string_split_regex(text, '\n{2,}') AS arr FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos, arr[i] AS para,
+        |    md5(regexp_replace(lower(trim(arr[i])), '\s+', ' ', 'g')) AS fp
+        |  FROM ps, UNNEST(range(1, len(arr) + 1)) AS u(i)
+        |  WHERE length(trim(arr[i])) > 0),
+        |w1 AS (SELECT fp, min(doc_id) AS d0 FROM p GROUP BY 1),
+        |w2 AS (SELECT p.fp, min(p.pos) AS p0 FROM p JOIN w1 ON p.fp = w1.fp AND p.doc_id = w1.d0 GROUP BY 1),
+        |k AS (SELECT p.doc_id, p.pos, p.para, (p.doc_id = w1.d0 AND p.pos = w2.p0) AS keep
+        |  FROM p JOIN w1 ON p.fp = w1.fp JOIN w2 ON p.fp = w2.fp)
+        |SELECT doc_id, count(*) AS n_paras,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | md5(coalesce(string_agg(para, chr(10)||chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Greedy leftmost non-overlapping symbol merge ≡ global string
     // replace over the unit-separator (chr 31) joined chars: replace()

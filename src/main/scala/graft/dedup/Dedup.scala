@@ -730,4 +730,47 @@ object Dedup {
       size(col("__t")).cast("long").as("n_tokens"),
       size(col("__kept")).cast("long").as("n_kept"))
   }
+
+  /** Cross-document PARAGRAPH dedup with document reassembly — the
+    * RefinedWeb/C4 granularity between whole-document dedup
+    * ([[exactDedup]]) and w-gram span removal
+    * ([[removeDuplicatedSpans]]): blank-line-separated paragraphs are
+    * fingerprinted on normalized content, the globally FIRST occurrence
+    * (lexicographically smallest (doc_id, position)) survives, every
+    * later copy — across documents or within one — is dropped, and the
+    * survivors rejoin in original order as `clean_text` (joined with a
+    * blank line). Emits one row per document that has at least one
+    * non-blank paragraph: (doc_id, n_paras, n_kept, clean_text); a
+    * fully-deduplicated document keeps the row with `clean_text = ""`.
+    *
+    * Scale: the exploded (doc, pos, para, fingerprint) table is
+    * truncated ONCE (it feeds both the winner election and the
+    * join-back — the single-parent rule); the first-occurrence winner
+    * is `min(struct(doc_id, pos))` in a partial-aggregating
+    * `groupBy(fingerprint)` — combiners absorb the Zipf head of
+    * universal boilerplate paragraphs, and the join back on the
+    * fingerprint is AQE-skew-splittable (never a window over the
+    * corpus-frequency key). Reassembly groups by doc id, a partition
+    * bounded by each document's own paragraph count. */
+  def paragraphDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val paras = df
+      .select(id.as("doc_id"), posexplode(split(coalesce(text, lit("")), "\n{2,}")))
+      .filter(length(trim(col("col"))) > 0)
+      .select(col("doc_id"), col("pos").as("__pos"), col("col").as("__p"),
+        unhex(md5(TextFunctions.normalize(col("col")))).as("__fp"))
+    val staged = graft.operators.Lineage.truncate(paras)
+    val winners = staged.groupBy("__fp")
+      .agg(min(struct(col("doc_id"), col("__pos"))).as("__win"))
+    staged.join(winners, Seq("__fp"))
+      .withColumn("__keep",
+        col("doc_id") === col("__win.doc_id") && col("__pos") === col("__win.__pos"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(when(col("__keep"), struct(col("__pos"), col("__p"))))),
+            s => s.getField("__p"))).as("clean_text"))
+  }
 }

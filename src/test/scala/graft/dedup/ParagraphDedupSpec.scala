@@ -1,0 +1,53 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ParagraphDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] =
+    Dedup.paragraphDedup(docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("cross-document duplicate: first document keeps, later copy drops") {
+    val out = run(Seq(
+      1L -> "shared boilerplate para\n\nunique to one",
+      2L -> "unique to two\n\nshared boilerplate para"))
+    assert(out(1L) == ((2L, 2L, "shared boilerplate para\n\nunique to one")))
+    assert(out(2L) == ((2L, 1L, "unique to two")))
+  }
+
+  test("within-document duplicate keeps the first position") {
+    val out = run(Seq(1L -> "same para\n\nmiddle\n\nsame para"))
+    assert(out(1L) == ((3L, 2L, "same para\n\nmiddle")))
+  }
+
+  test("normalization dedups case/whitespace variants but keeps the original text") {
+    val out = run(Seq(
+      1L -> "Hello   World",
+      2L -> "hello world\n\nother content"))
+    assert(out(1L) == ((1L, 1L, "Hello   World")))
+    assert(out(2L) == ((2L, 1L, "other content")))
+  }
+
+  test("fully-deduplicated document keeps its row with empty clean_text") {
+    val out = run(Seq(1L -> "only para", 2L -> "only para"))
+    assert(out(2L) == ((1L, 0L, "")))
+  }
+
+  test("reassembly preserves order around a dropped middle paragraph") {
+    val out = run(Seq(
+      1L -> "the middle one",
+      2L -> "first block\n\nthe middle one\n\nlast block"))
+    assert(out(2L) == ((3L, 2L, "first block\n\nlast block")))
+  }
+
+  test("blank-only documents produce no row; blank segments are not paragraphs") {
+    val out = run(Seq(1L -> "\n\n \n\n", 2L -> "a\n\n \n\nb"))
+    assert(!out.contains(1L))
+    assert(out(2L) == ((2L, 2L, "a\n\nb")))
+  }
+}
