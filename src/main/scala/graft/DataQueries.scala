@@ -508,6 +508,20 @@ private[graft] object DataQueries {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")),
 
+    // DSIR importance resampling toward a target domain (src0+src1):
+    // hashed unigram+bigram log-ratio weights ride as a literal array
+    // (bounded collect, d32 discipline), scoring is a zero-shuffle
+    // narrow fold, selection is deterministic Gumbel top-50.
+    "d44_dsir_resample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(col("source").isin("src0", "src1"))
+      val lam = graft.text.Dsir.lambdaWeights(target, docs, col("text"), 512)
+      val scored = graft.text.Dsir.scoreDocuments(docs, col("doc_id"), col("text"), lam)
+      graft.text.Dsir.gumbelTopK(scored, col("doc_id"), col("log_weight"), 50)
+        .select(col("doc_id"), round(col("log_weight"), 4).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     // BPE ENCODING under a fixed ordered merge list: the expensive
     // merge loop runs per DISTINCT word (vocabulary-sized), then joins
     // back to the corpus positions. Unit content is verified via an
@@ -900,6 +914,32 @@ private[graft] object DataQueries {
         | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | md5(coalesce(string_agg(para, chr(10)||chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS clean_md5
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the whole DSIR pipeline: md5 feature buckets
+    // (unigrams + successor bigrams), add-1-smoothed target/raw bucket
+    // distributions, λ join-back, per-doc log-weight sum, and the same
+    // hash-derived Gumbel key with the same top-50 cut.
+    "d44_dsir_resample" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |   string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |f AS (SELECT doc_id, source, CAST('0x' || substr(md5(tok),1,15) AS BIGINT) % 512 AS b
+        |      FROM toks, UNNEST(t) AS u(tok)
+        |      UNION ALL
+        |      SELECT doc_id, source, CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]),1,15) AS BIGINT) % 512 AS b
+        |      FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+        |tc AS (SELECT b, count(*) AS c FROM f WHERE source IN ('src0','src1') GROUP BY 1),
+        |tt AS (SELECT count(*) AS n FROM f WHERE source IN ('src0','src1')),
+        |rc AS (SELECT b, count(*) AS c FROM f GROUP BY 1),
+        |rt AS (SELECT count(*) AS n FROM f),
+        |lam AS (SELECT r.b,
+        |    ln((coalesce(t.c, 0) + 1.0) / (tt.n + 512)) - ln((r.c + 1.0) / (rt.n + 512)) AS l
+        |  FROM rc r LEFT JOIN tc t ON r.b = t.b, tt, rt),
+        |sc AS (SELECT f.doc_id, sum(lam.l) AS lw FROM f JOIN lam ON f.b = lam.b GROUP BY 1),
+        |g AS (SELECT doc_id, lw,
+        |    lw + -ln(-ln((CAST('0x' || substr(md5(doc_id::VARCHAR),1,15) AS BIGINT) % 1000000 + 0.5) / 1000000.0)) AS key
+        |  FROM sc),
+        |top AS (SELECT doc_id, lw FROM g ORDER BY key DESC, doc_id LIMIT 50)
+        |SELECT doc_id, round(lw, 4) AS log_weight FROM top ORDER BY doc_id""".stripMargin,
 
     // Greedy leftmost non-overlapping symbol merge ≡ global string
     // replace over the unit-separator (chr 31) joined chars: replace()

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Parts-per-million resolution of the sampling hash. */
-  private val M = 1000000L
+  /** Hash-bucket modulus: [[hashBucket]] values are uniform over
+    * [0, M). Public so derived uniforms (e.g. DSIR's Gumbel noise) can
+    * normalize by the same constant. */
+  val M = 1000000L
 
   /** Stable per-key bucket in [0, 1e6): the first 15 hex chars of
     * md5(key ++ salt) parsed as a 60-bit integer, mod 1e6. Changing
