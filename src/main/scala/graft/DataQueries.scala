@@ -522,6 +522,13 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // The composed pretraining pipeline: Gopher gates → exact
+    // keep-first dedup → paragraph dedup, reported as a per-source
+    // funnel of exact integers.
+    "d45_pretrain_pipeline" -> ((s, dir) =>
+      graft.etl.PretrainPipeline.summary(
+        Tables.documents(s, dir), col("doc_id"), col("text"), col("source"))),
+
     // BPE ENCODING under a fixed ordered merge list: the expensive
     // merge loop runs per DISTINCT word (vocabulary-sized), then joins
     // back to the corpus positions. Unit content is verified via an
@@ -587,14 +594,43 @@ private[graft] object DataQueries {
     })
   )
 
-  /** The d42 oracle, generated per n (top n = 2..4, dup n = 5..10) so
-    * the nine structurally-identical gram CTEs stay maintainable.
+  /** Per-document Gopher QUALITY flags as a reusable CTE chain ending
+    * in `qf(doc_id, source, ok_*, keep)` — the d41 rule set factored so
+    * the d45 pipeline oracle can compose it. */
+  private def gopherQualityCtes: String =
+    """qt AS (SELECT doc_id, source, text,
+      |   string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+      |qm AS (SELECT doc_id, source,
+      |   len(t) AS nw,
+      |   list_aggregate(list_transform(t, x -> length(x)), 'sum') * 1.0 / len(t) AS mean_len,
+      |   ((length(text) - length(replace(text, '#', ''))) * 1.0
+      |     + len(regexp_extract_all(text, '(\.{3}|…)'))) / greatest(len(t), 1) AS sym_ratio,
+      |   len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0 / greatest(len(t), 1) AS alpha_ratio,
+      |   len(list_filter(t, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop,
+      |   list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+      |  FROM qt),
+      |qf AS (SELECT doc_id, source,
+      |   (nw >= 50 AND nw <= 100000) AS ok_words,
+      |   (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean,
+      |   (sym_ratio <= 0.1) AS ok_sym,
+      |   (alpha_ratio >= 0.8) AS ok_alpha,
+      |   (n_stop >= 2) AS ok_stop,
+      |   (len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+      |      / greatest(len(lines), 1) <= 0.9) AS ok_bullet,
+      |   (len(list_filter(lines, l -> regexp_matches(trim(l), '(\.{3}|…)$'))) * 1.0
+      |      / greatest(len(lines), 1) <= 0.3) AS ok_ellipsis
+      |  FROM qm)""".stripMargin
+
+  /** The d42 oracle's CTE chain, generated per n (top n = 2..4, dup
+    * n = 5..10) so the nine structurally-identical gram CTEs stay
+    * maintainable, ending in per-document
+    * `fl(doc_id, source, top2, dlcf, ok_*, keep)`.
     * Mirrors GopherRepetition exactly: empty tokens filtered before
     * shingling, per-doc gram counts via unnest+GROUP BY (the oracle may
     * explode; the engine must not), top tie-break = max chars among
     * max-count grams, duplicated chars = Σ c·len over grams with c ≥ 2,
     * denominators = greatest(normalized length, 1). */
-  private def d42Oracle: String = {
+  private def gopherRepetitionCtes: String = {
     val tops = Seq((2, "0.20"), (3, "0.18"), (4, "0.16"))
     val dups = Seq((5, "0.15"), (6, "0.14"), (7, "0.13"), (8, "0.12"), (9, "0.11"), (10, "0.10"))
     val ns = tops.map(_._1) ++ dups.map(_._1)
@@ -617,7 +653,7 @@ private[graft] object DataQueries {
         dups.map { case (n, _) => s"LEFT JOIN m$n ON m$n.doc_id = k.doc_id" }
     val okTop = tops.map { case (n, cap) => s"top$n <= $cap" }.mkString(" AND ")
     val okDup = dups.map { case (n, cap) => s"dup$n <= $cap" }.mkString(" AND ")
-    s"""WITH base AS (SELECT doc_id, source, text,
+    s"""base AS (SELECT doc_id, source, text,
        |   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
        |tok AS (SELECT doc_id, source, greatest(length(norm), 1) AS nchars,
        |   list_filter(string_split(norm, ' '), x -> length(x) > 0) AS t,
@@ -638,14 +674,18 @@ private[graft] object DataQueries {
        |  FROM tok),
        |${gramCtes.mkString(",\n")},
        |${topCtes.mkString(",\n")},
-       |f AS (SELECT k.source, lm.dlf, lm.dlcf, lm.dpf, lm.dpcf,
+       |f AS (SELECT k.doc_id, k.source, lm.dlf, lm.dlcf, lm.dpf, lm.dpcf,
        |   ${fCols.mkString(",\n   ")}
        |  FROM tok k JOIN lm ON lm.doc_id = k.doc_id
        |  ${fJoins.mkString("\n  ")}),
-       |fl AS (SELECT source, top2, dlcf,
+       |fl AS (SELECT doc_id, source, top2, dlcf,
        |   (dlf <= 0.30) AS ok_dl, (dlcf <= 0.20) AS ok_dlc,
        |   (dpf <= 0.30) AS ok_dp, (dpcf <= 0.20) AS ok_dpc,
-       |   ($okTop) AS ok_top, ($okDup) AS ok_dup FROM f)
+       |   ($okTop) AS ok_top, ($okDup) AS ok_dup FROM f)""".stripMargin
+  }
+
+  private def d42Oracle: String =
+    s"""WITH $gopherRepetitionCtes
        |SELECT source, count(*) AS n_docs,
        | CAST(sum(CASE WHEN ok_dl AND ok_dlc AND ok_dp AND ok_dpc AND ok_top AND ok_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        | CAST(sum(CASE WHEN NOT ok_dl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup_lines,
@@ -657,7 +697,56 @@ private[graft] object DataQueries {
        | round(avg(top2), 4) AS avg_top_2gram,
        | round(avg(dlcf), 4) AS avg_dup_line_chars
        |FROM fl GROUP BY source ORDER BY source""".stripMargin
-  }
+
+  /** The d45 pipeline oracle: quality + repetition per-doc fragments,
+    * then gate → exact keep-first dedup → paragraph keep-first dedup →
+    * per-source funnel, every output column an exact integer. */
+  private def d45Oracle: String =
+    s"""WITH $gopherQualityCtes,
+       |$gopherRepetitionCtes,
+       |gq AS (SELECT doc_id, (ok_words AND ok_mean AND ok_sym AND ok_alpha AND ok_stop
+       |    AND ok_bullet AND ok_ellipsis) AS keepq FROM qf),
+       |gr AS (SELECT doc_id, (ok_dl AND ok_dlc AND ok_dp AND ok_dpc AND ok_top AND ok_dup) AS keepr FROM fl),
+       |gd AS (SELECT b.doc_id, b.source, b.text FROM documents b
+       |  JOIN gq ON gq.doc_id = b.doc_id
+       |  JOIN gr ON gr.doc_id = b.doc_id
+       |  WHERE gq.keepq AND gr.keepr),
+       |ex AS (SELECT doc_id, source, text,
+       |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM gd),
+       |win AS (SELECT fp, min(doc_id) AS d0 FROM ex GROUP BY 1),
+       |kept AS (SELECT ex.doc_id, ex.text FROM ex JOIN win ON ex.fp = win.fp AND ex.doc_id = win.d0),
+       |pp0 AS (SELECT doc_id, string_split_regex(text, '\\n{2,}') AS arr FROM kept),
+       |pp AS (SELECT doc_id, i - 1 AS pos, arr[i] AS para,
+       |   md5(regexp_replace(lower(trim(arr[i])), '\\s+', ' ', 'g')) AS pfp
+       |  FROM pp0, UNNEST(range(1, len(arr) + 1)) AS u(i)
+       |  WHERE length(trim(arr[i])) > 0),
+       |pw1 AS (SELECT pfp, min(doc_id) AS d0 FROM pp GROUP BY 1),
+       |pw2 AS (SELECT pp.pfp, min(pp.pos) AS p0 FROM pp JOIN pw1 ON pp.pfp = pw1.pfp AND pp.doc_id = pw1.d0 GROUP BY 1),
+       |pk AS (SELECT pp.doc_id, pp.para, (pp.doc_id = pw1.d0 AND pp.pos = pw2.p0) AS keep
+       |  FROM pp JOIN pw1 ON pp.pfp = pw1.pfp JOIN pw2 ON pp.pfp = pw2.pfp),
+       |pd AS (SELECT doc_id, count(*) AS n_paras,
+       |   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |   CAST(sum(CASE WHEN keep THEN len(list_filter(
+       |       string_split(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g'), ' '),
+       |       x -> length(x) > 0)) ELSE 0 END) AS BIGINT) AS n_tok
+       |  FROM pk GROUP BY 1),
+       |mm AS (SELECT b.doc_id, b.source,
+       |   (gq.keepq AND gr.keepr) AS gate,
+       |   (k.doc_id IS NOT NULL) AS ex_keep,
+       |   coalesce(pd.n_paras, 0) AS n_paras, coalesce(pd.n_kept, 0) AS n_kept,
+       |   coalesce(pd.n_tok, 0) AS n_tok
+       |  FROM documents b
+       |  JOIN gq ON gq.doc_id = b.doc_id
+       |  JOIN gr ON gr.doc_id = b.doc_id
+       |  LEFT JOIN kept k ON k.doc_id = b.doc_id
+       |  LEFT JOIN pd ON pd.doc_id = b.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN gate THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+       | CAST(sum(CASE WHEN ex_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_kept,
+       | CAST(sum(CASE WHEN ex_keep THEN n_paras ELSE 0 END) AS BIGINT) AS n_paras,
+       | CAST(sum(CASE WHEN ex_keep THEN n_kept ELSE 0 END) AS BIGINT) AS n_kept_paras,
+       | CAST(sum(CASE WHEN ex_keep THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_clean
+       |FROM mm GROUP BY source ORDER BY source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -860,41 +949,23 @@ private[graft] object DataQueries {
 
     // Mirrors every Gopher rule: same tokenization, same line split,
     // same integer→double ratio math, so each per-rule fail count (and
-    // the keep conjunction) hash-matches.
+    // the keep conjunction) hash-matches. Built from the shared
+    // per-document fragment the d45 pipeline oracle composes.
     "d41_gopher_filter" ->
-      """WITH t AS (SELECT doc_id, source, text,
-        |   string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
-        |m AS (SELECT source,
-        |   len(t) AS nw,
-        |   list_aggregate(list_transform(t, x -> length(x)), 'sum') * 1.0 / len(t) AS mean_len,
-        |   ((length(text) - length(replace(text, '#', ''))) * 1.0
-        |     + len(regexp_extract_all(text, '(\.{3}|…)'))) / greatest(len(t), 1) AS sym_ratio,
-        |   len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0 / greatest(len(t), 1) AS alpha_ratio,
-        |   len(list_filter(t, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop,
-        |   list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
-        |  FROM t),
-        |f AS (SELECT source,
-        |   (nw >= 50 AND nw <= 100000) AS ok_words,
-        |   (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean,
-        |   (sym_ratio <= 0.1) AS ok_sym,
-        |   (alpha_ratio >= 0.8) AS ok_alpha,
-        |   (n_stop >= 2) AS ok_stop,
-        |   (len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
-        |      / greatest(len(lines), 1) <= 0.9) AS ok_bullet,
-        |   (len(list_filter(lines, l -> regexp_matches(trim(l), '(\.{3}|…)$'))) * 1.0
-        |      / greatest(len(lines), 1) <= 0.3) AS ok_ellipsis
-        |  FROM m)
-        |SELECT source, count(*) AS n_docs,
-        | CAST(sum(CASE WHEN ok_words AND ok_mean AND ok_sym AND ok_alpha AND ok_stop
-        |     AND ok_bullet AND ok_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-        | CAST(sum(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
-        | CAST(sum(CASE WHEN NOT ok_mean THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_len,
-        | CAST(sum(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbols,
-        | CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
-        | CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
-        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+      s"""WITH $gopherQualityCtes
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN ok_words AND ok_mean AND ok_sym AND ok_alpha AND ok_stop
+         |     AND ok_bullet AND ok_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         | CAST(sum(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+         | CAST(sum(CASE WHEN NOT ok_mean THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_len,
+         | CAST(sum(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbols,
+         | CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+         | CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
+         |FROM qf GROUP BY source ORDER BY source""".stripMargin,
 
     "d42_gopher_repetition" -> d42Oracle,
+
+    "d45_pretrain_pipeline" -> d45Oracle,
 
     // Keep-first = lexicographic min (doc_id, pos) per fingerprint,
     // computed as two chained mins (min doc, then min pos within it) —
