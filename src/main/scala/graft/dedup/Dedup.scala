@@ -773,4 +773,48 @@ object Dedup {
             array_sort(collect_list(when(col("__keep"), struct(col("__pos"), col("__p"))))),
             s => s.getField("__p"))).as("clean_text"))
   }
+
+  /** (para_hash) index of a corpus's paragraph fingerprints — persist
+    * this (parquet, bucketed by hash) as the paragraph-dedup state. */
+  def paragraphIndex(df: DataFrame, text: Column): DataFrame =
+    df.select(posexplode(split(coalesce(text, lit("")), "\n{2,}")))
+      .filter(length(trim(col("col"))) > 0)
+      .select(unhex(md5(TextFunctions.normalize(col("col")))).as("para_hash"))
+      .distinct()
+
+  /** Incremental paragraph dedup — [[exactDedupAgainst]]'s day-2
+    * discipline applied to [[paragraphDedup]]: a NEW batch's paragraph
+    * survives iff its fingerprint is absent from the persisted
+    * [[paragraphIndex]] AND no lexicographically-earlier batch-mate
+    * shares it. Index rows are never re-judged and the indexed corpus
+    * is never re-scanned: the index is the only corpus-sized input,
+    * joined exactly once on the fingerprint (AQE-skew-splittable; the
+    * batch-side winner election is the same partial-aggregating
+    * `min(struct)`). Emits the same shape as [[paragraphDedup]]; feed
+    * the kept fingerprints back with [[paragraphIndex]] ∪ batch
+    * survivors to advance the state. */
+  def paragraphDedupAgainst(newDocs: DataFrame, id: Column, text: Column,
+                            index: DataFrame): DataFrame = {
+    val paras = newDocs
+      .select(id.as("doc_id"), posexplode(split(coalesce(text, lit("")), "\n{2,}")))
+      .filter(length(trim(col("col"))) > 0)
+      .select(col("doc_id"), col("pos").as("__pos"), col("col").as("__p"),
+        unhex(md5(TextFunctions.normalize(col("col")))).as("__fp"))
+    val staged = graft.operators.Lineage.truncate(paras)
+    val winners = staged.groupBy("__fp")
+      .agg(min(struct(col("doc_id"), col("__pos"))).as("__win"))
+      .join(index.select(col("para_hash").as("__fp")), Seq("__fp"), "left_anti")
+    staged.join(winners, Seq("__fp"), "left")
+      .withColumn("__keep",
+        col("__win").isNotNull &&
+          col("doc_id") === col("__win.doc_id") && col("__pos") === col("__win.__pos"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(when(col("__keep"), struct(col("__pos"), col("__p"))))),
+            s => s.getField("__p"))).as("clean_text"))
+  }
 }

@@ -50,4 +50,33 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(!out.contains(1L))
     assert(out(2L) == ((2L, 2L, "a\n\nb")))
   }
+
+  test("incremental: index suppression, in-batch dedup, novel survival") {
+    val corpus = Seq((1L, "seen before\n\nalso seen")).toDF("doc_id", "text")
+    val index = Dedup.paragraphIndex(corpus, col("text"))
+    val batch = Seq(
+      (10L, "seen before\n\nbrand new para"),
+      (11L, "brand new para\n\nanother novel one"))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupAgainst(batch, col("doc_id"), col("text"), index)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 10: "seen before" is in the index; "brand new para" is novel
+    assert(out(10L) == ((2L, 1L, "brand new para")))
+    // doc 11: "brand new para" lost the in-batch election to doc 10
+    assert(out(11L) == ((2L, 1L, "another novel one")))
+  }
+
+  test("incremental: advancing the index suppresses a replayed batch") {
+    val corpus = Seq((1L, "old stuff")).toDF("doc_id", "text")
+    val batch = Seq((10L, "old stuff\n\nfresh content")).toDF("doc_id", "text")
+    val index0 = Dedup.paragraphIndex(corpus, col("text"))
+    val kept = Dedup.paragraphDedupAgainst(batch, col("doc_id"), col("text"), index0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val index1 = index0.union(Dedup.paragraphIndex(kept, col("text"))).distinct()
+    val replay = Dedup.paragraphDedupAgainst(batch, col("doc_id"), col("text"), index1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(replay(10L) == 0L, "replayed batch must admit nothing")
+  }
 }
