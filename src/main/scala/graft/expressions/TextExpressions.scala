@@ -107,10 +107,124 @@ case class StopwordHitCounts(child: Expression, sets: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** Gram key: a window of interned token ids. Equality/hashing over the
+  * id array — exact gram equality without building gram strings
+  * (tokens contain no spaces, so the id sequence IS the joined gram). */
+private final class GramKey(val ids: Array[Int]) {
+  override def hashCode: Int = java.util.Arrays.hashCode(ids)
+  override def equals(o: Any): Boolean = o match {
+    case k: GramKey => java.util.Arrays.equals(ids, k.ids)
+    case _ => false
+  }
+}
+
+/** Native n-gram repetition statistics: for each window width n in
+  * `ns`, the characters covered by the single most frequent word
+  * n-gram (count ties broken to the larger coverage) and by ALL
+  * occurrences of every n-gram appearing ≥ 2 times — the two Gopher
+  * Table A1 repetition numerators — as `array<long>` laid out
+  * `[top_{n1}, dup_{n1}, top_{n2}, dup_{n2}, …]`.
+  *
+  * Replaces, per width, an interpreted `array_sort` of the shingle
+  * array plus run-start/ run-fold higher-order chains (no codegen, no
+  * common-subexpression elimination) with ONE JVM pass: tokens are
+  * interned to ids, each window hashes an id slice into a count map,
+  * and gram character lengths come from a prefix-sum
+  * (Σ `numChars` + n − 1 ≡ the joined gram's `length()`, in code
+  * points, since tokens contain no spaces). O(m·Σn) with no string
+  * materialization; the d42 bench cost dropped ~4× when this replaced
+  * the sort path.
+  *
+  * Precondition: token arrays contain no null elements (the staged
+  * `tokens` + non-empty filter guarantee it); a null element is
+  * treated as an empty token. A null ARRAY yields null.
+  */
+case class NgramRepStats(child: Expression, ns: Seq[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(ns.nonEmpty && ns.forall(_ >= 1), s"window widths must be >= 1, got $ns")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_rep_stats"
+  override def nullable: Boolean = child.nullable
+
+  /** Public for the generated code path: one virtual call per row keeps
+    * the surrounding projection inside whole-stage codegen. */
+  def evalArray(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val ids = new Array[Int](m)
+    val prefix = new Array[Int](m + 1)
+    val intern = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < m) {
+      val t = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      var id = intern.get(t)
+      if (id == null) { id = Integer.valueOf(intern.size()); intern.put(t, id) }
+      ids(i) = id.intValue()
+      prefix(i + 1) = prefix(i) + t.numChars()
+      i += 1
+    }
+    val out = new Array[Long](2 * ns.length)
+    var j = 0
+    while (j < ns.length) {
+      val n = ns(j)
+      if (m >= n) {
+        val counts = new java.util.HashMap[GramKey, Array[Long]]()
+        var s = 0
+        while (s <= m - n) {
+          val key = new GramKey(java.util.Arrays.copyOfRange(ids, s, s + n))
+          val e = counts.get(key)
+          if (e == null) counts.put(key, Array(1L, (prefix(s + n) - prefix(s) + (n - 1)).toLong))
+          else e(0) += 1L
+          s += 1
+        }
+        var bestCnt = 0L
+        var bestChars = 0L
+        var dup = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val chars = e(0) * e(1)
+          if (e(0) > bestCnt || (e(0) == bestCnt && chars > bestChars)) {
+            bestCnt = e(0); bestChars = chars
+          }
+          if (e(0) >= 2L) dup += chars
+        }
+        out(2 * j) = bestChars
+        out(2 * j + 1) = dup
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = evalArray(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("ngramRepStats", this, classOf[NgramRepStats].getName)
+      s"${ev.value} = $ref.evalArray($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API for [[StopwordHitCounts]]: element i of the result
     * counts tokens contained in `sets(i)`. Input must be
     * `array<string>` (stage [[graft.text.TextFunctions.tokens]] first). */
   def setHitCounts(tokens: Column, sets: Seq[Seq[String]]): Column =
     ColumnBridge.column(StopwordHitCounts(ColumnBridge.expression(tokens), sets))
+
+  /** Column API for [[NgramRepStats]]: `[top_{n1}, dup_{n1}, …]` char
+    * coverages per window width. Input must be `array<string>` with no
+    * null elements (stage tokens first). */
+  def ngramRepStats(tokens: Column, ns: Seq[Int]): Column =
+    ColumnBridge.column(NgramRepStats(ColumnBridge.expression(tokens), ns))
 }

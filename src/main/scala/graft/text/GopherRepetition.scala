@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   *     0.12 / 0.11 / 0.10.
   *
   * Everything is a narrow map: per-document n-gram frequencies come
-  * from sorting the in-row shingle array and folding adjacent runs —
-  * no explode, no shuffle, no corpus-wide gram key (the d28 Zipf-skew
+  * from ONE native in-row pass
+  * ([[graft.expressions.NgramRepStats]] — interned token ids hashed
+  * per window into a count map, all widths in one expression) — no
+  * explode, no shuffle, no corpus-wide gram key (the d28 Zipf-skew
   * class is structurally absent because grams never leave their row).
-  * Each sorted array and run-start index array is staged in its own
-  * projection (interpreted higher-order functions get no
-  * common-subexpression elimination — [[TextFunctions.shinglesOf]]).
+  * Line/paragraph arrays are staged in their own projections
+  * (interpreted higher-order functions get no common-subexpression
+  * elimination — [[TextFunctions.shinglesOf]]).
   *
   * Line rules run on RAW text (normalization collapses newlines);
   * n-gram denominators use the normalized-text length, the exact
@@ -39,35 +41,6 @@ object GopherRepetition {
   /** (n, threshold) for the duplicated-n-gram character-fraction gates. */
   val DupNgramCaps: Seq[(Int, Double)] =
     Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
-
-  /** Run-start positions (1-based) of a SORTED, STAGED array: position i
-    * starts a run iff i = 1 or the element differs from its predecessor.
-    * The index guard is a `when`, so `element_at` never sees index 0
-    * under ANSI mode, and the m = 0 case never builds the descending
-    * `sequence(1, 0)`. */
-  private def runStarts(sorted: Column): Column = {
-    val m = size(sorted)
-    val positions = when(m >= 1, sequence(lit(1), m)).otherwise(array().cast("array<int>"))
-    filter(positions, i =>
-      when(i === 1, lit(true)).otherwise(!(element_at(sorted, i) <=> element_at(sorted, i - 1))))
-  }
-
-  /** (top_chars, dup_chars) of a sorted array given its STAGED run-start
-    * positions: each run r covers cnt(r) × length(gram(r)) characters;
-    * top = the lexicographic (cnt, chars) max — most frequent gram,
-    * ties to the longer — dup = Σ chars over runs with cnt ≥ 2. */
-  private def runChars(sorted: Column, starts: Column): Column = {
-    val m = size(sorted)
-    val nexts = concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))), array(m + 1))
-    val runs = zip_with(starts, nexts, (s, nxt) =>
-      struct((nxt - s).as("cnt"), ((nxt - s) * length(element_at(sorted, s))).as("chars")))
-    struct(
-      when(m > 0, array_max(runs).getField("chars")).otherwise(lit(0)).cast("long").as("top"),
-      coalesce(
-        aggregate(runs, lit(0L), (acc, r) =>
-          acc + when(r.getField("cnt") >= 2, r.getField("chars").cast("long")).otherwise(lit(0L))),
-        lit(0L)).as("dup"))
-  }
 
   private def safeFrac(num: Column, den: Column): Column =
     when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
@@ -98,15 +71,14 @@ object GopherRepetition {
       col("*"),
       filter(col("__rep_rawlines"), l => length(l) > 0).as("__rep_lines"),
       filter(col("__rep_rawparas"), p => length(p) > 0).as("__rep_paras"))
-    val stage3 = stage2.select(
-      Seq(col("*"),
-        array_distinct(col("__rep_lines")).as("__rep_lines_d"),
-        array_distinct(col("__rep_paras")).as("__rep_paras_d")) ++
-        ns.map(n => array_sort(TextFunctions.shinglesAllOf(col("__rep_toks"), n)).as(s"__rep_s$n")): _*)
-    val stage4 = stage3.select(
-      col("*") +: ns.map(n => runStarts(col(s"__rep_s$n")).as(s"__rep_st$n")): _*)
-    val stage5 = stage4.select(
-      col("*") +: ns.map(n => runChars(col(s"__rep_s$n"), col(s"__rep_st$n")).as(s"__rep_rc$n")): _*)
+    // one native pass computes every width's (top, dup) char coverage —
+    // NgramRepStats replaces the former per-width array_sort + run-fold
+    // HOF chains (interpreted, no CSE) with an in-row count map
+    val stage5 = stage2.select(
+      col("*"),
+      array_distinct(col("__rep_lines")).as("__rep_lines_d"),
+      array_distinct(col("__rep_paras")).as("__rep_paras_d"),
+      graft.expressions.TextExpressions.ngramRepStats(col("__rep_toks"), ns).as("__rep_ng"))
 
     def charsOf(arr: Column): Column =
       coalesce(aggregate(arr, lit(0L), (acc, x) => acc + length(x)), lit(0L))
@@ -120,11 +92,13 @@ object GopherRepetition {
     val dupParaCharFrac = safeFrac(
       charsOf(col("__rep_paras")) - charsOf(col("__rep_paras_d")), charsOf(col("__rep_paras")))
     val topFracs = TopNgramCaps.map { case (n, cap) =>
-      val f = safeFrac(col(s"__rep_rc$n").getField("top"), col("__rep_nchars"))
+      val idx = ns.indexOf(n)
+      val f = safeFrac(element_at(col("__rep_ng"), 2 * idx + 1), col("__rep_nchars"))
       (n, cap, f)
     }
     val dupFracs = DupNgramCaps.map { case (n, cap) =>
-      val f = safeFrac(col(s"__rep_rc$n").getField("dup"), col("__rep_nchars"))
+      val idx = ns.indexOf(n)
+      val f = safeFrac(element_at(col("__rep_ng"), 2 * idx + 2), col("__rep_nchars"))
       (n, cap, f)
     }
     val okDupLines = dupLineFrac <= 0.30

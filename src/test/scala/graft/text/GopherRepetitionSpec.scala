@@ -65,6 +65,36 @@ class GopherRepetitionSpec extends SparkSpec {
     }
   }
 
+  test("native gram stats match a brute-force recomputation on seeded docs") {
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dddd", "unrelated", "x1", "y22", "zz")
+    for (_ <- 1 to 20) {
+      val toks = Vector.fill(3 + rng.nextInt(60))(vocab(rng.nextInt(vocab.size)))
+      val text = toks.mkString(" ")
+      val f = repOf(text)
+      val nchars = math.max(text.length, 1)
+      for ((n, field) <- Seq(2 -> "top_2gram_char_frac", 3 -> "top_3gram_char_frac")) {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size)
+        val expected =
+          if (grams.isEmpty) 0.0
+          else {
+            val mx = counts.values.max
+            counts.collect { case (g, c) if c == mx => c.toLong * g.length }.max.toDouble / nchars
+          }
+        assert(math.abs(d(f(field)) - expected) < 1e-12, s"n=$n text=$text")
+      }
+      val dup5 = {
+        val grams = toks.sliding(5).map(_.mkString(" ")).toSeq
+        if (toks.size < 5) 0.0
+        else grams.groupBy(identity).values.collect {
+          case g if g.size >= 2 => g.size.toLong * g.head.length
+        }.sum.toDouble / nchars
+      }
+      assert(math.abs(d(f("dup_5gram_char_frac")) - dup5) < 1e-12, s"text=$text")
+    }
+  }
+
   test("single repeated long line dominates both line metrics") {
     val f = repOf(Seq.fill(10)("this exact line repeats verbatim").mkString("\n"))
     assert(math.abs(d(f("dup_line_frac")) - 0.9) < 1e-12)
