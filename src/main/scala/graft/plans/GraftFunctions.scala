@@ -90,5 +90,12 @@ object GraftFunctions {
         ThetaSetEstimate(a, b, strArg("graft_theta_estimate", "op", op),
           intArg("graft_theta_estimate", "lgK", lgK))
       case args => arity("graft_theta_estimate", "4", args)
+    },
+    fn("graft_ngram_rep_stats",
+      "graft_ngram_rep_stats(tokens array<string>, n1 int, ...) - per-width [top_chars, dup_chars] of word n-grams") {
+      case args if args.length >= 2 =>
+        NgramRepStats(args.head,
+          args.tail.map(e => intArg("graft_ngram_rep_stats", "n", e)))
+      case args => arity("graft_ngram_rep_stats", "at least 2", args)
     })
 }

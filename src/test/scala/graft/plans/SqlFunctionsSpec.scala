@@ -78,6 +78,14 @@ class SqlFunctionsSpec extends SparkSpec {
       s"got ${row}")
   }
 
+  test("graft_ngram_rep_stats from SQL: [top_chars, dup_chars] per width") {
+    // tokens [a b a b]: 2-grams "a b"×2 (3 chars → 6), "b a"×1 → top=6, dup=6;
+    // 3-grams "a b a", "b a b" both once → top=5, dup=0
+    val row = ext.sql(
+      "SELECT graft_ngram_rep_stats(split('a b a b', ' '), 2, 3) AS s").head()
+    assert(row.getSeq[Long](0) == Seq(6L, 6L, 5L, 0L), s"got ${row.getSeq[Long](0)}")
+  }
+
   test("config arguments reject non-literals with a clear error") {
     val e = intercept[Exception] {
       ext.sql("SELECT graft_kll_sketch_agg(CAST(id AS DOUBLE), CAST(id AS INT)) FROM range(3)")
