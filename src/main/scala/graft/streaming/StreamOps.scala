@@ -396,26 +396,7 @@ object StreamOps {
       emptyIndex: () => DataFrame,
       judge: DataFrame => DataFrame,
       indexOf: DataFrame => DataFrame): Unit = {
-    val spark = batch.sparkSession
-    val hPath = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val index =
-      if (fs.exists(hPath)) {
-        val raw = spark.read.parquet(indexPath)
-        // drop any half-written state of THIS epoch (crash + replay):
-        // the batch must be judged against exactly the pre-batch index.
-        // An index written by the pre-epoch-keyed layout (flat files,
-        // no batch= dirs) has no `batch` column — all its rows are by
-        // definition prior state, so it reads unfiltered; do NOT mix
-        // the two layouts in one directory (parquet partition
-        // discovery rejects that), start a new indexPath instead.
-        if (raw.columns.contains("batch"))
-          raw.filter(col("batch") =!= lit(epochId)).drop("batch")
-        else raw
-      }
-      // typed empty index: same derivation, zero rows — keeps the
-      // bootstrap batch on the exact code path every other batch runs
-      else emptyIndex()
+    val index = priorIndex(batch.sparkSession, indexPath, epochId, emptyIndex)
     val keptIds = judge(index).filter(col("kept")).select(col("vid"))
     val kept = batch.join(keptIds, batch(id) === col("vid"), "left_semi")
     kept.persist()
@@ -423,6 +404,81 @@ object StreamOps {
       kept.write.mode("overwrite").parquet(s"$outRoot/batch=$epochId")
       indexOf(kept).write.mode("overwrite").parquet(s"$indexPath/batch=$epochId")
     } finally kept.unpersist()
+  }
+
+  /** The PRE-batch state of an epoch-keyed persisted index: drops any
+    * half-written state of THIS epoch (crash + replay — the batch must
+    * be judged against exactly the pre-batch index). An index written
+    * by a pre-epoch-keyed layout (flat files, no `batch=` dirs) has no
+    * `batch` column — all its rows are by definition prior state, so
+    * it reads unfiltered; do NOT mix the two layouts in one directory
+    * (parquet partition discovery rejects that), start a new index
+    * path instead. A missing directory bootstraps via `emptyIndex` —
+    * a TYPED zero-row frame, keeping the first batch on the exact code
+    * path every other batch runs. */
+  private def priorIndex(spark: SparkSession, indexPath: String, epochId: Long,
+                         emptyIndex: () => DataFrame): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hPath)) {
+      val raw = spark.read.parquet(indexPath)
+      if (raw.columns.contains("batch"))
+        raw.filter(col("batch") =!= lit(epochId)).drop("batch")
+      else raw
+    } else emptyIndex()
+  }
+
+  /** Streaming PARAGRAPH-dedup ingest: per micro-batch, judge arriving
+    * documents' paragraphs against the persisted fingerprint index with
+    * [[graft.dedup.Dedup.paragraphDedupAgainst]], write the reassembled
+    * documents (doc_id, n_paras, n_kept, clean_text) to `outRoot`, and
+    * append the batch's surviving-paragraph fingerprints to
+    * `indexPath` — the E7 content-hash pattern at paragraph
+    * granularity: cross-batch boilerplate paragraphs are suppressed
+    * forever, far beyond any watermark horizon, while novel paragraphs
+    * of partially-duplicated documents still land.
+    *
+    * Replay safety: identical contract to [[toSemanticDeduped]] — both
+    * outputs under `batch=<epochId>` in OVERWRITE mode, index read
+    * excludes the replaying epoch's own rows. Index state lives on
+    * disk; executor loss costs nothing. */
+  def toParagraphDeduped(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      outRoot: String,
+      indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        paragraphDedupBatch(batch.toDF(), epochId, id, text, outRoot, indexPath)
+      }
+      .start()
+
+  /** One micro-batch of [[toParagraphDeduped]], exposed for replay
+    * tests: running the same (batch, epochId) twice must leave
+    * identical output and index state. */
+  private[graft] def paragraphDedupBatch(
+      batch: DataFrame,
+      epochId: Long,
+      id: String,
+      text: String,
+      outRoot: String,
+      indexPath: String): Unit = {
+    import graft.dedup.Dedup
+    val index = priorIndex(batch.sparkSession, indexPath, epochId,
+      () => Dedup.paragraphIndex(batch.limit(0), col(text)))
+    val result = Dedup.paragraphDedupAgainst(batch, col(id), col(text), index)
+    result.persist()
+    try {
+      result.write.mode("overwrite").parquet(s"$outRoot/batch=$epochId")
+      // the kept paragraphs ARE clean_text's blocks: re-splitting
+      // recovers them exactly (paragraph boundaries were consumed by
+      // the original split, so the "\n\n" joins are unambiguous)
+      Dedup.paragraphIndex(result.filter(col("n_kept") > 0), col("clean_text"))
+        .write.mode("overwrite").parquet(s"$indexPath/batch=$epochId")
+    } finally result.unpersist()
   }
 
   /** Streaming corpus profiling: each micro-batch APPENDS its mergeable

@@ -385,4 +385,47 @@ class StreamOpsSpec extends SparkSpec {
       .select("day", "n_estimate").as[(String, Long)].collect().toMap
     assert(byDay2 == byDay)
   }
+
+  test("toParagraphDeduped: cross-batch paragraph suppression via the index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-paradedup")
+    val out = dir.resolve("out").toString
+    val index = dir.resolve("index").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.toParagraphDeduped(
+      input.toDF().toDF("doc_id", "text"),
+      id = "doc_id", text = "text",
+      outRoot = out, indexPath = index,
+      checkpoint = dir.resolve("ckpt").toString)
+    try {
+      input.addData((1L, "shared boilerplate\n\nfirst unique"))
+      q.processAllAvailable()
+      input.addData((2L, "shared boilerplate\n\nsecond unique"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+        .select("doc_id", "clean_text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(landed(1L) == "shared boilerplate\n\nfirst unique")
+      assert(landed(2L) == "second unique", s"got ${landed(2L)}")
+    } finally q.stop()
+  }
+
+  test("paragraphDedupBatch replay: same epoch twice leaves identical state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paradedup-replay")
+    val out = dir.resolve("out").toString
+    val index = dir.resolve("index").toString
+    val b0 = Seq((1L, "alpha para\n\nbeta para")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "beta para\n\ngamma para")).toDF("doc_id", "text")
+    StreamOps.paragraphDedupBatch(b0, 0L, "doc_id", "text", out, index)
+    StreamOps.paragraphDedupBatch(b1, 1L, "doc_id", "text", out, index)
+    // at-least-once: epoch 1 fires again — must re-judge against the
+    // pre-batch index and rewrite to the same state
+    StreamOps.paragraphDedupBatch(b1, 1L, "doc_id", "text", out, index)
+    val landed = spark.read.parquet(out).select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(landed.size == 2)
+    assert(landed(2L) == "gamma para", s"got ${landed(2L)}")
+    val fps = spark.read.parquet(index).select("para_hash").distinct().count()
+    assert(fps == 3L, s"index must hold exactly 3 paragraph fingerprints, got $fps")
+  }
 }
