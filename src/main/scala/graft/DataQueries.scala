@@ -514,8 +514,8 @@ private[graft] object DataQueries {
     // narrow fold, selection is deterministic Gumbel top-50.
     "d44_dsir_resample" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val target = docs.filter(col("source").isin("src0", "src1"))
-      val lam = graft.text.Dsir.lambdaWeights(target, docs, col("text"), 512)
+      val lam = graft.text.Dsir.lambdaWeightsWithin(
+        docs, col("source").isin("src0", "src1"), col("text"), 512)
       val scored = graft.text.Dsir.scoreDocuments(docs, col("doc_id"), col("text"), lam)
       graft.text.Dsir.gumbelTopK(scored, col("doc_id"), col("log_weight"), 50)
         .select(col("doc_id"), round(col("log_weight"), 4).as("log_weight"))

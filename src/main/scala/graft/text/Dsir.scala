@@ -70,6 +70,30 @@ object Dsir {
     }
   }
 
+  /** λ when the target is a SUBSET of the raw corpus (the common DSIR
+    * setup: "select more documents like this labeled slice"): ONE
+    * exploded pass computes both distributions — each feature
+    * occurrence contributes to the raw count always and to the target
+    * count conditionally — halving the corpus scans of
+    * [[lambdaWeights]]. Same smoothing, same result. */
+  def lambdaWeightsWithin(raw: DataFrame, isTarget: Column, text: Column, dim: Int): Seq[Double] = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val rows = raw.select(TextFunctions.tokens(text).as("__t"), isTarget.as("__is_t"))
+      .select(featureBuckets(col("__t"), dim).as("__f"), col("__is_t"))
+      .select(explode(col("__f")).as("bucket"), col("__is_t"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cr"), sum(when(col("__is_t"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val cr = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rTot = cr.values.sum
+    val tTot = ct.values.sum
+    (0L until dim.toLong).map { j =>
+      math.log((ct.getOrElse(j, 0L) + 1.0) / (tTot + dim)) -
+        math.log((cr.getOrElse(j, 0L) + 1.0) / (rTot + dim))
+    }
+  }
+
   /** (doc_id, log_weight): Σ λ over the document's feature occurrences —
     * a zero-shuffle narrow map (λ rides as a literal array; the fold
     * runs over the staged in-row bucket array). */

@@ -22,6 +22,18 @@ class DsirSpec extends SparkSpec {
     assert(scored(2L) < scored(1L))
   }
 
+  test("lambdaWeightsWithin equals the two-pass lambdaWeights on a subset target") {
+    val raw = (Seq.fill(10)("alpha beta gamma") ++ Seq.fill(10)("zz yy xx"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, i < 10) }
+      .toDF("doc_id", "text", "is_target")
+    val twoPass = Dsir.lambdaWeights(
+      raw.filter(col("is_target")), raw, col("text"), dim)
+    val onePass = Dsir.lambdaWeightsWithin(raw, col("is_target"), col("text"), dim)
+    assert(twoPass.size == onePass.size)
+    for (j <- twoPass.indices)
+      assert(twoPass(j) == onePass(j), s"bucket $j: ${twoPass(j)} vs ${onePass(j)}")
+  }
+
   test("score equals an independent explode+join recomputation") {
     val docs = Seq((1L, "the cat sat"), (2L, "dogs bark loudly at night"), (3L, ""))
       .toDF("doc_id", "text")
