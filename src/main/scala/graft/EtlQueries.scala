@@ -15,6 +15,24 @@ private[graft] object EtlQueries {
 
     // ================================================================ A: ETL
 
+    // Crawl-curation composition: blocklist the site0.com domain, then
+    // cap every surviving domain at 20 docs via the deterministic
+    // expected-k hash thinning (URLs synthesized from doc ids so the
+    // oracle reproduces them byte-for-byte).
+    "a20_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).withColumn("url",
+        concat(lit("https://www.site"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".com/page/"), col("doc_id").cast("string")))
+      val blocked = Seq("site0.com").toDF("domain")
+      val kept = graft.sources.Urls.capPerDomainExpected(
+        graft.sources.Urls.filterBlockedDomains(docs, col("url"), blocked),
+        col("doc_id"), col("url"), 20)
+      kept.groupBy(graft.sources.Urls.registeredDomainOf(col("url")).as("domain"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+        .orderBy("domain")
+    }),
+
     "a1_validate" -> ((s, dir) => {
       val rules = Seq(
         Validate.Rule("missing_custkey", col("o_custkey").isNotNull),
@@ -191,6 +209,19 @@ private[graft] object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // Mirrors the synthesized URLs, the registrable-domain heuristic's
+    // result on them (siteN.com), the blocklist, and the md5-derived
+    // expected-k thinning rule exactly.
+    "a20_domain_cap" ->
+      """WITH u AS (SELECT doc_id, 'site' || (doc_id % 7) || '.com' AS dom FROM documents),
+        |f AS (SELECT * FROM u WHERE dom <> 'site0.com'),
+        |c AS (SELECT dom, count(*) AS n FROM f GROUP BY 1),
+        |k AS (SELECT f.doc_id, f.dom FROM f JOIN c USING (dom)
+        |  WHERE c.n <= 20 OR
+        |    (CAST('0x' || substr(md5(f.doc_id::VARCHAR), 1, 15) AS BIGINT) % 1000000) * c.n < 20 * 1000000)
+        |SELECT dom AS domain, count(*) AS n_kept, min(doc_id) AS min_id
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a1_validate" ->
       """SELECT coalesce(CASE

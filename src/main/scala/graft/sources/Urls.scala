@@ -89,4 +89,43 @@ object Urls {
       .filter(col("canonical_url").isNotNull)
       .groupBy("canonical_url")
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_aliases"))
+
+  /** Drop rows whose registrable domain appears in `blocked` (a
+    * one-column frame of lowercase domains — the UT1-blocklist shape).
+    * An anti-join on the domain: Catalyst broadcasts the typical
+    * few-million-row list, and unparseable URLs (null domain) pass
+    * through — blocklists exclude known-bad, they don't require
+    * parseability. */
+  def filterBlockedDomains(df: DataFrame, url: Column, blocked: DataFrame): DataFrame = {
+    require(!df.columns.contains("__dom"),
+      "filterBlockedDomains reserves column '__dom'; rename the input column")
+    val list = blocked.select(lower(col(blocked.columns.head)).as("__dom"))
+    df.withColumn("__dom", registeredDomainOf(url))
+      .join(list, Seq("__dom"), "left_anti")
+      .drop("__dom")
+  }
+
+  /** Per-domain frequency cap (the C4/RefinedWeb host-capping step:
+    * no single domain may dominate the corpus), SKEW-IMMUNE: a window
+    * rank over the domain key would put a hub domain's 10^8 rows into
+    * one unsplittable task, so instead per-domain counts come from a
+    * partial-aggregating groupBy joined back (AQE-skew-splittable) and
+    * each row keeps iff `hash(id) · n_domain < k · M` — a deterministic
+    * uniform thinning whose kept count is min(k, n) in EXPECTATION
+    * (domains at or under the cap keep everything exactly). For exact
+    * k over BOUNDED strata (sources, languages — not web domains) use
+    * [[graft.operators.Sampling.exactKPerStratum]]. */
+  def capPerDomainExpected(df: DataFrame, id: Column, url: Column, k: Int,
+                           salt: String = ""): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    require(!df.columns.contains("__dom") && !df.columns.contains("__n"),
+      "capPerDomainExpected reserves columns '__dom'/'__n'; rename the input columns")
+    val withDom = df.withColumn("__dom", registeredDomainOf(url))
+    val counts = withDom.groupBy("__dom").agg(count(lit(1)).as("__n"))
+    withDom.join(counts, Seq("__dom"))
+      .filter(col("__n") <= k ||
+        graft.operators.Sampling.hashBucket(id, salt) * col("__n") <
+          k.toLong * graft.operators.Sampling.M)
+      .drop("__dom", "__n")
+  }
 }

@@ -53,4 +53,34 @@ class UrlsSpec extends SparkSpec {
       ("http://e.com/a", 1L, 3L),
       ("http://other.com/b", 9L, 1L)))
   }
+
+  test("filterBlockedDomains drops blocklisted registrable domains, passes nulls") {
+    val rows = Seq(
+      (1L, "https://www.bad.com/x"),
+      (2L, "https://sub.bad.com/y"),
+      (3L, "https://good.com/z"),
+      (4L, "not a url at all"))
+      .toDF("id", "url")
+    val blocked = Seq("bad.com").toDF("domain")
+    val kept = Urls.filterBlockedDomains(rows, col("url"), blocked)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"got $kept")
+  }
+
+  test("capPerDomainExpected: under-cap domains keep everything, hubs thin near k") {
+    val rows = (1L to 500L).map(i =>
+      (i, if (i <= 490) "https://hub.com/p/" + i else "https://tiny.org/p/" + i))
+      .toDF("id", "url")
+    val kept = Urls.capPerDomainExpected(rows, col("id"), col("url"), 20)
+      .select("id").as[Long].collect().toSeq
+    val tiny = kept.count(_ > 490)
+    val hub = kept.count(_ <= 490)
+    assert(tiny == 10, s"under-cap domain must keep all 10 rows, kept $tiny")
+    // expected-k thinning: E[kept] = 20; hash-deterministic, so the
+    // realized value is a fixed number within a broad sanity band
+    assert(hub >= 8 && hub <= 40, s"hub kept $hub, expected near 20")
+    val again = Urls.capPerDomainExpected(rows, col("id"), col("url"), 20)
+      .select("id").as[Long].collect().toSeq
+    assert(again == kept, "thinning must be deterministic")
+  }
 }
