@@ -62,6 +62,33 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Bloom state of a [[contentHashIndex]]: a few hundred MB summarizes
+    * billions of digests (one aggregate, one collected row). Persist
+    * next to the index; per-slice filters union via
+    * [[graft.expressions.BloomSketch.bloomUnionAgg]]. */
+  def bloomOfIndex(index: DataFrame, expectedItems: Long, fpp: Double = 0.01): Array[Byte] =
+    graft.expressions.BloomSketch.build(index, col("content_hash"), expectedItems, fpp)
+
+  /** Two-tier incremental exact dedup: [[exactDedupAgainst]] with the
+    * bloom fast path. Bloom-NEGATIVE rows are definitely novel (no
+    * false negatives) and skip the join entirely — a zero-join narrow
+    * map admits the typical >99% of a fresh batch; only the bloom
+    * POSITIVES (true dups + fpp of the rest) reach the precise
+    * anti-join against the full index. Result is EXACTLY
+    * [[exactDedupAgainst]]'s (the spec pins equality); the bloom only
+    * reroutes rows, it never decides membership alone. */
+  def exactDedupAgainstBloom(newDocs: DataFrame, text: Column, index: DataFrame,
+                             bloomBytes: Array[Byte]): DataFrame = {
+    require(!newDocs.columns.contains("__h"),
+      "exactDedupAgainstBloom reserves column '__h'; rename the input column")
+    val hashed = newDocs.withColumn("__h", TextFunctions.contentFingerprint(text))
+    val might = graft.expressions.BloomSketch.mightContain(bloomBytes, col("__h"))
+    val definitelyNovel = hashed.filter(!might)
+    val verified = hashed.filter(might)
+      .join(index.select(col("content_hash").as("__h")), Seq("__h"), "left_anti")
+    definitelyNovel.unionByName(verified).drop("__h")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Mersenne prime 2^31-1: the universal-hash modulus. Products stay

@@ -28,6 +28,13 @@ object GraftFunctions {
       s"$fn: $arg must be an integer literal, got ${other.sql}")
   }
 
+  private def dblArg(fn: String, arg: String, e: Expression): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a numeric literal, got ${other.sql}")
+  }
+
   private def strArg(fn: String, arg: String, e: Expression): String = e match {
     case Literal(s, StringType) if s != null => s.toString
     case other => throw new IllegalArgumentException(
@@ -90,6 +97,20 @@ object GraftFunctions {
         ThetaSetEstimate(a, b, strArg("graft_theta_estimate", "op", op),
           intArg("graft_theta_estimate", "lgK", lgK))
       case args => arity("graft_theta_estimate", "4", args)
+    },
+    fn("graft_bloom_agg",
+      "graft_bloom_agg(x string|long|binary, items int, fpp double) - mergeable bloom membership state (binary)") {
+      case Seq(x, items, fpp) =>
+        BloomFilterAgg(x, intArg("graft_bloom_agg", "items", items).toLong,
+          dblArg("graft_bloom_agg", "fpp", fpp))
+      case args => arity("graft_bloom_agg", "3", args)
+    },
+    fn("graft_bloom_union_agg",
+      "graft_bloom_union_agg(bloom binary, items int, fpp double) - union of serialized bloom filters") {
+      case Seq(b, items, fpp) =>
+        BloomUnionAgg(b, intArg("graft_bloom_union_agg", "items", items).toLong,
+          dblArg("graft_bloom_union_agg", "fpp", fpp))
+      case args => arity("graft_bloom_union_agg", "3", args)
     },
     fn("graft_ngram_rep_stats",
       "graft_ngram_rep_stats(tokens array<string>, n1 int, ...) - per-width [top_chars, dup_chars] of word n-grams") {

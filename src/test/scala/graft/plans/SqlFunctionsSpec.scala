@@ -2,6 +2,7 @@ package graft.plans
 
 import graft.SparkSpec
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** The SQL surface: every native expression must be reachable from
   * `spark.sql(...)` when the session carries
@@ -84,6 +85,22 @@ class SqlFunctionsSpec extends SparkSpec {
     val row = ext.sql(
       "SELECT graft_ngram_rep_stats(split('a b a b', ' '), 2, 3) AS s").head()
     assert(row.getSeq[Long](0) == Seq(6L, 6L, 5L, 0L), s"got ${row.getSeq[Long](0)}")
+  }
+
+  test("bloom membership state builds and unions from SQL") {
+    val bloomDf = ext.sql(
+      """SELECT g, graft_bloom_agg(CAST(id AS STRING), 100, 0.01) AS bf
+        |FROM (SELECT id, id % 2 AS g FROM range(100)) GROUP BY g""".stripMargin)
+    bloomDf.createOrReplaceTempView("blooms")
+    val merged = ext.sql(
+      "SELECT graft_bloom_union_agg(bf, 100, 0.01) AS bf FROM blooms")
+      .head().getAs[Array[Byte]](0)
+    // every inserted id is found in the union (no false negatives)
+    import graft.expressions.BloomSketch
+    val hits = spark.range(100).selectExpr("CAST(id AS STRING) AS v")
+      .select(BloomSketch.mightContain(merged, col("v")).as("hit"))
+      .collect().count(_.getBoolean(0))
+    assert(hits == 100, s"union lost ${100 - hits} members")
   }
 
   test("config arguments reject non-literals with a clear error") {
