@@ -166,4 +166,27 @@ object Sampling {
     df.withColumn("split",
       assignSplit(graft.text.TextFunctions.contentFingerprint(text), splits, salt))
   }
+
+  /** Sort key for a deterministic per-epoch global reshuffle of
+    * training data: md5 of (epoch ‖ id). Same (epoch, corpus) always
+    * exports the same order on any cluster layout; different epochs
+    * decorrelate completely (a fresh permutation per epoch — the
+    * training-order requirement data loaders usually fake with seeded
+    * RNG state that does NOT survive re-sharding). */
+  def epochShuffleKey(id: Column, epoch: Long): Column =
+    md5(concat(lit(s"$epoch:"), id.cast("string")))
+
+  /** The corpus in epoch order: one range-partitioned distributed sort
+    * on the hash key (Spark's standard sort — sampled range exchange +
+    * per-partition sort, NO single-partition rank window; downstream
+    * sequential readers consume partitions in order). Compose with
+    * [[graft.operators.Packing.packSequences]] for epoch-stable packed
+    * training shards. */
+  def epochShuffle(df: DataFrame, id: Column, epoch: Long): DataFrame = {
+    require(!df.columns.contains("__ek"),
+      "epochShuffle reserves column '__ek'; rename the input column")
+    df.withColumn("__ek", epochShuffleKey(id, epoch))
+      .orderBy(col("__ek"))
+      .drop("__ek")
+  }
 }

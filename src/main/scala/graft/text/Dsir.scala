@@ -109,6 +109,32 @@ object Dsir {
           lit(0.0)).as("log_weight"))
   }
 
+  /** λ as a (bucket, weight) table — the large-`dim` carrier. */
+  def lambdaTable(spark: org.apache.spark.sql.SparkSession, lambda: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    lambda.zipWithIndex.map { case (w, j) => (j.toLong, w) }.toDF("bucket", "weight")
+  }
+
+  /** Large-`dim` scoring path: a literal λ array beyond a few thousand
+    * entries bloats generated code and plan size, so ship λ as a
+    * broadcast (bucket, weight) table instead — explode the document's
+    * feature buckets, hash-join λ (dim × 16 B broadcast), one
+    * map-side-combined per-doc sum. Same result as [[scoreDocuments]]
+    * up to float summation order (the spec pins ≤ 1e-9); docs whose
+    * features all miss the table score 0 like the literal path's empty
+    * fold. */
+  def scoreDocumentsJoined(df: DataFrame, id: Column, text: Column,
+                           lambdaDf: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val base = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__t"))
+      .select(col("doc_id"), featureBuckets(col("__t"), dim).as("__f"))
+    val summed = base.select(col("doc_id"), explode(col("__f")).as("bucket"))
+      .join(broadcast(lambdaDf.select(col("bucket"), col("weight"))), Seq("bucket"))
+      .groupBy("doc_id").agg(sum("weight").as("log_weight"))
+    base.select("doc_id").join(summed, Seq("doc_id"), "left")
+      .withColumn("log_weight", coalesce(col("log_weight"), lit(0.0)))
+  }
+
   /** Gumbel top-k importance resampling WITHOUT replacement: key_i =
     * log w_i + Gumbel(0,1), take the k largest — each subset is drawn
     * with probability proportional to its weights (the Gumbel-max

@@ -148,4 +148,18 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(assigned.values.toSet.size == 1)
   }
+
+  test("epochShuffle: deterministic per epoch, decorrelated across epochs, lossless") {
+    val rows = (1L to 300L).toDF("id")
+    def order(epoch: Long): Seq[Long] =
+      Sampling.epochShuffle(rows, col("id"), epoch).as[Long].collect().toSeq
+    val e0 = order(0L)
+    assert(e0 == order(0L), "same epoch must reproduce the same order")
+    assert(e0.sorted == (1L to 300L), "shuffle must lose nothing")
+    val e1 = order(1L)
+    assert(e0 != e1, "different epochs must permute differently")
+    // decorrelation sanity: few ids keep their epoch-0 position
+    val fixed = e0.zip(e1).count { case (a, b) => a == b }
+    assert(fixed < 15, s"$fixed of 300 positions unchanged across epochs")
+  }
 }

@@ -131,9 +131,16 @@ class HttpFetchSpec extends SparkSpec {
       .collect { case (p, t) if p.startsWith("/rate/") => t }.sorted
     assert(times.length == 5)
     val gapsMs = times.sliding(2).map(w => (w(1) - w(0)) / 1e6).toSeq
-    // 2 req/s ⇒ nominal 500ms spacing; allow scheduler jitter downward
-    assert(gapsMs.forall(_ >= 420.0),
+    // 2 req/s ⇒ nominal 500ms spacing. Per-gap bound is loose (a
+    // load-delayed handler records an arrival late, compressing the
+    // NEXT observed gap — an ambient-load flake, not a pacing bug);
+    // the total-elapsed bound is load-robust (delays only stretch it)
+    // and pins the aggregate 2 req/s budget.
+    assert(gapsMs.forall(_ >= 250.0),
       s"inter-request gaps breached the 2 req/s budget: ${gapsMs.map(_.round)}ms")
+    val totalMs = (times.last - times.head) / 1e6
+    assert(totalMs >= 4 * 420.0,
+      s"5 requests at 2 req/s must span >= ~1.7s, took ${totalMs.round}ms")
   }
 
   test("rate limiter also gates retries (backoff storm stays in budget)") {

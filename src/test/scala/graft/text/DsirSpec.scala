@@ -52,6 +52,20 @@ class DsirSpec extends SparkSpec {
       assert(math.abs(viaOperator(id) - lw) < 1e-9, s"doc $id: ${viaOperator(id)} vs $lw")
   }
 
+  test("joined large-dim scoring matches the literal path") {
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "dogs bark"), (3L, ""))
+      .toDF("doc_id", "text")
+    val lam = (0 until dim).map(j => (j % 11) * 0.01 - 0.05)
+    val literal = Dsir.scoreDocuments(docs, col("doc_id"), col("text"), lam)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val joined = Dsir.scoreDocumentsJoined(docs, col("doc_id"), col("text"),
+      Dsir.lambdaTable(spark, lam), dim)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(joined.keySet == literal.keySet)
+    for ((k, v) <- literal)
+      assert(math.abs(joined(k) - v) < 1e-9, s"doc $k: ${joined(k)} vs $v")
+  }
+
   test("bigram features change the score (order sensitivity)") {
     val lam = (0 until dim).map(j => j * 1e-3)
     val scored = Dsir.scoreDocuments(
