@@ -161,6 +161,47 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** [[BloomMightContain]] with the filter behind a Spark broadcast:
+  * the expression serializes as a thin handle and each EXECUTOR fetches
+  * the bytes once — the carrier for corpus-scale filters (a 10^9-digest
+  * index at 1% fpp is ~1.2 GB; task-serialized bytes would ship per
+  * task). Same probe semantics. */
+case class BloomMightContainBc(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "graft_bloom_might_contain_bc"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, long, or binary input, got ${t.simpleString}")
+  }
+  override def stringArgs: Iterator[Any] = Iterator(child, bc.id)
+
+  @transient private lazy val bloom: BloomFilter = BloomSketch.fromBytes(bc.value)
+
+  /** Public for the generated code path. */
+  def probe(v: Any): Boolean = v match {
+    case s: UTF8String => bloom.mightContainBinary(s.getBytes)
+    case l: java.lang.Long => bloom.mightContainLong(l.longValue())
+    case b: Array[Byte] => bloom.mightContainBinary(b)
+  }
+
+  override def nullSafeEval(v: Any): Any = probe(v)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bloomProbeBc", this, classOf[BloomMightContainBc].getName)
+      s"${ev.value} = $ref.probe($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BloomSketch {
   private[expressions] def toBytes(bf: BloomFilter): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -183,9 +224,18 @@ object BloomSketch {
       BloomUnionAgg(ColumnBridge.expression(sketch), expectedItems, fpp)
         .toAggregateExpression())
 
-  /** Membership probe against fixed filter bytes — zero-join narrow map. */
+  /** Membership probe against fixed filter bytes — zero-join narrow
+    * map. Bytes ride task serialization: right for filters up to a few
+    * tens of MB; beyond that use the broadcast overload. */
   def mightContain(bloomBytes: Array[Byte], value: Column): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(value), bloomBytes))
+
+  /** Membership probe with executor-side broadcast state — the carrier
+    * for corpus-scale filters (fetched once per executor, not per
+    * task). */
+  def mightContain(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+                   value: Column): Column =
+    ColumnBridge.column(BloomMightContainBc(ColumnBridge.expression(value), bc))
 
   /** Build filter bytes over a whole column (one aggregate, one row
     * collected — bounded driver state like the classifier weights). */

@@ -40,6 +40,19 @@ class BloomSpec extends SparkSpec {
       .select(BloomSketch.mightContain(filters("b"), col("v"))).head().getBoolean(0))
   }
 
+  test("broadcast-backed probe matches the task-serialized probe") {
+    val inserted = (1 to 500).map(i => s"key-$i")
+    val bytes = BloomSketch.build(inserted.toDF("v"), col("v"), 500L, 0.01)
+    val bc = spark.sparkContext.broadcast(bytes)
+    val probes = (inserted ++ (1 to 500).map(i => s"miss-$i")).toDF("v")
+      .select(
+        BloomSketch.mightContain(bytes, col("v")).as("direct"),
+        BloomSketch.mightContain(bc, col("v")).as("bcast"))
+      .collect()
+    assert(probes.forall(r => r.getBoolean(0) == r.getBoolean(1)),
+      "broadcast probe diverged from the byte-array probe")
+  }
+
   test("two-tier bloom dedup equals the plain anti-join exactly") {
     val corpus = (1L to 200L).map(i => (i, s"known document number $i")).toDF("doc_id", "text")
     val index = Dedup.contentHashIndex(corpus, col("text"))
