@@ -529,6 +529,16 @@ private[graft] object DataQueries {
       graft.etl.PretrainPipeline.summary(
         Tables.documents(s, dir), col("doc_id"), col("text"), col("source"))),
 
+    // Flesch readability metrics: counts plus both indices per doc,
+    // arithmetic in one fixed association order so the oracle's
+    // doubles match bit-for-bit before rounding.
+    "d46_readability" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.text.Readability.metrics(col("text")).as("m"))
+        .select(col("doc_id"), col("m.n_sentences"), col("m.n_words"),
+          col("m.n_syllables"), col("m.reading_ease"), col("m.fk_grade"))
+        .orderBy("doc_id")),
+
     // BPE ENCODING under a fixed ordered merge list: the expensive
     // merge loop runs per DISTINCT word (vocabulary-sized), then joins
     // back to the corpus positions. Unit content is verified via an
@@ -966,6 +976,30 @@ private[graft] object DataQueries {
     "d42_gopher_repetition" -> d42Oracle,
 
     "d45_pretrain_pipeline" -> d45Oracle,
+
+    // Mirrors the documented heuristics: sentence split on [.!?]+ runs,
+    // words = normalized tokens with an alphanumeric, syllables =
+    // vowel groups floored at 1; same association order in the index
+    // arithmetic.
+    "d46_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '),
+        |     w -> regexp_matches(w, '[a-z0-9]')) AS toks,
+        |   greatest(len(list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+        |     x -> length(x) > 0)), 1) AS ns
+        |  FROM documents),
+        |m AS (SELECT doc_id, ns,
+        |   len(toks) AS nw,
+        |   coalesce(list_aggregate(list_transform(toks,
+        |     w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)), 'sum'), 0) AS syl
+        |  FROM t)
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences, CAST(nw AS BIGINT) AS n_words,
+        | CAST(syl AS BIGINT) AS n_syllables,
+        | CASE WHEN nw > 0 THEN round(206.835 - 1.015 * (nw * 1.0 / ns) - 84.6 * (syl * 1.0 / nw), 4)
+        |      ELSE 0.0 END AS reading_ease,
+        | CASE WHEN nw > 0 THEN round(0.39 * (nw * 1.0 / ns) + 11.8 * (syl * 1.0 / nw) - 15.59, 4)
+        |      ELSE 0.0 END AS fk_grade
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Keep-first = lexicographic min (doc_id, pos) per fingerprint,
     // computed as two chained mins (min doc, then min pos within it) —

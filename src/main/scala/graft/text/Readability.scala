@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Flesch readability signals (Flesch 1948; Kincaid et al. 1975) — the
+  * classic sentence-length × syllable-density quality axis, orthogonal
+  * to [[GopherFilter]]'s ratio gates (word soup passes Gopher but
+  * scores absurd grade levels here). Everything is a codegen'd
+  * narrow-map expression over the raw text: zero shuffle, composable
+  * into the scan.
+  *
+  * Heuristics (documented, engine-mirrorable):
+  *  - sentences = non-blank segments after splitting on `[.!?]+` runs,
+  *    floored at 1;
+  *  - words = normalized whitespace tokens containing at least one
+  *    alphanumeric character (bare punctuation runs are not words);
+  *  - syllables per word = vowel-group count (`[aeiouy]+`), floored at
+  *    1 (the standard approximation; no silent-e refinement — a fixed
+  *    documented bias, not noise).
+  */
+object Readability {
+
+  /** Non-blank sentence count of raw text, floored at 1. */
+  def sentenceCount(text: Column): Column =
+    greatest(size(filter(transform(split(coalesce(text, lit("")), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)), lit(1)).cast("long")
+
+  /** Syllable count of a single word: vowel groups, floored at 1. */
+  def syllablesOf(word: Column): Column =
+    greatest(size(regexp_extract_all(word, lit("[aeiouy]+"), lit(0))), lit(1))
+
+  /** Struct of (n_sentences, n_words, n_syllables, reading_ease,
+    * fk_grade) over raw text. Empty documents (zero words) score 0.0
+    * on both indices rather than null. The arithmetic is written in
+    * one fixed association order so any engine mirroring the same
+    * order reproduces the doubles bit-for-bit. */
+  def metrics(text: Column): Column = {
+    val toks = filter(TextFunctions.tokens(coalesce(text, lit(""))), w => w.rlike("[a-z0-9]"))
+    val words = size(toks).cast("long")
+    val sentences = sentenceCount(text)
+    val syllables = coalesce(
+      aggregate(toks, lit(0L), (acc, w) => acc + syllablesOf(w).cast("long")), lit(0L))
+    val wps = words.cast("double") / sentences.cast("double")
+    val spw = syllables.cast("double") / words.cast("double")
+    val ease = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
+    val grade = lit(0.39) * wps + lit(11.8) * spw - lit(15.59)
+    struct(
+      sentences.as("n_sentences"),
+      words.as("n_words"),
+      syllables.as("n_syllables"),
+      when(words > 0, round(ease, 4)).otherwise(lit(0.0)).as("reading_ease"),
+      when(words > 0, round(grade, 4)).otherwise(lit(0.0)).as("fk_grade"))
+  }
+}
