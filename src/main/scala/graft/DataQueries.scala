@@ -539,6 +539,15 @@ private[graft] object DataQueries {
           col("m.n_syllables"), col("m.reading_ease"), col("m.fk_grade"))
         .orderBy("doc_id")),
 
+    // jusText-style boilerplate line removal: per-doc kept-line counts
+    // plus the md5 of the reassembled text verify the rule and the
+    // reassembly exactly.
+    "d47_boilerplate_lines" -> ((s, dir) =>
+      graft.text.Boilerplate.addCleanLines(Tables.documents(s, dir), col("text"))
+        .select(col("doc_id"), col("bl.n_lines").as("n_lines"),
+          col("bl.n_kept").as("n_kept"), md5(col("bl.clean_text")).as("clean_md5"))
+        .orderBy("doc_id")),
+
     // BPE ENCODING under a fixed ordered merge list: the expensive
     // merge loop runs per DISTINCT word (vocabulary-sized), then joins
     // back to the corpus positions. Unit content is verified via an
@@ -976,6 +985,26 @@ private[graft] object DataQueries {
     "d42_gopher_repetition" -> d42Oracle,
 
     "d45_pretrain_pipeline" -> d45Oracle,
+
+    // Mirrors the keep rule exactly: alnum words of the lowercased
+    // line, stopword ratio with the same double arithmetic, the
+    // 200-char long-line override, newline reassembly in order.
+    "d47_boilerplate_lines" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |     x -> length(x) > 0) AS lines FROM documents),
+        |k AS (SELECT doc_id, lines,
+        |   list_filter(lines, l -> (
+        |     len(list_filter(string_split_regex(lower(l), '\s+'), w -> regexp_matches(w, '[a-z0-9]'))) >= 4
+        |     AND len(list_filter(list_filter(string_split_regex(lower(l), '\s+'), w -> regexp_matches(w, '[a-z0-9]')),
+        |           w -> w IN ('the','be','to','of','and','that','have','with'))) * 1.0
+        |         >= 0.08 * len(list_filter(string_split_regex(lower(l), '\s+'), w -> regexp_matches(w, '[a-z0-9]')))
+        |     ) OR length(l) >= 200) AS kept
+        |  FROM t)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // Mirrors the documented heuristics: sentence split on [.!?]+ runs,
     // words = normalized tokens with an alphanumeric, syllables =
