@@ -548,6 +548,17 @@ private[graft] object DataQueries {
           col("bl.n_kept").as("n_kept"), md5(col("bl.clean_text")).as("clean_md5"))
         .orderBy("doc_id")),
 
+    // Language segmentation over a deterministically code-switched
+    // corpus (each doc sandwiches a German line), one row per
+    // contiguous same-language line run.
+    "d48_lang_segments" -> ((s, dir) => {
+      val switched = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\nder und das ist ein test nicht zu\n"), col("text"))
+          .as("text"))
+      graft.text.LangSegments.segments(switched, col("doc_id"), col("text"))
+        .orderBy("doc_id", "seg_no")
+    }),
+
     // BPE ENCODING under a fixed ordered merge list: the expensive
     // merge loop runs per DISTINCT word (vocabulary-sized), then joins
     // back to the corpus positions. Unit content is verified via an
@@ -985,6 +996,38 @@ private[graft] object DataQueries {
     "d42_gopher_repetition" -> d42Oracle,
 
     "d45_pretrain_pipeline" -> d45Oracle,
+
+    // Mirrors the synthesized code-switch, the d8 per-line language
+    // argmax, and the lag/cumsum run grouping.
+    "d48_lang_segments" ->
+      """WITH raw AS (SELECT doc_id,
+        |   text || chr(10) || 'der und das ist ein test nicht zu' || chr(10) || text AS t2
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, i - 1 AS line_no, arr[i] AS line
+        |  FROM (SELECT doc_id, string_split(t2, chr(10)) AS arr FROM raw),
+        |  UNNEST(range(1, len(arr) + 1)) AS u(i)
+        |  WHERE length(trim(arr[i])) > 0),
+        |w AS (SELECT doc_id, line_no,
+        |   string_split(regexp_replace(lower(trim(line)),'\s+',' ','g'), ' ') AS w FROM l0),
+        |h AS (SELECT doc_id, line_no,
+        |  len(list_filter(w, x -> x IN ('the','a','of','to','and','is','in','it'))) AS h_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','nicht','zu'))) AS h_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','los','que','y','un','es'))) AS h_es,
+        |  len(list_filter(w, x -> x IN ('le','la','les','et','est','un','dans','que'))) AS h_fr
+        | FROM w),
+        |p AS (SELECT doc_id, line_no, CASE
+        |  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+        |  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+        |  WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang FROM h),
+        |m AS (SELECT doc_id, line_no, lang,
+        |  CASE WHEN lang IS DISTINCT FROM lag(lang) OVER (PARTITION BY doc_id ORDER BY line_no)
+        |       THEN 1 ELSE 0 END AS newseg FROM p),
+        |s AS (SELECT doc_id, line_no, lang,
+        |  SUM(newseg) OVER (PARTITION BY doc_id ORDER BY line_no ROWS UNBOUNDED PRECEDING) - 1 AS seg_no
+        |  FROM m)
+        |SELECT doc_id, CAST(seg_no AS BIGINT) AS seg_no, min(lang) AS lang,
+        | count(*) AS n_lines, CAST(min(line_no) AS BIGINT) AS start_line
+        |FROM s GROUP BY doc_id, seg_no ORDER BY doc_id, seg_no""".stripMargin,
 
     // Mirrors the keep rule exactly: alnum words of the lowercased
     // line, stopword ratio with the same double arithmetic, the
