@@ -559,6 +559,15 @@ private[graft] object DataQueries {
         .orderBy("doc_id", "seg_no")
     }),
 
+    // Common-vocabulary coverage: per-doc fraction of token
+    // occurrences in the corpus top-15 terms (the synthetic corpus
+    // has ~31 distinct tokens, so the boundary binds and coverage
+    // varies); vocabulary boundary ties break by term.
+    "d49_vocab_coverage" -> ((s, dir) =>
+      graft.text.CorpusStats.vocabCoverage(
+        Tables.documents(s, dir), col("doc_id"), col("text"), 15)
+        .orderBy("doc_id")),
+
     // BPE ENCODING under a fixed ordered merge list: the expensive
     // merge loop runs per DISTINCT word (vocabulary-sized), then joins
     // back to the corpus positions. Unit content is verified via an
@@ -996,6 +1005,21 @@ private[graft] object DataQueries {
     "d42_gopher_repetition" -> d42Oracle,
 
     "d45_pretrain_pipeline" -> d45Oracle,
+
+    // Mirrors tokenization, the (count desc, term asc) top-15
+    // vocabulary cut, and the per-doc coverage ratio.
+    "d49_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS c FROM t GROUP BY 1
+        |       ORDER BY c DESC, w LIMIT 15)),
+        |j AS (SELECT t.doc_id, (v.w IS NOT NULL) AS inv
+        |  FROM t LEFT JOIN v ON t.w = v.w)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+        | round(sum(CASE WHEN inv THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS coverage
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Mirrors the synthesized code-switch, the d8 per-line language
     // argmax, and the lag/cumsum run grouping.

@@ -157,4 +157,35 @@ object CorpusStats {
       .agg(sum("c_dpt").as("n_bigrams"),
         round(-sum(col("c_dpt") * log2(col("__pi"))) / sum("c_dpt"), 4).as("xent_bits"))
   }
+
+  /** Common-vocabulary coverage — the rare-word-rate quality axis: per
+    * document, the fraction of token occurrences drawn from the
+    * corpus's top-`k` terms. Gibberish, OCR noise, and heavy
+    * code/jargon score low; ordinary prose sits high. The inverse
+    * (1 − coverage) is the "rare word density" signal.
+    *
+    * Plan: the exploded (doc, token) table is truncated ONCE (two
+    * consumers: vocabulary election and the coverage join — the
+    * single-parent rule). The vocabulary is a partial-aggregated term
+    * count → one TakeOrdered(k) (count desc, term asc — deterministic
+    * at the boundary) → broadcast back, so the coverage side is a
+    * broadcast semi-probe, never a shuffle on the Zipf token key.
+    * Output: (doc_id, n_tokens, n_in_vocab, coverage). */
+  def vocabCoverage(df: DataFrame, id: Column, text: Column, k: Int = 500): DataFrame = {
+    require(k > 0, s"vocabulary size must be positive, got $k")
+    val toks = graft.operators.Lineage.truncate(
+      df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__t"))
+        .select(col("doc_id"), explode(col("__t")).as("w"))
+        .filter(length(col("w")) > 0))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("w"))
+      .limit(k)
+      .select(col("w"), lit(true).as("__in"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in"), 1L).otherwise(0L)).as("n_in_vocab"))
+      .withColumn("coverage",
+        round(col("n_in_vocab").cast("double") / col("n_tokens").cast("double"), 4))
+  }
 }

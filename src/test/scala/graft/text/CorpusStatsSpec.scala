@@ -85,4 +85,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(h(2L) == r4(-(lg(0.75) + lg(0.25)) / 2))
     assert(h(2L) > h(1L)) // the rare-token doc is higher-entropy
   }
+
+  test("vocabCoverage: boundary ties break by term, coverage hand-checked") {
+    import org.apache.spark.sql.functions.col
+    // corpus counts: aa×4, bb×3, cc×2, dd×2 — k=3 keeps aa, bb and the
+    // tie at count 2 resolves to cc (term order), dd stays out
+    val docs = Seq(
+      (1L, "aa bb aa cc"),        // 4 tokens, dd absent  → 4/4 in vocab
+      (2L, "aa bb cc dd"),        // dd out               → 3/4
+      (3L, "dd aa bb aa"))        // dd out               → 3/4
+      .toDF("doc_id", "text")
+    val out = CorpusStats.vocabCoverage(docs, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((4L, 4L, 1.0)))
+    assert(out(2L) == ((4L, 3L, 0.75)))
+    assert(out(3L) == ((4L, 3L, 0.75)))
+  }
 }
