@@ -406,6 +406,64 @@ object StreamOps {
     } finally kept.unpersist()
   }
 
+  /** Streaming CLEANED ingest — the composed E-side of the
+    * [[graft.etl.PretrainPipeline]]: per micro-batch, strip boilerplate
+    * lines ([[graft.text.Boilerplate]]), gate on the Gopher quality +
+    * repetition rules over the CLEANED text, drop documents whose
+    * cleaned content already exists in the persisted hash index
+    * (cross-batch exact dedup, E7's state), land survivors under
+    * `outRoot` and advance the index — so a crawl stream arrives
+    * training-ready: chrome stripped, junk gated, duplicates
+    * suppressed across batches and restarts.
+    *
+    * Same epoch-keyed replay contract as the other index sinks
+    * (overwrite per `batch=<epochId>`, index read excludes the
+    * replaying epoch). Output columns: the input columns with `text`
+    * REPLACED by the cleaned text. */
+  def toCleanIngest(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      outRoot: String,
+      indexPath: String,
+      checkpoint: String,
+      minWords: Int = 50): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        cleanIngestBatch(batch.toDF(), epochId, id, text, outRoot, indexPath, minWords)
+      }
+      .start()
+
+  /** One micro-batch of [[toCleanIngest]], exposed for replay tests. */
+  private[graft] def cleanIngestBatch(
+      batch: DataFrame,
+      epochId: Long,
+      id: String,
+      text: String,
+      outRoot: String,
+      indexPath: String,
+      minWords: Int): Unit = {
+    import graft.dedup.Dedup
+    import graft.text.{Boilerplate, GopherFilter, GopherRepetition}
+    val cleaned = Boilerplate.addCleanLines(batch, col(text), "__bl")
+      .withColumn(text, col("__bl.clean_text"))
+      .drop("__bl")
+    val gated = GopherRepetition.addFlags(
+        cleaned.withColumn("__q", GopherFilter.flags(col(text), minWords)), col(text), "__r")
+      .filter(col("__q.keep") && col("__r.keep"))
+      .drop("__q", "__r")
+    val index = priorIndex(batch.sparkSession, indexPath, epochId,
+      () => Dedup.contentHashIndex(batch.limit(0), col(text)))
+    val kept = Dedup.exactDedupAgainst(gated, col(text), index)
+    kept.persist()
+    try {
+      kept.write.mode("overwrite").parquet(s"$outRoot/batch=$epochId")
+      Dedup.contentHashIndex(kept, col(text))
+        .write.mode("overwrite").parquet(s"$indexPath/batch=$epochId")
+    } finally kept.unpersist()
+  }
+
   /** The PRE-batch state of an epoch-keyed persisted index: drops any
     * half-written state of THIS epoch (crash + replay — the batch must
     * be judged against exactly the pre-batch index). An index written

@@ -428,4 +428,50 @@ class StreamOpsSpec extends SparkSpec {
     val fps = spark.read.parquet(index).select("para_hash").distinct().count()
     assert(fps == 3L, s"index must hold exactly 3 paragraph fingerprints, got $fps")
   }
+
+  test("toCleanIngest: strips chrome, gates junk, suppresses cross-batch dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cleaningest")
+    val out = dir.resolve("out").toString
+    val index = dir.resolve("index").toString
+    val prose = (1 to 15).map(i => s"the word$i and word${i}b").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.toCleanIngest(
+      input.toDF().toDF("doc_id", "text"),
+      id = "doc_id", text = "text",
+      outRoot = out, indexPath = index,
+      checkpoint = dir.resolve("ckpt").toString)
+    try {
+      input.addData(
+        (1L, "Accept Cookies\n" + prose),  // banner stripped, prose survives
+        (2L, "too short"))                   // fails the word-count gate
+      q.processAllAvailable()
+      input.addData(
+        (3L, prose),                         // cleaned dup of doc 1 -> dropped
+        (4L, (1 to 15).map(i => s"the other$i and other${i}b").mkString(" ")))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(landed.keySet == Set(1L, 4L), s"got ${landed.keySet}")
+      assert(landed(1L) == prose, "banner must be stripped before landing")
+    } finally q.stop()
+  }
+
+  test("cleanIngestBatch replay leaves identical output and index state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cleaningest-replay")
+    val out = dir.resolve("out").toString
+    val index = dir.resolve("index").toString
+    val prose = (1 to 15).map(i => s"the word$i and word${i}b").mkString(" ")
+    val b0 = Seq((1L, prose)).toDF("doc_id", "text")
+    val b1 = Seq((2L, prose), (3L, (1 to 15).map(i => s"the alt$i and alt${i}b").mkString(" ")))
+      .toDF("doc_id", "text")
+    StreamOps.cleanIngestBatch(b0, 0L, "doc_id", "text", out, index, 50)
+    StreamOps.cleanIngestBatch(b1, 1L, "doc_id", "text", out, index, 50)
+    StreamOps.cleanIngestBatch(b1, 1L, "doc_id", "text", out, index, 50) // replay
+    val landed = spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq.sorted
+    assert(landed == Seq(1L, 3L), s"replay changed the landed set: $landed")
+    val n = spark.read.parquet(index).select("content_hash").distinct().count()
+    assert(n == 2L, s"index must hold exactly 2 content hashes, got $n")
+  }
 }
