@@ -33,6 +33,34 @@ private[graft] object EtlQueries {
         .orderBy("domain")
     }),
 
+    // HTML → text extraction on a page synthesized in-plan from each
+    // document (testdata carries no HTML): escaped body text plus
+    // nav/script/style/comment chrome. Content-derived aggregates
+    // (chars, distinct md5) pin the extraction byte-for-byte.
+    "a21_html_extract" -> ((s, dir) => {
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val html = concat(
+        lit("<html><head><title>t</title><style>p{color:red}</style></head><body>" +
+          "<script type=\"text/javascript\">var x = 1 < 2 && \"</p>\";</script>" +
+          "<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/about\">About</a></li></ul></nav><h1>"),
+        col("source"), lit("</h1><p>"), esc,
+        lit("</p><!-- hidden <p>markup</p> --><footer>&amp; &lt;sig&gt; &quot;2026&quot;</footer></body></html>"))
+      val st = graft.text.HtmlExtract.extractionStats(html)
+      Tables.documents(s, dir)
+        .select(col("source"),
+          graft.text.HtmlExtract.extractText(html).as("clean"),
+          st.getField("n_links").as("n_links"),
+          st.getField("n_scripts").as("n_scripts"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("clean")).cast("long")).as("sum_clean_chars"),
+          countDistinct(md5(col("clean"))).as("n_distinct_clean"),
+          sum("n_links").as("sum_links"),
+          sum("n_scripts").as("sum_scripts"))
+        .orderBy("source")
+    }),
+
     "a1_validate" -> ((s, dir) => {
       val rules = Seq(
         Validate.Rule("missing_custkey", col("o_custkey").isNotNull),
@@ -222,6 +250,42 @@ private[graft] object EtlQueries {
         |    (CAST('0x' || substr(md5(f.doc_id::VARCHAR), 1, 15) AS BIGINT) % 1000000) * c.n < 20 * 1000000)
         |SELECT dom AS domain, count(*) AS n_kept, min(doc_id) AS min_id
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors page synthesis AND every extraction pass: comment strip,
+    // script/style/noscript/head/template body drops, block tags →
+    // newline, tag strip, single-pass entity decode (&amp; last),
+    // whitespace normalization, edge trim.
+    "a21_html_extract" ->
+      """WITH h AS (SELECT source,
+        |  '<html><head><title>t</title><style>p{color:red}</style></head><body>'
+        |  || '<script type="text/javascript">var x = 1 < 2 && "</p>";</script>'
+        |  || '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav><h1>'
+        |  || source || '</h1><p>'
+        |  || replace(replace(replace(text,'&','&amp;'),'<','&lt;'),'>','&gt;')
+        |  || '</p><!-- hidden <p>markup</p> --><footer>&amp; &lt;sig&gt; &quot;2026&quot;</footer></body></html>' AS html
+        | FROM documents),
+        |x1 AS (SELECT source, html, regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS t FROM h),
+        |x2 AS (SELECT source, html, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |  '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+        |  '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g'),
+        |  '(?is)<noscript\b[^>]*>.*?</noscript\s*>', '', 'g'),
+        |  '(?is)<head\b[^>]*>.*?</head\s*>', '', 'g'),
+        |  '(?is)<template\b[^>]*>.*?</template\s*>', '', 'g') AS t FROM x1),
+        |x3 AS (SELECT source, html, regexp_replace(t,
+        |  '(?i)</?(?:p|div|br|hr|li|ul|ol|dl|dt|dd|h[1-6]|tr|td|th|table|thead|tbody|section|article|aside|header|footer|nav|main|form|blockquote|pre|figure|figcaption)\b[^>]*/?>',
+        |  chr(10), 'g') AS t FROM x2),
+        |x4 AS (SELECT source, html, regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM x3),
+        |x5 AS (SELECT source, html, replace(replace(replace(replace(replace(replace(t,
+        |  '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''), '&nbsp;',' '), '&amp;','&') AS t FROM x4),
+        |x6 AS (SELECT source, html, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |  '[ \t\r]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n+', chr(10), 'g'),
+        |  '^\n+|\n+$', '', 'g') AS clean FROM x5)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars,
+        | count(DISTINCT md5(clean)) AS n_distinct_clean,
+        | CAST(sum(len(regexp_extract_all(html, '(?i)<a\b'))) AS BIGINT) AS sum_links,
+        | CAST(sum(len(regexp_extract_all(html, '(?i)<script\b'))) AS BIGINT) AS sum_scripts
+        |FROM x6 GROUP BY 1 ORDER BY source""".stripMargin,
 
     "a1_validate" ->
       """SELECT coalesce(CASE
