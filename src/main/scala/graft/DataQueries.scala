@@ -568,6 +568,12 @@ private[graft] object DataQueries {
         Tables.documents(s, dir), col("doc_id"), col("text"), 15)
         .orderBy("doc_id")),
 
+    // Corpus-health power-law fit: least-squares of ln(freq) on
+    // ln(rank) over the top-k terms, from plain sums so the oracle's
+    // arithmetic is identical; head_share = token share of the head.
+    "d50_zipf_fit" -> ((s, dir) =>
+      graft.text.CorpusStats.zipfFit(Tables.documents(s, dir), col("text"), topK = 100)),
+
     // BPE ENCODING under a fixed ordered merge list: the expensive
     // merge loop runs per DISTINCT word (vocabulary-sized), then joins
     // back to the corpus positions. Unit content is verified via an
@@ -1020,6 +1026,27 @@ private[graft] object DataQueries {
         | CAST(sum(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
         | round(sum(CASE WHEN inv THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS coverage
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the token counts, deterministic (count desc, term) rank
+    // order, and the identical from-sums regression formulas; ln = ln.
+    "d50_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok WHERE length(w) > 0
+        |        GROUP BY 1 ORDER BY c DESC, w LIMIT 100),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM cnt),
+        |tot AS (SELECT CAST(sum(len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '))) AS DOUBLE) AS nt
+        |        FROM documents),
+        |p AS (SELECT c, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM rk),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |       sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy,
+        |       CAST(sum(c) AS DOUBLE) AS sc FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        | round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        | round((sy*sxx - sx*sxy) / (n*sxx - sx*sx), 6) AS intercept,
+        | round(pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2,
+        | round(sc / nt, 6) AS head_share
+        |FROM s, tot""".stripMargin,
 
     // Mirrors the synthesized code-switch, the d8 per-line language
     // argmax, and the lag/cumsum run grouping.

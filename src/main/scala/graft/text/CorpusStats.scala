@@ -188,4 +188,50 @@ object CorpusStats {
       .withColumn("coverage",
         round(col("n_in_vocab").cast("double") / col("n_tokens").cast("double"), 4))
   }
+
+  /** Zipf rank–frequency fit over the corpus's top-`topK` terms: one
+    * row (n_terms, slope, intercept, r2, head_share). Natural text
+    * follows freq ∝ rank^s with s ≈ −1 at high R²; gibberish, OCR
+    * noise, and template-expanded synthetic corpora bend the line —
+    * a cheap whole-corpus health check next to the per-doc signals
+    * (D35/D37/D49).
+    *
+    * slope/intercept/r2 are the least-squares fit of ln(freq) on
+    * ln(rank), computed FROM PLAIN SUMS (n·Σxy−ΣxΣy over …) rather
+    * than `regr_slope` so an engine mirror reproduces the arithmetic
+    * exactly; `head_share` is the corpus token share the top-k head
+    * covers (Zipf predicts ~H(k)/H(V); a head share near 1 means a
+    * degenerate vocabulary). Plan: one explode → map-side-combined
+    * term aggregate (the Zipf head is absorbed by combiners), a
+    * driver-bounded top-k (TakeOrdered, never a full sort), ranks
+    * from a ≤k-row single-partition window (bounded by construction),
+    * an explode-free broadcast grand total, and one final aggregate. */
+  def zipfFit(df: DataFrame, text: Column, topK: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 1, s"need at least 2 ranks to fit a line, got $topK")
+    val top = df.select(explode(TextFunctions.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topK)
+    val ranked = top.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("w"))))
+    val grandTotal = df.agg(
+      sum(size(TextFunctions.tokens(text)).cast("long")).as("n_total"))
+    val pts = ranked.select(col("c"),
+      log(col("r").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
+    pts.crossJoin(broadcast(grandTotal))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("c").cast("double")).as("sc"), max("n_total").as("nt"))
+      .select(col("n").cast("long").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("intercept"),
+        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"),
+        round(col("sc") / col("nt").cast("double"), 6).as("head_share"))
+  }
 }

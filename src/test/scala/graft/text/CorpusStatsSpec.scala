@@ -102,4 +102,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(2L) == ((4L, 3L, 0.75)))
     assert(out(3L) == ((4L, 3L, 0.75)))
   }
+
+  test("zipfFit recovers an exact power law and reports head share") {
+    import org.apache.spark.sql.functions.col
+    // counts 8/4/2/1 at ranks 1..4 = freq ∝ rank^(−1) exactly in log2,
+    // slope in ln is still exactly −log(2)/... no: ln f = ln 8 − r·…
+    // freq(r) = 16 / 2^r → ln f = ln16 − r·ln2: linear in RANK, not
+    // ln-rank. Use freq(r) = 24/r instead: 24,12,8,6 at ranks 1..4 →
+    // ln f = ln 24 − 1·ln r: slope exactly −1, r² = 1.
+    val words = Seq.fill(24)("aa") ++ Seq.fill(12)("bb") ++
+      Seq.fill(8)("cc") ++ Seq.fill(6)("dd")
+    val docs = words.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = CorpusStats.zipfFit(docs, col("text"), topK = 4).head()
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-6) // slope
+    assert(math.abs(r.getDouble(2) - math.log(24.0)) < 1e-6) // intercept
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-6) // r²
+    assert(r.getDouble(4) == 1.0) // all 50 tokens are in the top-4 head
+  }
+
+  test("zipfFit head_share and ties: k below vocabulary, term-order ties") {
+    import org.apache.spark.sql.functions.col
+    // aa×4, bb×2, cc×2, dd×1; k=2 keeps aa and the count-2 tie → bb
+    val docs = Seq("aa aa bb cc", "aa aa bb cc dd").toDF("text")
+    val r = CorpusStats.zipfFit(docs, col("text"), topK = 2).head()
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getDouble(4) - 0.666667) < 1e-6)
+  }
 }
