@@ -574,6 +574,24 @@ private[graft] object DataQueries {
     "d50_zipf_fit" -> ((s, dir) =>
       graft.text.CorpusStats.zipfFit(Tables.documents(s, dir), col("text"), topK = 100)),
 
+    // Perceptual-hash near-dup pairing (the banding half of D51; the
+    // decode/hash half is spec-covered on real JDK rasters). Hashes
+    // synthesized with planted near-duplicates: md5 bucket base XOR a
+    // 1-bit perturbation — same-bucket pairs sit at Hamming 0/2,
+    // cross-bucket pairs are ~30 bits apart. Spark runs the pigeonhole
+    // band join; the oracle brute-forces all pairs, so a hash match
+    // PROVES band completeness at maxHamming=2.
+    "d51_phash_neardup" -> ((s, dir) => {
+      val h = conv(substring(md5(pmod(col("doc_id"), lit(37)).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseXOR(expr("CAST(pow(2, doc_id % 11) AS BIGINT)"))
+      val hashes = Tables.documents(s, dir).select(col("doc_id").as("media_id"), h.as("h"))
+      graft.multimodal.ImageHash.nearDupPairs(hashes, "h", maxHamming = 2)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"), sum("id_a").as("sum_a"), sum("id_b").as("sum_b"))
+        .orderBy("hamming")
+    }),
+
     // BPE ENCODING under a fixed ordered merge list: the expensive
     // merge loop runs per DISTINCT word (vocabulary-sized), then joins
     // back to the corpus positions. Unit content is verified via an
@@ -1026,6 +1044,20 @@ private[graft] object DataQueries {
         | CAST(sum(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
         | round(sum(CASE WHEN inv THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS coverage
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Brute-force all-pairs ≤2-Hamming ground truth over the mirrored
+    // hash construction — verifies the band join misses nothing.
+    "d51_phash_neardup" ->
+      """WITH h AS (SELECT doc_id AS id,
+        |  xor(CAST('0x' || substr(md5(CAST(doc_id % 37 AS VARCHAR)), 1, 15) AS BIGINT),
+        |      CAST(pow(2, doc_id % 11) AS BIGINT)) AS h
+        | FROM documents),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.h, b.h)) AS hamming
+        |  FROM h a JOIN h b ON a.id < b.id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 2)
+        |SELECT hamming, count(*) AS n_pairs,
+        | CAST(sum(id_a) AS BIGINT) AS sum_a, CAST(sum(id_b) AS BIGINT) AS sum_b
+        |FROM p GROUP BY 1 ORDER BY hamming""".stripMargin,
 
     // Mirrors the token counts, deterministic (count desc, term) rank
     // order, and the identical from-sums regression formulas; ln = ln.
