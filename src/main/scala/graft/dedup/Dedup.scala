@@ -687,8 +687,10 @@ object Dedup {
     * source (scan + tokenize, a narrow column-pruned second scan — the
     * deliberate trade against materializing the tokenized corpus) and
     * joins the bounded per-doc start arrays back by doc id. The mask
-    * costs O(tokens × dup-starts) interpreted HOF work per row — fine
-    * for the typical few contaminated spans. */
+    * itself is the native [[graft.expressions.SpanMask]] sorted-merge
+    * sweep — O(tokens + starts) per row inside whole-stage codegen
+    * (the interpreted filter/exists HOF pair it replaced re-walked the
+    * start array once per token). */
   def removeDuplicatedSpans(df: DataFrame, id: Column, text: Column, w: Int = 4): DataFrame = {
     require(w >= 1, s"window width must be >= 1, got $w")
     val toks = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__t"))
@@ -706,9 +708,11 @@ object Dedup {
     val masked = toks.join(dupStarts, Seq("doc_id"), "left")
       .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
       // token at 0-based index i survives iff no duplicated window
-      // starting at s covers it (s <= i <= s + w - 1)
-      .withColumn("__kept", filter(col("__t"), (x, i) =>
-        !exists(col("__starts"), s => s <= i && i <= s + (w - 1))))
+      // starting at s covers it (s <= i <= s + w - 1): the native
+      // sorted-merge sweep, O(tokens + starts) — the HOF filter/exists
+      // pair it replaced re-walked the starts per token
+      .withColumn("__kept", graft.expressions.SpanExpressions.spanMask(
+        col("__t"), col("__starts"), w))
     masked.select(col("doc_id"),
       array_join(col("__kept"), " ").as("clean_text"),
       size(col("__t")).cast("long").as("n_tokens"),
@@ -750,8 +754,8 @@ object Dedup {
       .groupBy("doc_id").agg(sort_array(collect_set(col("__pos"))).as("__starts"))
     val masked = toks.join(dupStarts, Seq("doc_id"), "left")
       .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
-      .withColumn("__kept", filter(col("__t"), (x, i) =>
-        !exists(col("__starts"), s => s <= i && i <= s + (w - 1))))
+      .withColumn("__kept", graft.expressions.SpanExpressions.spanMask(
+        col("__t"), col("__starts"), w))
     masked.select(col("doc_id"),
       array_join(col("__kept"), " ").as("clean_text"),
       size(col("__t")).cast("long").as("n_tokens"),
