@@ -261,6 +261,26 @@ private[graft] object RelationalQueries {
     // PageRank over the supplier→part supply graph (5 fixed rounds,
     // dangling part-vertices redistribute their mass) — the iterative
     // graph workload; crawl-curation's domain-ranking shape.
+    // Incremental aggregate maintenance: orders split into three
+    // slices, per-slice state tables merged and finalized — the hash
+    // match against a direct one-shot aggregate PROVES slice-merge ≡
+    // full recompute (the never-rescan-the-corpus maintenance path).
+    "c25_agg_state" -> ((s, dir) => {
+      import graft.operators.AggState
+      val keys = Seq("o_orderstatus")
+      val vals = Seq("o_totalprice")
+      val slices = (0 until 3).map(i =>
+        Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(3)) === i))
+      val states = slices.map(AggState.state(_, keys, vals))
+      AggState.finalizeState(AggState.merge(states, keys, vals), vals)
+        .select(col("o_orderstatus"), col("n_rows"), col("cnt_o_totalprice"),
+          round(col("sum_o_totalprice"), 2).as("sum_price"),
+          round(col("min_o_totalprice"), 2).as("min_price"),
+          round(col("max_o_totalprice"), 2).as("max_price"),
+          round(col("avg_o_totalprice"), 4).as("avg_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "c23_pagerank" -> ((s, dir) => {
       val edges = Tables.lineitem(s, dir).select(
         concat(lit("s"), col("l_suppkey")).as("src"),
@@ -522,6 +542,17 @@ private[graft] object RelationalQueries {
          |p AS (SELECT vec_id, m.j, sum(x.val * m.c) AS s FROM x JOIN m ON x.d = m.d GROUP BY 1,2)
          |SELECT vec_id, CAST(j AS BIGINT) AS j, round(s, 4) AS val FROM p ORDER BY vec_id, j""".stripMargin
     },
+
+    // Direct one-shot aggregate — equality with the merged slice
+    // states is exactly the mergeability guarantee under test.
+    "c25_agg_state" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        | count(o_totalprice) AS cnt_o_totalprice,
+        | round(sum(o_totalprice), 2) AS sum_price,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price,
+        | round(sum(o_totalprice) / count(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "c23_pagerank" -> {
       // 5 unrolled power-iteration rounds (standard SQL forbids
