@@ -45,12 +45,18 @@ object AggState {
     * the identical table. */
   def merge(states: Seq[DataFrame], keys: Seq[String], valueCols: Seq[String]): DataFrame = {
     require(states.nonEmpty, "nothing to merge")
-    val all = states.reduce(_ unionByName _)
+    mergeRows(states.reduce(_ unionByName _), keys, valueCols)
+  }
+
+  /** [[merge]] over state rows already in ONE DataFrame — e.g. a
+    * parquet state directory whose `batch=<epoch>` partitions each
+    * hold one slice's state (the streaming maintenance layout). */
+  def mergeRows(stateRows: DataFrame, keys: Seq[String], valueCols: Seq[String]): DataFrame = {
     val merged = sum("n_rows").as("n_rows") +: valueCols.flatMap { c =>
       Seq(sum(s"cnt_$c").as(s"cnt_$c"), sum(s"sum_$c").as(s"sum_$c"),
         min(s"min_$c").as(s"min_$c"), max(s"max_$c").as(s"max_$c"))
     }
-    all.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
+    stateRows.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
   }
 
   /** Fold a new RAW batch into an existing state table: aggregate the

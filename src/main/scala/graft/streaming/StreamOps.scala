@@ -583,6 +583,39 @@ object StreamOps {
       .sketchCards(batch, col(text), col(source), col(slice))
       .write.mode("overwrite").parquet(s"$cardsPath/batch=$epochId")
 
+  /** Streaming incremental-aggregate maintenance: each micro-batch's
+    * [[graft.operators.AggState]] state lands under `batch=<epochId>`
+    * in OVERWRITE mode, and the live aggregate is
+    * `AggState.mergeRows(read(statePath))` — key-cardinality work at
+    * read time, the raw stream never re-scanned. Unlike
+    * [[toSketchState]] (HLL union is replay-tolerant by idempotence),
+    * additive counters DO inflate under at-least-once replay, so the
+    * epoch-keyed overwrite is load-bearing here: a replayed epoch
+    * rewrites its own partition byte-for-byte instead of appending a
+    * second copy (the E11 corpus-cards contract). */
+  def toAggState(
+      events: DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[String],
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        aggStateBatch(batch.toDF(), epochId, keys, valueCols, statePath)
+      }
+      .start()
+
+  /** One micro-batch of [[toAggState]], exposed for replay tests. */
+  private[graft] def aggStateBatch(
+      batch: DataFrame,
+      epochId: Long,
+      keys: Seq[String],
+      valueCols: Seq[String],
+      statePath: String): Unit =
+    graft.operators.AggState.state(batch, keys, valueCols)
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+
   def toSketchState(
       events: DataFrame,
       keys: Seq[String],

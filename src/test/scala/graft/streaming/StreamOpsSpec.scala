@@ -194,6 +194,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toAggState: merged micro-batch states equal the direct aggregate; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-aggstate")
+    val statePath = dir.resolve("state").toString
+    val input = MemoryStream[(String, Double)]
+    val q = StreamOps.toAggState(
+      input.toDF().toDF("k", "x"),
+      keys = Seq("k"), valueCols = Seq("x"),
+      statePath = statePath, checkpoint = dir.resolve("ckpt").toString)
+    val b1 = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0))
+    val b2 = Seq(("a", 5.0), ("c", -2.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      import graft.operators.AggState
+      val live = AggState.finalizeState(
+        AggState.mergeRows(spark.read.parquet(statePath), Seq("k"), Seq("x")), Seq("x"))
+        .orderBy("k").collect()
+      val direct = AggState.finalizeState(
+        AggState.state((b1 ++ b2).toDF("k", "x"), Seq("k"), Seq("x")), Seq("x"))
+        .orderBy("k").collect()
+      assert(live.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+      // at-least-once replay: epoch 1 fires again — overwrite keeps the
+      // state identical instead of double-counting (additive counters
+      // are NOT union-tolerant, unlike HLL sketch state)
+      StreamOps.aggStateBatch(b2.toDF("k", "x"), 1L, Seq("k"), Seq("x"), statePath)
+      val replayed = AggState.finalizeState(
+        AggState.mergeRows(spark.read.parquet(statePath), Seq("k"), Seq("x")), Seq("x"))
+        .orderBy("k").collect()
+      assert(replayed.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+      val aRow = replayed.find(_.getString(0) == "a").get
+      assert(aRow.getLong(aRow.fieldIndex("n_rows")) == 3L) // not 4: no double count
+    } finally q.stop()
+  }
+
   test("semanticDedupBatch replay: same epoch twice leaves identical output and index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-replay")
     val out = dir.resolve("out").toString
