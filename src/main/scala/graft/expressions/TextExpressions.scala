@@ -215,7 +215,78 @@ case class NgramRepStats(child: Expression, ns: Seq[Int])
     copy(child = newChild)
 }
 
+/** Native Flesch word/syllable counter: over a token array, emits
+  * `array<long>` `[n_words, n_syllables]` in one character pass —
+  * a word is a token containing an ASCII alphanumeric, its syllables
+  * are `[aeiouy]+` group count floored at 1 (exactly the
+  * `filter(rlike) + aggregate(regexp_extract_all)` HOF chain this
+  * replaces: that form paid an interpreted lambda dispatch plus a
+  * regex-match ARRAY allocation per token). Tokens arrive lowercased
+  * (the staged `tokens` contract), so the ASCII class test IS the
+  * `[a-z0-9]` regex. Null elements count as empty tokens; a null
+  * ARRAY yields null. */
+case class FleschCounts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_flesch_counts"
+
+  def evalArray(arr: ArrayData): ArrayData = {
+    var words = 0L
+    var syllables = 0L
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var isWord = false
+        var groups = 0
+        var inGroup = false
+        var j = 0
+        val len = s.length
+        while (j < len) {
+          val c = s.charAt(j)
+          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) isWord = true
+          val vowel = c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+          if (vowel && !inGroup) groups += 1
+          inGroup = vowel
+          j += 1
+        }
+        if (isWord) {
+          words += 1
+          syllables += math.max(1, groups)
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(words, syllables))
+  }
+
+  override def nullSafeEval(v: Any): Any = evalArray(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("fleschCounts", this, classOf[FleschCounts].getName)
+      s"${ev.value} = $ref.evalArray($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+  /** Column API for [[FleschCounts]]: `[n_words, n_syllables]` over a
+    * lowercased token array (stage [[graft.text.TextFunctions.tokens]]
+    * first). */
+  def fleschCounts(tokens: Column): Column =
+    ColumnBridge.column(FleschCounts(ColumnBridge.expression(tokens)))
+
   /** Column API for [[StopwordHitCounts]]: element i of the result
     * counts tokens contained in `sets(i)`. Input must be
     * `array<string>` (stage [[graft.text.TextFunctions.tokens]] first). */

@@ -36,11 +36,14 @@ object Readability {
     * one fixed association order so any engine mirroring the same
     * order reproduces the doubles bit-for-bit. */
   def metrics(text: Column): Column = {
-    val toks = filter(TextFunctions.tokens(coalesce(text, lit(""))), w => w.rlike("[a-z0-9]"))
-    val words = size(toks).cast("long")
+    // one native pass: [n_words, n_syllables] — semantically the
+    // filter(rlike) + aggregate(regexp_extract_all) HOF chain, minus
+    // the per-token lambda dispatch and match-array allocation
+    val wc = graft.expressions.TextExpressions.fleschCounts(
+      TextFunctions.tokens(coalesce(text, lit(""))))
+    val words = element_at(wc, 1)
     val sentences = sentenceCount(text)
-    val syllables = coalesce(
-      aggregate(toks, lit(0L), (acc, w) => acc + syllablesOf(w).cast("long")), lit(0L))
+    val syllables = element_at(wc, 2)
     val wps = words.cast("double") / sentences.cast("double")
     val spw = syllables.cast("double") / words.cast("double")
     val ease = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw

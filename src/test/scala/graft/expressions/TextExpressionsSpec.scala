@@ -30,4 +30,24 @@ class TextExpressionsSpec extends SparkSpec {
     assert(out(0).getSeq[Long](0) == Seq(2L, 3L)) // 'a'×2 in both sets, 'b' only in set 1
     assert(out(1).isNullAt(0))
   }
+
+  test("fleschCounts matches the filter(rlike)+aggregate(regexp) HOF formulation") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("the", "beautiful", "rhythm", "a", "99", "...", "--", "syzygy",
+      "queueing", "idea", "xyz", "y", "aeiou", "don't", "it's")
+    val rows = Seq.fill(80)(Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    val df = rows.toDF("t")
+    val both = df.select(
+      TextExpressions.fleschCounts(col("t")).as("native"),
+      array(
+        size(filter(col("t"), w => w.rlike("[a-z0-9]"))).cast("long"),
+        coalesce(aggregate(filter(col("t"), w => w.rlike("[a-z0-9]")), lit(0L),
+          (acc, w) => acc + greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1)).cast("long")),
+          lit(0L))).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0L)
+    // null array propagates
+    val nl = Seq(Option.empty[Seq[String]]).toDF("t")
+      .select(TextExpressions.fleschCounts(col("t")).as("n")).collect()
+    assert(nl(0).isNullAt(0))
+  }
 }
