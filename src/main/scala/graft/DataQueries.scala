@@ -574,6 +574,13 @@ private[graft] object DataQueries {
     "d50_zipf_fit" -> ((s, dir) =>
       graft.text.CorpusStats.zipfFit(Tables.documents(s, dir), col("text"), topK = 100)),
 
+    // Per-source quality-distribution drift vs the corpus: PSI +
+    // chi-square over fixed equal-width bins of the d7 quality score.
+    "d52_quality_drift" -> ((s, dir) =>
+      graft.text.CorpusStats.qualityDrift(Tables.documents(s, dir),
+          col("source"), graft.text.TextFunctions.qualityScore(col("text")), nBins = 10)
+        .orderBy("slice")),
+
     // Perceptual-hash near-dup pairing (the banding half of D51; the
     // decode/hash half is spec-covered on real JDK rasters). Hashes
     // synthesized with planted near-duplicates: md5 bucket base XOR a
@@ -1044,6 +1051,32 @@ private[graft] object DataQueries {
         | CAST(sum(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
         | round(sum(CASE WHEN inv THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS coverage
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the d7 score arithmetic, the fixed-width binning, the
+    // dense slice×bin grid, PSI's two-sided smoothing, and chi-square's
+    // unsmoothed expectation.
+    "d52_quality_drift" ->
+      """WITH t0 AS (SELECT source, length(text) AS nc,
+        |   len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS nw,
+        |   length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS np,
+        |   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu
+        |  FROM documents),
+        |t AS (SELECT source, least(1.0, nw/100.0)*0.5 + (1 - least(CAST(np AS DOUBLE)/nc, 1.0))*0.3
+        |     + (1 - least(CAST(nu AS DOUBLE)/nc, 1.0))*0.2 AS v FROM t0),
+        |b AS (SELECT source, least(9, greatest(0, CAST(floor(v/0.1) AS INT))) AS bin FROM t),
+        |cells AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1,2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+        |gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS c_g FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g FROM gb),
+        |grid AS (SELECT st.source, st.n_s, gb.bin, gb.c_g, coalesce(cells.c, 0) AS c
+        |  FROM st CROSS JOIN gb LEFT JOIN cells ON cells.source = st.source AND cells.bin = gb.bin),
+        |x AS (SELECT source, n_s, c, c_g,
+        |   (c + 0.5) / (n_s + 5.0) AS p, (c_g + 0.5) / ((SELECT n_g FROM g) + 5.0) AS q,
+        |   CAST(c_g AS DOUBLE) / (SELECT n_g FROM g) AS qe FROM grid)
+        |SELECT source AS slice, max(n_s) AS n,
+        | round(sum((p - q) * ln(p / q)), 6) AS psi,
+        | round(sum(CASE WHEN c_g > 0 THEN pow(c - n_s * qe, 2) / (n_s * qe) ELSE 0 END), 4) AS chi2
+        |FROM x GROUP BY 1 ORDER BY slice""".stripMargin,
 
     // Brute-force all-pairs ≤2-Hamming ground truth over the mirrored
     // hash construction — verifies the band join misses nothing.

@@ -189,6 +189,65 @@ object CorpusStats {
         round(col("n_in_vocab").cast("double") / col("n_tokens").cast("double"), 4))
   }
 
+  /** Per-slice distribution drift of a bounded score column against
+    * the whole corpus: Population Stability Index and chi-square over
+    * fixed equal-width bins — the production data-drift monitor for a
+    * continuously-ingested corpus (a source whose quality distribution
+    * shifts shows a rising PSI long before mean-level signals move;
+    * the standard reading: <0.1 stable, 0.1–0.25 drifting, >0.25
+    * shifted).
+    *
+    * Bins are FIXED [lo, hi) equal-width (deterministic and
+    * engine-mirrorable — quantile bins would need a sketch and a
+    * second pass); out-of-range values clamp to the edge bins.
+    * Laplace smoothing (`alpha` per bin) keeps PSI's logs finite
+    * when a slice misses a bin, applied to BOTH sides so
+    * PSI(slice = corpus) = 0 exactly; chi-square uses the unsmoothed
+    * expectation (a slice identical to the corpus scores 0 on both).
+    *
+    * Plan: one scan → (slice, bin) partial-aggregating count; the
+    * global per-bin distribution re-aggregates THAT key-cardinality
+    * table (never the corpus) and broadcasts; no windows, no skew
+    * surface. */
+  def qualityDrift(df: DataFrame, slice: Column, value: Column,
+                   nBins: Int = 10, lo: Double = 0.0, hi: Double = 1.0,
+                   alpha: Double = 0.5): DataFrame = {
+    require(nBins >= 2 && hi > lo, s"need >= 2 bins over a real range, got $nBins over [$lo,$hi)")
+    val bin = least(lit(nBins - 1), greatest(lit(0),
+      floor((value - lit(lo)) / lit((hi - lo) / nBins)).cast("int")))
+    // cells has three plan consumers (slice totals, global bins, the
+    // grid join) — truncate so the corpus scan executes ONCE (AQE
+    // stage reuse does not reliably dedup multi-parent subtrees)
+    val cells = graft.operators.Lineage.truncate(
+      df.select(slice.as("slice"), bin.as("bin"))
+        .groupBy("slice", "bin").agg(count(lit(1)).as("c")))
+    val sliceTotals = cells.groupBy("slice").agg(sum("c").as("n_s"))
+    val globalBins = cells.groupBy("bin").agg(sum("c").as("c_g"))
+    val grand = globalBins.agg(sum("c_g").as("n_g"))
+    // dense (slice × bin) grid so missing bins contribute their
+    // smoothed mass: cross the slice totals with the bin ids
+    val grid = sliceTotals.crossJoin(broadcast(globalBins))
+      .join(cells, Seq("slice", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(grand))
+    val p = (col("c").cast("double") + alpha) /
+      (col("n_s").cast("double") + alpha * nBins)
+    val q = (col("c_g").cast("double") + alpha) /
+      (col("n_g").cast("double") + alpha * nBins)
+    // chi-square uses the UNsmoothed expectation (smoothing is PSI's
+    // log guard): a zero-global bin contributes nothing (c is 0 too)
+    val qe = col("c_g").cast("double") / col("n_g").cast("double")
+    val e = col("n_s").cast("double") * qe
+    grid
+      .withColumn("__term", (p - q) * log(p / q))
+      .withColumn("__chi", when(col("c_g") > 0,
+        pow(col("c").cast("double") - e, 2) / e).otherwise(lit(0.0)))
+      .groupBy("slice")
+      .agg(max("n_s").as("n"),
+        round(sum("__term"), 6).as("psi"),
+        round(sum("__chi"), 4).as("chi2"))
+  }
+
   /** Zipf rank–frequency fit over the corpus's top-`topK` terms: one
     * row (n_terms, slope, intercept, r2, head_share). Natural text
     * follows freq ∝ rank^s with s ≈ −1 at high R²; gibberish, OCR

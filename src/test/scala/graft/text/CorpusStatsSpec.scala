@@ -103,6 +103,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(3L) == ((4L, 3L, 0.75)))
   }
 
+  test("qualityDrift: identical slice scores zero; hand-computed PSI/chi2; smoothing") {
+    import org.apache.spark.sql.functions.col
+    // one slice = the whole corpus → PSI and chi2 exactly 0
+    val uni = Seq(("a", 0.05), ("a", 0.55), ("a", 0.95)).toDF("s", "v")
+    val r0 = CorpusStats.qualityDrift(uni, col("s"), col("v"), nBins = 2).head()
+    assert(r0.getDouble(r0.fieldIndex("psi")) == 0.0)
+    assert(r0.getDouble(r0.fieldIndex("chi2")) == 0.0)
+
+    // two fully-separated slices, nBins=2, alpha=0.5 (hand-computed):
+    // A: 3 rows in bin 0; B: 3 rows in bin 1
+    // p_A = (3.5/4, 0.5/4); q = (3.5/7, 3.5/7)
+    // psi_A = 0.375·ln(1.75) − 0.375·ln(0.25) → 0.729716
+    // chi2_A = (3−1.5)²/1.5 + (0−1.5)²/1.5 = 3.0
+    val two = Seq(("A", 0.1), ("A", 0.2), ("A", 0.3),
+      ("B", 0.8), ("B", 0.9), ("B", 0.7)).toDF("s", "v")
+    val rows = CorpusStats.qualityDrift(two, col("s"), col("v"), nBins = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows("A") == ((3L, 0.729716, 3.0)))
+    assert(rows("B") == ((3L, 0.729716, 3.0)))
+
+    // out-of-range values clamp to edge bins rather than vanish
+    val clamped = Seq(("a", -5.0), ("a", 99.0)).toDF("s", "v")
+    val rc = CorpusStats.qualityDrift(clamped, col("s"), col("v"), nBins = 4).head()
+    assert(rc.getLong(rc.fieldIndex("n")) == 2L)
+    assert(rc.getDouble(rc.fieldIndex("psi")) == 0.0) // single slice ≡ corpus
+  }
+
   test("zipfFit recovers an exact power law and reports head share") {
     import org.apache.spark.sql.functions.col
     // counts 8/4/2/1 at ranks 1..4 = freq ∝ rank^(−1) exactly in log2,
