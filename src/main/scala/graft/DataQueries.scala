@@ -574,6 +574,15 @@ private[graft] object DataQueries {
     "d50_zipf_fit" -> ((s, dir) =>
       graft.text.CorpusStats.zipfFit(Tables.documents(s, dir), col("text"), topK = 100)),
 
+    // Embedding outlier QA: per-vector cosine to its assigned coarse
+    // centroid, z-scored within the cluster (mirror-exact moments from
+    // plain sums). The gate ahead of the ANN/SemDeDup consumers.
+    "d53_embed_outliers" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.ivfCentroids(emb, "vec_id", "embedding", 8)
+      Ann.outlierScores(emb, "vec_id", "embedding", cents).orderBy("vec_id")
+    }),
+
     // Per-source quality-distribution drift vs the corpus: PSI +
     // chi-square over fixed equal-width bins of the d7 quality score.
     "d52_quality_drift" -> ((s, dir) =>
@@ -1051,6 +1060,28 @@ private[graft] object DataQueries {
         | CAST(sum(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
         | round(sum(CASE WHEN inv THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS coverage
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors d23's md5-keyed centroids + argmax-cosine assignment
+    // (keeping the winning cosine), then the from-sums cluster moments
+    // and the z formula — the whole QA pipeline is hash-checked.
+    "d53_embed_outliers" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |k0 AS (SELECT vec_id AS kid, v AS cvec,
+        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+        |  FROM c ORDER BY hk, kid LIMIT 8),
+        |cents AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS list_id, cvec FROM k0),
+        |a AS (SELECT cid, list_id, cos FROM (
+        |  SELECT cc.vec_id AS cid, k.list_id,
+        |    list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) AS cos,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
+        |      k.list_id) AS rn
+        |  FROM c cc, cents k) WHERE rn = 1),
+        |st AS (SELECT list_id, count(*) AS n, sum(cos) AS s1, sum(cos*cos) AS s2 FROM a GROUP BY 1),
+        |m AS (SELECT list_id, s1/n AS mean, sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0)) AS std FROM st)
+        |SELECT a.cid AS vec_id, a.list_id, round(a.cos,4) AS cos,
+        | round(CASE WHEN m.std > 0 THEN (a.cos - m.mean)/m.std ELSE 0.0 END, 4) AS z
+        |FROM a JOIN m USING (list_id) ORDER BY vec_id""".stripMargin,
 
     // Mirrors the d7 score arithmetic, the fixed-width binning, the
     // dense slice×bin grid, PSI's two-sided smoothing, and chi-square's

@@ -582,4 +582,61 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cosine"))
   }
+
+  /** Embedding-space outlier scoring — the QA gate ahead of the ANN /
+    * SemDeDup consumers: each vector's cosine to its assigned coarse
+    * centroid, z-scored against its OWN cluster's score distribution
+    * (a global threshold can't work — tight clusters sit near 1.0,
+    * diffuse ones don't). Corrupt embeddings (truncated uploads,
+    * wrong-model rows, zeroed dimensions) surface as strongly negative
+    * z long before they poison dedup decisions downstream.
+    *
+    * Output: (id, list_id, cos, z) per non-degenerate vector; z = 0
+    * where a cluster has zero variance. Zero-norm vectors have no
+    * cosine — route them through [[degenerateVectors]] instead (they
+    * are excluded here, not silently scored).
+    *
+    * Plan: assignment is [[ivfAssign]]'s broadcast argmax (no
+    * pairwise), truncated ONCE (it feeds both the per-list moment
+    * aggregate and the z join); moments come from plain sums (mirror-
+    * exact std from Σs/Σs², never `stddev`'s implementation-defined
+    * update order) on the key-cardinality list table, broadcast back. */
+  def outlierScores(corpus: DataFrame, id: String, vec: String,
+                    centroids: DataFrame): DataFrame = {
+    val c = vecTable(corpus, id, vec, "__cid", "__v", "__n")
+    val assigned = graft.operators.Lineage.truncate(
+      c.filter(col("__n") > 0 && !isnan(col("__n"))) // NaN sorts above 0 in Spark
+        .join(broadcast(centroids))
+        .withColumn("__score",
+          VectorOps.cosineWithNorms(col("__v"), col("cvec"), col("__n"), col("cnorm")))
+        .groupBy("__cid")
+        .agg(max(struct(col("__score"), (-col("list_id")).as("__nl"))).as("__best"))
+        .select(col("__cid"), (-col("__best.__nl")).cast("int").as("list_id"),
+          col("__best.__score").as("__cos")))
+    val stats = assigned.groupBy("list_id")
+      .agg(count(lit(1)).as("__cnt"), sum("__cos").as("__s1"),
+        sum(col("__cos") * col("__cos")).as("__s2"))
+      .withColumn("__mean", col("__s1") / col("__cnt"))
+      .withColumn("__std", sqrt(greatest(
+        col("__s2") / col("__cnt") - col("__mean") * col("__mean"), lit(0.0))))
+      .select("list_id", "__mean", "__std")
+    assigned.join(broadcast(stats), Seq("list_id"))
+      .select(col("__cid").as(id), col("list_id"),
+        round(col("__cos"), 4).as("cos"),
+        round(when(col("__std") > 0,
+          (col("__cos") - col("__mean")) / col("__std")).otherwise(lit(0.0)), 4).as("z"))
+  }
+
+  /** Vectors no similarity op can score: null arrays, zero norm, or a
+    * non-finite component. Route to quarantine, never into [[ivfAssign]]. */
+  def degenerateVectors(corpus: DataFrame, id: String, vec: String): DataFrame = {
+    val c = vecTable(corpus, id, vec, "__cid", "__v", "__n")
+    c.withColumn("reason",
+        when(col("__v").isNull, "null_vector")
+          .when(exists(col("__v"), x => isnan(x) || x === Double.PositiveInfinity ||
+            x === Double.NegativeInfinity), "non_finite_component")
+          .when(col("__n") === 0.0, "zero_norm"))
+      .filter(col("reason").isNotNull)
+      .select(col("__cid").as(id), col("reason"))
+  }
 }

@@ -344,4 +344,40 @@ class AnnSpec extends SparkSpec {
     // sign-bit buckets on centered data stay within a small factor of target
     assert(sizes.max <= 4 * 64)
   }
+
+  test("outlierScores: the planted off-axis vector gets the most negative z in its cluster") {
+    // two tight clusters near e1 and e2, one corrupted member far off-axis
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) => v + (if (d == 3) 0.01f * i else 0f) }
+    val e1 = Array(1f, 0f, 0f, 0f); val e2 = Array(0f, 1f, 0f, 0f)
+    val rows = (1 to 6).map(i => (i.toLong, jitter(e1, i))) ++
+      (11 to 16).map(i => (i.toLong, jitter(e2, i - 10))) :+
+      (99L, Array(0.5f, 0.02f, 0.86f, 0f)) // nearest e1 but far from the cluster
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Ann.ivfCentroids(df.filter(col("vec_id") < 50), "vec_id", "embedding", 2)
+    val out = Ann.outlierScores(df, "vec_id", "embedding", cents)
+    assert(out.count() == 13)
+    val worstPerList = out.groupBy("list_id")
+      .agg(min(struct(col("z"), col("vec_id"))).as("w"))
+      .select(col("w.vec_id")).as[Long].collect().toSet
+    assert(worstPerList.contains(99L))
+    val z99 = out.filter(col("vec_id") === 99).select("z").as[Double].head()
+    assert(z99 < -1.0, s"corrupt vector should be a strong outlier, z=$z99")
+  }
+
+  test("outlierScores: zero-variance cluster scores z=0; degenerates are excluded and flagged") {
+    val dup = Array(1f, 0f, 0f, 0f)
+    val rows = Seq((1L, dup), (2L, dup), (3L, dup),
+      (7L, Array(0f, 0f, 0f, 0f)), // zero norm
+      (8L, Array(Float.NaN, 1f, 0f, 0f)), // non-finite
+      (9L, null.asInstanceOf[Array[Float]]))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Ann.ivfCentroids(df.filter(col("vec_id") === 1), "vec_id", "embedding", 1)
+    val out = Ann.outlierScores(df, "vec_id", "embedding", cents).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(out.forall(r => r.getDouble(r.fieldIndex("z")) == 0.0))
+    val bad = Ann.degenerateVectors(df, "vec_id", "embedding")
+      .as[(Long, String)].collect().toMap
+    assert(bad == Map(7L -> "zero_norm", 8L -> "non_finite_component", 9L -> "null_vector"))
+  }
 }
