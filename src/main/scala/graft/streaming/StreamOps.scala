@@ -606,6 +606,39 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming drift-state maintenance: each micro-batch's (slice,
+    * bin) quality-histogram cells land under `batch=<epochId>` in
+    * overwrite mode (additive counters — the same replay contract as
+    * [[toAggState]]); the live drift report is
+    * `CorpusStats.qualityDriftFromCells(read(cellsPath))`, computed
+    * from key-cardinality state without re-scanning any batch. The
+    * streaming half of D52: continuous ingestion with a PSI alarm per
+    * source. */
+  def toDriftCells(
+      docs: DataFrame,
+      slice: String,
+      value: org.apache.spark.sql.Column,
+      cellsPath: String,
+      checkpoint: String,
+      nBins: Int = 10, lo: Double = 0.0, hi: Double = 1.0): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        driftCellsBatch(batch.toDF(), epochId, slice, value, cellsPath, nBins, lo, hi)
+      }
+      .start()
+
+  /** One micro-batch of [[toDriftCells]], exposed for replay tests. */
+  private[graft] def driftCellsBatch(
+      batch: DataFrame,
+      epochId: Long,
+      slice: String,
+      value: org.apache.spark.sql.Column,
+      cellsPath: String,
+      nBins: Int, lo: Double, hi: Double): Unit =
+    graft.text.CorpusStats.driftCells(batch, col(slice), value, nBins, lo, hi)
+      .write.mode("overwrite").parquet(s"$cellsPath/batch=$epochId")
+
   /** One micro-batch of [[toAggState]], exposed for replay tests. */
   private[graft] def aggStateBatch(
       batch: DataFrame,

@@ -211,16 +211,34 @@ object CorpusStats {
     * surface. */
   def qualityDrift(df: DataFrame, slice: Column, value: Column,
                    nBins: Int = 10, lo: Double = 0.0, hi: Double = 1.0,
-                   alpha: Double = 0.5): DataFrame = {
+                   alpha: Double = 0.5): DataFrame =
+    qualityDriftFromCells(driftCells(df, slice, value, nBins, lo, hi), nBins, alpha)
+
+  /** The (slice, bin, c) cell table behind [[qualityDrift]] — an
+    * ADDITIVE state (cells of a union = summed cells of the parts),
+    * so per-slice/per-epoch cell tables maintain incrementally under
+    * the C25/E14 discipline and the metrics recompute from
+    * key-cardinality state, never the corpus
+    * ([[qualityDriftFromCells]]). */
+  def driftCells(df: DataFrame, slice: Column, value: Column,
+                 nBins: Int = 10, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
     require(nBins >= 2 && hi > lo, s"need >= 2 bins over a real range, got $nBins over [$lo,$hi)")
     val bin = least(lit(nBins - 1), greatest(lit(0),
       floor((value - lit(lo)) / lit((hi - lo) / nBins)).cast("int")))
+    df.select(slice.as("slice"), bin.as("bin"))
+      .groupBy("slice", "bin").agg(count(lit(1)).as("c"))
+  }
+
+  /** PSI/chi-square from a (slice, bin, c) cell table — duplicate
+    * (slice, bin) rows (multi-epoch state) are re-summed first. */
+  def qualityDriftFromCells(cellRows: DataFrame, nBins: Int,
+                            alpha: Double = 0.5): DataFrame = {
     // cells has three plan consumers (slice totals, global bins, the
-    // grid join) — truncate so the corpus scan executes ONCE (AQE
+    // grid join) — truncate so the upstream (corpus scan in the batch
+    // path, state read in the streaming path) executes ONCE (AQE
     // stage reuse does not reliably dedup multi-parent subtrees)
     val cells = graft.operators.Lineage.truncate(
-      df.select(slice.as("slice"), bin.as("bin"))
-        .groupBy("slice", "bin").agg(count(lit(1)).as("c")))
+      cellRows.groupBy("slice", "bin").agg(sum("c").as("c")))
     val sliceTotals = cells.groupBy("slice").agg(sum("c").as("n_s"))
     val globalBins = cells.groupBy("bin").agg(sum("c").as("c_g"))
     val grand = globalBins.agg(sum("c_g").as("n_g"))

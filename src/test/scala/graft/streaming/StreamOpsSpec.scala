@@ -229,6 +229,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toDriftCells: drift from streamed cells equals the batch metric; replay exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift")
+    val cellsPath = dir.resolve("cells").toString
+    val input = MemoryStream[(String, Double)]
+    val q = StreamOps.toDriftCells(
+      input.toDF().toDF("src", "score"),
+      slice = "src", value = col("score"),
+      cellsPath = cellsPath, checkpoint = dir.resolve("ckpt").toString, nBins = 4)
+    val b1 = Seq(("web", 0.1), ("web", 0.2), ("books", 0.9))
+    val b2 = Seq(("web", 0.15), ("books", 0.85), ("books", 0.95))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      import graft.text.CorpusStats
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("slice").collect().map(_.toSeq).toSeq
+      val live = CorpusStats.qualityDriftFromCells(
+        spark.read.parquet(cellsPath).select("slice", "bin", "c"), nBins = 4)
+      val direct = CorpusStats.qualityDrift(
+        (b1 ++ b2).toDF("src", "score"), col("src"), col("score"), nBins = 4)
+      assert(rows(live) == rows(direct))
+      // replayed epoch rewrites its partition — metrics unchanged
+      StreamOps.driftCellsBatch(b2.toDF("src", "score"), 1L, "src", col("score"),
+        cellsPath, 4, 0.0, 1.0)
+      val replayed = CorpusStats.qualityDriftFromCells(
+        spark.read.parquet(cellsPath).select("slice", "bin", "c"), nBins = 4)
+      assert(rows(replayed) == rows(direct))
+    } finally q.stop()
+  }
+
   test("semanticDedupBatch replay: same epoch twice leaves identical output and index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-replay")
     val out = dir.resolve("out").toString
