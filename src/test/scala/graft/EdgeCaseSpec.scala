@@ -79,6 +79,30 @@ class EdgeCaseSpec extends SparkSpec {
       key = col("doc_id"), stratum = col("s"), k = 5).count() == 0)
   }
 
+  test("session additions accept an empty corpus") {
+    import graft.text.{CorpusStats, HtmlExtract}
+    import graft.similarity.Ann
+    import graft.multimodal.ImageHash
+    import graft.operators.AggState
+    // zipfFit over nothing: one all-null-metrics row beats a throw
+    val zf = CorpusStats.zipfFit(noDocs, col("text"), topK = 10).collect()
+    assert(zf.length == 1 && zf(0).getLong(0) == 0L)
+    assert(CorpusStats.qualityDrift(
+      noDocs.withColumn("s", lit("x")), col("s"), lit(0.5), nBins = 4).count() == 0)
+    assert(noDocs.select(HtmlExtract.extractText(col("text"))).count() == 0)
+    val cents = Ann.ivfCentroids(
+      Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"), "vec_id", "embedding", 1)
+    assert(Ann.outlierScores(noVecs, "vec_id", "embedding", cents).count() == 0)
+    assert(Ann.degenerateVectors(noVecs, "vec_id", "embedding").count() == 0)
+    val noHashes = Seq.empty[(Long, Long)].toDF("media_id", "h")
+    assert(ImageHash.nearDupPairs(noHashes, "h", maxHamming = 3).count() == 0)
+    val noKv = Seq.empty[(String, Double)].toDF("k", "x")
+    val st = AggState.state(noKv, Seq("k"), Seq("x"))
+    assert(st.count() == 0)
+    assert(AggState.merge(Seq(st, st), Seq("k"), Seq("x")).count() == 0)
+    assert(graft.sources.Warc.parseRecords(1L, Array.empty[Byte]).isEmpty)
+  }
+
   test("incremental semantic dedup accepts an empty batch AND an empty index") {
     import graft.similarity.Ann
     val cents = Ann.ivfCentroids(
