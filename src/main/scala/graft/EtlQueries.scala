@@ -61,6 +61,23 @@ private[graft] object EtlQueries {
         .orderBy("source")
     }),
 
+    // Batch CDC between two corpus snapshots synthesized in-plan from
+    // documents: cur drops doc_id%17==0 ("removed"), prev drops
+    // doc_id%13==0 ("added"), prev rewrites text for doc_id%7==0
+    // ("changed"); everything else digests equal ("unchanged"). The
+    // digest moves 32 B/row through the full-outer join, never text.
+    "a23_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prev = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      val cur = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      graft.etl.SnapshotDiff.diff(prev, cur, "doc_id", Seq("text", "source"))
+        .select(col("key").as("doc_id"), col("change"))
+        .orderBy("doc_id")
+    }),
+
     "a1_validate" -> ((s, dir) => {
       val rules = Seq(
         Validate.Rule("missing_custkey", col("o_custkey").isNotNull),
@@ -237,6 +254,30 @@ private[graft] object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // Mirrors both snapshot syntheses and the collision-safe digest
+    // exactly: length-prefixed values ("<len>:<value>", NULL → 'null'),
+    // unit-separator joined, md5'd.
+    "a23_snapshot_diff" ->
+      """WITH pv AS (SELECT doc_id,
+        |  md5(concat_ws(chr(31),
+        |    CASE WHEN t IS NULL THEN 'null' ELSE length(t)::VARCHAR || ':' || t END,
+        |    CASE WHEN source IS NULL THEN 'null' ELSE length(source)::VARCHAR || ':' || source END)) AS d
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS t,
+        |          source FROM documents WHERE doc_id % 13 <> 0)),
+        |cv AS (SELECT doc_id,
+        |  md5(concat_ws(chr(31),
+        |    CASE WHEN text IS NULL THEN 'null' ELSE length(text)::VARCHAR || ':' || text END,
+        |    CASE WHEN source IS NULL THEN 'null' ELSE length(source)::VARCHAR || ':' || source END)) AS d
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT COALESCE(pv.doc_id, cv.doc_id) AS doc_id,
+        |  CASE WHEN pv.d IS NULL THEN 'added'
+        |       WHEN cv.d IS NULL THEN 'removed'
+        |       WHEN pv.d = cv.d THEN 'unchanged'
+        |       ELSE 'changed' END AS change
+        |FROM pv FULL OUTER JOIN cv ON pv.doc_id = cv.doc_id
+        |ORDER BY 1""".stripMargin,
 
     // Mirrors the synthesized URLs, the registrable-domain heuristic's
     // result on them (siteN.com), the blocklist, and the md5-derived
