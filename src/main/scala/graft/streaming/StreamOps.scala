@@ -663,4 +663,88 @@ object StreamOps {
           .write.mode("append").parquet(statePath)
       }
       .start()
+
+  /** Streaming content-diff ingest (the streaming half of
+    * [[graft.etl.SnapshotDiff]] A23): classify each arriving document
+    * as `added` / `changed` / `unchanged` against the persisted
+    * latest-digest index and record the change events — the re-crawl
+    * shape, where the feed re-fetches known keys and the pipeline must
+    * detect content drift to re-process ONLY what actually moved.
+    * `removed` cannot exist here (a stream never retracts a key);
+    * detecting removals is the batch [[graft.etl.SnapshotDiff.diff]]'s
+    * job between materialized snapshots.
+    *
+    * The index is a change LOG, not a mutable table: each batch writes
+    * its added/changed keys' (key, digest) rows under
+    * `batch=<epochId>`; a key's current digest is the row from its
+    * LATEST batch (`max_by` over the partition column — partial-agg
+    * friendly, no windows). Unchanged keys write nothing, so the log
+    * grows with change events, not with traffic. Reading the log is
+    * the per-batch cost at 100 TB; compact it on the Bronze lifecycle
+    * by materializing [[latestContentState]] to a fresh path
+    * (the append-then-compact discipline of [[toSketchState]]).
+    *
+    * Replay safety: the [[toSemanticDeduped]] contract — both outputs
+    * land under `batch=<epochId>` in OVERWRITE mode and the index read
+    * excludes the current epoch, so a replayed batch is judged against
+    * exactly the pre-batch state and rewrites identical files. */
+  def toContentDiff(
+      docs: DataFrame,
+      id: String,
+      contentCols: Seq[String],
+      outRoot: String,
+      indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        contentDiffBatch(batch.toDF(), epochId, id, contentCols, outRoot, indexPath)
+      }
+      .start()
+
+  /** One micro-batch of [[toContentDiff]], exposed for replay tests:
+    * running the same (batch, epochId) twice must leave identical
+    * change events and index state. */
+  private[graft] def contentDiffBatch(
+      batch: DataFrame,
+      epochId: Long,
+      id: String,
+      contentCols: Seq[String],
+      outRoot: String,
+      indexPath: String): Unit = {
+    import graft.etl.SnapshotDiff
+    // deterministic under duplicate keys within one batch (retried
+    // fetches): collapse to the max digest before judging
+    val cur = batch.select(col(id).as("key"),
+        SnapshotDiff.digestOf(contentCols.map(batch(_))).as("digest"))
+      .groupBy("key").agg(max("digest").as("digest"))
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    val prior =
+      if (fs.exists(hPath))
+        batch.sparkSession.read.parquet(indexPath)
+          .filter(col("batch") =!= lit(epochId))
+          .groupBy("key").agg(max_by(col("digest"), col("batch")).as("digest"))
+      else cur.limit(0)
+    val classified = cur
+      .join(prior.withColumnRenamed("digest", "prev_digest"), Seq("key"), "left_outer")
+      .withColumn("change",
+        when(col("prev_digest").isNull, lit("added"))
+          .when(col("prev_digest") === col("digest"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select("key", "change", "digest")
+    classified.persist()
+    try {
+      classified.write.mode("overwrite").parquet(s"$outRoot/batch=$epochId")
+      classified.filter(col("change") =!= lit("unchanged")).select("key", "digest")
+        .write.mode("overwrite").parquet(s"$indexPath/batch=$epochId")
+    } finally classified.unpersist()
+  }
+
+  /** The current (key, digest) state of a [[toContentDiff]] index:
+    * latest-batch-wins per key. Materialize this to a fresh path and
+    * repoint the sink to compact the change log. */
+  def latestContentState(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+      .groupBy("key").agg(max_by(col("digest"), col("batch")).as("digest"))
 }

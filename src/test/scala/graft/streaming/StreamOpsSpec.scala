@@ -495,6 +495,81 @@ class StreamOpsSpec extends SparkSpec {
     assert(fps == 3L, s"index must hold exactly 3 paragraph fingerprints, got $fps")
   }
 
+  test("contentDiffBatch classifies against the LATEST prior digest, not any older one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-contentdiff")
+    val out = dir.resolve("out").toString
+    val index = dir.resolve("index").toString
+    val b0 = Seq((1L, "alpha", "web"), (2L, "beta", "web")).toDF("doc_id", "text", "source")
+    val b1 = Seq((1L, "alpha", "web"), (2L, "beta2", "web"), (3L, "gamma", "web"))
+      .toDF("doc_id", "text", "source")
+    // 2 reverts to its ORIGINAL content: still "changed" vs the latest
+    // (batch-1) digest — latest-wins, not first-wins
+    val b2 = Seq((2L, "beta", "web")).toDF("doc_id", "text", "source")
+    val cols = Seq("text", "source")
+    StreamOps.contentDiffBatch(b0, 0L, "doc_id", cols, out, index)
+    StreamOps.contentDiffBatch(b1, 1L, "doc_id", cols, out, index)
+    StreamOps.contentDiffBatch(b2, 2L, "doc_id", cols, out, index)
+    val events = spark.read.parquet(out).select("batch", "key", "change").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(events == Map(
+      (0, 1L) -> "added", (0, 2L) -> "added",
+      (1, 1L) -> "unchanged", (1, 2L) -> "changed", (1, 3L) -> "added",
+      (2, 2L) -> "changed"))
+    // unchanged keys write no index row: batch=1 holds only 2 and 3
+    val idx1 = spark.read.parquet(index).filter(col("batch") === 1)
+      .select("key").as[Long].collect().toSet
+    assert(idx1 == Set(2L, 3L))
+    // current state is latest-batch-wins: 2's digest equals its b2 form
+    val state = StreamOps.latestContentState(spark, index).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state.keySet == Set(1L, 2L, 3L))
+    val b2digest = graft.etl.SnapshotDiff
+      .diff(b2, b2, "doc_id", cols).select("cur_digest").as[String].head()
+    assert(state(2L) == b2digest)
+  }
+
+  test("contentDiffBatch replay: same epoch twice leaves identical events and state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-contentdiff-replay")
+    val out = dir.resolve("out").toString
+    val index = dir.resolve("index").toString
+    val cols = Seq("text")
+    val b0 = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val b1 = Seq((1L, "alpha2"), (2L, "beta")).toDF("doc_id", "text")
+    StreamOps.contentDiffBatch(b0, 0L, "doc_id", cols, out, index)
+    StreamOps.contentDiffBatch(b1, 1L, "doc_id", cols, out, index)
+    // at-least-once: epoch 1 fires again — judged against the pre-batch
+    // index (epoch-1 state excluded), so classification cannot drift
+    StreamOps.contentDiffBatch(b1, 1L, "doc_id", cols, out, index)
+    val events = spark.read.parquet(out).select("batch", "key", "change").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(events == Map((0, 1L) -> "added", (1, 1L) -> "changed", (1, 2L) -> "added"))
+    assert(StreamOps.latestContentState(spark, index).count() == 2)
+  }
+
+  test("toContentDiff: end-to-end change feed over micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-contentdiff-e2e")
+    val out = dir.resolve("out").toString
+    val index = dir.resolve("index").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.toContentDiff(
+      input.toDF().toDF("doc_id", "text"),
+      id = "doc_id", contentCols = Seq("text"),
+      outRoot = out, indexPath = index,
+      checkpoint = dir.resolve("ckpt").toString)
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      input.addData((1L, "alpha"), (2L, "beta3"))
+      q.processAllAvailable()
+      val events = spark.read.parquet(out).select("batch", "key", "change").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2)).toMap
+      assert(events == Map(
+        (0, 1L) -> "added", (0, 2L) -> "added",
+        (1, 1L) -> "unchanged", (1, 2L) -> "changed"))
+    } finally q.stop()
+  }
+
   test("toCleanIngest: strips chrome, gates junk, suppresses cross-batch dups") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-cleaningest")
