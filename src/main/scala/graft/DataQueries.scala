@@ -244,6 +244,20 @@ private[graft] object DataQueries {
       Dedup.clusterPairs(pairs).orderBy("doc_id")
     }),
 
+    // Quality-aware canonicalization of the d15 clusters: keep each
+    // cluster's longest member (token count as the quality score — the
+    // keep-longest curation rule), ties to the smallest id; singletons
+    // keep themselves.
+    "d15b_canonical_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardVerify(
+        Dedup.minHashCandidates(docs, col("doc_id"), col("text"), 32, 8),
+        docs, col("doc_id"), col("text"), threshold = 0.5)
+      Dedup.canonicalByQuality(docs, col("doc_id"),
+          graft.text.TextFunctions.tokenCount(col("text")), Dedup.clusterPairs(pairs))
+        .orderBy("doc_id")
+    }),
+
     "d16_tfidf" -> ((s, dir) => {
       TfIdf.topTerms(Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
         .orderBy("doc_id", "term")
@@ -1568,6 +1582,30 @@ private[graft] object DataQueries {
         |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // d15's recursive-CTE clustering + the d17 token-count idiom; keep =
+    // top-1 by (tokens DESC, doc_id ASC) within each cluster, singletons
+    // (docs outside every pair) cluster with themselves.
+    "d15b_canonical_keep" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |dup AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach(id, r) AS (SELECT src, src FROM e
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |, lab AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id, len(t) AS ntok FROM toks),
+        |f AS (SELECT q.doc_id, COALESCE(lab.cluster_id, q.doc_id) AS cluster_id, q.ntok
+        |      FROM q LEFT JOIN lab USING (doc_id)),
+        |r AS (SELECT doc_id, cluster_id,
+        |      row_number() OVER (PARTITION BY cluster_id ORDER BY ntok DESC, doc_id ASC) AS rn
+        |      FROM f)
+        |SELECT doc_id, cluster_id, (rn = 1) AS keep FROM r ORDER BY doc_id""".stripMargin,
 
     "d16_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS term FROM documents),

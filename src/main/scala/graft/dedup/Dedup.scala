@@ -477,6 +477,41 @@ object Dedup {
     * checkpoint when the session has a checkpoint dir, localCheckpoint
     * otherwise).
     */
+  /** Quality-aware canonical selection over near-dup clusters: keep the
+    * BEST member of each cluster by an explicit quality column instead
+    * of [[clusterPairs]]' arbitrary min-id label — the production
+    * curation policy (near-dup groups keep their longest /
+    * highest-quality representative; the dedup literature's
+    * keep-longest rule generalized to any score). Ties break to the
+    * smallest id so the choice is deterministic under re-runs.
+    *
+    * `clusters` is a (doc_id, cluster_id) labeling — only PAIRED docs
+    * need rows (clusterPairs' contract); unlabeled docs are singletons
+    * and keep themselves. Returns one row per doc:
+    * (doc_id, cluster_id, keep).
+    *
+    * Scale shape: docs left-join the cluster table (cluster rows ≪
+    * corpus — only docs that appeared in a dup pair), champions come
+    * from `groupBy(cluster).agg(max_by)` — partial aggregation absorbs
+    * a giant boilerplate cluster map-side, where a window over the
+    * cluster would be one unsplittable task (the d15 hub lesson) — and
+    * the champion join-back is an equi-join AQE can skew-split. No
+    * windows anywhere. */
+  def canonicalByQuality(docs: DataFrame, id: Column, quality: Column,
+                         clusters: DataFrame): DataFrame = {
+    val labeled = docs.select(id.as("doc_id"), quality.as("__q"))
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    // lexicographic (quality, -id): max picks highest quality, then
+    // smallest id on ties
+    val champions = labeled.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("__q"), (col("doc_id") * -1).as("__negid"))).as("__canon"))
+    labeled.join(champions, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("__canon")).as("keep"))
+  }
+
   def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import graft.operators.Lineage
     // Truncate the PAIR table itself, exactly once: `nodes` and `edges`

@@ -168,6 +168,33 @@ class DedupSpec extends SparkSpec {
     assert(keepers == Seq(2L))
   }
 
+  test("canonicalByQuality keeps the best member per cluster, ties to min id") {
+    // component {1,2,3}: 2 has top quality; component {10,11}: tied → 10
+    val clusters = Dedup.clusterPairs(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"))
+    val corpus = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 7.0),   // champion: 2
+      (10L, 4.0), (11L, 4.0),            // tie → smaller id 10
+      (42L, 0.5)                          // singleton keeps itself
+    ).toDF("doc_id", "q")
+    val out = Dedup.canonicalByQuality(corpus, col("doc_id"), col("q"), clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> (1L, false), 2L -> (1L, true), 3L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false),
+      42L -> (42L, true)))
+  }
+
+  test("canonicalByQuality plan has no window operators") {
+    val clusters = Dedup.clusterPairs(Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+    val d = Dedup.canonicalByQuality(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("doc_id", "q"), col("doc_id"), col("q"), clusters)
+    d.write.format("noop").mode("overwrite").save()
+    assert(d.queryExecution.executedPlan
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "champion selection must partial-aggregate, not window")
+  }
+
   test("simHash signatures are engine-portable: 60-bit md5-derived, deterministic") {
     val s1 = Dedup.simHashSignatures(docs, col("doc_id"), col("text"))
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
