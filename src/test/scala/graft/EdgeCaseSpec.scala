@@ -103,6 +103,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.sources.Warc.parseRecords(1L, Array.empty[Byte]).isEmpty)
   }
 
+  test("change-management operators accept empty snapshots and batches") {
+    import graft.etl.SnapshotDiff
+    // both sides empty: a well-schemaed empty diff, not a throw
+    val d = SnapshotDiff.diff(noDocs, noDocs, "doc_id", Seq("text"))
+    assert(d.count() == 0 &&
+      d.columns.toSet == Set("key", "prev_digest", "cur_digest", "change"))
+    assert(SnapshotDiff.summarize(d).count() == 0)
+    // canonical selection: empty corpus, and a corpus with no clusters
+    import graft.dedup.Dedup
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    assert(Dedup.canonicalByQuality(noDocs, col("doc_id"),
+      length(col("text")), noClusters).count() == 0)
+    val solo = Dedup.canonicalByQuality(
+        Seq((7L, "x")).toDF("doc_id", "text"), col("doc_id"),
+        length(col("text")), noClusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(solo.toSeq == Seq((7L, 7L, true)))
+    // streaming content diff: an empty micro-batch writes empty state
+    // and leaves the index readable
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-contentdiff")
+    graft.streaming.StreamOps.contentDiffBatch(
+      noDocs, 0L, "doc_id", Seq("text"),
+      dir.resolve("out").toString, dir.resolve("index").toString)
+    assert(spark.read.parquet(dir.resolve("out").toString).count() == 0)
+  }
+
   test("incremental semantic dedup accepts an empty batch AND an empty index") {
     import graft.similarity.Ann
     val cents = Ann.ivfCentroids(
