@@ -44,6 +44,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshot digest: equal iff the column tuples are equal — for all inputs") {
+    // the load-bearing A23/E16 invariant: the digest is injective over
+    // (nullable) column tuples — no re-segmentation across the column
+    // boundary, no null/empty confusion — and depends on nothing else
+    val cellGen: Gen[Option[String]] = Gen.frequency(
+      2 -> Gen.const(None),
+      2 -> Gen.const(Some("")),
+      3 -> Gen.const(Some("null")),       // the sentinel as a real value
+      5 -> Gen.choose(0, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", ":", "1", "")).map(l => Some(l.mkString))))
+    val pairGen = Gen.zip(cellGen, cellGen)
+    val cases = generate(Gen.listOfN(300, pairGen), 7L).zipWithIndex
+    val digests = cases.map { case ((x, y), i) => (i, x, y) }
+      .toDF("i", "x", "y")
+      .select(col("i"),
+        graft.etl.SnapshotDiff.digestOf(Seq(col("x"), col("y"))).as("d"))
+      .as[(Int, String)].collect().toMap
+    cases.foreach { case ((x1, y1), i) =>
+      cases.foreach { case ((x2, y2), j) =>
+        val same = (x1, y1) == (x2, y2)
+        assert((digests(i) == digests(j)) == same,
+          s"digest ${if (same) "must" else "must NOT"} match: ($x1,$y1) vs ($x2,$y2)")
+      }
+    }
+  }
+
   test("int8 quantization round-trip error is bounded by scale/2 — for all vectors") {
     import graft.vectors.Quantize
     val vecGen = Gen.choose(1, 16).flatMap(n =>
