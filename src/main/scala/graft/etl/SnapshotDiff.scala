@@ -44,17 +44,35 @@ object SnapshotDiff {
     }: _*))
   }
 
+  /** The (key, digest) table of one snapshot. Persist this NEXT TO the
+    * snapshot at write time: a later [[diffAgainstDigests]] then reads
+    * 48 B/row of the old corpus instead of re-scanning its full text —
+    * the difference between a metadata-sized and a corpus-sized job
+    * when diffing crawl N+1 against a 100 TB crawl N. */
+  def digestTable(df: DataFrame, keyCol: String,
+                  contentCols: Seq[String]): DataFrame =
+    df.select(col(keyCol).as("key"),
+      digestOf(contentCols.map(df(_))).as("digest"))
+
   /** (key, change, prev_digest, cur_digest) for every key present in
     * either snapshot. `change` is `added` (cur only), `removed` (prev
     * only), `changed` (both, digests differ), `unchanged` (both,
     * digests equal). Content columns are resolved against each side by
     * name. */
   def diff(prev: DataFrame, cur: DataFrame, keyCol: String,
-           contentCols: Seq[String]): DataFrame = {
-    val p = prev.select(col(keyCol).as("key"),
-      digestOf(contentCols.map(prev(_))).as("prev_digest"))
-    val c = cur.select(col(keyCol).as("key"),
-      digestOf(contentCols.map(cur(_))).as("cur_digest"))
+           contentCols: Seq[String]): DataFrame =
+    diffAgainstDigests(digestTable(prev, keyCol, contentCols),
+      cur, keyCol, contentCols)
+
+  /** [[diff]] where the previous side is an already-materialized
+    * digest table ((key, digest) — [[digestTable]]'s shape, or a
+    * compacted [[graft.streaming.StreamOps.latestContentState]]): the
+    * old snapshot's content is never read. */
+  def diffAgainstDigests(prevDigests: DataFrame, cur: DataFrame,
+                         keyCol: String, contentCols: Seq[String]): DataFrame = {
+    val p = prevDigests.select(col("key"), col("digest").as("prev_digest"))
+    val c = digestTable(cur, keyCol, contentCols)
+      .withColumnRenamed("digest", "cur_digest")
     p.join(c, Seq("key"), "full_outer")
       .withColumn("change",
         when(col("prev_digest").isNull, lit("added"))

@@ -69,6 +69,16 @@ class SnapshotDiffSpec extends SparkSpec {
       allRemoved.filter(col("change") =!= "removed").count() == 0)
   }
 
+  test("diff against a persisted digest table equals the direct diff") {
+    val direct = SnapshotDiff.diff(prev, cur, "doc_id", Seq("text", "source"))
+      .select("key", "change").as[(Long, String)].collect().toMap
+    val viaTable = SnapshotDiff.diffAgainstDigests(
+        SnapshotDiff.digestTable(prev, "doc_id", Seq("text", "source")),
+        cur, "doc_id", Seq("text", "source"))
+      .select("key", "change").as[(Long, String)].collect().toMap
+    assert(viaTable == direct)
+  }
+
   test("plan is one join with no window operators") {
     val d = SnapshotDiff.diff(prev, cur, "doc_id", Seq("text", "source"))
     d.write.format("noop").mode("overwrite").save()
