@@ -1,6 +1,7 @@
 package graft
 
 import graft.etl.{Cleaning, Nested, Scd, Validate}
+import graft.operators.Relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.RelationalQueries.revenue
@@ -245,8 +246,8 @@ private[graft] object EtlQueries {
           keyCols = Seq("user_id"), attrCols = Seq("event_type"),
           tsCol = "ts", tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_type"),
-          unix_micros(col("valid_from")).as("valid_from_us"),
-          unix_micros(col("valid_to")).as("valid_to_us"),
+          Relational.epochMicros(col("valid_from")).as("valid_from_us"),
+          Relational.epochMicros(col("valid_to")).as("valid_to_us"),
           col("is_current"))
         .orderBy("user_id", "valid_from_us", "event_type")
     }),

@@ -381,7 +381,7 @@ private[graft] object RelationalQueries {
           rightVals = Seq("view_value", "vts"))
         .select(col("event_id"), col("user_id"),
           round(col("asof_view_value"), 4).as("last_view_value"),
-          (unix_micros(col("ts")) - unix_micros(col("asof_vts"))).as("gap_us"))
+          (Relational.epochMicros(col("ts")) - Relational.epochMicros(col("asof_vts"))).as("gap_us"))
         .orderBy("event_id")
     }),
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Schema-typed loaders for the driver-generated test tables
   * (`/root/testdata/sf*`; see TESTDATA.md).
@@ -79,26 +79,37 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * cannot represent natively. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` AT CONSTRUCTION (done in
-    * Bench/Verify/test builders) so nanos arrive as LONG; this loader then
-    * rebuilds a microsecond TimestampType column with integer division (a
-    * double division would lose precision above 2^53 ns). The flag is
-    * deliberately NOT set here — mutating shared session config inside a
-    * loader is a hidden side effect and race-prone across concurrent
-    * queries. Narrow map — no shuffle.
+  /** `events.parquet` has shipped `ts` in three physical generations, and
+    * the loader must normalize all of them to session-TZ `TimestampType`
+    * so every downstream consumer (`unix_micros`, window ranges, as-of
+    * joins) sees one contract:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark cannot represent nanos natively;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` set at session
+    *    construction (Bench/Verify/test builders do) it arrives as LONG,
+    *    and we rebuild microseconds with integer division (double division
+    *    would lose precision above 2^53 ns).
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ; cast to TimestampType. Sessions here run UTC, so
+    *    the wall-clock reinterpretation preserves the instant exactly and
+    *    DuckDB-oracle comparisons stay bit-identical.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=true): already
+    *    TimestampType — pass through.
+    *
+    * All arms are narrow maps (or no-ops) — no shuffle. The nanosAsLong
+    * conf is NOT mutated here: a loader silently flipping shared session
+    * config is a hidden side effect and race-prone across concurrent
+    * queries; it is harmless when set against MICROS files.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // fail with instructions instead of the cryptic "Illegal Parquet
-    // type: INT64 (TIMESTAMP(NANOS,...))" an unconfigured session hits
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "Tables.events requires spark.sql.legacy.parquet.nanosAsLong=true set at session " +
-        "construction (events.parquet stores TIMESTAMP(NANOS), which Spark cannot read natively)")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+      case LongType           => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType   => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType      => raw
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — expected LONG (nanosAsLong), " +
+          "TIMESTAMP_NTZ, or TIMESTAMP; a new testdata generation needs a loader arm here")
     }
   }
 }

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Event-time → epoch microseconds, accepting BOTH timestamp flavors
+    * (`TIMESTAMP` and `TIMESTAMP_NTZ`). `unix_micros` only accepts
+    * session-TZ `TimestampType`, so an NTZ column (what parquet
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) scans produce) would fail
+    * analysis with DATATYPE_MISMATCH; the cast reinterprets NTZ
+    * wall-clock in the session TZ (UTC here — instant-preserving) and is
+    * the identity on an already-LTZ column. Defense in depth behind
+    * [[graft.Tables.events]]'s normalization: time operators stay correct
+    * even on frames that bypassed the loader. */
+  def epochMicros(ts: Column): Column =
+    unix_micros(ts.cast(org.apache.spark.sql.types.TimestampType))
+
   /** Top-k rows per group via `row_number` (rank column kept as `rn` —
     * a RESERVED output name; inputs already containing it are rejected
     * rather than silently overwritten).
@@ -44,7 +56,7 @@ object Relational {
       s"sessionize reserves output column '$c'; rename the input column"))
     val order = ts.asc +: orderTieBreak.map(_.asc)
     val w = Window.partitionBy(entity).orderBy(order: _*)
-    val us = unix_micros(ts)
+    val us = epochMicros(ts)
     val prevUs = lag(us, 1).over(w)
     val isNew = when(prevUs.isNull || (us - prevUs) > gapSeconds * 1000000L, 1).otherwise(0)
     df.withColumn("__us", us)
@@ -137,7 +149,7 @@ object Relational {
       windowSeconds: Long): DataFrame = {
     Seq("moving_n", "moving_avg").foreach(c => require(!df.columns.contains(c),
       s"movingAgg reserves output column '$c'; rename the input column"))
-    val w = Window.partitionBy(entity).orderBy(unix_micros(ts))
+    val w = Window.partitionBy(entity).orderBy(epochMicros(ts))
       .rangeBetween(-windowSeconds * 1000000L, 0)
     df.withColumn("moving_n", count(value).over(w))
       .withColumn("moving_avg", avg(value).over(w))
@@ -226,7 +238,7 @@ object Relational {
       df: DataFrame, entity: Column, ts: Column, value: Column,
       tieBreak: Seq[Column] = Nil): DataFrame = {
     val w = Window.partitionBy(col("__e")).orderBy(col("__us") +: tieBreak.map(_.asc): _*)
-    df.select(Seq(entity.as("__e"), unix_micros(ts).as("__us"), value.as("__v"))
+    df.select(Seq(entity.as("__e"), epochMicros(ts).as("__us"), value.as("__v"))
         ++ tieBreak: _*)
       .withColumn("__dur", lead(col("__us"), 1).over(w) - col("__us"))
       .groupBy(col("__e").as("entity"))
