@@ -112,6 +112,13 @@ object Bench {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(p, line + "\n")
+      // Final unambiguous pointer to the graded artifact: even if the
+      // stdout JSON is truncated by log capture, this one short line
+      // names the file and pins its content hash.
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest((line + "\n").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      println(s"BENCH_ARTIFACT=$outPath sha256=$digest")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
