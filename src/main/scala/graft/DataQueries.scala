@@ -597,6 +597,18 @@ private[graft] object DataQueries {
       Ann.outlierScores(emb, "vec_id", "embedding", cents).orderBy("vec_id")
     }),
 
+    // BM25 top-k retrieval: fixed literal queries against the documents
+    // corpus — postings + df are corpus-side aggregates, the query set
+    // broadcasts, and only the final top-k window partitions per query.
+    "d54_bm25_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark sort merge"), (2L, "stream window value"),
+        (3L, "filter scan column")).toDF("query_id", "query_text")
+      graft.text.Bm25.retrieve(Tables.documents(s, dir),
+          col("doc_id"), col("text"), qs, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Per-source quality-distribution drift vs the corpus: PSI +
     // chi-square over fixed equal-width bins of the d7 quality score.
     "d52_quality_drift" -> ((s, dir) =>
@@ -1096,6 +1108,33 @@ private[graft] object DataQueries {
         |SELECT a.cid AS vec_id, a.list_id, round(a.cos,4) AS cos,
         | round(CASE WHEN m.std > 0 THEN (a.cos - m.mean)/m.std ELSE 0.0 END, 4) AS z
         |FROM a JOIN m USING (list_id) ORDER BY vec_id""".stripMargin,
+
+    // Full Okapi BM25 replay: same tokenization as d16, dl from the
+    // per-doc token count, avgdl over ALL documents (empty docs as 0),
+    // distinct query terms, k1=1.2, b=0.75, top-5 by (score desc, doc).
+    "d54_bm25_retrieval" ->
+      """WITH q(query_id, query_text) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'spark sort merge'),
+        |  (CAST(2 AS BIGINT), 'stream window value'),
+        |  (CAST(3 AS BIGINT), 'filter scan column')),
+        |toks AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1,2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE term <> '' GROUP BY 1),
+        |dfx AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT avg(coalesce(dl.dl, 0)) FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id) AS avgdl),
+        |qt AS (SELECT DISTINCT query_id, unnest(string_split(regexp_replace(lower(trim(query_text)),'\s+',' ','g'), ' ')) AS term FROM q),
+        |scored AS (SELECT qt.query_id, tf.doc_id,
+        |   sum(ln(1.0 + (stats.n_docs - dfx.df_t + 0.5)/(dfx.df_t + 0.5))
+        |     * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |  FROM qt JOIN tf USING (term) JOIN dfx USING (term)
+        |   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, doc_id, round(score, 4) AS score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Mirrors the d7 score arithmetic, the fixed-width binning, the
     // dense slice×bin grid, PSI's two-sided smoothing, and chi-square's
