@@ -187,6 +187,31 @@ private[graft] object RelationalQueries {
         .orderBy(desc("n"), col("digits"))
     }),
 
+    // Count-min frequency sketch table (C8h): per-day CM sketches over
+    // user_id merged into one corpus sketch (counter ADD — exact,
+    // order-independent), then five fixed users' estimated event counts
+    // checked against the guaranteed [exact, exact + ε·N] envelope
+    // (ε = e/width; depth 5 ⇒ the one-sided overflow prob < 0.7%/probe,
+    // and deterministic here: fixed seed + fixed data). The c8b/c8d
+    // bound-check pattern for a sketch whose exact answer the oracle
+    // can compute.
+    "c8h_countmin" -> ((s, dir) => {
+      import graft.expressions.CountMin
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(CountMin.cmAgg(col("user_id")).as("cm"))
+      val bytes = daily.agg(CountMin.cmUnionAgg(col("cm")).as("cm"))
+        .head().getAs[Array[Byte]]("cm")
+      val slack = math.ceil(math.E / CountMin.DefaultWidth * CountMin.totalCount(bytes)).toLong
+      ev.filter(col("user_id") < 5)
+        .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .withColumn("__est", CountMin.estimate(bytes, col("user_id")))
+        .select(col("user_id"), col("n_exact"),
+          (col("__est") >= col("n_exact") &&
+            col("__est") <= col("n_exact") + lit(slack)).as("est_in_bound"))
+        .orderBy("user_id")
+    }),
+
     // Theta sketch set algebra (C8e): distinct users who clicked AND
     // purchased (purchases restricted to the user_id%3==0 cohort so the
     // three set estimates differ). At verification scale the corpus has
@@ -513,6 +538,12 @@ private[graft] object RelationalQueries {
         |SELECT (SELECT count(*) FROM c JOIN p USING (user_id)) AS n_both,
         | (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS n_either,
         | (SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS n_click_only""".stripMargin,
+
+    // The estimate side is the sketch's own guarantee (checked as a
+    // boolean envelope like c8b/c8d); the oracle owns the exact counts.
+    "c8h_countmin" ->
+      """SELECT user_id, count(*) AS n_exact, true AS est_in_bound
+        |FROM events WHERE user_id < 5 GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "c16_range_join" ->
       """WITH pts AS (SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS d, o_totalprice FROM orders),

@@ -112,6 +112,20 @@ object GraftFunctions {
           dblArg("graft_bloom_union_agg", "fpp", fpp))
       case args => arity("graft_bloom_union_agg", "3", args)
     },
+    fn("graft_cm_agg",
+      "graft_cm_agg(x string|long|binary, depth int, width int, seed int) - mergeable count-min frequency state (binary)") {
+      case Seq(x, d, w, s) =>
+        CountMinAgg(x, intArg("graft_cm_agg", "depth", d),
+          intArg("graft_cm_agg", "width", w), intArg("graft_cm_agg", "seed", s))
+      case args => arity("graft_cm_agg", "4", args)
+    },
+    fn("graft_cm_union_agg",
+      "graft_cm_union_agg(cm binary, depth int, width int, seed int) - merge of serialized count-min sketches") {
+      case Seq(c, d, w, s) =>
+        CountMinUnionAgg(c, intArg("graft_cm_union_agg", "depth", d),
+          intArg("graft_cm_union_agg", "width", w), intArg("graft_cm_union_agg", "seed", s))
+      case args => arity("graft_cm_union_agg", "4", args)
+    },
     fn("graft_ngram_rep_stats",
       "graft_ngram_rep_stats(tokens array<string>, n1 int, ...) - per-width [top_chars, dup_chars] of word n-grams") {
       case args if args.length >= 2 =>

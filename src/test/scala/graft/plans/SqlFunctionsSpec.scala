@@ -103,6 +103,20 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(hits == 100, s"union lost ${100 - hits} members")
   }
 
+  test("graft_cm_agg builds and graft_cm_union_agg merges from SQL") {
+    import graft.expressions.CountMin
+    val bytes = ext.sql(
+      "SELECT graft_cm_union_agg(cm, 5, 2048, 42) FROM " +
+        "(SELECT graft_cm_agg(CAST(id % 10 AS STRING), 5, 2048, 42) AS cm " +
+        " FROM range(100) GROUP BY id % 4)")
+      .head().getAs[Array[Byte]](0)
+    assert(CountMin.totalCount(bytes) == 100L)
+    val est = ext.range(10).selectExpr("CAST(id AS STRING) AS v")
+      .select(CountMin.estimate(bytes, col("v")).as("e"))
+      .collect().map(_.getLong(0))
+    assert(est.forall(_ >= 10L), s"each of 10 values inserted 10x: ${est.toSeq}")
+  }
+
   test("config arguments reject non-literals with a clear error") {
     val e = intercept[Exception] {
       ext.sql("SELECT graft_kll_sketch_agg(CAST(id AS DOUBLE), CAST(id AS INT)) FROM range(3)")
