@@ -265,7 +265,14 @@ object Ann {
         Window.partitionBy("qid").orderBy(col("__score").desc, col("list_id").asc)))
       .filter(col("__pr") <= nProbe)
       .select(col("qid"), col("qv"), col("qnorm"), col("list_id"))
-    val scored = probes.join(assigned, Seq("list_id"))
+    // the probe table is nProbe rows per query — query-set-sized by
+    // construction, so broadcast it STATICALLY: planned as SMJ, AQE
+    // demotes this join to broadcast at runtime anyway, but whether the
+    // already-launched corpus-side exchange survives as a local shuffle
+    // read is a stage-materialization race (a nondeterministic plan
+    // shape the golden fence caught on d23b). The hint pins the
+    // broadcast plan — and the corpus side never shuffles on list_id.
+    val scored = broadcast(probes).join(assigned, Seq("list_id"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cos", VectorOps.cosineWithNorms(col("qv"), col("cv"), col("qnorm"), col("__cn")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
@@ -361,9 +368,8 @@ object Ann {
     * that lost every member keep their previous centroid. */
   def refineHier(corpus: DataFrame, id: String, vec: String, hier: HierCentroids,
                  searchTop: Int = 2): HierCentroids = {
-    val means = ivfAssignHier(corpus, id, vec, hier, searchTop)
-      .join(corpus.select(col(id).as("__cid"), VectorOps.toDouble(col(vec)).as("__mv")), "__cid")
-      .select(col("list_id"), posexplode(col("__mv")).as(Seq("__d", "__x")))
+    val means = assignHierCore(corpus, id, vec, hier, searchTop)
+      .select(col("list_id"), posexplode(col("__v")).as(Seq("__d", "__x")))
       .groupBy("list_id", "__d").agg(avg("__x").as("__m"))
       .groupBy("list_id")
       .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__dm"))
@@ -398,7 +404,22 @@ object Ann {
     * shuffling vectors through stage 1's argmax (the semanticDedup
     * trade: lazy vector re-joins beat materializing them). */
   def ivfAssignHier(corpus: DataFrame, id: String, vec: String, hier: HierCentroids,
-                    searchTop: Int = 2): DataFrame = {
+                    searchTop: Int = 2): DataFrame =
+    assignHierCore(corpus, id, vec, hier, searchTop)
+      .select(col("__cid"), col("list_id"))
+
+  /** [[ivfAssignHier]] WITH the vectors still attached:
+    * (__cid, list_id, __v, __n). The vector and its norm ride the
+    * stage-2 argmax INSIDE the max struct (ordered after the unique
+    * −list_id, so they are never actually compared) — consumers that
+    * need assigned vectors ([[ivfTopKHier]]'s probe table, the
+    * hierarchical [[semanticIndex]], [[refineHier]]'s means) read them
+    * here instead of re-joining the corpus on the id, which re-shuffled
+    * the full vector table a second time on the same key (and, under
+    * AQE, raced exchange reuse into a nondeterministic plan shape —
+    * the d23b golden-plan flake). */
+  private def assignHierCore(corpus: DataFrame, id: String, vec: String,
+                             hier: HierCentroids, searchTop: Int = 2): DataFrame = {
     require(searchTop >= 1, s"searchTop must be >= 1, got $searchTop")
     val c = vecTable(corpus, id, vec, "__cid", "__v", "__n")
     val topOf = c.join(broadcast(hier.top))
@@ -412,8 +433,10 @@ object Ann {
       .join(topOf, "__cid")
       .join(broadcast(hier.sub), "top_id")
       .withColumn("__s", VectorOps.cosineWithNorms(col("__v"), col("cvec"), col("__n"), col("cnorm")))
-      .groupBy("__cid").agg(max(struct(col("__s"), (-col("list_id")).as("__nl"))).as("__best"))
-      .select(col("__cid"), (-col("__best.__nl")).cast("int").as("list_id"))
+      .groupBy("__cid").agg(max(struct(col("__s"), (-col("list_id")).as("__nl"),
+        col("__v").as("v"), col("__n").as("n"))).as("__best"))
+      .select(col("__cid"), (-col("__best.__nl")).cast("int").as("list_id"),
+        col("__best.v").as("__v"), col("__best.n").as("__n"))
   }
 
   /** IVF-Flat ANN through the two-level quantizer: [[ivfTopK]]'s plan
@@ -426,9 +449,8 @@ object Ann {
                   k: Int, nLists: Int, nProbe: Int, trainRounds: Int = 1): DataFrame = {
     require(nProbe >= 1 && nProbe <= nLists, "need 1 <= nProbe <= nLists")
     val hier = hierCentroids(corpus, id, vec, nLists, trainRounds)
-    val assigned = ivfAssignHier(corpus, id, vec, hier)
-      .join(vecTable(corpus, id, vec, "cid", "cv", "__cn"), col("__cid") === col("cid"))
-      .select(col("list_id"), col("cid"), col("cv"), col("__cn"))
+    val assigned = assignHierCore(corpus, id, vec, hier)
+      .select(col("list_id"), col("__cid").as("cid"), col("__v").as("cv"), col("__n").as("__cn"))
     probeTopK(assigned, hier.sub, queries, id, vec, k, nProbe)
   }
 
@@ -447,7 +469,8 @@ object Ann {
     * only the assignment path is. The SAME quantizer must then be used
     * for every batch judged against this index. */
   def semanticIndex(corpus: DataFrame, id: String, vec: String, hier: HierCentroids): DataFrame =
-    indexRows(ivfAssignHier(corpus, id, vec, hier), corpus, id, vec)
+    assignHierCore(corpus, id, vec, hier)
+      .select(col("__cid").as("vid"), col("list_id"), col("__v").as("v"), col("__n").as("n"))
 
   private def indexRows(assigned: DataFrame, corpus: DataFrame, id: String, vec: String): DataFrame =
     assigned
