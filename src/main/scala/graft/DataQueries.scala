@@ -429,6 +429,18 @@ private[graft] object DataQueries {
         .orderBy("lang")
     }),
 
+    // Temperature-flattened mix at α = 0.5: per-language targets come
+    // from the observed counts (p ∝ n^0.5), smallest language keeps
+    // every row, heads downsample — the oracle re-derives the pow/min
+    // cutoffs and the md5 bucket selection.
+    "d55_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMix(Tables.documents(s, dir),
+          key = col("doc_id"), stratum = col("lang"), alpha = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(length(col("text")).cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // Sub-document duplication: share of 4-token windows that also
     // occur in another document, aggregated per source.
     "d28_dup_spans" -> ((s, dir) => {
@@ -920,6 +932,20 @@ private[graft] object DataQueries {
         |t AS (SELECT min(n / w) AS T FROM c JOIN w USING (lang)),
         |f AS (SELECT c.lang, CAST(round(w.w * t.T / c.n * 1000000) AS BIGINT) AS cut
         |      FROM c JOIN w USING (lang) CROSS JOIN t),
+        |b AS (SELECT lang, text,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
+        | FROM documents)
+        |SELECT b.lang, count(*) AS n_kept, CAST(sum(length(b.text)) AS BIGINT) AS sum_chars
+        |FROM b JOIN f USING (lang) WHERE b.bucket < f.cut
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Same md5-bucket machinery as d27; the cutoffs come from the
+    // observed counts through pow/min instead of a weights table.
+    "d55_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT min(n / pow(n, 0.5)) AS T FROM c),
+        |f AS (SELECT c.lang, CAST(round(pow(c.n, 0.5) * t.T / c.n * 1000000) AS BIGINT) AS cut
+        |      FROM c CROSS JOIN t),
         |b AS (SELECT lang, text,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
         | FROM documents)

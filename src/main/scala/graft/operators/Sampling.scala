@@ -132,6 +132,43 @@ object Sampling {
       .drop("__stratum", "__cut")
   }
 
+  /** Temperature-flattened mix (the (n_s/N)^α source-reweighting rule
+    * behind multilingual/multi-source training mixes): target shares
+    * p_s ∝ n_s^α with temperature α ∈ (0, 1], then the SAME
+    * largest-subsample-never-upsampling semantics as [[rebalanceToMix]]
+    * — T = min_s(n_s/p_s) and each stratum keeps f_s = p_s·T/n_s =
+    * (min_t n_t^(1−α) / n_s^(1−α)). α = 1 keeps everything (identity
+    * mix); α → 0 flattens toward uniform counts (every stratum cut to
+    * the smallest's size); in between, heads downsample smoothly and
+    * the SMALLEST stratum always keeps all its rows. Unlike
+    * [[rebalanceToMix]] there is no external weights table — the
+    * targets come from the observed counts, so the operator is one
+    * count aggregate (one row per stratum), an in-plan pow/min over
+    * that tiny table, and the [[hashBucket]] filter: key-stable,
+    * layout-independent, externally re-derivable. */
+  def temperatureMix(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      alpha: Double,
+      salt: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    Seq("__stratum", "__p", "__n", "__T", "__cut").foreach(c =>
+      require(!df.columns.contains(c), s"input already has reserved column $c"))
+    val counts = df.groupBy(stratum.as("__stratum")).agg(count(lit(1)).as("__n"))
+    val all = Window.partitionBy()
+    // the N^α share normalizer cancels inside n/p and p·T/n — work with
+    // unnormalized p_s = n_s^α throughout
+    val cuts = counts
+      .withColumn("__p", pow(col("__n").cast("double"), lit(alpha)))
+      .withColumn("__T", min(col("__n").cast("double") / col("__p")).over(all))
+      .select(col("__stratum"),
+        round(col("__p") * col("__T") / col("__n") * lit(M)).cast("long").as("__cut"))
+    df.join(broadcast(cuts), stratum === col("__stratum"))
+      .filter(hashBucket(key, salt) < col("__cut"))
+      .drop("__stratum", "__cut")
+  }
+
   /** Deterministic named-split assignment (train/val/test): the key's
     * [[hashBucket]] lands in consecutive cumulative-fraction intervals,
     * in `splits` order, with the LAST split absorbing the remainder (so

@@ -86,6 +86,36 @@ class SamplingSpec extends SparkSpec {
     assert(scans == 2, s"expected 2 parquet scans, got $scans in:\n$plan")
   }
 
+  test("temperatureMix: alpha=1 is the identity, smallest stratum always kept whole") {
+    assert(Sampling.temperatureMix(rows, col("id"), col("lang"), alpha = 1.0).count() == 2000)
+    // alpha=0.5 with 500 en / 1500 de: f_en = 1 (smallest binds),
+    // f_de = (500/1500)^0.5 ≈ 0.577 → ~866 de kept
+    val byLang = Sampling.temperatureMix(rows, col("id"), col("lang"), alpha = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") == 500, "the smallest stratum keeps every row")
+    assert(math.abs(byLang("de") - 866L) < 100, s"de kept ${byLang("de")}, expected ~866")
+    assert(
+      Sampling.temperatureMix(rows, col("id"), col("lang"), alpha = 0.5).columns.toSeq ==
+        rows.columns.toSeq)
+  }
+
+  test("temperatureMix: alpha near 0 flattens toward uniform counts") {
+    val byLang = Sampling.temperatureMix(rows, col("id"), col("lang"), alpha = 0.01)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") == 500)
+    assert(math.abs(byLang("de") - 500L) < 100,
+      s"de kept ${byLang("de")}, expected ~500 (uniform at alpha→0)")
+  }
+
+  test("temperatureMix selection is layout-independent and a subset of the input") {
+    val a = Sampling.temperatureMix(rows, col("id"), col("lang"), alpha = 0.7)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureMix(rows.repartition(7), col("id"), col("lang"), alpha = 0.7)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.subsetOf(rows.select("id").as[Long].collect().toSet))
+  }
+
   test("exactKPerStratum keeps exactly min(k, |stratum|) rows, layout-independent") {
     val kept = Sampling.exactKPerStratum(rows, col("id"), col("lang"), k = 25)
     val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
