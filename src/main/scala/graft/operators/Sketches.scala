@@ -106,6 +106,34 @@ object Sketches {
       lgK: Int = ThetaExpressions.DefaultLgK): Column =
     ThetaExpressions.thetaEstimate(op, a, b, lgK)
 
+  import graft.expressions.CountMin
+
+  /** COUNT-MIN frequency sketch table (C8h): one count-min sketch of
+    * `value` per `keys` group — point-frequency state next to
+    * [[sketchTable]]'s distinct counts. Same partial-agg shape: raw
+    * rows never cross the shuffle, serialized sketches do. */
+  def cmSketchTable(
+      df: DataFrame, keys: Seq[Column], value: Column,
+      depth: Int = CountMin.DefaultDepth, width: Int = CountMin.DefaultWidth,
+      seed: Int = CountMin.DefaultSeed): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(CountMin.cmAgg(value, depth, width, seed).as("cmsketch"))
+
+  /** Roll a count-min table up to coarser `keys` by counter ADDITION.
+    * Unlike HLL/Theta union, the merge is NOT idempotent: the same
+    * physical sketch row must enter a rollup exactly once, so streaming
+    * state lands epoch-keyed-overwrite
+    * ([[graft.streaming.StreamOps.toFrequencyState]]), never blind
+    * append. */
+  def cmRollup(
+      sketches: DataFrame, keys: Seq[Column],
+      sketch: Column = col("cmsketch"),
+      depth: Int = CountMin.DefaultDepth, width: Int = CountMin.DefaultWidth,
+      seed: Int = CountMin.DefaultSeed): DataFrame =
+    sketches.groupBy(keys: _*)
+      .agg(CountMin.cmUnionAgg(sketch, depth, width, seed).as("cmsketch"),
+        count(lit(1)).as("n_buckets"))
+
   /** FREQUENT-ITEMS sketch table (C8f): one `approx_top_k` sketch of
     * `value` per `keys` group, via Spark 4's built-in state functions
     * (extension altitude (a): this one needs no custom aggregate).

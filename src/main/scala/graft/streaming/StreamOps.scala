@@ -664,6 +664,47 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming COUNT-MIN frequency state (E17): each micro-batch lands
+    * one `cmsketch` row per key group; any later point-frequency probe
+    * rolls the stored state up with [[graft.operators.Sketches.cmRollup]]
+    * and probes the merged bytes — raw traffic is never rescanned.
+    *
+    * Unlike [[toSketchState]] (HLL union is idempotent, so a replayed
+    * batch that appends twice cannot change any estimate), count-min
+    * merge ADDS counters — a blind append would double-count on
+    * replay. Batches therefore land under `batch=<epochId>` in
+    * OVERWRITE mode (the [[toSemanticDeduped]] epoch-keyed replay
+    * contract): a replayed epoch rewrites identical files and every
+    * rollup over the log stays exact. Compact on the Bronze lifecycle
+    * by materializing [[graft.operators.Sketches.cmRollup]] output to a
+    * fresh path — each physical row enters that rollup exactly once. */
+  def toFrequencyState(
+      events: DataFrame,
+      keys: Seq[String],
+      value: String,
+      statePath: String,
+      checkpoint: String,
+      depth: Int = graft.expressions.CountMin.DefaultDepth,
+      width: Int = graft.expressions.CountMin.DefaultWidth,
+      seed: Int = graft.expressions.CountMin.DefaultSeed): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        frequencyStateBatch(batch.toDF(), epochId, keys, value, statePath, depth, width, seed)
+      }
+      .start()
+
+  /** One micro-batch of [[toFrequencyState]], exposed for replay tests. */
+  private[graft] def frequencyStateBatch(
+      batch: DataFrame,
+      epochId: Long,
+      keys: Seq[String],
+      value: String,
+      statePath: String,
+      depth: Int, width: Int, seed: Int): Unit =
+    graft.operators.Sketches.cmSketchTable(batch, keys.map(col), col(value), depth, width, seed)
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+
   /** Streaming content-diff ingest (the streaming half of
     * [[graft.etl.SnapshotDiff]] A23): classify each arriving document
     * as `added` / `changed` / `unchanged` against the persisted

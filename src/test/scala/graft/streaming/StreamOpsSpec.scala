@@ -452,6 +452,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(byDay2 == byDay)
   }
 
+  test("toFrequencyState: epoch-keyed CM state rolls up to exact counts; replay never double-counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.expressions.CountMin
+    import graft.operators.Sketches
+    val input = MemoryStream[(String, Long)]
+    val state = java.nio.file.Files.createTempDirectory("cmstate").toString + "/cm"
+    val ckpt = java.nio.file.Files.createTempDirectory("cmckpt").toString
+    val q = StreamOps.toFrequencyState(
+      input.toDF().toDF("day", "user_id"),
+      keys = Seq("day"), value = "user_id", statePath = state, checkpoint = ckpt)
+    try {
+      // user 7 appears 30x on d1; user 8 appears 5x on d2
+      input.addData((1 to 30).map(_ => ("d1", 7L)) ++ (1 to 5).map(_ => ("d2", 8L)): _*)
+      q.processAllAvailable()
+      // user 7 appears 10x more, now on d2
+      input.addData((1 to 10).map(_ => ("d2", 7L)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(state)
+    assert(stored.columns.contains("batch"), "state must be epoch-partitioned")
+    // global rollup: frequencies add across days and batches
+    val merged = Sketches.cmRollup(stored, Seq.empty)
+      .select("cmsketch").head().getAs[Array[Byte]](0)
+    assert(CountMin.totalCount(merged) == 45L)
+    val est = Seq(7L, 8L).toDF("v")
+      .select(CountMin.estimate(merged, col("v"))).as[Long].collect()
+    assert(est(0) >= 40L && est(1) >= 5L)
+    // replaying epoch 1 overwrites identical state — no double count
+    StreamOps.frequencyStateBatch(
+      (1 to 10).map(_ => ("d2", 7L)).toDF("day", "user_id"), 1L,
+      Seq("day"), "user_id", state,
+      CountMin.DefaultDepth, CountMin.DefaultWidth, CountMin.DefaultSeed)
+    val replayed = Sketches.cmRollup(spark.read.parquet(state), Seq.empty)
+      .select("cmsketch").head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(replayed, merged),
+      "a replayed epoch must leave byte-identical merged state")
+  }
+
   test("toParagraphDeduped: cross-batch paragraph suppression via the index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-paradedup")
