@@ -79,6 +79,52 @@ object Evolution {
     df.select(cols: _*)
   }
 
+  /** One field-level difference between two schema generations.
+    * `kind` ∈ added | removed | widened | incompatible; `from`/`to`
+    * are absent for added/removed. Nullability differences are ignored
+    * (Spark treats nullability as advisory, not part of the contract). */
+  final case class SchemaChange(
+      path: String, kind: String, from: Option[DataType], to: Option[DataType])
+
+  /** Structural diff between two schema generations — the introspection
+    * half of [[conform]]: BEFORE conforming a new generation (or after
+    * an upstream regeneration, the round-8 events.ts lesson), report
+    * exactly what moved and whether each move is safe. `widened`
+    * changes are what [[conform]] casts silently; `incompatible` ones
+    * are what it throws on — a pipeline can gate on
+    * `schemaDiff(old, new).exists(_.kind == "incompatible")` and route
+    * the generation to quarantine instead of discovering the drift as
+    * N scattered analysis errors downstream. Struct fields, array
+    * elements, and map values recurse; order changes are not drift. */
+  def schemaDiff(from: StructType, to: StructType): Seq[SchemaChange] = {
+    def diffType(f: DataType, t: DataType, path: String): Seq[SchemaChange] = (f, t) match {
+      case (a, b) if a == b => Nil
+      case (a: StructType, b: StructType) => diffStruct(a, b, path)
+      case (ArrayType(ae, _), ArrayType(be, _)) => diffType(ae, be, s"$path[]")
+      case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+        // a key-type change is never safe (lookups silently miss)
+        val keys =
+          if (ak == bk) Nil
+          else Seq(SchemaChange(s"$path{key}", "incompatible", Some(ak), Some(bk)))
+        keys ++ diffType(av, bv, s"$path{value}")
+      case (a, b) if canWiden(a, b) => Seq(SchemaChange(path, "widened", Some(a), Some(b)))
+      case (a, b) => Seq(SchemaChange(path, "incompatible", Some(a), Some(b)))
+    }
+    def diffStruct(a: StructType, b: StructType, prefix: String): Seq[SchemaChange] = {
+      def at(name: String) = if (prefix.isEmpty) name else s"$prefix.$name"
+      val aByName = a.fields.map(f => f.name -> f).toMap
+      val bByName = b.fields.map(f => f.name -> f).toMap
+      val removed = a.fields.filterNot(f => bByName.contains(f.name))
+        .map(f => SchemaChange(at(f.name), "removed", Some(f.dataType), None))
+      val added = b.fields.filterNot(f => aByName.contains(f.name))
+        .map(f => SchemaChange(at(f.name), "added", None, Some(f.dataType)))
+      val changed = a.fields.filter(f => bByName.contains(f.name))
+        .flatMap(f => diffType(f.dataType, bByName(f.name).dataType, at(f.name)))
+      (removed ++ added ++ changed).toSeq
+    }
+    diffStruct(from, to, "")
+  }
+
   /** Read a parquet directory holding mixed schema generations,
     * reconciled to `target` AT THE SCAN: reading with a declared schema
     * nulls columns a generation lacks, prunes columns the target

@@ -79,4 +79,35 @@ class EvolutionSpec extends SparkSpec {
     assert(!Evolution.canWiden(LongType, DoubleType)) // above 2^53 loses
     assert(Evolution.canWiden(DateType, TimestampType))
   }
+
+  test("schemaDiff classifies added/removed/widened/incompatible with full paths") {
+    val old = StructType.fromDDL(
+      "id INT, name STRING, ts TIMESTAMP, meta STRUCT<score: FLOAT, tag: STRING>, xs ARRAY<INT>")
+    val neu = StructType.fromDDL(
+      "id BIGINT, ts STRING, lang STRING, meta STRUCT<score: DOUBLE>, xs ARRAY<LONG>")
+    val byPath = Evolution.schemaDiff(old, neu).map(c => c.path -> c).toMap
+    assert(byPath("id").kind == "widened")
+    assert(byPath("ts").kind == "incompatible") // timestamp → string loses the type
+    assert(byPath("name").kind == "removed" && byPath("lang").kind == "added")
+    assert(byPath("meta.score").kind == "widened")
+    assert(byPath("meta.tag").kind == "removed")
+    assert(byPath("xs[]").kind == "widened")
+    assert(byPath.size == 7)
+    // identical schemas (even reordered) report nothing
+    val reordered = StructType(old.fields.reverse)
+    assert(Evolution.schemaDiff(old, reordered).isEmpty)
+  }
+
+  test("schemaDiff gates exactly what conform would throw on") {
+    val old = StructType.fromDDL("a BIGINT, b STRING")
+    val narrowed = StructType.fromDDL("a INT, b STRING")
+    val widened = StructType.fromDDL("a BIGINT, b STRING, c DOUBLE")
+    assert(Evolution.schemaDiff(old, narrowed).exists(_.kind == "incompatible"))
+    assert(!Evolution.schemaDiff(old, widened).exists(_.kind == "incompatible"))
+    // map key changes are never safe; value changes follow widening
+    val m1 = StructType.fromDDL("m MAP<INT, INT>")
+    val m2 = StructType.fromDDL("m MAP<STRING, LONG>")
+    val changes = Evolution.schemaDiff(m1, m2).map(c => c.path -> c.kind).toMap
+    assert(changes("m{key}") == "incompatible" && changes("m{value}") == "widened")
+  }
 }
