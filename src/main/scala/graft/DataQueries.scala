@@ -269,6 +269,18 @@ private[graft] object DataQueries {
         .orderBy("shard", "pack_id")
     }),
 
+    // Training-ready pack manifest: ordered member docs + cu_seqlens
+    // boundaries per pack, csv-ized so the oracle hash-checks the full
+    // slicing contract (not just counts).
+    "d17b_pack_manifest" -> ((s, dir) => {
+      Packing.packManifest(Packing.packSequences(Tables.documents(s, dir),
+          col("doc_id"), col("text"), budget = 512, nShards = 8))
+        .select(col("shard"), col("pack_id"), col("n_docs"), col("sum_tokens"),
+          array_join(transform(col("doc_ids"), _.cast("string")), ",").as("doc_ids_csv"),
+          array_join(transform(col("cu_seqlens"), _.cast("string")), ",").as("cu_csv"))
+        .orderBy("shard", "pack_id")
+    }),
+
     // PII redaction over deterministically constructed PII-bearing text
     // (the synthetic corpus carries none, so the query plants one email/
     // URL/phone/IP per document from its id — the oracle mirrors the
@@ -1695,6 +1707,24 @@ private[graft] object DataQueries {
         |p AS (SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id, n_tokens FROM c)
         |SELECT shard, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM p GROUP BY 1,2 ORDER BY shard, pack_id""".stripMargin,
+
+    // Same packing CTEs as d17, plus the in-pack inclusive running sum:
+    // cu_seqlens = '0,' followed by the ordered in-pack cumsums.
+    "d17b_pack_manifest" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |   len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM t),
+        |p AS (SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id, doc_id, n_tokens FROM c),
+        |q AS (SELECT shard, pack_id, doc_id, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY shard, pack_id ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS icum
+        | FROM p)
+        |SELECT shard, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids_csv,
+        | '0,' || string_agg(CAST(icum AS VARCHAR), ',' ORDER BY doc_id) AS cu_csv
+        |FROM q GROUP BY 1,2 ORDER BY shard, pack_id""".stripMargin,
 
     "d20_redact" ->
       """WITH t AS (SELECT source,

@@ -39,4 +39,29 @@ object Packing {
   def packStats(packed: DataFrame): DataFrame =
     packed.groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+
+  /** Training-ready pack manifest (D17b): one row per (shard, pack)
+    * with the ordered member documents and their cumulative-length
+    * boundaries — `cu_seqlens` in flash-attention/packed-batch
+    * convention: `[0, n₁, n₁+n₂, …, Σn]`, length `n_docs + 1`, so the
+    * batch assembler slices sequence i as
+    * `[cu_seqlens(i), cu_seqlens(i+1))` with zero per-doc metadata
+    * lookups. Built from [[packSequences]] output by one hash aggregate
+    * (`sort_array ∘ collect_list` — the buffer is one pack's documents,
+    * bounded by budget/min-doc-tokens, never corpus-sized) and an
+    * in-plan running-sum fold over that bounded array. */
+  def packManifest(packed: DataFrame): DataFrame =
+    packed.groupBy("shard", "pack_id")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens")))).as("__ds"))
+      .select(col("shard"), col("pack_id"),
+        size(col("__ds")).cast("long").as("n_docs"),
+        transform(col("__ds"), s => s.getField("doc_id")).as("doc_ids"),
+        aggregate(
+          transform(col("__ds"), s => s.getField("n_tokens")),
+          struct(array(lit(0L)).as("offs"), lit(0L).as("tot")),
+          (acc, n) => struct(
+            concat(acc.getField("offs"), array(acc.getField("tot") + n)).as("offs"),
+            (acc.getField("tot") + n).as("tot")),
+          acc => acc.getField("offs")).as("cu_seqlens"))
+      .withColumn("sum_tokens", element_at(col("cu_seqlens"), -1))
 }

@@ -26,6 +26,25 @@ class PackingSpec extends SparkSpec {
     assert(stats.toSeq == Seq((0L, 2L, 8L))) // one pack, overflow < one doc
   }
 
+  test("packManifest emits ordered members and cu_seqlens slicing boundaries") {
+    // one shard, tokens 3,4,2 with budget 6 → pack0 = {0,8} (3+4), pack1 = {16}
+    val docs = Seq((0L, "a b c"), (8L, "d e f g"), (16L, "h i")).toDF("doc_id", "text")
+    val m = Packing.packManifest(
+        Packing.packSequences(docs, col("doc_id"), col("text"), budget = 6, nShards = 8))
+      .orderBy("pack_id")
+      .select("pack_id", "n_docs", "doc_ids", "cu_seqlens", "sum_tokens")
+      .as[(Long, Long, Seq[Long], Seq[Long], Long)].collect()
+    assert(m.length == 2)
+    assert(m(0) == ((0L, 2L, Seq(0L, 8L), Seq(0L, 3L, 7L), 7L)))
+    assert(m(1) == ((1L, 1L, Seq(16L), Seq(0L, 2L), 2L)))
+    // the slicing contract: cu_seqlens has n_docs+1 entries, starts at
+    // 0, ends at sum_tokens, and consecutive deltas are the doc lengths
+    m.foreach { case (_, n, ids, cu, tot) =>
+      assert(cu.length == n + 1 && cu.head == 0L && cu.last == tot)
+      assert(ids.sorted == ids, "members must be in packing (doc_id) order")
+    }
+  }
+
   test("shards pack independently") {
     val docs = Seq((0L, "a b"), (1L, "c d"), (2L, "e f")).toDF("doc_id", "text")
     val packed = Packing.packSequences(docs, col("doc_id"), col("text"), budget = 2, nShards = 3)
