@@ -453,6 +453,67 @@ private[graft] object DataQueries {
         .orderBy("lang")
     }),
 
+    // Hard-negative mining: per anchor, the 5 most-cosine-similar
+    // vectors with a DIFFERENT label — exact miner (the IVF-probed
+    // variant is recall-tested in AnnSpec). Oracle = d5's brute-force
+    // ranking plus the label-difference predicate.
+    "d58_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", group = "label", k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // Token-budget quota per source: best-first by the n_chars quality
+    // proxy (callers pass a real quality score), kept while the running
+    // token count stays within 600 tokens per source. The oracle
+    // replays the same per-stratum running-sum window.
+    "d57_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.tokenBudgetPerStratum(docs,
+          stratum = col("source"), cost = TextFunctions.tokenCount(col("text")),
+          quality = col("n_chars"), tieBreak = col("doc_id"), budget = 600L)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_toks"), col("cum_cost"))
+        .orderBy("source", "cum_cost", "doc_id")
+    }),
+
+    // C4-style cleaning (Raffel et al. 2020 §2.2) over a corpus given
+    // deterministic line structure in the query itself (the documents
+    // table is single-line): sentence-like lines survive, then page
+    // gates (≥3 sentences, lorem ipsum, '{', bad words) run on the
+    // cleaned text. The oracle recomputes every rule bit-for-bit,
+    // including the clean-text md5.
+    "d56_c4_filter" -> ((s, dir) => {
+      val t = split(col("text"), " ")
+      def seg(start: Int, len: Int) = array_join(slice(t, start, len), " ")
+      val synth = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(seg(1, 6), lit(".")),
+          seg(7, 3),
+          concat(seg(10, 6), lit("?")),
+          lit("about javascript and more things here."),
+          when(col("doc_id") % 2 === 0,
+            lit("an extra sentence rounds out even documents.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("config { x } traced through seven docs.")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("lorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("this document regrettably contains badword today.")).otherwise(lit("")))
+          .as("text"))
+      graft.text.C4Filter.clean(synth, col("text"), badWords = Seq("badword"))
+        .select(col("doc_id"),
+          col("c4.n_lines").as("n_lines"), col("c4.n_kept").as("n_kept"),
+          md5(col("c4.clean_text")).as("clean_md5"),
+          col("flags.ok_sentences").as("ok_sentences"),
+          col("flags.ok_lorem").as("ok_lorem"),
+          col("flags.ok_brace").as("ok_brace"),
+          col("flags.ok_bad_words").as("ok_bad_words"),
+          col("flags.keep").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Sub-document duplication: share of 4-token windows that also
     // occur in another document, aggregated per source.
     "d28_dup_spans" -> ((s, dir) => {
@@ -964,6 +1025,69 @@ private[graft] object DataQueries {
         |SELECT b.lang, count(*) AS n_kept, CAST(sum(length(b.text)) AS BIGINT) AS sum_chars
         |FROM b JOIN f USING (lang) WHERE b.bucket < f.cut
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // d5's exact ranking with the different-label join predicate.
+    "d58_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv, label AS cl FROM embeddings),
+        |s AS (SELECT qid, cid,
+        |   list_inner_product(qv,cv) / (sqrt(list_inner_product(qv,qv)) * sqrt(list_inner_product(cv,cv))) AS cos
+        |  FROM q, c WHERE qid <> cid AND ql <> cl),
+        |r AS (SELECT qid, cid, cos,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank FROM s)
+        |SELECT qid, cid, round(cos,4) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // The same best-first running-sum window: tokens are the engine's
+    // normalized whitespace tokens, ranking is (n_chars DESC, doc_id),
+    // and the inclusive cumulative token count gates at 600.
+    "d57_token_budget" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |  len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_toks,
+        |  sum(n_toks) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM t)
+        |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks, CAST(cum AS BIGINT) AS cum_cost
+        |FROM r WHERE cum <= 600 ORDER BY source, cum_cost, doc_id""".stripMargin,
+
+    // Every C4 rule recomputed in SQL over the same synthesized line
+    // structure: slice bounds are the Spark query's (slice(t,a,n) ≡
+    // list_slice(t,a,a+n-1)), the line keep predicate, sentence count,
+    // and page gates are rule-for-rule mirrors, and the cleaned text
+    // is compared via md5 (content, not just counts).
+    "d56_c4_filter" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |synth AS (SELECT doc_id, concat_ws(chr(10),
+        |    array_to_string(list_slice(t, 1, 6), ' ') || '.',
+        |    array_to_string(list_slice(t, 7, 9), ' '),
+        |    array_to_string(list_slice(t, 10, 15), ' ') || '?',
+        |    'about javascript and more things here.',
+        |    CASE WHEN doc_id % 2 = 0 THEN 'an extra sentence rounds out even documents.' ELSE '' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'config { x } traced through seven docs.' ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet consectetur.' ELSE '' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'this document regrettably contains badword today.' ELSE '' END
+        |  ) AS text FROM base),
+        |c AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> length(x) > 0) AS lines
+        |  FROM synth),
+        |k AS (SELECT doc_id, lines,
+        |  list_filter(lines, l -> regexp_matches(l, '[.!?]["”'']?$')
+        |    AND len(string_split(trim(regexp_replace(l, '\s+', ' ', 'g')), ' ')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM c),
+        |f AS (SELECT doc_id, lines, kept, array_to_string(kept, chr(10)) AS clean FROM k),
+        |g AS (SELECT doc_id, lines, kept, clean,
+        |  len(regexp_extract_all(clean, '([.!?]+)', 1)) >= 3 AS ok_sentences,
+        |  NOT contains(lower(clean), 'lorem ipsum') AS ok_lorem,
+        |  NOT contains(clean, '{') AS ok_brace,
+        |  NOT list_contains(string_split(regexp_replace(lower(trim(clean)), '\s+', ' ', 'g'), ' '), 'badword') AS ok_bad_words
+        |  FROM f)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(clean) AS clean_md5, ok_sentences, ok_lorem, ok_brace, ok_bad_words,
+        |  (ok_sentences AND ok_lorem AND ok_brace AND ok_bad_words) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // Duplicated 4-token windows recomputed from the raw text: same
     // normalization, same window positions, duplicated iff the exact

@@ -204,6 +204,40 @@ object Sampling {
       assignSplit(graft.text.TextFunctions.contentFingerprint(text), splits, salt))
   }
 
+  /** Token-budget quota per stratum — the "take the best B tokens from
+    * each source" curation rule behind fixed-size training mixes (e.g.
+    * a 50B-token target per language/domain): within every stratum,
+    * rows are ranked best-first by `quality` (descending, `tieBreak`
+    * ascending makes the order total ⇒ the selection deterministic) and
+    * kept while the INCLUSIVE running sum of `cost` stays ≤ `budget` —
+    * so a stratum never exceeds its budget, and the first row that
+    * would cross is cut. Emits `cum_cost`, the running total, so
+    * downstream packing can resume the count.
+    *
+    * One per-stratum running-sum window: a shuffle on the stratum key
+    * plus a per-stratum sort — the same C5/top-k-per-group shape, fine
+    * while strata are plentiful (sources/languages/domains). With FEW
+    * giant strata at 100 TB, refine to the two-phase form: pre-bucket
+    * `quality` (partial agg → tiny per-(stratum, bucket) totals table,
+    * prefix-sum on the driver-scale table picks a quality threshold +
+    * residual budget), then row-rank only the single boundary bucket —
+    * same result, no full-stratum sort. */
+  def tokenBudgetPerStratum(
+      df: DataFrame,
+      stratum: Column,
+      cost: Column,
+      quality: Column,
+      tieBreak: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.contains("cum_cost"),
+      "tokenBudgetPerStratum adds column 'cum_cost'; rename the existing one")
+    val w = Window.partitionBy(stratum).orderBy(quality.desc, tieBreak.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_cost", sum(cost.cast("long")).over(w))
+      .filter(col("cum_cost") <= budget)
+  }
+
   /** Sort key for a deterministic per-epoch global reshuffle of
     * training data: md5 of (epoch ‖ id). Same (epoch, corpus) always
     * exports the same order on any cluster layout; different epochs

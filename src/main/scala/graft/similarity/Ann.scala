@@ -44,6 +44,69 @@ object Ann {
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/metric training: for each
+    * anchor, the top-`k` most-similar corpus vectors whose `group`
+    * label DIFFERS from the anchor's (the "hardest" negatives — most
+    * confusable under the current embedding), optionally capped at
+    * `maxCos` (a similarity ceiling excludes near-identical vectors
+    * that are usually mislabeled duplicates, the standard
+    * false-negative guard). Exact brute-force baseline — same
+    * broadcast-queries/no-shuffle-corpus shape as [[bruteForceTopK]];
+    * [[hardNegativesIvf]] is the list-probed scale path. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, id: String, vec: String,
+                    group: String, k: Int, maxCos: Double = 1.0): DataFrame = {
+    val c = groupVecTable(corpus, id, vec, group, "cid", "cv", "__cn", "cgroup")
+    val q = groupVecTable(anchors, id, vec, group, "qid", "qv", "qnorm", "qgroup")
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("cid") && col("qgroup") =!= col("cgroup"))
+      .withColumn("cos", VectorOps.cosineWithNorms(col("qv"), col("cv"), col("qnorm"), col("__cn")))
+      .filter(col("cos") <= maxCos)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
+  }
+
+  /** IVF-probed hard negatives — [[hardNegatives]] semantics restricted
+    * to the anchors' top-`nProbe` lists, so the per-anchor cost is the
+    * probed-list population instead of the corpus. The label filter runs
+    * INSIDE the probed lists, before ranking, so k survivors are exact
+    * within the probe budget (no over-fetch fragility); recall vs the
+    * exact miner is the usual IVF probe trade measured in AnnSpec.
+    * Same static-broadcast probe-table plan as the shared probe tail:
+    * the corpus side never shuffles on list_id. */
+  def hardNegativesIvf(corpus: DataFrame, anchors: DataFrame, id: String, vec: String,
+                       group: String, k: Int, nLists: Int, nProbe: Int,
+                       trainRounds: Int = 0, maxCos: Double = 1.0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists, "need 1 <= nProbe <= nLists")
+    var cents = ivfCentroids(corpus, id, vec, nLists)
+    (0 until trainRounds).foreach(_ => cents = refineCentroids(corpus, id, vec, cents))
+    val assigned = ivfAssign(corpus, id, vec, cents)
+      .join(groupVecTable(corpus, id, vec, group, "cid", "cv", "__cn", "cgroup"),
+        col("__cid") === col("cid"))
+      .select(col("list_id"), col("cid"), col("cv"), col("__cn"), col("cgroup"))
+    val q = groupVecTable(anchors, id, vec, group, "qid", "qv", "qnorm", "qgroup")
+    val probes = q.join(broadcast(cents))
+      .withColumn("__score", VectorOps.cosineWithNorms(col("qv"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("__score").desc, col("list_id").asc)))
+      .filter(col("__pr") <= nProbe)
+      .select(col("qid"), col("qv"), col("qnorm"), col("qgroup"), col("list_id"))
+    val scored = broadcast(probes).join(assigned, Seq("list_id"))
+      .filter(col("qid") =!= col("cid") && col("qgroup") =!= col("cgroup"))
+      .withColumn("cos", VectorOps.cosineWithNorms(col("qv"), col("cv"), col("qnorm"), col("__cn")))
+      .filter(col("cos") <= maxCos)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
+  }
+
+  private def groupVecTable(df: DataFrame, id: String, vec: String, group: String,
+                            idAs: String, vAs: String, nAs: String, gAs: String): DataFrame =
+    df.select(col(id).as(idAs), VectorOps.toDouble(col(vec)).as(vAs), col(group).as(gAs))
+      .withColumn(nAs, VectorOps.l2Norm(col(vAs)))
+
   /** Shared deterministic plane coefficients — single source of truth in
     * [[graft.expressions.VectorExpressions.planeCoef]], used by both the
     * native expression and the reference formulation below. */

@@ -179,6 +179,37 @@ class SamplingSpec extends SparkSpec {
     assert(assigned.values.toSet.size == 1)
   }
 
+  test("tokenBudgetPerStratum: best-first, budget never exceeded, first crossing cut") {
+    val rows = Seq(
+      // (id, src, cost, quality)
+      (1L, "a", 40L, 9.0), (2L, "a", 50L, 8.0), (3L, "a", 30L, 7.0), (4L, "a", 10L, 6.0),
+      (5L, "b", 100L, 5.0), (6L, "b", 100L, 5.0), (7L, "b", 1L, 4.0)
+    ).toDF("id", "src", "cost", "q")
+    val kept = Sampling.tokenBudgetPerStratum(rows, col("src"), col("cost"),
+        col("q"), col("id"), budget = 100L)
+      .select("id", "cum_cost").as[(Long, Long)].collect().toMap
+    // a: 40, 90, then 30 would cross (120) → cut, and so is everything after
+    assert(kept.keySet.filter(_ <= 4L) == Set(1L, 2L))
+    assert(kept(2L) == 90L)
+    // b: tie on quality broken by id → 5 kept at exactly budget, 6 cut, 7 cut (order is rank order)
+    assert(kept.keySet.filter(_ >= 5L) == Set(5L))
+    assert(kept(5L) == 100L)
+  }
+
+  test("tokenBudgetPerStratum: strata are independent and determinism holds across reruns") {
+    val rows = (1L to 200L).map(i => (i, s"s${i % 4}", i % 7 + 1, (i * 37 % 11).toDouble))
+      .toDF("id", "src", "cost", "q")
+    def run() = Sampling.tokenBudgetPerStratum(rows.repartition(7), col("src"),
+        col("cost"), col("q"), col("id"), budget = 50L)
+      .select("id").as[Long].collect().toSet
+    val first = run()
+    assert(first == run(), "selection must be layout-independent")
+    val perSrc = Sampling.tokenBudgetPerStratum(rows, col("src"), col("cost"),
+        col("q"), col("id"), budget = 50L)
+      .groupBy("src").agg(max("cum_cost").as("m")).as[(String, Long)].collect()
+    assert(perSrc.nonEmpty && perSrc.forall(_._2 <= 50L))
+  }
+
   test("epochShuffle: deterministic per epoch, decorrelated across epochs, lossless") {
     val rows = (1L to 300L).toDF("id")
     def order(epoch: Long): Seq[Long] =

@@ -155,6 +155,46 @@ class AnnSpec extends SparkSpec {
     assert(trained > 0.5, s"trained recall collapsed: $trained")
   }
 
+  test("hardNegatives: only other-label vectors rank, hardest first; maxCos caps near-dups") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),  // identical but other label
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 1),
+      (3L, Array(0.8f, 0.2f, 0.0f, 0.0f), 0),  // same label — excluded
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val q = labeled.filter(col("vec_id") === 0)
+    val out = Ann.hardNegatives(labeled, q, "vec_id", "embedding", "label", k = 10)
+      .orderBy("rank").select("cid").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 4L), s"expected other-label hardest-first, got $out")
+    // the identical-but-other-label vector is a presumed mislabeled dup → ceiling removes it
+    val capped = Ann.hardNegatives(labeled, q, "vec_id", "embedding", "label",
+        k = 10, maxCos = 0.999)
+      .orderBy("rank").select("cid").as[Long].collect().toSeq
+    assert(capped == Seq(2L, 4L), s"maxCos must drop the cos=1 pair, got $capped")
+  }
+
+  test("hardNegativesIvf: full probe equals the exact miner; recall grows with nProbe") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Ann.hardNegatives(emb, q, "vec_id", "embedding", "label", k = 5)
+      .select("qid", "cid", "cosine").as[(Long, Long, Double)].collect().toSet
+    val full = Ann.hardNegativesIvf(emb, q, "vec_id", "embedding", "label",
+        k = 5, nLists = 8, nProbe = 8)
+      .select("qid", "cid", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(full == exact, "probing every list must reduce to the exact miner")
+    val ids = exact.map { case (a, b, _) => (a, b) }
+    def recall(nProbe: Int): Double = {
+      val got = Ann.hardNegativesIvf(emb, q, "vec_id", "embedding", "label",
+          k = 5, nLists = 8, nProbe = nProbe)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      ids.intersect(got).size.toDouble / ids.size
+    }
+    val r2 = recall(2); val r8 = recall(8)
+    assert(r2 <= r8 && r8 == 1.0, s"recall not monotone to exact: $r2 / $r8")
+    assert(r2 > 0.3, s"quarter-probe recall collapsed: $r2")
+  }
+
   test("hierCentroids: every vector lands in exactly one list; ids globally unique") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val hier = Ann.hierCentroids(emb, "vec_id", "embedding", nLists = 16)

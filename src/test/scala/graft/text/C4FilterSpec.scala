@@ -1,0 +1,66 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class C4FilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cleaned(text: String, badWords: Seq[String] = Nil) =
+    C4Filter.clean(Seq(text).toDF("text"), col("text"), badWords = badWords)
+      .select(col("c4.n_lines"), col("c4.n_kept"), col("c4.clean_text"),
+        col("flags.*"))
+      .head()
+
+  test("line rule keeps sentence-like lines only") {
+    val r = cleaned(
+      "This line ends with a period and has many words.\n" +
+        "short one\n" +                       // no terminal punct
+        "Too few words.\n" +                   // < 5 words
+        "Some javascript in this line stays out.\n" + // javascript
+        "Does a question count as terminal punctuation? \n" +
+        "   \n")                               // blank
+    assert(r.getAs[Long]("n_lines") === 5)
+    assert(r.getAs[Long]("n_kept") === 2)
+    val clean = r.getAs[String]("clean_text")
+    assert(clean.startsWith("This line") && clean.contains("question"))
+    assert(!clean.contains("javascript") && !clean.contains("short one"))
+  }
+
+  test("closing quote after terminal punctuation is terminal") {
+    val r = cleaned("He said the words \"stop right there now.\"")
+    assert(r.getAs[Long]("n_kept") === 1)
+  }
+
+  test("page gates: sentences, lorem ipsum, brace, bad words") {
+    val threeSent = "The first sentence is right here today. " +
+      "A second sentence follows it closely behind. And here a third one lands."
+    assert(cleaned(threeSent).getAs[Boolean]("keep"))
+    val twoSent = "Only one sentence sits in this line. And then a second one here."
+    assert(!cleaned(twoSent).getAs[Boolean]("ok_sentences"))
+    assert(!cleaned(threeSent + "\nWe admire lorem ipsum placeholder text greatly.")
+      .getAs[Boolean]("ok_lorem"))
+    assert(!cleaned(threeSent + "\nCode with a brace { inside survives the line rule.")
+      .getAs[Boolean]("ok_brace"))
+    val bad = cleaned(threeSent + "\nThis line regrettably contains badword today.",
+      badWords = Seq("badword"))
+    assert(!bad.getAs[Boolean]("ok_bad_words") && !bad.getAs[Boolean]("keep"))
+  }
+
+  test("gates run on the CLEANED text: junk dropped by the line rule cannot trip them") {
+    val threeSent = "The first sentence is right here today. " +
+      "A second sentence follows it closely behind. And here a third one lands."
+    // brace and lorem lines lack terminal punctuation → removed before gating
+    val r = cleaned(threeSent + "\nlorem ipsum { junk\n")
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("null and empty text clean to empty and fail only the sentence gate") {
+    val r = C4Filter.clean(Seq[Option[String]](None, Some("")).toDF("text"), col("text"))
+      .select(col("c4.n_lines"), col("flags.ok_sentences"), col("flags.ok_lorem"))
+      .collect()
+    assert(r.forall(_.getAs[Long]("n_lines") === 0L))
+    assert(r.forall(!_.getAs[Boolean]("ok_sentences")))
+    assert(r.forall(_.getAs[Boolean]("ok_lorem")))
+  }
+}
