@@ -103,6 +103,22 @@ private[graft] object RelationalQueries {
         .orderBy("status", "priority")
     }),
 
+    // Arbitrary GROUPING SETS (the general form behind c6/c6b's
+    // rollup/cube): (status, priority), (status), () — one Expand-based
+    // aggregate, same single shuffle as a plain groupBy.
+    "c6c_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty[org.apache.spark.sql.Column]),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")
+    }),
+
     // Fixed-width histogram of order totals — the distribution profile
     // every curation/QA dashboard starts from. Plain floor-division
     // binning (clamped top bucket) so any engine mirrors it exactly.
@@ -110,6 +126,17 @@ private[graft] object RelationalQueries {
       Tables.orders(s, dir)
         .select(least(floor(col("o_totalprice") / 20000.0), lit(29.0)).cast("long").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // Equi-depth (quantile) histogram over order prices: 8 depth
+    // buckets via the two-level grid decomposition — one corpus
+    // shuffle onto 1024 fixed micro-cells, cumulative window over the
+    // bounded cell table only. The oracle replays the identical grid,
+    // cumsum, and ceil-mapping.
+    "c15b_equidepth" -> ((s, dir) => {
+      graft.analytics.Kpis.equiDepthHistogram(Tables.orders(s, dir),
+          col("o_totalprice"), buckets = 8, lo = 0.0, hi = 600000.0)
         .orderBy("bucket")
     }),
 
@@ -496,9 +523,34 @@ private[graft] object RelationalQueries {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
 
+    "c6c_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),4) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin,
+
     "c15_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 20000.0), 29.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Identical grid (1024 cells over [0, 600000)), identical cumsum
+    // and ceil bucket mapping, so counts AND bucket min/max match.
+    // The total is aliased "tot", NOT "N" — like Spark, DuckDB
+    // resolves case-insensitively and "N" would capture the per-cell
+    // "n" (the bug both engines hit symmetrically on first cut).
+    "c15b_equidepth" ->
+      """WITH c AS (SELECT
+        |   CAST(greatest(least(floor((o_totalprice - 0.0) / (600000.0 / 1024)), 1023), 0) AS BIGINT) AS cell,
+        |   CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+        |p AS (SELECT cell, count(*) AS n, min(v) AS lo_v, max(v) AS hi_v FROM c GROUP BY 1),
+        |m AS (SELECT cell, n, lo_v, hi_v,
+        |   sum(n) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS cum,
+        |   sum(n) OVER () AS tot FROM p)
+        |SELECT CAST(least(ceil(CAST(cum AS DOUBLE) * 8 / CAST(tot AS DOUBLE)), 8) AS BIGINT) AS bucket,
+        |  CAST(sum(n) AS BIGINT) AS n, round(min(lo_v), 4) AS lo, round(max(hi_v), 4) AS hi
+        |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "c7_pivot" ->
       """SELECT user_id,

@@ -137,6 +137,45 @@ object Kpis {
       .drop("__pr")
   }
 
+  /** Equi-depth histogram — `buckets` quantile bins with per-bucket
+    * count and actual value min/max. Exact quantiles need a global
+    * order; the scalable decomposition is two-level: ONE shuffle bins
+    * rows onto a fixed fine grid of `cells` micro-cells over
+    * [lo, hi) (partial-agg count/min/max per cell — bounded output by
+    * construction), then the cumulative window and bucket mapping run
+    * over ≤ `cells` ROWS, not the corpus (the single-partition window
+    * is deliberate and bounded — this is the approx-quantile
+    * decomposition with a deterministic, engine-mirrorable grid
+    * instead of an opaque sketch). Bucket boundaries quantize to grid
+    * cells: error ≤ one cell's population, shrinking as `cells` grows.
+    * `lo`/`hi` come from table stats (min/max outside the range clamp
+    * into the edge cells, so no row is lost). Bucket j holds cells
+    * whose inclusive cumulative count first reaches (j−1)/k < cum/N ≤
+    * j/k: `bucket = least(ceil(cum·k/N), k)`. */
+  def equiDepthHistogram(df: DataFrame, value: Column, buckets: Int,
+                         lo: Double, hi: Double, cells: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"need >=1 bucket, got $buckets")
+    require(cells >= buckets, s"grid cells ($cells) must be >= buckets ($buckets)")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    import org.apache.spark.sql.expressions.Window
+    val cellW = (hi - lo) / cells
+    val cell = greatest(least(floor((value - lo) / cellW), lit(cells - 1)), lit(0)).cast("long")
+    val perCell = df.select(cell.as("__cell"), value.cast("double").as("__v"))
+      .groupBy("__cell")
+      .agg(count(lit(1)).as("__n"), min("__v").as("__lo"), max("__v").as("__hi"))
+    val w = Window.orderBy("__cell").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    perCell
+      .withColumn("__cum", sum("__n").over(w))
+      // NOT "__N": Spark's resolver is case-insensitive, so "__N" would
+      // capture the final agg's sum("__n") silently
+      .withColumn("__tot", sum("__n").over(all))
+      .withColumn("bucket",
+        least(ceil(col("__cum").cast("double") * buckets / col("__tot")), lit(buckets)).cast("long"))
+      .groupBy("bucket")
+      .agg(sum("__n").as("n"), round(min("__lo"), 4).as("lo"), round(max("__hi"), 4).as("hi"))
+  }
+
   /** Per-period aggregation on a date part (reference: visualize.py year
     * extraction + per-year stats). */
   def perPeriod(df: DataFrame, period: Column, measure: Column): DataFrame =

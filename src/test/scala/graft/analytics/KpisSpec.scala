@@ -73,6 +73,41 @@ class KpisSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 6L))
   }
 
+  test("equiDepthHistogram: uniform data splits into equal-depth buckets with true min/max") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Kpis.equiDepthHistogram(df, col("v"), buckets = 4, lo = 0.0, hi = 100.0, cells = 100)
+      .orderBy("bucket")
+      .select("bucket", "n", "lo", "hi").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_._2) == Seq(25L, 25L, 25L, 25L))
+    assert(out.head._3 == 1.0 && out.last._4 == 100.0)
+    // buckets tile the data: each bucket's hi < next bucket's lo
+    out.sliding(2).foreach { case Seq(a, b) => assert(a._4 < b._3) case _ => }
+  }
+
+  test("equiDepthHistogram: out-of-range values clamp into edge cells; skew collapses buckets") {
+    val df = (Seq(-50.0, 500.0) ++ Seq.fill(98)(10.0)).toDF("v")
+    val out = Kpis.equiDepthHistogram(df, col("v"), buckets = 4, lo = 0.0, hi = 100.0, cells = 100)
+      .orderBy("bucket")
+      .select("bucket", "n", "lo", "hi").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._2).sum == 100L, "clamping must lose no row")
+    assert(out.head._3 == -50.0 && out.last._4 == 500.0)
+    // 98% identical values: one cell's population can't split across
+    // buckets, so the mass lands in a single bucket
+    val big = out.filter(_._2 >= 98L)
+    assert(big.size == 1, s"expected one dominant bucket, got $out")
+  }
+
+  test("equiDepthHistogram rejects bad grids") {
+    val df = Seq(1.0).toDF("v")
+    assertThrows[IllegalArgumentException] {
+      Kpis.equiDepthHistogram(df, col("v"), buckets = 10, lo = 0.0, hi = 1.0, cells = 5)
+    }
+    assertThrows[IllegalArgumentException] {
+      Kpis.equiDepthHistogram(df, col("v"), buckets = 2, lo = 1.0, hi = 1.0)
+    }
+  }
+
   test("explodeAgg rejects inputs that already have a 'token' column") {
     val df = Seq(("a|b", "x")).toDF("genres", "token")
     assertThrows[IllegalArgumentException] {
