@@ -788,4 +788,78 @@ object StreamOps {
   def latestContentState(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(indexPath)
       .groupBy("key").agg(max_by(col("digest"), col("batch")).as("digest"))
+
+  /** Streaming quality-gate ROUTER: per micro-batch, C4-clean each
+    * document's lines ([[graft.text.C4Filter]]), gate the cleaned text
+    * on the C4 page rules AND the Gopher quality rules
+    * ([[graft.text.GopherFilter]]), then land BOTH outcomes — keeps
+    * (with `text` replaced by the cleaned text) under `keepRoot`, and
+    * rejects (ORIGINAL text, plus a `reject_reasons` array naming
+    * every failed gate) under `rejectRoot`. The reject stream is the
+    * operational half [[toCleanIngest]] drops silently: at corpus
+    * scale the drop-rate per gate IS the crawl-health dashboard, and
+    * gate-tuning needs the rejected documents inspectable, not gone.
+    *
+    * Stateless across batches (no persisted index), so replay
+    * idempotency is just the epoch-keyed overwrite: re-running an
+    * epoch rewrites `batch=<epochId>` under both roots byte-identically. */
+  def toQualityRouted(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      keepRoot: String,
+      rejectRoot: String,
+      checkpoint: String,
+      minLineWords: Int = 5,
+      minSentences: Int = 3,
+      badWords: Seq[String] = Nil,
+      minWords: Int = 50): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        qualityRoutedBatch(batch.toDF(), epochId, id, text, keepRoot, rejectRoot,
+          minLineWords, minSentences, badWords, minWords)
+      }
+      .start()
+
+  /** One micro-batch of [[toQualityRouted]], exposed for replay tests. */
+  private[graft] def qualityRoutedBatch(
+      batch: DataFrame,
+      epochId: Long,
+      id: String,
+      text: String,
+      keepRoot: String,
+      rejectRoot: String,
+      minLineWords: Int,
+      minSentences: Int,
+      badWords: Seq[String],
+      minWords: Int): Unit = {
+    import graft.text.{C4Filter, GopherFilter}
+    val judged = C4Filter.clean(batch, col(text), minLineWords, minSentences, badWords)
+      .withColumn("__g", GopherFilter.flags(col("c4.clean_text"), minWords))
+    val reasons = array_compact(array(
+      when(!col("flags.ok_sentences"), lit("c4_sentences")),
+      when(!col("flags.ok_lorem"), lit("c4_lorem")),
+      when(!col("flags.ok_brace"), lit("c4_brace")),
+      when(!col("flags.ok_bad_words"), lit("c4_bad_words")),
+      when(!col("__g.ok_word_count"), lit("gopher_word_count")),
+      when(!col("__g.ok_mean_word_len"), lit("gopher_mean_word_len")),
+      when(!col("__g.ok_symbol_ratio"), lit("gopher_symbol_ratio")),
+      when(!col("__g.ok_alpha_words"), lit("gopher_alpha_words")),
+      when(!col("__g.ok_stop_words"), lit("gopher_stop_words")),
+      when(!col("__g.ok_bullet_lines"), lit("gopher_bullet_lines")),
+      when(!col("__g.ok_ellipsis_lines"), lit("gopher_ellipsis_lines"))))
+    val routed = judged.withColumn("__reasons", reasons)
+    routed.persist()
+    try {
+      routed.filter(col("flags.keep") && col("__g.keep"))
+        .withColumn(text, col("c4.clean_text"))
+        .drop("c4", "flags", "__g", "__reasons")
+        .write.mode("overwrite").parquet(s"$keepRoot/batch=$epochId")
+      routed.filter(!(col("flags.keep") && col("__g.keep")))
+        .withColumn("reject_reasons", col("__reasons"))
+        .drop("c4", "flags", "__g", "__reasons")
+        .write.mode("overwrite").parquet(s"$rejectRoot/batch=$epochId")
+    } finally routed.unpersist()
+  }
 }

@@ -637,6 +637,51 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toQualityRouted: keeps land cleaned, rejects land with per-gate reasons") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-router")
+    val keep = dir.resolve("keep").toString
+    val rej = dir.resolve("rej").toString
+    val line = "the quick brown dog runs over the lazy cat today."
+    val good = Seq.fill(5)(line).mkString("\n")    // 50 words, 5 sentences
+    val short3 = Seq.fill(3)(line).mkString("\n")  // C4-clean but < minWords
+    val junk = "no terminal punctuation here at all\n{ code }"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.toQualityRouted(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", keep, rej, dir.resolve("ckpt").toString, minWords = 40)
+    try {
+      input.addData((1L, good), (2L, short3), (3L, junk))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(keep).select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(kept.keySet == Set(1L), s"got ${kept.keySet}")
+      assert(kept(1L) == good, "every line survives cleaning, so text is unchanged")
+      val rejects = spark.read.parquet(rej).select("doc_id", "reject_reasons")
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      assert(rejects.keySet == Set(2L, 3L))
+      assert(rejects(2L).contains("gopher_word_count") && !rejects(2L).contains("c4_sentences"),
+        s"doc 2 reasons: ${rejects(2L)}")
+      assert(rejects(3L).contains("c4_sentences"), s"doc 3 reasons: ${rejects(3L)}")
+      // junk's brace line is dropped by the LINE rule, so the page-level
+      // brace gate (which judges cleaned text) must not fire
+      assert(!rejects(3L).contains("c4_brace"), s"doc 3 reasons: ${rejects(3L)}")
+    } finally q.stop()
+  }
+
+  test("qualityRoutedBatch replay: same epoch twice leaves identical routed outputs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-router-replay")
+    val keep = dir.resolve("keep").toString
+    val rej = dir.resolve("rej").toString
+    val line = "the quick brown dog runs over the lazy cat today."
+    val b = Seq((1L, Seq.fill(5)(line).mkString("\n")), (2L, "junk")).toDF("doc_id", "text")
+    def snap(p: String) = spark.read.parquet(p)
+      .collect().map(_.toString).sorted.toSeq
+    StreamOps.qualityRoutedBatch(b, 0L, "doc_id", "text", keep, rej, 5, 3, Nil, 40)
+    val (k1, r1) = (snap(keep), snap(rej))
+    StreamOps.qualityRoutedBatch(b, 0L, "doc_id", "text", keep, rej, 5, 3, Nil, 40)
+    assert(snap(keep) == k1 && snap(rej) == r1, "replaying an epoch must be a no-op")
+  }
+
   test("cleanIngestBatch replay leaves identical output and index state") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cleaningest-replay")
     val out = dir.resolve("out").toString
