@@ -80,6 +80,16 @@ private[graft] object KpiQueries {
         period = year(col("o_orderdate")).cast("long"), measure = col("o_totalprice"))
     }),
 
+    // Rolling 7-day active users over the event stream: distinct
+    // (day, user) pairs fan out to the report days they support —
+    // bounded amplification, no range self-join. The oracle replays
+    // the same fan-out.
+    "b9_active_users" -> ((s, dir) => {
+      Kpis.rollingActiveUsers(Tables.events(s, dir),
+          ts = col("ts"), user = col("user_id"), windowDays = 7)
+        .orderBy("day")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -130,6 +140,15 @@ private[graft] object KpiQueries {
       """SELECT year(o_orderdate) AS period, count(*) AS n,
         | round(sum(o_totalprice),4) AS sum_value, round(avg(o_totalprice),4) AS avg_value
         |FROM orders GROUP BY 1 ORDER BY period""".stripMargin,
+
+    "b9_active_users" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS eday, user_id AS u FROM events),
+        |x AS (SELECT eday + CAST(t.o AS INTEGER) AS day, t.o, u
+        |      FROM d CROSS JOIN unnest(generate_series(0, 6)) AS t(o))
+        |SELECT day, count(DISTINCT CASE WHEN o = 0 THEN u END) AS dau,
+        | count(DISTINCT u) AS n_active,
+        | round(count(DISTINCT CASE WHEN o = 0 THEN u END) * 1.0 / count(DISTINCT u), 4) AS stickiness
+        |FROM x GROUP BY 1 ORDER BY day""".stripMargin,
 
   )
 }

@@ -176,6 +176,34 @@ object Kpis {
       .agg(sum("__n").as("n"), round(min("__lo"), 4).as("lo"), round(max("__hi"), 4).as("hi"))
   }
 
+  /** Rolling active users — DAU plus the trailing-`windowDays` distinct
+    * actives (WAU/MAU for 7/30) and the DAU/active stickiness ratio,
+    * per report day. The scalable decomposition: distinct (day, user)
+    * pairs FIRST (partial-agg dedup — collapses the raw event volume
+    * before any window logic), then each pair fans out to the ≤
+    * `windowDays` report days it supports (bounded row amplification,
+    * a `sequence`+`explode` narrow map — no range self-join, no
+    * per-user window sort), then ONE distinct-count aggregate per
+    * report day. Report days run to max(day)+windowDays−1: trailing
+    * windows still count users whose activity lies within range.
+    * For 100-TB event logs where even (day, user) is huge, swap the
+    * exact distinct for C8c's mergeable HLL sketch table per day and
+    * union window sketches instead. */
+  def rollingActiveUsers(df: DataFrame, ts: Column, user: Column,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val daily = df.select(to_date(ts).as("__day"), user.as("__u")).distinct()
+    daily
+      .select(col("__u"), col("__day"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__o"))
+      .withColumn("day", date_add(col("__day"), col("__o")))
+      .groupBy("day")
+      .agg(
+        count_distinct(when(col("__o") === 0, col("__u"))).as("dau"),
+        count_distinct(col("__u")).as("n_active"))
+      .withColumn("stickiness", round(col("dau").cast("double") / col("n_active"), 4))
+  }
+
   /** Per-period aggregation on a date part (reference: visualize.py year
     * extraction + per-year stats). */
   def perPeriod(df: DataFrame, period: Column, measure: Column): DataFrame =

@@ -98,6 +98,27 @@ class KpisSpec extends SparkSpec {
     assert(big.size == 1, s"expected one dominant bucket, got $out")
   }
 
+  test("rollingActiveUsers: trailing windows count distinct users; duplicate events collapse") {
+    def t(d: String) = java.sql.Timestamp.valueOf(s"2024-01-0$d 10:00:00")
+    val ev = Seq(
+      (t("1"), "A"), (t("1"), "A"), (t("1"), "B"),  // A's dup event must not double-count
+      (t("2"), "A"),
+      (t("9"), "C")
+    ).toDF("ts", "user_id")
+    val out = Kpis.rollingActiveUsers(ev, col("ts"), col("user_id"), windowDays = 3)
+      .orderBy("day")
+      .select(col("day").cast("string"), col("dau"), col("n_active"), col("stickiness"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val byDay = out.map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(byDay("2024-01-01") == ((2L, 2L, 1.0)))
+    assert(byDay("2024-01-02") == ((1L, 2L, 0.5)))   // window covers day1+day2
+    assert(byDay("2024-01-03") == ((0L, 2L, 0.0)))   // nobody active, window still holds A,B
+    assert(byDay("2024-01-04") == ((0L, 1L, 0.0)))   // only day2's A remains
+    assert(!byDay.contains("2024-01-05"), "empty windows produce no row")
+    assert(byDay("2024-01-09") == ((1L, 1L, 1.0)))
+    assert(out.size == 7, s"got $out")               // days 1-4 and 9-11
+  }
+
   test("equiDepthHistogram rejects bad grids") {
     val df = Seq(1.0).toDF("v")
     assertThrows[IllegalArgumentException] {
