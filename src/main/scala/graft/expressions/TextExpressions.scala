@@ -280,7 +280,123 @@ case class FleschCounts(child: Expression)
     copy(child = newChild)
 }
 
+/** Native C4 line cleaning: split on `\n`, space-trim each line, drop
+  * blanks, keep lines that end in terminal punctuation (`.` `!` `?`,
+  * optionally followed by a closing quote `"` `”` `'`), have ≥
+  * `minLineWords` whitespace words, and do not contain "javascript"
+  * (case-insensitive); emits `struct(n_lines, n_kept, clean_text)` —
+  * kept lines rejoined with `\n` — in ONE character pass.
+  *
+  * Replaces the three staged higher-order projections (split →
+  * transform(trim) → filter(blank) → filter(keep rule) → array_join)
+  * of the reference formulation in [[graft.text.C4Filter]]: each HOF
+  * is an interpreted lambda dispatch per line with a regex compile-
+  * cached rlike per element, and no common-subexpression elimination
+  * between the stages. Semantics are bit-equal to the reference chain
+  * (C4FilterSpec property-checks them against each other), including
+  * the Java-regex `$` nuance: `rlike("[.!?]$")` matches BEFORE a final
+  * line terminator, so a space-trimmed line ending `.\r` keeps — the
+  * scan skips ONE trailing terminator (`\r`, U+0085, U+2028, U+2029)
+  * before the punctuation test, exactly like `$`.
+  *
+  * A null text yields null (the reference chain's `coalesce` lands ""
+  * — callers go through [[graft.text.C4Filter.addCleanLines]], which
+  * keeps that coalesce).
+  */
+case class C4LineClean(child: Expression, minLineWords: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_lines", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_kept", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("clean_text", StringType, nullable = false)))
+  override def prettyName: String = "graft_c4_line_clean"
+  override def nullable: Boolean = child.nullable
+
+  private def isWs(c: Char): Boolean = // Java regex \s (ASCII)
+    c == ' ' || c == '\t' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isTerm(c: Char): Boolean = c == '.' || c == '!' || c == '?'
+  private def isQuote(c: Char): Boolean = c == '"' || c == '”' || c == '\''
+  private def isLineTerm(c: Char): Boolean =
+    c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+
+  private def keepLine(t: String, a: Int, b: Int): Boolean = {
+    // effective end: Java-regex `$` matches before ONE final terminator
+    var e = b
+    if (e > a && isLineTerm(t.charAt(e - 1))) e -= 1
+    if (e == a) return false
+    val last = t.charAt(e - 1)
+    val okEnd = isTerm(last) ||
+      (isQuote(last) && e - a >= 2 && isTerm(t.charAt(e - 2)))
+    if (!okEnd) return false
+    var words = 0
+    var inWord = false
+    var i = a
+    while (i < b) {
+      if (!isWs(t.charAt(i))) { if (!inWord) { words += 1; inWord = true } }
+      else inWord = false
+      i += 1
+    }
+    if (words < minLineWords) return false
+    !t.substring(a, b).toLowerCase(java.util.Locale.ROOT).contains("javascript")
+  }
+
+  /** Public for the generated code path. */
+  def evalText(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val text = s.toString
+    val n = text.length
+    var nLines = 0L
+    var nKept = 0L
+    val sb = new java.lang.StringBuilder
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == '\n') {
+        var a = start
+        var b = i
+        while (a < b && text.charAt(a) == ' ') a += 1
+        while (b > a && text.charAt(b - 1) == ' ') b -= 1
+        if (b > a) {
+          nLines += 1
+          if (keepLine(text, a, b)) {
+            nKept += 1
+            if (sb.length > 0) sb.append('\n')
+            sb.append(text, a, b)
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, nKept, UTF8String.fromString(sb.toString)))
+  }
+
+  override def nullSafeEval(v: Any): Any = evalText(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("c4LineClean", this, classOf[C4LineClean].getName)
+      s"${ev.value} = $ref.evalText($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+  /** Column API for [[C4LineClean]]: `struct(n_lines, n_kept,
+    * clean_text)` per document in one native pass. */
+  def c4LineClean(text: Column, minLineWords: Int): Column =
+    ColumnBridge.column(C4LineClean(ColumnBridge.expression(text), minLineWords))
+
   /** Column API for [[FleschCounts]]: `[n_words, n_syllables]` over a
     * lowercased token array (stage [[graft.text.TextFunctions.tokens]]
     * first). */

@@ -34,10 +34,21 @@ object C4Filter {
 
   /** Appends `prefix` = struct(n_lines, n_kept, clean_text): blank
     * lines dropped, surviving lines rejoined with a newline in original
-    * order. Staged so line trimming happens once ahead of the keep
-    * lambda (interpreted HOFs get no subexpression elimination). */
+    * order. Production path is the native single-pass
+    * [[graft.expressions.C4LineClean]] (the staged-HOF reference chain
+    * below compiles to three interpreted lambda passes per document;
+    * C4FilterSpec asserts both agree, including the `$`-before-`\r`
+    * regex nuance). */
   def addCleanLines(df: DataFrame, text: Column, prefix: String = "c4",
-                    minLineWords: Int = 5): DataFrame = {
+                    minLineWords: Int = 5): DataFrame =
+    df.withColumn(prefix,
+      graft.expressions.TextExpressions.c4LineClean(coalesce(text, lit("")), minLineWords))
+
+  /** REFERENCE implementation of [[addCleanLines]] — the declarative
+    * HOF chain the native expression replaces; kept for the
+    * equivalence spec so the two can never silently diverge. */
+  private[graft] def addCleanLinesRef(df: DataFrame, text: Column, prefix: String = "c4",
+                                      minLineWords: Int = 5): DataFrame = {
     val stage = df.select(col("*"),
       filter(transform(split(coalesce(text, lit("")), "\n"), l => trim(l)),
         l => length(l) > 0).as("__c4_lines"))

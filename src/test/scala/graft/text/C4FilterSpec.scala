@@ -55,6 +55,42 @@ class C4FilterSpec extends SparkSpec {
     assert(r.getAs[Boolean]("keep"))
   }
 
+  test("native C4LineClean ≡ HOF reference chain on adversarial inputs") {
+    val line = "the quick brown dog runs over the lazy cat today."
+    val cases = Seq(
+      line,
+      "",
+      "   ",
+      "\n\n\n",
+      s"$line\n$line\n$line",
+      "ends mid word without punct\nshort.\n" + line,
+      "tab\tseparated words make five maybe.",
+      "trailing carriage return after period.\r",
+      "trailing return no period\r",
+      "double return after period.\r\r",
+      "quote after punct \"done here with it all.\"",
+      "curly quote after punct ends it all now.”",
+      "single quote after punct ends it all now.'",
+      "quote before punct \"oops\" not terminal",
+      "  leading and trailing spaces survive trimming here.  ",
+      "JavaScript required to view this page fully.",
+      "unicode terminator after period. ",
+      "only punctuation . ! ? here now okay.",
+      "exactly five words here now.",
+      "only four words here.",
+      s"$line\r\n$line")  // CRLF: \r survives the \n split
+    val df = cases.toDF("text")
+    val native = C4Filter.addCleanLines(df, col("text"))
+      .select(col("text"), col("c4.n_lines"), col("c4.n_kept"), col("c4.clean_text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val ref = C4Filter.addCleanLinesRef(df, col("text"))
+      .select(col("text"), col("c4.n_lines"), col("c4.n_kept"), col("c4.clean_text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    native.zip(ref).foreach { case (n, r) =>
+      assert(n == r, s"native/reference diverged on ${n._1.take(60).replace("\n", "\\n")}")
+    }
+  }
+
   test("null and empty text clean to empty and fail only the sentence gate") {
     val r = C4Filter.clean(Seq[Option[String]](None, Some("")).toDF("text"), col("text"))
       .select(col("c4.n_lines"), col("flags.ok_sentences"), col("flags.ok_lorem"))
