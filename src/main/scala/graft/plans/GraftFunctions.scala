@@ -132,5 +132,10 @@ object GraftFunctions {
         NgramRepStats(args.head,
           args.tail.map(e => intArg("graft_ngram_rep_stats", "n", e)))
       case args => arity("graft_ngram_rep_stats", "at least 2", args)
+    },
+    fn("graft_c4_line_clean",
+      "graft_c4_line_clean(text string, min_line_words int) - C4 line cleaning: struct(n_lines, n_kept, clean_text)") {
+      case Seq(t, m) => C4LineClean(t, intArg("graft_c4_line_clean", "min_line_words", m))
+      case args => arity("graft_c4_line_clean", "2", args)
     })
 }

@@ -87,6 +87,15 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(row.getSeq[Long](0) == Seq(6L, 6L, 5L, 0L), s"got ${row.getSeq[Long](0)}")
   }
 
+  test("graft_c4_line_clean from SQL routes lines and counts") {
+    val row = ext.sql(
+      """SELECT graft_c4_line_clean(
+        |  'This line has the five words needed.\nno punct line\nshort.', 5) AS c""".stripMargin)
+      .select("c.n_lines", "c.n_kept", "c.clean_text").head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 1L)
+    assert(row.getString(2) == "This line has the five words needed.", s"got $row")
+  }
+
   test("bloom membership state builds and unions from SQL") {
     val bloomDf = ext.sql(
       """SELECT g, graft_bloom_agg(CAST(id AS STRING), 100, 0.01) AS bf
