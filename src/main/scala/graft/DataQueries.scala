@@ -453,6 +453,21 @@ private[graft] object DataQueries {
         .orderBy("lang")
     }),
 
+    // Contamination-span removal: every train-doc token covered by a
+    // 4-gram the eval slice (doc_id % 50 = 0, d25's split) contains is
+    // masked; content verified via an md5 prefix like d31.
+    "d59_decontam_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.removeContaminatedSpans(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          col("doc_id"), col("text"), col("text"), w = 4)
+        .select(col("doc_id"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
+          col("n_tokens"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // Hard-negative mining: per anchor, the 5 most-cosine-similar
     // vectors with a DIFFERENT label — exact miner (the IVF-probed
     // variant is recall-tested in AnnSpec). Oracle = d5's brute-force
@@ -1025,6 +1040,28 @@ private[graft] object DataQueries {
         |SELECT b.lang, count(*) AS n_kept, CAST(sum(length(b.text)) AS BIGINT) AS sum_chars
         |FROM b JOIN f USING (lang) WHERE b.bucket < f.cut
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // d31's mask replay with the dup-gram set swapped for the eval
+    // slice's distinct grams.
+    "d59_decontam_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t
+        |              FROM documents WHERE doc_id % 50 <> 0),
+        |etoks AS (SELECT string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t
+        |          FROM documents WHERE doc_id % 50 = 0),
+        |eg AS (SELECT DISTINCT t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |       FROM etoks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
+        |        FROM g JOIN eg USING (g), UNNEST(range(4)) AS v(o)),
+        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
+        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
+        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
+        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
 
     // d5's exact ranking with the different-label join predicate.
     "d58_hard_negatives" ->

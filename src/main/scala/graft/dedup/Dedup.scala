@@ -797,6 +797,44 @@ object Dedup {
       size(col("__kept")).cast("long").as("n_kept"))
   }
 
+  /** Contamination-span removal against an eval set — the surgical
+    * sibling of [[contaminationReport]] (D25): instead of DROPPING a
+    * training document whose shingle overlap crosses a threshold, MASK
+    * exactly the tokens covered by a w-gram the eval set contains
+    * (the right call when the overlap is an embedded quotation or
+    * shared boilerplate, not a copied benchmark item — dropping would
+    * discard the document's clean remainder). Same truncated-gram +
+    * [[graft.expressions.SpanExpressions.spanMask]] sweep as
+    * [[removeDuplicatedSpans]]; the eval-gram set is a DISTINCT
+    * md5-hash table broadcast into a semi-join (eval benchmarks are
+    * definitionally tiny next to the corpus — at an eval set too big
+    * to broadcast, drop the hint and the semi-join shuffles on the
+    * uniformly-distributed 16-byte hash, no skew). Emits one row per
+    * training document: (doc_id, clean_text, n_tokens, n_kept). */
+  def removeContaminatedSpans(df: DataFrame, evalDf: DataFrame, id: Column,
+                              text: Column, evalText: Column, w: Int = 4): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    val toks = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__t"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(TextFunctions.shinglesAllOf(col("__t"), w)))
+      .select(col("doc_id"), col("pos").as("__pos"), unhex(md5(col("col"))).as("__gh"))
+    val evalGrams = evalDf
+      .select(TextFunctions.shinglesAllOf(TextFunctions.tokens(evalText), w).as("__eg"))
+      .select(explode(col("__eg")).as("__g"))
+      .select(unhex(md5(col("__g"))).as("__gh"))
+      .distinct()
+    val starts = grams.join(broadcast(evalGrams), Seq("__gh"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    val masked = toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", graft.expressions.SpanExpressions.spanMask(
+        col("__t"), col("__starts"), w))
+    masked.select(col("doc_id"),
+      array_join(col("__kept"), " ").as("clean_text"),
+      size(col("__t")).cast("long").as("n_tokens"),
+      size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   /** Cross-document PARAGRAPH dedup with document reassembly — the
     * RefinedWeb/C4 granularity between whole-document dedup
     * ([[exactDedup]]) and w-gram span removal

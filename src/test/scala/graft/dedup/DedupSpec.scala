@@ -238,6 +238,27 @@ class DedupSpec extends SparkSpec {
       (4L, "w w w w w w", 6L, 6L)))
   }
 
+  test("removeContaminatedSpans masks only eval-covered tokens, everywhere they appear") {
+    val evalSet = Seq((100L, "the secret eval answer is forty two")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro words then the secret eval answer is forty two and more"), // 4-gram hits
+      (2L, "totally clean document with no overlap at all"),
+      (3L, "the secret eval answer again the secret eval answer"))  // within-doc repeat, partial grams
+      .toDF("doc_id", "text")
+    val out = Dedup.removeContaminatedSpans(train, evalSet,
+        col("doc_id"), col("text"), col("text"), w = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_tokens", "n_kept")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // doc 1: eval 4-grams cover "the secret eval answer is forty two" (union
+    // of sliding windows) → only the frame words survive
+    assert(out(0) == ((1L, "intro words then and more", 12L, 5L)))
+    assert(out(1) == ((2L, "totally clean document with no overlap at all", 8L, 8L)))
+    // doc 3: "the secret eval answer" is an eval 4-gram → both occurrences
+    // masked; "again" survives between them
+    assert(out(2) == ((3L, "again", 9L, 1L)))
+  }
+
   test("removeDuplicatedSpans merges overlapping duplicated windows") {
     // docs share a 5-token run "a b c d e" → two overlapping 4-windows in
     // each; the union of their spans (tokens 0..4 / 1..5) must be dropped
