@@ -453,6 +453,19 @@ private[graft] object DataQueries {
         .orderBy("lang")
     }),
 
+    // Balanced output sharding: 8 shards, the 32 costliest docs striped
+    // serpentine by rank, the tail hash-assigned; the oracle replays
+    // rank, fold, and md5 assignment and checks per-shard totals.
+    "d60_balanced_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Packing.assignBalancedShards(docs, col("doc_id"),
+          TextFunctions.tokenCount(col("text")), shards = 8, headSize = 32)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy("shard")
+    }),
+
     // Contamination-span removal: every train-doc token covered by a
     // 4-gram the eval slice (doc_id % 50 = 0, d25's split) contains is
     // masked; content verified via an md5 prefix like d31.
@@ -1040,6 +1053,26 @@ private[graft] object DataQueries {
         |SELECT b.lang, count(*) AS n_kept, CAST(sum(length(b.text)) AS BIGINT) AS sum_chars
         |FROM b JOIN f USING (lang) WHERE b.bucket < f.cut
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Serpentine head striping + md5 tail assignment replayed: rank
+    // over the top 32 by (tokens DESC, doc_id), fold (r-1) mod 16,
+    // hashBucket % 8 for the rest.
+    "d60_balanced_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS c
+        |  FROM documents),
+        |top AS (SELECT doc_id, c, row_number() OVER (ORDER BY c DESC, doc_id) AS rk
+        |        FROM t ORDER BY c DESC, doc_id LIMIT 32),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN (rk - 1) % 16 < 8 THEN (rk - 1) % 16 ELSE 15 - ((rk - 1) % 16) END AS shard
+        | FROM top),
+        |a AS (SELECT t.doc_id, t.c,
+        |  coalesce(h.shard,
+        |    CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 % 8) AS shard
+        | FROM t LEFT JOIN h ON t.doc_id = h.doc_id)
+        |SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs,
+        | CAST(sum(c) AS BIGINT) AS sum_tokens
+        |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // d31's mask replay with the dup-gram set swapped for the eval
     // slice's distinct grams.

@@ -64,4 +64,40 @@ object Packing {
             (acc.getField("tot") + n).as("tot")),
           acc => acc.getField("offs")).as("cu_seqlens"))
       .withColumn("sum_tokens", element_at(col("cu_seqlens"), -1))
+
+  /** Balanced output sharding by token cost — fix the shard COUNT and
+    * equalize per-shard token totals (the writer-side complement of
+    * [[packSequences]], which fixes the pack SIZE): imbalance in a
+    * hash-sharded corpus comes almost entirely from the heavy tail, so
+    * the HEAD (the `headSize` costliest documents, taken via
+    * `orderBy().limit()` = TakeOrderedAndProject — per-partition top-k,
+    * no global sort) is striped serpentine over cost-descending rank
+    * (rank r → position (r−1) mod 2S, folded: the classic
+    * boustrophedon heuristic that pairs a big doc with a small one),
+    * and the TAIL assigns by [[Sampling.hashBucket]] mod S — law of
+    * large numbers balances it, deterministically and
+    * layout-independently. The window rank runs over `headSize` ROWS,
+    * not the corpus; head assignments broadcast back. Adds `shard`;
+    * every rule is engine-replayable (no greedy state, no RNG). */
+  def assignBalancedShards(df: DataFrame, key: Column, cost: Column,
+                           shards: Int, headSize: Int = 0, salt: String = ""): DataFrame = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val head = if (headSize > 0) headSize else 4 * shards
+    Seq("shard", "__rk", "__hshard").foreach(c => require(!df.columns.contains(c),
+      s"assignBalancedShards reserves column '$c'; rename the input column"))
+    val top = df.select(key.as("__k"), cost.cast("long").as("__c"))
+      .orderBy(col("__c").desc, col("__k").asc).limit(head)
+    val rk = row_number().over(Window.orderBy(col("__c").desc, col("__k").asc))
+    val pos = (rk - 1) % (2 * shards)
+    val headAssign = top
+      .withColumn("__rk", rk)
+      .withColumn("__hshard",
+        when(pos < shards, pos).otherwise(lit(2 * shards - 1) - pos).cast("int"))
+      .select(col("__k"), col("__hshard"))
+    df.join(broadcast(headAssign), key === col("__k"), "left")
+      .withColumn("shard",
+        coalesce(col("__hshard"),
+          (Sampling.hashBucket(key, salt) % shards).cast("int")))
+      .drop("__k", "__hshard")
+  }
 }

@@ -51,4 +51,31 @@ class PackingSpec extends SparkSpec {
       .select("doc_id", "shard", "pack_id").as[(Long, Long, Long)].collect().toSet
     assert(packed == Set((0L, 0L, 0L), (1L, 1L, 0L), (2L, 2L, 0L))) // each shard starts at pack 0
   }
+
+  test("assignBalancedShards: serpentine head spreads the heavies, tail hash-balances") {
+    val rows = ((1L to 4L).map(i => (i, 1000L)) ++ (5L to 200L).map(i => (i, 10L)))
+      .toDF("doc_id", "cost")
+    val out = Packing.assignBalancedShards(rows, col("doc_id"), col("cost"),
+        shards = 4, headSize = 8)
+      .select("doc_id", "cost", "shard").as[(Long, Long, Int)].collect().toSeq
+    assert(out.map(_._3).forall(s => s >= 0 && s < 4))
+    // ranks 1-4 are the heavies → serpentine positions 0,1,2,3 → one per shard
+    val heavyShards = out.filter(_._2 == 1000L).map(_._3).sorted
+    assert(heavyShards == Seq(0, 1, 2, 3), s"heavies landed on $heavyShards")
+    // ranks 5-8 (docs 5,6,7,8) fold back 3,2,1,0
+    val fold = out.filter(r => r._1 >= 5L && r._1 <= 8L).sortBy(_._1).map(_._3)
+    assert(fold == Seq(3, 2, 1, 0), s"fold-back ranks got $fold")
+    val totals = out.groupBy(_._3).values.map(_.map(_._2).sum).toSeq
+    assert(totals.max.toDouble / totals.min < 1.3, s"imbalanced: $totals")
+  }
+
+  test("assignBalancedShards is layout-independent and total-preserving") {
+    val rows = (1L to 300L).map(i => (i, (i * 13 % 97) + 1)).toDF("doc_id", "cost")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.assignBalancedShards(df, col("doc_id"), col("cost"), shards = 5)
+        .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    val a = run(rows)
+    assert(a == run(rows.repartition(7)), "assignment must not depend on layout")
+    assert(a.size == 300)
+  }
 }
