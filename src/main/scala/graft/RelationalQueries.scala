@@ -71,6 +71,29 @@ private[graft] object RelationalQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // EXISTS/IN as a left-semi join — c4's complement; the filter on
+    // the probe side reaches its scan before the join.
+    "c4b_semi_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 4).as("sum_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Scalar-subquery predicate: orders priced above the global mean —
+    // the aggregate computes once (one tiny broadcast), never per row.
+    "c28_scalar_subquery" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val avgPrice = o.agg(avg("o_totalprice").as("__m"))
+      o.join(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("__m"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(min("o_totalprice"), 4).as("min_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "c5_window_topk" -> ((s, dir) => {
       Relational.topKPerGroup(
           Tables.orders(s, dir).filter(col("o_custkey") % 50 === 0),
@@ -501,6 +524,19 @@ private[graft] object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "c4b_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal),4) AS sum_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "c28_scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n, round(min(o_totalprice),4) AS min_price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "c5_window_topk" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS total_price, rn
