@@ -453,6 +453,15 @@ private[graft] object DataQueries {
         .orderBy("lang")
     }),
 
+    // Soft dedup: 1/|cluster| sampling weights over the d15 component
+    // pipeline, singletons at weight 1 — the oracle re-derives the
+    // clusters recursively and the weights from their sizes.
+    "d61_soft_dedup" -> ((s, dir) => {
+      Dedup.duplicationWeights(Tables.documents(s, dir),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Balanced output sharding: 8 shards, the 32 costliest docs striped
     // serpentine by rank, the tail hash-assigned; the oracle replays
     // rank, fold, and md5 assignment and checks per-shard totals.
@@ -1053,6 +1062,30 @@ private[graft] object DataQueries {
         |SELECT b.lang, count(*) AS n_kept, CAST(sum(length(b.text)) AS BIGINT) AS sum_chars
         |FROM b JOIN f USING (lang) WHERE b.bucket < f.cut
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // d15's recursive-components oracle extended with cluster sizes
+    // and the 1/size weight, singletons coalescing to weight 1.
+    "d61_soft_dedup" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |dup AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach(id, r) AS (SELECT src, src FROM e
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |szc AS (SELECT cluster_id, count(*) AS csz FROM cl GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+        | CAST(coalesce(szc.csz, 1) AS BIGINT) AS cluster_size,
+        | round(1.0 / coalesce(szc.csz, 1), 6) AS weight
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |LEFT JOIN szc ON cl.cluster_id = szc.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Serpentine head striping + md5 tail assignment replayed: rank
     // over the top 32 by (tokens DESC, doc_id), fold (r-1) mod 16,

@@ -797,6 +797,31 @@ object Dedup {
       size(col("__kept")).cast("long").as("n_kept"))
   }
 
+  /** Soft dedup — duplicate-aware sampling WEIGHTS instead of dropping:
+    * every document gets `weight = 1/|near-dup cluster|` (singletons
+    * weight 1), so an epoch sampled proportional to `weight` sees each
+    * distinct content unit once in expectation while keeping every
+    * surface form available (the duplication-count reweighting used
+    * when near-dups carry legitimate variation worth sampling across —
+    * the drop policies are [[exactDedup]]/[[canonicalKeep]]). Pipeline
+    * = the D2/D15 stack (MinHash candidates → exact-Jaccard verify →
+    * star-contraction components) + one partial-agg size count joined
+    * back on the cluster key; docs outside every pair never enter the
+    * component rounds and coalesce to their own id at weight 1. */
+  def duplicationWeights(df: DataFrame, id: Column, text: Column, threshold: Double = 0.5,
+                         numHashes: Int = 32, numBands: Int = 8): DataFrame = {
+    val pairs = jaccardVerify(minHashCandidates(df, id, text, numHashes, numBands),
+      df, id, text, threshold)
+    val clusters = clusterPairs(pairs)
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
+    val assigned = clusters.join(sizes, "cluster_id")
+    df.select(id.as("doc_id")).join(assigned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("__csz"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("__csz"), lit(1L)), 6).as("weight"))
+  }
+
   /** Contamination-span removal against an eval set — the surgical
     * sibling of [[contaminationReport]] (D25): instead of DROPPING a
     * training document whose shingle overlap crosses a threshold, MASK

@@ -144,4 +144,28 @@ class EdgeCaseSpec extends SparkSpec {
       .select("vid", "kept").as[(Long, Boolean)].collect().toMap
     assert(rep == Map(5L -> true, 6L -> true))
   }
+
+  test("round-8 second-session additions accept an empty corpus") {
+    import graft.analytics.Kpis
+    import graft.dedup.Dedup
+    import graft.operators.{Packing, Sampling}
+    import graft.similarity.Ann
+    import graft.text.C4Filter
+    val c4 = C4Filter.clean(noDocs, col("text"))
+    assert(c4.count() == 0 &&
+      c4.columns.contains("c4") && c4.columns.contains("flags"))
+    assert(Sampling.tokenBudgetPerStratum(noDocs.withColumn("s", lit("x")),
+      col("s"), lit(1L), lit(1.0), col("doc_id"), budget = 10L).count() == 0)
+    val noLabeled = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Ann.hardNegatives(noLabeled, noLabeled, "vec_id", "embedding", "label", 3).count() == 0)
+    assert(Kpis.equiDepthHistogram(noDocs.withColumn("v", lit(1.0)),
+      col("v"), buckets = 4, lo = 0.0, hi = 1.0).count() == 0)
+    assert(Kpis.rollingActiveUsers(
+      Seq.empty[(java.sql.Timestamp, Long)].toDF("ts", "user_id"),
+      col("ts"), col("user_id")).count() == 0)
+    assert(Dedup.removeContaminatedSpans(noDocs, noDocs,
+      col("doc_id"), col("text"), col("text")).count() == 0)
+    val sharded = Packing.assignBalancedShards(noDocs, col("doc_id"), lit(1L), shards = 3)
+    assert(sharded.count() == 0 && sharded.columns.contains("shard"))
+  }
 }

@@ -238,6 +238,27 @@ class DedupSpec extends SparkSpec {
       (4L, "w w w w w w", 6L, 6L)))
   }
 
+  test("duplicationWeights: 1/cluster-size for members, 1 for singletons, mass preserved") {
+    // identical triple (J=1 ⇒ banding catches the pairs for ANY hash
+    // draw — a mid-Jaccard near-dup would make the test depend on the
+    // deterministic-but-opaque band outcomes) plus a singleton
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "totally different content lives here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicationWeights(docs, col("doc_id"), col("text"), threshold = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "weight")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 1L, 1L, 4L))
+    assert(out.map(_._3) == Seq(3L, 3L, 3L, 1L))
+    assert(out.map(_._4) == Seq(0.333333, 0.333333, 0.333333, 1.0))
+    // expected distinct-content mass: weights inside a cluster sum to 1
+    assert(math.abs(out.filter(_._2 == 1L).map(_._4).sum - 1.0) < 1e-3)
+  }
+
   test("removeContaminatedSpans masks only eval-covered tokens, everywhere they appear") {
     val evalSet = Seq((100L, "the secret eval answer is forty two")).toDF("doc_id", "text")
     val train = Seq(
