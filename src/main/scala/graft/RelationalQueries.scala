@@ -470,6 +470,24 @@ private[graft] object RelationalQueries {
 
     // Trailing 1-hour per-user moving aggregate at every event (RANGE
     // frame over event time — tie-safe, order-independent).
+    // lag/lead analytics: per-user inter-event gaps (flavor-agnostic
+    // epochMicros), aggregated per event type.
+    "c29_event_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      ev.withColumn("__prev", lag(col("ts"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .withColumn("__gap",
+          (Relational.epochMicros(col("ts")) - Relational.epochMicros(col("__prev")))
+            .cast("double") / 1000000.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("__gap")), 4).as("avg_gap_s"),
+          round(max(col("__gap")), 4).as("max_gap_s"))
+        .orderBy("event_type")
+    }),
+
     "c14_moving_avg" -> ((s, dir) => {
       Relational.movingAgg(Tables.events(s, dir),
           entity = col("user_id"), ts = col("ts"), value = col("value"), windowSeconds = 3600)
@@ -570,6 +588,14 @@ private[graft] object RelationalQueries {
     "c15_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 20000.0), 29.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "c29_event_gaps" ->
+      """WITH x AS (SELECT user_id, event_id, event_type, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
+        |SELECT event_type, count(*) AS n,
+        | round(avg(date_diff('microsecond', prev, ts) / 1000000.0), 4) AS avg_gap_s,
+        | round(max(date_diff('microsecond', prev, ts) / 1000000.0), 4) AS max_gap_s
+        |FROM x WHERE prev IS NOT NULL GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // Identical grid (1024 cells over [0, 600000)), identical cumsum
     // and ceil bucket mapping, so counts AND bucket min/max match.
