@@ -789,6 +789,82 @@ object StreamOps {
     spark.read.parquet(indexPath)
       .groupBy("key").agg(max_by(col("digest"), col("batch")).as("digest"))
 
+  /** Streaming balanced-shard writer — [[graft.operators.Packing
+    * .assignBalancedShards]]'s cross-batch form: training shards must
+    * stay token-balanced over the WHOLE stream, but a batch only sees
+    * its own documents, so per-shard cumulative token totals persist
+    * under `statePath` and each batch assigns serpentine over its
+    * cost-descending rank INTO the lightest-first shard order (the
+    * heaviest arriving document lands on the currently lightest
+    * shard — streaming LPT). Deterministic given (prior state, batch):
+    * no RNG, total order on both ranks. The rank window runs over one
+    * micro-batch, not the stream.
+    *
+    * Replay: assignments land under `outRoot/batch=<epochId>` and the
+    * batch's per-shard token DELTAS under `statePath/batch=<epochId>`,
+    * both OVERWRITE, state read excluding the replaying epoch — the
+    * E9/E16 contract, so a replayed epoch recomputes the identical
+    * assignment and rewrites identical files. Current per-shard loads =
+    * sum of deltas over the log ([[shardLoads]]). */
+  def toBalancedShards(
+      docs: DataFrame,
+      id: String,
+      cost: Column,
+      outRoot: String,
+      statePath: String,
+      checkpoint: String,
+      shards: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        balancedShardBatch(batch.toDF(), epochId, id, cost, outRoot, statePath, shards)
+      }
+      .start()
+
+  /** One micro-batch of [[toBalancedShards]], exposed for replay tests. */
+  private[graft] def balancedShardBatch(
+      batch: DataFrame,
+      epochId: Long,
+      id: String,
+      cost: Column,
+      outRoot: String,
+      statePath: String,
+      shards: Int): Unit = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val prior = priorIndex(spark, statePath, epochId,
+      () => spark.range(0).select(col("id").cast("int").as("shard"), col("id").as("tokens")))
+      .groupBy("shard").agg(sum("tokens").as("tokens"))
+    // all S shards, zero-filled, ordered lightest-first → rank → the
+    // serpentine target list (tiny: S rows, collected nowhere — joined)
+    val loads = spark.range(shards).select(col("id").cast("int").as("shard"))
+      .join(prior, Seq("shard"), "left")
+      .withColumn("tokens", coalesce(col("tokens"), lit(0L)))
+      .withColumn("__lr", row_number().over(
+        Window.orderBy(col("tokens").asc, col("shard").asc)) - 1)
+      .select(col("shard"), col("__lr"))
+    val rk = row_number().over(Window.orderBy(col("__c").desc, col(id).asc))
+    val pos = (rk - 1) % (2 * shards)
+    val assigned = batch
+      .withColumn("__c", cost.cast("long"))
+      .withColumn("__pos", when(pos < shards, pos).otherwise(lit(2 * shards - 1) - pos))
+      .join(broadcast(loads), col("__pos") === col("__lr"))
+      .drop("__pos", "__lr")
+    assigned.persist()
+    try {
+      assigned.drop("__c")
+        .write.mode("overwrite").parquet(s"$outRoot/batch=$epochId")
+      assigned.groupBy("shard").agg(sum("__c").as("tokens"))
+        .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+    } finally assigned.unpersist()
+  }
+
+  /** Current per-shard token loads of a [[toBalancedShards]] state log. */
+  def shardLoads(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .groupBy("shard").agg(sum("tokens").as("tokens"))
+
   /** Streaming quality-gate ROUTER: per micro-batch, C4-clean each
     * document's lines ([[graft.text.C4Filter]]), gate the cleaned text
     * on the C4 page rules AND the Gopher quality rules

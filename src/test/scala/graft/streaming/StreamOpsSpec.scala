@@ -637,6 +637,53 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("balancedShardBatch: streaming LPT — heaviest doc to lightest shard, replay identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards")
+    val out = dir.resolve("out").toString
+    val state = dir.resolve("state").toString
+    val b0 = Seq((1L, 100L), (2L, 90L), (3L, 10L), (4L, 5L)).toDF("doc_id", "cost")
+    StreamOps.balancedShardBatch(b0, 0L, "doc_id", col("cost"), out, state, shards = 2)
+    val a0 = spark.read.parquet(out).select("doc_id", "shard")
+      .as[(Long, Int)].collect().toMap
+    // serpentine over equal loads: ranks 1..4 → shards 0,1,1,0
+    assert(a0 == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0), s"got $a0")
+    val b1 = Seq((5L, 50L), (6L, 1L)).toDF("doc_id", "cost")
+    StreamOps.balancedShardBatch(b1, 1L, "doc_id", col("cost"), out, state, shards = 2)
+    val a1 = spark.read.parquet(out).select("doc_id", "shard")
+      .as[(Long, Int)].collect().toMap
+    // prior loads: shard0=105, shard1=100 → lightest is 1 → doc 5 lands there
+    assert(a1(5L) == 1 && a1(6L) == 0, s"got $a1")
+    val loads = StreamOps.shardLoads(spark, state)
+      .as[(Int, Long)].collect().toMap
+    assert(loads == Map(0 -> 106L, 1 -> 150L), s"got $loads")
+    // replay epoch 1: identical assignment, identical state rollup
+    StreamOps.balancedShardBatch(b1, 1L, "doc_id", col("cost"), out, state, shards = 2)
+    val a1r = spark.read.parquet(out).select("doc_id", "shard")
+      .as[(Long, Int)].collect().toMap
+    assert(a1r == a1, "replay changed assignments")
+    val loadsR = StreamOps.shardLoads(spark, state).as[(Int, Long)].collect().toMap
+    assert(loadsR == loads, "replay changed state")
+  }
+
+  test("toBalancedShards end-to-end over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-e2e")
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.toBalancedShards(input.toDF().toDF("doc_id", "cost"),
+      "doc_id", col("cost"), dir.resolve("out").toString,
+      dir.resolve("state").toString, dir.resolve("ckpt").toString, shards = 3)
+    try {
+      input.addData((1L, 30L), (2L, 20L), (3L, 10L))
+      q.processAllAvailable()
+      input.addData((4L, 25L))
+      q.processAllAvailable()
+      val loads = StreamOps.shardLoads(spark, dir.resolve("state").toString)
+        .as[(Int, Long)].collect().toMap
+      assert(loads.values.sum == 85L, s"got $loads")
+      assert(loads.size == 3 && loads.values.max <= 35L, s"imbalanced: $loads")
+    } finally q.stop()
+  }
+
   test("toQualityRouted: keeps land cleaned, rejects land with per-gate reasons") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-router")
