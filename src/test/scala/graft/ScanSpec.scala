@@ -160,6 +160,25 @@ class ScanSpec extends SparkSpec {
     }
   }
 
+  test("b9_active_users prunes the events scan to (ts, user_id)") {
+    val read = scans("b9_active_users").flatMap(_.requiredSchema.fieldNames).toSet
+    assert(read == Set("ts", "user_id"), s"scan reads $read — projection did not prune")
+  }
+
+  test("d57_token_budget reads only the columns the quota rule consumes") {
+    val read = scans("d57_token_budget").flatMap(_.requiredSchema.fieldNames).toSet
+    assert(read == Set("doc_id", "source", "n_chars", "text"),
+      s"scan reads $read — projection did not prune")
+  }
+
+  test("d60_balanced_shards reads only (doc_id, text) on every documents scan") {
+    scans("d60_balanced_shards").foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("doc_id", "text")),
+        s"scan reads $read — projection did not prune")
+    }
+  }
+
   test("c3_star_join pushes the region filter and prunes every dimension scan") {
     val all = scans("c3_star_join")
     val regionScan = all.find(_.requiredSchema.fieldNames.contains("r_name")).get
