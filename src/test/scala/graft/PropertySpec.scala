@@ -121,4 +121,55 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("tokenBudgetPerStratum: = the naive per-stratum greedy reference — for all inputs") {
+    val rowGen = for {
+      src <- Gen.oneOf("s0", "s1", "s2")
+      cost <- Gen.choose(1L, 40L)
+      q <- Gen.choose(0, 9).map(_.toDouble)
+    } yield (src, cost, q)
+    val rows = generate(Gen.listOfN(300, rowGen), 7L).zipWithIndex
+      .map { case ((s, c, q), i) => (i.toLong, s, c, q) }
+    val kept = graft.operators.Sampling.tokenBudgetPerStratum(
+        rows.toDF("id", "src", "cost", "q"),
+        col("src"), col("cost"), col("q"), col("id"), budget = 120L)
+      .select("id", "cum_cost").as[(Long, Long)].collect().toMap
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      var cum = 0L
+      g.sortBy(r => (-r._4, r._1)).foreach { case (id, _, c, _) =>
+        cum += c
+        if (cum <= 120L) assert(kept.get(id).contains(cum), s"id $id: expected cum $cum, got ${kept.get(id)}")
+        else assert(!kept.contains(id), s"id $id kept past the budget (cum $cum)")
+      }
+    }
+  }
+
+  test("equiDepthHistogram: lossless, ordered, depth within one cell's mass — for all inputs") {
+    val vals = generate(Gen.listOfN(400, Gen.choose(0, 999).map(_ / 10.0)), 11L)
+    val out = graft.analytics.Kpis.equiDepthHistogram(
+        vals.toDF("v"), col("v"), buckets = 5, lo = 0.0, hi = 100.0, cells = 50)
+      .orderBy("bucket")
+      .select("bucket", "n", "lo", "hi").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._2).sum == vals.length, "histogram must lose no row")
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 <= b._3, s"buckets overlap: $a / $b")
+      case _ =>
+    }
+    // depth bound: every bucket ≤ ideal depth + one cell's mass
+    val cellMass = vals.groupBy(v => math.min(49, (v / 2.0).toInt)).values.map(_.size).max
+    val ideal = vals.length / 5.0
+    out.foreach { case (b, n, _, _) =>
+      assert(n <= ideal + cellMass, s"bucket $b depth $n exceeds $ideal + $cellMass")
+    }
+  }
+
+  test("assignBalancedShards: every row assigned once, in range — for all inputs") {
+    val rows = generate(Gen.listOfN(250, Gen.choose(1L, 500L)), 13L).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }
+    val out = graft.operators.Packing.assignBalancedShards(
+        rows.toDF("id", "cost"), col("id"), col("cost"), shards = 6)
+      .select("id", "shard").as[(Long, Int)].collect().toSeq
+    assert(out.length == rows.length && out.map(_._1).distinct.length == rows.length)
+    assert(out.forall { case (_, s) => s >= 0 && s < 6 })
+  }
 }
