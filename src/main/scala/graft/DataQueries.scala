@@ -84,6 +84,15 @@ private[graft] object DataQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Directional subset-duplicate detection: threshold 0.8 on
+    // |A∩B|/min — catches pairs whose Jaccard sits far below d4's 0.5
+    // bar because one side is much longer.
+    "d62_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          threshold = 0.8, k = 3, maxDf = 100)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "d5_ann_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -1007,6 +1016,22 @@ private[graft] object DataQueries {
 
     // Mirrors the maxDf=100 stop-shingle cap: shingles in >100 documents
     // leave the universe before sizes and intersections are counted.
+    // d4's inverted-index chain with the containment score and the
+    // contained-side (smaller capped set, ties → doc_a) attribution.
+    "d62_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT doc_a, doc_b, round(inter*1.0/least(x.n, y.n),4) AS containment,
+        |  CASE WHEN x.n <= y.n THEN doc_a ELSE doc_b END AS contained
+        |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE inter*1.0/least(x.n, y.n) >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
     "d4_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g

@@ -1,6 +1,6 @@
 package graft
 
-import graft.etl.Cleaning
+import graft.etl.{Cleaning, Scd}
 import graft.operators.Relational
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -356,6 +356,24 @@ private[graft] object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Synthetic unipartite graph over the PART key space (the
+    // supplier↔part bipartite graph c23 ranks has no triangles by
+    // construction): edge (l_partkey, 1 + l_orderkey mod max_partkey)
+    // over low-quantity lineitems — the part domain keeps average
+    // degree ~6 (a realistically sparse link graph; vertices over the
+    // 20× smaller supplier domain make it near-complete and wedge
+    // counting quadratic). The scalar max stages as a broadcast cross
+    // join so the derivation stays plan-side.
+    "c31_triangles" -> ((s, dir) => {
+      val maxP = Tables.part(s, dir).agg(max(col("p_partkey")).as("__maxp"))
+      val edges = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") <= 10)
+        .crossJoin(broadcast(maxP))
+        .select(col("l_partkey").as("src"),
+          (lit(1) + col("l_orderkey") % col("__maxp")).as("dst"))
+      graft.graph.Triangles.triangleStats(edges, "src", "dst")
+    }),
+
     "c23_pagerank" -> ((s, dir) => {
       val edges = Tables.lineitem(s, dir).select(
         concat(lit("s"), col("l_suppkey")).as("src"),
@@ -496,6 +514,28 @@ private[graft] object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // State-transition occupancy via a point-in-time lookup: each event
+    // asks "what was this user's SCD2 event_type state ONE HOUR AGO" —
+    // the lagged lookup makes the fact ts land mid-interval (and, early
+    // in a user's history, before the first version → 'none'), so the
+    // join genuinely exercises interval containment rather than matching
+    // every event to the version it itself created.
+    "c30_pit_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = Scd.fromChangeLog(ev,
+        keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+        tsCol = "ts", tieBreak = Seq("event_id"))
+      val facts = ev.select(col("event_id"), col("user_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("lookup_ts"),
+        col("event_type").as("cur_type"))
+      Relational.pointInTimeJoin(facts, dim,
+          key = "user_id", factTs = "lookup_ts", attrCols = Seq("event_type"))
+        .groupBy(col("cur_type"),
+          coalesce(col("pit_event_type"), lit("none")).as("prior_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cur_type", "prior_type")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -596,6 +636,48 @@ private[graft] object RelationalQueries {
         | round(avg(date_diff('microsecond', prev, ts) / 1000000.0), 4) AS avg_gap_s,
         | round(max(date_diff('microsecond', prev, ts) / 1000000.0), 4) AS max_gap_s
         |FROM x WHERE prev IS NOT NULL GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // SCD2 rebuild (the a14 CTE chain) + interval-containment join at
+    // each event's ts minus one hour. Boundary semantics mirror the
+    // Spark side: lookup exactly at valid_from matches the NEW version
+    // (vfrom <= lus), exactly at valid_to does not (lus < vto).
+    "c30_pit_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id, event_type, us, event_id,
+        |  (row_number() OVER w = 1
+        |   OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (SELECT user_id, event_type AS vtype, us AS vfrom,
+        |   lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS vto FROM f WHERE chg),
+        |fc AS (SELECT event_id, user_id, event_type AS cur_type, us - 3600000000 AS lus FROM e),
+        |j AS (SELECT fc.cur_type, v.vtype
+        |      FROM fc LEFT JOIN v ON fc.user_id = v.user_id
+        |        AND v.vfrom <= fc.lus AND (v.vto IS NULL OR fc.lus < v.vto))
+        |SELECT cur_type, coalesce(vtype, 'none') AS prior_type, count(*) AS n
+        |FROM j GROUP BY 1, 2 ORDER BY cur_type, prior_type""".stripMargin,
+
+    // Identical derivation and identical forward-counting orientation:
+    // row-value (degree, id) comparisons mirror the Spark struct ranks.
+    "c31_triangles" ->
+      """WITH raw AS (SELECT l_partkey AS s,
+        |    1 + (l_orderkey % (SELECT max(p_partkey) FROM part)) AS t
+        |  FROM lineitem WHERE l_quantity <= 10),
+        |und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw WHERE s <> t),
+        |deg AS (SELECT v, count(*) AS d
+        |        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY 1),
+        |o AS (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+        |             CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS w,
+        |             CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS dw
+        |      FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM o x JOIN o y ON x.u = y.u AND (x.dw, x.w) < (y.dw, y.w)
+        |        JOIN o z ON z.u = x.w AND z.w = y.w)
+        |SELECT (SELECT count(*) FROM deg) AS n_vertices,
+        |       (SELECT count(*) FROM und) AS n_edges,
+        |       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+        |       (SELECT n_triangles FROM tri) AS n_triangles,
+        |       round(3.0 * (SELECT n_triangles FROM tri)
+        |             / (SELECT sum(d * (d - 1) / 2) FROM deg), 4) AS clustering""".stripMargin,
 
     // Identical grid (1024 cells over [0, 600000)), identical cumsum
     // and ceil bucket mapping, so counts AND bucket min/max match.

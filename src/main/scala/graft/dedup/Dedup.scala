@@ -403,6 +403,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) over the capped
+    * k-shingle sets — the DIRECTIONAL cousin of [[jaccardPairs]]'s
+    * symmetric resemblance. A short document pasted verbatim into a long
+    * concatenation scores near-zero Jaccard (the union is dominated by
+    * the long side) but containment ≈ 1: this is the metric that
+    * catches subset duplicates — quote farms, scraped article + comment
+    * wrappers, shard-concatenated dumps (Broder's resemblance-vs-
+    * containment distinction).
+    *
+    * Same inverted-index plan and stop-shingle df cap as
+    * [[jaccardPairs]] (the cap bounds the join at O(Σ df²) and the
+    * containment denominator counts surviving shingles only, so it is a
+    * true containment of the capped sets). Emits one row per unordered
+    * pair at-or-above `threshold`: (doc_a < doc_b, containment,
+    * contained = the smaller set's id — the subset SIDE; ties → doc_a).
+    * Corpus-scale: gate candidate pairs through [[minHashCandidates]]
+    * first and verify containment on candidates only, exactly as the
+    * Jaccard stack does.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      threshold: Double,
+      k: Int = 3,
+      maxDf: Int = 1000): DataFrame = {
+    require(maxDf > 0, "maxDf must be positive (use NoDfCap to disable the stop-shingle cap)")
+    val sh0 = graft.operators.Lineage.truncate(shingleHashes(df, id, text, k))
+    val sh = if (maxDf == NoDfCap) sh0 else {
+      val keep = sh0.groupBy("g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("g")
+      graft.operators.Lineage.truncate(sh0.join(keep, Seq("g"), "left_semi"))
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("g"), col("doc_id").as("doc_a"))
+    val b = sh.select(col("g"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("containment", col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"),
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")).as("contained"))
+  }
+
   /** Eval-set decontamination report: per-training-document k-gram
     * overlap with an evaluation set's shingle universe — the check that
     * keeps benchmark questions out of a training corpus. Emits one row

@@ -245,4 +245,51 @@ object Relational {
       .agg(count(lit(1)).as("n_obs"),
         round(sum(col("__v") * col("__dur")) / sum(col("__dur")), 4).as("twap"))
   }
+
+  /** Point-in-time (validity-interval) join: attach to each fact row the
+    * dimension version whose `[valid_from, valid_to)` interval contains
+    * the fact's timestamp — the fact-side consumer of an SCD2 dimension
+    * ([[graft.etl.Scd]]): "what was this entity's state when the event
+    * happened", not "what is it today".
+    *
+    * A direct non-equi join (`key = key AND valid_from <= ts AND
+    * (valid_to IS NULL OR ts < valid_to)`) plans as a
+    * BroadcastNestedLoopJoin once the dimension outgrows the broadcast
+    * threshold — O(facts × versions). Instead this reuses [[asOfJoin]]'s
+    * union+window machinery (one shuffle on the key, versions interleave
+    * with facts inside each key's sorted partition), then invalidates
+    * matches that fall AT or AFTER the matched version's `valid_to` —
+    * which only happens when the dimension has holes (retired keys,
+    * tombstoned intervals); in a gap-free SCD2 dimension the latest
+    * version at-or-before `ts` is always the containing one.
+    *
+    * Boundary semantics match SQL `BETWEEN valid_from AND valid_to`
+    * half-open: a fact exactly at `valid_from` matches the NEW version
+    * (asOfJoin orders right rows before same-timestamp left rows); a
+    * fact exactly at a closed `valid_to` does not match that version.
+    * Facts before the key's first version, with no key match, or inside
+    * a hole get null `pit_*` columns. Timestamp comparison goes through
+    * [[epochMicros]], so NTZ and LTZ fact/dimension flavors mix freely.
+    *
+    * Output: every fact column, plus `pit_<attr>` for each `attrCols`.
+    */
+  def pointInTimeJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      key: String,
+      factTs: String,
+      attrCols: Seq[String],
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val factCols = facts.columns
+    attrCols.map(c => s"pit_$c").foreach(c => require(!factCols.contains(c),
+      s"pointInTimeJoin reserves output column '$c'; rename the fact column"))
+    val carried = attrCols :+ validTo
+    val right = dim.select(col(key) +: col(validFrom).as(factTs) +: carried.map(col): _*)
+    val joined = asOfJoin(facts, right, key = key, ts = factTs, rightVals = carried)
+    val inInterval = col(s"asof_$validTo").isNull ||
+      epochMicros(col(factTs)) < epochMicros(col(s"asof_$validTo"))
+    joined.select(factCols.map(col) ++
+      attrCols.map(c => when(inInterval, col(s"asof_$c")).as(s"pit_$c")): _*)
+  }
 }

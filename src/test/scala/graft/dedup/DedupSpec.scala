@@ -57,6 +57,48 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("containmentPairs scores subset duplicates that Jaccard misses") {
+    // short doc (5 shingles) fully contained in a long doc (12 shingles):
+    // containment = 1.0 while Jaccard = 5/12 < 0.5
+    val sub = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (3L, "totally unrelated words in this one here"))
+      .toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairs(sub, col("doc_id"), col("text"), threshold = 0.5)
+      .collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "the subset pair must be invisible to symmetric Jaccard at 0.5")
+    val got = Dedup.containmentPairs(sub, col("doc_id"), col("text"), threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3)))).toMap
+    assert(got((1L, 2L)) == ((1.0, 1L)), "full containment, doc 1 is the contained side")
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("containmentPairs: equal-size sets tie to doc_a and match Jaccard") {
+    val eq = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(eq, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3)))).toMap
+    assert(got((1L, 2L)) == ((1.0, 1L)))
+  }
+
+  test("containmentPairs honors the stop-shingle df cap in the denominator") {
+    // with df<=2 the shared boilerplate run leaves the universe entirely,
+    // so doc 3 (boilerplate + unique tail) pairs with nothing
+    val boiler = Seq(
+      (1L, "x x x alpha beta gamma"),
+      (2L, "x x x alpha beta gamma"),
+      (3L, "x x x unrelated entirely different")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(boiler, col("doc_id"), col("text"),
+        threshold = 0.3, maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("jaccardPairs maxDf drops stop-shingles from universe AND set sizes") {
     // every doc shares the "x x x" boilerplate shingle run; with the cap at
     // df<=2 those shingles leave the universe, so 1/2 remain exact dups and

@@ -136,4 +136,47 @@ class RelationalSpec extends SparkSpec {
     assert(out(0).getDouble(2) == (10.0 * 90 + 20.0 * 10) / 100) // 11.0
     assert(out(1).getLong(1) == 1L && out(1).isNullAt(2))
   }
+
+  test("pointInTimeJoin matches the containing interval, honors holes and boundaries") {
+    val dim = Seq(
+      ("u1", "a", ts("2024-01-01 10:00:00"), Option(ts("2024-01-01 11:00:00"))),
+      ("u1", "b", ts("2024-01-01 11:00:00"), Option(ts("2024-01-01 12:00:00"))),
+      // hole 12:00-13:00 (retired interval), then an open current version
+      ("u1", "c", ts("2024-01-01 13:00:00"), Option.empty[Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val facts = Seq(
+      (1L, "u1", ts("2024-01-01 10:30:00")), // mid-interval → a
+      (2L, "u1", ts("2024-01-01 11:00:00")), // at valid_from → NEW version b
+      (3L, "u1", ts("2024-01-01 12:30:00")), // inside the hole → null
+      (4L, "u1", ts("2024-01-01 09:00:00")), // before first version → null
+      (5L, "u3", ts("2024-01-01 10:30:00")), // unknown key → null
+      (6L, "u1", ts("2024-01-01 13:00:00"))) // at open version's start → c
+      .toDF("fid", "k", "ts")
+    val got = Relational.pointInTimeJoin(facts, dim, key = "k", factTs = "ts",
+        attrCols = Seq("attr"))
+      .select("fid", "pit_attr").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("a"))
+    assert(got(2L).contains("b"))
+    assert(got(3L).isEmpty, "fact inside a dimension hole must not match the stale version")
+    assert(got(4L).isEmpty)
+    assert(got(5L).isEmpty)
+    assert(got(6L).contains("c"))
+  }
+
+  test("pointInTimeJoin on a gap-free Scd.fromChangeLog dimension matches every fact") {
+    val log = Seq(
+      (7L, ts("2024-01-01 10:00:00"), "x", 1L),
+      (7L, ts("2024-01-01 11:00:00"), "x", 2L), // duplicate state → collapsed
+      (7L, ts("2024-01-01 12:00:00"), "y", 3L))
+      .toDF("user_id", "ts", "state", "event_id")
+    val dim = graft.etl.Scd.fromChangeLog(log, Seq("user_id"), Seq("state"), "ts", Seq("event_id"))
+    val facts = Seq(
+      (1L, 7L, ts("2024-01-01 11:30:00")), // mid collapsed interval → x
+      (2L, 7L, ts("2024-01-01 23:00:00"))) // open current version → y
+      .toDF("fid", "user_id", "ts")
+    val got = Relational.pointInTimeJoin(facts, dim, key = "user_id", factTs = "ts",
+        attrCols = Seq("state"))
+      .select("fid", "pit_state").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("x") && got(2L).contains("y"))
+  }
 }
