@@ -90,6 +90,18 @@ private[graft] object KpiQueries {
         .orderBy("day")
     }),
 
+    // Position-based (U-shaped) multi-touch attribution of purchase
+    // revenue across view/click/signup touches in a 7-day lookback;
+    // untouched purchases credit the 'direct' channel in full.
+    "b10_attribution" -> ((s, dir) => {
+      val at = graft.analytics.Attribution.positionBased(Tables.events(s, dir),
+        entity = col("user_id"), ts = col("ts"), eventType = col("event_type"),
+        convId = col("event_id"), value = col("value"),
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackSeconds = 7L * 24 * 3600)
+      graft.analytics.Attribution.channelSummary(at).orderBy("channel")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -149,6 +161,30 @@ private[graft] object KpiQueries {
         | count(DISTINCT u) AS n_active,
         | round(count(DISTINCT CASE WHEN o = 0 THEN u END) * 1.0 / count(DISTINCT u), 4) AS stickiness
         |FROM x GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // Same pair expansion, position election, and weight schedule;
+    // same (tus, channel) tie ordering for the first/last election.
+    "b10_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |t AS (SELECT user_id, us AS tus, event_type AS channel FROM e
+        |      WHERE event_type IN ('view','click','signup')),
+        |c AS (SELECT user_id, us AS cus, event_id AS conv_id, value AS v FROM e
+        |      WHERE event_type = 'purchase'),
+        |p AS (SELECT c.conv_id, t.channel, t.tus, c.v FROM c JOIN t ON c.user_id = t.user_id
+        |      AND t.tus < c.cus AND t.tus >= c.cus - 604800000000),
+        |w AS (SELECT conv_id, channel, v,
+        |   row_number() OVER (PARTITION BY conv_id ORDER BY tus, channel) AS rn,
+        |   count(*) OVER (PARTITION BY conv_id) AS n FROM p),
+        |a AS (SELECT conv_id, channel,
+        |   CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+        |        WHEN rn = 1 OR rn = n THEN 0.4 ELSE 0.2 / (n - 2) END AS weight, v FROM w),
+        |u AS (SELECT conv_id, channel, weight, weight * v AS attributed FROM a
+        |      UNION ALL
+        |      SELECT conv_id, 'direct' AS channel, 1.0 AS weight, v AS attributed
+        |      FROM c WHERE conv_id NOT IN (SELECT conv_id FROM p))
+        |SELECT channel, count(DISTINCT conv_id) AS n_conversions,
+        | round(sum(weight), 4) AS total_weight, round(sum(attributed), 4) AS revenue
+        |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
 
   )
 }

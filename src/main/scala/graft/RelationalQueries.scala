@@ -514,6 +514,20 @@ private[graft] object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Rolling z-score anomaly detection: each event scored against its
+    // user's 20 STRICTLY PRECEDING observations; warm-up rows and
+    // zero-variance baselines are unevaluable, anomalies are |z| > 2.5.
+    "c32_anomalies" -> ((s, dir) => {
+      graft.analytics.Anomaly.rollingZScore(Tables.events(s, dir),
+          entity = col("user_id"), ts = col("ts"), value = col("value"),
+          lookback = 20, zThreshold = 2.5, tieBreak = Seq(col("event_id")))
+        .groupBy("event_type")
+        .agg(count(when(col("evaluated"), 1)).as("n_evaluated"),
+          count(when(col("is_anomaly"), 1)).as("n_anomalies"),
+          round(avg(abs(col("z"))), 4).as("avg_abs_z"))
+        .orderBy("event_type")
+    }),
+
     // State-transition occupancy via a point-in-time lookup: each event
     // asks "what was this user's SCD2 event_type state ONE HOUR AGO" —
     // the lagged lookup makes the fact ts land mid-interval (and, early
@@ -655,6 +669,24 @@ private[graft] object RelationalQueries {
         |        AND v.vfrom <= fc.lus AND (v.vto IS NULL OR fc.lus < v.vto))
         |SELECT cur_type, coalesce(vtype, 'none') AS prior_type, count(*) AS n
         |FROM j GROUP BY 1, 2 ORDER BY cur_type, prior_type""".stripMargin,
+
+    // Same strictly-trailing ROWS frame, full-window gate, and
+    // zero-variance null; the threshold compares the UNROUNDED z in
+    // both engines.
+    "c32_anomalies" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w AS (SELECT event_type, value,
+        |   count(value) OVER win AS n,
+        |   avg(value) OVER win AS mu,
+        |   stddev_samp(value) OVER win AS sd
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, (n = 20) AS evaluated,
+        |   CASE WHEN n = 20 AND sd > 0 THEN (value - mu) / sd END AS z FROM w)
+        |SELECT event_type, count(CASE WHEN evaluated THEN 1 END) AS n_evaluated,
+        | count(CASE WHEN abs(z) > 2.5 THEN 1 END) AS n_anomalies,
+        | round(avg(abs(z)), 4) AS avg_abs_z
+        |FROM z GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // Identical derivation and identical forward-counting orientation:
     // row-value (degree, id) comparisons mirror the Spark struct ranks.
