@@ -938,4 +938,67 @@ object StreamOps {
         .write.mode("overwrite").parquet(s"$rejectRoot/batch=$epochId")
     } finally routed.unpersist()
   }
+
+  final case class ScoreEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class ZState(recent: List[Double])
+  final case class ZAlert(user_id: Long, ts: Timestamp, value: Double, z: Double)
+
+  /** Streaming rolling z-score anomaly alerts via
+    * `flatMapGroupsWithState` — the live counterpart of
+    * [[graft.analytics.Anomaly.rollingZScore]]: each event is scored
+    * against its entity's `lookback` most recent PRIOR values held in
+    * state, and an alert row is emitted the moment |z| exceeds
+    * `zThreshold` (full-baseline, nonzero-variance events only — the
+    * batch operator's warm-up and zero-variance gates).
+    *
+    * State is one bounded `lookback`-element list per entity —
+    * O(active entities × lookback) total, with event-time timeout +
+    * watermark evicting entities idle past `stateTtl` so abandoned keys
+    * cannot accumulate. Within a micro-batch events fold in event-time
+    * order; ACROSS batches arrival order is the stream's order
+    * (late-but-in-watermark events score against the state at arrival
+    * — an alerting stream reacts to what it has seen, it does not
+    * retro-score; the batch operator is the reconciliation path). */
+  def zScoreAlerts(
+      spark: SparkSession,
+      events: Dataset[ScoreEvent],
+      watermark: String,
+      lookback: Int,
+      zThreshold: Double,
+      stateTtlSeconds: Long = 3600): Dataset[ZAlert] = {
+    import spark.implicits._
+    require(lookback >= 2, "lookback must be >= 2 (stddev_samp needs 2 observations)")
+    val ttlMillis = stateTtlSeconds * 1000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[ScoreEvent], state: GroupState[ZState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var recent = state.getOption.map(_.recent).getOrElse(Nil)
+            val alerts = List.newBuilder[ZAlert]
+            var maxTs = Long.MinValue
+            sorted.foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              if (recent.length == lookback) {
+                val mu = recent.sum / lookback
+                val sd = math.sqrt(
+                  recent.map(v => (v - mu) * (v - mu)).sum / (lookback - 1))
+                if (sd > 0) {
+                  val z = (e.value - mu) / sd
+                  if (math.abs(z) > zThreshold) alerts += ZAlert(userId, e.ts, e.value, z)
+                }
+              }
+              recent = (e.value :: recent).take(lookback)
+            }
+            state.update(ZState(recent))
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMillis, wm + 1))
+            alerts.result().iterator
+          }
+      }
+  }
 }
