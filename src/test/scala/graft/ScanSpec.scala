@@ -179,6 +179,43 @@ class ScanSpec extends SparkSpec {
     }
   }
 
+  test("c32_anomalies prunes the events scan to the five consumed columns") {
+    scans("c32_anomalies").foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("event_id", "ts", "user_id", "event_type", "value")),
+        s"scan reads $read — props must stay unread")
+    }
+  }
+
+  test("b10_attribution pushes the event-type filters and never reads props") {
+    val all = scans("b10_attribution")
+    all.foreach { s =>
+      assert(!s.requiredSchema.fieldNames.contains("props"),
+        s"scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+    val pushed = all.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("event_type"), s"touch/conv type filters not pushed: $pushed")
+  }
+
+  test("c31_triangles reads only the three edge-derivation lineitem columns") {
+    val li = scans("c31_triangles").filter(_.requiredSchema.fieldNames.exists(_.startsWith("l_")))
+    assert(li.nonEmpty)
+    li.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read == Set("l_partkey", "l_orderkey", "l_quantity"), s"scan reads $read")
+      assert(s.metadata("PushedFilters").contains("LessThanOrEqual(l_quantity,"),
+        s"quantity filter not pushed: ${s.metadata("PushedFilters")}")
+    }
+  }
+
+  test("c30_pit_join never reads props or value on either events consumer") {
+    scans("c30_pit_join").foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("event_id", "ts", "user_id", "event_type")),
+        s"scan reads $read")
+    }
+  }
+
   test("c3_star_join pushes the region filter and prunes every dimension scan") {
     val all = scans("c3_star_join")
     val regionScan = all.find(_.requiredSchema.fieldNames.contains("r_name")).get
