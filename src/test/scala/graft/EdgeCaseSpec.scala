@@ -168,4 +168,29 @@ class EdgeCaseSpec extends SparkSpec {
     val sharded = Packing.assignBalancedShards(noDocs, col("doc_id"), lit(1L), shards = 3)
     assert(sharded.count() == 0 && sharded.columns.contains("shard"))
   }
+
+  test("round-8 third-session additions accept an empty corpus") {
+    import graft.analytics.{Anomaly, Attribution}
+    import graft.dedup.Dedup
+    import graft.graph.Triangles
+    import graft.operators.Relational
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String, Long, Double)]
+      .toDF("user", "ts", "etype", "event_id", "value")
+    val tri = Triangles.triangleStats(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+    val row = tri.head() // the one-row summary exists even on an empty graph
+    assert(row.getAs[Long]("n_vertices") == 0 && row.getAs[Long]("n_triangles") == 0)
+    assert(Dedup.containmentPairs(noDocs, col("doc_id"), col("text"), 0.8).count() == 0)
+    val z = Anomaly.rollingZScore(noEvents, col("user"), col("ts"), col("value"), 3, 2.0)
+    assert(z.count() == 0 && z.columns.contains("is_anomaly"))
+    val at = Attribution.positionBased(noEvents, col("user"), col("ts"), col("etype"),
+      col("event_id"), col("value"), Seq("view"), "purchase", 3600)
+    assert(at.count() == 0 && at.columns.toSeq ==
+      Seq("conv_id", "channel", "weight", "attributed"))
+    assert(Attribution.channelSummary(at).count() == 0)
+    val noDim = Seq.empty[(Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("user", "attr", "valid_from", "valid_to")
+    val pit = Relational.pointInTimeJoin(
+      noEvents.select(col("user"), col("ts")), noDim, "user", "ts", Seq("attr"))
+    assert(pit.count() == 0 && pit.columns.contains("pit_attr"))
+  }
 }
