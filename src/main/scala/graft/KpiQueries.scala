@@ -102,6 +102,19 @@ private[graft] object KpiQueries {
       graft.analytics.Attribution.channelSummary(at).orderBy("channel")
     }),
 
+    // Customer-value decile lift: exact SQL ntile semantics over spend
+    // (desc, custkey tie-break) via the distributed ranking path — no
+    // single-partition window anywhere except the final 10-row rollup.
+    "b11_decile_lift" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("spend"))
+      graft.operators.Ranking.liftTable(spend, col("spend"),
+          Seq(col("spend").desc, col("o_custkey").asc), buckets = 10, as = "decile")
+        .withColumnRenamed("n", "n_customers")
+        .withColumnRenamed("total", "revenue")
+        .orderBy("decile")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -185,6 +198,19 @@ private[graft] object KpiQueries {
         |SELECT channel, count(DISTINCT conv_id) AS n_conversions,
         | round(sum(weight), 4) AS total_weight, round(sum(attributed), 4) AS revenue
         |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // DuckDB's ntile is the SQL standard one ntileExact reimplements;
+    // same desc/tie order, same round-4 presentation.
+    "b11_decile_lift" ->
+      """WITH s AS (SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY 1),
+        |t AS (SELECT o_custkey, spend,
+        |    ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile FROM s),
+        |p AS (SELECT decile, count(*) AS n_customers, sum(spend) AS rev FROM t GROUP BY 1)
+        |SELECT decile, n_customers, round(rev, 4) AS revenue,
+        | round(rev / sum(rev) OVER (), 4) AS share,
+        | round(sum(rev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       / sum(rev) OVER (), 4) AS cum_share
+        |FROM p ORDER BY decile""".stripMargin,
 
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{Cleaning, Scd}
-import graft.operators.Relational
+import graft.operators.{Ranking, Relational}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -550,6 +550,19 @@ private[graft] object RelationalQueries {
         .orderBy("cur_type", "prior_type")
     }),
 
+    // Exact global ranking WITHOUT a single-partition window (range
+    // shuffle + shuffle-reusing offset count + narrow index map). The
+    // every-1000th-rank probe spans all range partitions, so the oracle
+    // cross-checks the offset arithmetic end to end.
+    "c33_global_rank" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      Ranking.globalRank(o, Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .filter((col("global_rank") - 1) % 1000 === 0)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("total_price"),
+          col("global_rank"))
+        .orderBy("global_rank")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -990,6 +1003,15 @@ private[graft] object RelationalQueries {
         | CAST(len(kept) AS BIGINT) AS n_kept,
         | substr(md5(array_to_string(kept, ' ')), 1, 8) AS clean_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Same total order (price desc, key asc) and the same every-1000th
+    // probe; raw column values, so ranks are bit-identical.
+    "c33_global_rank" ->
+      """WITH r AS (SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS global_rank
+        |  FROM orders)
+        |SELECT o_orderkey, round(o_totalprice, 4) AS total_price, global_rank
+        |FROM r WHERE (global_rank - 1) % 1000 = 0 ORDER BY global_rank""".stripMargin,
 
   )
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact global order statistics WITHOUT a single-partition window.
+  *
+  * `row_number() OVER (ORDER BY ...)` with no PARTITION BY is the classic
+  * scale trap: Spark plans it as a single-partition window, so one task
+  * sorts the entire table — fine at sf0.01, dead at 100 TB. These
+  * operators compute the same exact answer with the distributed
+  * two-phase scheme (the reference's pandas-style global ranks re-done
+  * Spark-first; reference origin: analytics/kpis.py rank tables):
+  *
+  *  1. `repartitionByRange(order)` + `sortWithinPartitions(order)` —
+  *     one range shuffle; every partition holds a contiguous, sorted
+  *     slice of the global order.
+  *  2. `zipWithIndex` — Spark runs a lightweight count job over the
+  *     sorted partitions (reusing the shuffle files — the map stage is
+  *     not re-executed), broadcasts the per-partition offsets, and a
+  *     narrow map assigns `offset + local index`. No partition ever
+  *     materializes more than its slice.
+  *
+  * The tradeoff vs a window: one extra (cheap, shuffle-reusing) count
+  * job and an RDD↔DataFrame boundary at the indexing map — the price of
+  * exactness at scale. For percentile-grade answers where exact ranks
+  * are not required, prefer `percentile_approx`/KLL (C8d) instead.
+  */
+object Ranking {
+
+  /** Exact global 1-based rank over `order` (which must be a TOTAL order
+    * — include a unique tie-break column — for the result to be
+    * deterministic). Output column `as` is appended. Eagerly launches
+    * the offset-count job (zipWithIndex semantics). */
+  def globalRank(df: DataFrame, order: Seq[Column], as: String = "global_rank",
+      numPartitions: Int = 0): DataFrame = {
+    require(!df.columns.contains(as),
+      s"globalRank reserves output column '$as'; rename the input column")
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+    val schema = df.schema.add(as, LongType, nullable = false)
+    val rdd = ranged.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Exact SQL-standard `ntile(buckets)` over a global order, built on
+    * [[globalRank]]: the first `total % buckets` buckets get
+    * `total/buckets + 1` rows, the rest `total/buckets` — bit-identical
+    * to the window function, without its single-partition sort.
+    * Costs one extra `count()` over the input (cheap: count-only scan). */
+  def ntileExact(df: DataFrame, order: Seq[Column], buckets: Int,
+      as: String = "bucket"): DataFrame = {
+    require(buckets > 0, "ntileExact needs buckets > 0")
+    require(!df.columns.contains(as),
+      s"ntileExact reserves output column '$as'; rename the input column")
+    val total = df.count()
+    val q = total / buckets
+    val r = total % buckets
+    val cut = r * (q + 1) // ranks 1..cut live in the (q+1)-sized buckets
+    val ranked = globalRank(df, order, "__rank")
+    val zeroBased =
+      when(col("__rank") <= cut, floor((col("__rank") - 1) / lit(q + 1)))
+        .otherwise(lit(r) + floor((col("__rank") - 1 - cut) / lit(math.max(q, 1L))))
+    ranked.withColumn(as, (zeroBased + 1).cast("long")).drop("__rank")
+  }
+
+  /** Decile-style lift table: bucket rows by `order` into `buckets` exact
+    * ntiles, then per bucket report count, total `value`, share of the
+    * grand total, and cumulative share. The final window runs over at
+    * most `buckets` rows — a single-partition window there is free at
+    * any scale (the heavy ranking already happened distributed). */
+  def liftTable(df: DataFrame, value: Column, order: Seq[Column], buckets: Int,
+      as: String = "bucket"): DataFrame = {
+    val tiled = ntileExact(df, order, buckets, as)
+    val per = tiled.groupBy(col(as))
+      .agg(count(lit(1)).as("n"), sum(value).as("__total"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = Window.orderBy(col(as))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("share", col("__total") / sum(col("__total")).over(all))
+      .withColumn("cum_share", sum(col("__total")).over(cum) / sum(col("__total")).over(all))
+      .withColumn("total", round(col("__total"), 4))
+      .withColumn("share", round(col("share"), 4))
+      .withColumn("cum_share", round(col("cum_share"), 4))
+      .select(col(as), col("n"), col("total"), col("share"), col("cum_share"))
+  }
+}
