@@ -563,6 +563,22 @@ private[graft] object RelationalQueries {
         .orderBy("global_rank")
     }),
 
+    // Daily series densification + LOCF. The event_id % 101 thinning
+    // makes real holes in the per-type daily grid (the dense raw stream
+    // has none), so spine insertion, is_gap, and the carry-forward all
+    // get exercised against the oracle. Sums are rounded BEFORE the
+    // fill so carried values equal their source row bit-for-bit.
+    "c34_gap_fill" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_id") % 101 === 0)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 4).as("v"), count(lit(1)).as("n"))
+      graft.operators.TimeSeries.gapFillLocf(daily, Seq("event_type"), "day", Seq("v", "n"))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("is_gap"), col("filled_v"), col("filled_n"))
+        .orderBy("event_type", "day")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1012,6 +1028,25 @@ private[graft] object RelationalQueries {
         |  FROM orders)
         |SELECT o_orderkey, round(o_totalprice, 4) AS total_price, global_rank
         |FROM r WHERE (global_rank - 1) % 1000 = 0 ORDER BY global_rank""".stripMargin,
+
+    // Same spine construction (per-type min..max day), same pre-fill
+    // rounding, same IGNORE NULLS trailing-frame carry.
+    "c34_gap_fill" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 4) AS v, count(*) AS n
+        |  FROM events WHERE event_id % 101 = 0 GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1),
+        |s AS (SELECT event_type, CAST(t.d AS DATE) AS day
+        |  FROM b CROSS JOIN unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+        |j AS (SELECT s.event_type, s.day, d.v, d.n
+        |  FROM s LEFT JOIN d ON s.event_type = d.event_type AND s.day = d.day)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, (n IS NULL) AS is_gap,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
+        | last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_n
+        |FROM j ORDER BY event_type, day""".stripMargin,
 
   )
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series repair: make an irregular per-key daily
+  * series dense (one row per key per day between that key's first and
+  * last observation) and forward-fill observation columns across the
+  * introduced gaps (LOCF — last observation carried forward).
+  *
+  * The reference's KPI tables implicitly assume dense periods (a missing
+  * month simply vanishes from a pandas groupby — reference:
+  * analytics/kpis.py per-period tables); this operator makes the
+  * missing periods explicit, which is what trend/rolling consumers
+  * (C14 moving aggregate, C32 anomaly baselines) need to not silently
+  * skip over holes.
+  */
+object TimeSeries {
+
+  /** Gap-fill `df` (at most ONE row per (`keys`, `dateCol`) — pre-agg
+    * first) to a dense daily spine per key, appending `filled_<c>`
+    * (LOCF) for each value column and an `is_gap` flag for spine-added
+    * rows. Observed values ride through unchanged (nulls on gap rows);
+    * an observed-but-null value still carries the prior observation
+    * (is_gap ≠ is_null — presence is what suppresses the carry, not
+    * value nullness). Leading gaps cannot occur: each key's spine
+    * starts at its own first observed day.
+    *
+    * Plan — deliberately join-free: each observed row GENERATES the gap
+    * days up to its successor (`lead` + `sequence`+`explode` to
+    * `lead(day) - 1`), so the spine inherits its source row and LOCF
+    * needs no spine⋈observations equi-join. ONE scan, ONE key shuffle
+    * shared by both windows (lead, then the fill — all fill columns
+    * attach in a single select; per-withColumn attachment re-derives
+    * the sort each time, the C32 lesson), ONE generate whose
+    * amplification is bounded by calendar span, not data volume. The
+    * first cut of this operator built the spine from a per-key
+    * min/max aggregate and joined back: 2 scans + 3 shuffles — the
+    * multi-parent re-execution trap; this form is 1 scan + 1 shuffle.
+    */
+  def gapFillLocf(df: DataFrame, keys: Seq[String], dateCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && valueCols.nonEmpty, "gapFillLocf needs keys and valueCols")
+    require(valueCols.forall(df.columns.contains), "valueCols must exist in df")
+    (Seq("is_gap", "__next", "__day") ++ valueCols.map("filled_" + _)).foreach(c =>
+      require(!df.columns.contains(c),
+        s"gapFillLocf reserves output column '$c'; rename the input column"))
+    val k = keys.map(col)
+    val others = df.columns.filterNot(c => keys.contains(c) || c == dateCol).toSeq
+    val w = Window.partitionBy(k: _*).orderBy(col(dateCol))
+    // greatest(...) clamps a contract-violating duplicate (key, date) to
+    // a single-day sequence instead of a DESCENDING one (garbage stays
+    // bounded; it does not explode)
+    val expanded = df
+      .withColumn("__next", lead(col(dateCol), 1).over(w))
+      .withColumn("__day", explode(sequence(col(dateCol),
+        greatest(coalesce(date_sub(col("__next"), 1), col(dateCol)), col(dateCol)))))
+    val isGap = col("__day") =!= col(dateCol)
+    val gapNulled = others.map(c => when(isGap, lit(null)).otherwise(col(c)).as(c))
+    val base = expanded.select(
+      (k :+ col("__day").as(dateCol)) ++ gapNulled :+ isGap.as("__gap"): _*)
+    val w2 = Window.partitionBy(k: _*).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fills = valueCols.map(c => last(col(c), ignoreNulls = true).over(w2).as(s"filled_$c"))
+    base.select((k :+ col(dateCol)) ++ others.map(col) ++ fills
+      :+ col("__gap").as("is_gap"): _*)
+  }
+}
