@@ -579,6 +579,25 @@ private[graft] object RelationalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Multi-source BFS radius over the c31 synthetic part-space graph:
+    // per-hop frontier sizes + vertex-sum checksum, so every round's
+    // anti-join and the min-distance semantics are oracle-checked
+    // against DuckDB's recursive CTE (UNION recursion = visited-set
+    // BFS, capped at the same 3 hops).
+    "c35_bfs" -> ((s, dir) => {
+      val maxP = Tables.part(s, dir).agg(max(col("p_partkey")).as("__maxp"))
+      val edges = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") <= 10)
+        .crossJoin(broadcast(maxP))
+        .select(col("l_partkey").as("src"),
+          (lit(1) + col("l_orderkey") % col("__maxp")).as("dst"))
+      val seeds = s.range(1, 4).select(col("id").as("v"))
+      graft.graph.Bfs.hopDistances(edges, seeds, maxHops = 3)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_vertices"), sum("vertex").as("vertex_sum"))
+        .orderBy("dist")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1047,6 +1066,24 @@ private[graft] object RelationalQueries {
         | last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_n
         |FROM j ORDER BY event_type, day""".stripMargin,
+
+    // Same c31 edge derivation, both directions; recursive-CTE UNION
+    // dedups against all prior rows (visited-set BFS), min(d) per
+    // vertex = hop distance.
+    "c35_bfs" ->
+      """WITH RECURSIVE raw AS (SELECT l_partkey AS s,
+        |    1 + (l_orderkey % (SELECT max(p_partkey) FROM part)) AS t
+        |  FROM lineitem WHERE l_quantity <= 10),
+        |und AS (SELECT DISTINCT s, t
+        |  FROM (SELECT s, t FROM raw UNION ALL SELECT t AS s, s AS t FROM raw)
+        |  WHERE s IS NOT NULL AND t IS NOT NULL),
+        |walk AS (
+        |  SELECT CAST(v AS BIGINT) AS v, 0 AS d FROM (VALUES (1), (2), (3)) AS seeds(v)
+        |  UNION
+        |  SELECT u.t AS v, w.d + 1 AS d FROM walk w JOIN und u ON u.s = w.v WHERE w.d < 3),
+        |dist AS (SELECT v, min(d) AS dist FROM walk GROUP BY v)
+        |SELECT dist, count(*) AS n_vertices, CAST(sum(v) AS BIGINT) AS vertex_sum
+        |FROM dist GROUP BY 1 ORDER BY dist""".stripMargin,
 
   )
 }
