@@ -827,6 +827,23 @@ private[graft] object DataQueries {
           col("doc_id"), col("text"), d32Weights, d32Bias)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy("doc_id")
+    }),
+
+    // Native one-pass unicode + whitespace normalization. Each document
+    // is decorated with a unicode-special envelope (curly quotes, NBSP,
+    // zero-width, control, em-dash, ellipsis, CRLF, newline runs —
+    // built char-identically in the oracle via chr()), so every mapping
+    // class is exercised on every row, not just on whatever the
+    // synthetic corpus happens to contain.
+    "d63_text_normalize" -> ((s, dir) => {
+      val suffix = " \u2014 \u201Cq\u2018x\u2019\u00A0z\u200B\u0007\t\ttail\u2026\r\n\n\n\n"
+      val deco = concat(lit("  "), col("text"), lit(suffix))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.expressions.TextExpressions.textNormalize(deco).as("norm"))
+        .select(col("doc_id"), length(col("norm")).as("n_norm"),
+          substring(md5(col("norm")), 1, 8).as("norm_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2008,6 +2025,41 @@ private[graft] object DataQueries {
         |r AS (SELECT source, q,
         |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
         |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
-        |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin
+        |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // The staged regex chain TextNormalize's one-pass state machine is
+    // spec-proven equal to: char-identical decoration via chr(), CRLF
+    // first, then the map/removal classes (RE2 \x{...} escapes), then
+    // whitespace structure, then end trim.
+    "d63_text_normalize" ->
+      """WITH deco AS (SELECT doc_id, '  ' || text || ' ' || chr(8212) || ' ' || chr(8220)
+        |    || 'q' || chr(8216) || 'x' || chr(8217) || chr(160) || 'z' || chr(8203)
+        |    || chr(7) || chr(9) || chr(9) || 'tail' || chr(8230) || chr(13)
+        |    || chr(10) || chr(10) || chr(10) || chr(10) AS t FROM documents),
+        |n AS (SELECT doc_id,
+        |  trim(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(
+        |        regexp_replace(
+        |         regexp_replace(
+        |          regexp_replace(
+        |           regexp_replace(
+        |            replace(replace(t, chr(13) || chr(10), chr(10)), chr(8230), '...'),
+        |            '[\x{000D}\x{0085}\x{2028}\x{2029}]', chr(10), 'g'),
+        |           '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+        |          '[\x{2018}-\x{201B}]', chr(39), 'g'),
+        |         '[\x{201C}-\x{201F}]', '"', 'g'),
+        |        '[\x{2010}-\x{2015}\x{2212}]', '-', 'g'),
+        |       '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        |      '[ \t]+', ' ', 'g'),
+        |     ' *\n *', chr(10), 'g'),
+        |    '\n{3,}', chr(10) || chr(10), 'g'),
+        |   ' ' || chr(10)) AS norm FROM deco)
+        |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm,
+        | substr(md5(norm), 1, 8) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin
   )
 }

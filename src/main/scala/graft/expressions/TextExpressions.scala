@@ -391,6 +391,111 @@ case class C4LineClean(child: Expression, minLineWords: Int)
     copy(child = newChild)
 }
 
+/** Native one-pass text normalization — the canonical "make crawl text
+  * uniform before hashing/dedup/tokenization" cleanup (reference's
+  * placeholder/whitespace hygiene generalized: clean_transform.py's
+  * text normalization column rules, re-scoped to unicode):
+  *
+  *  1. Line terminators: `\r\n` → `\n`; lone `\r`, U+0085, U+2028,
+  *     U+2029 → `\n`.
+  *  2. Unicode space family (NBSP U+00A0, U+1680, U+2000–200A, U+202F,
+  *     U+205F, U+3000) → ASCII space.
+  *  3. Zero-widths (U+200B–200D, U+FEFF) and control chars other than
+  *     tab/newline (U+0000–0008, 000B, 000C, 000E–001F, 007F) removed.
+  *  4. Curly quotes → `'` / `"`; dash family (U+2010–2015, U+2212) →
+  *     `-`; ellipsis U+2026 → `...`.
+  *  5. Whitespace structure: runs of spaces/tabs collapse to one
+  *     space, spaces adjacent to newlines drop, 3+ newlines collapse
+  *     to exactly 2 (paragraph break), and the ends are trimmed.
+  *
+  * All five phases run in ONE character scan (a pending-space/
+  * pending-newline state machine — no intermediate strings, no regex),
+  * and the expression participates in whole-stage codegen. Equivalent
+  * regex chain (what the oracle replays): the char maps, then
+  * `[ \t]+`→` `, ` *\n *`→`\n`, `\n{3,}`→`\n\n`, `trim(' '|'\n')`.
+  *
+  * Why normalize-first matters at 100 TB: exact dedup (D1), MinHash
+  * shingles (D2), and token counts (D9) all hash the raw bytes — two
+  * visually identical documents with NBSP vs space land in different
+  * clusters unless this pass runs first, so it sits at the head of the
+  * D45 pretraining pipeline's transform chain.
+  */
+case class TextNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_text_normalize"
+  override def nullable: Boolean = child.nullable
+
+  private def isRemoved(c: Char): Boolean =
+    (c < ' ' && c != '\t' && c != '\n' && c != '\r') || c == '\u007F' ||
+      c == '\u200B' || c == '\u200C' || c == '\u200D' || c == '\uFEFF'
+  private def isUniSpace(c: Char): Boolean =
+    c == '\u00A0' || c == '\u1680' || (c >= '\u2000' && c <= '\u200A') ||
+      c == '\u202F' || c == '\u205F' || c == '\u3000'
+  private def isNewlineLike(c: Char): Boolean =
+    c == '\u0085' || c == '\u2028' || c == '\u2029'
+  private def mapQuoteDash(c: Char): Char = c match {
+    case '\u2018' | '\u2019' | '\u201A' | '\u201B' => '\''
+    case '\u201C' | '\u201D' | '\u201E' | '\u201F' => '"'
+    case '\u2010' | '\u2011' | '\u2012' | '\u2013' | '\u2014' | '\u2015' | '\u2212' => '-'
+    case other => other
+  }
+
+  /** Public for the generated code path. */
+  def evalText(s: UTF8String): UTF8String = {
+    val t = s.toString
+    val n = t.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var pendingNl = 0
+    def visible(c: Char): Unit = {
+      if (pendingNl > 0) {
+        if (sb.length > 0) sb.append(if (pendingNl >= 3) "\n\n" else "\n" * pendingNl)
+      } else if (pendingSpace && sb.length > 0) sb.append(' ')
+      pendingNl = 0
+      pendingSpace = false
+      sb.append(c)
+    }
+    var i = 0
+    while (i < n) {
+      val raw = t.charAt(i)
+      if (raw == '\r') {
+        if (i + 1 < n && t.charAt(i + 1) == '\n') () // \r\n: the \n handles it
+        else { pendingNl += 1; pendingSpace = false }
+      } else if (raw == '\n' || isNewlineLike(raw)) {
+        pendingNl += 1; pendingSpace = false
+      } else if (raw == ' ' || raw == '\t' || isUniSpace(raw)) {
+        if (pendingNl == 0) pendingSpace = true // spaces after \n drop
+      } else if (isRemoved(raw)) {
+        () // dropped without touching pending state
+      } else if (raw == '\u2026') {
+        visible('.'); sb.append('.'); sb.append('.')
+      } else {
+        visible(mapQuoteDash(raw))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString) // trailing pendings drop = trim
+  }
+
+  override def nullSafeEval(v: Any): Any = evalText(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("textNormalize", this, classOf[TextNormalize].getName)
+      s"${ev.value} = $ref.evalText($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API for [[C4LineClean]]: `struct(n_lines, n_kept,
     * clean_text)` per document in one native pass. */
@@ -414,4 +519,9 @@ object TextExpressions {
     * null elements (stage tokens first). */
   def ngramRepStats(tokens: Column, ns: Seq[Int]): Column =
     ColumnBridge.column(NgramRepStats(ColumnBridge.expression(tokens), ns))
+
+  /** Column API for [[TextNormalize]]: unicode cleanup + whitespace
+    * structure normalization in one native pass. */
+  def textNormalize(text: Column): Column =
+    ColumnBridge.column(TextNormalize(ColumnBridge.expression(text)))
 }

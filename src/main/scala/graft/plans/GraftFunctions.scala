@@ -137,5 +137,10 @@ object GraftFunctions {
       "graft_c4_line_clean(text string, min_line_words int) - C4 line cleaning: struct(n_lines, n_kept, clean_text)") {
       case Seq(t, m) => C4LineClean(t, intArg("graft_c4_line_clean", "min_line_words", m))
       case args => arity("graft_c4_line_clean", "2", args)
+    },
+    fn("graft_text_normalize",
+      "graft_text_normalize(text string) - unicode + whitespace-structure normalization (one pass)") {
+      case Seq(t) => TextNormalize(t)
+      case args => arity("graft_text_normalize", "1", args)
     })
 }

@@ -96,6 +96,12 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(row.getString(2) == "This line has the five words needed.", s"got $row")
   }
 
+  test("graft_text_normalize from SQL maps unicode and collapses whitespace") {
+    val row = ext.sql(
+      "SELECT graft_text_normalize('x\u2014y  \u201cz\u201d\u2026  ') AS n").head()
+    assert(row.getString(0) == "x-y \"z\"...", s"got $row")
+  }
+
   test("bloom membership state builds and unions from SQL") {
     val bloomDf = ext.sql(
       """SELECT g, graft_bloom_agg(CAST(id AS STRING), 100, 0.01) AS bf
