@@ -829,6 +829,28 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // Hybrid retrieval: BM25 lexical top-20 and embedding-cosine
+    // top-20 fused by reciprocal rank (k=60). The two id universes
+    // (doc_id / vec_id) coincide in the synthetic corpus, so agreement
+    // boosts are real; the oracle replays both full ranking chains and
+    // the fusion arithmetic.
+    "d64_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark sort merge"), (2L, "stream window value"),
+        (3L, "filter scan column")).toDF("query_id", "query_text")
+      val lex = graft.text.Bm25.retrieve(Tables.documents(s, dir),
+          col("doc_id"), col("text"), qs, k = 20)
+        .select(col("query_id").as("qid"), col("doc_id").as("id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = Ann.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding", k = 20)
+        .select(col("qid"), col("cid").as("id"), col("rank"))
+      graft.similarity.Fusion.rrfFuse(Seq(lex, dense), topK = 10)
+        .select(col("qid"), col("id"), round(col("rrf"), 6).as("rrf"),
+          col("n_lists"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Native one-pass unicode + whitespace normalization. Each document
     // is decorated with a unicode-special envelope (curly quotes, NBSP,
     // zero-width, control, em-dash, ellipsis, CRLF, newline runs —
@@ -2026,6 +2048,45 @@ private[graft] object DataQueries {
         |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
         |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
         |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // d54's BM25 chain at k=20 + d5's cosine chain at k=20 for query
+    // vectors 1..3, fused with the same 1/(60+rank) sum, agreement
+    // count, and (rrf desc, id) election.
+    "d64_hybrid_rrf" ->
+      """WITH q(query_id, query_text) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'spark sort merge'),
+        |  (CAST(2 AS BIGINT), 'stream window value'),
+        |  (CAST(3 AS BIGINT), 'filter scan column')),
+        |toks AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1,2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE term <> '' GROUP BY 1),
+        |dfx AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT avg(coalesce(dl.dl, 0)) FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id) AS avgdl),
+        |qt AS (SELECT DISTINCT query_id, unnest(string_split(regexp_replace(lower(trim(query_text)),'\s+',' ','g'), ' ')) AS term FROM q),
+        |scored AS (SELECT qt.query_id, tf.doc_id,
+        |   sum(ln(1.0 + (stats.n_docs - dfx.df_t + 0.5)/(dfx.df_t + 0.5))
+        |     * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |  FROM qt JOIN tf USING (term) JOIN dfx USING (term)
+        |   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |bm AS (SELECT qid, id, rank FROM (SELECT query_id AS qid, doc_id AS id,
+        |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 20),
+        |qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |cv AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |cs AS (SELECT qid, cid,
+        |   list_inner_product(qv,cv) / (sqrt(list_inner_product(qv,qv)) * sqrt(list_inner_product(cv,cv))) AS cos
+        |  FROM qv, cv WHERE qid <> cid),
+        |co AS (SELECT qid, id, rank FROM (SELECT qid, cid AS id,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank
+        |  FROM cs) WHERE rank <= 20),
+        |u AS (SELECT * FROM bm UNION ALL SELECT * FROM co),
+        |f AS (SELECT qid, id, sum(1.0/(60 + rank)) AS rrf, count(*) AS n_lists FROM u GROUP BY 1, 2),
+        |fr AS (SELECT qid, id, rrf, n_lists,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS BIGINT) AS rank FROM f)
+        |SELECT qid, id, round(rrf, 6) AS rrf, n_lists, rank
+        |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     // The staged regex chain TextNormalize's one-pass state machine is
     // spec-proven equal to: char-identical decoration via chr(), CRLF
