@@ -1001,4 +1001,61 @@ object StreamOps {
           }
       }
   }
+
+  final case class SilenceState(lastSeenMs: Long)
+  final case class SilenceAlert(user_id: Long, last_seen: Timestamp, gap_sec: Long)
+
+  /** E21 — streaming silence (heartbeat-loss) detection, the live
+    * counterpart of [[graft.operators.TimeSeries.gapFillLocf]]'s gap
+    * flagging: alert when a previously-seen entity produces NO events
+    * for `gapSeconds` of EVENT time. Dead sensors, stalled crawl
+    * sources, and wedged ingest shards all look exactly like this —
+    * and no per-event operator can see them, because the signal is the
+    * absence of input; only an event-time TIMER can fire on silence.
+    *
+    * `flatMapGroupsWithState` + EventTimeTimeout: each event re-arms
+    * the entity's timer to `last_seen + gapSeconds` (clamped past the
+    * current watermark, which Spark requires of timeout timestamps);
+    * when the WATERMARK — driven by other, still-alive entities —
+    * crosses the deadline with no new events, the timeout path emits
+    * ONE alert carrying the entity's last-seen time and removes the
+    * state, so state stays O(active entities) (an entity that stays
+    * silent forever costs nothing after its alert) and a reappearing
+    * entity is tracked afresh (a new silence episode can re-alert —
+    * episode semantics, not once-ever). `gap_sec` reports the
+    * CONFIGURED threshold (deterministic), not the watermark overshoot
+    * (which depends on batch arrival timing — unstable under replay).
+    *
+    * Caveat shared with every watermark-timer design: if the WHOLE
+    * stream stops, the watermark stops advancing and no alert fires —
+    * whole-stream liveness needs a processing-time monitor
+    * (`StreamingQueryProgress.numInputRows == 0`), not event-time
+    * state; per-entity silence within a live stream is what this
+    * operator decides. */
+  def silenceAlerts(
+      spark: SparkSession,
+      events: Dataset[ScoreEvent],
+      watermark: String,
+      gapSeconds: Long): Dataset[SilenceAlert] = {
+    import spark.implicits._
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
+    val gapMs = gapSeconds * 1000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[ScoreEvent], state: GroupState[SilenceState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val last = state.get.lastSeenMs
+            state.remove()
+            Iterator.single(SilenceAlert(userId, new Timestamp(last), gapSeconds))
+          } else {
+            var lastSeen = state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue)
+            batch.foreach(e => lastSeen = math.max(lastSeen, e.ts.getTime))
+            state.update(SilenceState(lastSeen))
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 }
