@@ -598,6 +598,21 @@ private[graft] object RelationalQueries {
         .orderBy("dist")
     }),
 
+    // Per-segment co-movement profile: every measure pair's corr +
+    // covariance from ONE hash aggregate (pairs add accumulators, not
+    // passes — the plan pin lives in StatsSpec).
+    "c36_corr_matrix" -> ((s, dir) => {
+      graft.analytics.Stats.correlationMatrix(Tables.lineitem(s, dir),
+          Seq(col("l_returnflag")),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("corr_l_quantity_l_extendedprice"), 4).as("corr_qty_price"),
+          round(col("corr_l_quantity_l_discount"), 4).as("corr_qty_disc"),
+          round(col("corr_l_extendedprice_l_discount"), 4).as("corr_price_disc"),
+          round(col("cov_l_quantity_l_extendedprice"), 4).as("cov_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1084,6 +1099,14 @@ private[graft] object RelationalQueries {
         |dist AS (SELECT v, min(d) AS dist FROM walk GROUP BY v)
         |SELECT dist, count(*) AS n_vertices, CAST(sum(v) AS BIGINT) AS vertex_sum
         |FROM dist GROUP BY 1 ORDER BY dist""".stripMargin,
+
+    "c36_corr_matrix" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+        | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
   )
 }

@@ -1,0 +1,45 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-column statistical profiling aggregates — the numeric-column
+  * relationship half of the profiling surface (C18 checks values,
+  * D40/D52 profile distributions; this profiles CO-movement: which
+  * measures rise together, per segment).
+  */
+object Stats {
+
+  /** Pairwise Pearson correlation + sample covariance for every
+    * unordered pair of `cols`, per group — ALL pairs in ONE hash
+    * aggregate (one shuffle on the group keys, partial aggregation
+    * upstream): each pair adds two co-moment accumulators to the same
+    * aggregate, not a pass over the data, so profiling p columns costs
+    * O(p²) accumulator slots and exactly one scan at any data size.
+    * Output is wide: `corr_<a>_<b>` / `cov_<a>_<b>` per pair, plus
+    * `n`. Rounding is left to the caller (raw doubles out). */
+  def correlationMatrix(df: DataFrame, groupBy: Seq[Column],
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"correlationMatrix needs >= 2 columns, got $cols")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    // corr is DERIVED (cov / sd·sd) behind a lazy zero-variance guard
+    // rather than aggregated with corr(): under ANSI mode the built-in
+    // corr throws DIVIDE_BY_ZERO on a constant column, where SQL
+    // engines (and this operator) answer null. Same co-moment math,
+    // and the guard's branches evaluate lazily so no division runs.
+    val aggs =
+      pairs.map { case (a, b) => covar_samp(col(a), col(b)).as(s"cov_${a}_$b") } ++
+        cols.map(c => stddev_samp(col(c)).as(s"__sd_$c"))
+    val corrs = pairs.map { case (a, b) =>
+      when(col(s"__sd_$a") > 0 && col(s"__sd_$b") > 0,
+        col(s"cov_${a}_$b") / (col(s"__sd_$a") * col(s"__sd_$b")))
+        .as(s"corr_${a}_$b")
+    }
+    val base = df.groupBy(groupBy: _*)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    base.select(groupBy ++ Seq(col("n")) ++ corrs
+      ++ pairs.map { case (a, b) => col(s"cov_${a}_$b") }: _*)
+  }
+}
