@@ -102,6 +102,24 @@ private[graft] object KpiQueries {
       graft.analytics.Attribution.channelSummary(at).orderBy("channel")
     }),
 
+    // Time-to-convert distribution over completed view→click→purchase
+    // funnels: exact interpolated percentiles of the whole-funnel span,
+    // from the same chained-window step times c21 aggregates away.
+    "b12_time_to_convert" -> ((s, dir) => {
+      val st = graft.analytics.Funnel.stepTimes(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      st.filter(col("t3").isNotNull)
+        .select(((graft.operators.Relational.epochMicros(col("t3")) -
+          graft.operators.Relational.epochMicros(col("t1"))) / lit(1000000.0)).as("dt"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(avg(col("dt")), 4).as("avg_sec"),
+          round(expr("percentile(dt, 0.5d)"), 4).as("p50_sec"),
+          round(expr("percentile(dt, 0.9d)"), 4).as("p90_sec"),
+          round(min(col("dt")), 4).as("min_sec"),
+          round(max(col("dt")), 4).as("max_sec"))
+    }),
+
     // Customer-value decile lift: exact SQL ntile semantics over spend
     // (desc, custkey tie-break) via the distributed ranking path — no
     // single-partition window anywhere except the final 10-row rollup.
@@ -198,6 +216,21 @@ private[graft] object KpiQueries {
         |SELECT channel, count(DISTINCT conv_id) AS n_conversions,
         | round(sum(weight), 4) AS total_weight, round(sum(attributed), 4) AS revenue
         |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // c21's step-time CTE chain, then quantile_cont — the same linear
+    // interpolation as Spark's exact percentile.
+    "b12_time_to_convert" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type AS et FROM events),
+        |u1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN u1 USING (user_id) WHERE et = 'click' AND t > t1 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN u2 USING (user_id) WHERE et = 'purchase' AND t > t2 GROUP BY 1),
+        |d AS (SELECT (epoch_us(t3) - epoch_us(t1)) / 1000000.0 AS dt
+        |      FROM u3 JOIN u1 USING (user_id))
+        |SELECT count(*) AS n_converted, round(avg(dt), 4) AS avg_sec,
+        | round(quantile_cont(dt, 0.5), 4) AS p50_sec,
+        | round(quantile_cont(dt, 0.9), 4) AS p90_sec,
+        | round(min(dt), 4) AS min_sec, round(max(dt), 4) AS max_sec
+        |FROM d""".stripMargin,
 
     // DuckDB's ntile is the SQL standard one ntileExact reimplements;
     // same desc/tie order, same round-4 presentation.

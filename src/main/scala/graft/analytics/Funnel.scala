@@ -31,12 +31,37 @@ object Funnel {
       typeCol: Column,
       steps: Seq[String],
       maxSpanSeconds: Option[Long] = None): DataFrame = {
+    val perUser = stepTimes(events, user, ts, typeCol, steps, maxSpanSeconds)
+    val nCols = steps.indices.map(i =>
+      sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).as(s"__n${i + 1}"))
+    val counts = perUser.agg(nCols.head, nCols.tail: _*)
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1L).as("step_index"), lit(step).as("step"),
+        col(s"__n${i + 1}").as("n_users"),
+        round(when(col("__n1") > 0,
+          col(s"__n${i + 1}").cast("double") / col("__n1")), 4).as("conversion"))
+    }
+    counts.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** Per-user funnel step times: one row per step-1 user with
+    * `(user, t1, ..., tk)` — tᵢ = the user's ordered step-i time, null
+    * from the first missed step on. The raw material for
+    * time-to-convert distributions (B12), cohort segmentation by
+    * funnel depth, and drop-off root-causing — everything [[funnel]]
+    * aggregates away. Same plan as [[funnel]] up to the per-user
+    * rollup: one user shuffle, chained window minima, zero self-joins. */
+  def stepTimes(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      typeCol: Column,
+      steps: Seq[String],
+      maxSpanSeconds: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
     maxSpanSeconds.foreach(s => require(s > 0, s"maxSpanSeconds must be positive, got $s"))
     val wu = Window.partitionBy(col("__u"))
     val base = events.select(user.as("__u"), ts.as("__ts"), typeCol.as("__e"))
-    // chain of window minima: __t1, __t2, ... each referencing the
-    // previous MATERIALIZED column (same partitioning ⇒ one exchange)
     val withTimes = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
       val cond =
         if (i == 0) col("__e") === step
@@ -47,17 +72,14 @@ object Funnel {
         }
       df.withColumn(s"__t${i + 1}", min(when(cond, col("__ts"))).over(wu))
     }
-    val tCols = steps.indices.map(i => max(col(s"__t${i + 1}")).as(s"__t${i + 1}"))
-    val perUser = withTimes.groupBy("__u").agg(tCols.head, tCols.tail: _*)
-    val nCols = steps.indices.map(i =>
-      sum(when(col(s"__t${i + 1}").isNotNull, 1L).otherwise(0L)).as(s"__n${i + 1}"))
-    val counts = perUser.agg(nCols.head, nCols.tail: _*)
-    val rows = steps.zipWithIndex.map { case (step, i) =>
-      struct(lit(i + 1L).as("step_index"), lit(step).as("step"),
-        col(s"__n${i + 1}").as("n_users"),
-        round(when(col("__n1") > 0,
-          col(s"__n${i + 1}").cast("double") / col("__n1")), 4).as("conversion"))
-    }
-    counts.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+    stepTimesFrom(withTimes, steps.size)
+  }
+
+  /** Per-user rollup of the chained window columns; step-1 users only
+    * (a funnel that never started is not a funnel row). */
+  private def stepTimesFrom(withTimes: DataFrame, nSteps: Int): DataFrame = {
+    val tCols = (0 until nSteps).map(i => max(col(s"__t${i + 1}")).as(s"t${i + 1}"))
+    withTimes.groupBy(col("__u").as("user")).agg(tCols.head, tCols.tail: _*)
+      .filter(col("t1").isNotNull)
   }
 }

@@ -45,6 +45,28 @@ class FunnelSpec extends SparkSpec {
     assert(out == Seq(4L, 1L))
   }
 
+  test("stepTimes: one row per step-1 user, nulls from the first missed step on") {
+    val got = Funnel.stepTimes(events, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy("user")
+      .collect()
+      .map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))
+    assert(got.toSeq === Seq(
+      (1L, Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 10:05:00")),
+        Some(ts("2024-01-01 10:10:00"))),
+      (2L, Some(ts("2024-01-01 10:00:00")), None, None), // pre-view click excluded
+      (3L, Some(ts("2024-01-01 08:00:00")), Some(ts("2024-01-01 08:30:00")), None),
+      (4L, Some(ts("2024-01-01 07:00:00")), None, None))) // skipped click gates purchase
+  }
+
+  test("stepTimes: a user who never does step 1 has no row") {
+    val only2 = Seq((7L, ts("2024-01-01 10:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    assert(Funnel.stepTimes(only2, col("user_id"), col("ts"), col("event_type"),
+      Seq("view", "click")).count() === 0)
+  }
+
   test("a user repeating steps counts once, earliest valid times used") {
     val rep = Seq(
       (9L, ts("2024-01-01 10:00:00"), "view"),
