@@ -829,6 +829,16 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-label embedding cohesion/separation QA over the labeled
+    // corpus — negative margins would flag non-separable classes.
+    "d65_label_cohesion" -> ((s, dir) => {
+      graft.similarity.Cohesion.labelCohesion(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), col("label"))
+        .select(col("label"), col("n"), round(col("cohesion"), 4).as("cohesion"),
+          round(col("separation"), 4).as("separation"), round(col("margin"), 4).as("margin"))
+        .orderBy("label")
+    }),
+
     // Hybrid retrieval: BM25 lexical top-20 and embedding-cosine
     // top-20 fused by reciprocal rank (k=60). The two id universes
     // (doc_id / vec_id) coincide in the synthetic corpus, so agreement
@@ -2048,6 +2058,24 @@ private[graft] object DataQueries {
         |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
         |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
         |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Same centroid construction ((label, dim) averages reassembled in
+    // dim order), same L-centroid exact scoring, max-by-VALUE only.
+    "d65_label_cohesion" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cell AS (SELECT label, i, avg(v[CAST(i AS INT)]) AS c
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+        |cent AS (SELECT label AS cl, list(c ORDER BY i) AS cv FROM cell GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, cent.cl,
+        |   list_inner_product(v, cv) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cv, cv))) AS cos
+        |  FROM e CROSS JOIN cent),
+        |pv AS (SELECT vec_id, label,
+        |   max(CASE WHEN label = cl THEN cos END) AS own,
+        |   max(CASE WHEN label <> cl THEN cos END) AS oth
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT label, count(*) AS n, round(avg(own), 4) AS cohesion,
+        | round(avg(oth), 4) AS separation, round(avg(own - oth), 4) AS margin
+        |FROM pv GROUP BY 1 ORDER BY label""".stripMargin,
 
     // d54's BM25 chain at k=20 + d5's cosine chain at k=20 for query
     // vectors 1..3, fused with the same 1/(60+rank) sum, agreement
