@@ -613,6 +613,27 @@ private[graft] object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Two-sided nearest-event enrichment: each purchase matched to the
+    // user's closest error event within ±1 hour (right side pre-deduped
+    // per (user, ts) — the operator's uniqueness contract). Summarized
+    // per outcome so the matched/unmatched split and the signed-gap
+    // distribution are both oracle-checked.
+    "c37_nearest_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_id")).as("err_id"))
+      Relational.nearestJoin(purchases, errors, key = "user_id", ts = "ts",
+          rightVals = Seq("err_id"), maxGapSeconds = Some(3600))
+        .groupBy(when(col("nearest_dt_sec").isNull, "none")
+          .when(col("nearest_dt_sec") < 0, "before").otherwise("after").as("outcome"))
+        .agg(count(lit(1)).as("n"), round(avg(abs(col("nearest_dt_sec"))), 4).as("avg_abs_sec"),
+          sum(col("nearest_err_id")).as("err_id_sum"))
+        .orderBy("outcome")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1107,6 +1128,26 @@ private[graft] object RelationalQueries {
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // Exhaustive per-purchase candidate scan; (|dt|, dt) ordering
+    // reproduces the closer-side election and the backward tie rule.
+    "c37_nearest_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |l AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, t AS rt, min(event_id) AS err_id
+        |      FROM e WHERE event_type = 'error' GROUP BY 1, 2),
+        |cand AS (SELECT l.event_id, r.err_id,
+        |    (epoch_us(r.rt) - epoch_us(l.t)) / 1000000.0 AS dt
+        |  FROM l JOIN r USING (user_id)
+        |  WHERE abs(epoch_us(r.rt) - epoch_us(l.t)) <= 3600000000),
+        |best AS (SELECT event_id, err_id, dt,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY abs(dt), dt) AS rn FROM cand),
+        |m AS (SELECT l.event_id, b.err_id, b.dt
+        |  FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id))
+        |SELECT CASE WHEN dt IS NULL THEN 'none' WHEN dt < 0 THEN 'before' ELSE 'after' END AS outcome,
+        | count(*) AS n, round(avg(abs(dt)), 4) AS avg_abs_sec,
+        | CAST(sum(err_id) AS BIGINT) AS err_id_sum
+        |FROM m GROUP BY 1 ORDER BY outcome""".stripMargin,
 
   )
 }

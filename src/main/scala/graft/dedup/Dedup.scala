@@ -861,8 +861,13 @@ object Dedup {
       df, id, text, threshold)
     val clusters = clusterPairs(pairs)
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
-    val assigned = clusters.join(sizes, "cluster_id")
-    df.select(id.as("doc_id")).join(assigned, Seq("doc_id"), "left")
+    // both joins are merge-HINTED: the size table is cluster-count-sized
+    // and the back-join is corpus-sized on both sides, so sort-merge is
+    // the 100-TB strategy anyway — and the hint removes the AQE
+    // broadcast-conversion race that made this plan's executed shape
+    // flap at small SF (observed 1-in-several golden regenerations)
+    val assigned = clusters.join(sizes.hint("merge"), "cluster_id")
+    df.select(id.as("doc_id")).join(assigned.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         coalesce(col("__csz"), lit(1L)).as("cluster_size"),

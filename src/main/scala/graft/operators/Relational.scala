@@ -136,6 +136,79 @@ object Relational {
         rightVals.map(c => col("__last_r").getField(c).as(s"asof_$c")): _*)
   }
 
+  /** Nearest-event join: attach to each left row the right row with the
+    * same key whose event time is CLOSEST in either direction —
+    * [[asOfJoin]]'s two-sided sibling (match a trade to the nearest
+    * quote, an incident to the nearest deploy, a purchase to the
+    * nearest error). Exact-distance ties prefer the earlier (backward)
+    * match, so the at-or-before semantics of asOfJoin are a subset.
+    *
+    * Same union trick, ONE key shuffle, zero row amplification: both
+    * candidate windows (trailing `last(right, ignoreNulls)` and leading
+    * `first(right, ignoreNulls)`) share one partitioning AND one
+    * ordering, so they evaluate in a single WindowExec with two frames.
+    * The right rows' event time rides inside the carried struct
+    * (`__rus`), which is what makes the closer-side election a pure
+    * projection instead of a second pass.
+    *
+    * `maxGapSeconds` bounds |Δt| symmetrically: a candidate farther
+    * than the gap is treated as absent (nearest_* null) — without it,
+    * a years-stale match would silently "enrich" a row.
+    *
+    * Contracts shared with asOfJoin: right rows unique per (key, ts)
+    * (pre-aggregate if not), null-key right rows match nothing,
+    * null-key left rows pass through unmatched. Emits `nearest_<col>`
+    * per carried column plus `nearest_dt_sec` (right − left, signed:
+    * negative = the match precedes the row). */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightVals: Seq[String],
+      maxGapSeconds: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns
+    (Seq("__side", "__k", "__ts", "__r", "__back", "__fwd", "nearest_dt_sec") ++
+      rightVals.map(c => s"nearest_$c")).foreach(c =>
+      require(!leftCols.contains(c), s"nearestJoin reserves column '$c'; rename the input column"))
+    maxGapSeconds.foreach(g => require(g > 0, s"maxGapSeconds must be positive, got $g"))
+    val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rus", org.apache.spark.sql.types.LongType)
+        +: rightVals.map(c => right.schema(c)))
+    val l = left
+      .withColumn("__side", lit(1))
+      .select(col(key).as("__k") +: col(ts).as("__ts") +: col("__side") +:
+        leftCols.map(col) :+ lit(null).cast(rStructType).as("__r"): _*)
+    val r = right
+      .filter(col(key).isNotNull)
+      .withColumn("__side", lit(0))
+      .select(col(key).as("__k") +: col(ts).as("__ts") +: col("__side") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(epochMicros(col(ts)).as("__rus") +: rightVals.map(col): _*).as("__r"): _*)
+    val order = Seq(col("__ts").asc, col("__side").asc)
+    val wb = Window.partitionBy("__k").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("__k").orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val combined = l.unionByName(r)
+      .select(col("*"),
+        last(col("__r"), ignoreNulls = true).over(wb).as("__back"),
+        first(col("__r"), ignoreNulls = true).over(wf).as("__fwd"))
+      .filter(col("__side") === 1)
+    val us = epochMicros(col("__ts"))
+    val dtb = col("__back").getField("__rus") - us // <= 0
+    val dtf = col("__fwd").getField("__rus") - us  // > 0
+    val gapUs = maxGapSeconds.map(_ * 1000000L)
+    val backOk = col("__back").isNotNull && gapUs.map(g => -dtb <= g).getOrElse(lit(true))
+    val fwdOk = col("__fwd").isNotNull && gapUs.map(g => dtf <= g).getOrElse(lit(true))
+    val useBack = backOk && (!fwdOk || (-dtb) <= dtf) // tie → backward
+    val chosen = when(useBack, col("__back")).when(fwdOk, col("__fwd"))
+    val dt = when(useBack, dtb).when(fwdOk, dtf)
+    combined.select(leftCols.map(col) ++
+      rightVals.map(c => chosen.getField(c).as(s"nearest_$c")) :+
+      (dt / lit(1000000.0)).as("nearest_dt_sec"): _*)
+  }
+
   /** Event-time moving aggregate per entity: count and average of
     * `value` over the trailing `windowSeconds` at each event (RANGE
     * frame over event-time micros, so simultaneous events share one

@@ -60,6 +60,53 @@ class RelationalSpec extends SparkSpec {
     assert(out(3).isNullAt(1))          // before any quote
   }
 
+  test("nearestJoin picks the closer side; exact-distance ties prefer backward") {
+    val l = Seq((1L, "A", 100L), (2L, "A", 201L), (3L, "A", 1000L),
+      (4L, "B", 50L), (5L, "A", 150L)).toDF("id", "k", "ts")
+    val r = Seq(("A", 90L, 1.0), ("A", 210L, 2.0), ("A", 995L, 3.0), ("C", 50L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = Relational.nearestJoin(l, r, key = "k", ts = "ts", rightVals = Seq("v"))
+      .orderBy("id").select("id", "nearest_v", "nearest_dt_sec").collect()
+    assert(out(0).getDouble(1) == 1.0 && out(0).getDouble(2) == -10.0) // 90 beats 210
+    assert(out(1).getDouble(1) == 2.0 && out(1).getDouble(2) == 9.0)   // 210 beats 90
+    assert(out(2).getDouble(1) == 3.0 && out(2).getDouble(2) == -5.0)
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2)) // B has no right rows
+    // ts 150: rights at 90 (d60) and 210 (d60) — exact tie → backward
+    assert(out(4).getDouble(1) == 1.0 && out(4).getDouble(2) == -60.0)
+  }
+
+  test("nearestJoin: maxGapSeconds nulls far matches per side") {
+    val l = Seq((1L, "A", 1000L), (2L, "A", 95L)).toDF("id", "k", "ts")
+    val r = Seq(("A", 90L, 1.0)).toDF("k", "ts", "v")
+    val out = Relational.nearestJoin(l, r, "k", "ts", Seq("v"), maxGapSeconds = Some(100))
+      .orderBy("id").select("id", "nearest_v").collect()
+    assert(out(0).isNullAt(1))           // 910s away > 100s gap
+    assert(out(1).getDouble(1) == 1.0)   // 5s away
+  }
+
+  test("nearestJoin: equal-ts right matches at distance zero; both windows share one exchange") {
+    val l = Seq((1L, "A", 100L)).toDF("id", "k", "ts")
+    val r = Seq(("A", 100L, 7.0), ("A", 101L, 8.0)).toDF("k", "ts", "v")
+    val out = Relational.nearestJoin(l, r, "k", "ts", Seq("v"))
+    val row = out.head()
+    assert(row.getAs[Double]("nearest_v") == 7.0)
+    assert(row.getAs[Double]("nearest_dt_sec") == 0.0)
+    assert(graft.PlanShapes.windowCount(out) === 1,
+      "backward and forward frames must share a single WindowExec")
+  }
+
+  test("nearestJoin: null left keys pass through unmatched; reserved names rejected") {
+    val l = Seq((Some("A"), 1L, 100L), (None, 2L, 100L))
+      .map { case (k, id, t) => (k.orNull, id, t) }.toDF("k", "id", "ts")
+    val r = Seq(("A", 90L, 1.0)).toDF("k", "ts", "v")
+    val out = Relational.nearestJoin(l, r, "k", "ts", Seq("v")).orderBy("id").collect()
+    assert(out(0).getDouble(3) == 1.0)
+    assert(out(1).isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Relational.nearestJoin(l.withColumn("nearest_v", lit(1)), r, "k", "ts", Seq("v"))
+    }
+  }
+
   test("asOfJoin: null keys never match each other (equi semantics)") {
     val left = Seq((1L, Option(7L), 10L), (2L, Option.empty[Long], 10L)).toDF("lid", "k", "ts")
     val right = Seq((Option(7L), 5L, 100L), (Option.empty[Long], 5L, 999L)).toDF("k", "ts", "rv")
