@@ -829,6 +829,15 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // Sorted-neighborhood blocking by document length, exact-Jaccard
+    // verified — the deterministic-candidate-count blocker next to
+    // d2's MinHash banding, over the same corpus and verify stage.
+    "d66_sorted_neighborhood" -> ((s, dir) => {
+      graft.dedup.SortedNeighborhood.nearDupPairs(Tables.documents(s, dir),
+          col("doc_id"), col("text"), Seq(col("n_chars")), window = 10, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Per-label embedding cohesion/separation QA over the labeled
     // corpus — negative margins would flag non-separable classes.
     "d65_label_cohesion" -> ((s, dir) => {
@@ -2058,6 +2067,24 @@ private[graft] object DataQueries {
         |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
         |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
         |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Same (n_chars, doc_id) total order, same rank-window candidates,
+    // d4's uncapped distinct-shingle Jaccard on exactly those pairs.
+    "d66_sorted_neighborhood" ->
+      """WITH rk AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS r FROM documents),
+        |cand AS (SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 10),
+        |toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |      JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter), 4) AS jaccard
+        |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE inter*1.0/(x.n + y.n - inter) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same centroid construction ((label, dim) averages reassembled in
     // dim order), same L-centroid exact scoring, max-by-VALUE only.
