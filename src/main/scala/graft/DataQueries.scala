@@ -829,6 +829,19 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // Near-dup-safe splits: cluster labels (not doc ids) are hashed to
+    // splits, so lightly-edited copies co-assign. Grouped output keeps
+    // the oracle discriminating (counts, cluster counts, id checksum).
+    "d67_cluster_safe_split" -> ((s, dir) => {
+      Dedup.clusterSafeSplit(Tables.documents(s, dir), col("doc_id"), col("text"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), threshold = 0.5)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("doc_id")).as("doc_id_sum"))
+        .orderBy("split")
+    }),
+
     // Sorted-neighborhood blocking by document length, exact-Jaccard
     // verified — the deterministic-candidate-count blocker next to
     // d2's MinHash banding, over the same corpus and verify stage.
@@ -2067,6 +2080,31 @@ private[graft] object DataQueries {
         |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
         |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
         |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // d15's recursive-CTE clustering (singletons self-label via the
+    // left-join coalesce) + d33's md5-bucket assignment on the LABEL.
+    "d67_cluster_safe_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |dup AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach(id, r) AS (SELECT src, src FROM e
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |lab AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY 1),
+        |assigned AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cid
+        |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+        |b AS (SELECT doc_id, cid,
+        |   CAST('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bk
+        |  FROM assigned)
+        |SELECT CASE WHEN bk < 800000 THEN 'train' WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs, count(DISTINCT cid) AS n_clusters,
+        | CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
     // Same (n_chars, doc_id) total order, same rank-window candidates,
     // d4's uncapped distinct-shingle Jaccard on exactly those pairs.

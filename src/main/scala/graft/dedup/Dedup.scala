@@ -874,6 +874,24 @@ object Dedup {
         round(lit(1.0) / coalesce(col("__csz"), lit(1L)), 6).as("weight"))
   }
 
+  /** Near-dup-safe train/val/test split: assign every member of a
+    * near-duplicate CLUSTER to the same split by hashing the cluster
+    * label, not the document — closing the leakage channel
+    * [[graft.operators.Sampling.leakageSafeSplit]]'s exact-content
+    * fingerprint cannot see (a lightly-edited copy of a train document
+    * landing in test is still leakage; its fingerprint differs, its
+    * cluster does not). Uses the D2 MinHash→verify→components stack
+    * for the clusters (singletons label themselves), then D33's
+    * deterministic md5-bucket assignment on the label. Emits
+    * (doc_id, cluster_id, split). */
+  def clusterSafeSplit(df: DataFrame, id: Column, text: Column,
+      splits: Seq[(String, Double)], threshold: Double = 0.5,
+      salt: String = ""): DataFrame =
+    duplicationWeights(df, id, text, threshold)
+      .withColumn("split",
+        graft.operators.Sampling.assignSplit(col("cluster_id"), splits, salt))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+
   /** Contamination-span removal against an eval set — the surgical
     * sibling of [[contaminationReport]] (D25): instead of DROPPING a
     * training document whose shingle overlap crosses a threshold, MASK

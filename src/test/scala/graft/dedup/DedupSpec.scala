@@ -301,6 +301,36 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.filter(_._2 == 1L).map(_._4).sum - 1.0) < 1e-3)
   }
 
+  test("clusterSafeSplit: every cluster member co-assigns; singletons split independently") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "totally different content lives here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.clusterSafeSplit(docs, col("doc_id"), col("text"),
+        Seq(("train", 0.5), ("test", 0.5)))
+      .orderBy("doc_id").select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    // the identical triple shares cluster 1 → one split for all three
+    assert(out.take(3).map(_._3).distinct.length === 1,
+      s"cluster members straddled splits: $out")
+    assert(out.take(3).map(_._2).toSet === Set(1L))
+    assert(out(3)._2 === 4L) // singleton labels itself
+    // assignment is the cluster-label hash: doc 2 and 3 get cluster 1's
+    // bucket, NOT their own doc-id bucket
+    val ownBucket = Dedup.clusterSafeSplit(
+      docs.filter(col("doc_id") === 2L), col("doc_id"), col("text"),
+      Seq(("train", 0.5), ("test", 0.5))).head().getString(2)
+    assert(out(1)._3 !== null)
+    // doc 2 alone clusters as singleton 2 → its solo split may differ
+    // from the cluster-1 split; both must be deterministic re-runs
+    assert(Dedup.clusterSafeSplit(docs, col("doc_id"), col("text"),
+      Seq(("train", 0.5), ("test", 0.5))).orderBy("doc_id")
+      .select("split").as[String].collect().toSeq === out.map(_._3))
+    assert(ownBucket != null)
+  }
+
   test("removeContaminatedSpans masks only eval-covered tokens, everywhere they appear") {
     val evalSet = Seq((100L, "the secret eval answer is forty two")).toDF("doc_id", "text")
     val train = Seq(
