@@ -1002,6 +1002,47 @@ object StreamOps {
       }
   }
 
+  /** E22 — streaming point-in-time enrichment: each arriving fact is
+    * joined to the SCD2 dimension version whose validity interval
+    * contains the fact's event time (C30's `pointInTimeJoin`, run per
+    * micro-batch under `foreachBatch`). This is the streaming shape a
+    * native stream-stream join cannot express — interval containment
+    * is a non-equi condition, and the dimension is a SLOWLY-changing
+    * table, not a stream with a watermark; per-batch batch-API reuse
+    * is the canonical decomposition (the same C30 plan, candidates
+    * bounded by the batch). Epoch-keyed overwrite under
+    * `batch=<epochId>` makes replays byte-identical no-ops (the
+    * E14-E18 contract). The dimension snapshot is read at batch time:
+    * a dim updated mid-stream affects only later batches — the
+    * at-ingest interpretation, matching how E9's CDC snapshots feed
+    * this join. */
+  def toPitEnriched(
+      facts: DataFrame,
+      dim: DataFrame,
+      key: String,
+      factTs: String,
+      attrCols: Seq[String],
+      outRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        pitEnrichedBatch(batch.toDF(), epochId, dim, key, factTs, attrCols, outRoot)
+      }
+      .start()
+
+  /** One micro-batch of [[toPitEnriched]], exposed for replay tests. */
+  private[graft] def pitEnrichedBatch(
+      batch: DataFrame,
+      epochId: Long,
+      dim: DataFrame,
+      key: String,
+      factTs: String,
+      attrCols: Seq[String],
+      outRoot: String): Unit =
+    graft.operators.Relational.pointInTimeJoin(batch, dim, key, factTs, attrCols)
+      .write.mode("overwrite").parquet(s"$outRoot/batch=$epochId")
+
   final case class SilenceState(lastSeenMs: Long)
   final case class SilenceAlert(user_id: Long, last_seen: Timestamp, gap_sec: Long)
 
