@@ -613,6 +613,20 @@ private[graft] object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Set-algebra audience segmentation: viewers ∩ clickers − purchasers
+    // via Dataset.intersect/except — ANSI INTERSECT/EXCEPT set
+    // semantics (dedup + null-safe equality), the idiom behind every
+    // "did X and Y but not Z" audience cut. Each leg is a distinct
+    // aggregate; Spark plans intersect/except as left-semi/anti joins
+    // over the deduped sides — no row amplification at any scale.
+    "c39_set_algebra" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def who(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+      val audience = who("view").intersect(who("click")).except(who("purchase"))
+      audience.agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_id_sum"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
+    }),
+
     // Two-sided nearest-event enrichment: each purchase matched to the
     // user's closest error event within ±1 hour (right side pre-deduped
     // per (user, ts) — the operator's uniqueness contract). Summarized
@@ -1128,6 +1142,13 @@ private[graft] object RelationalQueries {
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "c39_set_algebra" ->
+      """WITH a AS (SELECT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT count(*) AS n_users, CAST(sum(user_id) AS BIGINT) AS user_id_sum,
+        | min(user_id) AS min_user, max(user_id) AS max_user FROM a""".stripMargin,
 
     // Exhaustive per-purchase candidate scan; (|dt|, dt) ordering
     // reproduces the closer-side election and the backward tie rule.
