@@ -829,6 +829,18 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // T5-style span corruption: hash-seeded mask starts, trailing-max
+    // span membership, ordered sentinel numbering — the whole
+    // (input, target) construction replayed by the oracle via md5s.
+    "d68_span_corrupt" -> ((s, dir) => {
+      graft.text.Augment.spanCorrupt(Tables.documents(s, dir), col("doc_id"), col("text"),
+          startRate = 0.05, spanLen = 3, seed = 42)
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+          substring(md5(col("input_text")), 1, 8).as("input_md5"),
+          substring(md5(col("target_text")), 1, 8).as("target_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup-safe splits: cluster labels (not doc ids) are hashed to
     // splits, so lightly-edited copies co-assign. Grouped output keeps
     // the oracle discriminating (counts, cluster counts, id checksum).
@@ -2080,6 +2092,35 @@ private[graft] object DataQueries {
         |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
         |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
         |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Token grid keyed by the UNFILTERED split position (the hash key),
+    // ROWS frames over the surviving sequence, same sentinel assembly;
+    // unmasked docs coalesce the all-null target agg to '' to match
+    // array_join's null-skipping empty string.
+    "d68_span_corrupt" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, t[CAST(u.i AS INT)] AS tok
+        |      FROM toks, UNNEST(range(1, len(t)+1)) AS u(i) WHERE t[CAST(u.i AS INT)] <> ''),
+        |s AS (SELECT doc_id, i, tok,
+        |   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':42'), 1, 15) AS BIGINT) % 1000000 < 50000
+        |        THEN 1 ELSE 0 END AS st FROM g),
+        |m AS (SELECT doc_id, i, tok, st,
+        |   max(st) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS mk,
+        |   coalesce(max(st) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) = 1 AS pmk
+        |  FROM s),
+        |x AS (SELECT doc_id, i, tok, mk, (mk AND NOT pmk) AS nw,
+        |   sum(CASE WHEN mk AND NOT pmk THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m),
+        |y AS (SELECT doc_id, i, mk, nw, '<extra_id_' || CAST(grp - 1 AS VARCHAR) || '>' AS sent, tok FROM x),
+        |a AS (SELECT doc_id, count(*) AS n_tokens,
+        |   CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |   CAST(sum(CASE WHEN nw THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |   coalesce(string_agg(CASE WHEN NOT mk THEN tok WHEN nw THEN sent END, ' ' ORDER BY i), '') AS input_text,
+        |   coalesce(string_agg(CASE WHEN nw THEN sent || ' ' || tok WHEN mk THEN tok END, ' ' ORDER BY i), '') AS target_text
+        |  FROM y GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_masked, n_spans,
+        | substr(md5(input_text), 1, 8) AS input_md5, substr(md5(target_text), 1, 8) AS target_md5
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     // d15's recursive-CTE clustering (singletons self-label via the
     // left-join coalesce) + d33's md5-bucket assignment on the LABEL.
