@@ -102,6 +102,17 @@ private[graft] object KpiQueries {
       graft.analytics.Attribution.channelSummary(at).orderBy("channel")
     }),
 
+    // RFM customer segmentation: exact quintiles on recency/frequency/
+    // monetary via the C33 distributed ntile, rolled up per segment.
+    "b13_rfm_segments" -> ((s, dir) => {
+      Kpis.rfm(Tables.orders(s, dir), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"), buckets = 5)
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg(col("monetary")), 4).as("avg_monetary"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
     // Time-to-convert distribution over completed view→click→purchase
     // funnels: exact interpolated percentiles of the whole-funnel span,
     // from the same chained-window step times c21 aggregates away.
@@ -216,6 +227,17 @@ private[graft] object KpiQueries {
         |SELECT channel, count(DISTINCT conv_id) AS n_conversions,
         | round(sum(weight), 4) AS total_weight, round(sum(attributed), 4) AS revenue
         |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "b13_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey AS customer, max(o_orderdate) AS last_order,
+        |    count(*) AS frequency, sum(o_totalprice) AS monetary FROM orders GROUP BY 1),
+        |sc AS (SELECT customer, monetary,
+        |  ntile(5) OVER (ORDER BY last_order, customer) AS r_score,
+        |  ntile(5) OVER (ORDER BY frequency, customer) AS f_score,
+        |  ntile(5) OVER (ORDER BY monetary, customer) AS m_score FROM per)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        | round(avg(monetary), 4) AS avg_monetary
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
 
     // c21's step-time CTE chain, then quantile_cont — the same linear
     // interpolation as Spark's exact percentile.

@@ -19,6 +19,30 @@ object Kpis {
     * `orderBy(...).limit(n)` compiles to `TakeOrderedAndProject` —
     * per-partition top-n + single small reduce, no global sort shuffle.
     */
+  /** RFM segmentation: per customer, exact `buckets`-tile scores on
+    * Recency (last order date — later is better), Frequency (order
+    * count), and Monetary (total spend), each 1..buckets with
+    * `buckets` = best. All three tilings ride
+    * [[graft.operators.Ranking.ntileExact]], so no single-partition
+    * window appears at any scale (three range-shuffle rank passes over
+    * the customer-grain aggregate — already thousands of times smaller
+    * than the order table). Ties break on the customer key; the output
+    * carries (customer, last_order, frequency, monetary, r_score,
+    * f_score, m_score). */
+  def rfm(orders: DataFrame, customer: Column, orderDate: Column,
+      amount: Column, buckets: Int = 5): DataFrame = {
+    import graft.operators.Ranking
+    val per = orders.groupBy(customer.as("customer"))
+      .agg(max(orderDate).as("last_order"), count(lit(1)).as("frequency"),
+        sum(amount).as("monetary"))
+    val r = Ranking.ntileExact(per,
+      Seq(col("last_order").asc, col("customer").asc), buckets, "r_score")
+    val f = Ranking.ntileExact(r,
+      Seq(col("frequency").asc, col("customer").asc), buckets, "f_score")
+    Ranking.ntileExact(f,
+      Seq(col("monetary").asc, col("customer").asc), buckets, "m_score")
+  }
+
   def rankTopN(
       df: DataFrame,
       metric: Column,

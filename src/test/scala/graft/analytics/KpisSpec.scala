@@ -119,6 +119,25 @@ class KpisSpec extends SparkSpec {
     assert(out.size == 7, s"got $out")               // days 1-4 and 9-11
   }
 
+  test("rfm: the dominant customer scores top tile on all three axes") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // customer 9: latest order, most orders, most spend; customer 1: worst
+    val orders = Seq(
+      (1L, d("2024-01-01"), 10.0),
+      (2L, d("2024-02-01"), 20.0), (2L, d("2024-02-02"), 20.0),
+      (3L, d("2024-03-01"), 30.0), (3L, d("2024-03-02"), 30.0), (3L, d("2024-03-03"), 30.0),
+      (9L, d("2024-04-01"), 99.0), (9L, d("2024-04-02"), 99.0),
+      (9L, d("2024-04-03"), 99.0), (9L, d("2024-04-04"), 99.0))
+      .toDF("cust", "odate", "amt")
+    val got = Kpis.rfm(orders, col("cust"), col("odate"), col("amt"), buckets = 4)
+      .orderBy("customer")
+      .select("customer", "r_score", "f_score", "m_score")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1L, 1L), (2L, 2L, 2L, 2L), (3L, 3L, 3L, 3L),
+      (9L, 4L, 4L, 4L)))
+  }
+
   test("equiDepthHistogram rejects bad grids") {
     val df = Seq(1.0).toDF("v")
     assertThrows[IllegalArgumentException] {
