@@ -237,6 +237,14 @@ object BloomSketch {
                    value: Column): Column =
     ColumnBridge.column(BloomMightContainBc(ColumnBridge.expression(value), bc))
 
+  /** Driver-side probe of serialized filter bytes — same UTF-8-bytes
+    * insert/probe contract as the expressions (for file-list-bounded
+    * sidecar scans like [[graft.sources.BloomIndex]], where the
+    * decision happens on the driver before any scan is planned). */
+  def mightContainValue(bloomBytes: Array[Byte], value: String): Boolean =
+    fromBytes(bloomBytes).mightContainBinary(
+      org.apache.spark.unsafe.types.UTF8String.fromString(value).getBytes)
+
   /** Build filter bytes over a whole column (one aggregate, one row
     * collected — bounded driver state like the classifier weights). */
   def build(df: org.apache.spark.sql.DataFrame, value: Column,
