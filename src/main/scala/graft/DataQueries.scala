@@ -829,6 +829,17 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // Blocker-quality report: the d66 sorted-neighborhood candidates
+    // scored against the exact-Jaccard truth — recall/precision the
+    // oracle recomputes from scratch.
+    "d69_blocker_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = graft.dedup.SortedNeighborhood.neighborPairs(docs,
+        col("doc_id"), Seq(col("n_chars")), window = 10)
+      graft.dedup.BlockerEval.report(docs, col("doc_id"), col("text"), cand,
+        threshold = 0.5)
+    }),
+
     // T5-style span corruption: hash-seeded mask starts, trailing-max
     // span membership, ordered sentinel numbering — the whole
     // (input, target) construction replayed by the oracle via md5s.
@@ -2092,6 +2103,28 @@ private[graft] object DataQueries {
         |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
         |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
         |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // d66's rank-window candidates vs the (effectively uncapped at this
+    // corpus) exact-Jaccard truth; same normalization and counts.
+    "d69_blocker_eval" ->
+      """WITH rk AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS r FROM documents),
+        |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 10),
+        |toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |truth AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |          WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |f AS (SELECT count(*) AS n_found FROM cand JOIN truth USING (doc_a, doc_b)),
+        |t AS (SELECT count(*) AS n_true FROM truth),
+        |c AS (SELECT count(*) AS n_candidates FROM cand)
+        |SELECT t.n_true, c.n_candidates, f.n_found,
+        | round(CASE WHEN t.n_true > 0 THEN f.n_found * 1.0 / t.n_true END, 4) AS recall,
+        | round(CASE WHEN c.n_candidates > 0 THEN f.n_found * 1.0 / c.n_candidates END, 4) AS precision
+        |FROM t, c, f""".stripMargin,
 
     // Token grid keyed by the UNFILTERED split position (the hash key),
     // ROWS frames over the surviving sequence, same sentinel assembly;
