@@ -79,15 +79,18 @@ object Ranking {
     val tiled = ntileExact(df, order, buckets, as)
     val per = tiled.groupBy(col(as))
       .agg(count(lit(1)).as("n"), sum(value).as("__total"))
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // grand total via a broadcast one-row aggregate, cumulative via the
+    // ONE remaining global window — which is bounded at ≤ `buckets`
+    // rows by construction (PlanLint's GLOBAL_WINDOW rule flags it; it
+    // is the documented benign instance, the heavy ranking already
+    // happened distributed in ntileExact)
+    val grand = per.agg(sum(col("__total")).as("__grand"))
     val cum = Window.orderBy(col(as))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per
-      .withColumn("share", col("__total") / sum(col("__total")).over(all))
-      .withColumn("cum_share", sum(col("__total")).over(cum) / sum(col("__total")).over(all))
-      .withColumn("total", round(col("__total"), 4))
-      .withColumn("share", round(col("share"), 4))
-      .withColumn("cum_share", round(col("cum_share"), 4))
-      .select(col(as), col("n"), col("total"), col("share"), col("cum_share"))
+    per.crossJoin(broadcast(grand))
+      .withColumn("__cum", sum(col("__total")).over(cum))
+      .select(col(as), col("n"), round(col("__total"), 4).as("total"),
+        round(col("__total") / col("__grand"), 4).as("share"),
+        round(col("__cum") / col("__grand"), 4).as("cum_share"))
   }
 }
