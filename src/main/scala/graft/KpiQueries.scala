@@ -102,6 +102,24 @@ private[graft] object KpiQueries {
       graft.analytics.Attribution.channelSummary(at).orderBy("channel")
     }),
 
+    // Month-over-month and year-over-year growth over the monthly
+    // revenue series. The lag window is global but CALENDAR-bounded
+    // (one row per month — the b11/liftTable benign class): the heavy
+    // reduction to months already partial-aggregated distributed.
+    "b14_growth" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(sum(col("o_totalprice")).as("__rev"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("month")
+      monthly
+        .withColumn("__prev", lag(col("__rev"), 1).over(w))
+        .withColumn("__yoy", lag(col("__rev"), 12).over(w))
+        .select(col("month"), round(col("__rev"), 4).as("revenue"),
+          round((col("__rev") - col("__prev")) / col("__prev") * 100, 4).as("mom_pct"),
+          round((col("__rev") - col("__yoy")) / col("__yoy") * 100, 4).as("yoy_pct"))
+        .orderBy("month")
+    }),
+
     // RFM customer segmentation: exact quintiles on recency/frequency/
     // monetary via the C33 distributed ntile, rolled up per segment.
     "b13_rfm_segments" -> ((s, dir) => {
@@ -227,6 +245,14 @@ private[graft] object KpiQueries {
         |SELECT channel, count(DISTINCT conv_id) AS n_conversions,
         | round(sum(weight), 4) AS total_weight, round(sum(attributed), 4) AS revenue
         |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "b14_growth" ->
+      """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |    sum(o_totalprice) AS rev FROM orders GROUP BY 1)
+        |SELECT month, round(rev, 4) AS revenue,
+        | round((rev - lag(rev, 1) OVER (ORDER BY month)) / lag(rev, 1) OVER (ORDER BY month) * 100, 4) AS mom_pct,
+        | round((rev - lag(rev, 12) OVER (ORDER BY month)) / lag(rev, 12) OVER (ORDER BY month) * 100, 4) AS yoy_pct
+        |FROM m ORDER BY month""".stripMargin,
 
     "b13_rfm_segments" ->
       """WITH per AS (SELECT o_custkey AS customer, max(o_orderdate) AS last_order,
