@@ -1043,6 +1043,52 @@ object StreamOps {
     graft.operators.Relational.pointInTimeJoin(batch, dim, key, factTs, attrCols)
       .write.mode("overwrite").parquet(s"$outRoot/batch=$epochId")
 
+  /** E23 — streaming Bronze ingest with a LIVE per-file Bloom sidecar
+    * (C40's index maintained at write time): each micro-batch lands
+    * its rows under `batch=<epochId>` AND appends the matching
+    * (file, bloom) sidecar rows under the same epoch key, so
+    * point-lookup file skipping ([[graft.sources.BloomIndex
+    * .candidateFiles]]) stays exact over data that arrived seconds
+    * ago — indexing at write time costs one aggregate over rows
+    * already in memory, while indexing later re-reads every file (the
+    * A24 "write compact beats compacting after" argument, applied to
+    * indexes). Both roots overwrite per epoch → replay is a
+    * byte-identical no-op (the E14-E18 contract). */
+  def toBloomIndexedBronze(
+      docs: DataFrame,
+      column: String,
+      dataRoot: String,
+      indexRoot: String,
+      checkpoint: String,
+      expectedPerFile: Long = 1000000L,
+      fpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        bloomIndexedBatch(batch.toDF(), epochId, column, dataRoot, indexRoot,
+          expectedPerFile, fpp)
+      }
+      .start()
+
+  /** One micro-batch of [[toBloomIndexedBronze]], exposed for replay
+    * tests. The sidecar is built by re-reading the JUST-written epoch
+    * directory (file-bounded, page-cache-warm) so the `file` column
+    * holds the exact landed paths `input_file_name()` reports. */
+  private[graft] def bloomIndexedBatch(
+      batch: DataFrame,
+      epochId: Long,
+      column: String,
+      dataRoot: String,
+      indexRoot: String,
+      expectedPerFile: Long,
+      fpp: Double): Unit = {
+    val dataPath = s"$dataRoot/batch=$epochId"
+    batch.write.mode("overwrite").parquet(dataPath)
+    graft.sources.BloomIndex.build(batch.sparkSession, dataPath, column,
+        expectedPerFile, fpp)
+      .write.mode("overwrite").parquet(s"$indexRoot/batch=$epochId")
+  }
+
   final case class SilenceState(lastSeenMs: Long)
   final case class SilenceAlert(user_id: Long, last_seen: Timestamp, gap_sec: Long)
 
