@@ -27,6 +27,22 @@ class BlockerEvalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("precision") - 0.6667) < 1e-9)
   }
 
+  test("dogfood: MinHash banding and sorted-neighborhood both measured against one truth") {
+    // the harness is blocker-agnostic: D2's probabilistic bander and
+    // D66's deterministic window both plug in unchanged
+    val mh = Dedup.minHashCandidates(docs, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b")
+    val rmh = BlockerEval.report(docs, col("doc_id"), col("text"), mh, threshold = 0.5).head()
+    assert(rmh.getAs[Long]("n_true") === 2L)
+    assert(rmh.getAs[Double]("recall") === 1.0,
+      s"J=0.8+ twins must survive banding: $rmh")
+    val sn = SortedNeighborhood.neighborPairs(docs, col("doc_id"),
+      Seq(length(col("text"))), window = 1)
+    val rsn = BlockerEval.report(docs, col("doc_id"), col("text"), sn, threshold = 0.5).head()
+    assert(rsn.getAs[Double]("recall") === 1.0,
+      s"length-adjacent twins must survive the window: $rsn")
+  }
+
   test("a blind blocker scores zero recall; empty truth yields null recall") {
     val none = Seq((1L, 5L)).toDF("doc_a", "doc_b")
     val r = BlockerEval.report(docs, col("doc_id"), col("text"), none, threshold = 0.5).head()
