@@ -39,6 +39,21 @@ object PlanLint {
 
   def lint(df: DataFrame): Seq[Finding] = walk(df.queryExecution.sparkPlan)
 
+  /** Does this subtree produce exactly one row (a grouping-free global
+    * aggregate, possibly under exchanges/projections)? */
+  private def oneRowPlan(p: SparkPlan): Boolean = p match {
+    case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+      h.groupingExpressions.isEmpty
+    case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+      s.groupingExpressions.isEmpty
+    case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+      o.groupingExpressions.isEmpty
+    case j: BroadcastNestedLoopJoinExec if j.condition.isEmpty =>
+      oneRowPlan(j.left) && oneRowPlan(j.right) // 1×1 summary assembly
+    case other if other.children.size == 1 => oneRowPlan(other.children.head)
+    case _ => false
+  }
+
   private def walk(p: SparkPlan): Seq[Finding] = {
     val here: Seq[Finding] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
@@ -50,7 +65,15 @@ object PlanLint {
         Seq(Finding("CARTESIAN", p.nodeName,
           "cartesian product: O(left × right) rows; add an equi-condition " +
             "or re-express via binning (Relational.rangeJoin) / union+window"))
-      case j: BroadcastNestedLoopJoinExec =>
+      case j: BroadcastNestedLoopJoinExec
+        if !(oneRowPlan(j.left) || oneRowPlan(j.right)) =>
+        // a nested-loop where EITHER side is ONE ROW (a grouping-free
+        // global aggregate, or a chain of such crosses) is linear in
+        // the other side whatever the condition — the scalar-carrier
+        // idiom (grand totals, corpus stats, summary-row assembly,
+        // possibly with pushed-down filters as the join condition);
+        // only a BNLJ with BOTH sides data-sized is a genuine
+        // O(n·m) pair sweep
         Seq(Finding("NESTED_LOOP", j.nodeName,
           "broadcast nested-loop join: every pair evaluated; non-equi " +
             "conditions belong in a binned or as-of/PIT formulation"))

@@ -1,0 +1,54 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** The whole-surface lint fence: every driver query is linted and the
+  * findings must match the DOCUMENTED benign allowlist EXACTLY — a new
+  * global window, cartesian, nested-loop, single-partition exchange,
+  * or unpruned wide scan anywhere in the 146-query surface fails this
+  * one named test with the offending query and rule. The allowlist is
+  * the complete, justified inventory of intentional exceptions:
+  *
+  *  - GLOBAL_WINDOW entries are all BOUNDED-row windows (lift/growth
+  *    rollups over ≤ buckets/calendar rows, equi-depth cumsum over
+  *    ≤ cells, IVF rank windows over ≤ nLists, mix-target and shard
+  *    head windows over stratum/head counts).
+  *  - NESTED_LOOP entries are DELIBERATE bounded sweeps: the
+  *    brute-force cosine baselines (d5, and d64 which composes d5),
+  *    IVF centroid assignment (corpus × nLists by design), drift's
+  *    slice×bin grid, hard-negative exact scoring, cohesion's
+  *    L-centroid QA scoring.
+  *  - a10's UNPRUNED_WIDE_SCAN: the Bronze→Silver pipeline genuinely
+  *    consumes every column of the raw table.
+  */
+class LintSurfaceSpec extends SparkSpec {
+
+  private val allow: Map[String, Map[String, Int]] = Map(
+    "a10_silver_pipeline" -> Map("UNPRUNED_WIDE_SCAN" -> 1),
+    "b11_decile_lift" -> Map("GLOBAL_WINDOW" -> 1),
+    "b14_growth" -> Map("GLOBAL_WINDOW" -> 1),
+    "c15b_equidepth" -> Map("GLOBAL_WINDOW" -> 2),
+    "d23_ann_ivf" -> Map("NESTED_LOOP" -> 2, "GLOBAL_WINDOW" -> 2),
+    "d23b_ann_ivf_hier" -> Map("NESTED_LOOP" -> 2),
+    "d27_rebalance_mix" -> Map("GLOBAL_WINDOW" -> 1),
+    "d50_zipf_fit" -> Map("GLOBAL_WINDOW" -> 1),
+    "d52_quality_drift" -> Map("NESTED_LOOP" -> 1),
+    "d55_temperature_mix" -> Map("GLOBAL_WINDOW" -> 1),
+    "d58_hard_negatives" -> Map("NESTED_LOOP" -> 1),
+    "d5_ann_bruteforce" -> Map("NESTED_LOOP" -> 1),
+    "d60_balanced_shards" -> Map("GLOBAL_WINDOW" -> 1),
+    "d64_hybrid_rrf" -> Map("NESTED_LOOP" -> 1),
+    "d65_label_cohesion" -> Map("NESTED_LOOP" -> 1))
+
+  test("every driver query lints to exactly the documented benign allowlist") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val got = PlanLint.lint(fn(spark, dir))
+          .groupBy(_.rule).view.mapValues(_.size).toMap
+        val want = allow.getOrElse(name, Map.empty)
+        if (got == want) None else Some(s"$name: got $got, allowed $want")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
