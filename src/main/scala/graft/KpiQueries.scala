@@ -102,6 +102,27 @@ private[graft] object KpiQueries {
       graft.analytics.Attribution.channelSummary(at).orderBy("channel")
     }),
 
+    // Top user paths: most frequent 3-step event sequences WITHIN a
+    // session (C10's gap sessionization feeding a path n-gram count —
+    // the "how do users actually move" product-analytics staple).
+    // Per-session arrays are gap-bounded; the top-k is TakeOrdered.
+    "b15_top_paths" -> ((s, dir) => {
+      val sess = graft.operators.Relational.sessionize(Tables.events(s, dir),
+        entity = col("user_id"), ts = col("ts"), gapSeconds = 1800,
+        orderTieBreak = Seq(col("event_id")))
+      val seqs = sess.groupBy(col("user_id"), col("session_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__us"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")).as("seq"))
+        .filter(size(col("seq")) >= 3)
+      seqs
+        .select(explode(transform(sequence(lit(0), size(col("seq")) - 3),
+          i => concat_ws(">", element_at(col("seq"), i + 1),
+            element_at(col("seq"), i + 2), element_at(col("seq"), i + 3)))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(15)
+    }),
+
     // Month-over-month and year-over-year growth over the monthly
     // revenue series. The lag window is global but CALENDAR-bounded
     // (one row per month — the b11/liftTable benign class): the heavy
@@ -245,6 +266,24 @@ private[graft] object KpiQueries {
         |SELECT channel, count(DISTINCT conv_id) AS n_conversions,
         | round(sum(weight), 4) AS total_weight, round(sum(attributed), 4) AS revenue
         |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // Same gap rule (> 1800 s starts a session), same (ts, event_id)
+    // total order, same windowed 3-gram expansion.
+    "b15_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS et,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |o AS (SELECT user_id, event_id, et, us,
+        |   CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |        THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+        |g AS (SELECT user_id, sid, list(et ORDER BY us, event_id) AS seq
+        |  FROM s GROUP BY 1, 2),
+        |p AS (SELECT seq[CAST(i AS INT)] || '>' || seq[CAST(i AS INT) + 1] || '>'
+        |    || seq[CAST(i AS INT) + 2] AS path
+        |  FROM g, UNNEST(range(1, len(seq) - 1)) t(i) WHERE len(seq) >= 3)
+        |SELECT path, count(*) AS n FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin,
 
     "b14_growth" ->
       """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
