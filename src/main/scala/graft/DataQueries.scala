@@ -829,6 +829,14 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // Over-merge audit of the d15 component stack: per-cluster edge
+    // density + similarity floor, the chain-merge visibility report.
+    "d70_cluster_audit" -> ((s, dir) => {
+      Dedup.clusterQuality(Tables.documents(s, dir), col("doc_id"), col("text"),
+          threshold = 0.5)
+        .orderBy("cluster_id")
+    }),
+
     // Blocker-quality report: the d66 sorted-neighborhood candidates
     // scored against the exact-Jaccard truth — recall/precision the
     // oracle recomputes from scratch.
@@ -2103,6 +2111,31 @@ private[graft] object DataQueries {
         |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
         |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
         |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // d15's recursive clustering with per-pair scores kept; densities
+    // and similarity floors over the same rounded edge table.
+    "d70_cluster_audit" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |dup AS (SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter), 4) AS j
+        |        FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach(id, r) AS (SELECT src, src FROM e
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |lab AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY 1),
+        |szs AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1),
+        |ed AS (SELECT lab.cluster_id, count(*) AS n_edges,
+        |    min(j) AS minj, avg(j) AS avgj
+        |  FROM dup JOIN lab ON dup.doc_a = lab.doc_id GROUP BY 1)
+        |SELECT s.cluster_id, s.n_members, ed.n_edges,
+        | round(ed.n_edges * 2.0 / (s.n_members * (s.n_members - 1)), 4) AS density,
+        | round(minj, 4) AS min_jaccard, round(avgj, 4) AS avg_jaccard
+        |FROM szs s JOIN ed USING (cluster_id) ORDER BY cluster_id""".stripMargin,
 
     // d66's rank-window candidates vs the (effectively uncapped at this
     // corpus) exact-Jaccard truth; same normalization and counts.

@@ -892,6 +892,38 @@ object Dedup {
         graft.operators.Sampling.assignSplit(col("cluster_id"), splits, salt))
       .select(col("doc_id"), col("cluster_id"), col("split"))
 
+  /** Cluster-quality audit for transitive near-dup components: the
+    * known failure of connected-component dedup is OVER-MERGE — A~B
+    * and B~C chain A and C into one cluster although A~C may be far
+    * below threshold, and at corpus scale chains snowball into one
+    * giant "cluster" of barely-related documents. This report makes
+    * that visible per cluster: member count, verified-edge count, edge
+    * DENSITY (edges / C(n,2) — 1.0 means every pair verified similar,
+    * low density means the cluster is held together by chains), and
+    * the min/avg verified similarity. Act on it by raising the
+    * threshold, capping cluster size, or switching the low-density
+    * clusters to D15b's canonical-keep with per-edge verification.
+    * One extra cluster-keyed aggregate over the (small) verified pair
+    * table — the audit costs nothing corpus-sized beyond the dedup
+    * pipeline it audits. */
+  def clusterQuality(df: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = jaccardVerify(minHashCandidates(df, id, text), df, id, text, threshold)
+    val clusters = clusterPairs(pairs)
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val edges = pairs
+      .join(clusters.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("jaccard")).as("__minj"), avg(col("jaccard")).as("__avgj"))
+    sizes.join(edges, "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("n_edges"),
+        round(col("n_edges") * 2.0 / (col("n_members") * (col("n_members") - 1)), 4)
+          .as("density"),
+        round(col("__minj"), 4).as("min_jaccard"),
+        round(col("__avgj"), 4).as("avg_jaccard"))
+  }
+
   /** Contamination-span removal against an eval set — the surgical
     * sibling of [[contaminationReport]] (D25): instead of DROPPING a
     * training document whose shingle overlap crosses a threshold, MASK

@@ -301,6 +301,33 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.filter(_._2 == 1L).map(_._4).sum - 1.0) < 1e-3)
   }
 
+  test("clusterQuality: a chain-merged cluster reports sub-1 density; a clique reports 1.0") {
+    // A~B and B~C verify; A and C are farther apart — a CHAIN, plus an
+    // exact-dup CLIQUE for the density contrast.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta XXXX"),  // ~A: high overlap
+      (3L, "YYYY beta gamma delta epsilon zeta eta XXXX"),   // ~B, farther from A
+      (10L, "one two three four five six seven eight"),
+      (11L, "one two three four five six seven eight"))      // exact dup clique
+      .toDF("doc_id", "text")
+    val out = Dedup.clusterQuality(docs, col("doc_id"), col("text"), threshold = 0.5)
+      .orderBy("cluster_id").collect()
+    assert(out.length === 2)
+    val chain = out(0)
+    assert(chain.getAs[Long]("n_members") === 3L)
+    // chain has 2 or 3 edges depending on whether A~C clears 0.5; either
+    // way density and the similarity floor are reported coherently
+    val density = chain.getAs[Double]("density")
+    val edges = chain.getAs[Long]("n_edges")
+    assert(math.abs(density - edges * 2.0 / 6.0) < 1e-9)
+    assert(chain.getAs[Double]("min_jaccard") >= 0.5)
+    val clique = out(1)
+    assert(clique.getAs[Long]("n_members") === 2L)
+    assert(clique.getAs[Double]("density") === 1.0)
+    assert(clique.getAs[Double]("min_jaccard") === 1.0)
+  }
+
   test("clusterSafeSplit: every cluster member co-assigns; singletons split independently") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
