@@ -829,6 +829,21 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // k-anonymity + l-diversity privacy audit over (nation, balance
+    // band) quasi-identifiers with the market segment as the sensitive
+    // attribute — one partial-agg shuffle over the quasi key; the
+    // structural re-identification risk d20's pattern redaction can't
+    // see.
+    "d71_k_anonymity" -> ((s, dir) => {
+      graft.etl.Privacy.kAnonymityAudit(Tables.customer(s, dir),
+          quasi = Seq(col("c_nationkey"),
+            floor(col("c_acctbal") / 2000).cast("long")),
+          k = 5, sensitive = Some(col("c_mktsegment")))
+        .select(col("k"), col("n_rows"), col("n_groups"), col("min_group_size"),
+          col("n_risky_groups"), col("n_rows_at_risk"),
+          round(col("risk_share"), 4).as("risk_share"), col("min_l_diversity"))
+    }),
+
     // Over-merge audit of the d15 component stack: per-cluster edge
     // density + similarity floor, the chain-merge visibility report.
     "d70_cluster_audit" -> ((s, dir) => {
@@ -2111,6 +2126,18 @@ private[graft] object DataQueries {
         |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
         |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
         |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Same quasi-key grouping, same band arithmetic, same risk algebra.
+    "d71_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, CAST(floor(c_acctbal / 2000) AS BIGINT) AS band,
+        |    count(*) AS n, count(DISTINCT c_mktsegment) AS l FROM customer GROUP BY 1, 2)
+        |SELECT 5 AS k, CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_groups,
+        | CAST(min(n) AS BIGINT) AS min_group_size,
+        | CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+        | CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        | round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / sum(n), 4) AS risk_share,
+        | CAST(min(l) AS BIGINT) AS min_l_diversity
+        |FROM g""".stripMargin,
 
     // d15's recursive clustering with per-pair scores kept; densities
     // and similarity floors over the same rounded edge table.

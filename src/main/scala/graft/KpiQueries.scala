@@ -170,6 +170,25 @@ private[graft] object KpiQueries {
           round(max(col("dt")), 4).as("max_sec"))
     }),
 
+    // A/B experiment readout: deterministic md5 split of users into two
+    // arms, entity-grain conversion (any purchase — a user converting
+    // five times counts once), pooled two-proportion z + a sample-ratio-
+    // mismatch guard. One entity shuffle, then 2-row algebra.
+    "b16_ab_test" -> ((s, dir) => {
+      graft.analytics.Experiment.abTest(Tables.events(s, dir),
+          entity = col("user_id"),
+          variant = graft.analytics.Experiment.assignVariant(col("user_id"), "expA"),
+          converted = col("event_type") === "purchase",
+          value = col("value"))
+        .select(col("variant_a"), col("variant_b"), col("n_a"), col("n_b"),
+          col("conv_a"), col("conv_b"),
+          round(col("rate_a"), 4).as("rate_a"), round(col("rate_b"), 4).as("rate_b"),
+          round(col("rev_a"), 4).as("rev_a"), round(col("rev_b"), 4).as("rev_b"),
+          round(col("lift_pct"), 4).as("lift_pct"),
+          round(col("z_score"), 4).as("z_score"),
+          round(col("srm_chi2"), 4).as("srm_chi2"))
+    }),
+
     // Customer-value decile lift: exact SQL ntile semantics over spend
     // (desc, custkey tie-break) via the distributed ranking path — no
     // single-partition window anywhere except the final 10-row rollup.
@@ -318,6 +337,32 @@ private[graft] object KpiQueries {
         | round(quantile_cont(dt, 0.9), 4) AS p90_sec,
         | round(min(dt), 4) AS min_sec, round(max(dt), 4) AS max_sec
         |FROM d""".stripMargin,
+
+    // Same md5 bucket split (the proven d14 hex-cast idiom), same
+    // entity-grain collapse, same pooled-z arithmetic; arg_min/arg_max
+    // mirror min_by/max_by.
+    "b16_ab_test" ->
+      """WITH e AS (SELECT user_id,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'expA'), 1, 15) AS BIGINT) % 2 = 0
+        |       THEN 'A' ELSE 'B' END AS variant,
+        |  event_type = 'purchase' AS conv, value FROM events),
+        |p AS (SELECT user_id, variant, max(CASE WHEN conv THEN 1 ELSE 0 END) AS c,
+        |      sum(CASE WHEN conv THEN value ELSE 0 END) AS v FROM e GROUP BY 1, 2),
+        |s AS (SELECT variant, count(*) AS n, sum(c) AS conv, sum(v) AS rev FROM p GROUP BY 1),
+        |o AS (SELECT min(variant) AS variant_a, max(variant) AS variant_b,
+        |   arg_min(n, variant) AS n_a, arg_max(n, variant) AS n_b,
+        |   arg_min(conv, variant) AS conv_a, arg_max(conv, variant) AS conv_b,
+        |   arg_min(rev, variant) AS rev_a, arg_max(rev, variant) AS rev_b FROM s)
+        |SELECT variant_a, variant_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+        | round(conv_a * 1.0 / n_a, 4) AS rate_a, round(conv_b * 1.0 / n_b, 4) AS rate_b,
+        | round(rev_a, 4) AS rev_a, round(rev_b, 4) AS rev_b,
+        | round((conv_b*1.0/n_b - conv_a*1.0/n_a) / nullif(conv_a*1.0/n_a, 0) * 100, 4) AS lift_pct,
+        | round((conv_b*1.0/n_b - conv_a*1.0/n_a)
+        |   / nullif(sqrt(((conv_a+conv_b)*1.0/(n_a+n_b)) * (1 - (conv_a+conv_b)*1.0/(n_a+n_b))
+        |       * (1.0/n_a + 1.0/n_b)), 0), 4) AS z_score,
+        | round(pow(n_a - n_b, 2) * 1.0 / (n_a + n_b), 4) AS srm_chi2
+        |FROM o""".stripMargin,
 
     // DuckDB's ntile is the SQL standard one ntileExact reimplements;
     // same desc/tie order, same round-4 presentation.

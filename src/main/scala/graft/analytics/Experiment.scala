@@ -1,0 +1,96 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A/B experiment analysis over an event stream — the decision layer on
+  * top of the reference's KPI tables (kpis.py computes per-group means;
+  * an experiment readout needs the same aggregates per VARIANT plus a
+  * significance statement, or the "winning" variant is noise).
+  *
+  * Exposure grain is the ENTITY, not the event: a user who converts
+  * five times still counts once, so heavy users cannot drag a variant's
+  * rate (the classic per-event-rate inflation bug). The plan is one
+  * entity-keyed partial-aggregating shuffle (corpus-scale), then a
+  * |variants|-row aggregate — no windows, no joins, no collect; at
+  * 100 TB the event table is touched exactly once.
+  */
+object Experiment {
+
+  /** Deterministic hash split for entities into `n` variants labeled
+    * 'A', 'B', … — md5-derived (engine-agnostic, mirrorable in any SQL
+    * dialect), salted per experiment so concurrent experiments get
+    * independent assignments. Pure narrow map. */
+  def assignVariant(entity: Column, experiment: String, n: Int = 2): Column = {
+    require(n >= 2 && n <= 26, s"variant count must be in [2, 26], got $n")
+    val bucket = pmod(
+      conv(substring(md5(concat(entity.cast("string"), lit(experiment))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(n.toLong))
+    // chr(65 + b) = 'A' + b
+    char(bucket + lit(65))
+  }
+
+  /** Per-variant readout: exposed entities, converted entities,
+    * conversion rate, and converted-value sum. `converted` and `value`
+    * are evaluated per EVENT; an entity converts if ANY of its events
+    * does, and contributes the sum of its converting events' values. */
+  def variantSummary(
+      df: DataFrame,
+      entity: Column,
+      variant: Column,
+      converted: Column,
+      value: Column): DataFrame = {
+    val per = df
+      .groupBy(entity.as("__entity"), variant.as("variant"))
+      .agg(
+        max(converted.cast("int")).as("__conv"),
+        sum(when(converted, value).otherwise(lit(0.0))).as("__val"))
+    per.groupBy(col("variant"))
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(col("__conv")).cast("long").as("n_converted"),
+        (sum(col("__conv")) / count(lit(1))).as("conv_rate"),
+        sum(col("__val")).as("revenue"))
+  }
+
+  /** One-row two-variant readout: counts and rates per side, relative
+    * lift, the pooled two-proportion z statistic, and a sample-ratio-
+    * mismatch chi² (expected 50/50 split — an SRM fires when the
+    * assignment or logging is broken, and invalidates the experiment
+    * before any rate comparison is meaningful).
+    *
+    * Contract: exactly two distinct variant labels; side `a` is the
+    * lexicographically smaller label (slice multi-arm experiments to
+    * the pair under test first). Zero-rate / zero-variance guards yield
+    * null z / lift instead of an ANSI divide-by-zero. */
+  def abTest(
+      df: DataFrame,
+      entity: Column,
+      variant: Column,
+      converted: Column,
+      value: Column): DataFrame = {
+    val s = variantSummary(df, entity, variant, converted, value)
+    val one = s.agg(
+      min(col("variant")).as("variant_a"),
+      max(col("variant")).as("variant_b"),
+      min_by(col("n_entities"), col("variant")).as("n_a"),
+      max_by(col("n_entities"), col("variant")).as("n_b"),
+      min_by(col("n_converted"), col("variant")).as("conv_a"),
+      max_by(col("n_converted"), col("variant")).as("conv_b"),
+      min_by(col("revenue"), col("variant")).as("rev_a"),
+      max_by(col("revenue"), col("variant")).as("rev_b"))
+    val rateA = col("conv_a") / col("n_a")
+    val rateB = col("conv_b") / col("n_b")
+    val pPool = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    one.select(
+      col("variant_a"), col("variant_b"),
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      rateA.as("rate_a"), rateB.as("rate_b"),
+      col("rev_a"), col("rev_b"),
+      ((rateB - rateA) / nullif(rateA, lit(0.0)) * 100).as("lift_pct"),
+      ((rateB - rateA) / nullif(se, lit(0.0))).as("z_score"),
+      (pow(col("n_a") - col("n_b"), 2) / (col("n_a") + col("n_b"))).as("srm_chi2"))
+  }
+}
