@@ -829,6 +829,37 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // Encoding-health audit with in-plan corruption: a deterministic
+    // md5 half of each source's docs gets the Latin-1-misdecode
+    // signature planted ('a' → 'Ã©', exactly what a misread 'é'
+    // becomes), the detector counts signature chars, and the native
+    // repair is checked against the semantic expectation — all counts
+    // mirrorable, the fixer itself exercised by the n_fixed column.
+    "d72_mojibake" -> ((s, dir) => {
+      val parity = Sampling.hashBucket(col("doc_id"), "moji") % 2 === 0
+      val asciiOnly = !col("text").rlike("[^\\x00-\\x7f]")
+      val corrupt = when(col("__p"), regexp_replace(col("text"), lit("a"), lit("Ã©")))
+        .otherwise(col("text"))
+      val staged = Tables.documents(s, dir)
+        .select(col("source"), col("text"), parity.as("__p"), asciiOnly.as("__a"))
+        .withColumn("__c", corrupt)
+        .withColumn("__e", when(col("__p") && col("__a"),
+          regexp_replace(col("text"), lit("a"), lit("é"))).otherwise(col("__c")))
+        .withColumn("__art", graft.text.Mojibake.artifactCount(col("__c")))
+        .withColumn("__fixed", graft.text.Mojibake.fix(col("__c")))
+      staged.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__p"), 1L).otherwise(0L)).as("n_corrupted"),
+          sum(when(col("__a"), 1L).otherwise(0L)).as("n_ascii"),
+          sum(when(col("__art") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("__art")).as("artifacts"),
+          sum(when(col("__p") && col("__a") && col("__fixed") === col("__e"), 1L)
+            .otherwise(0L)).as("n_fixed"),
+          sum(when(!col("__p") && col("__a") && col("__fixed") === col("__c"), 1L)
+            .otherwise(0L)).as("n_clean_untouched"))
+        .orderBy("source")
+    }),
+
     // k-anonymity + l-diversity privacy audit over (nation, balance
     // band) quasi-identifiers with the market segment as the sensitive
     // attribute — one partial-agg shuffle over the quasi key; the
@@ -2126,6 +2157,29 @@ private[graft] object DataQueries {
         |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
         |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
         |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Same md5 parity, same planted signature, same \x{...} artifact
+    // class (Java regex and RE2 parse it identically); the oracle
+    // asserts the repair semantically — every eligible (corrupted,
+    // ascii-clean) doc fixed, every clean ascii doc untouched.
+    "d72_mojibake" ->
+      """WITH d AS (SELECT source, text,
+        |   (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'moji'), 1, 15) AS BIGINT)
+        |      % 1000000) % 2 = 0 AS p,
+        |   NOT regexp_matches(text, '[^\x00-\x7f]') AS a FROM documents),
+        |c AS (SELECT source, p, a,
+        |   CASE WHEN p THEN replace(text, 'a', 'Ã©') ELSE text END AS ct FROM d),
+        |x AS (SELECT source, p, a,
+        |   length(ct) - length(regexp_replace(ct,
+        |     '[\x{00C2}\x{00C3}\x{FFFD}\x{0080}-\x{009F}]', '', 'g')) AS art FROM c)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted,
+        | CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_ascii,
+        | CAST(sum(CASE WHEN art > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        | CAST(sum(art) AS BIGINT) AS artifacts,
+        | CAST(sum(CASE WHEN p AND a THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed,
+        | CAST(sum(CASE WHEN NOT p AND a THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_untouched
+        |FROM x GROUP BY 1 ORDER BY source""".stripMargin,
 
     // Same quasi-key grouping, same band arithmetic, same risk algebra.
     "d71_k_anonymity" ->

@@ -142,5 +142,10 @@ object GraftFunctions {
       "graft_text_normalize(text string) - unicode + whitespace-structure normalization (one pass)") {
       case Seq(t) => TextNormalize(t)
       case args => arity("graft_text_normalize", "1", args)
+    },
+    fn("graft_fix_mojibake",
+      "graft_fix_mojibake(text string) - repair whole-string Latin-1/cp1252 misdecodes of UTF-8 (self-guarding)") {
+      case Seq(t) => FixMojibake(t)
+      case args => arity("graft_fix_mojibake", "1", args)
     })
 }

@@ -102,6 +102,11 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(row.getString(0) == "x-y \"z\"...", s"got $row")
   }
 
+  test("graft_fix_mojibake from SQL repairs a Latin-1 misdecode") {
+    val row = ext.sql("SELECT graft_fix_mojibake('CafÃ©') AS f").head()
+    assert(row.getString(0) == "Café", s"got $row")
+  }
+
   test("bloom membership state builds and unions from SQL") {
     val bloomDf = ext.sql(
       """SELECT g, graft_bloom_agg(CAST(id AS STRING), 100, 0.01) AS bf
