@@ -613,6 +613,19 @@ private[graft] object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Join-size preflight of the events-on-user self-join (the
+    // accidental-quadratic audit): exact per-key pair contributions and
+    // the total output forecast from ONE metadata-scale count aggregate
+    // — the forecast join itself never runs. Total rides in as a
+    // one-row broadcast scalar carrier, never a global window.
+    "c42_join_preflight" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.operators.JoinPreflight.hotKeys(e, col("user_id"), e, col("user_id"), topN = 10)
+        .select(col("key").as("user_id"), col("n_left"), col("n_right"), col("pairs"),
+          col("est_total_pairs"), round(col("share"), 4).as("share"))
+        .orderBy(col("pairs").desc, col("user_id"))
+    }),
+
     // Set-algebra audience segmentation: viewers ∩ clickers − purchasers
     // via Dataset.intersect/except — ANSI INTERSECT/EXCEPT set
     // semantics (dedup + null-safe equality), the idiom behind every
@@ -1142,6 +1155,19 @@ private[graft] object RelationalQueries {
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // Same counts table (self-join: both sides the same aggregate),
+    // same product/total/share arithmetic, same deterministic order.
+    "c42_join_preflight" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY 1),
+        |j AS (SELECT key, n AS n_left, n AS n_right, n * n AS pairs FROM c),
+        |t AS (SELECT sum(pairs) AS tot FROM j)
+        |SELECT key AS user_id, CAST(n_left AS BIGINT) AS n_left,
+        | CAST(n_right AS BIGINT) AS n_right, CAST(pairs AS BIGINT) AS pairs,
+        | CAST(t.tot AS BIGINT) AS est_total_pairs,
+        | round(pairs * 1.0 / t.tot, 4) AS share
+        |FROM j, t ORDER BY pairs DESC, user_id LIMIT 10""".stripMargin,
 
     "c39_set_algebra" ->
       """WITH a AS (SELECT user_id FROM events WHERE event_type = 'view'
