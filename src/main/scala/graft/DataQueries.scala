@@ -829,6 +829,17 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // Exactly-k weighted sample without replacement (Efraimidis-
+    // Spirakis race): 50 documents drawn ∝ length — a narrow map +
+    // TakeOrdered, no corpus shuffle; the oracle replays the identical
+    // deterministic race.
+    "d74_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSampleK(Tables.documents(s, dir),
+          key = col("doc_id"), weight = col("n_chars"), k = 50, salt = "wsk")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Encoding-health audit with in-plan corruption: a deterministic
     // md5 half of each source's docs gets the Latin-1-misdecode
     // signature planted ('a' → 'Ã©', exactly what a misread 'é'
@@ -2157,6 +2168,17 @@ private[graft] object DataQueries {
         |   percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr FROM t)
         |SELECT source, count(*) AS n_kept, round(avg(q),4) AS avg_quality
         |FROM r WHERE pr <= 0.25 GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // The identical race: same md5 uniform, same -ln(u)/w key, same
+    // (race, doc_id) order.
+    "d74_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, lang, n_chars,
+        |   ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsk'), 1, 15) AS BIGINT)
+        |      % 1000000) + 0.5) / 1000000.0 AS uu
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT doc_id, lang, n_chars FROM u
+        |      ORDER BY -ln(uu) / n_chars, doc_id LIMIT 50)
+        |SELECT doc_id, lang, n_chars FROM s ORDER BY doc_id""".stripMargin,
 
     // Same md5 parity, same planted signature, same \x{...} artifact
     // class (Java regex and RE2 parse it identically); the oracle

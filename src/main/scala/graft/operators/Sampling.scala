@@ -238,6 +238,33 @@ object Sampling {
       .filter(col("cum_cost") <= budget)
   }
 
+  /** Exactly-k WEIGHTED sample without replacement (Efraimidis-Spirakis
+    * 2006, exponential-race form): each row draws a deterministic
+    * md5-uniform u and races with key `-ln(u) / w`; the k smallest keys
+    * are a without-replacement sample where inclusion tracks weight —
+    * "sample 1M documents ∝ quality score" as one TakeOrdered. The same
+    * trick D44's Gumbel top-k uses for importance resampling, exposed
+    * as the general operator.
+    *
+    * Scale: a narrow map plus TakeOrderedAndProject — per-partition
+    * k-heaps, the driver merges partitions × k rows, no global sort, no
+    * shuffle of the corpus. Deterministic in (key, salt): re-runs and
+    * audits reproduce the exact sample. Non-positive weights are
+    * excluded (they can never win a race; documents to drop should be
+    * filtered, not zero-weighted). */
+  def weightedSampleK(
+      df: DataFrame, key: Column, weight: Column, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("__race"),
+      "weightedSampleK reserves column '__race'; rename the input column")
+    val u = (hashBucket(key, salt).cast("double") + lit(0.5)) / lit(M.toDouble)
+    df.filter(weight > 0)
+      .withColumn("__race", -log(u) / weight)
+      .orderBy(col("__race").asc, key.asc)
+      .limit(k)
+      .drop("__race")
+  }
+
   /** Sort key for a deterministic per-epoch global reshuffle of
     * training data: md5 of (epoch ‖ id). Same (epoch, corpus) always
     * exports the same order on any cluster layout; different epochs

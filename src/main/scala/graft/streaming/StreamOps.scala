@@ -583,6 +583,60 @@ object StreamOps {
       .sketchCards(batch, col(text), col(source), col(slice))
       .write.mode("overwrite").parquet(s"$cardsPath/batch=$epochId")
 
+  /** Streaming A/B experiment monitor ([[graft.analytics.Experiment]]'s
+    * live form): each micro-batch lands its per-(entity, variant)
+    * conversion partials (`conv` = any-converted max, `val` = converted
+    * value sum) under `batch=<epochId>` in OVERWRITE mode, and the live
+    * readout is [[experimentReadout]] — which re-collapses entities
+    * ACROSS epochs before the variant algebra, so a user who converts
+    * in epoch 7 after exposure in epoch 2 still counts once (the
+    * entity-grain contract that makes a streaming experiment readout
+    * honest). State per epoch is touched-entities-sized, never
+    * event-volume-sized; conv/val partials are max/sum-mergeable, and
+    * the epoch-keyed overwrite keeps at-least-once replay a no-op (the
+    * E14 additive-counter contract). */
+  def toExperimentState(
+      events: DataFrame,
+      entity: String,
+      variant: org.apache.spark.sql.Column,
+      converted: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        experimentStateBatch(batch.toDF(), epochId, entity, variant, converted, value, statePath)
+      }
+      .start()
+
+  /** One micro-batch of [[toExperimentState]], exposed for replay tests. */
+  private[graft] def experimentStateBatch(
+      batch: DataFrame,
+      epochId: Long,
+      entity: String,
+      variant: org.apache.spark.sql.Column,
+      converted: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      statePath: String): Unit =
+    batch
+      .groupBy(col(entity).as("entity"), variant.as("variant"))
+      .agg(max(converted.cast("int")).as("conv"),
+        sum(when(converted, value).otherwise(lit(0.0))).as("val"))
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+
+  /** Live readout over [[toExperimentState]] state: merge the per-epoch
+    * entity partials (max/sum), then run the standard two-variant
+    * algebra. The merged state feeds [[graft.analytics.Experiment.abTest]]
+    * directly — its entity-grain collapse is idempotent over partials. */
+  def experimentReadout(spark: SparkSession, statePath: String): DataFrame = {
+    val merged = spark.read.parquet(statePath)
+      .groupBy("entity", "variant")
+      .agg(max(col("conv")).as("conv"), sum(col("val")).as("val"))
+    graft.analytics.Experiment.abTest(merged,
+      col("entity"), col("variant"), col("conv") === 1, col("val"))
+  }
+
   /** Streaming incremental-aggregate maintenance: each micro-batch's
     * [[graft.operators.AggState]] state lands under `batch=<epochId>`
     * in OVERWRITE mode, and the live aggregate is

@@ -210,6 +210,25 @@ class SamplingSpec extends SparkSpec {
     assert(perSrc.nonEmpty && perSrc.forall(_._2 <= 50L))
   }
 
+  test("weightedSampleK: exact k, deterministic, weight-tracking inclusion") {
+    val df = (1L to 3000L).map(i => (i, if (i <= 1500) 1.0 else 10.0)).toDF("id", "w")
+    def run() = Sampling.weightedSampleK(df.repartition(7), col("id"), col("w"), k = 300)
+      .select("id").as[Long].collect().toSet
+    val s = run()
+    assert(s.size == 300, "exactly k rows")
+    assert(s == run(), "deterministic and layout-independent")
+    // 10×-weighted half should dominate the sample ~10:1
+    val heavy = s.count(_ > 1500L)
+    assert(heavy > 220 && heavy < 290, s"heavy half drew $heavy of 300 — expected ≈ 272")
+  }
+
+  test("weightedSampleK: non-positive weights are excluded; k larger than input keeps all") {
+    val df = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0), (4L, 5.0)).toDF("id", "w")
+    val s = Sampling.weightedSampleK(df, col("id"), col("w"), k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(s == Set(1L, 4L))
+  }
+
   test("epochShuffle: deterministic per epoch, decorrelated across epochs, lossless") {
     val rows = (1L to 300L).toDF("id")
     def order(epoch: Long): Seq[Long] =
