@@ -626,6 +626,34 @@ private[graft] object RelationalQueries {
         .orderBy(col("pairs").desc, col("user_id"))
     }),
 
+    // Exact distributed running total over the full order history (no
+    // single-partition window): range-sliced local prefixes + bounded
+    // offset window, decimal-cast so prefix grouping is exact on both
+    // engines; rolled up per year so the whole prefix stream is
+    // hash-checked through its extremes.
+    "c43_running_total" -> ((s, dir) => {
+      graft.operators.Ranking.runningAgg(Tables.orders(s, dir),
+          order = Seq(col("o_orderdate").asc, col("o_orderkey").asc),
+          value = col("o_totalprice").cast("decimal(18,2)"),
+          agg = "sum", as = "run")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("run")).cast("double"), 2).as("max_run"),
+          round(min(col("run")).cast("double"), 2).as("min_run"))
+        .orderBy("yr")
+    }),
+
+    // 2D Pareto frontier: parts no other part beats on BOTH size and
+    // price — per-x reduce, exclusive running max sweep (distributed),
+    // frontier semi-joined back; equal maximal points all survive.
+    "c44_skyline" -> ((s, dir) => {
+      graft.operators.Ranking.skyline2D(Tables.part(s, dir),
+          col("p_size"), col("p_retailprice"))
+        .select(col("p_partkey"), col("p_size"),
+          round(col("p_retailprice"), 4).as("retail"))
+        .orderBy("p_partkey")
+    }),
+
     // Set-algebra audience segmentation: viewers ∩ clickers − purchasers
     // via Dataset.intersect/except — ANSI INTERSECT/EXCEPT set
     // semantics (dedup + null-safe equality), the idiom behind every
@@ -1155,6 +1183,27 @@ private[graft] object RelationalQueries {
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // Same total order, same decimal-exact prefix, same yearly rollup.
+    "c43_running_total" ->
+      """WITH r AS (SELECT o_orderdate,
+        |   sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |     ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM orders)
+        |SELECT year(o_orderdate) AS yr, count(*) AS n,
+        | round(CAST(max(run) AS DOUBLE), 2) AS max_run,
+        | round(CAST(min(run) AS DOUBLE), 2) AS min_run
+        |FROM r GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    // The declarative dominance definition the sweep implements.
+    "c44_skyline" ->
+      """SELECT p.p_partkey, p.p_size, round(p.p_retailprice, 4) AS retail
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice))
+        |ORDER BY p.p_partkey""".stripMargin,
 
     // Same counts table (self-join: both sides the same aggregate),
     // same product/total/share arithmetic, same deterministic order.

@@ -69,6 +69,84 @@ object Ranking {
     ranked.withColumn(as, (zeroBased + 1).cast("long")).drop("__rank")
   }
 
+  /** Exact distributed RUNNING (prefix) aggregate over a global order —
+    * cumulative sum/max/min without the single-partition window trap,
+    * and without driver collects: the [[globalRank]] range shuffle
+    * gives every partition a contiguous sorted slice; a per-slice
+    * prefix window (partitioned by `spark_partition_id()` — parallel)
+    * computes local prefixes; slice TOTALS (≤ numShufflePartitions
+    * rows) get an exclusive prefix of their own through a bounded
+    * global window (the liftTable benign class) and broadcast-join back
+    * as per-slice offsets. The ranged subtree feeds both sides of the
+    * plan through one ReusedExchange — the corpus is shuffled once.
+    *
+    * SQL window-frame semantics are preserved exactly: `inclusive =
+    * false` is `ROWS UNBOUNDED PRECEDING AND 1 PRECEDING` (empty frame
+    * → null), nulls in `value` are skipped by the aggregate. `order`
+    * must be a total order (unique tie-break) for determinism; for
+    * float sums at scale, pass a decimal-cast `value` — prefix sums
+    * group additions differently than a sequential scan, decimals make
+    * both exact. */
+  def runningAgg(df: DataFrame, order: Seq[Column], value: Column,
+      agg: String = "sum", as: String = "running", inclusive: Boolean = true,
+      numPartitions: Int = 0): DataFrame = {
+    require(Seq("sum", "max", "min").contains(agg), s"unsupported running agg '$agg'")
+    require(!df.columns.contains(as) && !df.columns.exists(_.startsWith("__rg_")),
+      s"runningAgg reserves '$as' and '__rg_*' columns; rename the input column")
+    val fn: Column => Column = agg match {
+      case "sum" => sum; case "max" => max; case "min" => min
+    }
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+      .withColumn("__rg_pid", spark_partition_id())
+      .withColumn("__rg_v", value)
+    val frameEnd = if (inclusive) Window.currentRow else -1L
+    val w = Window.partitionBy(col("__rg_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    val local = ranged.withColumn("__rg_local", fn(col("__rg_v")).over(w))
+    // slice totals → exclusive prefix over ≤ n rows → per-slice offset
+    val wOff = Window.orderBy(col("__rg_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__rg_pid"))
+      .agg(fn(col("__rg_v")).as("__rg_t"))
+      .withColumn("__rg_off", fn(col("__rg_t")).over(wOff))
+      .select(col("__rg_pid"), col("__rg_off"))
+    val combined = agg match {
+      case "sum" =>
+        when(col("__rg_local").isNull && col("__rg_off").isNull, lit(null))
+          .otherwise(coalesce(col("__rg_local"), lit(0)) + coalesce(col("__rg_off"), lit(0)))
+      case "max" => greatest(col("__rg_local"), col("__rg_off"))
+      case "min" => least(col("__rg_local"), col("__rg_off"))
+    }
+    local.join(broadcast(offsets), Seq("__rg_pid"))
+      .withColumn(as, combined)
+      .drop("__rg_pid", "__rg_v", "__rg_local", "__rg_off")
+  }
+
+  /** 2D Pareto frontier (skyline), both dimensions MAXIMIZED: the rows
+    * no other row dominates (≥ in both dims, > in at least one). The
+    * classic sweep, distributed: reduce to one max-y candidate per
+    * distinct x (partial-aggregating shuffle), take the EXCLUSIVE
+    * running max of y in descending-x order ([[runningAgg]] — no
+    * single-partition window), keep candidates strictly above it, and
+    * semi-join the frontier back to the input (equal points are all
+    * non-dominated and all kept). Null coordinates cannot be ordered
+    * and are excluded. Worst case (anti-correlated dims) the frontier
+    * IS the data — output stays distributed end to end, nothing ever
+    * funnels through one task. Minimize a dimension by passing its
+    * negation. */
+  def skyline2D(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val red = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(x.as("__sk_x")).agg(max(y).as("__sk_y"))
+    val swept = runningAgg(red, Seq(col("__sk_x").desc), col("__sk_y"),
+      agg = "max", as = "__sk_prev", inclusive = false)
+    val frontier = swept
+      .filter(col("__sk_prev").isNull || col("__sk_y") > col("__sk_prev"))
+      .select(col("__sk_x"), col("__sk_y"))
+    df.join(frontier, x === col("__sk_x") && y === col("__sk_y"), "left_semi")
+  }
+
   /** Decile-style lift table: bucket rows by `order` into `buckets` exact
     * ntiles, then per bucket report count, total `value`, share of the
     * grand total, and cumulative share. The final window runs over at

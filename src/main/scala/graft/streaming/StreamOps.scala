@@ -637,6 +637,59 @@ object StreamOps {
       col("entity"), col("variant"), col("conv") === 1, col("val"))
   }
 
+  /** Streaming exactly-k weighted sampling
+    * ([[graft.operators.Sampling.weightedSampleK]]'s live form): each
+    * micro-batch lands its OWN top-k race winners under
+    * `batch=<epochId>`, and [[weightedSampleReadout]] re-races the
+    * union — correct because a global race winner necessarily wins its
+    * own batch (top-k ⊆ union of per-batch top-ks), and replay-
+    * idempotent BY DETERMINISM: race keys are md5-derived from (key,
+    * salt), so a replayed epoch rewrites byte-identical candidates
+    * (stronger than the E14 overwrite contract — even a blind append
+    * would only add duplicates the readout's key-dedup removes). State
+    * is epochs × k rows; the stream is never re-scanned. */
+  def toWeightedSample(
+      events: DataFrame,
+      key: String,
+      weight: org.apache.spark.sql.Column,
+      k: Int,
+      salt: String,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        weightedSampleBatch(batch.toDF(), epochId, key, weight, k, salt, statePath)
+      }
+      .start()
+
+  /** One micro-batch of [[toWeightedSample]], exposed for replay tests. */
+  private[graft] def weightedSampleBatch(
+      batch: DataFrame,
+      epochId: Long,
+      key: String,
+      weight: org.apache.spark.sql.Column,
+      k: Int,
+      salt: String,
+      statePath: String): Unit =
+    graft.operators.Sampling.weightedSampleK(batch, col(key), weight, k, salt)
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+
+  /** Live sample over [[toWeightedSample]] state: re-race the union of
+    * per-epoch candidates (epochs × k rows — metadata-scale). `weight`
+    * must name the same column the sink raced on, `k`/`salt` the same
+    * parameters; keys seen in several epochs dedup to one runner. */
+  def weightedSampleReadout(
+      spark: SparkSession,
+      statePath: String,
+      key: String,
+      weight: String,
+      k: Int,
+      salt: String): DataFrame =
+    graft.operators.Sampling.weightedSampleK(
+      spark.read.parquet(statePath).drop("batch").dropDuplicates(key),
+      col(key), col(weight), k, salt)
+
   /** Streaming incremental-aggregate maintenance: each micro-batch's
     * [[graft.operators.AggState]] state lands under `batch=<epochId>`
     * in OVERWRITE mode, and the live aggregate is

@@ -56,6 +56,54 @@ class RankingSpec extends SparkSpec {
     assert(shares.head > 0.25)
   }
 
+  test("runningAgg matches the single-partition window bit-for-bit across many slices") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 500L).map(i => (i, rnd.nextInt(100).toLong)).toDF("id", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = rows.withColumn("r", sum(col("v")).over(w))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val got = Ranking.runningAgg(rows, Seq(col("id").asc), col("v"),
+        agg = "sum", as = "r", numPartitions = 7)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    val wantMax = rows.withColumn("r", max(col("v")).over(w))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val gotMax = Ranking.runningAgg(rows, Seq(col("id").asc), col("v"),
+        agg = "max", as = "r", numPartitions = 7)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(gotMax == wantMax)
+  }
+
+  test("runningAgg exclusive frame: empty prefix is null (SQL frame semantics)") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("id", "v")
+    val got = Ranking.runningAgg(rows, Seq(col("id").asc), col("v"),
+        agg = "max", as = "r", inclusive = false, numPartitions = 3)
+      .select("id", "r").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty, "first row has an empty preceding frame")
+    assert(got(2L).contains(10L) && got(3L).contains(20L))
+  }
+
+  test("skyline2D equals the naive dominance filter, with duplicates and ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = (1 to 400).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)) ++
+      Seq((29L, 29L), (29L, 29L)) // duplicate maximal points both survive
+    val df = pts.toDF("x", "y")
+    val got = Ranking.skyline2D(df, col("x"), col("y"))
+      .select("x", "y").as[(Long, Long)].collect().toSeq.sorted
+    val naive = pts.filter { case (px, py) =>
+      !pts.exists { case (qx, qy) =>
+        qx >= px && qy >= py && (qx > px || qy > py)
+      }
+    }.sorted
+    assert(got == naive)
+    assert(got.count(_ == ((29L, 29L))) == 2, "equal maximal points are all kept")
+  }
+
   test("reserved output columns are rejected, not overwritten") {
     val df = spark.range(3).select(col("id"), lit(1).as("r"))
     intercept[IllegalArgumentException] {

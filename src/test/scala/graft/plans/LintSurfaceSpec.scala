@@ -28,6 +28,10 @@ class LintSurfaceSpec extends SparkSpec {
     "b11_decile_lift" -> Map("GLOBAL_WINDOW" -> 1),
     "b14_growth" -> Map("GLOBAL_WINDOW" -> 1),
     "c15b_equidepth" -> Map("GLOBAL_WINDOW" -> 2),
+    // runningAgg's offset window runs over ≤ numShufflePartitions slice
+    // totals — the liftTable bounded class
+    "c43_running_total" -> Map("GLOBAL_WINDOW" -> 1),
+    "c44_skyline" -> Map("GLOBAL_WINDOW" -> 1),
     "d23_ann_ivf" -> Map("NESTED_LOOP" -> 2, "GLOBAL_WINDOW" -> 2),
     "d23b_ann_ivf_hier" -> Map("NESTED_LOOP" -> 2),
     "d27_rebalance_mix" -> Map("GLOBAL_WINDOW" -> 1),
