@@ -626,6 +626,21 @@ private[graft] object RelationalQueries {
         .orderBy(col("pairs").desc, col("user_id"))
     }),
 
+    // Hierarchy flattening by pointer doubling: a synthetic div-10
+    // forest over the customer keys (0-9 roots, ~log10 deep) resolves
+    // every node's root and depth in O(log depth) equi-join rounds —
+    // Spark's answer to the recursive CTE it does not have.
+    "c45_hierarchy" -> ((s, dir) => {
+      val rel = Tables.customer(s, dir).select(col("c_custkey").as("n"),
+        when(col("c_custkey") < 10, lit(null).cast("long"))
+          .otherwise(expr("c_custkey div 10")).as("p"))
+      graft.graph.Hierarchy.flatten(rel, col("n"), col("p"))
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"),
+          countDistinct(col("root")).as("n_roots"))
+        .orderBy("depth")
+    }),
+
     // Exact distributed running total over the full order history (no
     // single-partition window): range-sliced local prefixes + bounded
     // offset window, decimal-cast so prefix grouping is exact on both
@@ -1183,6 +1198,18 @@ private[graft] object RelationalQueries {
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // The recursive CTE the doubling replaces, same parent rule.
+    "c45_hierarchy" ->
+      """WITH RECURSIVE h(node, root, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.root, h.depth + 1
+        |  FROM customer c JOIN h ON c.c_custkey // 10 = h.node
+        |  WHERE c.c_custkey >= 10)
+        |SELECT depth, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum,
+        | count(DISTINCT root) AS n_roots
+        |FROM h GROUP BY 1 ORDER BY depth""".stripMargin,
 
     // Same total order, same decimal-exact prefix, same yearly rollup.
     "c43_running_total" ->
