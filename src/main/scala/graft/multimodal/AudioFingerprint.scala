@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Audio near-dup fingerprinting — the audio sibling of [[ImageHash]]:
+  * a 64-bit energy-envelope signature per clip, fed to the SAME
+  * pigeonhole band join ([[ImageHash.nearDupPairs]] is hash-agnostic)
+  * for corpus-scale candidate generation.
+  *
+  * Signature: decode PCM via `javax.sound.sampled` (the JDK's own
+  * parser — WAV/AIFF/AU; compressed codecs are not in the JDK and
+  * arrive `ok = false`, the [[Multimodal]] stub boundary), mix to mono,
+  * split the clip into 64 equal windows, take per-window RMS energy,
+  * and set bit i when window i's energy exceeds the MEDIAN window
+  * energy. Median thresholding makes the signature invariant to
+  * uniform volume change (the most common benign re-encode) and to
+  * bit depth / sample rate within decoder tolerance, while any
+  * structural change (different material, re-ordered sections,
+  * silence swapped for speech) flips bits roughly half the time —
+  * the aHash construction, time-domain instead of spatial.
+  *
+  * Not invariant to time SHIFTS or trims (envelope windows are
+  * clip-relative) — that is the documented contract: this catches
+  * re-encodes/volume-normalized copies of the same cut, not clipped
+  * excerpts (excerpt matching needs landmark/chroma indexing, a
+  * different operator).
+  *
+  * Scale: decode + fingerprint is a narrow `mapPartitions` over the
+  * binary column (embarrassingly parallel, the D13 decode stage);
+  * dedup is the D51 banded join — no all-pairs anywhere.
+  */
+object AudioFingerprint {
+
+  final case class Fp(media_id: Long, fp: Long, rms: Double, duration_ms: Long, ok: Boolean)
+
+  /** Mono PCM samples in [-1, 1], or None when the JDK cannot decode. */
+  private[multimodal] def monoSamples(bytes: Array[Byte]): Option[Array[Double]] =
+    try {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = src.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+        fmt.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+      val raw = pcm.readAllBytes()
+      val ch = fmt.getChannels
+      val nFrames = raw.length / (2 * ch)
+      if (nFrames == 0) return Some(Array.empty[Double])
+      val out = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = (f * ch + c) * 2
+          val s = ((raw(o + 1) << 8) | (raw(o) & 0xFF)).toShort
+          acc += s / 32768.0
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64-bit envelope signature + overall RMS of mono samples. */
+  private[multimodal] def envelopeBits(samples: Array[Double]): (Long, Double) = {
+    val n = samples.length
+    if (n == 0) return (0L, 0.0)
+    val windows = 64
+    val energy = new Array[Double](windows)
+    var w = 0
+    while (w < windows) {
+      val from = (n.toLong * w / windows).toInt
+      val to = (n.toLong * (w + 1) / windows).toInt
+      var acc = 0.0
+      var i = from
+      while (i < to) { acc += samples(i) * samples(i); i += 1 }
+      energy(w) = if (to > from) math.sqrt(acc / (to - from)) else 0.0
+      w += 1
+    }
+    val sorted = energy.clone().sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var fp = 0L
+    w = 0
+    while (w < windows) {
+      if (energy(w) > median) fp |= (1L << w)
+      w += 1
+    }
+    var total = 0.0
+    var i = 0
+    while (i < n) { total += samples(i) * samples(i); i += 1 }
+    (fp, math.sqrt(total / n))
+  }
+
+  /** Per-clip fingerprints over a [[Multimodal.asMedia]] frame
+    * (media_id, content). Undecodable payloads flag `ok = false`. */
+  def audioFingerprints(spark: SparkSession, media: DataFrame): Dataset[Fp] = {
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          monoSamples(bytes) match {
+            case Some(s) =>
+              val (fp, rms) = envelopeBits(s)
+              val durMs = Multimodal.audioMetadata(bytes).map(_.durationMs).getOrElse(-1L)
+              Fp(id, fp, rms, durMs, ok = true)
+            case None => Fp(id, 0L, 0.0, -1L, ok = false)
+          }
+        }
+      }
+  }
+
+  /** Near-dup audio pairs: fingerprints → the D51 pigeonhole band join.
+    * `maxHamming` ~4 catches re-encodes and volume normalization. */
+  def nearDupPairs(spark: SparkSession, media: DataFrame, maxHamming: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ImageHash.nearDupPairs(
+      audioFingerprints(spark, media).filter(col("ok")).toDF(), "fp", maxHamming)
+  }
+}
