@@ -170,6 +170,22 @@ private[graft] object KpiQueries {
           round(max(col("dt")), 4).as("max_sec"))
     }),
 
+    // Market-basket co-occurrence: parts ordered together with
+    // support / directional confidence / lift — distinct collapse,
+    // size-capped basket self-join (the mega-basket Zipf guard),
+    // marginal join-back, top pairs by lift.
+    "b17_basket_lift" -> ((s, dir) => {
+      graft.analytics.Basket.coOccurrence(Tables.lineitem(s, dir),
+          basket = col("l_orderkey"), item = col("l_partkey"), minSupport = 2)
+        .select(col("item_a"), col("item_b"), col("n_joint"), col("n_a"), col("n_b"),
+          round(col("support"), 6).as("support"),
+          round(col("conf_a_to_b"), 4).as("conf_a_to_b"),
+          round(col("conf_b_to_a"), 4).as("conf_b_to_a"),
+          round(col("lift"), 4).as("lift"))
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(15)
+    }),
+
     // A/B experiment readout: deterministic md5 split of users into two
     // arms, entity-grain conversion (any purchase — a user converting
     // five times counts once), pooled two-proportion z + a sample-ratio-
@@ -337,6 +353,27 @@ private[graft] object KpiQueries {
         | round(quantile_cont(dt, 0.9), 4) AS p90_sec,
         | round(min(dt), 4) AS min_sec, round(max(dt), 4) AS max_sec
         |FROM d""".stripMargin,
+
+    // Same distinct collapse, cap, joint/marginal algebra; both sides
+    // order on the ROUNDED lift with the pair as tie-break.
+    "b17_basket_lift" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 1000),
+        |k AS (SELECT bi.b, bi.i FROM bi JOIN sz USING (b)),
+        |n AS (SELECT count(DISTINCT b) AS nb FROM k),
+        |m AS (SELECT i, count(*) AS ni FROM k GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, b2.i AS item_b, count(*) AS n_joint
+        |      FROM k a JOIN k b2 ON a.b = b2.b AND a.i < b2.i GROUP BY 1, 2
+        |      HAVING count(*) >= 2)
+        |SELECT item_a, item_b, CAST(n_joint AS BIGINT) AS n_joint,
+        | CAST(ma.ni AS BIGINT) AS n_a, CAST(mb.ni AS BIGINT) AS n_b,
+        | round(n_joint * 1.0 / n.nb, 6) AS support,
+        | round(n_joint * 1.0 / ma.ni, 4) AS conf_a_to_b,
+        | round(n_joint * 1.0 / mb.ni, 4) AS conf_b_to_a,
+        | round(n_joint * 1.0 * n.nb / (ma.ni * mb.ni), 4) AS lift
+        |FROM p JOIN m ma ON p.item_a = ma.i JOIN m mb ON p.item_b = mb.i, n
+        |ORDER BY round(n_joint * 1.0 * n.nb / (ma.ni * mb.ni), 4) DESC, item_a, item_b
+        |LIMIT 15""".stripMargin,
 
     // Same md5 bucket split (the proven d14 hex-cast idiom), same
     // entity-grain collapse, same pooled-z arithmetic; arg_min/arg_max
