@@ -170,6 +170,16 @@ private[graft] object KpiQueries {
           round(max(col("dt")), 4).as("max_sec"))
     }),
 
+    // Customer-spend Gini concentration: the scalar form of b11's lift
+    // curve — one distributed global rank + one aggregate.
+    "b18_gini" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("spend"))
+      graft.analytics.Stats.gini(spend, col("spend"), Seq(col("o_custkey")))
+        .select(col("n"), round(col("total"), 4).as("total"),
+          round(col("gini"), 4).as("gini"))
+    }),
+
     // Market-basket co-occurrence: parts ordered together with
     // support / directional confidence / lift — distinct collapse,
     // size-capped basket self-join (the mega-basket Zipf guard),
@@ -353,6 +363,15 @@ private[graft] object KpiQueries {
         | round(quantile_cont(dt, 0.9), 4) AS p90_sec,
         | round(min(dt), 4) AS min_sec, round(max(dt), 4) AS max_sec
         |FROM d""".stripMargin,
+
+    // The same ascending rank formula; ties cannot move the statistic.
+    "b18_gini" ->
+      """WITH s AS (SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY 1),
+        |r AS (SELECT spend, row_number() OVER (ORDER BY spend, o_custkey) AS rn,
+        |       count(*) OVER () AS n, sum(spend) OVER () AS tot FROM s)
+        |SELECT max(n) AS n, round(max(tot), 4) AS total,
+        | round(2.0 * sum(spend * rn) / (max(n) * max(tot)) - (max(n) + 1.0) / max(n), 4) AS gini
+        |FROM r""".stripMargin,
 
     // Same distinct collapse, cap, joint/marginal algebra; both sides
     // order on the ROUNDED lift with the pair as tie-break.

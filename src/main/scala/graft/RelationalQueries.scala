@@ -626,6 +626,25 @@ private[graft] object RelationalQueries {
         .orderBy(col("pairs").desc, col("user_id"))
     }),
 
+    // Merkle-style replica reconciliation: a tampered in-plan copy
+    // (mod-97 balance bumps, mod-101 deletions) against the original —
+    // checksum buckets localize, the A23 digest diff classifies; only
+    // dirty-bucket rows ever reach the row join.
+    "c46_reconcile" -> ((s, dir) => {
+      val a = Tables.customer(s, dir)
+      val b = a
+        .filter(pmod(col("c_custkey"), lit(101)) =!= 0)
+        .withColumn("c_acctbal", when(pmod(col("c_custkey"), lit(97)) === 0,
+          col("c_acctbal") + 100.0).otherwise(col("c_acctbal")))
+      graft.etl.Reconcile.reconcile(a, b, "c_custkey",
+          Seq("c_name", "c_acctbal", "c_mktsegment"), buckets = 64)
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"),
+          max(col("n_dirty_buckets")).as("n_dirty_buckets"),
+          max(col("n_buckets")).as("n_buckets"))
+        .orderBy("change")
+    }),
+
     // Hierarchy flattening by pointer doubling: a synthetic div-10
     // forest over the customer keys (0-9 roots, ~log10 deep) resolves
     // every node's root and depth in O(log depth) equi-join rounds —
@@ -1198,6 +1217,21 @@ private[graft] object RelationalQueries {
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // The affected-key classes and the same md5 bucket rule; dirty
+    // buckets = distinct buckets of affected keys (a removed key always
+    // flips the count; a changed key flips the digest sum — exact
+    // decimal sums, cancellation would need md5-delta coincidence).
+    "c46_reconcile" ->
+      """WITH aff AS (SELECT c_custkey AS k,
+        |   CASE WHEN c_custkey % 101 = 0 THEN 'removed' ELSE 'changed' END AS change
+        |  FROM customer WHERE c_custkey % 101 = 0 OR c_custkey % 97 = 0),
+        |d AS (SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % 64
+        |        AS bucket FROM aff),
+        |s AS (SELECT count(DISTINCT bucket) AS ndirty FROM d)
+        |SELECT change, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
+        | s.ndirty AS n_dirty_buckets, CAST(64 AS BIGINT) AS n_buckets
+        |FROM aff, s GROUP BY change, s.ndirty ORDER BY change""".stripMargin,
 
     // The recursive CTE the doubling replaces, same parent rule.
     "c45_hierarchy" ->

@@ -10,6 +10,35 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Gini concentration coefficient of a non-negative measure — THE
+    * one-number inequality statistic ("top decile drives X%" as a
+    * scalar; B11's lift table is its curve form). Uses the rank
+    * formula over the ascending sort: G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n,
+    * so the heavy work is ONE [[graft.operators.Ranking.globalRank]]
+    * (distributed range sort, no single-partition window) plus one
+    * aggregate. 0 = perfectly even, → 1 = one unit holds everything.
+    * Also the corpus-curation lens: Gini over per-source token counts
+    * says how concentrated a training mix is before D27/D55 rebalance.
+    * `tieBreak` must complete a total order; negative values violate
+    * the Gini domain and throw (ANSI-loud, not silently wrong). */
+  def gini(df: DataFrame, value: Column, tieBreak: Seq[Column]): DataFrame = {
+    val proj = (value.cast("double").as("__v") +:
+      tieBreak.zipWithIndex.map { case (c, i) => c.as(s"__t$i") })
+    val ranked = graft.operators.Ranking.globalRank(
+      df.select(proj: _*),
+      col("__v").asc +: tieBreak.indices.map(i => col(s"__t$i").asc), "__r")
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("__v")).as("total"),
+        sum(col("__v") * col("__r")).as("__rx"),
+        min(col("__v")).as("__min"))
+      .select(col("n"), col("total"),
+        when(col("__min") < 0, raise_error(lit("gini requires non-negative values")))
+          .otherwise(
+            lit(2.0) * col("__rx") / (col("n") * col("total")) -
+              (col("n") + lit(1.0)) / col("n")).as("gini"))
+  }
+
   /** Pairwise Pearson correlation + sample covariance for every
     * unordered pair of `cols`, per group — ALL pairs in ONE hash
     * aggregate (one shuffle on the group keys, partial aggregation

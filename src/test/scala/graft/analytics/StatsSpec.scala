@@ -36,4 +36,24 @@ class StatsSpec extends SparkSpec {
       Stats.correlationMatrix(df, Seq(col("g")), Seq("a", "b", "c")))
     assert(shape.shuffles === 1, s"expected one group-key shuffle, got $shape")
   }
+
+  test("gini: perfect equality 0, single holder (n-1)/n, hand value, tie-invariance") {
+    import spark.implicits._
+    def g(vals: Seq[Double]): Double =
+      Stats.gini(vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id"),
+        col("v"), Seq(col("id"))).collect().head.getAs[Double]("gini")
+    assert(math.abs(g(Seq(5.0, 5.0, 5.0, 5.0))) < 1e-12)
+    assert(math.abs(g(Seq(0.0, 0.0, 0.0, 8.0)) - 0.75) < 1e-12)
+    assert(math.abs(g(Seq(1.0, 2.0, 3.0, 4.0)) - 0.25) < 1e-12)
+    // tied values: rank assignment among ties cannot move the statistic
+    assert(math.abs(g(Seq(2.0, 2.0, 6.0)) - g(Seq(2.0, 6.0, 2.0))) < 1e-12)
+  }
+
+  test("gini rejects negative values loudly") {
+    import spark.implicits._
+    val df = Seq((1.0, 1L), (-2.0, 2L)).toDF("v", "id")
+    intercept[Exception] {
+      Stats.gini(df, col("v"), Seq(col("id"))).collect()
+    }
+  }
 }
