@@ -131,6 +131,29 @@ object Dedup {
   /** LSH band keys from a MinHash signature: `numBands` strings, each
     * hashing `rowsPerBand` consecutive signature values. Two documents
     * with Jaccard j collide in ≥1 band with prob 1-(1-j^r)^b. */
+  /** LSH s-curve: probability a pair with Jaccard similarity `s`
+    * becomes a candidate under (b bands × r rows) banding —
+    * `1 − (1 − s^r)^b`. The closed form D2's recall/precision trade
+    * rests on (Leskovec et al., MMDS ch. 3). */
+  def candidateProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Pick (bands, rowsPerBand) for a signature of `numHashes` whose
+    * s-curve inflection (≈ (1/b)^(1/r)) sits closest to `threshold` —
+    * the banding that separates above-threshold pairs (→ candidates)
+    * from below (→ pruned) most sharply at the similarity the caller
+    * actually cares about. Considers every exact factorization of
+    * `numHashes`; deterministic (smallest r wins ties → recall-leaning). */
+  def bandsFor(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 2 && threshold > 0 && threshold < 1)
+    val choices = (1 to numHashes).filter(numHashes % _ == 0).map { r =>
+      val b = numHashes / r
+      (b, r, math.abs(math.pow(1.0 / b, 1.0 / r) - threshold))
+    }
+    val best = choices.minBy { case (_, r, err) => (err, r) }
+    (best._1, best._2)
+  }
+
   def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     array((0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
