@@ -840,6 +840,19 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // PCA spectrum certificate: the distributed moment pass + driver
+    // Jacobi eigensolve, checked through two orthogonal-invariants the
+    // oracle recomputes from the raw covariance — Σλ = trace certifies
+    // the one-pass Gram aggregation, Σλ² = ‖C‖²_F holds ONLY for a
+    // fully-diagonalized spectrum, certifying eigensolve convergence.
+    "d77_pca_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.vectors.Pca.fit(Tables.embeddings(s, dir), "embedding", dim = 64, k = 64)
+      Seq((m.n, m.eigenvalues.sum, m.eigenvalues.map(l => l * l).sum))
+        .toDF("n", "tr", "fr")
+        .select(col("n"), round(col("tr"), 4).as("trace"), round(col("fr"), 4).as("frob2"))
+    }),
+
     // Encoding-health audit with in-plan corruption: a deterministic
     // md5 half of each source's docs gets the Latin-1-misdecode
     // signature planted ('a' → 'Ã©', exactly what a misread 'é'
@@ -2179,6 +2192,20 @@ private[graft] object DataQueries {
         |s AS (SELECT doc_id, lang, n_chars FROM u
         |      ORDER BY -ln(uu) / n_chars, doc_id LIMIT 50)
         |SELECT doc_id, lang, n_chars FROM s ORDER BY doc_id""".stripMargin,
+
+    // The spectrum invariants recomputed from the raw population
+    // covariance matrix: trace = Σ diag, frob2 = Σ cov² — equal to Σλ
+    // and Σλ² iff the engine's covariance pass AND eigensolve are right.
+    "d77_pca_spectrum" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, CAST(u.d AS INT) AS d, v[CAST(u.d AS INT) + 1] AS val
+        |      FROM e, UNNEST(range(64)) AS u(d)),
+        |c AS (SELECT a.d AS i, b.d AS j, covar_pop(a.val, b.val) AS cv
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+        |SELECT (SELECT count(*) FROM e) AS n,
+        |       round(sum(CASE WHEN i = j THEN cv ELSE 0 END), 4) AS trace,
+        |       round(sum(cv * cv), 4) AS frob2
+        |FROM c""".stripMargin,
 
     // Same md5 parity, same planted signature, same \x{...} artifact
     // class (Java regex and RE2 parse it identically); the oracle

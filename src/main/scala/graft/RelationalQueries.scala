@@ -626,6 +626,75 @@ private[graft] object RelationalQueries {
         .orderBy(col("pairs").desc, col("user_id"))
     }),
 
+    // Incremental join-view maintenance: the orders⋈customer view kept
+    // current through signed-multiset deltas on BOTH sides (odd-key
+    // order inserts, mod-31 deletes, mod-53 customer segment rewrites
+    // as delete+insert) — the delta algebra's answer must equal a full
+    // recompute, which is exactly what the oracle performs.
+    "c47_ivm_join" -> ((s, dir) => {
+      // the maintained view projects what its readers need — IVM cost
+      // (and scan width) tracks the VIEW's schema, not the base tables'
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val aOld = orders.filter(col("o_orderkey") % 2 === 0)
+      val dA = orders.filter(col("o_orderkey") % 2 === 1).withColumn("__mult", lit(1L))
+        .unionByName(orders
+          .filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 31 === 0)
+          .withColumn("__mult", lit(-1L)))
+      val upd = cust.filter(col("custkey") % 53 === 0)
+      val dB = upd.withColumn("__mult", lit(-1L))
+        .unionByName(upd.withColumn("c_mktsegment", lit("UPDATED"))
+          .withColumn("__mult", lit(1L)))
+      val v0 = aOld.join(cust, Seq("custkey"))
+      graft.etl.ViewMaintenance.refreshJoinView(v0, aOld, dA, cust, dB, Seq("custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Interval-overlap join: order activity intervals (orderdate +
+    // key-dependent duration) × overlapping campaign windows — binned
+    // equi-join with canonical-bin once-per-pair semantics, never a
+    // nested loop.
+    "c48_interval_join" -> ((s, dir) => {
+      val iv = Tables.orders(s, dir)
+        .select(col("o_totalprice"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long").as("ls"),
+          (col("o_orderkey") % 21).as("dur"))
+        .withColumn("le", col("ls") + col("dur")).drop("dur")
+      val win = s.range(30).select(col("id").as("win_id"),
+        (col("id") * 90).as("rs"), (col("id") * 90 + 119).as("re"))
+      Relational.intervalJoin(iv, win,
+          col("ls"), col("le"), col("rs"), col("re"), binWidth = 64)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+        .orderBy("win_id")
+    }),
+
+    // MATCH_RECOGNIZE-lite: per-session event sequences as symbol
+    // strings, the funnel pattern "signup, any views/clicks, purchase"
+    // as a regex — rolled up per user. Sessionize-first is the scale
+    // contract (bounds the per-task sequence AND scopes the pattern).
+    "c49_seq_match" -> ((s, dir) => {
+      val sess = Relational.sessionize(Tables.events(s, dir),
+        entity = col("user_id"), ts = col("ts"), gapSeconds = 1800,
+        orderTieBreak = Seq(col("event_id")))
+      graft.operators.SequenceMatch.matchPattern(sess,
+          entity = struct(col("user_id").as("u"), col("session_id").as("sid")),
+          ts = col("ts"), eventType = col("event_type"),
+          symbols = Map("signup" -> "s", "view" -> "v", "click" -> "c",
+            "purchase" -> "p", "error" -> "e"),
+          pattern = "s[vc]*p",
+          tieBreak = Seq(col("event_id")))
+        .groupBy(col("entity.u").as("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_matches") > 0, 1L).otherwise(0L)).as("matched_sessions"),
+          sum(col("n_matches")).as("total_matches"))
+        .orderBy("user_id")
+    }),
+
     // Merkle-style replica reconciliation: a tampered in-plan copy
     // (mod-97 balance bumps, mod-101 deletions) against the original —
     // checksum buckets localize, the A23 digest diff classifies; only
@@ -1217,6 +1286,55 @@ private[graft] object RelationalQueries {
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // The full recompute the delta algebra must reproduce.
+    "c47_ivm_join" ->
+      """WITH o2 AS (SELECT * FROM orders
+        |            WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 31 = 0)),
+        |c2 AS (SELECT c_custkey,
+        |   CASE WHEN c_custkey % 53 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+        |FROM o2 JOIN c2 ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The same overlap join as a direct non-equi join (fine at oracle
+    // scale; the engine's binned form exists because this shape is a
+    // nested loop at 100 TB).
+    "c48_interval_join" ->
+      """WITH iv AS (SELECT o_totalprice,
+        |  date_diff('day', DATE '1992-01-01', o_orderdate) AS ls,
+        |  date_diff('day', DATE '1992-01-01', o_orderdate)
+        |    + o_orderkey % 21 AS le FROM orders),
+        |w AS (SELECT CAST(range AS BIGINT) AS win_id, range*90 AS rs,
+        |             range*90 + 119 AS re FROM range(30)),
+        |j AS (SELECT win_id, o_totalprice FROM iv JOIN w
+        |      ON ls <= re AND rs <= le)
+        |SELECT win_id, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+        |FROM j GROUP BY 1 ORDER BY win_id""".stripMargin,
+
+    // The same sessionization (b15's derivation), the same symbol
+    // string, the same non-overlapping leftmost regex count (Java regex
+    // and RE2 agree on this construct class).
+    "c49_seq_match" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |   CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+        |        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |        WHEN 'error' THEN 'e' ELSE '_' END AS sym,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |o AS (SELECT user_id, event_id, sym, us,
+        |   CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |        THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+        |g AS (SELECT user_id, sid, string_agg(sym, '' ORDER BY us, event_id) AS seq
+        |  FROM s GROUP BY 1, 2),
+        |m AS (SELECT user_id, len(regexp_extract_all(seq, 's[vc]*p')) AS nm FROM g)
+        |SELECT user_id, count(*) AS n_sessions,
+        | CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched_sessions,
+        | CAST(sum(nm) AS BIGINT) AS total_matches
+        |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // The affected-key classes and the same md5 bucket rule; dirty
     // buckets = distinct buckets of affected keys (a removed key always

@@ -1196,6 +1196,129 @@ object StreamOps {
       .write.mode("overwrite").parquet(s"$indexRoot/batch=$epochId")
   }
 
+  /** Streaming heavy-hitter (frequent-items) state — E26, the streaming
+    * mirror of C8f: each micro-batch lands one `approx_top_k`
+    * ACCUMULATE row per key group; any later "top k items per group"
+    * probe rolls the stored state up with
+    * [[graft.operators.Sketches.topKRollup]] (combine + estimate over
+    * the tiny state rows) — raw traffic is never rescanned, and counts
+    * stay EXACT while ≤ `maxItemsTracked` distinct items per sketch.
+    *
+    * Like count-min (and unlike HLL union), top-k combine ADDS counts,
+    * so a blind append would double-count a replayed batch. Batches
+    * therefore land under `batch=<epochId>` in OVERWRITE mode (the
+    * [[toFrequencyState]] epoch-keyed replay contract): a replayed
+    * epoch rewrites identical files and every rollup over the log
+    * stays exact. Compact on the Bronze lifecycle by combining the log
+    * into one row per group at a fresh path. */
+  def toTopKState(
+      events: DataFrame,
+      keys: Seq[String],
+      value: String,
+      statePath: String,
+      checkpoint: String,
+      maxItemsTracked: Int = 10000): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        topKStateBatch(batch.toDF(), epochId, keys, value, statePath, maxItemsTracked)
+      }
+      .start()
+
+  /** One micro-batch of [[toTopKState]], exposed for replay tests. */
+  private[graft] def topKStateBatch(
+      batch: DataFrame,
+      epochId: Long,
+      keys: Seq[String],
+      value: String,
+      statePath: String,
+      maxItemsTracked: Int): Unit =
+    graft.operators.Sketches.topKSketchTable(batch, keys.map(col), col(value), maxItemsTracked)
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+
+  final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class CepState(pending: List[(Long, String)], tail: String)
+  final case class CepMatch(user_id: Long, n_new_matches: Long, matched_through: Timestamp)
+
+  /** E27 — streaming sequence pattern matching, the live counterpart of
+    * [[graft.operators.SequenceMatch]] (C49): count completions of a
+    * symbol-regex funnel per entity as events arrive, with EVENT-TIME
+    * correctness under out-of-order arrival.
+    *
+    * The Flink-CEP buffering discipline on
+    * `flatMapGroupsWithState` + EventTimeTimeout: arriving events are
+    * symbolized and PARKED in per-entity pending state; only when the
+    * WATERMARK passes an event's timestamp does it graduate — pending
+    * events up to the watermark are sorted by (ts, symbol) and appended
+    * to the entity's symbol tail, which is then scanned for NEW
+    * non-overlapping matches (a `Matcher.find` loop, same leftmost
+    * semantics as the batch operator). Matching on graduation rather
+    * than arrival is what makes a late-but-within-watermark event land
+    * in its true sequence position instead of at the stream's whim.
+    *
+    * State is bounded: pending holds ≤ watermark-delay's worth of
+    * events; the scanned tail keeps only the unconsumed suffix after
+    * the last match, capped at `maxTail` symbols — the contract is
+    * that no single match spans more than `maxTail` events (pick it ≥
+    * the pattern's maximum plausible span; a funnel that ran longer is
+    * dropped, not mis-counted). Emission is append-mode through the
+    * checkpoint, so counts are exactly-once to the sink.
+    *
+    * Shared watermark caveat with [[silenceAlerts]]: graduation is
+    * driven by the global watermark, so a stalled stream stops
+    * emitting until traffic resumes. */
+  def sequenceMatches(
+      spark: SparkSession,
+      events: Dataset[TypedEvent],
+      watermark: String,
+      symbols: Map[String, String],
+      pattern: String,
+      maxTail: Int = 256): Dataset[CepMatch] = {
+    import spark.implicits._
+    require(symbols.nonEmpty, "symbols map must be non-empty")
+    require(symbols.values.forall(s => s.length == 1 && s != "_"),
+      s"symbols must be single characters and not the reserved '_', got ${symbols.values}")
+    require(symbols.values.toSet.size == symbols.size,
+      "symbol characters must be distinct")
+    require(maxTail >= 2, s"maxTail must be >= 2, got $maxTail")
+    val symTable = symbols // stable local capture for the closure
+    val patternStr = pattern
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[TypedEvent], state: GroupState[CepState]) =>
+          val rx = java.util.regex.Pattern.compile(patternStr)
+          val prior = state.getOption.getOrElse(CepState(Nil, ""))
+          val arrived = batch.map(e =>
+            (e.ts.getTime, symTable.getOrElse(e.event_type, "_"))).toList
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, stillPending) = (prior.pending ++ arrived).partition(_._1 <= wm)
+          if (ripe.isEmpty && arrived.isEmpty && !state.hasTimedOut && prior.pending.isEmpty) {
+            Iterator.empty
+          } else {
+            val graduated = ripe.sorted // (ts, sym) lexicographic = event-time order
+            val scanBase = prior.tail + graduated.map(_._2).mkString
+            val m = rx.matcher(scanBase)
+            var nNew = 0L
+            var lastEnd = 0
+            while (m.find()) { nNew += 1L; lastEnd = m.end() }
+            val tail = scanBase.substring(lastEnd).takeRight(maxTail)
+            if (stillPending.isEmpty && tail.isEmpty) state.remove()
+            else {
+              state.update(CepState(stillPending, tail))
+              // wake when the watermark can graduate the oldest parked
+              // event; a bare tail needs no timer — only new events
+              // (which take the data path) can extend it into a match
+              stillPending.map(_._1).minOption.foreach(next =>
+                state.setTimeoutTimestamp(math.max(next, wm + 1L)))
+            }
+            if (nNew > 0L && graduated.nonEmpty)
+              Iterator.single(CepMatch(userId, nNew, new Timestamp(graduated.last._1)))
+            else Iterator.empty
+          }
+      }
+  }
+
   final case class SilenceState(lastSeenMs: Long)
   final case class SilenceAlert(user_id: Long, last_seen: Timestamp, gap_sec: Long)
 

@@ -137,6 +137,31 @@ class RelationalSpec extends SparkSpec {
     assert(rows == expected.size)
   }
 
+  test("intervalJoin matches the naive overlap join, exactly once per pair") {
+    val left = Seq(
+      (1L, 0L, 149L),    // spans 3 bins at width 64
+      (2L, 100L, 200L),
+      (3L, 640L, 640L),  // point interval on a bin edge
+      (4L, 50L, 40L))    // inverted — matches nothing
+      .toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 140L, 160L), // overlaps 1 and 2 across a bin boundary
+      (11L, 0L, 700L),   // giant interval overlapping everything valid
+      (12L, 641L, 650L), // adjacent to 3 but NOT overlapping (closed ends)
+      (13L, 630L, 640L)) // touches 3 exactly at the shared endpoint
+      .toDF("rid", "rs", "re")
+    val got = Relational.intervalJoin(left, right,
+        col("ls"), col("le"), col("rs"), col("re"), binWidth = 64)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    val expected = for {
+      (lid, ls, le) <- List((1L, 0L, 149L), (2L, 100L, 200L), (3L, 640L, 640L))
+      (rid, rs, re) <- List((10L, 140L, 160L), (11L, 0L, 700L), (12L, 641L, 650L), (13L, 630L, 640L))
+      if ls <= re && rs <= le
+    } yield (lid, rid)
+    assert(got.toSet == expected.toSet)
+    assert(got.size == expected.size, "each overlapping pair must appear exactly once")
+  }
+
   test("saltedJoin equals the plain join on skewed keys") {
     val fact = ((0 until 500).map(i => (1L, i.toDouble)) ++ Seq((2L, -1.0), (3L, -2.0)))
       .toDF("k", "v") // key 1 is hot

@@ -490,6 +490,39 @@ class StreamOpsSpec extends SparkSpec {
       "a replayed epoch must leave byte-identical merged state")
   }
 
+  test("toTopKState: epoch-keyed heavy-hitter state rolls up exactly; replay never double-counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val input = MemoryStream[(String, String)]
+    val state = java.nio.file.Files.createTempDirectory("tkstate").toString + "/tk"
+    val ckpt = java.nio.file.Files.createTempDirectory("tkckpt").toString
+    val q = StreamOps.toTopKState(
+      input.toDF().toDF("src", "item"),
+      keys = Seq("src"), value = "item", statePath = state, checkpoint = ckpt)
+    try {
+      input.addData((1 to 20).map(_ => ("web", "x")) ++ (1 to 3).map(_ => ("web", "y")): _*)
+      q.processAllAvailable()
+      // batch 2: x grows cross-batch, z appears, a second source starts
+      input.addData((1 to 10).map(_ => ("web", "x")) ++ Seq(("web", "z"), ("book", "w")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(state)
+    assert(stored.columns.contains("batch"), "state must be epoch-partitioned")
+    assert(stored.count() == 3) // (web, b0), (web, b1), (book, b1)
+    // per-source rollup combines counts across batches, exact below tracking limit
+    val web = Sketches.topKRollup(stored.filter(col("src") === "web"), Seq.empty, k = 3)
+      .select("item", "n_estimate").as[(String, Long)].collect().toList
+    assert(web == List(("x", 30L), ("y", 3L), ("z", 1L)))
+    // replaying epoch 1 overwrites identical state — no double count
+    StreamOps.topKStateBatch(
+      ((1 to 10).map(_ => ("web", "x")) ++ Seq(("web", "z"), ("book", "w"))).toDF("src", "item"),
+      1L, Seq("src"), "item", state, maxItemsTracked = 10000)
+    val web2 = Sketches.topKRollup(spark.read.parquet(state).filter(col("src") === "web"),
+        Seq.empty, k = 3)
+      .select("item", "n_estimate").as[(String, Long)].collect().toList
+    assert(web2 == web, "a replayed epoch must leave the rollup unchanged")
+  }
+
   test("toParagraphDeduped: cross-batch paragraph suppression via the index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-paradedup")
