@@ -1236,6 +1236,53 @@ object StreamOps {
     graft.operators.Sketches.topKSketchTable(batch, keys.map(col), col(value), maxItemsTracked)
       .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
 
+  /** Streaming PCA moment state — E28, the streaming half of D77: each
+    * micro-batch lands ONE `(n, Σv, packed Σvvᵀ)` moment row
+    * ([[graft.vectors.Pca.momentTable]]); fitting a current PCA model
+    * at any moment is [[pcaFromState]] — merge the stored rows
+    * (state-scale: one row per batch) and run the driver eigensolve.
+    * Raw vectors are never rescanned, so the whitening/projection model
+    * tracks an unbounded embedding stream at per-batch cost O(batch·d²)
+    * map-side + one tiny row of output.
+    *
+    * Moment sums ADD (the count-min class, not the HLL class), so
+    * batches land under `batch=<epochId>` in OVERWRITE mode — the
+    * [[toFrequencyState]] epoch-keyed replay contract: a replayed epoch
+    * rewrites an equivalent row, never a double count. One nuance vs
+    * the integer sketches: double sums are not associative, so a
+    * replayed row matches to fp merge order (~1e-15 relative), not
+    * bit-for-bit. Compact on the Bronze lifecycle by merging rows. */
+  def toPcaMomentState(
+      vectors: DataFrame,
+      vecCol: String,
+      dim: Int,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        pcaMomentStateBatch(batch.toDF(), epochId, vecCol, dim, statePath)
+      }
+      .start()
+
+  /** One micro-batch of [[toPcaMomentState]], exposed for replay tests. */
+  private[graft] def pcaMomentStateBatch(
+      batch: DataFrame, epochId: Long, vecCol: String, dim: Int, statePath: String): Unit =
+    graft.vectors.Pca.momentTable(batch, vecCol, dim)
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+
+  /** Fit the current model from stored moment state (rows = batches —
+    * bounded driver collect, the compaction-scale contract). */
+  def pcaFromState(
+      spark: SparkSession, statePath: String, dim: Int, k: Int): graft.vectors.Pca.PcaModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(statePath)
+      .select(col("n"), col("sum"), col("gram"))
+      .as[(Long, Seq[Double], Seq[Double])].collect().toSeq
+    val (n, mean, cov) = graft.vectors.Pca.momentsFromRows(rows, dim)
+    graft.vectors.Pca.fitFromMoments(n, mean, cov, k)
+  }
+
   final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class CepState(pending: List[(Long, String)], tail: String)
   final case class CepMatch(user_id: Long, n_new_matches: Long, matched_through: Timestamp)

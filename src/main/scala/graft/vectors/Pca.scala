@@ -67,15 +67,39 @@ object Pca {
     override def outputEncoder: Encoder[MomentBuf] = Encoders.product[MomentBuf]
   }
 
-  /** One distributed pass → (n, mean[d], population covariance[d][d]).
-    * Driver state is O(d²), never O(n). */
-  def moments(df: DataFrame, vecCol: String, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+  /** The raw moment buffer as a ONE-ROW DataFrame `(n, sum, gram)` —
+    * the MERGEABLE form: buffers from disjoint slices (or micro-batches)
+    * combine by elementwise addition, so fleet-scale / streaming PCA
+    * appends these rows and never rescans raw vectors (the D40
+    * sketch-card discipline applied to second moments). */
+  def momentTable(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val buf = df.select(VectorOps.toDouble(col(vecCol)))
+    df.select(VectorOps.toDouble(col(vecCol)))
       .as[Seq[Double]]
       .select(new MomentAgg(dim).toColumn)
-      .head()
+      .toDF() // Dataset[MomentBuf] → columns (n, sum, gram)
+  }
+
+  /** Merge stored moment rows (one per slice/batch — state-scale, not
+    * corpus-scale) and unpack to (n, mean[d], population cov[d][d]). */
+  def momentsFromRows(rows: Seq[(Long, Seq[Double], Seq[Double])], dim: Int):
+      (Long, Array[Double], Array[Array[Double]]) = {
+    require(rows.nonEmpty, "no moment rows")
+    val acc = MomentBuf(0L, new Array[Double](dim), new Array[Double](dim * (dim + 1) / 2))
+    rows.foreach { case (n, s, g) =>
+      require(s.length == acc.sum.length && g.length == acc.gram.length,
+        s"moment row dimensionality mismatch (expected dim=$dim)")
+      acc.n += n
+      var i = 0
+      while (i < acc.sum.length)  { acc.sum(i) += s(i);   i += 1 }
+      i = 0
+      while (i < acc.gram.length) { acc.gram(i) += g(i); i += 1 }
+    }
+    unpack(acc, dim)
+  }
+
+  private def unpack(buf: MomentBuf, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
     require(buf.n > 0, "PCA needs at least one vector")
     val n = buf.n.toDouble
     val mean = buf.sum.map(_ / n)
@@ -91,6 +115,18 @@ object Pca {
       i += 1
     }
     (buf.n, mean, cov)
+  }
+
+  /** One distributed pass → (n, mean[d], population covariance[d][d]).
+    * Driver state is O(d²), never O(n). */
+  def moments(df: DataFrame, vecCol: String, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buf = df.select(VectorOps.toDouble(col(vecCol)))
+      .as[Seq[Double]]
+      .select(new MomentAgg(dim).toColumn)
+      .head()
+    unpack(buf, dim)
   }
 
   /** Cyclic Jacobi eigensolve for a symmetric matrix: repeated sweeps of
@@ -198,8 +234,15 @@ object Pca {
   /** Fit a k-component PCA: one distributed moment pass + the driver
     * eigensolve. */
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
-    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
     val (n, mean, cov) = moments(df, vecCol, dim)
+    fitFromMoments(n, mean, cov, k)
+  }
+
+  /** The driver half alone — fit from already-merged moments (the
+    * streaming/fleet path: [[momentsFromRows]] over stored state). */
+  def fitFromMoments(
+      n: Long, mean: Array[Double], cov: Array[Array[Double]], k: Int): PcaModel = {
+    require(k >= 1 && k <= cov.length, s"k must be in [1, ${cov.length}], got $k")
     val (eigVals, eigVecs) = jacobiEigen(cov)
     PcaModel(n, mean, eigVals.take(k), eigVecs.take(k))
   }

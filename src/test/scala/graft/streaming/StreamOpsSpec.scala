@@ -523,6 +523,48 @@ class StreamOpsSpec extends SparkSpec {
     assert(web2 == web, "a replayed epoch must leave the rollup unchanged")
   }
 
+  test("toPcaMomentState: streamed moments fit the same model as a one-pass batch fit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.vectors.Pca
+    val input = MemoryStream[(Long, Seq[Float])]
+    val state = java.nio.file.Files.createTempDirectory("pcastate").toString + "/pca"
+    val ckpt = java.nio.file.Files.createTempDirectory("pcackpt").toString
+    // the PcaSpec cloud, split across two micro-batches
+    val cloud = (0 until 200).map { i =>
+      val a = 3.0 * math.sin(i * 0.731); val b = 0.7 * math.cos(i * 1.292)
+      (i.toLong, Seq(1 + a * 0.5 + b * 0.5, 1 + a * 0.5 - b * 0.5,
+        1 + a * 0.5 + b * 0.5, 1 + a * 0.5 - b * 0.5).map(_.toFloat))
+    }
+    val q = StreamOps.toPcaMomentState(
+      input.toDF().toDF("id", "vec"), "vec", dim = 4, statePath = state, checkpoint = ckpt)
+    try {
+      input.addData(cloud.take(120): _*)
+      q.processAllAvailable()
+      input.addData(cloud.drop(120): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(state)
+    assert(stored.columns.contains("batch") && stored.count() == 2)
+    val streamed = StreamOps.pcaFromState(spark, state, dim = 4, k = 4)
+    val batch = Pca.fit(cloud.toDF("id", "vec"), "vec", dim = 4, k = 4)
+    assert(streamed.n == batch.n)
+    streamed.eigenvalues.zip(batch.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"eigenvalue drift: $a vs $b") }
+    // the cloud is rank-2: only the non-degenerate top components are
+    // comparable (null-space eigenvectors are arbitrary up to rotation)
+    streamed.components.take(2).flatMap(_.toSeq)
+      .zip(batch.components.take(2).flatMap(_.toSeq)).foreach {
+        case (a, b) => assert(math.abs(a - b) < 1e-7, s"component drift: $a vs $b") }
+    // replaying epoch 1 overwrites an equivalent row — never a double
+    // count; equality is up to fp merge order (double sums are not
+    // associative across partition splits), so compare to 1e-12
+    StreamOps.pcaMomentStateBatch(cloud.drop(120).toDF("id", "vec"), 1L, "vec", 4, state)
+    val replayed = StreamOps.pcaFromState(spark, state, dim = 4, k = 4)
+    assert(replayed.n == streamed.n)
+    replayed.eigenvalues.zip(streamed.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"replay drift: $a vs $b") }
+  }
+
   test("toParagraphDeduped: cross-batch paragraph suppression via the index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-paradedup")
