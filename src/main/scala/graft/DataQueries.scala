@@ -853,6 +853,31 @@ private[graft] object DataQueries {
         .select(col("n"), round(col("tr"), 4).as("trace"), round(col("fr"), 4).as("frob2"))
     }),
 
+    // Product quantization at rounds=0: the md5-deterministic seed rule
+    // makes the WHOLE model a pure function of the data, so the oracle
+    // rebuilds the codebooks and replays encode (argmin, ties to lowest
+    // code) — per-subspace code usage and quantization error must agree.
+    // Lloyd refinement (data-dependent fp iteration) is PqSpec's job.
+    "d78_pq_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.vectors.Pq.train(emb, "vec_id", "embedding",
+        dim = 64, m = 8, kCodes = 16, rounds = 0)
+      emb.select(graft.vectors.VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("codes", model.encode(col("v")))
+        .withColumn("recon", model.decode(col("codes")))
+        .withColumn("errs", transform(sequence(lit(0), lit(7)), j =>
+          aggregate(zip_with(
+            slice(col("v"), j * 8 + 1, lit(8)),
+            slice(col("recon"), j * 8 + 1, lit(8)),
+            (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)))
+        .select(posexplode(arrays_zip(col("codes").as("c"), col("errs").as("e")))
+          .as(Seq("j", "s")))
+        .groupBy("j")
+        .agg(countDistinct(col("s.c")).as("n_codes_used"),
+          round(avg(col("s.e")), 4).as("avg_err"))
+        .orderBy("j")
+    }),
+
     // Encoding-health audit with in-plan corruption: a deterministic
     // md5 half of each source's docs gets the Latin-1-misdecode
     // signature planted ('a' → 'Ã©', exactly what a misread 'é'
@@ -2206,6 +2231,28 @@ private[graft] object DataQueries {
         |       round(sum(CASE WHEN i = j THEN cv ELSE 0 END), 4) AS trace,
         |       round(sum(cv * cv), 4) AS frob2
         |FROM c""".stripMargin,
+
+    // Rebuild the md5-seeded codebooks and replay encode: nearest
+    // (squared-L2) seed per 8-dim subspace, ties to the lowest code.
+    "d78_pq_encode" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seed AS (SELECT v, row_number() OVER (ORDER BY h, id) - 1 AS code FROM (
+        |    SELECT v, CAST(vec_id AS VARCHAR) AS id,
+        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |    FROM e) ORDER BY h, id LIMIT 16),
+        |x AS (SELECT e.vec_id, CAST(t.j AS INT) AS j, CAST(t2.d AS INT) AS d,
+        |       e.v[CAST(t.j AS INT) * 8 + CAST(t2.d AS INT) + 1] AS val
+        |      FROM e, range(8) t(j), range(8) t2(d)),
+        |sx AS (SELECT s.code, CAST(t.j AS INT) AS j, CAST(t2.d AS INT) AS d,
+        |       s.v[CAST(t.j AS INT) * 8 + CAST(t2.d AS INT) + 1] AS cval
+        |      FROM seed s, range(8) t(j), range(8) t2(d)),
+        |dist AS (SELECT x.vec_id, x.j, sx.code, sum((x.val - sx.cval) * (x.val - sx.cval)) AS dd
+        |      FROM x JOIN sx ON x.j = sx.j AND x.d = sx.d GROUP BY 1, 2, 3),
+        |best AS (SELECT vec_id, j, code, dd FROM (
+        |      SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, code) AS rn
+        |      FROM dist) WHERE rn = 1)
+        |SELECT j, count(DISTINCT code) AS n_codes_used, round(avg(dd), 4) AS avg_err
+        |FROM best GROUP BY 1 ORDER BY j""".stripMargin,
 
     // Same md5 parity, same planted signature, same \x{...} artifact
     // class (Java regex and RE2 parse it identically); the oracle
