@@ -344,6 +344,67 @@ object Ann {
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
   }
 
+  /** IVF-PQ ANN — the standard billion-vector layout: coarse inverted
+    * lists ([[ivfCentroids]]/[[ivfAssign]]) whose entries are
+    * [[graft.vectors.Pq]] CODES, not vectors. The index row is
+    * (list_id, cid, m bytes of codes) instead of (…, d·4 bytes of
+    * floats) — at 64-dim/m=8 a 32× cut in index storage AND in the
+    * bytes crossing the candidate join, which is where an ANN plan's
+    * shuffle volume lives at 10^10 vectors. Candidate scoring is
+    * asymmetric distance: squared L2 from the query to the DECODED
+    * centroid chain (codebooks ride as literals — in-plan, no
+    * per-query driver state), then an optional exact RERANK of the top
+    * `rerank` ADC survivors against true vectors — the standard
+    * two-stage recall repair, costing a (rerank·|Q|)-row join instead
+    * of a corpus-wide one.
+    *
+    * Distances are squared L2 ascending (the PQ-native metric); on
+    * L2-normalized vectors d² = 2−2·cos, so rankings match the cosine
+    * operators and with `nProbe == nLists` and `rerank ≥ k` the result
+    * IS [[bruteForceTopK]]'s ranking (spec-pinned). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                k: Int, nLists: Int, nProbe: Int, pq: graft.vectors.Pq.PqModel,
+                rerank: Int = 0, trainRounds: Int = 0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists, "need 1 <= nProbe <= nLists")
+    var cents = ivfCentroids(corpus, id, vec, nLists)
+    (0 until trainRounds).foreach(_ => cents = refineCentroids(corpus, id, vec, cents))
+    val index = ivfAssign(corpus, id, vec, cents)
+      .join(corpus.select(col(id).as("cid"), pq.encode(col(vec)).as("__codes")),
+        col("__cid") === col("cid"))
+      .select(col("list_id"), col("cid"), col("__codes"))
+    val q = vecTable(queries, id, vec, "qid", "qv", "qnorm")
+    val probes = q.join(broadcast(cents))
+      .withColumn("__score", VectorOps.cosineWithNorms(col("qv"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("__score").desc, col("list_id").asc)))
+      .filter(col("__pr") <= nProbe)
+      .select(col("qid"), col("qv"), col("list_id"))
+    // probe table broadcast for the same stage-race reason as probeTopK
+    val adc = broadcast(probes).join(index, Seq("list_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__adc", aggregate(zip_with(col("qv"), pq.decode(col("__codes")),
+        (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+    val wAdc = Window.partitionBy("qid").orderBy(col("__adc").asc, col("cid").asc)
+    if (rerank <= 0) {
+      adc.withColumn("rank", row_number().over(wAdc).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("cid"), round(col("__adc"), 4).as("dist"), col("rank"))
+    } else {
+      require(rerank >= k, s"rerank must be >= k to return k rows, got rerank=$rerank k=$k")
+      val survivors = adc.withColumn("__ar", row_number().over(wAdc))
+        .filter(col("__ar") <= rerank)
+        .select(col("qid"), col("qv"), col("cid"))
+      val exact = survivors
+        .join(corpus.select(col(id).as("cid"), VectorOps.toDouble(col(vec)).as("__cv")), "cid")
+        .withColumn("__dist", aggregate(zip_with(col("qv"), col("__cv"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+      val w = Window.partitionBy("qid").orderBy(col("__dist").asc, col("cid").asc)
+      exact.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("cid"), round(col("__dist"), 4).as("dist"), col("rank"))
+    }
+  }
+
   /** Two-level coarse quantizer: `top` shards the space into ~√nLists
     * cells, `sub` holds each cell's sub-centroids (flat schema
     * (list_id, top_id, cvec, cnorm) — `list_id` is globally unique, so
