@@ -87,4 +87,49 @@ object ViewMaintenance {
       bOld: DataFrame, dB: DataFrame,
       keys: Seq[String]): DataFrame =
     applyDelta(view, joinDelta(aOld, dA, bOld, dB, keys))
+
+  /** Maintain a GROUPED-AGGREGATE view (`count` + sums) under a signed
+    * delta — the aggregate sibling of [[refreshJoinView]] and the
+    * deletion-capable corner [[graft.operators.AggState]] leaves open
+    * (C25 merges append-only partial states; this RETRACTS):
+    * count' = count + Σ mult, sum' = sum + Σ mult·value, per key.
+    * Groups reaching count 0 vanish; a negative count (a delete the
+    * view never absorbed) fails loudly, as [[applyDelta]] does.
+    *
+    * Only works for aggregates with an inverse (count/sum/avg-as-
+    * sum÷count); min/max/distinct need full per-group state under
+    * deletes — keep those in C25's merge-only regime or recompute.
+    * Cost: one |Δ|-scale partial aggregate + a keyed outer join touching
+    * only the view rows whose keys appear in the delta (at 100 TB the
+    * join is the view's own key partitioning; nothing rescans facts).
+    *
+    * `view` schema: keys ++ (`n` :: sums columns); `delta` schema:
+    * keys ++ sums value columns ++ `__mult`. */
+  def refreshAggView(
+      view: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      sums: Seq[String],
+      strict: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "group keys required")
+    require(delta.columns.contains("__mult"), "delta must carry __mult")
+    require(view.columns.toSet == (keys ++ ("n" +: sums)).toSet,
+      s"view schema must be keys + n + $sums; got ${view.columns.toSeq}")
+    val dAgg = delta.groupBy(keys.map(col): _*)
+      .agg(sum("__mult").as("__dn"),
+        sums.map(c => sum(col(c) * col("__mult")).as(s"__d_$c")): _*)
+    val merged = view.join(dAgg, keys, "full_outer")
+      .withColumn("__n2", coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+    val checked =
+      if (strict)
+        merged.withColumn("__n2",
+          when(col("__n2") < 0, raise_error(concat(
+            lit("IVM inconsistency: negative count for group "),
+            col(keys.head).cast("string")))).otherwise(col("__n2")))
+      else merged
+    val sumCols = sums.map(c =>
+      (coalesce(col(c), lit(0.0)) + coalesce(col(s"__d_$c"), lit(0.0))).as(c))
+    checked.filter(col("__n2") > 0)
+      .select((keys.map(col) :+ col("__n2").as("n")) ++ sumCols: _*)
+  }
 }

@@ -46,6 +46,29 @@ class ViewMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("refreshAggView: incremental count/sum equals full recompute; zero groups vanish") {
+    val base = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("c", 2.0)).toDF("k", "x")
+    val view = base.groupBy("k").agg(count(lit(1)).as("n"), sum("x").as("x"))
+    // delete (a,3), insert (a,7) and (d,4), delete c's only row
+    val delta = Seq(("a", 3.0, -1L), ("a", 7.0, 1L), ("d", 4.0, 1L), ("c", 2.0, -1L))
+      .toDF("k", "x", "__mult")
+    val got = ViewMaintenance.refreshAggView(view, delta, Seq("k"), Seq("x"))
+      .orderBy("k").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 2L, 8.0), ("b", 1L, 5.0), ("d", 1L, 4.0)))
+  }
+
+  test("refreshAggView: strict mode surfaces a count driven negative") {
+    val view = Seq(("a", 1L, 2.0)).toDF("k", "n", "x")
+    val delta = Seq(("a", 2.0, -1L), ("a", 9.0, -1L)).toDF("k", "x", "__mult")
+    intercept[Exception] {
+      ViewMaintenance.refreshAggView(view, delta, Seq("k"), Seq("x")).collect()
+    }
+    // non-strict clamps the group away instead
+    val lenient = ViewMaintenance.refreshAggView(view, delta, Seq("k"), Seq("x"),
+      strict = false).collect()
+    assert(lenient.isEmpty)
+  }
+
   test("disjoint-column and key contracts are enforced") {
     val clash = Seq((1L, "x")).toDF("k", "av") // same non-key name as A
     intercept[IllegalArgumentException] {
