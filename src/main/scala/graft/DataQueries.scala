@@ -853,6 +853,21 @@ private[graft] object DataQueries {
         .select(col("n"), round(col("tr"), 4).as("trace"), round(col("fr"), 4).as("frob2"))
     }),
 
+    // N-gram novelty of a held-out slice against the remaining corpus:
+    // the memorization/overlap audit per source. Exact path (gram-hash
+    // joins, md5-60 keys) so the oracle mirrors bit-for-bit.
+    "d80_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gen = docs.filter(col("doc_id") % 7 === 0)
+      val ref = docs.filter(col("doc_id") % 7 =!= 0)
+      graft.text.Novelty.ngramNovelty(gen, ref, col("doc_id"), col("text"), n = 3)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_grams").as("grams"),
+          sum("n_seen").as("seen"), round(avg("novelty"), 4).as("avg_novelty"))
+        .orderBy("source")
+    }),
+
     // Product quantization at rounds=0: the md5-deterministic seed rule
     // makes the WHOLE model a pure function of the data, so the oracle
     // rebuilds the codebooks and replays encode (argmin, ties to lowest
@@ -2231,6 +2246,26 @@ private[graft] object DataQueries {
         |       round(sum(CASE WHEN i = j THEN cv ELSE 0 END), 4) AS trace,
         |       round(sum(cv * cv), 4) AS frob2
         |FROM c""".stripMargin,
+
+    // Same normalize/split/3-gram/distinct/md5-60 derivation; novelty
+    // recomputed per doc then averaged per source.
+    "d80_novelty" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, source,
+        |    CAST('0x' || substr(md5(t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+        |      || ' ' || t[CAST(i AS INT)+2]), 1, 15) AS BIGINT) AS g
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+        |ref AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 <> 0),
+        |gen AS (SELECT doc_id, source, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        |  FROM (SELECT * FROM grams WHERE doc_id % 7 = 0) x
+        |  LEFT JOIN ref r USING (g) GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS grams, CAST(sum(n_seen) AS BIGINT) AS seen,
+        |  round(avg(1.0 - n_seen / CAST(n_grams AS DOUBLE)), 4) AS avg_novelty
+        |FROM gen GROUP BY 1 ORDER BY source""".stripMargin,
 
     // Rebuild the md5-seeded codebooks and replay encode: nearest
     // (squared-L2) seed per 8-dim subspace, ties to the lowest code.
