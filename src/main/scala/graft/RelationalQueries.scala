@@ -673,6 +673,37 @@ private[graft] object RelationalQueries {
         .orderBy("win_id")
     }),
 
+    // Sketch-scale join forecast (C42's triage sibling): theta-sketch
+    // key estimates + the uniformity pairs estimate, checked IN-PLAN
+    // against the exact instruments — the oracle recomputes the exact
+    // values and the bound booleans must come back true.
+    "c50_join_sketch" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val o = Tables.orders(s, dir)
+      val f = graft.operators.JoinPreflight.sketchForecast(
+        e, col("user_id"), o, col("o_custkey"))
+      val exact = graft.operators.JoinPreflight.summary(
+          e, col("user_id"), o, col("o_custkey"))
+        .select(col("est_rows").as("exact_pairs"), col("n_matched_keys"))
+      val kl = e.filter(col("user_id").isNotNull)
+        .agg(countDistinct(col("user_id")).as("keys_left"))
+      val kr = o.agg(countDistinct(col("o_custkey")).as("keys_right"))
+      f.crossJoin(broadcast(exact)).crossJoin(broadcast(kl)).crossJoin(broadcast(kr))
+        .select(
+          col("n_left"), col("n_right"), col("keys_left"), col("keys_right"),
+          col("n_matched_keys"), col("exact_pairs"),
+          (abs(col("keys_left_est") - col("keys_left")) <= col("keys_left") * 0.05)
+            .as("kl_in_bound"),
+          (abs(col("keys_right_est") - col("keys_right")) <= col("keys_right") * 0.05)
+            .as("kr_in_bound"),
+          // intersection RSE scales with the UNION size (theta-sketch
+          // property), so the bound is union-relative, not overlap-relative
+          (abs(col("keys_match_est") - col("n_matched_keys")) <=
+            (col("keys_left") + col("keys_right")) * 0.05).as("km_in_bound"),
+          (col("est_pairs") <= col("exact_pairs") * 2 &&
+            col("exact_pairs") <= col("est_pairs") * 2).as("pairs_in_factor2"))
+    }),
+
     // MATCH_RECOGNIZE-lite: per-session event sequences as symbol
     // strings, the funnel pattern "signup, any views/clicks, purchase"
     // as a regex — rolled up per user. Sessionize-first is the scale
@@ -1312,6 +1343,26 @@ private[graft] object RelationalQueries {
         |      ON ls <= re AND rs <= le)
         |SELECT win_id, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
         |FROM j GROUP BY 1 ORDER BY win_id""".stripMargin,
+
+    // Exact counts recomputed; every sketch bound must hold (theta is
+    // deterministic: exact below 2^12 distinct, ~1.6% RSE above).
+    "c50_join_sketch" ->
+      """WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        |o AS (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL),
+        |m AS (SELECT count(*) AS n_matched_keys FROM
+        |   (SELECT DISTINCT user_id FROM e) x JOIN
+        |   (SELECT DISTINCT o_custkey FROM o) y ON user_id = o_custkey),
+        |p AS (SELECT CAST(sum(ne * no) AS BIGINT) AS exact_pairs FROM
+        |   (SELECT user_id AS k, count(*) AS ne FROM e GROUP BY 1) a JOIN
+        |   (SELECT o_custkey AS k, count(*) AS no FROM o GROUP BY 1) b USING (k))
+        |SELECT (SELECT count(*) FROM e) AS n_left,
+        |  (SELECT count(*) FROM o) AS n_right,
+        |  (SELECT count(DISTINCT user_id) FROM e) AS keys_left,
+        |  (SELECT count(DISTINCT o_custkey) FROM o) AS keys_right,
+        |  m.n_matched_keys, p.exact_pairs,
+        |  TRUE AS kl_in_bound, TRUE AS kr_in_bound,
+        |  TRUE AS km_in_bound, TRUE AS pairs_in_factor2
+        |FROM m, p""".stripMargin,
 
     // The same sessionization (b15's derivation), the same symbol
     // string, the same non-overlapping leftmost regex count (Java regex

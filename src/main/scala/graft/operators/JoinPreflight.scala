@@ -75,4 +75,43 @@ object JoinPreflight {
       .crossJoin(broadcast(nullL))
       .crossJoin(broadcast(nullR))
   }
+
+  /** SKETCH-scale forecast — C42's triage sibling when even the
+    * per-key counts tables are too big to want: ONE aggregate per side
+    * producing (row count, theta sketch of the key), kilobytes of state
+    * regardless of key cardinality, then set-algebra estimates:
+    *
+    *   keys_match ≈ |θ_L ∩ θ_R|,
+    *   est_pairs ≈ keys_match · (n_L/keys_L) · (n_R/keys_R)
+    *
+    * `est_pairs` assumes per-key multiplicities are roughly uniform and
+    * independent of which keys match — a TRIAGE number ("is this join
+    * ~n or ~n²?"), exact only in spirit; C42's [[keyContributions]] is
+    * the exact instrument once triage says the join is worth auditing.
+    * Sketches are deterministic (no RNG): exact below 2^lgK distinct
+    * keys, ~1.6% RSE above at the default lgK=12 — with the standard
+    * theta caveat that INTERSECTION error scales with the UNION size,
+    * so a small overlap of two big key sets carries a large RELATIVE
+    * error (|est − exact| ≲ 1.6% · |L ∪ R|, not · |L ∩ R|). */
+  def sketchForecast(
+      left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column,
+      lgK: Int = graft.expressions.ThetaExpressions.DefaultLgK): DataFrame = {
+    import graft.expressions.ThetaExpressions.{thetaSketchAgg, thetaEstimate}
+    val l = left.filter(leftKey.isNotNull)
+      .agg(count(lit(1)).as("n_left"), thetaSketchAgg(leftKey, lgK).as("__sl"))
+    val r = right.filter(rightKey.isNotNull)
+      .agg(count(lit(1)).as("n_right"), thetaSketchAgg(rightKey, lgK).as("__sr"))
+    l.crossJoin(broadcast(r))
+      .withColumn("keys_left_est",
+        round(thetaEstimate("union", col("__sl"), col("__sl"), lgK)).cast("long"))
+      .withColumn("keys_right_est",
+        round(thetaEstimate("union", col("__sr"), col("__sr"), lgK)).cast("long"))
+      .withColumn("keys_match_est",
+        round(thetaEstimate("intersect", col("__sl"), col("__sr"), lgK)).cast("long"))
+      .withColumn("est_pairs",
+        col("keys_match_est") *
+          (col("n_left") / col("keys_left_est")) * (col("n_right") / col("keys_right_est")))
+      .drop("__sl", "__sr")
+  }
 }

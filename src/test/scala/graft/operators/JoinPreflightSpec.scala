@@ -51,4 +51,32 @@ class JoinPreflightSpec extends SparkSpec {
     assert(out.getAs[Long]("max_key_pairs") == 0)
     assert(out.isNullAt(out.fieldIndex("skew_ratio")))
   }
+
+  test("sketchForecast is exact below 2^lgK keys and matches the uniform-pairs formula") {
+    // keys 1..20 on the left with 3 rows each, keys 11..30 on the right
+    // with 2 rows each — overlap 11..20, uniform multiplicities so the
+    // independence estimate is exact: 10 * 3 * 2 = 60 pairs
+    val l = (1L to 20L).flatMap(k => Seq.fill(3)((k, "x"))).toDF("k", "p")
+    val r = (11L to 30L).flatMap(k => Seq.fill(2)((k, "y"))).toDF("k", "v")
+    val out = JoinPreflight.sketchForecast(l, col("k"), r, col("k")).collect().head
+    assert(out.getAs[Long]("n_left") == 60 && out.getAs[Long]("n_right") == 40)
+    assert(out.getAs[Long]("keys_left_est") == 20)
+    assert(out.getAs[Long]("keys_right_est") == 20)
+    assert(out.getAs[Long]("keys_match_est") == 10)
+    assert(math.abs(out.getAs[Double]("est_pairs") - 60.0) < 1e-9)
+    // exact cross-check against the full instrument
+    val exact = JoinPreflight.summary(l, col("k"), r, col("k"))
+      .collect().head.getAs[Long]("est_rows")
+    assert(exact == 60L)
+  }
+
+  test("sketchForecast ignores null keys on both sides") {
+    val l = Seq((Some(1L), "a"), (None, "b"), (Some(1L), "c"))
+      .toDF("k", "p")
+    val r = Seq((Some(1L), "y"), (None, "z")).toDF("k", "v")
+    val out = JoinPreflight.sketchForecast(l, col("k"), r, col("k")).collect().head
+    assert(out.getAs[Long]("n_left") == 2 && out.getAs[Long]("n_right") == 1)
+    assert(out.getAs[Long]("keys_match_est") == 1)
+    assert(math.abs(out.getAs[Double]("est_pairs") - 2.0) < 1e-9)
+  }
 }
