@@ -1283,6 +1283,65 @@ object StreamOps {
     graft.vectors.Pca.fitFromMoments(n, mean, cov, k)
   }
 
+  /** E29 — streaming write-audit ingest with quarantine routing: the
+    * micro-batch form of [[graft.etl.Publish]]'s gate. Each batch is
+    * STAGED, audited as-landed with [[graft.etl.Checks]] (one
+    * aggregation pass over the staged files), and then atomically
+    * renamed into EITHER `dataRoot/batch=<epochId>` (all checks pass —
+    * visible to every reader of `dataRoot`) OR
+    * `quarantineRoot/batch=<epochId>` plus an `_audit` parquet holding
+    * the failed-check metrics (any check fails — the batch is preserved
+    * byte-for-byte for forensics/repair, never half-visible, never
+    * dropped). A poisoned upstream batch therefore degrades the
+    * pipeline's freshness, not its integrity — the A1 valid/rejected
+    * routing lifted from rows to batches.
+    *
+    * Replay: epoch-keyed target dirs are deleted before the rename, so
+    * a replayed epoch lands byte-identical in the SAME side (audits are
+    * deterministic) — the [[toFrequencyState]] overwrite contract. */
+  def toAuditedIngest(
+      docs: DataFrame,
+      checks: Seq[graft.etl.Checks.Check],
+      dataRoot: String,
+      quarantineRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checks.nonEmpty, "an audited ingest needs at least one check")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        auditedIngestBatch(batch.toDF(), epochId, checks, dataRoot, quarantineRoot)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[toAuditedIngest]], exposed for replay tests. */
+  private[graft] def auditedIngestBatch(
+      batch: DataFrame,
+      epochId: Long,
+      checks: Seq[graft.etl.Checks.Check],
+      dataRoot: String,
+      quarantineRoot: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(dataRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dataRoot, s"_staging_batch=$epochId")
+    batch.write.mode("overwrite").parquet(staging.toString)
+    val audit = graft.etl.Checks.audit(spark.read.parquet(staging.toString), checks)
+      .cache()
+    try {
+      val passed = audit.filter(!col("passed")).isEmpty
+      val target =
+        if (passed) new Path(dataRoot, s"batch=$epochId")
+        else new Path(quarantineRoot, s"batch=$epochId")
+      fs.mkdirs(target.getParent)
+      fs.delete(target, true) // replay overwrite contract
+      require(fs.rename(staging, target), s"rename $staging -> $target failed")
+      if (!passed)
+        audit.write.mode("overwrite")
+          .parquet(new Path(quarantineRoot, s"_audit/batch=$epochId").toString)
+    } finally audit.unpersist()
+  }
+
   final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class CepState(pending: List[(Long, String)], tail: String)
   final case class CepMatch(user_id: Long, n_new_matches: Long, matched_through: Timestamp)

@@ -523,6 +523,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(web2 == web, "a replayed epoch must leave the rollup unchanged")
   }
 
+  test("toAuditedIngest: clean batches land, poisoned batches quarantine with their audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.Checks
+    val dir = java.nio.file.Files.createTempDirectory("graft-audited")
+    val data = dir.resolve("data").toString
+    val quar = dir.resolve("quarantine").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.toAuditedIngest(
+      input.toDF().toDF("k", "s"),
+      Seq(Checks.NotNull("s"), Checks.RowCountBetween(1L, 100L)),
+      data, quar, ckpt)
+    try {
+      input.addData((1L, "a"), (2L, "b"))                 // clean
+      q.processAllAvailable()
+      input.addData((3L, null.asInstanceOf[String]))      // poisoned
+      q.processAllAvailable()
+      input.addData((4L, "d"))                            // clean again
+      q.processAllAvailable()
+    } finally q.stop()
+    // readers of dataRoot see ONLY the audited batches
+    val landed = spark.read.parquet(data).select("k").as[Long].collect().sorted.toSeq
+    assert(landed == Seq(1L, 2L, 4L))
+    // the poisoned batch is preserved byte-for-byte with its audit
+    val quarantined = spark.read.parquet(s"$quar/batch=1")
+      .select("k").as[Long].collect().toSeq
+    assert(quarantined == Seq(3L))
+    val report = spark.read.parquet(s"$quar/_audit/batch=1")
+      .filter(!col("passed")).select("check").as[String].collect().toSeq
+    assert(report == Seq("not_null(s)"))
+    // no staging debris anywhere
+    assert(!new java.io.File(data).list().exists(_.startsWith("_staging")))
+    // replaying the poisoned epoch re-lands it identically in quarantine
+    StreamOps.auditedIngestBatch(
+      Seq((3L, null.asInstanceOf[String])).toDF("k", "s"), 1L,
+      Seq(Checks.NotNull("s"), Checks.RowCountBetween(1L, 100L)), data, quar)
+    assert(spark.read.parquet(s"$quar/batch=1").count() == 1)
+    assert(spark.read.parquet(data).count() == 3)
+  }
+
   test("toPcaMomentState: streamed moments fit the same model as a one-pass batch fit") {
     implicit val sqlCtx = spark.sqlContext
     import graft.vectors.Pca
