@@ -760,6 +760,24 @@ private[graft] object RelationalQueries {
         .orderBy("depth")
     }),
 
+    // Hierarchical subtree rollup over the same div-10 customer forest:
+    // every node's subtree headcount + balance via the squared closure,
+    // summarized per depth against a recursive-CTE oracle.
+    "c51_subtree_agg" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).select(col("c_custkey").as("n"),
+        when(col("c_custkey") < 10, lit(null).cast("long"))
+          .otherwise(expr("c_custkey div 10")).as("p"),
+        col("c_acctbal"))
+      val sub = graft.graph.Hierarchy.subtreeAgg(cust, col("n"), col("p"), col("c_acctbal"))
+      val depths = graft.graph.Hierarchy.flatten(cust, col("n"), col("p"))
+        .select(col("node"), col("depth"))
+      sub.join(depths, "node")
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("n_subtree")).as("subtree_rows"),
+          round(sum(col("subtree_sum")), 2).as("subtree_bal"))
+        .orderBy("depth")
+    }),
+
     // Exact distributed running total over the full order history (no
     // single-partition window): range-sliced local prefixes + bounded
     // offset window, decimal-cast so prefix grouping is exact on both
@@ -1413,6 +1431,29 @@ private[graft] object RelationalQueries {
         |SELECT depth, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum,
         | count(DISTINCT root) AS n_roots
         |FROM h GROUP BY 1 ORDER BY depth""".stripMargin,
+
+    // The ancestor closure (self included) by recursive walk, subtree
+    // sums grouped per ancestor, summarized at each depth.
+    "c51_subtree_agg" ->
+      """WITH RECURSIVE anc(node, anc) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION ALL
+        |  SELECT a.node, c.c_custkey // 10
+        |  FROM anc a JOIN customer c ON a.anc = c.c_custkey
+        |  WHERE c.c_custkey >= 10),
+        |sub AS (SELECT a.anc AS node, count(*) AS n_subtree,
+        |    sum(c2.c_acctbal) AS s
+        |  FROM anc a JOIN customer c2 ON a.node = c2.c_custkey GROUP BY 1),
+        |h(node, depth) AS (
+        |  SELECT c_custkey, 0 FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.depth + 1
+        |  FROM customer c JOIN h ON c.c_custkey // 10 = h.node
+        |  WHERE c.c_custkey >= 10)
+        |SELECT h.depth, count(*) AS n_nodes,
+        | CAST(sum(sub.n_subtree) AS BIGINT) AS subtree_rows,
+        | round(sum(sub.s), 2) AS subtree_bal
+        |FROM sub JOIN h ON sub.node = h.node GROUP BY 1 ORDER BY depth""".stripMargin,
 
     // Same total order, same decimal-exact prefix, same yearly rollup.
     "c43_running_total" ->

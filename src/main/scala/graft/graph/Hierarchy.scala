@@ -68,4 +68,63 @@ object Hierarchy {
       when(col("done"), col("anc")).as("root"),
       when(col("done"), col("depth")).as("depth"))
   }
+
+  /** Subtree aggregation: for every node, the count and value-sum over
+    * its ENTIRE subtree (itself + all descendants) — the hierarchical
+    * rollup (org headcount, category revenue, thread size) that SQL
+    * does with a recursive CTE and Spark has no operator for.
+    *
+    * Built on the (descendant, ancestor) CLOSURE by repeated squaring:
+    * round k joins the closure to itself ((a,b) ∧ (b,c) → (a,c)), so
+    * covered path lengths double — ⌈log₂ maxDepth⌉ hash joins, the
+    * [[flatten]] discipline. The closure has O(n · avg-depth) pairs —
+    * intrinsic to the answer (every node contributes to each of its
+    * ancestors), not a construction artifact; `distinct` per round
+    * collapses the duplicate derivations squaring creates (in a tree
+    * the PAIR is unique even though its split points are not).
+    *
+    * Cycles would make the closure ill-defined, so nodes [[flatten]]
+    * cannot resolve (`root` null) are EXCLUDED from contributing and
+    * receiving — corrupt rows degrade to absent, not wrong; route them
+    * via flatten's null-root report. Dangling parents follow flatten's
+    * terminal-root convention: the referenced id itself never appears
+    * as an output node (it has no row), but its subtree members still
+    * aggregate to the nodes below it. */
+  def subtreeAgg(
+      rel: DataFrame, node: Column, parent: Column, value: Column,
+      maxDepth: Int = 1 << 20): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val resolved = flatten(rel, node, parent, maxDepth)
+      .filter(col("root").isNotNull).select(col("node").as("__ok"))
+    val base = rel.select(node.as("node"), parent.as("parent"), value.as("__v"))
+      .join(resolved, col("node") === col("__ok")).drop("__ok")
+    val edges = Lineage.truncate(base
+      .filter(col("parent").isNotNull && col("parent") =!= col("node"))
+      .select(col("node").as("desc"), col("parent").as("anc")))
+    var closure = edges
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(maxDepth.toLong)
+    var round = 0
+    var grew = true
+    var size = closure.count()
+    while (round < rounds && grew) {
+      val hop = closure.select(col("desc").as("__m"), col("anc").as("__a"))
+      closure = Lineage.truncate(closure
+        .unionByName(closure.join(hop, col("anc") === col("__m"))
+          .select(col("desc"), col("__a").as("anc")))
+        .distinct())
+      val n = closure.count()
+      grew = n > size
+      size = n
+      round += 1
+    }
+    val contributions = base.select(col("node").as("anc"), col("__v")) // self
+      .unionByName(closure.join(base.select(col("node").as("desc"), col("__v")), "desc")
+        .select(col("anc"), col("__v")))
+    // ancestors outside the validated node set (dangling parent ids)
+    // have no row of their own — inner-join back to real nodes
+    contributions
+      .join(base.select(col("node")), col("anc") === col("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_subtree"), sum(col("__v")).as("subtree_sum"))
+  }
 }

@@ -44,4 +44,45 @@ class HierarchySpec extends SparkSpec {
     assert(out(5L) == ((Some(99L), Some(1L))), "the referenced unknown id is the root statement")
     assert(out(6L) == ((Some(99L), Some(2L))))
   }
+
+  private def sub(rows: Seq[(Long, Option[Long], Double)]): Map[Long, (Long, Double)] =
+    Hierarchy.subtreeAgg(rows.toDF("n", "p", "v"), col("n"), col("p"), col("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("subtreeAgg rolls every node's full subtree up, hand-checked") {
+    //       1(10)            10(1)
+    //      /    \              |
+    //   2(20)  3(30)        11(2)
+    //            |
+    //          4(40)
+    val out = sub(Seq((1L, None, 10.0), (2L, Some(1L), 20.0), (3L, Some(1L), 30.0),
+      (4L, Some(3L), 40.0), (10L, None, 1.0), (11L, Some(10L), 2.0)))
+    assert(out(1L) == ((4L, 100.0)))
+    assert(out(3L) == ((2L, 70.0)))
+    assert(out(2L) == ((1L, 20.0)))
+    assert(out(10L) == ((2L, 3.0)))
+  }
+
+  test("subtreeAgg on a deep chain yields exact suffix sums in log rounds") {
+    val n = 300L
+    val chain = (1L to n).map(i => (i, if (i == 1) None else Some(i - 1), 1.0))
+    val out = sub(chain)
+    assert(out(1L) == ((n, n.toDouble)))
+    assert(out(150L) == ((n - 149L, (n - 149L).toDouble)))
+    assert(out(n) == ((1L, 1.0)))
+  }
+
+  test("subtreeAgg excludes cycle nodes and keeps the clean forest exact") {
+    val out = sub(Seq((1L, Some(2L), 5.0), (2L, Some(1L), 7.0), // cycle
+      (9L, None, 1.0), (10L, Some(9L), 2.0)))
+    assert(!out.contains(1L) && !out.contains(2L), "cycle nodes must be absent, not wrong")
+    assert(out(9L) == ((2L, 3.0)) && out(10L) == ((1L, 2.0)))
+  }
+
+  test("subtreeAgg under a dangling parent: members aggregate below, the phantom id has no row") {
+    val out = sub(Seq((5L, Some(99L), 1.0), (6L, Some(5L), 2.0)))
+    assert(out(5L) == ((2L, 3.0)))
+    assert(out(6L) == ((1L, 2.0)))
+    assert(!out.contains(99L))
+  }
 }
