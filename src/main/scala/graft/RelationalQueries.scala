@@ -673,6 +673,24 @@ private[graft] object RelationalQueries {
         .orderBy("win_id")
     }),
 
+    // OHLC candlestick downsampling: daily bars per event type in one
+    // partial-aggregating shuffle (open/close via min_by/max_by over
+    // the (ts, event_id) struct — no window, no per-bucket sort).
+    "c52_ohlc_bars" -> ((s, dir) => {
+      graft.operators.TimeSeries.ohlcBars(Tables.events(s, dir),
+          keys = Seq(col("event_type")), ts = col("ts"), value = col("value"),
+          bucket = "1 day", tieBreak = Seq(col("event_id")))
+        // vwap is the one order-sensitive SUM in the bar (fp summation
+        // order differs across engines and a 150-bucket run measurably
+        // lands on rounding boundaries) — it stays spec-verified; the
+        // oracle pins the exact-pick fields
+        .select(col("event_type"), col("bucket_start"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+          col("volume"))
+        .orderBy("event_type", "bucket_start")
+    }),
+
     // Sketch-scale join forecast (C42's triage sibling): theta-sketch
     // key estimates + the uniformity pairs estimate, checked IN-PLAN
     // against the exact instruments — the oracle recomputes the exact
@@ -1361,6 +1379,23 @@ private[graft] object RelationalQueries {
         |      ON ls <= re AND rs <= le)
         |SELECT win_id, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
         |FROM j GROUP BY 1 ORDER BY win_id""".stripMargin,
+
+    // First/last resolved by the same (us, event_id) order via ranked
+    // rows; vwap with unit weights is the plain mean.
+    "c52_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, value, event_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, d ORDER BY us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, d ORDER BY us DESC, event_id DESC) AS rz
+        |  FROM e)
+        |SELECT event_type, d AS bucket_start,
+        | round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,
+        | round(max(value), 4) AS high, round(min(value), 4) AS low,
+        | round(max(CASE WHEN rz = 1 THEN value END), 4) AS close,
+        | count(*) AS volume
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket_start""".stripMargin,
 
     // Exact counts recomputed; every sketch bound must hold (theta is
     // deterministic: exact below 2^12 distinct, ~1.6% RSE above).

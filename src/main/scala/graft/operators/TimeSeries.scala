@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -65,5 +65,40 @@ object TimeSeries {
     val fills = valueCols.map(c => last(col(c), ignoreNulls = true).over(w2).as(s"filled_$c"))
     base.select((k :+ col(dateCol)) ++ others.map(col) ++ fills
       :+ col("__gap").as("is_gap"): _*)
+  }
+
+  /** OHLC (candlestick) downsampling: per (`keys`, time bucket) emit
+    * open / high / low / close / volume / vwap over `value` — the
+    * canonical irregular-series → regular-bars reduction (market data,
+    * sensor rollups, metric pre-aggregation for dashboards).
+    *
+    * ONE partial-aggregating shuffle: open and close are
+    * `min_by`/`max_by` over the (ts, tieBreak...) struct — order
+    * resolves inside the aggregate with map-side combine, NO window and
+    * NO per-bucket sort, so a hot bucket costs a combiner, not a
+    * straggler task. Ties at identical timestamps break by `tieBreak`
+    * (supply a unique id for determinism — the C10 discipline).
+    * `bucket` is any Spark interval string (`"1 day"`, `"15 minutes"`).
+    * `vwap` weights by `weight` (trade size; `lit(1.0)` → plain mean);
+    * zero-total-weight buckets yield null vwap, not a division error. */
+  def ohlcBars(
+      df: DataFrame,
+      keys: Seq[Column],
+      ts: Column,
+      value: Column,
+      bucket: String,
+      tieBreak: Seq[Column] = Nil,
+      weight: Column = lit(1.0)): DataFrame = {
+    val orderKey = struct((Relational.epochMicros(ts) +: tieBreak): _*)
+    df.groupBy(keys :+ window(ts, bucket).as("__win"): _*)
+      .agg(
+        min_by(value, orderKey).as("open"),
+        max(value).as("high"),
+        min(value).as("low"),
+        max_by(value, orderKey).as("close"),
+        count(lit(1)).as("volume"),
+        (sum(value * weight) / when(sum(weight) =!= 0, sum(weight))).as("vwap"))
+      .withColumn("bucket_start", col("__win.start"))
+      .drop("__win")
   }
 }

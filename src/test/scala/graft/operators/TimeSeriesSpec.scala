@@ -67,4 +67,42 @@ class TimeSeriesSpec extends SparkSpec {
         .withColumn("is_gap", lit(false)), Seq("k"), "day", Seq("v"))
     }
   }
+
+  test("ohlcBars: open/close by event order, high/low/volume/vwap per bucket") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // day 1, key A — deliberately out of arrival order
+      ("A", ts("2024-01-01 12:00:00"), 30.0, 3L),
+      ("A", ts("2024-01-01 09:00:00"), 10.0, 1L),
+      ("A", ts("2024-01-01 18:00:00"), 20.0, 4L),
+      ("A", ts("2024-01-01 09:00:00"), 50.0, 2L), // same ts as open → tie by id
+      // day 2, key A
+      ("A", ts("2024-01-02 10:00:00"), 7.0, 5L),
+      // day 1, key B
+      ("B", ts("2024-01-01 01:00:00"), 4.0, 6L),
+      ("B", ts("2024-01-01 23:00:00"), 2.0, 7L))
+      .toDF("k", "ts", "v", "id")
+    val got = TimeSeries.ohlcBars(rows, Seq(col("k")), col("ts"), col("v"),
+        bucket = "1 day", tieBreak = Seq(col("id")))
+      .orderBy("k", "bucket_start")
+      .select("k", "open", "high", "low", "close", "volume", "vwap")
+      .as[(String, Double, Double, Double, Double, Long, Double)].collect().toList
+    assert(got == List(
+      ("A", 10.0, 50.0, 10.0, 20.0, 4L, 27.5), // open = id-1 at the tied 09:00
+      ("A", 7.0, 7.0, 7.0, 7.0, 1L, 7.0),
+      ("B", 4.0, 4.0, 2.0, 2.0, 2L, 3.0)))
+  }
+
+  test("ohlcBars: weighted vwap, and zero total weight yields null not error") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(("A", ts("2024-01-01 09:00:00"), 10.0, 3.0),
+      ("A", ts("2024-01-01 10:00:00"), 20.0, 1.0),
+      ("Z", ts("2024-01-01 09:00:00"), 5.0, 0.0))
+      .toDF("k", "ts", "v", "w")
+    val got = TimeSeries.ohlcBars(rows, Seq(col("k")), col("ts"), col("v"),
+        bucket = "1 day", weight = col("w"))
+      .select("k", "vwap").as[(String, Option[Double])].collect().toMap
+    assert(got("A").contains(12.5)) // (10·3 + 20·1) / 4
+    assert(got("Z").isEmpty)
+  }
 }
