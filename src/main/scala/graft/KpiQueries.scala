@@ -184,6 +184,19 @@ private[graft] object KpiQueries {
     // support / directional confidence / lift — distinct collapse,
     // size-capped basket self-join (the mega-basket Zipf guard),
     // marginal join-back, top pairs by lift.
+    // ABC / Pareto revenue triage: customers ranked by decimal-exact
+    // revenue, cumulative share via the C43 distributed prefix (no
+    // single-partition window over the customer table), 80/95 cuts.
+    "b19_abc" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("rev"))
+      graft.operators.Ranking.abcClassification(rev, col("o_custkey"), col("rev"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("total"), 2).cast("double").as("class_revenue"))
+        .orderBy("abc_class")
+    }),
+
     "b17_basket_lift" -> ((s, dir) => {
       graft.analytics.Basket.coOccurrence(Tables.lineitem(s, dir),
           basket = col("l_orderkey"), item = col("l_partkey"), minSupport = 2)
@@ -374,6 +387,21 @@ private[graft] object KpiQueries {
         |FROM r""".stripMargin,
 
     // Same distinct collapse, cap, joint/marginal algebra; both sides
+    // Same decimal totals, same (total DESC, key) cum order, same cuts.
+    "b19_abc" ->
+      """WITH t AS (SELECT o_custkey AS k,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT sum(total) AS grand FROM t),
+        |r AS (SELECT k, total, sum(total) OVER (ORDER BY total DESC, k
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+        |c AS (SELECT total,
+        |    CAST(cum AS DOUBLE) / CAST(g.grand AS DOUBLE) AS cs FROM r, g)
+        |SELECT CASE WHEN cs <= 0.8 THEN 'A' WHEN cs <= 0.95 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        | count(*) AS n_customers, round(sum(total), 2) AS class_revenue
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // order on the ROUNDED lift with the pair as tie-break.
     "b17_basket_lift" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),

@@ -171,4 +171,29 @@ object Ranking {
         round(col("__total") / col("__grand"), 4).as("share"),
         round(col("__cum") / col("__grand"), 4).as("cum_share"))
   }
+
+  /** ABC / Pareto classification: rank keys by their value total
+    * descending, accumulate the share of the grand total, and bucket
+    * into A (cum share ≤ `aCut`), B (≤ `bCut`), C (rest) — the 80/20
+    * inventory-and-revenue triage. Cumulation is [[runningAgg]]'s
+    * range-sliced distributed prefix (NO single-partition window over
+    * the key table — at 10^9 customers that window is the whole
+    * point of failure), grand total a one-row broadcast. Ties in the
+    * total break by key for a deterministic, SQL-mirrorable order. For
+    * exact cumulative shares at scale pass a decimal-cast `value`
+    * (the [[runningAgg]] float-prefix caveat). */
+  def abcClassification(df: DataFrame, key: Column, value: Column,
+      aCut: Double = 0.80, bCut: Double = 0.95): DataFrame = {
+    require(aCut > 0 && aCut < bCut && bCut < 1.0,
+      s"need 0 < aCut < bCut < 1, got aCut=$aCut bCut=$bCut")
+    val totals = df.groupBy(key.as("key")).agg(sum(value).as("total"))
+    val grand = totals.agg(sum(col("total")).as("__grand"))
+    runningAgg(totals, Seq(col("total").desc, col("key").asc), col("total"))
+      .crossJoin(broadcast(grand))
+      .withColumn("cum_share", col("running") / col("__grand"))
+      .select(col("key"), col("total"), col("cum_share"),
+        when(col("cum_share") <= aCut, "A")
+          .when(col("cum_share") <= bCut, "B")
+          .otherwise("C").as("abc_class"))
+  }
 }

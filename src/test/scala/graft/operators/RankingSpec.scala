@@ -113,4 +113,23 @@ class RankingSpec extends SparkSpec {
       Ranking.ntileExact(df, Seq(col("id").asc), 2, "r")
     }
   }
+
+  test("abcClassification: cumulative cuts land exactly, boundaries inclusive") {
+    // totals 50/30/15/5 → cum shares .5, .8, .95, 1.0 — the first two
+    // are A (≤ .80 inclusive), the third exactly hits the B cut
+    val rows = Seq(("w", 20.0), ("w", 30.0), ("x", 30.0), ("y", 15.0), ("z", 5.0))
+      .toDF("k", "v").select(col("k"), col("v").cast("decimal(18,2)").as("v"))
+    val got = Ranking.abcClassification(rows, col("k"), col("v"))
+      .select("key", "abc_class").as[(String, String)].collect().toMap
+    assert(got == Map("w" -> "A", "x" -> "A", "y" -> "B", "z" -> "C"))
+    // ties in the total break by key: both 10-total keys rank b before c
+    val tied = Seq(("a", 80.0), ("b", 10.0), ("c", 10.0)).toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(18,2)").as("v"))
+    val t = Ranking.abcClassification(tied, col("k"), col("v"), aCut = 0.85, bCut = 0.92)
+      .select("key", "abc_class").as[(String, String)].collect().toMap
+    assert(t == Map("a" -> "A", "b" -> "B", "c" -> "C"))
+    intercept[IllegalArgumentException] {
+      Ranking.abcClassification(rows, col("k"), col("v"), aCut = 0.9, bCut = 0.8)
+    }
+  }
 }

@@ -30,6 +30,7 @@ class LintSurfaceSpec extends SparkSpec {
     "c15b_equidepth" -> Map("GLOBAL_WINDOW" -> 2),
     // runningAgg's offset window runs over ≤ numShufflePartitions slice
     // totals — the liftTable bounded class
+    "b19_abc" -> Map("GLOBAL_WINDOW" -> 1),
     "c43_running_total" -> Map("GLOBAL_WINDOW" -> 1),
     "c44_skyline" -> Map("GLOBAL_WINDOW" -> 1),
     "d23_ann_ivf" -> Map("NESTED_LOOP" -> 2, "GLOBAL_WINDOW" -> 2),
