@@ -28,6 +28,37 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("bucket_start"), col(groupCol), col("n"), col("sum_value"))
 
+  /** E30 — streaming OHLC bars, the live
+    * [[graft.operators.TimeSeries.ohlcBars]]: one finalized candlestick
+    * per (key, bucket) once the watermark closes the window. The same
+    * single-aggregate shape as [[windowedAgg]] — open/close are
+    * `min_by`/`max_by` over the (event-time, tieBreak) struct, which
+    * streaming hash aggregation maintains incrementally in (window ×
+    * key)-bounded state; late-but-within-watermark events fold into
+    * the right bar in their true event-time position, and the bar
+    * emits exactly once in append mode when the watermark passes the
+    * window end. */
+  def streamingOhlcBars(
+      events: DataFrame,
+      ts: String,
+      watermark: String,
+      bucket: String,
+      groupCol: String,
+      valueCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val orderKey = struct((unix_micros(col(ts)) +: tieBreak.map(col)): _*)
+    events.withWatermark(ts, watermark)
+      .groupBy(window(col(ts), bucket), col(groupCol))
+      .agg(
+        min_by(col(valueCol), orderKey).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), orderKey).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("window.start").as("bucket_start"), col(groupCol),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, n_events: Long, duration_sec: Long, sum_value: Double)

@@ -30,6 +30,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingOhlcBars: bars finalize once per window with event-time open/close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val bars = StreamOps.streamingOhlcBars(
+      input.toDF().toDF("ts", "sym", "price", "seq"),
+      ts = "ts", watermark = "0 seconds", bucket = "1 hour",
+      groupCol = "sym", valueCol = "price", tieBreak = Seq("seq"))
+    val q = bars.writeStream.format("memory").queryName("ohlc")
+      .outputMode("append").start()
+    try {
+      // hour 10 arrives OUT of event-time order across two batches
+      input.addData(
+        (ts("2024-01-01 10:40:00"), "A", 30.0, 2L),
+        (ts("2024-01-01 10:10:00"), "A", 10.0, 1L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:50:00"), "A", 5.0, 3L))
+      q.processAllAvailable()
+      assert(spark.table("ohlc").count() == 0, "open window must not emit yet")
+      // watermark passes 11:00 → the hour-10 bar finalizes exactly once
+      input.addData((ts("2024-01-01 11:20:00"), "A", 99.0, 4L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:30:00"), "A", 98.0, 5L))
+      q.processAllAvailable()
+      val got = spark.table("ohlc")
+        .select("sym", "open", "high", "low", "close", "volume")
+        .as[(String, Double, Double, Double, Double, Long)].collect().toSeq
+      assert(got == Seq(("A", 10.0, 30.0, 5.0, 5.0, 3L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("sessionize: gap timeout closes sessions and emits stats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionEvent]
