@@ -853,6 +853,23 @@ private[graft] object DataQueries {
         .select(col("n"), round(col("tr"), 4).as("trace"), round(col("fr"), 4).as("frob2"))
     }),
 
+    // Semantic (embedding-space) contamination with IN-PLAN planted
+    // leaks: scaled copies of the eval vectors (cosine exactly 1 —
+    // scaling is cosine-invariant) hide among the train slice; the
+    // detector must flag exactly the planted pairs, since the natural
+    // cross-slice cosine ceiling sits far below the threshold.
+    "d81_semantic_contam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val evalSet = emb.filter(col("vec_id") < 25)
+      val planted = evalSet.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"), col("label"))
+      val train = emb.filter(col("vec_id") >= 25).unionByName(planted)
+      graft.similarity.Ann.contaminationPairs(train, evalSet, "vec_id", "embedding",
+          threshold = 0.95)
+        .select(col("cid"), col("eval_id"), round(col("cos"), 4).as("cosine"))
+        .orderBy("eval_id")
+    }),
+
     // N-gram novelty of a held-out slice against the remaining corpus:
     // the memorization/overlap audit per source. Exact path (gram-hash
     // joins, md5-60 keys) so the oracle mirrors bit-for-bit.
@@ -2246,6 +2263,21 @@ private[graft] object DataQueries {
         |       round(sum(CASE WHEN i = j THEN cv ELSE 0 END), 4) AS trace,
         |       round(sum(cv * cv), 4) AS frob2
         |FROM c""".stripMargin,
+
+    // The oracle replays the plant and the full cross scan: only the
+    // planted (q+100000, q) pairs clear the threshold, at cosine 1.
+    "d81_semantic_contam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 25),
+        |t AS (SELECT vec_id, v FROM e WHERE vec_id >= 25
+        |      UNION ALL
+        |      SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM q),
+        |p AS (SELECT t.vec_id AS cid, q.vec_id AS eval_id,
+        |    list_cosine_similarity(t.v, q.v) AS cos
+        |  FROM t, q WHERE t.vec_id <> q.vec_id)
+        |SELECT cid, eval_id, round(cos, 4) AS cosine
+        |FROM p WHERE cos >= 0.95 ORDER BY eval_id""".stripMargin,
 
     // Same normalize/split/3-gram/distinct/md5-60 derivation; novelty
     // recomputed per doc then averaged per source.

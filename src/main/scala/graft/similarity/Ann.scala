@@ -344,6 +344,37 @@ object Ann {
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"), col("rank"))
   }
 
+  /** Semantic contamination pairs: every (corpus, eval) pair with
+    * cosine ≥ `threshold` — the EMBEDDING-space complement of D25's
+    * n-gram decontamination (a paraphrased eval item shares no 13-gram
+    * with its source; its embedding still sits next to it). The eval
+    * set is benchmark-sized by construction, so it BROADCASTS and the
+    * corpus streams through untouched — zero corpus shuffle, |corpus|
+    * × |eval| dot products map-side (the d58 hardNegatives shape; at
+    * 10^10 docs × 10^4 eval items, switch the corpus side to
+    * [[ivfAssign]] lists and probe like [[hardNegativesIvf]] if the
+    * dot-product budget bites). Same-id pairs are excluded. */
+  def contaminationPairs(corpus: DataFrame, evalSet: DataFrame, id: String, vec: String,
+                         threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val c = vecTable(corpus, id, vec, "cid", "cv", "__cn")
+    val q = vecTable(evalSet, id, vec, "eval_id", "qv", "__qn")
+    c.join(broadcast(q), col("eval_id") =!= col("cid"))
+      .withColumn("cos", VectorOps.cosineWithNorms(col("cv"), col("qv"), col("__cn"), col("__qn")))
+      .filter(col("cos") >= threshold)
+      .select(col("cid"), col("eval_id"), col("cos"))
+  }
+
+  /** The corpus with every contaminated document removed (anti-join on
+    * the flagged ids) — drop-in leakage guard in front of a training
+    * split. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame, id: String, vec: String,
+                            threshold: Double): DataFrame =
+    corpus.join(
+      contaminationPairs(corpus, evalSet, id, vec, threshold)
+        .select(col("cid")).distinct(),
+      corpus(id) === col("cid"), "left_anti")
+
   /** IVF-PQ ANN — the standard billion-vector layout: coarse inverted
     * lists ([[ivfCentroids]]/[[ivfAssign]]) whose entries are
     * [[graft.vectors.Pq]] CODES, not vectors. The index row is

@@ -41,6 +41,8 @@ class LintSurfaceSpec extends SparkSpec {
     "d55_temperature_mix" -> Map("GLOBAL_WINDOW" -> 1),
     "d58_hard_negatives" -> Map("NESTED_LOOP" -> 1),
     "d5_ann_bruteforce" -> Map("NESTED_LOOP" -> 1),
+    // broadcast eval set × corpus scan — the d58 bounded-sweep class
+    "d81_semantic_contam" -> Map("NESTED_LOOP" -> 1),
     "d60_balanced_shards" -> Map("GLOBAL_WINDOW" -> 1),
     "d64_hybrid_rrf" -> Map("NESTED_LOOP" -> 1),
     "d65_label_cohesion" -> Map("NESTED_LOOP" -> 1))

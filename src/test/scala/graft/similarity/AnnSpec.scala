@@ -420,4 +420,22 @@ class AnnSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(bad == Map(7L -> "zero_norm", 8L -> "non_finite_component", 9L -> "null_vector"))
   }
+
+  test("contaminationPairs flags scaled copies (cosine-invariant) and nothing orthogonal") {
+    val evalSet = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(3.0f, 0.0f, 0.0f, 0.0f)),   // scaled copy → cosine 1
+      (2L, Array(0.9f, 0.5f, 0.0f, 0.0f)),   // cos ≈ 0.874 < 0.95
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val pairs = Ann.contaminationPairs(corpus, evalSet, "vec_id", "embedding", 0.95)
+      .select("cid", "eval_id").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 100L)))
+    val clean = Ann.semanticDecontaminate(corpus, evalSet, "vec_id", "embedding", 0.95)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(2L, 3L), "only the contaminated doc is removed")
+    intercept[IllegalArgumentException] {
+      Ann.contaminationPairs(corpus, evalSet, "vec_id", "embedding", 0.0)
+    }
+  }
 }
