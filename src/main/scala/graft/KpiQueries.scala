@@ -184,6 +184,17 @@ private[graft] object KpiQueries {
     // support / directional confidence / lift — distinct collapse,
     // size-capped basket self-join (the mega-basket Zipf guard),
     // marginal join-back, top pairs by lift.
+    // Cramér's V association between event type and day-of-week —
+    // the categorical sibling of c36's correlation matrix, with the
+    // closed-form empty-cell χ² correction.
+    "b20_cramers_v" -> ((s, dir) => {
+      graft.analytics.Stats.cramersV(Tables.events(s, dir),
+          col("event_type"), dayofweek(col("ts")))
+        .select(col("n"), col("r"), col("c"),
+          round(col("chi2"), 4).as("chi2"),
+          round(col("cramers_v"), 4).as("cramers_v"))
+    }),
+
     // ABC / Pareto revenue triage: customers ranked by decimal-exact
     // revenue, cumulative share via the C43 distributed prefix (no
     // single-partition window over the customer table), 80/95 cuts.
@@ -387,6 +398,26 @@ private[graft] object KpiQueries {
         |FROM r""".stripMargin,
 
     // Same distinct collapse, cap, joint/marginal algebra; both sides
+    // Same contingency closed form (observed χ² + (n − Σ observed e));
+    // DuckDB dayofweek is 0-based where Spark's is 1-based.
+    "b20_cramers_v" ->
+      """WITH x AS (SELECT event_type AS a,
+        |    dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS b FROM events),
+        |cells AS (SELECT a, b, count(*) AS o FROM x GROUP BY 1, 2),
+        |r AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+        |c AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells),
+        |j AS (SELECT o, ra * cb / t.n AS e
+        |  FROM cells JOIN r USING (a) JOIN c USING (b), t),
+        |s AS (SELECT sum((o - e) * (o - e) / e) AS chio, sum(e) AS sume FROM j)
+        |SELECT CAST(t.n AS BIGINT) AS n,
+        | (SELECT count(*) FROM r) AS r, (SELECT count(*) FROM c) AS c,
+        | round(chio + (t.n - sume), 4) AS chi2,
+        | round(sqrt((chio + (t.n - sume)) /
+        |   (t.n * (least((SELECT count(*) FROM r), (SELECT count(*) FROM c)) - 1))), 4)
+        |   AS cramers_v
+        |FROM s, t""".stripMargin,
+
     // Same decimal totals, same (total DESC, key) cum order, same cuts.
     "b19_abc" ->
       """WITH t AS (SELECT o_custkey AS k,

@@ -71,4 +71,40 @@ object Stats {
     base.select(groupBy ++ Seq(col("n")) ++ corrs
       ++ pairs.map { case (a, b) => col(s"cov_${a}_$b") }: _*)
   }
+
+  /** Cramér's V association between two CATEGORICAL columns — the
+    * categorical sibling of [[correlationMatrix]] (chi² rescaled to
+    * [0,1]: 0 independent, 1 perfectly determined). One corpus pass
+    * builds the contingency cells; row totals, column totals, n, and
+    * χ² all derive FROM the cells (metadata-scale — cardinality², not
+    * corpus rows; keep the columns low-cardinality, the contingency
+    * contract). Empty cells contribute their expected count to χ²
+    * WITHOUT being materialized: Σ_all expected = n, so
+    * χ² = Σ_observed (o−e)²/e + (n − Σ_observed e) — the closed form
+    * sidesteps generating the r×c − observed zero cells entirely.
+    * Null categories are their own level (nulls associate too); a
+    * single-level column has no association to measure → V null. */
+  def cramersV(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__o"))
+    val rows = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colsT = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+    val tot = cells.agg(sum("__o").as("__n")) // one-row scalar carrier
+    val e = col("__ra") * col("__cb") / col("__n")
+    cells
+      .join(broadcast(rows), Seq("__a"))
+      .join(broadcast(colsT), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("__n")).as("n"),
+        countDistinct(col("__a")).as("r"),
+        countDistinct(col("__b")).as("c"),
+        sum((col("__o") - e) * (col("__o") - e) / e).as("__chi_obs"),
+        sum(e).as("__sum_e"))
+      .select(col("n"), col("r"), col("c"),
+        (col("__chi_obs") + (col("n") - col("__sum_e"))).as("chi2"),
+        when(least(col("r"), col("c")) > 1,
+          sqrt((col("__chi_obs") + (col("n") - col("__sum_e"))) /
+            (col("n") * (least(col("r"), col("c")) - 1))))
+          .as("cramers_v"))
+  }
 }

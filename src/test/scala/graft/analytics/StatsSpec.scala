@@ -56,4 +56,37 @@ class StatsSpec extends SparkSpec {
       Stats.gini(df, col("v"), Seq(col("id"))).collect()
     }
   }
+
+  test("cramersV: perfect association is 1, independence is 0") {
+    val perfect = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q"))).toDF("a", "b")
+    val p = Stats.cramersV(perfect, col("a"), col("b"))
+      .select("n", "chi2", "cramers_v").as[(Long, Double, Double)].head()
+    assert(p._1 == 20L && math.abs(p._2 - 20.0) < 1e-9 && math.abs(p._3 - 1.0) < 1e-9)
+
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val i = Stats.cramersV(indep, col("a"), col("b"))
+      .select("chi2", "cramers_v").as[(Double, Double)].head()
+    assert(math.abs(i._1) < 1e-9 && math.abs(i._2) < 1e-9)
+  }
+
+  test("cramersV: empty cells contribute their expected count via the closed form") {
+    // cells (A,1)=10, (A,2)=10, (B,1)=10, (B,2) EMPTY
+    // e = 13.33/6.67/6.67/3.33 → χ² = 4.1667 + 3.3333 = 7.5, V = √(7.5/30) = 0.5
+    val df = (Seq.fill(10)(("A", 1)) ++ Seq.fill(10)(("A", 2)) ++ Seq.fill(10)(("B", 1)))
+      .toDF("a", "b")
+    val r = Stats.cramersV(df, col("a"), col("b"))
+      .select("n", "r", "c", "chi2", "cramers_v")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r._1 == 30L && r._2 == 2L && r._3 == 2L)
+    assert(math.abs(r._4 - 7.5) < 1e-9, s"chi2=${r._4}")
+    assert(math.abs(r._5 - 0.5) < 1e-9)
+  }
+
+  test("cramersV: a single-level column yields null V, not a division error") {
+    val df = Seq(("only", "p"), ("only", "q")).toDF("a", "b")
+    val r = Stats.cramersV(df, col("a"), col("b"))
+      .select("cramers_v").as[Option[Double]].head()
+    assert(r.isEmpty)
+  }
 }
