@@ -853,6 +853,17 @@ private[graft] object DataQueries {
         .select(col("n"), round(col("tr"), 4).as("trace"), round(col("fr"), 4).as("frob2"))
     }),
 
+    // Margin-based aligned-pair mining across label groups (the LASER
+    // bitext criterion): cosine rescaled by both endpoints' top-k
+    // neighborhood density — hub-proof where a raw cosine cut is not.
+    "d82_margin_pairs" -> ((s, dir) => {
+      graft.similarity.Mining.marginPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", 0, 1, k = 4, minMargin = 1.05)
+        .select(col("a_id"), col("b_id"),
+          round(col("cos"), 4).as("cosine"), round(col("margin"), 4).as("margin"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Semantic (embedding-space) contamination with IN-PLAN planted
     // leaks: scaled copies of the eval vectors (cosine exactly 1 —
     // scaling is cosine-invariant) hide among the train slice; the
@@ -2263,6 +2274,27 @@ private[graft] object DataQueries {
         |       round(sum(CASE WHEN i = j THEN cv ELSE 0 END), 4) AS trace,
         |       round(sum(cv * cv), 4) AS frob2
         |FROM c""".stripMargin,
+
+    // Same cross-group scores, same deterministic top-k tie order,
+    // same background averages and margin ratio.
+    "d82_margin_pairs" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, v FROM e WHERE label = 0),
+        |b AS (SELECT vec_id AS b_id, v FROM e WHERE label = 1),
+        |s AS (SELECT a_id, b_id, list_cosine_similarity(a.v, b.v) AS cos FROM a, b),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS ra,
+        |    row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rb
+        |  FROM s),
+        |g AS (SELECT *,
+        |    avg(CASE WHEN ra <= 4 THEN cos END) OVER (PARTITION BY a_id) AS bga,
+        |    avg(CASE WHEN rb <= 4 THEN cos END) OVER (PARTITION BY b_id) AS bgb
+        |  FROM r),
+        |m AS (SELECT a_id, b_id, cos, cos / ((bga + bgb) / 2) AS margin
+        |  FROM g WHERE (bga + bgb) / 2 > 0)
+        |SELECT a_id, b_id, round(cos, 4) AS cosine, round(margin, 4) AS margin
+        |FROM m WHERE margin >= 1.05 ORDER BY a_id, b_id""".stripMargin,
 
     // The oracle replays the plant and the full cross scan: only the
     // planted (q+100000, q) pairs clear the threshold, at cosine 1.

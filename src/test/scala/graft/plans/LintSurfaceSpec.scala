@@ -43,6 +43,9 @@ class LintSurfaceSpec extends SparkSpec {
     "d5_ann_bruteforce" -> Map("NESTED_LOOP" -> 1),
     // broadcast eval set × corpus scan — the d58 bounded-sweep class
     "d81_semantic_contam" -> Map("NESTED_LOOP" -> 1),
+    // broadcast group-B × group-A candidate scores (IVF is the scale
+    // path) — the d5 bounded-sweep class
+    "d82_margin_pairs" -> Map("NESTED_LOOP" -> 1),
     "d60_balanced_shards" -> Map("GLOBAL_WINDOW" -> 1),
     "d64_hybrid_rrf" -> Map("NESTED_LOOP" -> 1),
     "d65_label_cohesion" -> Map("NESTED_LOOP" -> 1))
