@@ -673,6 +673,43 @@ private[graft] object RelationalQueries {
         .orderBy("win_id")
     }),
 
+    // 2-D radius join on deterministic synthetic coordinates (modular
+    // residues of the keys — exactly mirrorable): customer × supplier
+    // proximity pairs, histogrammed by integer squared distance.
+    "c53_radius_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).select(col("c_custkey").as("cid"),
+        (col("c_custkey") % 97).as("cx"), ((col("c_custkey") * 7) % 89).as("cy"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey").as("sid"),
+        (col("s_suppkey") % 97).as("sx"), ((col("s_suppkey") * 11) % 89).as("sy"))
+      Relational.radiusJoin2D(cust, supp,
+          col("cx"), col("cy"), col("sx"), col("sy"), radius = 5.0, cellSize = 5.0)
+        .withColumn("d2", (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+          (col("cy") - col("sy")) * (col("cy") - col("sy")))
+        .groupBy(expr("d2 div 5").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("cid") + col("sid")).as("id_sum"))
+        .orderBy("bucket")
+    }),
+
+    // Exact weighted quantiles: the price below which 25/50/75/95% of
+    // shipped QUANTITY (not line count) lives — per-distinct-value
+    // weight reduce, distributed prefix CDF, broadcast probability
+    // table; decimal weights so both engines' prefix sums are exact.
+    "c54_weighted_quantiles" -> ((s, dir) => {
+      Ranking.weightedQuantiles(Tables.lineitem(s, dir),
+          col("l_extendedprice"), col("l_quantity").cast("decimal(18,2)"),
+          Seq(0.25, 0.5, 0.75, 0.95), as = "wq_price")
+        .orderBy("p")
+    }),
+
+    // Wide→long reshape (pandas melt / ANSI UNPIVOT): part measures to
+    // a (key, metric, value) triple table — narrow Expand, zero shuffle.
+    "c55_melt" -> ((s, dir) => {
+      Relational.melt(Tables.part(s, dir), ids = Seq("p_partkey"),
+          values = Seq("p_size", "p_retailprice"),
+          varName = "metric", valueName = "value")
+        .orderBy("p_partkey", "metric")
+    }),
+
     // OHLC candlestick downsampling: daily bars per event type in one
     // partial-aggregating shuffle (open/close via min_by/max_by over
     // the (ts, event_id) struct — no window, no per-bucket sort).
@@ -1379,6 +1416,46 @@ private[graft] object RelationalQueries {
         |      ON ls <= re AND rs <= le)
         |SELECT win_id, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
         |FROM j GROUP BY 1 ORDER BY win_id""".stripMargin,
+
+    // The naive distance join at oracle scale; all-integer outputs.
+    "c53_radius_join" ->
+      """WITH c AS (SELECT c_custkey AS cid, c_custkey % 97 AS cx,
+        |    (c_custkey * 7) % 89 AS cy FROM customer),
+        |s AS (SELECT s_suppkey AS sid, s_suppkey % 97 AS sx,
+        |    (s_suppkey * 11) % 89 AS sy FROM supplier),
+        |p AS (SELECT cid, sid,
+        |    (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+        |  FROM c, s
+        |  WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 25)
+        |SELECT d2 // 5 AS bucket, count(*) AS n_pairs,
+        | CAST(sum(cid + sid) AS BIGINT) AS id_sum
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // The same inclusive-cumulative-weight CDF via a sequential window.
+    "c54_weighted_quantiles" ->
+      """WITH g AS (SELECT l_extendedprice AS v,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0 GROUP BY 1),
+        |c AS (SELECT v,
+        |    sum(w) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    (SELECT sum(w) FROM g) AS tw
+        |  FROM g)
+        |SELECT t.p, min(c.v) AS wq_price
+        |FROM c CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p) t
+        |WHERE c.cw >= t.p * c.tw
+        |GROUP BY t.p ORDER BY t.p""".stripMargin,
+
+    // UNION ALL is the declarative unpivot; int measure cast to the
+    // same promoted double the engine picks.
+    "c55_melt" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+        |FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     // First/last resolved by the same (us, event_id) order via ranked
     // rows; vwap with unit weights is the plain mean.

@@ -172,6 +172,44 @@ object Ranking {
         round(col("__cum") / col("__grand"), 4).as("cum_share"))
   }
 
+  /** Exact weighted quantiles over a global order: for each requested
+    * probability `p`, the smallest value whose INCLUSIVE cumulative
+    * weight reaches `p · totalWeight` (the weighted lower quantile —
+    * with unit weights and p=0.5 this is the classic lower median, and
+    * `percentile_disc` semantics in general). The workhorse for
+    * token-weighted corpus statistics ("the document length below which
+    * half the TOKENS live" — very different from the unweighted median
+    * when length and weight correlate).
+    *
+    * Distributed exactly, never a single-partition sort: values reduce
+    * to per-distinct-value weight totals (one partial-aggregating
+    * shuffle absorbs duplicate values map-side), [[runningAgg]] turns
+    * them into inclusive cumulative weights with its range-sliced
+    * prefix scheme, and the ≤|ps|-row probability table plus the
+    * one-row grand total broadcast against the cumulative table — the
+    * final per-p `min` is a partial aggregate. Rows with null value,
+    * null weight, or weight ≤ 0 are excluded (a non-positive weight has
+    * no place on a CDF). For float weights at extreme scale pass a
+    * decimal-cast `weight` (the [[runningAgg]] float-prefix caveat). */
+  def weightedQuantiles(df: DataFrame, value: Column, weight: Column,
+      ps: Seq[Double], as: String = "quantile"): DataFrame = {
+    require(ps.nonEmpty, "weightedQuantiles needs at least one probability")
+    require(ps.forall(p => p > 0.0 && p <= 1.0),
+      s"probabilities must lie in (0, 1], got $ps")
+    require(ps.distinct.size == ps.size, s"duplicate probabilities in $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.filter(value.isNotNull && weight.isNotNull && weight > 0)
+      .groupBy(value.as("__wq_v")).agg(sum(weight).as("__wq_w"))
+    val cum = runningAgg(g, Seq(col("__wq_v").asc), col("__wq_w"),
+      agg = "sum", as = "__wq_cw")
+    val grand = g.agg(sum(col("__wq_w")).as("__wq_tw"))
+    val pTab = ps.toDF("p")
+    cum.crossJoin(broadcast(grand)).crossJoin(broadcast(pTab))
+      .filter(col("__wq_cw") >= col("p") * col("__wq_tw"))
+      .groupBy(col("p")).agg(min(col("__wq_v")).as(as))
+  }
+
   /** ABC / Pareto classification: rank keys by their value total
     * descending, accumulate the share of the grand total, and bucket
     * into A (cum share ≤ `aCut`), B (≤ `bCut`), C (rest) — the 80/20

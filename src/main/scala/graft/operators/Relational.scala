@@ -304,6 +304,72 @@ object Relational {
       .drop("__bin")
   }
 
+  /** 2-D radius (spatial distance) join: every (left, right) pair with
+    * euclidean distance ≤ `radius` — the proximity join (store ↔
+    * customer, sensor ↔ asset, point-cloud neighbors) that naively is
+    * a cartesian with a `sqrt` filter.
+    *
+    * Grid-cell binning makes it an equi-join: the plane is tiled into
+    * `cellSize`-square cells; each LEFT point keys by its own cell,
+    * each RIGHT point replicates to its 3×3 cell neighborhood, and the
+    * join on the cell id shuffles both sides grid-locally. With
+    * `cellSize ≥ radius` (enforced) any pair within `radius` differs by
+    * at most one cell per axis, so the left point's own cell always
+    * sees the right point's replica — each qualifying pair meets
+    * EXACTLY once (the [[rangeJoin]] no-dedup discipline: the left side
+    * never replicates) and the exact distance is re-checked post-join.
+    * Right-side replication is a constant 9×; pick `cellSize` ≈ the
+    * radius so candidate cells hold few strangers. Skewed hot cells
+    * (urban cores) are AQE-splittable like any hot equi-key. */
+  def radiusJoin2D(
+      left: DataFrame, right: DataFrame,
+      lx: Column, ly: Column,
+      rx: Column, ry: Column,
+      radius: Double, cellSize: Double): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    require(cellSize >= radius,
+      s"cellSize ($cellSize) must be >= radius ($radius) for 3x3-neighborhood completeness")
+    require(!left.columns.contains("__cell") && !right.columns.contains("__cell"),
+      "radiusJoin2D reserves column '__cell'; rename the input column")
+    def cellOf(x: Column, y: Column): Column =
+      concat_ws(":", floor(x / cellSize).cast("long"), floor(y / cellSize).cast("long"))
+    val l = left.withColumn("__cell", cellOf(lx, ly))
+    val r = right.withColumn("__cell", explode(array((for {
+      dx <- -1 to 1; dy <- -1 to 1
+    } yield concat_ws(":",
+        (floor(rx / cellSize) + dx).cast("long"),
+        (floor(ry / cellSize) + dy).cast("long"))): _*)))
+    l.join(r, "__cell")
+      .filter((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry) <= radius * radius)
+      .drop("__cell")
+  }
+
+  /** Wide→long reshape — pandas `melt` / ANSI `UNPIVOT`: each input row
+    * becomes one row per entry of `values`, keyed by the `ids` columns
+    * plus a `varName` label column. The inverse of the C7 pivot, and
+    * the step every metrics sink ("one row per (entity, metric_name,
+    * metric_value)") needs in front of it.
+    *
+    * Planned as Spark's native `Expand` (one Generate-like narrow map
+    * emitting k rows per input row) — NO shuffle, NO join, pure row
+    * amplification local to the scan partition, so it scales to any
+    * corpus width×depth; the k× output volume is the semantics, not a
+    * plan defect. Value columns are promoted to their least common type
+    * by the engine (int + double → double); incompatible mixes fail at
+    * analysis, not silently. `dropNulls = true` drops rows whose
+    * measure is null (pandas-melt-with-dropna), applied AFTER the
+    * reshape so a null in one measure never suppresses its siblings. */
+  def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
+      varName: String = "variable", valueName: String = "value",
+      dropNulls: Boolean = false): DataFrame = {
+    require(values.nonEmpty, "melt needs at least one value column")
+    require(!(ids ++ values).contains(varName) && !(ids ++ values).contains(valueName),
+      s"melt output columns '$varName'/'$valueName' collide with an input column")
+    val out = df.unpivot(ids.map(col).toArray, values.map(col).toArray,
+      varName, valueName)
+    if (dropNulls) out.filter(col(valueName).isNotNull) else out
+  }
+
   /** Salted equi-join for skewed keys when the build side cannot
     * broadcast: each fact row gets a deterministic salt in [0, nSalts)
     * (hash of the whole row — no RNG, reproducible), the dim side

@@ -37,11 +37,24 @@ object PlanLint {
     * reading all 3 columns of a 3-column table is not a smell. */
   val WideScanColumns = 6
 
+  /** Maximum row count for a LITERAL local relation to count as a
+    * bounded nested-loop side: a BNLJ against a ≤64-row literal table
+    * (a probability grid, a bin-edge list, a parameter sweep) is a
+    * bounded constant fan-out — linear in the data side, the same cost
+    * class as binning replication — not an O(n·m) pair sweep. The row
+    * count is known at PLAN time (the rows are literals), so this never
+    * mistakes a small-today data table for a constant. */
+  val BoundedLocalRows = 64
+
   def lint(df: DataFrame): Seq[Finding] = walk(df.queryExecution.sparkPlan)
 
-  /** Does this subtree produce exactly one row (a grouping-free global
-    * aggregate, possibly under exchanges/projections)? */
+  /** Does this subtree produce a plan-time-bounded row count: exactly
+    * one row (a grouping-free global aggregate, possibly under
+    * exchanges/projections) or a ≤[[BoundedLocalRows]] literal local
+    * relation? */
   private def oneRowPlan(p: SparkPlan): Boolean = p match {
+    case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+      l.rows.lengthCompare(BoundedLocalRows) <= 0
     case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
       h.groupingExpressions.isEmpty
     case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>

@@ -114,6 +114,36 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("weightedQuantiles matches the naive CDF definition, ties and all") {
+    // values with duplicate entries (weights must merge) and a heavy tail
+    val rows = Seq((1.0, 2.0), (1.0, 1.0), (2.0, 3.0), (5.0, 3.0), (9.0, 1.0))
+      .toDF("v", "w") // merged CDF: 1→3, 2→6, 5→9, 9→10 of W=10
+    val ps = Seq(0.1, 0.3, 0.5, 0.6, 0.9, 1.0)
+    val got = Ranking.weightedQuantiles(rows, col("v"), col("w"), ps, "q")
+      .as[(Double, Double)].collect().toMap
+    val want = Map(0.1 -> 1.0, 0.3 -> 1.0, 0.5 -> 2.0, 0.6 -> 2.0,
+      0.9 -> 5.0, 1.0 -> 9.0) // p=1 is the max; cw≥p·W boundaries inclusive
+    assert(got == want)
+    // unit weights ≡ percentile_disc: smallest v with rank ≥ ceil(p·n)
+    val u = spark.range(1, 101).select(col("id").cast("double").as("v"), lit(1.0).as("w"))
+    val gu = Ranking.weightedQuantiles(u, col("v"), col("w"), Seq(0.25, 0.5, 0.99), "q")
+      .as[(Double, Double)].collect().toMap
+    assert(gu == Map(0.25 -> 25.0, 0.5 -> 50.0, 0.99 -> 99.0))
+    // nulls and non-positive weights are excluded, not poisonous
+    val dirty = Seq((Some(1.0), Some(1.0)), (None, Some(5.0)), (Some(3.0), None),
+      (Some(4.0), Some(0.0)), (Some(2.0), Some(-3.0)), (Some(7.0), Some(1.0)))
+      .toDF("v", "w")
+    val gd = Ranking.weightedQuantiles(dirty, col("v"), col("w"), Seq(0.5, 1.0), "q")
+      .as[(Double, Double)].collect().toMap
+    assert(gd == Map(0.5 -> 1.0, 1.0 -> 7.0))
+    intercept[IllegalArgumentException] {
+      Ranking.weightedQuantiles(rows, col("v"), col("w"), Seq(0.0, 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.weightedQuantiles(rows, col("v"), col("w"), Seq(0.5, 0.5))
+    }
+  }
+
   test("abcClassification: cumulative cuts land exactly, boundaries inclusive") {
     // totals 50/30/15/5 → cum shares .5, .8, .95, 1.0 — the first two
     // are A (≤ .80 inclusive), the third exactly hits the B cut

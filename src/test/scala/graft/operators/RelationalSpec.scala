@@ -162,6 +162,56 @@ class RelationalSpec extends SparkSpec {
     assert(got.size == expected.size, "each overlapping pair must appear exactly once")
   }
 
+  test("radiusJoin2D matches the naive distance join exactly once per pair") {
+    val left = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 5.0, 5.0))
+      .toDF("lid", "lx", "ly")
+    val right = Seq(
+      (10L, 3.0, 4.0),     // dist 5 from (0,0) — exactly on the closed radius
+      (11L, 4.0, 4.0),     // dist √32 ≈ 5.66 — outside
+      (12L, 10.5, 10.5),   // near (2); also 7.78 from (3) — outside for (3)
+      (13L, -1.0, -1.0),   // √2 from (0,0) — negative-coordinate floors
+      (14L, 5.0, 5.0))     // identical to (3) — dist 0, cell-boundary point
+      .toDF("rid", "rx", "ry")
+    val got = Relational.radiusJoin2D(left, right,
+        col("lx"), col("ly"), col("rx"), col("ry"), radius = 5.0, cellSize = 5.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    val expected = for {
+      (lid, lx, ly) <- List((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 5.0, 5.0))
+      (rid, rx, ry) <- List((10L, 3.0, 4.0), (11L, 4.0, 4.0), (12L, 10.5, 10.5),
+        (13L, -1.0, -1.0), (14L, 5.0, 5.0))
+      if (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry) <= 25.0
+    } yield (lid, rid)
+    assert(got.toSet == expected.toSet, s"got ${got.toSet}")
+    assert(got.size == expected.size, "each qualifying pair must appear exactly once")
+    intercept[IllegalArgumentException] { // cellSize < radius breaks 3x3 completeness
+      Relational.radiusJoin2D(left, right, col("lx"), col("ly"), col("rx"), col("ry"),
+        radius = 5.0, cellSize = 4.0)
+    }
+  }
+
+  test("melt reshapes wide to long with type promotion and dropNulls") {
+    val wide = Seq((1L, 10, Some(2.5)), (2L, 20, None))
+      .toDF("k", "a", "b")
+    val got = Relational.melt(wide, Seq("k"), Seq("a", "b"))
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(got == Set((1L, "a", Some(10.0)), (1L, "b", Some(2.5)),
+      (2L, "a", Some(20.0)), (2L, "b", None))) // int promoted to double
+    val dropped = Relational.melt(wide, Seq("k"), Seq("a", "b"), dropNulls = true)
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(dropped == Set((1L, "a", Some(10.0)), (1L, "b", Some(2.5)),
+      (2L, "a", Some(20.0)))) // only the null measure row goes, not its siblings
+    intercept[IllegalArgumentException] {
+      Relational.melt(wide, Seq("k"), Seq("a"), varName = "k")
+    }
+    intercept[IllegalArgumentException] {
+      Relational.melt(wide, Seq("k"), Seq.empty)
+    }
+    // no shuffle: melt is a narrow Expand over the input
+    val plan = Relational.melt(wide, Seq("k"), Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"melt must not shuffle:\n$plan")
+  }
+
   test("saltedJoin equals the plain join on skewed keys") {
     val fact = ((0 until 500).map(i => (1L, i.toDouble)) ++ Seq((2L, -1.0), (3L, -2.0)))
       .toDF("k", "v") // key 1 is hot

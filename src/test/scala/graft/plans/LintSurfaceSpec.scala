@@ -33,6 +33,7 @@ class LintSurfaceSpec extends SparkSpec {
     "b19_abc" -> Map("GLOBAL_WINDOW" -> 1),
     "c43_running_total" -> Map("GLOBAL_WINDOW" -> 1),
     "c44_skyline" -> Map("GLOBAL_WINDOW" -> 1),
+    "c54_weighted_quantiles" -> Map("GLOBAL_WINDOW" -> 1),
     "d23_ann_ivf" -> Map("NESTED_LOOP" -> 2, "GLOBAL_WINDOW" -> 2),
     "d23b_ann_ivf_hier" -> Map("NESTED_LOOP" -> 2),
     "d27_rebalance_mix" -> Map("GLOBAL_WINDOW" -> 1),
