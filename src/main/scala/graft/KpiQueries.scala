@@ -123,6 +123,17 @@ private[graft] object KpiQueries {
         .orderBy(col("n").desc, col("path")).limit(15)
     }),
 
+    // Ordered co-occurrence mining: which event type EVENTUALLY precedes
+    // which, per user-day basket — (basket, type) collapse to
+    // (first, last) timestamps, basket-keyed self-join bounded by the
+    // type vocabulary, strict-< so same-instant events never count.
+    "b21_precedence" -> ((s, dir) => {
+      graft.analytics.Precedence.precedencePairs(Tables.events(s, dir),
+          basket = struct(col("user_id"), to_date(col("ts")).as("d")),
+          eventType = col("event_type"), ts = col("ts"), minSupport = 5L)
+        .orderBy("a", "b")
+    }),
+
     // Month-over-month and year-over-year growth over the monthly
     // revenue series. The lag window is global but CALENDAR-bounded
     // (one row per month — the b11/liftTable benign class): the heavy
@@ -353,6 +364,22 @@ private[graft] object KpiQueries {
         |    || seq[CAST(i AS INT) + 2] AS path
         |  FROM g, UNNEST(range(1, len(seq) - 1)) t(i) WHERE len(seq) >= 3)
         |SELECT path, count(*) AS n FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin,
+
+    // Same (basket, type) → (min, max) collapse, same strict-< pair
+    // rule, same basket-count share.
+    "b21_precedence" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |pt AS (SELECT user_id, d, t, min(us) AS f, max(us) AS l
+        |  FROM e GROUP BY 1, 2, 3),
+        |tot AS (SELECT count(*) AS nb FROM (SELECT DISTINCT user_id, d FROM pt)),
+        |p AS (SELECT x.t AS a, y.t AS b FROM pt x JOIN pt y
+        |  ON x.user_id = y.user_id AND x.d = y.d AND x.t <> y.t AND x.f < y.l)
+        |SELECT a, b, count(*) AS support,
+        | round(count(*) * 1.0 / tot.nb, 6) AS share
+        |FROM p, tot GROUP BY a, b, tot.nb HAVING count(*) >= 5
+        |ORDER BY a, b""".stripMargin,
 
     "b14_growth" ->
       """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,

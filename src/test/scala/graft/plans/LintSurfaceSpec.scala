@@ -34,6 +34,10 @@ class LintSurfaceSpec extends SparkSpec {
     "c43_running_total" -> Map("GLOBAL_WINDOW" -> 1),
     "c44_skyline" -> Map("GLOBAL_WINDOW" -> 1),
     "c54_weighted_quantiles" -> Map("GLOBAL_WINDOW" -> 1),
+    // the basket-count scalar rides a filtered CHECKPOINT scan, whose
+    // one-row-ness the linter cannot prove from the plan (unlike a
+    // grouping-free aggregate); the cross is 1 × |pairs| by contract
+    "b21_precedence" -> Map("NESTED_LOOP" -> 1),
     "d23_ann_ivf" -> Map("NESTED_LOOP" -> 2, "GLOBAL_WINDOW" -> 2),
     "d23b_ann_ivf_hier" -> Map("NESTED_LOOP" -> 2),
     "d27_rebalance_mix" -> Map("GLOBAL_WINDOW" -> 1),
