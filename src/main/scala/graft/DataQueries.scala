@@ -1067,6 +1067,45 @@ private[graft] object DataQueries {
         .select(col("doc_id"), length(col("norm")).as("n_norm"),
           substring(md5(col("norm")), 1, 8).as("norm_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Content-defined chunking dedup: boundary-stable chunk table over
+    // the corpus, grouped by chunk hash — the top duplicated chunks a
+    // CDC store would physically dedup. Zero-shuffle chunking on the
+    // scan; the hash groupBy is the only exchange.
+    "d83_cdc_chunks" -> ((s, dir) => {
+      val chunks = graft.dedup.Cdc.cdcChunks(Tables.documents(s, dir),
+        col("doc_id"), col("text"), window = 16, marker = "0")
+      chunks.groupBy(col("chunk_hash").as("h"))
+        .agg(count(lit(1)).as("n_copies"), min(col("chunk_len")).as("len"),
+          ((count(lit(1)) - 1) * min(col("chunk_len"))).as("saved_chars"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("saved_chars").desc, col("h")).limit(20)
+    }),
+
+    // CDC revision delta between two synthesized snapshots (every %3rd
+    // doc prefix-edited, %7th absent before = added, %11th absent
+    // after = deleted): per-status doc counts + exact-decimal mean
+    // change ratio. The append-edit docs score near 0, not 1 — the
+    // boundary re-alignment property, measured on the corpus.
+    "d83b_cdc_change" -> ((s, dir) => {
+      import graft.dedup.Cdc
+      val base = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val before = base.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(lit("EDIT: "), col("text"))).otherwise(col("text")))
+      val after = base.filter(col("doc_id") % 11 =!= 0)
+      Cdc.changeRatio(
+          Cdc.cdcChunks(before, col("doc_id"), col("text"), marker = "0"),
+          Cdc.cdcChunks(after, col("doc_id"), col("text"), marker = "0"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          when(count(col("change_ratio")) > 0,
+            round(sum(col("change_ratio").cast("decimal(10,6)")).cast("double") /
+              count(col("change_ratio")), 6)).as("mean_ratio"),
+          sum(col("shared_chars")).as("shared_total"))
+        .orderBy("status")
     })
   )
 
@@ -2597,6 +2636,77 @@ private[graft] object DataQueries {
         |   ' ' || chr(10)) AS norm FROM deco)
         |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm,
         | substr(md5(norm), 1, 8) AS norm_md5
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // Same windowed-md5 boundary rule, same tiling, same rollup.
+    "d83_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |bd AS (SELECT doc_id, text, n,
+        |    CASE WHEN n >= 16 THEN list_filter(range(16, n + 1),
+        |        i -> substr(md5(substr(text, CAST(i AS INT) - 15, 16)), 1, 1) = '0')
+        |      ELSE [] END AS bs
+        |  FROM d),
+        |ch AS (SELECT doc_id, text,
+        |    list_prepend(CAST(1 AS BIGINT), list_transform(bs, b -> b + 1)) AS ss,
+        |    list_append(bs, CAST(n AS BIGINT)) AS es FROM bd),
+        |ex AS (SELECT doc_id, text, ss, es,
+        |    UNNEST(range(1, len(ss) + 1)) AS i FROM ch),
+        |c2 AS (SELECT doc_id,
+        |    md5(substr(text, CAST(ss[i] AS INT), CAST(es[i] - ss[i] + 1 AS INT))) AS h,
+        |    es[i] - ss[i] + 1 AS len
+        |  FROM ex WHERE es[i] >= ss[i])
+        |SELECT h, count(*) AS n_copies, min(len) AS len,
+        |  CAST((count(*) - 1) * min(len) AS BIGINT) AS saved_chars
+        |FROM c2 GROUP BY h HAVING count(*) > 1
+        |ORDER BY saved_chars DESC, h LIMIT 20""".stripMargin,
+
+    // Both snapshots chunked through one side-tagged pipeline, then the
+    // same min-multiplicity shared-bytes join and status rules.
+    "d83b_cdc_change" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |u AS (SELECT 'a' AS side, doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'EDIT: ' || text ELSE text END AS text
+        |  FROM base WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'b' AS side, doc_id, text FROM base WHERE doc_id % 11 <> 0),
+        |d AS (SELECT side, doc_id, text, length(text) AS n FROM u),
+        |bd AS (SELECT side, doc_id, text, n,
+        |    CASE WHEN n >= 16 THEN list_filter(range(16, n + 1),
+        |        i -> substr(md5(substr(text, CAST(i AS INT) - 15, 16)), 1, 1) = '0')
+        |      ELSE [] END AS bs
+        |  FROM d),
+        |ch AS (SELECT side, doc_id, text,
+        |    list_prepend(CAST(1 AS BIGINT), list_transform(bs, b -> b + 1)) AS ss,
+        |    list_append(bs, CAST(n AS BIGINT)) AS es FROM bd),
+        |ex AS (SELECT side, doc_id, text, ss, es,
+        |    UNNEST(range(1, len(ss) + 1)) AS i FROM ch),
+        |c2 AS (SELECT side, doc_id,
+        |    md5(substr(text, CAST(ss[i] AS INT), CAST(es[i] - ss[i] + 1 AS INT))) AS h,
+        |    es[i] - ss[i] + 1 AS len
+        |  FROM ex WHERE es[i] >= ss[i]),
+        |ph AS (SELECT side, doc_id, h, count(*) AS cnt, min(len) AS len
+        |  FROM c2 GROUP BY 1, 2, 3),
+        |j AS (SELECT coalesce(pa.doc_id, pb.doc_id) AS id,
+        |    pa.cnt AS na, pa.len AS la, pb.cnt AS nb, pb.len AS lb
+        |  FROM (SELECT * FROM ph WHERE side = 'a') pa
+        |  FULL OUTER JOIN (SELECT * FROM ph WHERE side = 'b') pb
+        |    ON pa.doc_id = pb.doc_id AND pa.h = pb.h),
+        |per AS (SELECT id, sum(na * la) AS tb, sum(nb * lb) AS ta,
+        |    sum(least(coalesce(na, 0), coalesce(nb, 0)) * coalesce(la, lb)) AS sh
+        |  FROM j GROUP BY 1),
+        |st AS (SELECT id, sh,
+        |    CASE WHEN tb IS NULL THEN 'added' WHEN ta IS NULL THEN 'deleted'
+        |         WHEN sh = ta AND tb = ta THEN 'unchanged' ELSE 'changed' END AS status,
+        |    CASE WHEN ta IS NULL THEN NULL
+        |         ELSE round(1.0 - sh * 1.0 / ta, 6) END AS cr
+        |  FROM per)
+        |SELECT status, count(*) AS n_docs,
+        |  CASE WHEN count(cr) > 0 THEN
+        |    round(CAST(sum(CAST(cr AS DECIMAL(10,6))) AS DOUBLE) / count(cr), 6)
+        |  END AS mean_ratio,
+        |  CAST(sum(sh) AS BIGINT) AS shared_total
+        |FROM st GROUP BY 1 ORDER BY status""".stripMargin
   )
 }
