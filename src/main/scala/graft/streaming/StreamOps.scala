@@ -1512,4 +1512,79 @@ object StreamOps {
           }
       }
   }
+
+  /** E31 — streaming exponentially-decayed trending counts: "what is
+    * hot NOW", where an event's weight halves every `halfLifeSeconds`.
+    * The recency-weighted complement of [[toTopKState]]'s all-time
+    * heavy hitters (E26): a key with 10^6 hits last month loses to a
+    * key with 10^3 hits this hour once the half-life is an hour.
+    *
+    * State representation makes decay MERGEABLE: each micro-batch
+    * lands one row per key `(key, w, ref_us)` where `ref_us` is the
+    * batch's max event time and `w = Σ 2^((t_i − ref_us)/h)` over the
+    * batch's events — every exponent ≤ 0, so no overflow at any
+    * timescale, and rows from different batches combine by decaying
+    * both to a common reference and adding ([[trendingTopK]]). Weighted
+    * sums ADD (the count-min class, not the HLL class), so batches land
+    * under `batch=<epochId>` in OVERWRITE mode — the [[toTopKState]]
+    * epoch-keyed replay contract: a replayed epoch rewrites an
+    * equivalent row, never a double count (fp-equal to merge order,
+    * the [[toPcaMomentState]] nuance). Per-batch cost is one partial-
+    * aggregating groupBy plus a one-row batch-reference broadcast;
+    * state is |keys| rows per epoch, compacted on the Bronze lifecycle
+    * by merging rows through the same decay-and-add. */
+  def toDecayedTrendState(
+      events: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      halfLifeSeconds: Double,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(halfLifeSeconds > 0, s"halfLifeSeconds must be positive, got $halfLifeSeconds")
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        decayedTrendBatch(batch.toDF(), epochId, keys, ts, halfLifeSeconds, statePath)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[toDecayedTrendState]], exposed for replay
+    * tests. */
+  private[graft] def decayedTrendBatch(
+      batch: DataFrame,
+      epochId: Long,
+      keys: Seq[String],
+      ts: String,
+      halfLifeSeconds: Double,
+      statePath: String): Unit = {
+    val us = graft.operators.Relational.epochMicros(col(ts))
+    val withUs = batch.filter(col(ts).isNotNull).select(
+      (keys.map(col) :+ us.as("__us")): _*)
+    val ref = withUs.agg(max(col("__us")).as("__ref_us"))
+    withUs.crossJoin(broadcast(ref))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(pow(lit(2.0), (col("__us") - col("__ref_us")) /
+          lit(halfLifeSeconds * 1e6))).as("w"),
+        max(col("__ref_us")).as("ref_us"))
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+  }
+
+  /** Current trending top-k from a [[toDecayedTrendState]] state dir
+    * "as of" the newest reference it contains: every state row decays
+    * to the global max reference (all exponents ≤ 0) and adds per key;
+    * the ranking is a TakeOrdered over the merged keys — state-scale
+    * work (|keys| × epochs rows), the raw stream is never rescanned. */
+  def trendingTopK(spark: SparkSession, statePath: String, keys: Seq[String],
+      halfLifeSeconds: Double, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = spark.read.parquet(statePath)
+    val ref = st.agg(max(col("ref_us")).as("__gref"))
+    st.crossJoin(broadcast(ref))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("w") * pow(lit(2.0), (col("ref_us") - col("__gref")) /
+        lit(halfLifeSeconds * 1e6))).as("score"))
+      .orderBy(col("score").desc +: keys.map(col): _*)
+      .limit(k)
+  }
 }

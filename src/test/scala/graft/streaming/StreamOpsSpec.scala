@@ -553,6 +553,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(web2 == web, "a replayed epoch must leave the rollup unchanged")
   }
 
+  test("toDecayedTrendState: recency-weighted scores decay exactly; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val state = java.nio.file.Files.createTempDirectory("dtstate").toString + "/dt"
+    val ckpt = java.nio.file.Files.createTempDirectory("dtckpt").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 02:00:00") // 2 half-lives later
+    val q = StreamOps.toDecayedTrendState(
+      input.toDF().toDF("k", "ts"),
+      keys = Seq("k"), ts = "ts", halfLifeSeconds = 3600.0,
+      statePath = state, checkpoint = ckpt)
+    try {
+      input.addData(Seq.fill(4)(("a", t0)) :+ (("b", t0)): _*)
+      q.processAllAvailable()
+      input.addData(("b", t1), ("b", t1), ("c", t1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(state)
+    assert(stored.columns.contains("batch"), "state must be epoch-partitioned")
+    val top = StreamOps.trendingTopK(spark, state, Seq("k"),
+        halfLifeSeconds = 3600.0, k = 3)
+      .as[(String, Double)].collect().toList
+    // as-of t1: a = 4·2⁻² = 1.0, b = 1·2⁻² + 2 = 2.25, c = 1.0;
+    // the a/c tie breaks by key — recency beats a's bigger all-time count
+    assert(top.map(_._1) == List("b", "a", "c"))
+    assert(top.map(_._2).zip(List(2.25, 1.0, 1.0))
+      .forall { case (g, w) => math.abs(g - w) < 1e-12 })
+    // replaying epoch 0 rewrites equivalent state — scores unchanged
+    StreamOps.decayedTrendBatch(
+      (Seq.fill(4)(("a", t0)) :+ (("b", t0))).toDF("k", "ts"),
+      0L, Seq("k"), "ts", 3600.0, state)
+    val replayed = StreamOps.trendingTopK(spark, state, Seq("k"), 3600.0, 3)
+      .as[(String, Double)].collect().toList
+    assert(replayed == top, "a replayed epoch must leave the trend unchanged")
+    intercept[IllegalArgumentException] {
+      StreamOps.trendingTopK(spark, state, Seq("k"), 3600.0, 0)
+    }
+  }
+
   test("toAuditedIngest: clean batches land, poisoned batches quarantine with their audit") {
     implicit val sqlCtx = spark.sqlContext
     import graft.etl.Checks
