@@ -134,6 +134,19 @@ private[graft] object KpiQueries {
         .orderBy("a", "b")
     }),
 
+    // Exact two-sample KS: did click values and view values come from
+    // the same distribution? Distinct-value collapse, distributed
+    // prefix CDFs, one-row D + asymptotic p (NR small-sample λ).
+    "b22_ks_test" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.analytics.Stats.ksTest(
+          e.filter(col("event_type") === "click").select(col("value")),
+          e.filter(col("event_type") === "view").select(col("value")),
+          col("value"))
+        .select(col("n_a"), col("n_b"), round(col("d_stat"), 6).as("d_stat"),
+          round(col("p_value"), 6).as("p_value"))
+    }),
+
     // Month-over-month and year-over-year growth over the monthly
     // revenue series. The lag window is global but CALENDAR-bounded
     // (one row per month — the b11/liftTable benign class): the heavy
@@ -380,6 +393,34 @@ private[graft] object KpiQueries {
         | round(count(*) * 1.0 / tot.nb, 6) AS share
         |FROM p, tot GROUP BY a, b, tot.nb HAVING count(*) >= 5
         |ORDER BY a, b""".stripMargin,
+
+    // Same distinct-value CDF merge, same λ correction and 100-term
+    // Kolmogorov series (sequential list fold — fp-mirrorable).
+    "b22_ks_test" ->
+      """WITH a AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |b AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |ca AS (SELECT v, count(*) AS na FROM a GROUP BY 1),
+        |cb AS (SELECT v, count(*) AS nb FROM b GROUP BY 1),
+        |m AS (SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT sum(na) OVER w AS cna, sum(nb) OVER w AS cnb FROM m
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT (SELECT count(*) FROM a) AS ta, (SELECT count(*) FROM b) AS tb),
+        |d AS (SELECT max(abs(cna * 1.0 / t.ta - cnb * 1.0 / t.tb)) AS ds,
+        |    max(t.ta) AS ta, max(t.tb) AS tb FROM c, t),
+        |l AS (SELECT ds, ta, tb,
+        |    (sqrt(ta * 1.0 * tb / (ta + tb)) + 0.12 +
+        |     0.11 / sqrt(ta * 1.0 * tb / (ta + tb))) * ds AS lam FROM d)
+        |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        | round(ds, 6) AS d_stat,
+        | round(CASE WHEN lam < 0.05 THEN 1.0
+        |   ELSE least(1.0, greatest(0.0, 2.0 * list_sum(list_transform(range(1, 101),
+        |     k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END) *
+        |       exp(-2.0 * k * k * lam * lam))))) END, 6) AS p_value
+        |FROM l""".stripMargin,
 
     "b14_growth" ->
       """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,

@@ -10,6 +10,71 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** EXACT two-sample Kolmogorov–Smirnov test: the maximum gap between
+    * the two empirical CDFs, with the classic asymptotic two-sided
+    * p-value — the distribution-free "did this metric's SHAPE change"
+    * test that PSI/χ² binning (D52) approximates: no bins, no binning
+    * bias, sensitive to location, scale, and shape shifts alike.
+    *
+    * Distributed exactly at any size: each side reduces to per-distinct-
+    * value counts (partial-aggregating — ties collapse map-side), a
+    * full-outer merge aligns the supports, and BOTH cumulative counts
+    * come from [[graft.operators.Ranking.runningAgg]]'s range-sliced
+    * prefix (never a single-partition window over the value axis); the
+    * D-statistic is then a one-row max over |F̂ₐ − F̂ᵦ| evaluated at
+    * every distinct value — exactly the points where the gap can attain
+    * its max, CDFs being right-continuous step functions. The p-value
+    * uses the Kolmogorov series 2·Σ(−1)ᵏ⁻¹e^(−2k²λ²) (100 terms —
+    * overkill: terms decay like e^(−2k²)) with the Numerical-Recipes
+    * small-sample correction λ = (√nₑ + 0.12 + 0.11/√nₑ)·D,
+    * nₑ = nₐnᵦ/(nₐ+nᵦ), summed by a SEQUENTIAL higher-order fold so
+    * the fp result is deterministic and engine-mirrorable. Null values
+    * are excluded (they have no place on a CDF); an empty side yields
+    * D = null (no distribution to compare — ANSI-null, not an error). */
+  def ksTest(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    import graft.operators.Ranking
+    def sideCounts(df: DataFrame, n: String) =
+      df.filter(value.isNotNull).groupBy(value.as("__ks_v"))
+        .agg(count(lit(1)).as(n))
+    val m = sideCounts(a, "__ks_na")
+      .join(sideCounts(b, "__ks_nb"), Seq("__ks_v"), "full_outer")
+      .select(col("__ks_v"),
+        coalesce(col("__ks_na"), lit(0L)).as("__ks_na"),
+        coalesce(col("__ks_nb"), lit(0L)).as("__ks_nb"))
+    val cum = Ranking.runningSums(m, Seq(col("__ks_v").asc),
+      Seq(col("__ks_na") -> "__ks_ca", col("__ks_nb") -> "__ks_cb"))
+    val tot = m.agg(sum(col("__ks_na")).as("__ks_ta"),
+      sum(col("__ks_nb")).as("__ks_tb"))
+    val d = cum.crossJoin(broadcast(tot))
+      .agg(max(col("__ks_ta")).as("n_a"), max(col("__ks_tb")).as("n_b"),
+        // an empty side makes a 0 denominator; ANSI throws on ANY
+        // divide-by-zero, so null it out — the null rides max() to a
+        // null D, which the degenerate guard below formalizes
+        max(abs(col("__ks_ca").cast("double") /
+            when(col("__ks_ta") === 0, lit(null)).otherwise(col("__ks_ta")) -
+          col("__ks_cb").cast("double") /
+            when(col("__ks_tb") === 0, lit(null)).otherwise(col("__ks_tb"))))
+          .as("__ks_d"))
+    val ne = col("n_a").cast("double") * col("n_b") / (col("n_a") + col("n_b"))
+    val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * col("__ks_d")
+    val series = aggregate(sequence(lit(1), lit(100)), lit(0.0).cast("double"),
+      (acc, k) => acc +
+        when(k % 2 === 1, lit(1.0)).otherwise(lit(-1.0)) *
+          exp(lit(-2.0) * k.cast("double") * k.cast("double") * lam * lam))
+    val degenerate = coalesce(col("n_a"), lit(0L)) === 0 ||
+      coalesce(col("n_b"), lit(0L)) === 0
+    d.select(col("n_a"), col("n_b"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(col("__ks_d")).as("d_stat"),
+      when(degenerate, lit(null).cast("double"))
+        // λ < 0.05 ⇒ Q(λ) = 1 to >10 significant digits AND the
+        // truncated alternating series is not yet converged (its terms
+        // decay like e^(−2k²λ²)) — the Numerical-Recipes small-λ guard
+        .when(lam < 0.05, lit(1.0))
+        .otherwise(least(lit(1.0), greatest(lit(0.0), lit(2.0) * series)))
+        .as("p_value"))
+  }
+
   /** Gini concentration coefficient of a non-negative measure — THE
     * one-number inequality statistic ("top decile drives X%" as a
     * scalar; B11's lift table is its curve form). Uses the rank

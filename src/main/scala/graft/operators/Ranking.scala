@@ -86,7 +86,19 @@ object Ranking {
     * must be a total order (unique tie-break) for determinism; for
     * float sums at scale, pass a decimal-cast `value` — prefix sums
     * group additions differently than a sequential scan, decimals make
-    * both exact. */
+    * both exact.
+    *
+    * COMPOSITION HAZARD: never feed one runningAgg's output into a
+    * second runningAgg in the same plan to accumulate a second column.
+    * The nested shape defeats the range-exchange reuse this operator's
+    * correctness rides on — the two branches then re-execute the range
+    * partitioning with independently SAMPLED boundaries, and a
+    * different row order upstream (any shuffle join) yields different
+    * partition assignments between the branches, silently misaligning
+    * slice offsets (measured: the KS-test CDF pair produced a
+    * different, wrong D per action until it moved to [[runningSums]]).
+    * For multiple prefix columns over one order, use [[runningSums]] —
+    * one range exchange, all prefixes in the same window pass. */
   def runningAgg(df: DataFrame, order: Seq[Column], value: Column,
       agg: String = "sum", as: String = "running", inclusive: Boolean = true,
       numPartitions: Int = 0): DataFrame = {
@@ -122,6 +134,57 @@ object Ranking {
     local.join(broadcast(offsets), Seq("__rg_pid"))
       .withColumn(as, combined)
       .drop("__rg_pid", "__rg_v", "__rg_local", "__rg_off")
+  }
+
+  /** [[runningAgg]] for SEVERAL summed columns over ONE shared order —
+    * the safe form of the nested composition the runningAgg scaladoc
+    * forbids: one range exchange, one per-slice window pass computing
+    * every local prefix, one bounded offset window over slice totals
+    * (all columns in the same ≤-numPartitions-row table), one broadcast
+    * join back. `values` maps each summed column to its output name;
+    * inclusive SQL frame semantics, null-skipping, and the decimal
+    * float-exactness caveat all match [[runningAgg]]. */
+  def runningSums(df: DataFrame, order: Seq[Column],
+      values: Seq[(Column, String)], inclusive: Boolean = true,
+      numPartitions: Int = 0): DataFrame = {
+    require(values.nonEmpty, "runningSums needs at least one value column")
+    val names = values.map(_._2)
+    require(names.distinct.size == names.size, s"duplicate output names in $names")
+    require(names.forall(n => !df.columns.contains(n)) &&
+      !df.columns.exists(_.startsWith("__rg_")),
+      s"runningSums reserves ${names.mkString(", ")} and '__rg_*'; rename the input column")
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val vals = values.zipWithIndex.map { case ((c, as), i) => (s"__rg_v$i", c, as) }
+    val ranged = vals.foldLeft(
+        df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+          .withColumn("__rg_pid", spark_partition_id())) {
+      case (acc, (tmp, c, _)) => acc.withColumn(tmp, c)
+    }
+    val frameEnd = if (inclusive) Window.currentRow else -1L
+    val w = Window.partitionBy(col("__rg_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    val local = vals.foldLeft(ranged) { case (acc, (tmp, _, _)) =>
+      acc.withColumn(s"${tmp}_l", sum(col(tmp)).over(w))
+    }
+    val wOff = Window.orderBy(col("__rg_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vals.foldLeft(
+        ranged.groupBy(col("__rg_pid"))
+          .agg(sum(col(vals.head._1)).as(s"${vals.head._1}_t"),
+            vals.tail.map(v => sum(col(v._1)).as(s"${v._1}_t")): _*)) {
+      case (acc, (tmp, _, _)) =>
+        acc.withColumn(s"${tmp}_o", sum(col(s"${tmp}_t")).over(wOff))
+    }.select(col("__rg_pid") +: vals.map(v => col(s"${v._1}_o")): _*)
+    val joined = local.join(broadcast(offsets), Seq("__rg_pid"))
+    val withOut = vals.foldLeft(joined) { case (acc, (tmp, _, as)) =>
+      acc.withColumn(as,
+        when(col(s"${tmp}_l").isNull && col(s"${tmp}_o").isNull, lit(null))
+          .otherwise(coalesce(col(s"${tmp}_l"), lit(0)) +
+            coalesce(col(s"${tmp}_o"), lit(0))))
+    }
+    withOut.drop("__rg_pid")
+      .drop(vals.flatMap(v => Seq(v._1, s"${v._1}_l", s"${v._1}_o")): _*)
   }
 
   /** 2D Pareto frontier (skyline), both dimensions MAXIMIZED: the rows

@@ -37,6 +37,46 @@ class StatsSpec extends SparkSpec {
     assert(shape.shuffles === 1, s"expected one group-key shuffle, got $shape")
   }
 
+  test("ksTest: D matches the brute-force CDF gap; identical samples give p=1") {
+    val a = Seq(1.0, 1.0, 2.0, 3.0, 5.0, 8.0).toDF("v")
+    val b = Seq(1.0, 2.0, 2.0, 4.0, 4.0, 9.0, 9.0).toDF("v")
+    val row = Stats.ksTest(a, b, col("v")).head()
+    assert(row.getAs[Long]("n_a") == 6L && row.getAs[Long]("n_b") == 7L)
+    // brute force over the union support
+    val av = Seq(1.0, 1.0, 2.0, 3.0, 5.0, 8.0)
+    val bv = Seq(1.0, 2.0, 2.0, 4.0, 4.0, 9.0, 9.0)
+    val dWant = (av ++ bv).distinct.map { x =>
+      math.abs(av.count(_ <= x).toDouble / av.size - bv.count(_ <= x).toDouble / bv.size)
+    }.max
+    assert(math.abs(row.getAs[Double]("d_stat") - dWant) < 1e-12)
+    // p replicated with the same NR correction + 100-term series
+    val ne = 6.0 * 7 / 13
+    val lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * dWant
+    val pWant = math.min(1.0, math.max(0.0, 2.0 * (1 to 100).map(k =>
+      (if (k % 2 == 1) 1.0 else -1.0) * math.exp(-2.0 * k * k * lam * lam)).sum))
+    assert(math.abs(row.getAs[Double]("p_value") - pWant) < 1e-12)
+    // identical samples: D = 0, and the small-λ guard makes p exactly 1
+    val same = Stats.ksTest(a, a, col("v")).head()
+    assert(same.getAs[Double]("d_stat") == 0.0 && same.getAs[Double]("p_value") == 1.0)
+    // disjoint supports: D = 1, p ~ 0
+    val disj = Stats.ksTest(Seq(1.0, 2.0).toDF("v"), Seq(9.0, 10.0, 11.0).toDF("v"),
+      col("v")).head()
+    assert(disj.getAs[Double]("d_stat") == 1.0)
+    assert(disj.getAs[Double]("p_value") < 0.2)
+  }
+
+  test("ksTest: nulls excluded, empty side yields null D and p") {
+    val a = Seq(Some(1.0), None, Some(2.0)).toDF("v")
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+    val r = Stats.ksTest(a, a, col("v")).head()
+    assert(r.getAs[Long]("n_a") == 2L, "nulls must not count")
+    for (other <- Seq(empty, allNull)) {
+      val e = Stats.ksTest(a, other, col("v")).head()
+      assert(e.isNullAt(e.fieldIndex("d_stat")) && e.isNullAt(e.fieldIndex("p_value")))
+    }
+  }
+
   test("gini: perfect equality 0, single holder (n-1)/n, hand value, tie-invariance") {
     import spark.implicits._
     def g(vals: Seq[Double]): Double =

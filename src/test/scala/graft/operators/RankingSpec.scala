@@ -76,6 +76,33 @@ class RankingSpec extends SparkSpec {
     assert(gotMax == wantMax)
   }
 
+  test("runningSums matches per-column window prefixes bit-for-bit, incl. after a shuffle join") {
+    // route the input through a shuffle join so upstream row order is
+    // nondeterministic — the exact condition under which the nested
+    // two-runningAgg composition went wrong
+    val base = spark.range(0, 500).select(col("id"),
+      (col("id") * 2654435761L % 97).as("x"), (col("id") % 7).cast("double").as("y"))
+    val keys = spark.range(0, 500).select(col("id").as("id2")).repartition(13)
+    val df = base.join(keys, col("id") === col("id2")).drop("id2")
+    val got = Ranking.runningSums(df, Seq(col("id").asc),
+        Seq(col("x") -> "cx", col("y") -> "cy"), numPartitions = 5)
+      .select(col("id"), col("cx"), col("cy"))
+    val w = Window.orderBy(col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = base.select(col("id"), sum(col("x")).over(w).as("cx"),
+      sum(col("y")).over(w).as("cy"))
+    assert(got.collect().toSet === want.collect().toSet)
+    // deterministic across repeated actions (the sampled-boundary bug class)
+    assert(got.collect().toSet === want.collect().toSet)
+    intercept[IllegalArgumentException] {
+      Ranking.runningSums(df, Seq(col("id").asc), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.runningSums(df, Seq(col("id").asc),
+        Seq(col("x") -> "c", col("y") -> "c"))
+    }
+  }
+
   test("runningAgg exclusive frame: empty prefix is null (SQL frame semantics)") {
     import spark.implicits._
     val rows = Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("id", "v")
