@@ -64,6 +64,28 @@ object Cdc {
           .cast("binary")).as("chunk_hash"))
   }
 
+  /** Production chunker: the native one-pass Gear rolling hash
+    * ([[graft.expressions.GearChunks]]) — O(n) per document vs
+    * [[cdcChunks]]'s O(window·n) windowed md5, with real min/max chunk
+    * guards (a sequential-scan privilege the declarative rule trades
+    * away for oracle mirroring), and byte-oriented so the same call
+    * chunks text OR binary columns (images, audio, checkpoints).
+    * Same output shape as [[cdcChunks]] and composes with
+    * [[changeRatio]]/[[dedupRatio]] unchanged — but offsets are 0-based
+    * BYTES (not 1-based characters) and the boundary rule differs, so
+    * the two chunk tables must never be mixed in one comparison. */
+  def cdcChunksRolling(df: DataFrame, id: Column, data: Column,
+      minLen: Int = 64, avgBits: Int = 8, maxLen: Int = 1024): DataFrame = {
+    import graft.expressions.CdcExpressions.gearChunks
+    df.filter(data.isNotNull)
+      .select(id.as("id"),
+        explode(gearChunks(data, minLen, avgBits, maxLen)).as("__cdc_c"))
+      .select(col("id"),
+        col("__cdc_c.offset").cast("long").as("offset"),
+        col("__cdc_c.len").cast("long").as("chunk_len"),
+        col("__cdc_c.hash").as("chunk_hash"))
+  }
+
   /** Per-document revision delta between two [[cdcChunks]] snapshots
     * (the re-crawl question: how much of each page ACTUALLY changed?):
     * for every doc id, the fraction of the AFTER snapshot's bytes not

@@ -147,5 +147,13 @@ object GraftFunctions {
       "graft_fix_mojibake(text string) - repair whole-string Latin-1/cp1252 misdecodes of UTF-8 (self-guarding)") {
       case Seq(t) => FixMojibake(t)
       case args => arity("graft_fix_mojibake", "1", args)
+    },
+    fn("graft_gear_chunks",
+      "graft_gear_chunks(data string|binary, min_len int, avg_bits int, max_len int) - Gear rolling-hash CDC chunks: array<struct<offset,len,hash>>") {
+      case Seq(d, mn, ab, mx) => GearChunks(d,
+        intArg("graft_gear_chunks", "min_len", mn),
+        intArg("graft_gear_chunks", "avg_bits", ab),
+        intArg("graft_gear_chunks", "max_len", mx))
+      case args => arity("graft_gear_chunks", "4", args)
     })
 }

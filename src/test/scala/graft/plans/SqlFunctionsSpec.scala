@@ -137,6 +137,22 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(est.forall(_ >= 10L), s"each of 10 values inserted 10x: ${est.toSeq}")
   }
 
+  test("graft_gear_chunks from SQL tiles and matches the Scala column API") {
+    val fromSql = ext.sql(
+      "SELECT graft_gear_chunks('abcdefghij', 1, 4, 3) AS c")
+      .selectExpr("explode(c) AS e").selectExpr("e.offset", "e.len", "e.hash")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toList
+    assert(fromSql.map(_._1) == fromSql.scanLeft(0)((p, c) => p + c._2).init,
+      "chunks must tile") // offsets are running sums of lens
+    assert(fromSql.map(_._2).sum == 10 && fromSql.forall(_._2 <= 3))
+    val fromApi = ext.range(1)
+      .select(graft.expressions.CdcExpressions.gearChunks(
+        org.apache.spark.sql.functions.lit("abcdefghij"), 1, 4, 3).as("c"))
+      .selectExpr("explode(c) AS e").selectExpr("e.offset", "e.len", "e.hash")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toList
+    assert(fromSql == fromApi)
+  }
+
   test("config arguments reject non-literals with a clear error") {
     val e = intercept[Exception] {
       ext.sql("SELECT graft_kll_sketch_agg(CAST(id AS DOUBLE), CAST(id AS INT)) FROM range(3)")
