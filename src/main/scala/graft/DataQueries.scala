@@ -719,6 +719,14 @@ private[graft] object DataQueries {
     "d50_zipf_fit" -> ((s, dir) =>
       graft.text.CorpusStats.zipfFit(Tables.documents(s, dir), col("text"), topK = 100)),
 
+    // Heaps-law vocabulary growth: V(N) = K·N^beta over doc arrival
+    // order — first-seen min(order) reduce, one runningSums pass for
+    // both cumulatives, d50's plain-sums regression closed form.
+    "d84_heaps_fit" -> ((s, dir) =>
+      graft.text.CorpusStats.heapsFit(
+        Tables.documents(s, dir).filter(col("text").isNotNull),
+        col("doc_id"), col("text"))),
+
     // Embedding outlier QA: per-vector cosine to its assigned coarse
     // centroid, z-scored within the cluster (mirror-exact moments from
     // plain sums). The gate ahead of the ANN/SemDeDup consumers.
@@ -1765,6 +1773,33 @@ private[graft] object DataQueries {
         | round(pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2,
         | round(sc / nt, 6) AS head_share
         |FROM s, tot""".stripMargin,
+
+    // Same tokenizer, same first-seen/cumulate/regress pipeline.
+    "d84_heaps_fit" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |pd AS (SELECT doc_id, len(list_filter(toks, w -> length(w) > 0)) AS n FROM d),
+        |fs AS (SELECT w, min(doc_id) AS fd
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM d)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |nv AS (SELECT fd AS doc_id, count(*) AS nw FROM fs GROUP BY 1),
+        |j AS (SELECT pd.doc_id, pd.n, coalesce(nv.nw, 0) AS nw
+        |  FROM pd LEFT JOIN nv USING (doc_id)),
+        |c AS (SELECT doc_id, n, sum(n) OVER w AS cn, sum(nw) OVER w AS cv FROM j
+        |  WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)),
+        |p AS (SELECT ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y, cn, cv
+        |  FROM c WHERE n > 0 AND cn > 0 AND cv > 0),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy,
+        |    max(cn) AS nt, max(cv) AS nvx FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(nt AS BIGINT) AS total_tokens,
+        | CAST(nvx AS BIGINT) AS vocab,
+        | round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0), 6) AS beta,
+        | round(exp((sy*sxx - sx*sxy) / nullif(n*sxx - sx*sx, 0)), 6) AS k,
+        | round(pow(n*sxy - sx*sy, 2)
+        |   / nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0), 6) AS r2
+        |FROM s""".stripMargin,
 
     // Mirrors the synthesized code-switch, the d8 per-line language
     // argmax, and the lag/cumsum run grouping.

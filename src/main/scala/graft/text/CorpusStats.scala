@@ -311,4 +311,68 @@ object CorpusStats {
             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"),
         round(col("sc") / col("nt").cast("double"), 6).as("head_share"))
   }
+
+  /** Heaps-law vocabulary-growth fit — [[zipfFit]]'s temporal sibling:
+    * V(N) ≈ K·N^β, the sublinear law for how many DISTINCT types a
+    * corpus accumulates as tokens stream in (β ≈ 0.4–0.6 for natural
+    * text; β drifting toward 1 screams boilerplate/ID-like tokens,
+    * β collapsing toward 0 screams template spam — both are corpus-
+    * health gates the Zipf head can't see).
+    *
+    * Distributed exactly against any corpus size: each token's FIRST
+    * document is a partial-aggregating `min(order)` (the only corpus-
+    * scale shuffle — duplicate tokens collapse map-side); per-doc
+    * new-type and token counts then cumulate through ONE
+    * [[graft.operators.Ranking.runningSums]] pass (both prefixes share
+    * the range exchange), and the log-log least squares reduces to
+    * plain sums (the d50 closed form, engine-mirrorable). Each doc
+    * contributes one (ln N, ln V) point — the canonical Heaps
+    * regression weighting. Docs with no tokens contribute no point;
+    * `order` must be unique per doc (it is the arrival order). */
+  def heapsFit(df: DataFrame, order: Column, text: Column): DataFrame = {
+    val perDoc = df.select(order.as("__hp_o"),
+        TextFunctions.tokens(text).as("__hp_t"))
+      .select(col("__hp_o"),
+        size(filter(col("__hp_t"), w => length(w) > 0)).cast("long").as("__hp_n"),
+        col("__hp_t"))
+    val firstSeen = perDoc
+      .select(col("__hp_o"), explode(col("__hp_t")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(min(col("__hp_o")).as("__hp_first"))
+      .groupBy(col("__hp_first").as("__hp_o")).agg(count(lit(1)).as("__hp_new"))
+    val joined = perDoc.drop("__hp_t")
+      .join(firstSeen, Seq("__hp_o"), "left")
+      .select(col("__hp_o"), col("__hp_n"),
+        coalesce(col("__hp_new"), lit(0L)).as("__hp_new"))
+    val cum = graft.operators.Ranking.runningSums(joined,
+      Seq(col("__hp_o").asc),
+      Seq(col("__hp_n") -> "__hp_cn", col("__hp_new") -> "__hp_cv"))
+    val pts = cum
+      .filter(col("__hp_n") > 0 && col("__hp_cn") > 0 && col("__hp_cv") > 0)
+      .select(log(col("__hp_cn").cast("double")).as("x"),
+        log(col("__hp_cv").cast("double")).as("y"),
+        col("__hp_cn"), col("__hp_cv"))
+    pts.agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        max(col("__hp_cn")).as("nt"), max(col("__hp_cv")).as("nv"))
+      .select(col("n").cast("long").as("n_docs"),
+        col("nt").as("total_tokens"), col("nv").as("vocab"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          nonzero(col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta"),
+        round(exp((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+          nonzero(col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("k"),
+        // a CONSTANT vocabulary (every y equal) zeroes the y-variance
+        // factor; under ANSI that division must yield null, not throw —
+        // r² is undefined for a zero-variance response (a single point
+        // likewise nulls beta/k through the zero x-variance)
+        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          nonzero((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  /** ANSI-safe denominator: 0 → null so the division yields null
+    * instead of throwing DIVIDE_BY_ZERO. */
+  private def nonzero(c: Column): Column =
+    when(c === 0, lit(null)).otherwise(c)
 }

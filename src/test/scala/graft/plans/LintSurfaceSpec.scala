@@ -35,6 +35,7 @@ class LintSurfaceSpec extends SparkSpec {
     "c44_skyline" -> Map("GLOBAL_WINDOW" -> 1),
     "c54_weighted_quantiles" -> Map("GLOBAL_WINDOW" -> 1),
     "b22_ks_test" -> Map("GLOBAL_WINDOW" -> 1),
+    "d84_heaps_fit" -> Map("GLOBAL_WINDOW" -> 1),
     // the basket-count scalar rides a filtered CHECKPOINT scan, whose
     // one-row-ness the linter cannot prove from the plan (unlike a
     // grouping-free aggregate); the cross is 1 × |pairs| by contract

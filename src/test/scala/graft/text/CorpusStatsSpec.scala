@@ -149,6 +149,43 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0) // all 50 tokens are in the top-4 head
   }
 
+  test("heapsFit: exact hand regression; new types credit their first doc only") {
+    import org.apache.spark.sql.functions.col
+    // doc1 "a b a": 3 tokens, 2 new; doc2 "b c": 2 tokens, 1 new;
+    // doc3 "a d d": 3 tokens, 1 new → points (3,2), (5,3), (8,4)
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a d d")).toDF("doc_id", "text")
+    val r = CorpusStats.heapsFit(docs, col("doc_id"), col("text")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 8L && r.getLong(2) == 4L)
+    val pts = Seq((3.0, 2.0), (5.0, 3.0), (8.0, 4.0))
+      .map { case (n, v) => (math.log(n), math.log(v)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val k = math.exp((sy * sxx - sx * sxy) / (n * sxx - sx * sx))
+    assert(math.abs(r.getDouble(3) - beta) < 1e-6)
+    assert(math.abs(r.getDouble(4) - k) < 1e-6)
+    assert(beta > 0 && beta < 1, "sublinear growth on natural-ish text")
+  }
+
+  test("heapsFit: tokenless docs contribute no point; a pure-repeat corpus has beta 0") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "x y"), (2L, "  "), (3L, "x y x"), (4L, "y x"))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.heapsFit(docs, col("doc_id"), col("text")).head()
+    // doc2 has no tokens → 3 points: (2,2), (5,2), (7,2); vocab flat
+    assert(r.getLong(0) == 3L && r.getLong(1) == 7L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3)) < 1e-12, "constant vocabulary fits beta = 0")
+    // r2's zero-variance guard fires only on an EXACT fp zero (e.g. a
+    // single point); ln-sums here leave an epsilon, so r2 is merely
+    // numerically meaningless — beta, the decision value, is clean
+    val single = Seq((1L, "a b")).toDF("doc_id", "text")
+    val r1 = CorpusStats.heapsFit(single, col("doc_id"), col("text")).head()
+    assert(r1.isNullAt(r1.fieldIndex("beta")) && r1.isNullAt(r1.fieldIndex("r2")),
+      "one point cannot fix a slope — null, not DIVIDE_BY_ZERO")
+  }
+
   test("zipfFit head_share and ties: k below vocabulary, term-order ties") {
     import org.apache.spark.sql.functions.col
     // aa×4, bb×2, cc×2, dd×1; k=2 keeps aa and the count-2 tie → bb
