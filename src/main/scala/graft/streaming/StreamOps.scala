@@ -1570,6 +1570,75 @@ object StreamOps {
       .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
   }
 
+  /** E32 — streaming vocabulary-growth state, the live D84: each
+    * micro-batch lands the tokens seen for the FIRST time ever (batch
+    * distinct anti-joined against the whole persisted index — the D21
+    * incremental-dedup discipline) under `batch=<epochId>` in OVERWRITE
+    * mode, so a replayed epoch rewrites the identical token set instead
+    * of double-landing it (its tokens are excluded from the index read
+    * for its own rewrite by the epoch filter, exactly like the
+    * incremental dedup index). The index doubles as the growth curve:
+    * one row per (token, first epoch), so "new types per epoch" /
+    * Heaps-style growth over STREAM time is a state-scale rollup
+    * ([[vocabGrowthCurve]]) that never rescans the raw stream. Per-
+    * batch cost: one distinct over the batch + one anti-join against
+    * the index (token-hash equi-join; the index is big but the probe is
+    * batch-sized). */
+  def toVocabGrowthState(
+      events: DataFrame,
+      text: String,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        vocabGrowthBatch(batch.toDF(), epochId, text, statePath)
+      }
+      .start()
+
+  /** One micro-batch of [[toVocabGrowthState]], exposed for replay
+    * tests. */
+  private[graft] def vocabGrowthBatch(
+      batch: DataFrame,
+      epochId: Long,
+      text: String,
+      statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val toks = batch
+      .select(explode(graft.text.TextFunctions.tokens(col(text))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n_first_epoch"))
+    val existing = try {
+      spark.read.parquet(statePath)
+        .filter(col("batch") =!= epochId) // replay: own epoch is rewritten
+        .select("token")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => // first epoch ever
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("token",
+              org.apache.spark.sql.types.StringType))))
+    }
+    toks.join(existing, Seq("token"), "left_anti")
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+  }
+
+  /** Vocabulary-growth curve from a [[toVocabGrowthState]] dir: one row
+    * per epoch with the new-type count and the running vocabulary size
+    * — state-scale (|vocab| rows in, |epochs| rows out), the raw stream
+    * is never rescanned. The cumulative runs over the bounded epoch
+    * axis (one row per epoch — the liftTable benign window class). */
+  def vocabGrowthCurve(spark: SparkSession, statePath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.read.parquet(statePath)
+      .groupBy(col("batch").cast("long").as("epoch"))
+      .agg(count(lit(1)).as("new_types"))
+      .withColumn("vocab", sum(col("new_types")).over(w))
+      .orderBy("epoch")
+  }
+
   /** Current trending top-k from a [[toDecayedTrendState]] state dir
     * "as of" the newest reference it contains: every state row decays
     * to the global max reference (all exponents ≤ 0) and adds per key;

@@ -592,6 +592,35 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("toVocabGrowthState: first-seen-only landing, growth curve, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val state = java.nio.file.Files.createTempDirectory("vgstate").toString + "/vg"
+    val ckpt = java.nio.file.Files.createTempDirectory("vgckpt").toString
+    val q = StreamOps.toVocabGrowthState(
+      input.toDF().toDF("text"), text = "text", statePath = state, checkpoint = ckpt)
+    try {
+      input.addData("the cat sat", "the dog sat")   // epoch 0: the,cat,sat,dog
+      q.processAllAvailable()
+      input.addData("the cat ran", "a cat ran far") // epoch 1: ran,a,far only
+      q.processAllAvailable()
+    } finally q.stop()
+    val st = spark.read.parquet(state)
+      .select(col("token"), col("batch").cast("long").as("b"))
+      .as[(String, Long)].collect().toMap
+    assert(st == Map("the" -> 0L, "cat" -> 0L, "sat" -> 0L, "dog" -> 0L,
+      "ran" -> 1L, "a" -> 1L, "far" -> 1L), s"got $st")
+    val curve = StreamOps.vocabGrowthCurve(spark, state)
+      .as[(Long, Long, Long)].collect().toList
+    assert(curve == List((0L, 4L, 4L), (1L, 3L, 7L)))
+    // replaying epoch 1 rewrites the identical token set — no growth
+    StreamOps.vocabGrowthBatch(
+      Seq("the cat ran", "a cat ran far").toDF("text"), 1L, "text", state)
+    val curve2 = StreamOps.vocabGrowthCurve(spark, state)
+      .as[(Long, Long, Long)].collect().toList
+    assert(curve2 == curve, "a replayed epoch must leave the curve unchanged")
+  }
+
   test("toAuditedIngest: clean batches land, poisoned batches quarantine with their audit") {
     implicit val sqlCtx = spark.sqlContext
     import graft.etl.Checks
