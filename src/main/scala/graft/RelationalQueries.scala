@@ -710,6 +710,17 @@ private[graft] object RelationalQueries {
         .orderBy("p_partkey", "metric")
     }),
 
+    // Exact global percent_rank/cume_dist without the single-partition
+    // window: distributed rank pass + key-level tie bounds joined back.
+    "c57_percent_rank" -> ((s, dir) => {
+      Ranking.percentRanks(
+          Tables.part(s, dir).select("p_partkey", "p_retailprice"),
+          col("p_retailprice"), Seq(col("p_partkey").asc))
+        .select(col("p_partkey"), round(col("percent_rank"), 6).as("pr"),
+          round(col("cume_dist"), 6).as("cd"))
+        .orderBy("p_partkey")
+    }),
+
     // OHLC candlestick downsampling: daily bars per event type in one
     // partial-aggregating shuffle (open/close via min_by/max_by over
     // the (ts, event_id) struct — no window, no per-bucket sort).
@@ -1456,6 +1467,13 @@ private[graft] object RelationalQueries {
         |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
         |FROM part
         |ORDER BY p_partkey, metric""".stripMargin,
+
+    // The declarative window pair the distributed form must equal.
+    "c57_percent_rank" ->
+      """SELECT p_partkey,
+        | round(percent_rank() OVER (ORDER BY p_retailprice), 6) AS pr,
+        | round(cume_dist() OVER (ORDER BY p_retailprice), 6) AS cd
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     // First/last resolved by the same (us, event_id) order via ranked
     // rows; vwap with unit weights is the plain mean.

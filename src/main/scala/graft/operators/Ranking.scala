@@ -136,6 +136,36 @@ object Ranking {
       .drop("__rg_pid", "__rg_v", "__rg_local", "__rg_off")
   }
 
+  /** Exact SQL `percent_rank()` and `cume_dist()` over a GLOBAL order
+    * without the single-partition window — the relative-standing
+    * counterparts of [[ntileExact]]: `percent_rank = (rank − 1)/(n − 1)`
+    * with rank = the tie group's FIRST position (SQL rank()), and
+    * `cume_dist = |rows ≤ key| / n` = the tie group's LAST position
+    * over n. Ties are rows with EQUAL `key` (pass a struct for a
+    * multi-column key — struct ordering is lexicographic); `tieBreak`
+    * completes the total order [[globalRank]] needs without affecting
+    * either statistic. One range-shuffled rank pass, one key-level
+    * min/max aggregate joined back on the key (partial-aggregating;
+    * heavy tie groups combine map-side), one count job. SQL edge
+    * semantics preserved: n = 1 → percent_rank 0, cume_dist 1. */
+  def percentRanks(df: DataFrame, key: Column, tieBreak: Seq[Column],
+      prCol: String = "percent_rank", cdCol: String = "cume_dist"): DataFrame = {
+    require(!df.columns.contains(prCol) && !df.columns.contains(cdCol) &&
+      !df.columns.exists(_.startsWith("__pr_")),
+      s"percentRanks reserves '$prCol', '$cdCol' and '__pr_*'; rename the input column")
+    val n = df.count()
+    val ranked = globalRank(df.withColumn("__pr_k", key),
+      col("__pr_k").asc +: tieBreak, "__pr_rn")
+    val bounds = ranked.groupBy(col("__pr_k"))
+      .agg(min(col("__pr_rn")).as("__pr_lo"), max(col("__pr_rn")).as("__pr_hi"))
+    ranked.join(bounds, Seq("__pr_k"))
+      .withColumn(prCol,
+        if (n <= 1L) lit(0.0)
+        else (col("__pr_lo") - 1).cast("double") / lit((n - 1).toDouble))
+      .withColumn(cdCol, col("__pr_hi").cast("double") / lit(n.toDouble))
+      .drop("__pr_k", "__pr_rn", "__pr_lo", "__pr_hi")
+  }
+
   /** [[runningAgg]] for SEVERAL summed columns over ONE shared order —
     * the safe form of the nested composition the runningAgg scaladoc
     * forbids: one range exchange, one per-slice window pass computing

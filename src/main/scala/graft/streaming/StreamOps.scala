@@ -1570,6 +1570,51 @@ object StreamOps {
       .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
   }
 
+  /** E33 — streaming distribution-drift alarms: each micro-batch runs
+    * the EXACT two-sample KS test ([[graft.analytics.Stats.ksTest]],
+    * B22) of the batch's `value` distribution against a fixed REFERENCE
+    * sample and lands one verdict row `(n_batch, n_ref, d_stat,
+    * p_value, drifted)` under `batch=<epochId>` — the bin-free
+    * complement of E15's PSI drift cells: no bin edges to tune, and a
+    * shape change inside one bin still moves D. A tiny batch simply
+    * yields an underpowered test (large p), never a spurious alarm —
+    * the right failure direction for an alerting gate.
+    *
+    * The reference should be a COMPACT sample (thousands of rows — it
+    * re-evaluates every batch; cache it), the same discipline as E3's
+    * static enrichment side. Verdict rows are deterministic functions
+    * of (batch, reference), so epoch-keyed OVERWRITE makes replay
+    * idempotent — the E17 contract. */
+  def toKsDriftAlerts(
+      events: DataFrame,
+      value: String,
+      reference: DataFrame,
+      alpha: Double,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        ksDriftBatch(batch.toDF(), epochId, value, reference, alpha, statePath)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[toKsDriftAlerts]], exposed for replay tests. */
+  private[graft] def ksDriftBatch(
+      batch: DataFrame,
+      epochId: Long,
+      value: String,
+      reference: DataFrame,
+      alpha: Double,
+      statePath: String): Unit =
+    graft.analytics.Stats.ksTest(batch, reference, col(value))
+      .select(col("n_a").as("n_batch"), col("n_b").as("n_ref"),
+        col("d_stat"), col("p_value"),
+        (col("p_value").isNotNull && col("p_value") < alpha).as("drifted"))
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+
   /** E32 — streaming vocabulary-growth state, the live D84: each
     * micro-batch lands the tokens seen for the FIRST time ever (batch
     * distinct anti-joined against the whole persisted index — the D21

@@ -76,6 +76,27 @@ class RankingSpec extends SparkSpec {
     assert(gotMax == wantMax)
   }
 
+  test("percentRanks is bit-identical to the SQL window functions, ties and all") {
+    val df = spark.range(0, 300).select(col("id"),
+      (col("id") * 2654435761L % 40).as("v")) // heavy ties: 300 rows, 40 keys
+      .repartition(7)
+    val got = Ranking.percentRanks(df, col("v"), Seq(col("id").asc))
+      .select(col("id"), col("percent_rank"), col("cume_dist"))
+    val w = Window.orderBy(col("v").asc)
+    val want = df.select(col("id"), percent_rank().over(w).as("percent_rank"),
+      cume_dist().over(w).as("cume_dist"))
+    assert(got.collect().toSet === want.collect().toSet)
+    // single row: SQL says percent_rank 0, cume_dist 1
+    val one = Ranking.percentRanks(Seq((1L, 5.0)).toDF("id", "v"), col("v"),
+        Seq(col("id").asc))
+      .select("percent_rank", "cume_dist").as[(Double, Double)].collect().head
+    assert(one == ((0.0, 1.0)))
+    intercept[IllegalArgumentException] {
+      Ranking.percentRanks(df.withColumn("percent_rank", lit(1)), col("v"),
+        Seq(col("id").asc))
+    }
+  }
+
   test("runningSums matches per-column window prefixes bit-for-bit, incl. after a shuffle join") {
     // route the input through a shuffle join so upstream row order is
     // nondeterministic — the exact condition under which the nested

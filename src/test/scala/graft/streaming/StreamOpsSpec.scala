@@ -592,6 +592,38 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("toKsDriftAlerts: in-family batch passes, shifted batch alarms, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val state = java.nio.file.Files.createTempDirectory("ksstate").toString + "/ks"
+    val ckpt = java.nio.file.Files.createTempDirectory("ksckpt").toString
+    val ref = (1 to 400).map(i => (i % 100).toDouble).toDF("v").cache()
+    val q = StreamOps.toKsDriftAlerts(
+      input.toDF().toDF("v"), value = "v", reference = ref, alpha = 0.01,
+      statePath = state, checkpoint = ckpt)
+    try {
+      input.addData((1 to 200).map(i => (i % 100).toDouble): _*)   // same family
+      q.processAllAvailable()
+      input.addData((1 to 200).map(i => 500.0 + i % 100): _*)      // shifted
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(state)
+      .select(col("batch").cast("long"), col("drifted"), col("d_stat"))
+      .as[(Long, Boolean, Double)].collect().sortBy(_._1).toList
+    assert(rows.map(r => (r._1, r._2)) == List((0L, false), (1L, true)), s"got $rows")
+    assert(rows(1)._3 == 1.0, "disjoint supports give D = 1")
+    // replaying epoch 0 rewrites the identical verdict
+    StreamOps.ksDriftBatch((1 to 200).map(i => (i % 100).toDouble).toDF("v"),
+      0L, "v", ref, 0.01, state)
+    val again = spark.read.parquet(state)
+      .select(col("batch").cast("long"), col("drifted"), col("d_stat"))
+      .as[(Long, Boolean, Double)].collect().sortBy(_._1).toList
+    assert(again == rows, "a replayed epoch must leave the verdicts unchanged")
+    intercept[IllegalArgumentException] {
+      StreamOps.toKsDriftAlerts(input.toDF().toDF("v"), "v", ref, 1.5, state, ckpt)
+    }
+  }
+
   test("toVocabGrowthState: first-seen-only landing, growth curve, replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
