@@ -727,6 +727,17 @@ private[graft] object DataQueries {
         Tables.documents(s, dir).filter(col("text").isNotNull),
         col("doc_id"), col("text"))),
 
+    // Near-identical identifiers (one-keystroke variants) among customer
+    // names: deletion-neighborhood equi-join (FastSS) generates
+    // candidates, exact levenshtein verifies — never all-pairs over |V|².
+    "d85_spell_variants" -> ((s, dir) => {
+      val vocab = Tables.customer(s, dir)
+        .select(lower(trim(col("c_name"))).as("term"))
+      graft.dedup.EditDistance.spellVariantPairs(vocab, col("term"),
+          minLen = 4, keyDfCap = 100)
+        .orderBy("a", "b")
+    }),
+
     // Embedding outlier QA: per-vector cosine to its assigned coarse
     // centroid, z-scored within the cluster (mirror-exact moments from
     // plain sums). The gate ahead of the ANN/SemDeDup consumers.
@@ -1773,6 +1784,21 @@ private[graft] object DataQueries {
         | round(pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2,
         | round(sc / nt, 6) AS head_share
         |FROM s, tot""".stripMargin,
+
+    // Same deletion-key formula (i=0..len covers the term itself), same
+    // df cap on distinct-term neighborhoods, same exact verify.
+    "d85_spell_variants" ->
+      """WITH v AS (SELECT DISTINCT lower(trim(c_name)) AS w FROM customer
+        |  WHERE c_name IS NOT NULL AND length(trim(c_name)) >= 4),
+        |kd AS (SELECT DISTINCT w,
+        |    substr(w, 1, i) || substr(w, i + 2, length(w)) AS key
+        |  FROM v, UNNEST(range(0, length(w) + 1)) AS r(i)),
+        |kf AS (SELECT key FROM kd GROUP BY key HAVING count(*) <= 100),
+        |p AS (SELECT DISTINCT x.w AS a, y.w AS b
+        |  FROM kd x JOIN kf ON x.key = kf.key JOIN kd y ON y.key = kf.key
+        |  WHERE x.w < y.w)
+        |SELECT a, b, CAST(levenshtein(a, b) AS INT) AS dist FROM p
+        |WHERE levenshtein(a, b) <= 1 ORDER BY a, b""".stripMargin,
 
     // Same tokenizer, same first-seen/cumulate/regress pipeline.
     "d84_heaps_fit" ->

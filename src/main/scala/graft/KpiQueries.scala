@@ -147,6 +147,19 @@ private[graft] object KpiQueries {
           round(col("p_value"), 6).as("p_value"))
     }),
 
+    // Poisson-bootstrap mean CIs per event type: each row draws its 40
+    // replicate multiplicities locally from md5 (Chamandy et al.) —
+    // replicate means are ONE (type × replicate) partial agg, CI = order
+    // stats of 40 sorted values. No global resample coordination.
+    "b23_bootstrap_ci" -> ((s, dir) => {
+      graft.analytics.Stats.poissonBootstrapCI(Tables.events(s, dir),
+          Seq("event_type"), col("value"), col("event_id"),
+          replicates = 40, alpha = 0.05)
+        .select(col("event_type"), col("n"), round(col("mean"), 4).as("mean"),
+          round(col("ci_lo"), 4).as("ci_lo"), round(col("ci_hi"), 4).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+
     // Month-over-month and year-over-year growth over the monthly
     // revenue series. The lag window is global but CALENDAR-bounded
     // (one row per month — the b11/liftTable benign class): the heavy
@@ -393,6 +406,38 @@ private[graft] object KpiQueries {
         | round(count(*) * 1.0 / tot.nb, 6) AS share
         |FROM p, tot GROUP BY a, b, tot.nb HAVING count(*) >= 5
         |ORDER BY a, b""".stripMargin,
+
+    // Same md5→uniform→Poisson-inverse-CDF draws, same order-statistic
+    // CI picks; list() FILTERed to mirror collect_list's null-dropping.
+    "b23_bootstrap_ci" ->
+      """WITH base AS (SELECT event_type AS g, value AS v,
+        |    CAST(event_id AS VARCHAR) AS id FROM events WHERE value IS NOT NULL),
+        |u AS (SELECT g, v, r,
+        |    (CAST('0x' || substr(md5(id || ':bs:' || CAST(r // 2 AS VARCHAR)),
+        |        1 + (r % 2) * 15, 15) AS BIGINT)
+        |      % 1000000 + 0.5) / 1000000.0 AS u
+        |  FROM base, UNNEST(range(0, 40)) AS t(r)),
+        |w AS (SELECT g, v, r,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999824406472794 THEN 7
+        |         ELSE 8 END * 1.0 AS w FROM u),
+        |rep AS (SELECT g, r, sum(w * v) / nullif(sum(w), 0) AS m
+        |  FROM w GROUP BY 1, 2),
+        |q AS (SELECT g, list_sort(list(m) FILTER (WHERE m IS NOT NULL)) AS ms
+        |  FROM rep GROUP BY 1),
+        |ci AS (SELECT g, ms, len(ms) AS mn FROM q),
+        |pt AS (SELECT g, count(*) AS n, avg(v) AS mean FROM base GROUP BY 1)
+        |SELECT pt.g AS event_type, CAST(n AS BIGINT) AS n,
+        | round(mean, 4) AS mean,
+        | round(ms[greatest(1, CAST(floor(0.025 * mn) AS INT))], 4) AS ci_lo,
+        | round(ms[least(mn, CAST(ceil(0.975 * mn) AS INT))], 4) AS ci_hi
+        |FROM pt JOIN ci ON pt.g = ci.g ORDER BY event_type""".stripMargin,
 
     // Same distinct-value CDF merge, same λ correction and 100-term
     // Kolmogorov series (sequential list fold — fp-mirrorable).

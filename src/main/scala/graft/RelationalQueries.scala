@@ -721,6 +721,26 @@ private[graft] object RelationalQueries {
         .orderBy("p_partkey")
     }),
 
+    // Grid-tiled interval × interval overlap join: click vs view
+    // user-day session windows, classified into Allen relations. Cell
+    // equi-join + first-live-cell predicate — no cartesian, no distinct.
+    "c58_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val us = Relational.epochMicros(col("ts"))
+      def sessions(t: String, p: String) = e.filter(col("event_type") === t)
+        .groupBy(col("user_id").as(s"${p}_user"), to_date(col("ts")).as(s"${p}_day"))
+        .agg(min(us).as(s"${p}s"), (max(us) + lit(1L)).as(s"${p}e"))
+      val iv = graft.operators.Intervals.intervalJoin(
+        sessions("click", "l"), col("ls"), col("le"),
+        sessions("view", "r"), col("rs"), col("re"),
+        cellWidth = 21600000000L) // 6-hour cells in epoch micros
+      iv.groupBy(graft.operators.Intervals.allenRelation(
+            col("ls"), col("le"), col("rs"), col("re")).as("relation"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("relation")
+    }),
+
     // OHLC candlestick downsampling: daily bars per event type in one
     // partial-aggregating shuffle (open/close via min_by/max_by over
     // the (ts, event_id) struct — no window, no per-bucket sort).
@@ -1469,6 +1489,33 @@ private[graft] object RelationalQueries {
         |ORDER BY p_partkey, metric""".stripMargin,
 
     // The declarative window pair the distributed form must equal.
+    // Plain theta overlap join (DuckDB IEJoin) + the same Allen CASE
+    // in the same guard order — the grid decomposition must be
+    // invisible in the result.
+    "c58_interval_join" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT user_id, d, min(us) AS ls, max(us) + 1 AS le FROM e
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |r AS (SELECT user_id, d, min(us) AS rs, max(us) + 1 AS re FROM e
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT ls, le, rs, re FROM l JOIN r ON ls < re AND rs < le),
+        |c AS (SELECT CASE
+        |    WHEN le < rs THEN 'before' WHEN le = rs THEN 'meets'
+        |    WHEN ls > re THEN 'after' WHEN ls = re THEN 'meets-inv'
+        |    WHEN ls = rs AND le = re THEN 'equal'
+        |    WHEN ls = rs AND le < re THEN 'starts'
+        |    WHEN ls = rs THEN 'starts-inv'
+        |    WHEN le = re AND ls > rs THEN 'finishes'
+        |    WHEN le = re THEN 'finishes-inv'
+        |    WHEN ls < rs AND le > re THEN 'contains'
+        |    WHEN ls > rs AND le < re THEN 'during'
+        |    WHEN ls < rs THEN 'overlaps'
+        |    ELSE 'overlaps-inv' END AS relation FROM p)
+        |SELECT relation, count(*) AS n_pairs FROM c
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "c57_percent_rank" ->
       """SELECT p_partkey,
         | round(percent_rank() OVER (ORDER BY p_retailprice), 6) AS pr,

@@ -172,4 +172,91 @@ object Stats {
             (col("n") * (least(col("r"), col("c")) - 1))))
           .as("cramers_v"))
   }
+
+  /** Poisson(1) cumulative distribution thresholds e⁻¹·Σ₀ᵏ 1/k!,
+    * k = 0..7 — the inverse-CDF table for [[poissonBootstrapCI]]'s
+    * deterministic draws. P(X > 7) ≈ 1.8e-5; the tail clamps to 8. */
+  private val PoissonCdf = Array(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999824406472794)
+
+  /** Per-group mean with a Poisson-bootstrap percentile confidence
+    * interval — uncertainty quantification that actually distributes
+    * (the method of Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google TR 2012): classic bootstrap resamples
+    * n rows WITH replacement R times (undistributable — every resample
+    * needs global coordination), but for large n the multinomial
+    * resample counts are approximately independent Poisson(1), so each
+    * row can draw its R replicate multiplicities LOCALLY and the
+    * replicate estimates become plain weighted aggregates.
+    *
+    * Every draw is hash-derived (md5 of id × digest-index through the
+    * [[graft.operators.Sampling.hashBucket]] recipe; each 32-hex digest
+    * yields TWO 60-bit uniforms — chars 1-15 and 16-30 — so R replicates
+    * cost R/2 digests; half-bucket-centered uniform → inverse-CDF lookup
+    * in [[PoissonCdf]]) — fully deterministic, engine-mirrorable, no RNG
+    * state to coordinate.
+    *
+    * Scale shape: the replicate axis is an `explode(sequence(...))` of
+    * a bounded int literal FIRST, and the digest/weight math is a plain
+    * scalar projection AFTER it — whole-stage-codegen'd end to end
+    * (deriving weights inside a `transform` lambda would drop the hot
+    * path to interpreted eval: higher-order lambdas are CodegenFallback,
+    * measured ~5× slower on the R×corpus row stream). The exploded
+    * stream feeds a (group × replicate) partial aggregate — map-side
+    * combine collapses each partition to |groups|·R rows before the
+    * ONLY corpus-wide shuffle — and the percentile step sorts R values
+    * per group (R bounded, never a window over data). CI = order
+    * statistics of the sorted replicate means: lo = element
+    * max(1, ⌊α/2·m⌋), hi = element min(m, ⌈(1−α/2)·m⌉), m = replicates
+    * with a non-degenerate (weight-sum > 0) resample. Null values are
+    * excluded. */
+  def poissonBootstrapCI(df: DataFrame, groupCols: Seq[String], value: Column,
+                         id: Column, replicates: Int = 40, alpha: Double = 0.05,
+                         salt: String = "bs"): DataFrame = {
+    require(replicates >= 4, s"need >= 4 replicates for a percentile CI, got $replicates")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    import graft.operators.Sampling.M
+    val base = df
+      .select(groupCols.map(col) ++ Seq(value.cast("double").as("__v"),
+        id.cast("string").as("__id")): _*)
+      .filter(col("__v").isNotNull)
+    def pois(u: Column): Column =
+      PoissonCdf.zipWithIndex.foldRight(lit(8): Column) {
+        case ((t, k), acc) => when(u < t, lit(k)).otherwise(acc)
+      }
+    val digest = md5(concat(col("__id"), lit(":" + salt + ":"),
+      floor(col("__r") / 2).cast("string")))
+    val u = (pmod(conv(digest.substr(lit(1) + pmod(col("__r"), lit(2)) * 15,
+      lit(15)), 16, 10).cast("long"), lit(M)).cast("double") + 0.5) / M.toDouble
+    // The replicate explode amplifies per-row compute ×R (digest +
+    // inverse-CDF per replicate), so a source NARROWER than the cluster
+    // (few files, single-row-group parquet) would serialize the hot
+    // stage on a handful of tasks. Aligning width costs one shuffle of
+    // the UN-amplified rows and fires only when the source actually
+    // under-partitions — at corpus scale (≥ cores splits) it's a no-op.
+    val wide = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (base.rdd.getNumPartitions < wide) base.repartition(wide) else base
+    val rep = spread
+      .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__w", pois(u).cast("double"))
+      .groupBy((groupCols :+ "__r").map(col): _*)
+      .agg(sum(col("__w") * col("__v")).as("__sw"), sum(col("__w")).as("__sn"))
+      .withColumn("__m", col("__sw") / when(col("__sn") =!= 0.0, col("__sn")))
+    val ci = rep
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__m"))).as("__ms"))
+      .withColumn("__mn", size(col("__ms")))
+      .select(groupCols.map(col) ++ Seq(
+        element_at(col("__ms"),
+          greatest(lit(1), floor(lit(alpha / 2) * col("__mn")).cast("int"))).as("ci_lo"),
+        element_at(col("__ms"),
+          least(col("__mn"), ceil(lit(1 - alpha / 2) * col("__mn")).cast("int"))).as("ci_hi")): _*)
+    val point = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), avg(col("__v")).as("mean"))
+    point.join(ci, groupCols)
+      .select(groupCols.map(col) ++ Seq(col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi")): _*)
+  }
 }

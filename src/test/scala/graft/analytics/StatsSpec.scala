@@ -129,4 +129,60 @@ class StatsSpec extends SparkSpec {
       .select("cramers_v").as[Option[Double]].head()
     assert(r.isEmpty)
   }
+
+  // Independent mirror of poissonBootstrapCI's deterministic draw:
+  // md5(id:salt:⌊r/2⌋) → hex chars [1+15(r%2), +15) → 60-bit int % 1e6 →
+  // half-bucket-centered uniform → Poisson(1) inverse CDF.
+  private def poisWeight(id: String, r: Int, salt: String = "bs"): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id:$salt:${r / 2}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.slice(15 * (r % 2), 15 * (r % 2) + 15)
+    val u = (java.lang.Long.parseLong(hex, 16) % 1000000L + 0.5) / 1000000.0
+    val cdf = Array(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167588507119, 0.9999824406472794)
+    val k = cdf.indexWhere(u < _)
+    (if (k < 0) 8 else k).toDouble
+  }
+
+  test("poissonBootstrapCI: replicate means and CI match a by-hand recompute") {
+    val data = (1 to 30).map(i => ("g", i.toDouble, i.toLong))
+    val df = data.toDF("grp", "v", "id")
+    val r = Stats.poissonBootstrapCI(df, Seq("grp"), col("v"), col("id"),
+      replicates = 12, alpha = 0.1).head()
+    // by hand: 12 replicate weighted means, sorted; lo = elem max(1,⌊0.05·12⌋)=1,
+    // hi = elem min(12,⌈0.95·12⌉)=12 (1-indexed)
+    val means = (0 until 12).flatMap { rep =>
+      val ws = data.map { case (_, v, id) => (poisWeight(id.toString, rep), v) }
+      val sn = ws.map(_._1).sum
+      if (sn == 0) None else Some(ws.map { case (w, v) => w * v }.sum / sn)
+    }.sorted
+    assert(r.getAs[Long]("n") === 30L)
+    assert(math.abs(r.getAs[Double]("mean") - 15.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_lo") - means.head) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_hi") - means.last) < 1e-9)
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+  }
+
+  test("poissonBootstrapCI: constant values collapse the CI onto the mean; groups independent") {
+    val df = (Seq.fill(20)(("a", 7.0)) ++ (1 to 20).map(i => ("b", i.toDouble)))
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }.toDF("grp", "v", "id")
+    val rows = Stats.poissonBootstrapCI(df, Seq("grp"), col("v"), col("id"))
+      .orderBy("grp").collect()
+    assert(rows(0).getAs[Double]("ci_lo") === 7.0)
+    assert(rows(0).getAs[Double]("ci_hi") === 7.0)
+    assert(rows(0).getAs[Double]("mean") === 7.0)
+    val b = rows(1)
+    assert(b.getAs[Double]("ci_lo") < b.getAs[Double]("ci_hi"))
+    assert(b.getAs[Double]("ci_lo") <= b.getAs[Double]("mean") + 1e-9)
+    assert(b.getAs[Double]("mean") <= b.getAs[Double]("ci_hi") + 1e-9)
+  }
+
+  test("poissonBootstrapCI: no window anywhere; replicate agg partial-aggregates") {
+    val df = spark.range(200).select((col("id") % 5).cast("string").as("grp"),
+      col("id").cast("double").as("v"), col("id").as("rid"))
+    val shape = PlanShapes.executedShape(
+      Stats.poissonBootstrapCI(df, Seq("grp"), col("v"), col("rid"), replicates = 8))
+    assert(shape.windows === 0, s"bootstrap must not window over data: $shape")
+  }
 }
