@@ -727,6 +727,17 @@ private[graft] object DataQueries {
         Tables.documents(s, dir).filter(col("text").isNotNull),
         col("doc_id"), col("text"))),
 
+    // Adjacent-bigram PMI collocations over the corpus: bigram counts
+    // partial-aggregate, margins derive from the bigram-type table,
+    // product-free logs — which pairs co-occur above chance.
+    "d86_collocations" -> ((s, dir) => {
+      graft.text.Collocations.pmiCollocations(
+          Tables.documents(s, dir).filter(col("text").isNotNull),
+          col("text"), minCount = 5L)
+        .select(col("w1"), col("w2"), col("cnt"), round(col("pmi"), 6).as("pmi"))
+        .orderBy("w1", "w2")
+    }),
+
     // Near-identical identifiers (one-keystroke variants) among customer
     // names: deletion-neighborhood equi-join (FastSS) generates
     // candidates, exact levenshtein verifies — never all-pairs over |V|².
@@ -1784,6 +1795,24 @@ private[graft] object DataQueries {
         | round(pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2,
         | round(sc / nt, 6) AS head_share
         |FROM s, tot""".stripMargin,
+
+    // Same tokenizer, same bigram-stream sample space, same log
+    // decomposition.
+    "d86_collocations" ->
+      """WITH toks AS (SELECT list_filter(string_split(
+        |      regexp_replace(lower(trim(text)),'\s+',' ','g'), ' '),
+        |      w -> length(w) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(cnt) AS c1 FROM big GROUP BY 1),
+        |c2 AS (SELECT w2, sum(cnt) AS c2 FROM big GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS nb FROM big)
+        |SELECT big.w1, big.w2, CAST(cnt AS BIGINT) AS cnt,
+        | round(ln(cnt) + ln(nb) - ln(c1.c1) - ln(c2.c2), 6) AS pmi
+        |FROM big JOIN c1 USING (w1) JOIN c2 USING (w2), t
+        |WHERE cnt >= 5 ORDER BY w1, w2""".stripMargin,
 
     // Same deletion-key formula (i=0..len covers the term itself), same
     // df cap on distinct-term neighborhoods, same exact verify.

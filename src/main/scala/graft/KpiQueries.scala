@@ -147,6 +147,32 @@ private[graft] object KpiQueries {
           round(col("p_value"), 6).as("p_value"))
     }),
 
+    // Mutual information (and NMI) between order priority and status —
+    // the shared-bits sibling of b20's Cramér's V; one corpus pass to
+    // cells, everything else cardinality²-scale.
+    "b25_mutual_info" -> ((s, dir) => {
+      graft.analytics.Stats.mutualInformation(Tables.orders(s, dir),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .select(col("n"), round(col("mi"), 6).as("mi"),
+          round(col("nmi"), 6).as("nmi"))
+    }),
+
+    // Sample ACF of the per-type daily-revenue series at lags 1..7 —
+    // window-free: per-key moments in one agg, lag axis exploded, lagged
+    // pairs via a (key, idx-lag) equi-join of the series with itself.
+    "b24_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value")).as("x"))
+        .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+      graft.operators.TimeSeries.acf(daily, col("event_type"), col("di"),
+          col("x"), maxLag = 7)
+        .select(col("key").as("event_type"), col("lag"), col("n"),
+          round(col("acf"), 6).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
     // Poisson-bootstrap mean CIs per event type: each row draws its 40
     // replicate multiplicities locally from md5 (Chamandy et al.) —
     // replicate means are ONE (type × replicate) partial agg, CI = order
@@ -406,6 +432,40 @@ private[graft] object KpiQueries {
         | round(count(*) * 1.0 / tot.nb, 6) AS share
         |FROM p, tot GROUP BY a, b, tot.nb HAVING count(*) >= 5
         |ORDER BY a, b""".stripMargin,
+
+    // Same cells/margins decomposition, same product-free log terms.
+    "b25_mutual_info" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    count(*) AS o FROM orders GROUP BY 1, 2),
+        |r AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+        |c AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |ha AS (SELECT -sum(ra * 1.0 / t.n * (ln(ra) - ln(t.n))) AS ha FROM r, t),
+        |hb AS (SELECT -sum(cb * 1.0 / t.n * (ln(cb) - ln(t.n))) AS hb FROM c, t),
+        |mi AS (SELECT max(t.n) AS n,
+        |    sum(o * 1.0 / t.n * (ln(o) + ln(t.n) - ln(ra) - ln(cb))) AS mi
+        |  FROM cells JOIN r USING (a) JOIN c USING (b), t)
+        |SELECT CAST(n AS BIGINT) AS n, round(mi, 6) AS mi,
+        | round(CASE WHEN ha > 0 AND hb > 0 THEN mi / sqrt(ha * hb) END, 6) AS nmi
+        |FROM mi, ha, hb""".stripMargin,
+
+    // Same daily collapse, same biased-estimator formula, same
+    // aligned-pairs self-join (no window on either side).
+    "b24_acf" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |di AS (SELECT g, (d - DATE '1970-01-01') AS i, x FROM daily),
+        |st AS (SELECT g, avg(x) AS mu, count(*) AS n, var_pop(x) AS vp
+        |  FROM di GROUP BY 1),
+        |p AS (SELECT a.g, l.lag, st.n,
+        |    (a.x - st.mu) * (b.x - st.mu) AS prod, st.n * st.vp AS den
+        |  FROM di a JOIN st ON a.g = st.g
+        |  CROSS JOIN UNNEST(range(1, 8)) AS l(lag)
+        |  JOIN di b ON b.g = a.g AND b.i = a.i - l.lag)
+        |SELECT g AS event_type, CAST(lag AS INT) AS lag,
+        | CAST(max(n) AS BIGINT) AS n,
+        | round(sum(prod) / nullif(max(den), 0), 6) AS acf
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same md5→uniform→Poisson-inverse-CDF draws, same order-statistic
     // CI picks; list() FILTERed to mirror collect_list's null-dropping.

@@ -173,6 +173,43 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** Mutual information between two categorical columns, in nats, with
+    * the normalized variant NMI = I/√(H(a)·H(b)) — the information-
+    * theoretic sibling of [[cramersV]]: χ² measures deviation from
+    * independence, MI measures the shared bits, and the two disagree
+    * usefully on skewed tables. I = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))).
+    *
+    * Same scale decomposition as cramersV: ONE corpus pass builds the
+    * contingency cells; margins, total, entropies, and the MI sum all
+    * derive FROM the cells (cardinality²-scale, broadcast-joined, never
+    * a corpus rescan). Log terms use the product-free decomposition
+    * ln o + ln n − ln ra − ln cb, so no long×long product can overflow
+    * at trillion-row tables. Nulls are their own level; a single-level
+    * column gives MI = 0 and NMI null (no entropy to share — ANSI null,
+    * not an error). */
+  def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__o"))
+    val rows = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colsT = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+    val tot = cells.agg(sum("__o").as("__n"))
+    val ha = rows.crossJoin(broadcast(tot))
+      .agg((-sum(col("__ra") / col("__n") * (log(col("__ra")) - log(col("__n"))))).as("__ha"))
+    val hb = colsT.crossJoin(broadcast(tot))
+      .agg((-sum(col("__cb") / col("__n") * (log(col("__cb")) - log(col("__n"))))).as("__hb"))
+    cells
+      .join(broadcast(rows), Seq("__a"))
+      .join(broadcast(colsT), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("__n")).as("n"),
+        sum(col("__o") / col("__n") *
+          (log(col("__o")) + log(col("__n")) - log(col("__ra")) - log(col("__cb"))))
+          .as("mi"))
+      .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), col("mi"),
+        when(col("__ha") > 0 && col("__hb") > 0,
+          col("mi") / sqrt(col("__ha") * col("__hb"))).as("nmi"))
+  }
+
   /** Poisson(1) cumulative distribution thresholds e⁻¹·Σ₀ᵏ 1/k!,
     * k = 0..7 — the inverse-CDF table for [[poissonBootstrapCI]]'s
     * deterministic draws. P(X > 7) ≈ 1.8e-5; the tail clamps to 8. */

@@ -101,4 +101,45 @@ object TimeSeries {
       .withColumn("bucket_start", col("__win.start"))
       .drop("__win")
   }
+
+  /** Sample autocorrelation function per series: for each key and each
+    * lag l in 1..maxLag, the standard biased estimator
+    * ρ̂(l) = Σ_{t>l} (x_t − x̄)(x_{t−l} − x̄) / (n·σ̂²_pop) — the
+    * seasonality/persistence fingerprint of a metric series (ρ̂ at the
+    * period spikes for seasonal series; slow decay flags trends).
+    *
+    * Entirely WINDOW-FREE, unlike the textbook lag()-based version: a
+    * global-order window is a single unsplittable partition per key.
+    * Here per-key mean/variance ride one aggregate, the lag axis is an
+    * `explode(sequence(1..maxLag))` (bounded literal), and lagged pairs
+    * come from a (key, idx−l) EQUI-join of the series against itself —
+    * every shuffle key-hashed, every aggregate partial. Keys here are
+    * series identities and `idx` an integer time index (days, buckets);
+    * the input is the already-downsampled series table (calendar-
+    * bounded, the b14/b11 benign class — ohlcBars/tumbling buckets
+    * produce it from the raw corpus).
+    *
+    * Gaps in `idx` simply contribute no pair at the lags they break
+    * (the aligned-pairs treatment); a zero-variance or too-short series
+    * yields null ρ̂, never a division error. */
+  def acf(series: DataFrame, key: Column, idx: Column, value: Column,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val s = series
+      .select(key.as("__g"), idx.cast("long").as("__i"),
+        value.cast("double").as("__x"))
+      .filter(col("__g").isNotNull && col("__i").isNotNull && col("__x").isNotNull)
+    val st = s.groupBy("__g").agg(avg(col("__x")).as("__mu"),
+      count(lit(1)).as("n"), var_pop(col("__x")).as("__vp"))
+    val a = s.join(st, "__g")
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+    val b = s.select(col("__g"), col("__i").as("__bi"), col("__x").as("__bx"))
+    a.join(b, a("__g") === b("__g") && col("__bi") === col("__i") - col("lag"))
+      .groupBy(a("__g").as("key"), col("lag"))
+      .agg(
+        max(col("n")).as("n"),
+        (sum((col("__x") - col("__mu")) * (col("__bx") - col("__mu"))) /
+          when(max(col("n") * col("__vp")) =!= 0, max(col("n") * col("__vp")))
+        ).as("acf"))
+  }
 }

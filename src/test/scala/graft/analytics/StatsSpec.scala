@@ -130,6 +130,36 @@ class StatsSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
+  test("mutualInformation: perfect association ln2/NMI 1, independence 0, hand value") {
+    val perfect = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2)).toDF("a", "b")
+    val p = Stats.mutualInformation(perfect, col("a"), col("b"))
+      .select("n", "mi", "nmi").as[(Long, Double, Double)].head()
+    assert(p._1 === 4L)
+    assert(math.abs(p._2 - math.log(2)) < 1e-12)
+    assert(math.abs(p._3 - 1.0) < 1e-12)
+
+    val indep = Seq(("A", 1), ("A", 2), ("B", 1), ("B", 2)).toDF("a", "b")
+    val i = Stats.mutualInformation(indep, col("a"), col("b"))
+      .select("mi", "nmi").as[(Double, Double)].head()
+    assert(math.abs(i._1) < 1e-12 && math.abs(i._2) < 1e-12)
+
+    // cells (A,1)=2, (A,2)=2, (B,1)=4 — margins 4/4 and 6/2, n=8
+    val hand = (Seq.fill(2)(("A", 1)) ++ Seq.fill(2)(("A", 2)) ++ Seq.fill(4)(("B", 1)))
+      .toDF("a", "b")
+    val h = Stats.mutualInformation(hand, col("a"), col("b"))
+      .select("mi").as[Double].head()
+    val want = 0.25 * math.log(2.0 / 3) + 0.25 * math.log(2.0) + 0.5 * math.log(4.0 / 3)
+    assert(math.abs(h - want) < 1e-12)
+  }
+
+  test("mutualInformation: single-level column gives MI 0 and null NMI") {
+    val df = Seq(("only", 1), ("only", 2)).toDF("a", "b")
+    val r = Stats.mutualInformation(df, col("a"), col("b"))
+      .select("mi", "nmi").as[(Double, Option[Double])].head()
+    assert(math.abs(r._1) < 1e-12)
+    assert(r._2.isEmpty)
+  }
+
   // Independent mirror of poissonBootstrapCI's deterministic draw:
   // md5(id:salt:⌊r/2⌋) → hex chars [1+15(r%2), +15) → 60-bit int % 1e6 →
   // half-bucket-centered uniform → Poisson(1) inverse CDF.

@@ -105,4 +105,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("A").contains(12.5)) // (10·3 + 20·1) / 4
     assert(got("Z").isEmpty)
   }
+
+  test("acf: hand-computed lag-1 on 1..5, sign flip on alternating series") {
+    // x = 1..5: μ=3, σ²_pop=2, Σ(x_t−3)(x_{t−1}−3) = 2+0+0+2 = 4 → ρ̂(1)=0.4
+    val ramp = (1 to 5).map(i => ("r", i.toLong, i.toDouble))
+    // x alternates ±1: ρ̂(1) = −(n−1)/n = −0.8 for n=5
+    val alt = (1 to 5).map(i => ("a", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    val df = (ramp ++ alt).toDF("k", "i", "x")
+    val got = TimeSeries.acf(df, col("k"), col("i"), col("x"), maxLag = 2)
+      .select("key", "lag", "acf").as[(String, Int, Double)].collect()
+      .map { case (k, l, v) => (k, l) -> v }.toMap
+    assert(math.abs(got(("r", 1)) - 0.4) < 1e-12)
+    assert(math.abs(got(("a", 1)) + 0.8) < 1e-12)
+    // alternating at lag 2 (μ=−0.2): (0.64+1.44+0.64)/(5·0.96) = 2.72/4.8
+    assert(math.abs(got(("a", 2)) - 2.72 / 4.8) < 1e-12)
+  }
+
+  test("acf: matches brute force on a pseudo-random gapped series; constant series null") {
+    val xs = (1 to 40).filter(_ % 7 != 0) // gaps at multiples of 7
+      .map(i => ("s", i.toLong, ((i * 37) % 11).toDouble))
+    val df = (xs ++ Seq(("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0)))
+      .toDF("k", "i", "x")
+    val got = TimeSeries.acf(df, col("k"), col("i"), col("x"), maxLag = 3)
+      .select("key", "lag", "acf").as[(String, Int, Option[Double])].collect()
+      .map { case (k, l, v) => (k, l) -> v }.toMap
+    val m = xs.map(_._3).sum / xs.size
+    val den = xs.map(t => (t._3 - m) * (t._3 - m)).sum // n·σ²_pop = Σ(x−μ)²
+    val byIdx = xs.map(t => t._2 -> t._3).toMap
+    for (l <- 1 to 3) {
+      val num = xs.flatMap(t => byIdx.get(t._2 - l).map(p => (t._3 - m) * (p - m))).sum
+      assert(math.abs(got(("s", l)).get - num / den) < 1e-12, s"lag $l")
+    }
+    for (l <- 1 to 2) assert(got(("c", l)).isEmpty) // zero variance → null
+  }
 }
