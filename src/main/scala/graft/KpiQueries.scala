@@ -147,6 +147,21 @@ private[graft] object KpiQueries {
           round(col("p_value"), 6).as("p_value"))
     }),
 
+    // Two-sided CUSUM changepoints over the per-type daily-revenue
+    // series (sensitive-monitor parameters k=0.25, h=2.5): the
+    // non-linear scan folds sequentially per series AFTER the corpus
+    // reduces to the calendar-bounded daily table.
+    "b26_cusum" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value")).as("x"))
+        .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+      graft.analytics.Anomaly.cusum(daily, col("event_type"), col("di"),
+          col("x"), slack = 0.25, threshold = 2.5)
+        .orderBy("key", "idx", "direction")
+    }),
+
     // Mutual information (and NMI) between order priority and status —
     // the shared-bits sibling of b20's Cramér's V; one corpus pass to
     // cells, everything else cardinality²-scale.
@@ -432,6 +447,38 @@ private[graft] object KpiQueries {
         | round(count(*) * 1.0 / tot.nb, 6) AS share
         |FROM p, tot GROUP BY a, b, tot.nb HAVING count(*) >= 5
         |ORDER BY a, b""".stripMargin,
+
+    // The same recurrence as a recursive CTE (t from a per-key
+    // row_number), same resets, same raw-statistic alarm predicate.
+    "b26_cusum" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT g, avg(x) AS mu, stddev_pop(x) AS sd FROM daily GROUP BY 1),
+        |z AS (SELECT daily.g, (d - DATE '1970-01-01') AS i, (x - mu) / sd AS z,
+        |    row_number() OVER (PARTITION BY daily.g ORDER BY d) AS t
+        |  FROM daily JOIN st ON daily.g = st.g WHERE sd > 0),
+        |c AS (
+        |  SELECT g, t, i, z,
+        |    greatest(0, z - 0.25) AS sp_raw, greatest(0, -z - 0.25) AS sn_raw,
+        |    CASE WHEN greatest(0, z - 0.25) > 2.5 THEN 0
+        |         ELSE greatest(0, z - 0.25) END AS sp,
+        |    CASE WHEN greatest(0, -z - 0.25) > 2.5 THEN 0
+        |         ELSE greatest(0, -z - 0.25) END AS sn
+        |  FROM z WHERE t = 1
+        |  UNION ALL
+        |  SELECT z.g, z.t, z.i, z.z,
+        |    greatest(0, c.sp + z.z - 0.25), greatest(0, c.sn - z.z - 0.25),
+        |    CASE WHEN greatest(0, c.sp + z.z - 0.25) > 2.5 THEN 0
+        |         ELSE greatest(0, c.sp + z.z - 0.25) END,
+        |    CASE WHEN greatest(0, c.sn - z.z - 0.25) > 2.5 THEN 0
+        |         ELSE greatest(0, c.sn - z.z - 0.25) END
+        |  FROM c JOIN z ON z.g = c.g AND z.t = c.t + 1)
+        |SELECT g AS key, CAST(i AS BIGINT) AS idx, dir AS direction FROM (
+        |  SELECT g, i, 'up' AS dir FROM c WHERE sp_raw > 2.5
+        |  UNION ALL
+        |  SELECT g, i, 'down' AS dir FROM c WHERE sn_raw > 2.5)
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // Same cells/margins decomposition, same product-free log terms.
     "b25_mutual_info" ->

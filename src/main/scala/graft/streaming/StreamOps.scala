@@ -1684,6 +1684,94 @@ object StreamOps {
       .orderBy("epoch")
   }
 
+  /** E34 — late-data router: split an ingest stream into on-time and
+    * late sinks by a REPLAY-STABLE event-time watermark, instead of
+    * letting `withWatermark` silently drop late rows inside downstream
+    * stateful ops. On-time batches land in `onTimeRoot/batch=N`, late
+    * rows (and null-timestamp rows — unplaceable on the time axis) in
+    * `lateRoot/batch=N`, both epoch-keyed overwrites, so a replayed
+    * epoch rewrites exactly its own output (the toAuditedIngest
+    * discipline).
+    *
+    * The watermark is NOT the engine's internal one (invisible to
+    * foreachBatch) but a persisted per-epoch high-water marker table
+    * (`onTimeRoot/_watermark/batch=N` → max event-time of batch N):
+    * epoch N routes against max(marker\[batch < N\]) − delay, so a
+    * post-failure replay of epoch N sees the SAME watermark it saw the
+    * first time even though later markers may already exist — routing
+    * is deterministic per epoch. The first epoch has no predecessor
+    * marker and routes everything on-time.
+    *
+    * Scale: the marker table is one tiny row per epoch (read
+    * state-scale, never the stream); the split is two narrow filters
+    * of the batch; no shuffle anywhere. */
+  def toLateRouted(
+      events: DataFrame,
+      ts: String,
+      delay: String,
+      onTimeRoot: String,
+      lateRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val delayUs = intervalMicros(delay)
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        lateRoutedBatch(batch.toDF(), epochId, ts, delayUs, onTimeRoot, lateRoot)
+      }
+      .start()
+  }
+
+  /** Parse a day-time interval literal ("10 minutes", "1 hour") to
+    * microseconds; month-bearing intervals are rejected (no fixed
+    * micros width). */
+  private[graft] def intervalMicros(interval: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    require(iv.months == 0, s"interval must not contain months: $interval")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
+  /** One micro-batch of [[toLateRouted]], exposed for replay tests. */
+  private[graft] def lateRoutedBatch(
+      batch: DataFrame,
+      epochId: Long,
+      ts: String,
+      delayUs: Long,
+      onTimeRoot: String,
+      lateRoot: String): Unit = {
+    val spark = batch.sparkSession
+    val markerRoot = s"$onTimeRoot/_watermark"
+    val wmUs: Option[Long] =
+      try {
+        val prev = spark.read.parquet(markerRoot)
+          .filter(col("batch") < epochId)
+          .agg(max(col("max_us")).as("m")).head()
+        if (prev.isNullAt(0)) None else Some(prev.getLong(0) - delayUs)
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val b = batch.cache()
+    try {
+      val tsUs = unix_micros(col(ts).cast("timestamp"))
+      val isLate = wmUs match {
+        case Some(w) => col(ts).isNull || tsUs < lit(w)
+        case None    => col(ts).isNull
+      }
+      b.filter(!isLate).write.mode("overwrite")
+        .parquet(s"$onTimeRoot/batch=$epochId")
+      b.filter(isLate).write.mode("overwrite")
+        .parquet(s"$lateRoot/batch=$epochId")
+      // an all-null batch writes a null marker (max() skips it later) —
+      // the epoch still gets its row so replay stays per-epoch exact
+      val batchMax = b.agg(max(tsUs).as("max_us")).head()
+      val markerVal: Any = if (batchMax.isNullAt(0)) null else batchMax.getLong(0)
+      spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(markerVal)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("max_us",
+            org.apache.spark.sql.types.LongType))))
+        .write.mode("overwrite").parquet(s"$markerRoot/batch=$epochId")
+    } finally b.unpersist()
+  }
+
   /** Current trending top-k from a [[toDecayedTrendState]] state dir
     * "as of" the newest reference it contains: every state row decays
     * to the global max reference (all exponents ≤ 0) and adds per key;

@@ -60,4 +60,45 @@ class AnomalySpec extends SparkSpec {
         col("e"), col("ts"), col("v"), 1, 2.0)
     }
   }
+
+  test("cusum: level shift fires both sides at hand-computed indices, with resets") {
+    // 10 points at 0 then 10 at 5: μ=2.5, σ=2.5 → z = ∓1. With k=0.25,
+    // h=2.5 each side accumulates 0.75/step: down alarms at idx 3 and 7
+    // (reset between), up alarms at idx 13 and 17.
+    val xs = (0 until 10).map(i => ("s", i.toLong, 0.0)) ++
+      (10 until 20).map(i => ("s", i.toLong, 5.0))
+    val got = Anomaly.cusum(xs.toDF("k", "i", "x"), col("k"), col("i"), col("x"),
+        slack = 0.25, threshold = 2.5)
+      .select("key", "idx", "direction").as[(String, Long, String)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(got === Seq(("s", 3L, "down"), ("s", 7L, "down"),
+      ("s", 13L, "up"), ("s", 17L, "up")))
+  }
+
+  test("cusum matches an independent fold on a pseudo-random multi-key input; flat series silent") {
+    val data = (for (k <- Seq("a", "b"); i <- 1 to 60)
+      yield (k, i.toLong, ((i * (if (k == "a") 37 else 53)) % 17).toDouble +
+        (if (i > 40) 6.0 else 0.0))) ++ (1 to 10).map(i => ("flat", i.toLong, 2.0))
+    val got = Anomaly.cusum(data.toDF("k", "i", "x"), col("k"), col("i"), col("x"),
+        slack = 0.5, threshold = 3.0)
+      .select("key", "idx", "direction").as[(String, Long, String)].collect().toSet
+    val want = data.groupBy(_._1).flatMap { case (k, pts) =>
+      val xs = pts.sortBy(_._2)
+      val mu = xs.map(_._3).sum / xs.size
+      val sd = math.sqrt(xs.map(p => (p._3 - mu) * (p._3 - mu)).sum / xs.size)
+      if (sd == 0) Nil else {
+        var sp = 0.0; var sn = 0.0
+        xs.flatMap { case (_, i, x) =>
+          val z = (x - mu) / sd
+          sp = math.max(0, sp + z - 0.5); sn = math.max(0, sn - z - 0.5)
+          val hits = (if (sp > 3.0) Seq((k, i, "up")) else Nil) ++
+            (if (sn > 3.0) Seq((k, i, "down")) else Nil)
+          if (sp > 3.0) sp = 0; if (sn > 3.0) sn = 0
+          hits
+        }
+      }
+    }.toSet
+    assert(want.nonEmpty, "fixture should fire at least one alarm")
+    assert(got === want)
+  }
 }

@@ -990,4 +990,45 @@ class StreamOpsSpec extends SparkSpec {
     val n = spark.read.parquet(index).select("content_hash").distinct().count()
     assert(n == 2L, s"index must hold exactly 2 content hashes, got $n")
   }
+
+  test("toLateRouted: routes by the prior-epoch watermark; nulls quarantine; replay stable") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-late")
+    val onTime = dir.resolve("ontime").toString
+    val late = dir.resolve("late").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.toLateRouted(input.toDF().toDF("k", "ts"),
+      "ts", "10 minutes", onTime, late, ckpt)
+    try {
+      // epoch 0: no prior marker — everything on-time (even old rows)
+      input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // epoch 1: watermark = 10:05 − 10min = 09:55; 09:50 is late,
+      // 09:56 within delay, null ts unplaceable
+      input.addData((3L, ts("2024-01-01 09:50:00")), (4L, ts("2024-01-01 09:56:00")),
+        (5L, null.asInstanceOf[Timestamp]), (6L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    def keys(p: String) = spark.read.parquet(p).select("k").as[Long].collect().sorted.toSeq
+    assert(keys(s"$onTime/batch=0") == Seq(1L, 2L))
+    assert(keys(s"$onTime/batch=1") == Seq(4L, 6L))
+    assert(keys(s"$late/batch=1") == Seq(3L, 5L))
+    // replay of epoch 1 AFTER later markers exist routes identically:
+    // the marker of epoch 1 itself (10:20) must not move its own watermark
+    StreamOps.lateRoutedBatch(
+      Seq((3L, ts("2024-01-01 09:50:00")), (4L, ts("2024-01-01 09:56:00")),
+        (5L, null.asInstanceOf[Timestamp]), (6L, ts("2024-01-01 10:20:00")))
+        .toDF("k", "ts"),
+      1L, "ts", 600000000L, onTime, late)
+    assert(keys(s"$onTime/batch=1") == Seq(4L, 6L))
+    assert(keys(s"$late/batch=1") == Seq(3L, 5L))
+  }
+
+  test("intervalMicros parses day-time intervals and rejects months") {
+    assert(StreamOps.intervalMicros("10 minutes") === 600000000L)
+    assert(StreamOps.intervalMicros("1 day 1 hour") === 90000000000L)
+    intercept[IllegalArgumentException](StreamOps.intervalMicros("2 months"))
+  }
 }
