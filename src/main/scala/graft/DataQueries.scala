@@ -727,6 +727,18 @@ private[graft] object DataQueries {
         Tables.documents(s, dir).filter(col("text").isNotNull),
         col("doc_id"), col("text"))),
 
+    // Fightin'-Words log-odds vocabulary shift: which terms distinguish
+    // the src0/src1 slice from the rest — one conditional (token × side)
+    // aggregate, Dirichlet prior from the pooled corpus, z-scaled.
+    "d87_log_odds" -> ((s, dir) => {
+      graft.text.CorpusStats.logOddsShift(
+          Tables.documents(s, dir).filter(col("text").isNotNull),
+          col("text"), col("source").isin("src0", "src1"), alpha0 = 200.0)
+        .select(col("token"), col("y_a"), col("y_b"),
+          round(col("delta"), 6).as("delta"), round(col("z"), 6).as("z"))
+        .orderBy("token")
+    }),
+
     // Adjacent-bigram PMI collocations over the corpus: bigram counts
     // partial-aggregate, margins derive from the bigram-type table,
     // product-free logs — which pairs co-occur above chance.
@@ -1795,6 +1807,28 @@ private[graft] object DataQueries {
         | round(pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2,
         | round(sc / nt, 6) AS head_share
         |FROM s, tot""".stripMargin,
+
+    // Same tokenizer, same conditional counts, prior, delta and z.
+    "d87_log_odds" ->
+      """WITH toks AS (SELECT source, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT source IN ('src0','src1') AS tgt, tok AS token
+        |  FROM toks, UNNEST(t) AS u(tok) WHERE length(tok) > 0),
+        |c AS (SELECT token,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS y_a,
+        |    sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS y_b
+        |  FROM f GROUP BY 1),
+        |t AS (SELECT sum(y_a) AS na, sum(y_b) AS nb FROM c),
+        |s AS (SELECT token, y_a, y_b,
+        |    200.0 * (y_a + y_b) / (na + nb) AS aw, na, nb FROM c, t),
+        |d AS (SELECT token, y_a, y_b,
+        |    ln((y_a + aw) / nullif(na + 200.0 - y_a - aw, 0)) -
+        |    ln((y_b + aw) / nullif(nb + 200.0 - y_b - aw, 0)) AS delta,
+        |    aw FROM s)
+        |SELECT token, CAST(y_a AS BIGINT) AS y_a, CAST(y_b AS BIGINT) AS y_b,
+        | round(delta, 6) AS delta,
+        | round(delta / sqrt(1.0 / (y_a + aw) + 1.0 / (y_b + aw)), 6) AS z
+        |FROM d ORDER BY token""".stripMargin,
 
     // Same tokenizer, same bigram-stream sample space, same log
     // decomposition.

@@ -721,6 +721,28 @@ private[graft] object RelationalQueries {
         .orderBy("p_partkey")
     }),
 
+    // CIDR blocklist containment: /16-block equi-join + exact prefix
+    // verify — no cartesian against the rule table, rule tables may be
+    // corpus-scale. IPs are hash-derived from user ids (demo binding);
+    // odd-nation /15 rules overlap the even /16s on purpose.
+    "c59_cidr_join" -> ((s, dir) => {
+      val ips = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .withColumn("ip", concat_ws(".", lit(10),
+          pmod(col("user_id"), lit(30)),
+          pmod(col("user_id") * 7, lit(251)),
+          pmod(col("user_id") * 13, lit(241))))
+      val rules = Tables.nation(s, dir)
+        .select(when(pmod(col("n_nationkey"), lit(2)) === 0,
+            format_string("10.%d.0.0/16", col("n_nationkey")))
+          .otherwise(format_string("10.%d.0.0/15", col("n_nationkey") - 1))
+          .as("cidr"))
+      graft.sources.Net.cidrContainmentJoin(ips, col("ip"), rules, col("cidr"))
+        .groupBy(col("cidr")).agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cidr")
+    }),
+
     // Grid-tiled interval × interval overlap join: click vs view
     // user-day session windows, classified into Allen relations. Cell
     // equi-join + first-live-cell predicate — no cartesian, no distinct.
@@ -1489,6 +1511,28 @@ private[graft] object RelationalQueries {
         |ORDER BY p_partkey, metric""".stripMargin,
 
     // The declarative window pair the distributed form must equal.
+    // Arithmetic containment (no string parsing, no blocks) — the
+    // tiling must be invisible in the result.
+    "c59_cidr_join" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |ip AS (SELECT user_id,
+        |    10 * 16777216 + (user_id % 30) * 65536 +
+        |    ((user_id * 7) % 251) * 256 + ((user_id * 13) % 241) AS ipu FROM u),
+        |r AS (SELECT
+        |    CASE WHEN n_nationkey % 2 = 0
+        |      THEN '10.' || n_nationkey || '.0.0/16'
+        |      ELSE '10.' || (n_nationkey - 1) || '.0.0/15' END AS cidr,
+        |    10 * 16777216 +
+        |      (CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey
+        |            ELSE n_nationkey - 1 END) * 65536 AS netu,
+        |    CASE WHEN n_nationkey % 2 = 0 THEN 16 ELSE 15 END AS len
+        |  FROM nation),
+        |m AS (SELECT ip.user_id, r.cidr FROM ip JOIN r
+        |  ON ip.ipu // CAST(power(2, 32 - r.len) AS BIGINT)
+        |   = r.netu // CAST(power(2, 32 - r.len) AS BIGINT))
+        |SELECT cidr, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Plain theta overlap join (DuckDB IEJoin) + the same Allen CASE
     // in the same guard order — the grid decomposition must be
     // invisible in the result.

@@ -375,4 +375,47 @@ object CorpusStats {
     * instead of throwing DIVIDE_BY_ZERO. */
   private def nonzero(c: Column): Column =
     when(c === 0, lit(null)).otherwise(c)
+
+  /** Log-odds-ratio vocabulary shift with an informative Dirichlet
+    * prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words") — which
+    * terms distinguish the target slice from the rest of the corpus.
+    * Raw log-odds overweights rare words; the pooled-corpus prior
+    * α_w = α₀·p̂_w shrinks them:
+    *
+    *   δ_w = ln((y_aw+α_w)/(n_a+α₀−y_aw−α_w)) − ln((y_bw+α_w)/(n_b+α₀−y_bw−α_w))
+    *   z_w = δ_w / √(1/(y_aw+α_w) + 1/(y_bw+α_w))
+    *
+    * The principled replacement for eyeballing two KL tables (D26
+    * scores sources against the corpus; this scores TERMS between two
+    * slices with a significance scale).
+    *
+    * Scale shape: ONE corpus pass — a conditional (token × side)
+    * aggregate (the d44 fused-slice discipline: the target is a row
+    * predicate, not a second scan), map-side combine absorbing the
+    * Zipf head; totals reduce the vocab-scale token table and ride a
+    * one-row broadcast; everything after is a narrow map over \|V\|
+    * rows. Zero-width slices yield null δ/z (no distribution), not an
+    * error. */
+  def logOddsShift(df: DataFrame, text: Column, isTarget: Column,
+                   alpha0: Double = 200.0): DataFrame = {
+    require(alpha0 > 0, s"alpha0 must be positive, got $alpha0")
+    val tok = df.select(isTarget.as("__tgt"), explode(TextFunctions.tokens(text)).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = tok.groupBy("token").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("y_a"),
+      sum(when(!col("__tgt"), 1L).otherwise(0L)).as("y_b"))
+    val tot = counts.agg(sum(col("y_a")).as("__na"), sum(col("y_b")).as("__nb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__aw",
+        lit(alpha0) * (col("y_a") + col("y_b")) / (col("__na") + col("__nb")))
+      .withColumn("delta",
+        log((col("y_a") + col("__aw")) /
+          nonzero(col("__na") + lit(alpha0) - col("y_a") - col("__aw"))) -
+        log((col("y_b") + col("__aw")) /
+          nonzero(col("__nb") + lit(alpha0) - col("y_b") - col("__aw"))))
+      .withColumn("z", col("delta") /
+        sqrt(lit(1.0) / (col("y_a") + col("__aw")) +
+          lit(1.0) / (col("y_b") + col("__aw"))))
+      .select(col("token"), col("y_a"), col("y_b"), col("delta"), col("z"))
+  }
 }

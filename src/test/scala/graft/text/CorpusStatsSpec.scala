@@ -194,4 +194,38 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getLong(0) == 2L)
     assert(math.abs(r.getDouble(4) - 0.666667) < 1e-6)
   }
+
+  test("logOddsShift: counts and δ/z match the Monroe formula by hand; swap negates δ") {
+    // target "a a b" (na=3), rest "a b b b" (nb=4); α0=7 → α_a=3, α_b=4
+    val docs = Seq(("a a b", true), ("a b b b", false)).toDF("text", "tgt")
+    val got = CorpusStats.logOddsShift(docs, col("text"), col("tgt"), alpha0 = 7.0)
+      .orderBy("token")
+      .select("token", "y_a", "y_b", "delta", "z")
+      .as[(String, Long, Long, Double, Double)].collect()
+    def ref(ya: Long, yb: Long, aw: Double, na: Long, nb: Long): (Double, Double) = {
+      val d = math.log((ya + aw) / (na + 7.0 - ya - aw)) -
+        math.log((yb + aw) / (nb + 7.0 - yb - aw))
+      (d, d / math.sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw)))
+    }
+    val (da, za) = ref(2, 1, 3.0, 3, 4)
+    val (db, zb) = ref(1, 3, 4.0, 3, 4)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq === Seq(("a", 2L, 1L), ("b", 1L, 3L)))
+    assert(math.abs(got(0)._4 - da) < 1e-12 && math.abs(got(0)._5 - za) < 1e-12)
+    assert(math.abs(got(1)._4 - db) < 1e-12 && math.abs(got(1)._5 - zb) < 1e-12)
+    assert(da > 0 && db < 0) // "a" is the target's word, "b" the rest's
+    // swapping the slice flag negates every delta
+    val sw = CorpusStats.logOddsShift(docs, col("text"), !col("tgt"), alpha0 = 7.0)
+      .orderBy("token").select("delta").as[Double].collect()
+    assert(math.abs(sw(0) + da) < 1e-12 && math.abs(sw(1) + db) < 1e-12)
+  }
+
+  test("logOddsShift: identically-distributed slices score δ=0; ONE explosion in the plan") {
+    val docs = Seq(("x y", true), ("x y", false)).toDF("text", "tgt")
+    val d = CorpusStats.logOddsShift(docs, col("text"), col("tgt"))
+      .select("delta").as[Double].collect()
+    assert(d.forall(v => math.abs(v) < 1e-12))
+    val shape = graft.PlanShapes.executedShape(
+      CorpusStats.logOddsShift(docs, col("text"), col("tgt")))
+    assert(shape.generates === 1, s"fused pass must explode exactly once: $shape")
+  }
 }
