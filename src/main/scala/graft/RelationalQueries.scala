@@ -721,6 +721,25 @@ private[graft] object RelationalQueries {
         .orderBy("p_partkey")
     }),
 
+    // HyperBall neighborhood function on the supplier-part subgraph:
+    // HLL ball per vertex, |E|-scale merge rounds. The exact pair-BFS
+    // runs alongside at this scale to pin the estimate in-bound (the
+    // c8b exact-mode discipline); the oracle owns the exact counts.
+    "c60_hyperball" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_partkey"), lit(100)) === 0)
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      val est = graft.graph.HyperBall.neighborhoodFunction(edges, maxT = 4)
+      val exact = graft.graph.HyperBall.exactNeighborhoodFunction(edges, maxT = 4)
+        .withColumnRenamed("n_pairs_est", "__exact")
+      est.join(exact, "t")
+        .select(col("t"), col("__exact").cast("long").as("n_pairs"),
+          (abs(col("n_pairs_est") - col("__exact")) / col("__exact") <= 0.05)
+            .as("within_bound"))
+        .orderBy("t")
+    }),
+
     // CIDR blocklist containment: /16-block equi-join + exact prefix
     // verify — no cartesian against the rule table, rule tables may be
     // corpus-scale. IPs are hash-derived from user ids (demo binding);
@@ -1511,6 +1530,25 @@ private[graft] object RelationalQueries {
         |ORDER BY p_partkey, metric""".stripMargin,
 
     // The declarative window pair the distributed form must equal.
+    // Exact min-distance pairs via a depth-bounded recursive CTE; the
+    // estimate column is pinned by the TRUE bound flags (c8b style).
+    "c60_hyperball" ->
+      """WITH RECURSIVE
+        |raw AS (SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b
+        |  FROM lineitem WHERE l_partkey % 100 = 0),
+        |ed AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+        |n AS (SELECT DISTINCT src AS v FROM ed),
+        |p AS (SELECT v, v AS u, 0 AS t FROM n
+        |  UNION
+        |  SELECT p.v, ed.dst, p.t + 1 FROM p JOIN ed ON ed.src = p.u
+        |  WHERE p.t < 4),
+        |m AS (SELECT v, u, min(t) AS d FROM p GROUP BY 1, 2),
+        |nf AS (SELECT r.t, (SELECT count(*) FROM m WHERE m.d <= r.t) AS np
+        |  FROM UNNEST(range(0, 5)) AS r(t))
+        |SELECT CAST(t AS INT) AS t, CAST(np AS BIGINT) AS n_pairs,
+        | TRUE AS within_bound
+        |FROM nf ORDER BY t""".stripMargin,
+
     // Arithmetic containment (no string parsing, no blocks) — the
     // tiling must be invisible in the result.
     "c59_cidr_join" ->
