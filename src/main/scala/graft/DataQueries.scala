@@ -727,6 +727,31 @@ private[graft] object DataQueries {
         Tables.documents(s, dir).filter(col("text").isNotNull),
         col("doc_id"), col("text"))),
 
+    // Isotonic calibration of a normalized length score against the
+    // lang='en' rate — PAV via the minimax closed form over 16 bins,
+    // every window bin-scale bounded.
+    "d89_isotonic" -> ((s, dir) => {
+      graft.analytics.Calibration.isotonicCalibration(
+          Tables.documents(s, dir).filter(col("text").isNotNull),
+          col("n_chars") / lit(600.0), (col("lang") === "en").cast("int"),
+          nBins = 16)
+        .select(col("bin"), col("n"), round(col("raw_rate"), 6).as("raw_rate"),
+          round(col("calibrated"), 6).as("calibrated"))
+        .orderBy("bin")
+    }),
+
+    // Church-Gale burstiness: variance-to-mean ratio of per-doc term
+    // counts (zeros via the ΣC²/N closed form — never materialized);
+    // the list-free stopword/content-word separator.
+    "d88_burstiness" -> ((s, dir) => {
+      graft.text.CorpusStats.burstiness(
+          Tables.documents(s, dir).filter(col("text").isNotNull),
+          col("doc_id"), col("text"), minTotal = 10L)
+        .select(col("token"), col("df"), col("total"),
+          round(col("vmr"), 6).as("vmr"))
+        .orderBy("token")
+    }),
+
     // Fightin'-Words log-odds vocabulary shift: which terms distinguish
     // the src0/src1 slice from the rest — one conditional (token × side)
     // aggregate, Dirichlet prior from the pooled corpus, z-scaled.
@@ -1807,6 +1832,40 @@ private[graft] object DataQueries {
         | round(pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2,
         | round(sc / nt, 6) AS head_share
         |FROM s, tot""".stripMargin,
+
+    // Same grid, same prefix sums, same minimax identity.
+    "d89_isotonic" ->
+      """WITH s AS (SELECT least(CAST(floor(n_chars / 600.0 * 16) AS INT), 15) AS b,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars / 600.0 >= 0 AND n_chars / 600.0 <= 1),
+        |bins AS (SELECT b, count(*) AS n, sum(y) AS sy FROM s GROUP BY 1),
+        |c AS (SELECT b, n, sy, sum(n) OVER w AS cn, sum(sy) OVER w AS cs FROM bins
+        |  WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)),
+        |p AS (SELECT j.b AS j, k.b AS k,
+        |    (k.cs - j.cs + j.sy) * 1.0 / (k.cn - j.cn + j.n) AS a
+        |  FROM c j JOIN c k ON j.b <= k.b),
+        |m AS (SELECT j, k, min(a) OVER
+        |    (PARTITION BY j ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS mn FROM p),
+        |iso AS (SELECT k AS b, max(mn) AS cal FROM m GROUP BY 1)
+        |SELECT bins.b AS bin, CAST(bins.n AS BIGINT) AS n,
+        | round(bins.sy * 1.0 / bins.n, 6) AS raw_rate,
+        | round(iso.cal, 6) AS calibrated
+        |FROM bins JOIN iso ON bins.b = iso.b ORDER BY bin""".stripMargin,
+
+    // Same (doc, term) collapse, same closed-form variance over N.
+    "d88_burstiness" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |dt AS (SELECT doc_id, tok AS token, count(*) AS c
+        |  FROM toks, UNNEST(t) AS u(tok) WHERE length(tok) > 0 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS nd FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT token, count(*) AS df, sum(c) AS total, sum(c * c) AS sq
+        |  FROM dt GROUP BY 1)
+        |SELECT token, CAST(df AS BIGINT) AS df, CAST(total AS BIGINT) AS total,
+        | round((sq / nd - (total * 1.0 / nd) * (total * 1.0 / nd)) /
+        |   nullif(total * 1.0 / nd, 0), 6) AS vmr
+        |FROM a, n WHERE total >= 10 ORDER BY token""".stripMargin,
 
     // Same tokenizer, same conditional counts, prior, delta and z.
     "d87_log_odds" ->

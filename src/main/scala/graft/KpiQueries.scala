@@ -147,6 +147,31 @@ private[graft] object KpiQueries {
           round(col("p_value"), 6).as("p_value"))
     }),
 
+    // Mann-Whitney U: did click values shift in LOCATION vs view
+    // values — the rank-based complement of b22's KS; same distinct-
+    // value collapse, one runningSums pass for the rank offsets.
+    "b28_mann_whitney" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.analytics.Stats.mannWhitney(
+          e.filter(col("event_type") === "click").select(col("value")),
+          e.filter(col("event_type") === "view").select(col("value")),
+          col("value"))
+        .select(col("n_a"), col("n_b"), round(col("u_a"), 4).as("u_a"),
+          round(col("z"), 6).as("z"))
+    }),
+
+    // Benford first-digit audit of order totals: digit shares vs
+    // log10(1+1/d) with the χ² deviation — the fabricated-data
+    // forensic; 9-bucket partial agg, string-derived first digit.
+    "b27_benford" -> ((s, dir) => {
+      graft.analytics.Stats.benford(Tables.orders(s, dir), col("o_totalprice"))
+        .select(col("digit"), col("n"),
+          round(col("obs_share"), 6).as("obs_share"),
+          round(col("exp_share"), 6).as("exp_share"),
+          round(col("chi2"), 4).as("chi2"))
+        .orderBy("digit")
+    }),
+
     // Two-sided CUSUM changepoints over the per-type daily-revenue
     // series (sensitive-monitor parameters k=0.25, h=2.5): the
     // non-linear scan folds sequentially per series AFTER the corpus
@@ -447,6 +472,44 @@ private[graft] object KpiQueries {
         | round(count(*) * 1.0 / tot.nb, 6) AS share
         |FROM p, tot GROUP BY a, b, tot.nb HAVING count(*) >= 5
         |ORDER BY a, b""".stripMargin,
+
+    // Same distinct-value collapse, same closed-form tie ranks and
+    // tie-corrected variance.
+    "b28_mann_whitney" ->
+      """WITH a AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |b AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |ca AS (SELECT v, count(*) AS na FROM a GROUP BY 1),
+        |cb AS (SELECT v, count(*) AS nb FROM b GROUP BY 1),
+        |m AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(na, 0) AS ca,
+        |    coalesce(nb, 0) AS cb FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT ca, cb, ca + cb AS t,
+        |    coalesce(sum(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM m),
+        |s AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(ca * (off + (t + 1) / 2.0)) AS sumra,
+        |    CAST(sum(t * t * t - t) AS DOUBLE) AS ties FROM c),
+        |u AS (SELECT n_a, n_b, sumra - n_a * (n_a + 1) / 2.0 AS ua, ties FROM s)
+        |SELECT n_a, n_b, round(ua, 4) AS u_a,
+        | round((ua - n_a * 1.0 * n_b / 2.0) /
+        |   nullif(sqrt(n_a * 1.0 * n_b / 12.0 *
+        |     (n_a + n_b + 1 - ties / nullif((n_a + n_b) * 1.0 * (n_a + n_b - 1), 0))), 0), 6) AS z
+        |FROM u""".stripMargin,
+
+    // Same string-derived digit, same shares and χ².
+    "b27_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS tt FROM c),
+        |s AS (SELECT digit, n, n * 1.0 / tt AS obs,
+        |    log10(1.0 + 1.0 / digit) AS exp FROM c, t),
+        |x AS (SELECT max(t.tt) * sum(pow(obs - exp, 2) / exp) AS chi2 FROM s, t)
+        |SELECT digit, CAST(n AS BIGINT) AS n, round(obs, 6) AS obs_share,
+        | round(exp, 6) AS exp_share, round(x.chi2, 4) AS chi2
+        |FROM s, x ORDER BY digit""".stripMargin,
 
     // The same recurrence as a recursive CTE (t from a per-key
     // row_number), same resets, same raw-statistic alarm predicate.

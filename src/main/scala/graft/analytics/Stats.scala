@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-column statistical profiling aggregates — the numeric-column
@@ -73,6 +74,157 @@ object Stats {
         .when(lam < 0.05, lit(1.0))
         .otherwise(least(lit(1.0), greatest(lit(0.0), lit(2.0) * series)))
         .as("p_value"))
+  }
+
+  /** The classic asymptotic two-sided KS p-value as a COLUMN, so a
+    * battery of tests (one per group) evaluates it per row: Kolmogorov
+    * series 2·Σ(−1)ᵏ⁻¹e^(−2k²λ²) with the Numerical-Recipes small-
+    * sample correction λ = (√nₑ + 0.12 + 0.11/√nₑ)·D, nₑ = n_a·n_b/N,
+    * summed by a sequential fold (deterministic, engine-mirrorable);
+    * empty sides or null D propagate to null, and λ < 0.05 clamps to
+    * p = 1 (the series is not yet converged there and the true value
+    * is 1 to >10 digits). */
+  private def ksPvalue(d: Column, na: Column, nb: Column): Column = {
+    val ne = na.cast("double") * nb / (na + nb)
+    val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * d
+    val series = aggregate(sequence(lit(1), lit(100)), lit(0.0).cast("double"),
+      (acc, k) => acc +
+        when(k % 2 === 1, lit(1.0)).otherwise(lit(-1.0)) *
+          exp(lit(-2.0) * k.cast("double") * k.cast("double") * lam * lam))
+    when(coalesce(na, lit(0L)) === 0 || coalesce(nb, lit(0L)) === 0,
+        lit(null).cast("double"))
+      .when(lam < 0.05, lit(1.0))
+      .otherwise(least(lit(1.0), greatest(lit(0.0), lit(2.0) * series)))
+  }
+
+  /** Per-group-vs-rest KS battery: for EVERY group, the exact
+    * two-sample KS of its value distribution against the pooled rest of
+    * the corpus — "which sources/slices drifted" as ONE plan instead of
+    * a [[ksTest]] loop (a per-group driver loop re-scans the corpus
+    * |G| times; this scans once). Feed the p-values to [[bhFdr]]: a
+    * battery without multiplicity control manufactures discoveries.
+    *
+    * Shape: one corpus pass to (group × distinct value) cells (ties
+    * collapse map-side; truncated once — five consumers would otherwise
+    * re-aggregate under column pruning), the global support with its
+    * cumulative through ONE distributed
+    * [[graft.operators.Ranking.runningSums]] pass, then the |G|×|V|
+    * GRID (each group's CDF must be evaluated at every support point —
+    * where either side can jump) built by broadcasting the |G|-row
+    * group table across the support; per-group cumulatives are a window
+    * whose partitions are |V| rows. The grid is the cost contract:
+    * |G|·|V| rows — fine for slices × a bounded support, so BIN a
+    * continuous metric first (the D52 drift discipline) and keep G to
+    * slice cardinality; rest-side counts derive by subtraction from the
+    * global cumulative, so the rest never materializes. A group owning
+    * the whole corpus has an empty rest → null D and p, not an error. */
+  def ksTestGroupedVsRest(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import graft.operators.{Lineage, Ranking}
+    val cells = Lineage.truncate(
+      df.filter(group.isNotNull && value.isNotNull)
+        .groupBy(group.as("__g"), value.as("__v"))
+        .agg(count(lit(1)).as("__c")))
+    val support = Ranking.runningSums(
+      cells.groupBy("__v").agg(sum(col("__c")).as("__cv")),
+      Seq(col("__v").asc), Seq(col("__cv") -> "__CV"))
+    val groups = cells.groupBy("__g").agg(sum(col("__c")).as("__ng"))
+    val tot = cells.agg(sum(col("__c")).as("__N"))
+    val grid = support.crossJoin(broadcast(groups))
+      .join(cells, Seq("__g", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+    val w = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = grid.withColumn("__cg", sum(col("__c")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__g").as("key"))
+      .agg(max(col("__ng")).as("n_group"),
+        max(col("__N") - col("__ng")).as("n_rest"),
+        max(abs(
+          col("__cg").cast("double") / when(col("__ng") =!= 0, col("__ng")) -
+            (col("__CV") - col("__cg")).cast("double") /
+              when(col("__N") - col("__ng") =!= 0, col("__N") - col("__ng"))))
+          .as("d_stat"))
+    d.select(col("key"), col("n_group"), col("n_rest"), col("d_stat"),
+      ksPvalue(col("d_stat"), col("n_group"), col("n_rest")).as("p_value"))
+  }
+
+  /** Benjamini-Hochberg FDR control over a battery of p-values — run
+    * 10⁴ per-slice tests ([[ksTestGroupedVsRest]], [[ksTest]], B16,
+    * D52's χ²) at α and ~500 pass by chance; BH caps the EXPECTED
+    * FALSE-DISCOVERY SHARE at α instead (step-up rule: reject the
+    * smallest k* p-values where k* = max k with p₍ₖ₎ ≤ α·k/m). Adds
+    * `p_rank`, `q_value` (the adjusted p: min over j ≥ rank of
+    * p₍ⱼ₎·m/j, capped at 1 — reject where q ≤ α at ANY later-chosen α),
+    * and `rejected`.
+    *
+    * Distributed with no single-partition stage at any battery size:
+    * the sort is [[graft.operators.Ranking.globalRank]]'s range shuffle
+    * (`tieBreak` completes the total order; ties in p are
+    * decision-invariant — α·k/m grows with k, so a tie group qualifies
+    * or fails as a block and shares one suffix-min q), the suffix min
+    * behind q is ONE descending-rank [[graft.operators.Ranking.runningAgg]]
+    * pass, and k* is a one-row aggregate broadcast back. Null p-values
+    * are not hypotheses and are excluded. */
+  def bhFdr(df: DataFrame, p: Column, tieBreak: Seq[Column],
+            alpha: Double = 0.05): DataFrame = {
+    import graft.operators.{Lineage, Ranking}
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(!df.columns.exists(c => c.startsWith("__bh_") ||
+      Seq("p_rank", "q_value", "rejected").contains(c)),
+      "bhFdr reserves 'p_rank', 'q_value', 'rejected' and '__bh_*'; rename the input column")
+    val base = df.filter(p.isNotNull).withColumn("__bh_p", p.cast("double"))
+    val m = base.count()
+    // rank + the BH scaling, truncated once: both the suffix-min branch
+    // and the k* aggregate consume it, and column pruning would
+    // otherwise re-execute the range-rank subtree per consumer
+    val scaled = Lineage.truncate(
+      Ranking.globalRank(base, col("__bh_p").asc +: tieBreak, "__bh_k")
+        .withColumn("__bh_pm", col("__bh_p") * lit(m.toDouble) / col("__bh_k")))
+    val kStar = scaled.agg(
+      max(when(col("__bh_p") * m <= lit(alpha) * col("__bh_k"), col("__bh_k")))
+        .as("__bh_kstar"))
+    Ranking.runningAgg(scaled, Seq(col("__bh_k").desc), col("__bh_pm"),
+        agg = "min", as = "__bh_q")
+      .crossJoin(broadcast(kStar))
+      .withColumn("p_rank", col("__bh_k"))
+      .withColumn("q_value", least(lit(1.0), col("__bh_q")))
+      .withColumn("rejected", coalesce(col("__bh_k") <= col("__bh_kstar"), lit(false)))
+      .drop("__bh_p", "__bh_pm", "__bh_q", "__bh_k", "__bh_kstar")
+  }
+
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-key success
+    * rates — THE fix for "rank domains/sources/authors by rate" when
+    * key volumes span decades: a 1/1 key must not outrank a 980/1000
+    * key. The corpus itself supplies the prior (method of moments on
+    * the per-key raw rates: α+β = μ(1−μ)/s² − 1, α = μ(α+β)), and each
+    * key's posterior mean (y+α)/(n+α+β) shrinks small-n keys toward the
+    * corpus mean while big-n keys keep their own rate — the principled
+    * replacement for minimum-volume cutoffs ahead of A20-style caps or
+    * D41-gate tuning per source.
+    *
+    * Shape: ONE corpus pass to per-key (n, y) (partial-aggregating),
+    * ONE 1-row moment aggregate over the key table broadcast back, then
+    * a narrow map — no window, no second scan. When the rate spread
+    * exceeds what any beta prior explains (s² ≥ μ(1−μ), degenerate μ of
+    * 0/1, or a single key) the prior is undefined and `shrunk` is null
+    * with null α/β — explicitly inspectable, never silently unshrunk. */
+  def ebShrinkRates(df: DataFrame, key: Column, success: Column): DataFrame = {
+    val perKey = df.filter(key.isNotNull && success.isNotNull)
+      .groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"), sum(success.cast("double")).as("y"))
+      .withColumn("raw_rate", col("y") / col("n"))
+    val prior = perKey.agg(
+        avg(col("raw_rate")).as("__mu"), var_pop(col("raw_rate")).as("__s2"))
+      .select(col("__mu"),
+        when(col("__s2") > 0 && col("__mu") > 0 && col("__mu") < 1,
+          col("__mu") * (lit(1.0) - col("__mu")) / col("__s2") - 1).as("__ab"))
+      .select(
+        when(col("__ab") > 0, col("__mu") * col("__ab")).as("prior_alpha"),
+        when(col("__ab") > 0, (lit(1.0) - col("__mu")) * col("__ab")).as("prior_beta"))
+    perKey.crossJoin(broadcast(prior))
+      .withColumn("shrunk",
+        (col("y") + col("prior_alpha")) /
+          (col("n") + col("prior_alpha") + col("prior_beta")))
   }
 
   /** Gini concentration coefficient of a non-negative measure — THE
@@ -188,7 +340,13 @@ object Stats {
     * column gives MI = 0 and NMI null (no entropy to share — ANSI null,
     * not an error). */
   def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val cells = df.groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__o"))
+    // the cells table has FIVE downstream consumers (margins ×2, total,
+    // entropies via margins, the MI sum) and column pruning specializes
+    // each one's aggregate (the B21 lesson — exchange reuse does not
+    // save you), so the cardinality²-bounded cells are truncated once:
+    // exactly one corpus scan, plan-pinned
+    val cells = graft.operators.Lineage.truncate(
+      df.groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__o")))
     val rows = cells.groupBy("__a").agg(sum("__o").as("__ra"))
     val colsT = cells.groupBy("__b").agg(sum("__o").as("__cb"))
     val tot = cells.agg(sum("__o").as("__n"))
@@ -208,6 +366,79 @@ object Stats {
       .select(col("n"), col("mi"),
         when(col("__ha") > 0 && col("__hb") > 0,
           col("mi") / sqrt(col("__ha") * col("__hb"))).as("nmi"))
+  }
+
+  /** Mann-Whitney U rank-sum test (two-sided, tie-corrected): did the
+    * LOCATION of a metric shift between two samples — the rank-based,
+    * outlier-robust complement of [[ksTest]] (KS sees any shape change;
+    * U targets stochastic dominance and keeps power under heavy tails
+    * where a t-test dies). Returns U_a, and z under the normal
+    * approximation with the tie-corrected variance
+    * σ² = nₐn_b/12 · (N+1 − Σ(t³−t)/(N(N−1))); no continuity
+    * correction (both engines mirror the same closed form; at the
+    * corpus sizes this engine targets the ±0.5 is noise).
+    *
+    * Distributed exactly like KS: per-side distinct-value counts
+    * (ties collapse map-side), one full-outer support merge, and ONE
+    * [[graft.operators.Ranking.runningSums]] pass for the exclusive
+    * rank offsets — never a global-order window. Average tie ranks are
+    * closed-form per distinct value (offset + (t+1)/2). All moments in
+    * doubles (nₐ·n_b at 10¹² rows overflows long). Empty or
+    * zero-variance cases yield null z, never a division error. */
+  def mannWhitney(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    import graft.operators.Ranking
+    def side(df: DataFrame, n: String) =
+      df.select(value.as("__v")).filter(col("__v").isNotNull)
+        .groupBy("__v").agg(count(lit(1)).as(n))
+    val m = side(a, "__sca").join(side(b, "__scb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__sca"), lit(0L)).as("__ca"),
+        coalesce(col("__scb"), lit(0L)).as("__cb"))
+    val wc = Ranking.runningSums(m, Seq(col("__v")),
+      Seq(((col("__ca") + col("__cb")).cast("double"), "__off")), inclusive = false)
+    val t = col("__ca") + col("__cb")
+    wc.agg(
+        sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(col("__ca") * (coalesce(col("__off"), lit(0.0)) + (t + 1) / lit(2.0)))
+          .as("__sumra"),
+        sum(t * t * t - t).cast("double").as("__ties"))
+      .select(col("n_a"), col("n_b"),
+        (col("__sumra") - col("n_a").cast("double") * (col("n_a") + 1) / 2.0).as("u_a"),
+        col("__ties"))
+      .select(col("n_a"), col("n_b"), col("u_a"), {
+        val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+        val nn = na + nb
+        val varU = na * nb / 12.0 *
+          (nn + 1 - col("__ties") / when(nn * (nn - 1) =!= 0, nn * (nn - 1)))
+        ((col("u_a") - na * nb / 2.0) / when(sqrt(varU) =!= 0, sqrt(varU))).as("z")
+      })
+  }
+
+  /** Benford first-digit audit: observed vs expected
+    * P(d) = log₁₀(1 + 1/d) leading-digit distribution of a positive
+    * measure — the classic fabricated-/synthetic-data forensic (real
+    * multiplicative processes follow it; invented numbers don't). One
+    * partial-aggregating pass to 9 digit buckets; χ² = n·Σ(obs−exp)²/exp
+    * rides a broadcast of the 9-row table. The first digit comes from
+    * the DECIMAL STRING of floor(value) — never floor(value/10^⌊log₁₀⌋),
+    * whose log sits on a rounding knife-edge at every power of ten and
+    * flips digits cross-engine. Values < 1 have no stable first digit
+    * at integer grain and are excluded (documented, oracle-mirrored). */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    val digits = df
+      .filter(value >= 1)
+      .select(substring(floor(value).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("__t"))
+    val shares = digits.crossJoin(broadcast(tot))
+      .withColumn("obs_share", col("n") / col("__t"))
+      .withColumn("exp_share", log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+    val chi2 = shares
+      .agg((max(col("__t")) * sum(pow(col("obs_share") - col("exp_share"), 2) /
+        col("exp_share"))).as("__chi2"))
+    shares.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n"), col("obs_share"), col("exp_share"),
+        col("__chi2").as("chi2"))
   }
 
   /** Poisson(1) cumulative distribution thresholds e⁻¹·Σ₀ᵏ 1/k!,
@@ -275,25 +506,27 @@ object Stats {
     // under-partitions — at corpus scale (≥ cores splits) it's a no-op.
     val wide = df.sparkSession.sparkContext.defaultParallelism
     val spread = if (base.rdd.getNumPartitions < wide) base.repartition(wide) else base
+    // the point estimate rides the SAME aggregate: every replicate row
+    // of a group carries the identical unweighted count/sum, so n and
+    // the mean come from max() over the replicate axis — no second
+    // corpus scan for a trivial avg (plan-pinned scans=1)
     val rep = spread
       .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
       .withColumn("__w", pois(u).cast("double"))
       .groupBy((groupCols :+ "__r").map(col): _*)
-      .agg(sum(col("__w") * col("__v")).as("__sw"), sum(col("__w")).as("__sn"))
+      .agg(sum(col("__w") * col("__v")).as("__sw"), sum(col("__w")).as("__sn"),
+        count(lit(1)).as("__cnt"), sum(col("__v")).as("__sv"))
       .withColumn("__m", col("__sw") / when(col("__sn") =!= 0.0, col("__sn")))
-    val ci = rep
+    rep
       .groupBy(groupCols.map(col): _*)
-      .agg(sort_array(collect_list(col("__m"))).as("__ms"))
+      .agg(sort_array(collect_list(col("__m"))).as("__ms"),
+        max(col("__cnt")).as("n"),
+        (max(col("__sv")) / max(col("__cnt"))).as("mean"))
       .withColumn("__mn", size(col("__ms")))
-      .select(groupCols.map(col) ++ Seq(
+      .select(groupCols.map(col) ++ Seq(col("n"), col("mean"),
         element_at(col("__ms"),
           greatest(lit(1), floor(lit(alpha / 2) * col("__mn")).cast("int"))).as("ci_lo"),
         element_at(col("__ms"),
           least(col("__mn"), ceil(lit(1 - alpha / 2) * col("__mn")).cast("int"))).as("ci_hi")): _*)
-    val point = base.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), avg(col("__v")).as("mean"))
-    point.join(ci, groupCols)
-      .select(groupCols.map(col) ++ Seq(col("n"), col("mean"),
-        col("ci_lo"), col("ci_hi")): _*)
   }
 }

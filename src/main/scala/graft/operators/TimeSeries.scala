@@ -142,4 +142,120 @@ object TimeSeries {
           when(max(col("n") * col("__vp")) =!= 0, max(col("n") * col("__vp")))
         ).as("acf"))
   }
+
+  /** Holt double (level + trend) exponential smoothing per series, with
+    * an h-step-ahead linear forecast — the forward-looking complement
+    * of [[acf]]'s persistence fingerprint and [[graft.analytics.Anomaly.cusum]]'s
+    * changepoint alarm: capacity planning and drift-aware budget
+    * forecasts over the same downsampled per-key series tables.
+    *
+    *   l₁ = x₁, b₁ = x₂ − x₁ (the standard first-difference init);
+    *   lₜ = α·xₜ + (1−α)(lₜ₋₁ + bₜ₋₁)
+    *   bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁
+    *   forecast(h) = lₙ + h·bₙ
+    *
+    * The recurrence couples level and trend — a non-linear scan no
+    * window aggregate expresses — so each series folds SEQUENTIALLY
+    * exactly like CUSUM: per-key `sort_array(collect_list)` + one
+    * `aggregate` HOF pass. Correct at scale for the same reason: the
+    * contract input is the ALREADY-DOWNSAMPLED series table (daily /
+    * bucket aggregates, the calendar-bounded b14/b24/b26 class), never
+    * the raw corpus — the corpus-scale reduction is the one shuffle
+    * upstream. One-step-ahead SSE rides the same fold (the model-fit
+    * diagnostic: compare against a naive-last-value SSE to decide the
+    * trend term earns its keep). Gaps in `idx` are treated as
+    * consecutive observations (index order, not calendar distance —
+    * gap-fill with [[gapFillLocf]] first when that matters). Series
+    * with < 2 points have no trend to initialize and emit nothing.
+    *
+    * Output: one row per key — n, level, trend, forecast, sse. */
+  def holtSmooth(series: DataFrame, key: Column, idx: Column, value: Column,
+                 alpha: Double, beta: Double, horizon: Int = 1): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val s = series
+      .select(key.as("__g"), idx.cast("long").as("__i"),
+        value.cast("double").as("__x"))
+      .filter(col("__g").isNotNull && col("__i").isNotNull && col("__x").isNotNull)
+    s.groupBy("__g")
+      .agg(sort_array(collect_list(struct(col("__i"), col("__x")))).as("__s"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .withColumn("__f", aggregate(
+        // fold from t=3: under the first-difference init the t=2 step
+        // collapses algebraically — l₂ = αx₂ + (1−α)(x₁+(x₂−x₁)) = x₂,
+        // b₂ = β(x₂−x₁) + (1−β)(x₂−x₁) = x₂−x₁, one-step error 0 — so
+        // the seed IS the post-t=2 state, independent of α/β
+        slice(col("__s"), lit(3), greatest(size(col("__s")) - 2, lit(0))),
+        struct(
+          element_at(col("__s"), 2).getField("__x").as("l"),
+          (element_at(col("__s"), 2).getField("__x") -
+            element_at(col("__s"), 1).getField("__x")).as("b"),
+          lit(0.0).as("sse")),
+        (acc, e) => {
+          val prev = acc.getField("l") + acc.getField("b")
+          val l = e.getField("__x") * lit(alpha) + prev * lit(1 - alpha)
+          val b = (l - acc.getField("l")) * lit(beta) +
+            acc.getField("b") * lit(1 - beta)
+          struct(l.as("l"), b.as("b"),
+            (acc.getField("sse") + pow(e.getField("__x") - prev, 2)).as("sse"))
+        }))
+      .select(col("__g").as("key"), col("n"),
+        col("__f.l").as("level"), col("__f.b").as("trend"),
+        (col("__f.l") + col("__f.b") * lit(horizon.toDouble)).as("forecast"),
+        col("__f.sse").as("sse"))
+  }
+
+  /** Exact interpolated median of a sorted array: the mean of the two
+    * middle elements when even-length (n=1 → the element itself) —
+    * matches SQL `median`/`quantile_cont(0.5)` semantics exactly. */
+  private def sortedMedian(arr: Column): Column = {
+    val n = size(arr)
+    (element_at(arr, floor((n + 1) / lit(2.0)).cast("int")) +
+      element_at(arr, (floor(n / lit(2.0)) + 1).cast("int"))) / 2.0
+  }
+
+  /** Theil-Sen robust trend estimate per series: slope = median of all
+    * C(n,2) pairwise slopes (x_k−x_j)/(i_k−i_j), intercept = median of
+    * the per-point residuals x_t − slope·i_t — the 29%-breakdown-point
+    * replacement for least squares when a spiky series (outage days,
+    * bot bursts) would drag an OLS line; pairs [[holtSmooth]] (which
+    * chases recent level) with a robust LONG-RUN direction.
+    *
+    * Pairs come from a key-hashed self-equi-join with the strict
+    * `i_j < i_k` predicate — the join key is the series key, so skew is
+    * bounded by series LENGTH not corpus size; like every operator in
+    * this family the contract input is the ALREADY-DOWNSAMPLED series
+    * table (calendar-bounded b14/b24/b26 class — a 3-year daily series
+    * is ~600k pairs per key, one combiner's work; downsample first,
+    * never feed the raw corpus). Medians are the exact interpolated
+    * order statistic over the per-key sorted slope/residual arrays
+    * (even count → mean of the middles, matching SQL `median`), so the
+    * whole estimate is engine-mirrorable. Vertical pairs cannot occur
+    * (equal idx collapses to one strict-inequality side); series with
+    * < 2 points have no pair and emit nothing.
+    *
+    * Output: one row per key — n, n_pairs, slope, intercept. */
+  def theilSen(series: DataFrame, key: Column, idx: Column,
+               value: Column): DataFrame = {
+    val s = series
+      .select(key.as("__g"), idx.cast("long").as("__i"),
+        value.cast("double").as("__x"))
+      .filter(col("__g").isNotNull && col("__i").isNotNull && col("__x").isNotNull)
+    val b = s.select(col("__g").as("__bg"), col("__i").as("__bi"),
+      col("__x").as("__bx"))
+    val slopes = s.join(b, col("__g") === col("__bg") && col("__i") < col("__bi"))
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(
+          (col("__bx") - col("__x")) / (col("__bi") - col("__i")))).as("__sl"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("__g"), col("n_pairs"), sortedMedian(col("__sl")).as("slope"))
+    s.join(slopes, "__g")
+      .groupBy(col("__g"), col("n_pairs"), col("slope"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("__x") - col("slope") * col("__i"))).as("__r"))
+      .select(col("__g").as("key"), col("n"), col("n_pairs"),
+        col("slope"), sortedMedian(col("__r")).as("intercept"))
+  }
 }

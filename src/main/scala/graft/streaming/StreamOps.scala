@@ -1684,6 +1684,36 @@ object StreamOps {
       .orderBy("epoch")
   }
 
+  /** E35 — native session-window aggregation: per-(key, session)
+    * aggregates via the engine's `session_window`, the declarative
+    * sibling of [[sessionize]] (E2). The trade: [[sessionize]]'s
+    * `flatMapGroupsWithState` owns its state shape (emits duration
+    * from first/last, can carry arbitrary session state) but its
+    * merge logic is hand-written; `session_window` pushes session
+    * ASSIGNMENT AND MERGING into the streaming aggregation operator —
+    * out-of-order events that bridge two open sessions make the STATE
+    * STORE merge them (hand-rolled state cannot retroactively merge
+    * without re-deriving it), partial aggregation applies, and the
+    * session emits exactly once in append mode when the watermark
+    * passes session end + gap. State is (key × open sessions)-bounded,
+    * dropped at the watermark like any windowed aggregate.
+    *
+    * `session_end` is the last event + gap (the engine's window end),
+    * not the last event — the E2 duration is `end − start − gap`. */
+  def sessionWindowAgg(
+      events: DataFrame,
+      ts: String,
+      watermark: String,
+      gap: String,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    events.withWatermark(ts, watermark)
+      .groupBy(session_window(col(ts), gap), col(groupCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(groupCol), col("n_events"), col("sum_value"))
+
   /** E34 — late-data router: split an ingest stream into on-time and
     * late sinks by a REPLAY-STABLE event-time watermark, instead of
     * letting `withWatermark` silently drop late rows inside downstream

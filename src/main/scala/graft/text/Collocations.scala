@@ -38,7 +38,12 @@ object Collocations {
       .select(col("__t"), explode(sequence(lit(1), size(col("__t")) - 1)).as("__i"))
       .select(element_at(col("__t"), col("__i")).as("w1"),
         element_at(col("__t"), col("__i") + 1).as("w2"))
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    // the bigram-type table feeds FOUR plans (both margins, N, the
+    // final join) and column pruning specializes each consumer's
+    // aggregate (B21 lesson), so the vocab²-bounded table is truncated
+    // once — exactly one corpus scan + one explosion, plan-pinned
+    val big = graft.operators.Lineage.truncate(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt")))
     val c1 = big.groupBy("w1").agg(sum("cnt").as("__c1"))
     val c2 = big.groupBy("w2").agg(sum("cnt").as("__c2"))
     val n = big.agg(sum("cnt").as("__nb"))

@@ -376,6 +376,37 @@ object CorpusStats {
   private def nonzero(c: Column): Column =
     when(c === 0, lit(null)).otherwise(c)
 
+  /** Term burstiness via the variance-to-mean ratio across documents
+    * (Church & Gale 1995): for each term, VMR = Var(c_d)/E(c_d) over
+    * ALL documents (zeros included — a term absent from a doc counts 0).
+    * Poisson-scattered function words sit near 1; topical content words
+    * "burst" (once a doc mentions them, it mentions them repeatedly)
+    * and score ≫ 1 — the statistical stopword/content-word separator
+    * that needs no stopword list, feeding D16-style term weighting and
+    * boilerplate diagnostics.
+    *
+    * Zeros never materialize: with Σc and Σc² from the (doc, term)
+    * table and N the doc count, Var = Σc²/N − (Σc/N)² — one explode,
+    * one (doc, term) partial agg, one term-level partial agg, plus a
+    * one-row broadcast N from an explode-free side scan. `minTotal`
+    * prunes rare terms whose VMR is noise. */
+  def burstiness(df: DataFrame, id: Column, text: Column,
+                 minTotal: Long = 10L): DataFrame = {
+    val dt = df.select(id.as("__d"), explode(TextFunctions.tokens(text)).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("__d", "token").agg(count(lit(1)).as("__c"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    dt.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("__c")).as("total"),
+        sum(col("__c") * col("__c")).as("__sq"))
+      .filter(col("total") >= minTotal)
+      .crossJoin(broadcast(n))
+      .withColumn("__mu", col("total").cast("double") / col("__n"))
+      .select(col("token"), col("df"), col("total"),
+        ((col("__sq") / col("__n") - col("__mu") * col("__mu")) /
+          nonzero(col("__mu"))).as("vmr"))
+  }
+
   /** Log-odds-ratio vocabulary shift with an informative Dirichlet
     * prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words") — which
     * terms distinguish the target slice from the rest of the corpus.

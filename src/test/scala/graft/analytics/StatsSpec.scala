@@ -130,6 +130,49 @@ class StatsSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
+  test("mannWhitney: hand-computed U and tie-corrected z; side swap complements U and negates z") {
+    // a=[1,2,2,5], b=[2,3,4]: ranks 1,(3,3),(3),5,6,7 → ΣR_a=14, U_a=4
+    // ties: one group of 3 → Σ(t³−t)=24; var = 1·(8 − 24/42) = 52/7
+    val a = Seq(1.0, 2.0, 2.0, 5.0).toDF("value")
+    val b = Seq(2.0, 3.0, 4.0).toDF("value")
+    val r = Stats.mannWhitney(a, b, col("value"))
+      .select("n_a", "n_b", "u_a", "z").as[(Long, Long, Double, Double)].head()
+    assert(r._1 === 4L && r._2 === 3L)
+    assert(math.abs(r._3 - 4.0) < 1e-12)
+    val wantZ = (4.0 - 6.0) / math.sqrt(52.0 / 7)
+    assert(math.abs(r._4 - wantZ) < 1e-12)
+    val sw = Stats.mannWhitney(b, a, col("value"))
+      .select("u_a", "z").as[(Double, Double)].head()
+    assert(math.abs(sw._1 - (12.0 - 4.0)) < 1e-12) // U_a + U_b = n_a·n_b
+    assert(math.abs(sw._2 + wantZ) < 1e-12)
+  }
+
+  test("mannWhitney: identical constant samples give null z; nulls excluded") {
+    val a = Seq(Some(5.0), Some(5.0), None).toDF("value")
+    val b = Seq(5.0, 5.0).toDF("value")
+    val r = Stats.mannWhitney(a, b, col("value"))
+      .select("n_a", "z").as[(Long, Option[Double])].head()
+    assert(r._1 === 2L) // null excluded
+    assert(r._2.isEmpty) // zero variance (all tied) → null, not an error
+  }
+
+  test("benford: digit counts, shares and chi2 on hand data; sub-1 excluded; power-of-ten safe") {
+    val df = Seq(1.0, 19.0, 23.0, 2.5, 0.3, 345.0, 1000.0, 999.9999).toDF("v")
+    // digits of floor(v>=1): 1,1,2,2,3,1,9 → 1:3, 2:2, 3:1, 9:1, n=7
+    val got = Stats.benford(df, col("v")).orderBy("digit")
+      .select("digit", "n", "obs_share", "exp_share", "chi2")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq === Seq((1, 3L), (2, 2L), (3, 1L), (9, 1L)))
+    val obs = Map(1 -> 3.0 / 7, 2 -> 2.0 / 7, 3 -> 1.0 / 7, 9 -> 1.0 / 7)
+    def expd(d: Int) = math.log10(1.0 + 1.0 / d)
+    got.foreach { r =>
+      assert(math.abs(r._3 - obs(r._1)) < 1e-12)
+      assert(math.abs(r._4 - expd(r._1)) < 1e-12)
+    }
+    val chi2 = 7 * obs.map { case (d, o) => math.pow(o - expd(d), 2) / expd(d) }.sum
+    assert(math.abs(got.head._5 - chi2) < 1e-9)
+  }
+
   test("mutualInformation: perfect association ln2/NMI 1, independence 0, hand value") {
     val perfect = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2)).toDF("a", "b")
     val p = Stats.mutualInformation(perfect, col("a"), col("b"))
@@ -214,5 +257,100 @@ class StatsSpec extends SparkSpec {
     val shape = PlanShapes.executedShape(
       Stats.poissonBootstrapCI(df, Seq("grp"), col("v"), col("rid"), replicates = 8))
     assert(shape.windows === 0, s"bootstrap must not window over data: $shape")
+  }
+
+  test("ksTestGroupedVsRest: a two-group battery reproduces ksTest on either side") {
+    val av = Seq(1.0, 1.0, 2.0, 3.0, 5.0, 8.0)
+    val bv = Seq(1.0, 2.0, 2.0, 4.0, 4.0, 9.0, 9.0)
+    val pooled = (av.map(("a", _)) ++ bv.map(("b", _))).toDF("g", "v")
+    val want = Stats.ksTest(av.toDF("v"), bv.toDF("v"), col("v")).head()
+    val got = Stats.ksTestGroupedVsRest(pooled, col("g"), col("v"))
+      .orderBy("key").collect()
+    assert(got.length === 2)
+    for (r <- got) { // group-vs-rest is symmetric in a 2-group corpus
+      assert(math.abs(r.getAs[Double]("d_stat") - want.getAs[Double]("d_stat")) < 1e-12)
+      assert(math.abs(r.getAs[Double]("p_value") - want.getAs[Double]("p_value")) < 1e-12)
+    }
+    assert(got(0).getAs[Long]("n_group") === 6L && got(0).getAs[Long]("n_rest") === 7L)
+    assert(got(1).getAs[Long]("n_group") === 7L && got(1).getAs[Long]("n_rest") === 6L)
+  }
+
+  test("ksTestGroupedVsRest: 3-group brute force; single-group corpus yields nulls") {
+    val data = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 2.0, "b" -> 2.0, "b" -> 7.0,
+      "c" -> 1.0, "c" -> 7.0, "c" -> 7.0, "c" -> 9.0)
+    val got = Stats.ksTestGroupedVsRest(data.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Double]("d_stat")).toMap
+    val support = data.map(_._2).distinct
+    for (g <- Seq("a", "b", "c")) {
+      val mine = data.filter(_._1 == g).map(_._2)
+      val rest = data.filter(_._1 != g).map(_._2)
+      val want = support.map(x => math.abs(
+        mine.count(_ <= x).toDouble / mine.size -
+          rest.count(_ <= x).toDouble / rest.size)).max
+      assert(math.abs(got(g) - want) < 1e-12, s"group $g")
+    }
+    val solo = Stats.ksTestGroupedVsRest(
+      Seq("only" -> 1.0, "only" -> 2.0).toDF("g", "v"), col("g"), col("v")).head()
+    assert(solo.getAs[Long]("n_rest") === 0L)
+    assert(solo.isNullAt(solo.fieldIndex("d_stat")))
+    assert(solo.isNullAt(solo.fieldIndex("p_value")))
+  }
+
+  test("bhFdr: hand-computed step-up rejections and q-values") {
+    // m=5, α=0.25: thresholds αk/m = .05 .10 .15 .20 .25 → k*=4 (p₄=0.2
+    // qualifies, p₅=0.5 does not); q = suffix-min of p·m/k =
+    // [.05 .05 .05 .25 .5]
+    val df = Seq(("h1", 0.01), ("h2", 0.02), ("h3", 0.03), ("h4", 0.2),
+      ("h5", 0.5), ("hx", Double.NaN)).toDF("h", "p")
+      .withColumn("p", when(col("h") === "hx", lit(null)).otherwise(col("p")))
+    val got = Stats.bhFdr(df, col("p"), Seq(col("h")), alpha = 0.25)
+      .orderBy("p_rank").collect()
+    assert(got.length === 5) // null p is not a hypothesis
+    assert(got.map(_.getAs[String]("h")).toSeq === Seq("h1", "h2", "h3", "h4", "h5"))
+    assert(got.map(_.getAs[Boolean]("rejected")).toSeq ===
+      Seq(true, true, true, true, false))
+    val q = got.map(_.getAs[Double]("q_value"))
+    assert(q.zip(Seq(0.05, 0.05, 0.05, 0.25, 0.5)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("bhFdr: a tie group qualifies as a block and shares one q") {
+    // p = [.04, .04], α=.05: k=1 fails (.04 > .025), k=2 passes → BOTH
+    // rejected by step-up; q = min over the suffix = .04 for both
+    val df = Seq(("a", 0.04), ("b", 0.04)).toDF("h", "p")
+    val got = Stats.bhFdr(df, col("p"), Seq(col("h")), alpha = 0.05).collect()
+    assert(got.forall(_.getAs[Boolean]("rejected")))
+    assert(got.forall(r => math.abs(r.getAs[Double]("q_value") - 0.04) < 1e-12))
+    // nothing qualifies → nothing rejected, q intact
+    val none = Stats.bhFdr(df, col("p"), Seq(col("h")), alpha = 0.01).collect()
+    assert(none.forall(!_.getAs[Boolean]("rejected")))
+  }
+
+  test("ebShrinkRates: method-of-moments prior and posterior shrink toward the mean") {
+    // rates [.5 .75 .25] at n=4 each: μ=.5, s²=.125/3, α+β=5, α=β=2.5
+    val rows = for {
+      (k, y) <- Seq(("a", 2), ("b", 3), ("c", 1)); i <- 1 to 4
+    } yield (k, if (i <= y) 1 else 0)
+    val got = Stats.ebShrinkRates(rows.toDF("k", "s"), col("k"), col("s"))
+      .orderBy("key").collect()
+    assert(got.forall(r => math.abs(r.getAs[Double]("prior_alpha") - 2.5) < 1e-12))
+    assert(got.forall(r => math.abs(r.getAs[Double]("prior_beta") - 2.5) < 1e-12))
+    val shrunk = got.map(r => r.getAs[String]("key") -> r.getAs[Double]("shrunk")).toMap
+    assert(math.abs(shrunk("a") - 0.5) < 1e-12)
+    assert(math.abs(shrunk("b") - 5.5 / 9) < 1e-12)
+    assert(math.abs(shrunk("c") - 3.5 / 9) < 1e-12)
+    // shrinkage direction: b pulled below its raw .75, c above its raw .25
+    assert(shrunk("b") < 0.75 && shrunk("c") > 0.25)
+  }
+
+  test("ebShrinkRates: degenerate priors are null, never silently unshrunk") {
+    // zero rate spread → s²=0 → no prior
+    val flat = Seq(("a", 1), ("a", 0), ("b", 1), ("b", 0)).toDF("k", "s")
+    val r1 = Stats.ebShrinkRates(flat, col("k"), col("s")).head()
+    assert(r1.isNullAt(r1.fieldIndex("prior_alpha")) && r1.isNullAt(r1.fieldIndex("shrunk")))
+    // rates [0,1] → s² = μ(1−μ) → α+β = 0, not a valid beta prior
+    val extreme = Seq(("a", 0), ("a", 0), ("b", 1), ("b", 1)).toDF("k", "s")
+    val r2 = Stats.ebShrinkRates(extreme, col("k"), col("s")).head()
+    assert(r2.isNullAt(r2.fieldIndex("shrunk")))
   }
 }

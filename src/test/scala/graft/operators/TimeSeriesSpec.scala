@@ -138,4 +138,55 @@ class TimeSeriesSpec extends SparkSpec {
     }
     for (l <- 1 to 2) assert(got(("c", l)).isEmpty) // zero variance → null
   }
+
+  test("holtSmooth: hand-computed level/trend/sse on a 4-point series, out of order") {
+    // α=0.5, β=0.4, x = [3,5,4,8]: seed l₂=5, b₂=2, sse=0;
+    // t=3: prev=7, l=5.5, b=0.4·0.5+0.6·2=1.4, sse=9;
+    // t=4: prev=6.9, l=7.45, b=0.4·1.95+0.6·1.4=1.62, sse=10.21
+    val df = Seq(("s", 4L, 8.0), ("s", 1L, 3.0), ("s", 3L, 4.0), ("s", 2L, 5.0))
+      .toDF("k", "i", "x")
+    val r = TimeSeries.holtSmooth(df, col("k"), col("i"), col("x"),
+      alpha = 0.5, beta = 0.4, horizon = 2).head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(math.abs(r.getAs[Double]("level") - 7.45) < 1e-12)
+    assert(math.abs(r.getAs[Double]("trend") - 1.62) < 1e-12)
+    assert(math.abs(r.getAs[Double]("forecast") - (7.45 + 2 * 1.62)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("sse") - 10.21) < 1e-12)
+  }
+
+  test("holtSmooth: 2-point series is the seed itself; 1-point emits nothing") {
+    val df = Seq(("two", 1L, 10.0), ("two", 2L, 13.0), ("one", 1L, 7.0))
+      .toDF("k", "i", "x")
+    val rows = TimeSeries.holtSmooth(df, col("k"), col("i"), col("x"),
+      alpha = 0.3, beta = 0.7, horizon = 3).collect()
+    assert(rows.length === 1 && rows.head.getAs[String]("key") === "two")
+    assert(rows.head.getAs[Double]("level") === 13.0)
+    assert(rows.head.getAs[Double]("trend") === 3.0)
+    assert(rows.head.getAs[Double]("forecast") === 13.0 + 3 * 3.0)
+    assert(rows.head.getAs[Double]("sse") === 0.0)
+  }
+
+  test("theilSen: outlier-robust slope — one wild point out of five leaves y=x") {
+    val clean = Seq(("s", 1L, 1.0), ("s", 2L, 2.0), ("s", 3L, 3.0),
+      ("s", 4L, 4.0), ("s", 5L, 100.0)).toDF("k", "i", "x")
+    val r = TimeSeries.theilSen(clean, col("k"), col("i"), col("x")).head()
+    assert(r.getAs[Long]("n") === 5L && r.getAs[Long]("n_pairs") === 10L)
+    // 6 of 10 pairwise slopes are exactly 1; median of 10 = mean of 5th/6th = 1
+    assert(math.abs(r.getAs[Double]("slope") - 1.0) < 1e-12)
+    // residuals [0,0,0,0,95] → median 0
+    assert(math.abs(r.getAs[Double]("intercept")) < 1e-12)
+  }
+
+  test("theilSen: even-count interpolated medians, key isolation, <2 points dropped") {
+    // key "e": slopes sorted [0,1,1,1,1.5,2] → (1+1)/2; residuals
+    // sorted [0,0,0,1] → (0+0)/2
+    val df = Seq(("e", 0L, 0.0), ("e", 1L, 1.0), ("e", 2L, 3.0), ("e", 3L, 3.0),
+      ("solo", 9L, 42.0)).toDF("k", "i", "x")
+    val rows = TimeSeries.theilSen(df, col("k"), col("i"), col("x")).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("key") === "e" && r.getAs[Long]("n_pairs") === 6L)
+    assert(math.abs(r.getAs[Double]("slope") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("intercept")) < 1e-12)
+  }
 }

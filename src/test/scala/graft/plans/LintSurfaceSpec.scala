@@ -35,6 +35,9 @@ class LintSurfaceSpec extends SparkSpec {
     "c44_skyline" -> Map("GLOBAL_WINDOW" -> 1),
     "c54_weighted_quantiles" -> Map("GLOBAL_WINDOW" -> 1),
     "b22_ks_test" -> Map("GLOBAL_WINDOW" -> 1),
+    // same runningSums rank-offset pass as b22: the one window runs
+    // over the SLICE-TOTALS table (numSlices rows), not corpus data
+    "b28_mann_whitney" -> Map("GLOBAL_WINDOW" -> 1),
     "d84_heaps_fit" -> Map("GLOBAL_WINDOW" -> 1),
     // the basket-count scalar rides a filtered CHECKPOINT scan, whose
     // one-row-ness the linter cannot prove from the plan (unlike a
@@ -54,6 +57,10 @@ class LintSurfaceSpec extends SparkSpec {
     // path) — the d5 bounded-sweep class
     "d82_margin_pairs" -> Map("NESTED_LOOP" -> 1),
     "d60_balanced_shards" -> Map("GLOBAL_WINDOW" -> 1),
+    // isotonic minimax fit: the j≤k pair join and both cumulative
+    // windows run over the BINNED table (≤ nBins ≤ 4096 rows by
+    // construction) — the c15b bounded-grid class, not corpus data
+    "d89_isotonic" -> Map("NESTED_LOOP" -> 1, "GLOBAL_WINDOW" -> 2),
     "d64_hybrid_rrf" -> Map("NESTED_LOOP" -> 1),
     "d65_label_cohesion" -> Map("NESTED_LOOP" -> 1))
 

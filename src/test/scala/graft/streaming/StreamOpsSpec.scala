@@ -1031,4 +1031,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(StreamOps.intervalMicros("1 day 1 hour") === 90000000000L)
     intercept[IllegalArgumentException](StreamOps.intervalMicros("2 months"))
   }
+
+  test("sessionWindowAgg: engine-merged sessions close at watermark; bridging event merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamOps.sessionWindowAgg(input.toDF().toDF("user_id", "ts", "v"),
+      "ts", "10 minutes", "1 minute", "user_id", "v")
+    val q = out.writeStream.format("memory").queryName("swa").outputMode("append").start()
+    try {
+      // two spans 100s apart (> gap) — would be two sessions...
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:01:40"), 2.0))
+      q.processAllAvailable()
+      // ...but a bridging event 50s after the first closes the hole, so
+      // the STORE must merge them into one open session
+      input.addData((1L, ts("2024-01-01 10:00:50"), 4.0))
+      q.processAllAvailable()
+      // far-future event advances the watermark past end+gap → emit
+      input.addData((1L, ts("2024-01-01 11:00:00"), 8.0), (2L, ts("2024-01-01 11:00:00"), 9.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("swa")
+        .select("user_id", "n_events", "sum_value",
+          "session_start", "session_end")
+        .as[(Long, Long, Double, Timestamp, Timestamp)].collect().sortBy(_._1).toSeq
+      val merged = got.filter(r => r._1 == 1L && r._2 == 3L)
+      assert(merged.nonEmpty, s"expected one merged 3-event session, got $got")
+      assert(merged.head._3 === 7.0)
+      assert(merged.head._4 === ts("2024-01-01 10:00:00"))
+      // engine session end = last event + gap
+      assert(merged.head._5 === ts("2024-01-01 10:02:40"))
+    } finally q.stop()
+  }
 }

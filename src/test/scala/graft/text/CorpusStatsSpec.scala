@@ -195,6 +195,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 0.666667) < 1e-6)
   }
 
+  test("burstiness: bursty term ≫ evenly-spread term, exact closed-form values, minTotal prunes") {
+    // "z" bursts (4 in one doc of 4); "a" spreads (1 in each of 3 docs)
+    val docs = Seq((1L, "z z z z"), (2L, "a"), (3L, "a"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.burstiness(docs, col("doc_id"), col("text"), minTotal = 1)
+      .orderBy("token").select("token", "df", "total", "vmr")
+      .as[(String, Long, Long, Double)].collect()
+    // a: N=4, μ=0.75, E[c²]=0.75 → var=0.1875 → vmr=0.25
+    // z: μ=1, E[c²]=4 → var=3 → vmr=3
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq === Seq(("a", 3L, 3L), ("z", 1L, 4L)))
+    assert(math.abs(got(0)._4 - 0.25) < 1e-12)
+    assert(math.abs(got(1)._4 - 3.0) < 1e-12)
+    assert(got(1)._4 > got(0)._4)
+    assert(CorpusStats.burstiness(docs, col("doc_id"), col("text"), minTotal = 4)
+      .select("token").as[String].collect().toSeq === Seq("z"))
+  }
+
   test("logOddsShift: counts and δ/z match the Monroe formula by hand; swap negates δ") {
     // target "a a b" (na=3), rest "a b b b" (nb=4); α0=7 → α_a=3, α_b=4
     val docs = Seq(("a a b", true), ("a b b b", false)).toDF("text", "tgt")
