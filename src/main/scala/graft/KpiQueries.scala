@@ -150,6 +150,71 @@ private[graft] object KpiQueries {
     // Mann-Whitney U: did click values shift in LOCATION vs view
     // values — the rank-based complement of b22's KS; same distinct-
     // value collapse, one runningSums pass for the rank offsets.
+    // Holt level+trend smoothing of the per-type daily-revenue series
+    // (α=0.3, β=0.1) with a 7-step forecast — the sequential fold runs
+    // on the ALREADY-DOWNSAMPLED series, after the one corpus shuffle.
+    "b29_holt" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value")).as("x"))
+        .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+      graft.operators.TimeSeries.holtSmooth(daily, col("event_type"),
+          col("di"), col("x"), alpha = 0.3, beta = 0.1, horizon = 7)
+        .select(col("key").as("event_type"), col("n"),
+          round(col("level"), 4).as("level"), round(col("trend"), 4).as("trend"),
+          round(col("forecast"), 4).as("forecast"), round(col("sse"), 4).as("sse"))
+        .orderBy("event_type")
+    }),
+
+    // Theil-Sen robust slope/intercept of the same daily series — the
+    // median of all pairwise slopes shrugs off outage/burst days that
+    // would drag an OLS line.
+    "b30_theil_sen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value")).as("x"))
+        .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+      graft.operators.TimeSeries.theilSen(daily, col("event_type"),
+          col("di"), col("x"))
+        .select(col("key").as("event_type"), col("n"), col("n_pairs"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+        .orderBy("event_type")
+    }),
+
+    // Per-source length-distribution drift battery with FDR control:
+    // every source's n_chars CDF KS-tested against the pooled rest in
+    // ONE plan, then Benjamini-Hochberg at α=0.1 decides which drifts
+    // are discoveries — the multiplicity-honest drift dashboard.
+    "b31_fdr_drift" -> ((s, dir) => {
+      val ks = graft.analytics.Stats.ksTestGroupedVsRest(
+        Tables.documents(s, dir), col("source"), col("n_chars"))
+      graft.analytics.Stats.bhFdr(ks, col("p_value"), Seq(col("key")),
+          alpha = 0.1)
+        .select(col("key"), col("n_group"), col("n_rest"),
+          round(col("d_stat"), 6).as("d_stat"),
+          round(col("p_value"), 6).as("p_value"),
+          col("p_rank"), round(col("q_value"), 6).as("q_value"),
+          col("rejected"))
+        .orderBy("key")
+    }),
+
+    // Empirical-Bayes shrinkage of per-customer 'F'-status order rates:
+    // the corpus supplies a beta prior (method of moments), small-n
+    // customers shrink toward the global rate, whales keep their own.
+    "b32_eb_shrink" -> ((s, dir) => {
+      graft.analytics.Stats.ebShrinkRates(Tables.orders(s, dir),
+          col("o_custkey"), (col("o_orderstatus") === "F").cast("int"))
+        .select(col("key"), col("n"), col("y"),
+          round(col("raw_rate"), 6).as("raw_rate"),
+          round(col("prior_alpha"), 6).as("prior_alpha"),
+          round(col("prior_beta"), 6).as("prior_beta"),
+          round(col("shrunk"), 6).as("shrunk"))
+        .orderBy("key")
+    }),
+
     "b28_mann_whitney" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       graft.analytics.Stats.mannWhitney(
@@ -475,6 +540,94 @@ private[graft] object KpiQueries {
 
     // Same distinct-value collapse, same closed-form tie ranks and
     // tie-corrected variance.
+    // Same seed collapse (l₂=x₂, b₂=x₂−x₁), same coupled recurrence as
+    // a recursive CTE over the per-key row_number.
+    "b29_holt" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY d) AS t,
+        |    count(*) OVER (PARTITION BY g) AS n FROM daily),
+        |h AS (
+        |  SELECT o2.g, o2.n, CAST(2 AS BIGINT) AS t, o2.x AS l,
+        |    o2.x - o1.x AS b, CAST(0.0 AS DOUBLE) AS sse
+        |  FROM o o1 JOIN o o2 ON o1.g = o2.g AND o1.t = 1 AND o2.t = 2
+        |  UNION ALL
+        |  SELECT o.g, o.n, o.t,
+        |    0.3 * o.x + 0.7 * (h.l + h.b),
+        |    0.1 * ((0.3 * o.x + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b,
+        |    h.sse + pow(o.x - (h.l + h.b), 2)
+        |  FROM h JOIN o ON o.g = h.g AND o.t = h.t + 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, round(l, 4) AS level,
+        | round(b, 4) AS trend, round(l + 7 * b, 4) AS forecast,
+        | round(sse, 4) AS sse
+        |FROM h WHERE t = n ORDER BY event_type""".stripMargin,
+
+    // Same pair table, same interpolated medians (DuckDB median
+    // averages the two middles on even counts, as sortedMedian does).
+    "b30_theil_sen" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') AS di, sum(value) AS x
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, CAST(ts AS DATE)),
+        |p AS (SELECT a.g, (b.x - a.x) / (b.di - a.di) AS sl
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.di < b.di),
+        |sl AS (SELECT g, count(*) AS n_pairs, median(sl) AS slope FROM p GROUP BY 1)
+        |SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(max(n_pairs) AS BIGINT) AS n_pairs, round(max(slope), 6) AS slope,
+        | round(median(d.x - slope * d.di), 6) AS intercept
+        |FROM daily d JOIN sl ON d.g = sl.g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same grid KS (every group's CDF at every support point), same
+    // Kolmogorov series, same step-up rule and suffix-min q-values.
+    "b31_fdr_drift" ->
+      """WITH base AS (SELECT source AS g, n_chars AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |cells AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |supc AS (SELECT v, sum(sum(c)) OVER (ORDER BY v) AS cv
+        |  FROM cells GROUP BY v),
+        |grp AS (SELECT g, sum(c) AS ng FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(c) AS nn FROM cells),
+        |grid AS (SELECT grp.g, supc.v, supc.cv, grp.ng, coalesce(cells.c, 0) AS c
+        |  FROM grp CROSS JOIN supc LEFT JOIN cells ON cells.g = grp.g AND cells.v = supc.v),
+        |cum AS (SELECT g, ng, cv, sum(c) OVER (PARTITION BY g ORDER BY v) AS cg FROM grid),
+        |d AS (SELECT g, max(ng) AS n_group, max(nn - ng) AS n_rest,
+        |    max(abs(cg * 1.0 / ng - (cv - cg) * 1.0 / nullif(nn - ng, 0))) AS ds
+        |  FROM cum, tot GROUP BY 1),
+        |l AS (SELECT *, (sqrt(n_group * 1.0 * n_rest / (n_group + n_rest)) + 0.12 +
+        |    0.11 / sqrt(n_group * 1.0 * n_rest / (n_group + n_rest))) * ds AS lam FROM d),
+        |pv AS (SELECT g, n_group, n_rest, ds,
+        |    CASE WHEN n_rest = 0 THEN NULL
+        |      WHEN lam < 0.05 THEN 1.0
+        |      ELSE least(1.0, greatest(0.0, 2.0 * list_sum(list_transform(range(1, 101),
+        |        k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END) *
+        |          exp(-2.0 * k * k * lam * lam))))) END AS p
+        |  FROM l),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY p, g) AS k,
+        |    count(*) OVER () AS m FROM pv WHERE p IS NOT NULL),
+        |q AS (SELECT *, min(p * m * 1.0 / k) OVER
+        |    (ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS qv FROM ranked),
+        |kstar AS (SELECT max(CASE WHEN p * m <= 0.1 * k THEN k END) AS ks FROM ranked)
+        |SELECT g AS key, CAST(n_group AS BIGINT) AS n_group,
+        | CAST(n_rest AS BIGINT) AS n_rest, round(ds, 6) AS d_stat,
+        | round(p, 6) AS p_value, CAST(k AS BIGINT) AS p_rank,
+        | round(least(1.0, qv), 6) AS q_value,
+        | coalesce(k <= kstar.ks, false) AS rejected
+        |FROM q, kstar ORDER BY key""".stripMargin,
+
+    // Same per-key collapse, method-of-moments prior, posterior mean.
+    "b32_eb_shrink" ->
+      """WITH pk AS (SELECT o_custkey AS key, count(*) AS n,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS y
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT avg(y / n) AS mu, var_pop(y / n) AS s2 FROM pk),
+        |pr AS (SELECT mu, CASE WHEN s2 > 0 AND mu > 0 AND mu < 1
+        |      AND mu * (1 - mu) / s2 - 1 > 0
+        |    THEN mu * (1 - mu) / s2 - 1 END AS ab FROM m)
+        |SELECT key, CAST(n AS BIGINT) AS n, y, round(y / n, 6) AS raw_rate,
+        | round(mu * ab, 6) AS prior_alpha, round((1 - mu) * ab, 6) AS prior_beta,
+        | round((y + mu * ab) / (n + ab), 6) AS shrunk
+        |FROM pk, pr ORDER BY key""".stripMargin,
+
     "b28_mann_whitney" ->
       """WITH a AS (SELECT value AS v FROM events
         |  WHERE event_type = 'click' AND value IS NOT NULL),

@@ -209,10 +209,15 @@ object Stats {
     * 0/1, or a single key) the prior is undefined and `shrunk` is null
     * with null α/β — explicitly inspectable, never silently unshrunk. */
   def ebShrinkRates(df: DataFrame, key: Column, success: Column): DataFrame = {
-    val perKey = df.filter(key.isNotNull && success.isNotNull)
-      .groupBy(key.as("key"))
-      .agg(count(lit(1)).as("n"), sum(success.cast("double")).as("y"))
-      .withColumn("raw_rate", col("y") / col("n"))
+    // the key table feeds BOTH the moment aggregate and the posterior
+    // map; column pruning specializes each consumer's aggregate (the
+    // B21 lesson — exchange reuse does not save you), so the key-scale
+    // table is truncated once: exactly one corpus scan, plan-pinned
+    val perKey = graft.operators.Lineage.truncate(
+      df.filter(key.isNotNull && success.isNotNull)
+        .groupBy(key.as("key"))
+        .agg(count(lit(1)).as("n"), sum(success.cast("double")).as("y"))
+        .withColumn("raw_rate", col("y") / col("n")))
     val prior = perKey.agg(
         avg(col("raw_rate")).as("__mu"), var_pop(col("raw_rate")).as("__s2"))
       .select(col("__mu"),
