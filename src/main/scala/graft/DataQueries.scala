@@ -727,6 +727,17 @@ private[graft] object DataQueries {
         Tables.documents(s, dir).filter(col("text").isNotNull),
         col("doc_id"), col("text"))),
 
+    // TextRank corpus keywords: weighted PageRank over the symmetric
+    // adjacent-word graph (minCount 5 noise floor, 5 rounds) — graph
+    // centrality finds the topic-bearing vocabulary.
+    "d90_textrank" -> ((s, dir) => {
+      graft.text.TextRank.textRank(
+          Tables.documents(s, dir).filter(col("text").isNotNull),
+          col("text"), damping = 0.85, iters = 5, minCount = 5)
+        .select(col("token"), round(col("rank"), 6).as("rank"))
+        .orderBy("token")
+    }),
+
     // Isotonic calibration of a normalized length score against the
     // lang='en' rate — PAV via the minimax closed form over 16 bins,
     // every window bin-scale bounded.
@@ -1832,6 +1843,32 @@ private[graft] object DataQueries {
         | round(pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2,
         | round(sc / nt, 6) AS head_share
         |FROM s, tot""".stripMargin,
+
+    // Same bigram stream, symmetric pooled weights, minCount floor, and
+    // 5 mechanically-unrolled power-iteration rounds (the c23 pattern).
+    "d90_textrank" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (SELECT v.w, 0.15 + 0.85 * coalesce(s.s, 0) AS rank FROM v LEFT JOIN (
+           |    SELECT tr.dst AS w, sum(r${i - 1}.rank * tr.p) AS s
+           |    FROM r${i - 1} JOIN tr ON r${i - 1}.w = tr.src GROUP BY 1) s USING (w))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT list_filter(string_split(
+         |      regexp_replace(lower(trim(text)),'\\s+',' ','g'), ' '),
+         |      w -> length(w) > 0) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+         |bd AS (SELECT w1, w2 FROM bi WHERE w1 <> w2),
+         |sym AS (SELECT w1, w2 FROM bd UNION ALL SELECT w2, w1 FROM bd),
+         |e AS (SELECT w1 AS src, w2 AS dst, count(*) AS w FROM sym
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+         |tr AS (SELECT e.src, e.dst, e.w * 1.0 / ow.ow AS p FROM e JOIN ow USING (src)),
+         |v AS (SELECT DISTINCT src AS w FROM tr),
+         |r0 AS (SELECT w, 1.0 AS rank FROM v),
+         |$rounds
+         |SELECT w AS token, round(rank, 6) AS rank FROM r5 ORDER BY token""".stripMargin
+    },
 
     // Same grid, same prefix sums, same minimax identity.
     "d89_isotonic" ->

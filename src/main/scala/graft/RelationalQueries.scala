@@ -725,6 +725,23 @@ private[graft] object RelationalQueries {
     // HLL ball per vertex, |E|-scale merge rounds. The exact pair-BFS
     // runs alongside at this scale to pin the estimate in-bound (the
     // c8b exact-mode discipline); the oracle owns the exact counts.
+    // Harmonic centrality from the same HyperBall recurrence — the
+    // Common Crawl host-ranking signal; estimates checked in-plan
+    // against the exact pair-BFS values (the c60/c8b discipline).
+    "c61_harmonic" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_partkey"), lit(100)) === 0)
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      val est = graft.graph.HyperBall.harmonicCentrality(edges, maxT = 4)
+      val exact = graft.graph.HyperBall.exactHarmonicCentrality(edges, maxT = 4)
+      est.join(exact, "vertex")
+        .select(col("vertex"), round(col("harmonic"), 6).as("harmonic"),
+          (abs(col("harmonic_est") - col("harmonic")) / col("harmonic") <= 0.1)
+            .as("within_bound"))
+        .orderBy("vertex")
+    }),
+
     "c60_hyperball" -> ((s, dir) => {
       val edges = Tables.lineitem(s, dir)
         .filter(pmod(col("l_partkey"), lit(100)) === 0)
@@ -1532,6 +1549,23 @@ private[graft] object RelationalQueries {
     // The declarative window pair the distributed form must equal.
     // Exact min-distance pairs via a depth-bounded recursive CTE; the
     // estimate column is pinned by the TRUE bound flags (c8b style).
+    // Oracle owns the exact per-vertex harmonic sums (≤4 hops); the
+    // estimate's 10% envelope is the boolean the compare checks.
+    "c61_harmonic" ->
+      """WITH RECURSIVE
+        |raw AS (SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b
+        |  FROM lineitem WHERE l_partkey % 100 = 0),
+        |ed AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+        |n AS (SELECT DISTINCT src AS v FROM ed),
+        |p AS (SELECT v, v AS u, 0 AS t FROM n
+        |  UNION
+        |  SELECT p.v, ed.dst, p.t + 1 FROM p JOIN ed ON ed.src = p.u
+        |  WHERE p.t < 4),
+        |m AS (SELECT v, u, min(t) AS d FROM p GROUP BY 1, 2)
+        |SELECT v AS vertex, round(sum(CASE WHEN d > 0 THEN 1.0 / d END), 6) AS harmonic,
+        | TRUE AS within_bound
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "c60_hyperball" ->
       """WITH RECURSIVE
         |raw AS (SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b

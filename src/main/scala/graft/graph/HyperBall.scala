@@ -85,6 +85,88 @@ object HyperBall {
     toDf(spark, out.toSeq)
   }
 
+  /** Per-vertex harmonic centrality estimate H(v) = Σ_{u≠v} 1/d(v,u),
+    * the distance-based importance ranking Common Crawl publishes for
+    * its host graph (Boldi-Vigna's preferred centrality: handles
+    * disconnected graphs where closeness breaks) — computed from the
+    * SAME ball recurrence: the t-shell size is |B(v,t)| − |B(v,t−1)|,
+    * and H(v) = Σ_t shell_t/t accumulates per vertex as the balls grow.
+    * Same scale shape as [[neighborhoodFunction]]: |V|-scale sketch
+    * state, one edge join + one sketch aggregate per round, lineage
+    * truncated, early exit at the fixed point. Distances beyond `maxT`
+    * contribute nothing (documented truncation — at web scale the
+    * 1/d tail beyond the effective diameter is noise); for DIRECTED
+    * in-centrality (paths TO v, the standard form) pass the reversed
+    * edge table with `directed = true`.
+    *
+    * Output: (vertex, harmonic_est) — estimates, not exact values (the
+    * HLL trade that makes |V|²-free centrality possible); rank with
+    * them, verify small graphs against [[exactHarmonicCentrality]]. */
+  def harmonicCentrality(edges: DataFrame, maxT: Int, lgK: Int = 12,
+                         directed: Boolean = false): DataFrame = {
+    require(maxT >= 1, s"maxT must be >= 1, got $maxT")
+    val e = normalized(edges, directed)
+    val nodes = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v"))).distinct()
+    var state = Lineage.truncate(
+      nodes.groupBy("v").agg(hll_sketch_agg(col("v"), lit(lgK)).as("sk"))
+        .select(col("v"), col("sk"),
+          hll_sketch_estimate(col("sk")).as("__prev"), lit(0.0).as("score")))
+    def total(s: DataFrame): Double =
+      s.agg(coalesce(sum(col("__prev")), lit(0.0))).head().getDouble(0)
+    var last = total(state)
+    var t = 1
+    var converged = false
+    while (t <= maxT && !converged) {
+      val contrib = e.join(state, e("dst") === state("v"))
+        .groupBy(e("src").as("v")).agg(hll_union_agg(col("sk")).as("nsk"))
+      val est = hll_sketch_estimate(col("__nsk"))
+      state = Lineage.truncate(
+        state.join(contrib, Seq("v"), "left_outer")
+          .select(col("v"),
+            when(col("nsk").isNull, col("sk"))
+              .otherwise(hll_union(col("sk"), col("nsk"))).as("__nsk"),
+            col("__prev"), col("score"))
+          // registers only grow under union and the estimate is
+          // monotone in them, so the shell is ≥ 0; greatest() guards
+          // the contract explicitly rather than trusting it silently
+          .select(col("v"), col("__nsk").as("sk"), est.as("__prev"),
+            (col("score") + greatest(est - col("__prev"), lit(0.0)) / t).as("score")))
+      val nf = total(state)
+      converged = nf == last
+      last = nf
+      t += 1
+    }
+    state.select(col("v").as("vertex"), col("score").as("harmonic_est"))
+  }
+
+  /** EXACT harmonic centrality by (source, reached) pair-frontier BFS —
+    * |V|²-bounded state, verification-scale only (the
+    * [[exactNeighborhoodFunction]] discipline). Same `maxT` truncation
+    * and direction contract as [[harmonicCentrality]]. */
+  def exactHarmonicCentrality(edges: DataFrame, maxT: Int,
+                              directed: Boolean = false): DataFrame = {
+    require(maxT >= 1, s"maxT must be >= 1, got $maxT")
+    val e = normalized(edges, directed)
+    val nodes = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v"))).distinct()
+    var visited = Lineage.truncate(nodes.select(col("v"), col("v").as("u"))
+      .withColumn("__d", lit(0)))
+    var frontier = visited
+    var t = 1
+    while (t <= maxT && !frontier.isEmpty) {
+      val next = Lineage.truncate(
+        frontier.join(e, frontier("u") === e("src"))
+          .select(col("v"), col("dst").as("u")).distinct()
+          .join(visited.select("v", "u"), Seq("v", "u"), "left_anti")
+          .withColumn("__d", lit(t)))
+      visited = Lineage.truncate(visited.unionAll(next))
+      frontier = next
+      t += 1
+    }
+    visited.filter(col("__d") > 0)
+      .groupBy(col("v").as("vertex"))
+      .agg(sum(lit(1.0) / col("__d")).as("harmonic"))
+  }
+
   private def normalized(edges: DataFrame, directed: Boolean): DataFrame = {
     val fwd = edges.select(col("src"), col("dst"))
     Lineage.truncate(

@@ -49,4 +49,47 @@ class HyperBallSpec extends SparkSpec {
       .orderBy("t").select("n_pairs_est").as[Double].collect().toSeq
     assert(got === Seq(2.0, 4.0, 4.0))
   }
+
+  test("exactHarmonicCentrality: hand values on a path; maxT truncates the tail") {
+    // path 1-2-3-4 undirected: H(2) = 1 + 1 + 1/2 = 2.5 (ends), H(1) =
+    // 1 + 1/2 + 1/3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val h = HyperBall.exactHarmonicCentrality(e, maxT = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(h(1L) - (1.0 + 0.5 + 1.0 / 3)) < 1e-12)
+    assert(math.abs(h(2L) - 2.5) < 1e-12)
+    assert(math.abs(h(3L) - 2.5) < 1e-12)
+    assert(math.abs(h(4L) - (1.0 + 0.5 + 1.0 / 3)) < 1e-12)
+    // maxT=1 keeps only direct neighbors
+    val t1 = HyperBall.exactHarmonicCentrality(e, maxT = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(t1 === Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 1.0))
+  }
+
+  test("exactHarmonicCentrality: directed edges measure OUT-distance as given") {
+    // 1→2→3: from 1 reach 2 (d1) and 3 (d2); from 3 reach nothing
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val h = HyperBall.exactHarmonicCentrality(e, maxT = 5, directed = true)
+      .as[(Long, Double)].collect().toMap
+    assert(h.get(3L).isEmpty) // no outgoing paths → no row
+    assert(math.abs(h(1L) - 1.5) < 1e-12 && h(2L) === 1.0)
+  }
+
+  test("harmonicCentrality estimate tracks exact within 10% and ranks a star's hub first") {
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    val est = HyperBall.harmonicCentrality(edges, maxT = 4)
+      .as[(Long, Double)].collect().toMap
+    val exact = HyperBall.exactHarmonicCentrality(edges, maxT = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    for ((v, x) <- exact)
+      assert(math.abs(est(v) - x) / x <= 0.10, s"vertex $v: est ${est(v)} vs exact $x")
+    // structure check: a star hub dominates its leaves
+    val star = (1L to 12L).map(i => (0L, i)).toDF("src", "dst")
+    val hs = HyperBall.harmonicCentrality(star, maxT = 3)
+      .as[(Long, Double)].collect().toMap
+    assert((1L to 12L).forall(l => hs(0L) > hs(l)))
+  }
 }

@@ -38,6 +38,10 @@ class LintSurfaceSpec extends SparkSpec {
     // same runningSums rank-offset pass as b22: the one window runs
     // over the SLICE-TOTALS table (numSlices rows), not corpus data
     "b28_mann_whitney" -> Map("GLOBAL_WINDOW" -> 1),
+    // bhFdr's q-value suffix-min is a runningAgg whose offset window
+    // runs over the slice-totals table (≤ numShufflePartitions rows) —
+    // the b22/b28 bounded class; the battery itself is group-scale
+    "b31_fdr_drift" -> Map("GLOBAL_WINDOW" -> 1),
     "d84_heaps_fit" -> Map("GLOBAL_WINDOW" -> 1),
     // the basket-count scalar rides a filtered CHECKPOINT scan, whose
     // one-row-ness the linter cannot prove from the plan (unlike a
