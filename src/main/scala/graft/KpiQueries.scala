@@ -150,6 +150,17 @@ private[graft] object KpiQueries {
     // Mann-Whitney U: did click values shift in LOCATION vs view
     // values — the rank-based complement of b22's KS; same distinct-
     // value collapse, one runningSums pass for the rank offsets.
+    // Stationary distribution of the per-user event-type Markov chain
+    // (5 synchronous rounds, dangling mass redistributed) — "where do
+    // journeys settle", the model-level complement of b15's top paths.
+    "b33_markov" -> ((s, dir) => {
+      val tr = graft.analytics.Markov.transitions(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"), Seq(col("event_id")))
+      graft.analytics.Markov.stationary(tr, iters = 5)
+        .select(col("state"), round(col("pi"), 6).as("pi"))
+        .orderBy("state")
+    }),
+
     // Holt level+trend smoothing of the per-type daily-revenue series
     // (α=0.3, β=0.1) with a 7-step forecast — the sequential fold runs
     // on the ALREADY-DOWNSAMPLED series, after the one corpus shuffle.
@@ -540,6 +551,31 @@ private[graft] object KpiQueries {
 
     // Same distinct-value collapse, same closed-form tie ranks and
     // tie-corrected variance.
+    // Same transition derivation + 5 mechanically-unrolled rounds with
+    // the same dangling redistribution (the c23 pattern).
+    "b33_markov" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""dm$i AS (SELECT coalesce(sum(CASE WHEN hasout IS NULL THEN pi END), 0) AS m FROM r${i - 1}),
+           |fl$i AS (SELECT tr.t2 AS st, sum(r.pi * tr.p) AS f
+           |  FROM r${i - 1} r JOIN tr ON r.st = tr.f GROUP BY 1),
+           |r$i AS (SELECT sv.st, sv.hasout, coalesce(fl$i.f, 0) + dm$i.m / nn.n AS pi
+           |  FROM sv LEFT JOIN fl$i ON sv.st = fl$i.st, dm$i, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id AS e, ts, event_id, event_type AS s FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+         |seq AS (SELECT e, s, lead(s) OVER (PARTITION BY e ORDER BY ts, event_id) AS nxt FROM ev),
+         |cnt AS (SELECT s AS f, nxt AS t2, count(*) AS c FROM seq
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |tr AS (SELECT f, t2, c * 1.0 / sum(c) OVER (PARTITION BY f) AS p FROM cnt),
+         |st AS (SELECT f AS st FROM tr UNION SELECT t2 FROM tr),
+         |ho AS (SELECT DISTINCT f AS st, true AS hasout FROM tr),
+         |sv AS (SELECT st.st, ho.hasout FROM st LEFT JOIN ho USING (st)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sv),
+         |r0 AS (SELECT sv.st, sv.hasout, 1.0 / nn.n AS pi FROM sv, nn),
+         |$rounds
+         |SELECT st AS state, round(pi, 6) AS pi FROM r5 ORDER BY state""".stripMargin
+    },
+
     // Same seed collapse (l₂=x₂, b₂=x₂−x₁), same coupled recurrence as
     // a recursive CTE over the per-key row_number.
     "b29_holt" ->

@@ -1819,4 +1819,115 @@ object StreamOps {
       .orderBy(col("score").desc +: keys.map(col): _*)
       .limit(k)
   }
+
+  /** E36 — streaming Holt forecast state: per-key level/trend
+    * ([[graft.operators.TimeSeries.holtSmooth]]'s recurrence) maintained
+    * incrementally across micro-batches — the LIVE capacity/budget
+    * forecast next to E31's "what is hot now" trend counts. Each epoch
+    * sorts ITS OWN batch's points per key (batch-scale), seeds the fold
+    * from the key's latest persisted state (batches < epochId — the
+    * own-epoch exclusion that makes replay idempotent), runs the exact
+    * batch recurrence (the seed transitions n=0→1→2 reproduce
+    * holtSmooth's first-difference init, equality spec-asserted), and
+    * lands post-fold state rows `(keys, l, b, n)` under
+    * `batch=<epochId>` — state-scale reads, the stream itself is never
+    * rescanned. Event-time order across epochs is the stream's job:
+    * late points that belong BEFORE already-folded ones should be
+    * routed out first ([[toLateRouted]]) — the recurrence, like any
+    * online smoother, folds in arrival order within the watermark.
+    *
+    * [[forecastFrom]] reads the state dir, keeps each key's latest
+    * state (`max_by` over the epoch axis), and emits the h-step linear
+    * forecast — keys still in seed phase (n < 2) have no trend and
+    * yield a null forecast, never a fabricated one. */
+  def toForecastState(
+      events: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      value: String,
+      alpha: Double,
+      beta: Double,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        forecastStateBatch(batch.toDF(), epochId, keys, ts, value, alpha, beta, statePath)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[toForecastState]], exposed for replay tests. */
+  private[graft] def forecastStateBatch(
+      batch: DataFrame,
+      epochId: Long,
+      keys: Seq[String],
+      ts: String,
+      value: String,
+      alpha: Double,
+      beta: Double,
+      statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val us = graft.operators.Relational.epochMicros(col(ts))
+    val pts = batch
+      .filter(col(ts).isNotNull && col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(us.as("__us"),
+        col(value).cast("double").as("__x")))).as("__pts"))
+    val prior = try {
+      spark.read.parquet(statePath)
+        .filter(col("batch") =!= epochId) // replay: own epoch is rewritten
+        .groupBy(keys.map(col): _*)
+        .agg(max_by(struct(col("l"), col("b"), col("n")),
+          col("batch").cast("long")).as("__st"))
+        .select(keys.map(col) ++ Seq(col("__st.l").as("__pl"),
+          col("__st.b").as("__pb"), col("__st.n").as("__pn")): _*)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => // first epoch ever
+        pts.select(keys.map(col): _*).limit(0)
+          .withColumn("__pl", lit(null).cast("double"))
+          .withColumn("__pb", lit(null).cast("double"))
+          .withColumn("__pn", lit(null).cast("long"))
+    }
+    pts.join(prior, keys, "left")
+      .withColumn("__f", aggregate(
+        col("__pts"),
+        struct(col("__pl").cast("double").as("l"),
+          col("__pb").cast("double").as("b"),
+          coalesce(col("__pn"), lit(0L)).as("n")),
+        (acc, e) => {
+          val x = e.getField("__x")
+          val n = acc.getField("n")
+          val l = acc.getField("l")
+          val b = acc.getField("b")
+          // n=0/1 are the seed transitions — identical algebra to
+          // holtSmooth's collapsed first-difference init
+          val nl = when(n <= 1, x)
+            .otherwise(x * lit(alpha) + (l + b) * lit(1 - alpha))
+          val nb = when(n === 0, lit(null).cast("double"))
+            .when(n === 1, x - l)
+            .otherwise((nl - l) * lit(beta) + b * lit(1 - beta))
+          struct(nl.as("l"), nb.as("b"), (n + 1).as("n"))
+        }))
+      .select(keys.map(col) ++ Seq(col("__f.l").as("l"),
+        col("__f.b").as("b"), col("__f.n").as("n")): _*)
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+  }
+
+  /** Latest per-key Holt state from a [[toForecastState]] dir, with the
+    * `horizon`-step linear forecast l + h·b — state-scale; seed-phase
+    * keys (n < 2) report null trend/forecast. */
+  def forecastFrom(spark: SparkSession, statePath: String, keys: Seq[String],
+                   horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    spark.read.parquet(statePath)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(col("l"), col("b"), col("n")),
+        col("batch").cast("long")).as("__st"))
+      .select(keys.map(col) ++ Seq(col("__st.l").as("level"),
+        col("__st.b").as("trend"), col("__st.n").as("n"),
+        (col("__st.l") + col("__st.b") * lit(horizon.toDouble)).as("forecast")): _*)
+  }
 }

@@ -1064,4 +1064,54 @@ class StreamOpsSpec extends SparkSpec {
       assert(merged.head._5 === ts("2024-01-01 10:02:40"))
     } finally q.stop()
   }
+
+  test("toForecastState: streaming state ≡ batch holtSmooth, replay idempotent, seed phase null") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val state = java.nio.file.Files.createTempDirectory("fcstate").toString + "/fc"
+    val ckpt = java.nio.file.Files.createTempDirectory("fcckpt").toString
+    val q = StreamOps.toForecastState(
+      input.toDF().toDF("ts", "k", "v"), keys = Seq("k"), ts = "ts", value = "v",
+      alpha = 0.5, beta = 0.4, statePath = state, checkpoint = ckpt)
+    val e0 = Seq(
+      (ts("2024-01-01 10:00:00"), "a", 3.0), (ts("2024-01-01 11:00:00"), "a", 5.0),
+      (ts("2024-01-01 10:00:00"), "solo", 9.0))
+    val e1 = Seq(
+      (ts("2024-01-01 12:00:00"), "a", 4.0), (ts("2024-01-01 13:00:00"), "a", 8.0),
+      (ts("2024-01-01 12:00:00"), "fresh", 1.0), (ts("2024-01-01 13:00:00"), "fresh", 2.0))
+    try {
+      input.addData(e0: _*); q.processAllAvailable()
+      input.addData(e1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamOps.forecastFrom(spark, state, Seq("k"), horizon = 2)
+      .select("k", "level", "trend", "n", "forecast")
+      .as[(String, Option[Double], Option[Double], Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // cross-epoch key equals the batch fold over ALL its points
+    val all = (e0 ++ e1).toDF("ts", "k", "v")
+    val want = graft.operators.TimeSeries.holtSmooth(all, col("k"),
+        col("ts").cast("long"), col("v"), alpha = 0.5, beta = 0.4, horizon = 2)
+      .select("key", "level", "trend", "forecast")
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    for (k <- Seq("a", "fresh")) {
+      assert(math.abs(got(k)._2.get - want(k)._2) < 1e-12, s"level $k")
+      assert(math.abs(got(k)._3.get - want(k)._3) < 1e-12, s"trend $k")
+      assert(math.abs(got(k)._5.get - want(k)._4) < 1e-12, s"forecast $k")
+    }
+    assert(got("a")._4 === 4L && got("fresh")._4 === 2L)
+    // seed-phase key: level present, trend/forecast null — never fabricated
+    assert(got("solo")._2.contains(9.0) && got("solo")._3.isEmpty &&
+      got("solo")._5.isEmpty && got("solo")._4 === 1L)
+    // replaying epoch 1 rewrites identical state
+    StreamOps.forecastStateBatch(e1.toDF("ts", "k", "v"), 1L, Seq("k"), "ts", "v",
+      0.5, 0.4, state)
+    val again = StreamOps.forecastFrom(spark, state, Seq("k"), horizon = 2)
+      .select("k", "level", "trend", "n", "forecast")
+      .as[(String, Option[Double], Option[Double], Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(again === got, "a replayed epoch must leave the state unchanged")
+    intercept[IllegalArgumentException] {
+      StreamOps.forecastFrom(spark, state, Seq("k"), horizon = 0)
+    }
+  }
 }
