@@ -150,6 +150,29 @@ private[graft] object KpiQueries {
     // Mann-Whitney U: did click values shift in LOCATION vs view
     // values — the rank-based complement of b22's KS; same distinct-
     // value collapse, one runningSums pass for the rank offsets.
+    // Classical additive decomposition of the per-type daily-revenue
+    // series at weekly period: trend (centered 7-MA), zero-sum seasonal
+    // profile, residual — deseasonalize before comparing weeks.
+    "b34_seasonal" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value")).as("x"))
+      // row_number per key = the REGULAR index the operator contracts
+      // (per-key bounded window, the b14 benign class)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("d")
+      val idxd = daily.withColumn("i", row_number().over(w))
+      graft.operators.TimeSeries.seasonalDecompose(idxd, col("event_type"),
+          col("i"), col("x"), period = 7)
+        .select(col("key").as("event_type"), col("idx"),
+          round(col("x"), 4).as("x"), col("season"),
+          round(col("trend"), 4).as("trend"),
+          round(col("seasonal"), 4).as("seasonal"),
+          round(col("resid"), 4).as("resid"))
+        .orderBy("event_type", "idx")
+    }),
+
     // Stationary distribution of the per-user event-type Markov chain
     // (5 synchronous rounds, dangling mass redistributed) — "where do
     // journeys settle", the model-level complement of b15's top paths.
@@ -551,6 +574,25 @@ private[graft] object KpiQueries {
 
     // Same distinct-value collapse, same closed-form tie ranks and
     // tie-corrected variance.
+    // Same centered MA windows, same profile means and re-centering.
+    "b34_seasonal" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY d) AS i FROM daily),
+        |tw AS (SELECT g, i, x, i % 7 AS season,
+        |    CASE WHEN count(x) OVER f = 7 THEN avg(x) OVER f END AS trend
+        |  FROM o WINDOW f AS (PARTITION BY g ORDER BY i
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |pr AS (SELECT g, season, avg(x - trend) AS sraw FROM tw
+        |  WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |ct AS (SELECT g, avg(sraw) AS sm FROM pr GROUP BY 1),
+        |se AS (SELECT pr.g, pr.season, sraw - sm AS seasonal FROM pr JOIN ct USING (g))
+        |SELECT tw.g AS event_type, CAST(i AS BIGINT) AS idx, round(x, 4) AS x,
+        | CAST(tw.season AS BIGINT) AS season, round(trend, 4) AS trend,
+        | round(seasonal, 4) AS seasonal, round(x - trend - seasonal, 4) AS resid
+        |FROM tw LEFT JOIN se ON tw.g = se.g AND tw.season = se.season
+        |ORDER BY 1, 2""".stripMargin,
+
     // Same transition derivation + 5 mechanically-unrolled rounds with
     // the same dangling redistribution (the c23 pattern).
     "b33_markov" -> {

@@ -725,6 +725,18 @@ private[graft] object RelationalQueries {
     // HLL ball per vertex, |E|-scale merge rounds. The exact pair-BFS
     // runs alongside at this scale to pin the estimate in-bound (the
     // c8b exact-mode discipline); the oracle owns the exact counts.
+    // Label-propagation communities on the sparse supplier-part graph:
+    // 4 deterministic voting rounds (max count, min label) — dense
+    // substructure collapses to shared labels.
+    "c62_lpa" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_partkey"), lit(100)) === 0)
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      graft.graph.Communities.labelPropagation(edges, iters = 4)
+        .orderBy("vertex")
+    }),
+
     // Harmonic centrality from the same HyperBall recurrence — the
     // Common Crawl host-ranking signal; estimates checked in-plan
     // against the exact pair-BFS values (the c60/c8b discipline).
@@ -1549,6 +1561,27 @@ private[graft] object RelationalQueries {
     // The declarative window pair the distributed form must equal.
     // Exact min-distance pairs via a depth-bounded recursive CTE; the
     // estimate column is pinned by the TRUE bound flags (c8b style).
+    // Same symmetric graph, same deterministic (count desc, label asc)
+    // vote, 4 mechanically-unrolled synchronous rounds.
+    "c62_lpa" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""vt$i AS (SELECT e.dst AS v, l${i - 1}.label, count(*) AS c
+           |  FROM l${i - 1} JOIN e ON l${i - 1}.v = e.src GROUP BY 1, 2),
+           |pk$i AS (SELECT v, label FROM (SELECT v, label,
+           |    row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn FROM vt$i) t
+           |  WHERE rn = 1),
+           |l$i AS (SELECT l${i - 1}.v, coalesce(pk$i.label, l${i - 1}.label) AS label
+           |  FROM l${i - 1} LEFT JOIN pk$i USING (v))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b
+         |  FROM lineitem WHERE l_partkey % 100 = 0),
+         |e AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+         |n AS (SELECT DISTINCT src AS v FROM e),
+         |l0 AS (SELECT v, v AS label FROM n),
+         |$rounds
+         |SELECT v AS vertex, label FROM l4 ORDER BY vertex""".stripMargin
+    },
+
     // Oracle owns the exact per-vertex harmonic sums (≤4 hops); the
     // estimate's 10% envelope is the boolean the compare checks.
     "c61_harmonic" ->

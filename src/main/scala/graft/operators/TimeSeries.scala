@@ -207,6 +207,74 @@ object TimeSeries {
         col("__f.sse").as("sse"))
   }
 
+  /** Classical additive seasonal decomposition x = trend + seasonal +
+    * residual per key (the moving-average method behind "deseasonalize
+    * before you compare weeks"): trend = centered moving average over
+    * one `period` (even periods use the standard 2×MA — the mean of the
+    * two half-offset period averages), seasonal = the per-season-index
+    * mean of the detrended series re-centered to sum to zero, residual
+    * = what neither explains. The calendar-structure complement of
+    * B24's ACF (ACF detects the period; this removes it) and the
+    * pre-pass that makes B26's changepoint alarms ignore weekends.
+    *
+    * CONTRACT: a REGULAR series — `idx` consecutive integers per key
+    * (densify with [[gapFillLocf]] or index by `row_number` first);
+    * the rows-frame moving average equals the time-range average only
+    * then, and season = idx mod period only aligns then. Edge rows
+    * without a full window have null trend/residual (never a
+    * shortened-window estimate — those leak level shifts into the
+    * seasonal profile). All windows are per-key over the downsampled
+    * series (the b14/b24 benign class, ONE WindowExec — every frame
+    * shares the (key, idx) spec); the seasonal profile is a
+    * (key × period)-bounded aggregate joined back key-hashed.
+    *
+    * Output: (key, idx, x, season, trend, seasonal, resid). */
+  def seasonalDecompose(series: DataFrame, key: Column, idx: Column,
+                        value: Column, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val s = series
+      .select(key.as("__g"), idx.cast("long").as("__i"),
+        value.cast("double").as("__x"))
+      .filter(col("__g").isNotNull && col("__i").isNotNull && col("__x").isNotNull)
+    val w = Window.partitionBy("__g").orderBy("__i")
+    val h = period / 2
+    val trend =
+      if (period % 2 == 1) {
+        val f = w.rowsBetween(-h, h)
+        when(count(col("__x")).over(f) === period, avg(col("__x")).over(f))
+      } else {
+        val f1 = w.rowsBetween(-h, h - 1)
+        val f2 = w.rowsBetween(-h + 1, h)
+        when(count(col("__x")).over(f1) === period &&
+            count(col("__x")).over(f2) === period,
+          (avg(col("__x")).over(f1) + avg(col("__x")).over(f2)) / 2.0)
+      }
+    // the detrended table feeds the profile aggregate AND the final
+    // join (and the profile itself has two consumers) — without
+    // truncation the scan + windows re-execute once per consumer
+    // (measured: windows=6 for a 2-window plan); truncated once, the
+    // corpus-side work runs exactly once
+    val det = graft.operators.Lineage.truncate(
+      s.withColumn("__season", pmod(col("__i"), lit(period.toLong)))
+        .withColumn("__trend", trend))
+    val prof = det.filter(col("__trend").isNotNull)
+      .groupBy("__g", "__season")
+      .agg(avg(col("__x") - col("__trend")).as("__sraw"))
+    // re-center so the seasonal profile sums to zero per key — level
+    // belongs to the trend, not the season (profile table is
+    // (key × period)-bounded; the second aggregate + join are both
+    // profile-scale)
+    val centered = prof.join(
+        prof.groupBy("__g").agg(avg(col("__sraw")).as("__smean")), "__g")
+      .select(col("__g"), col("__season"),
+        (col("__sraw") - col("__smean")).as("seasonal"))
+    det.join(centered, Seq("__g", "__season"), "left")
+      .select(col("__g").as("key"), col("__i").as("idx"), col("__x").as("x"),
+        col("__season").as("season"), col("__trend").as("trend"),
+        col("seasonal"),
+        (col("__x") - col("__trend") - col("seasonal")).as("resid"))
+  }
+
   /** Exact interpolated median of a sorted array: the mean of the two
     * middle elements when even-length (n=1 → the element itself) —
     * matches SQL `median`/`quantile_cont(0.5)` semantics exactly. */

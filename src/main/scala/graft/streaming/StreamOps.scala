@@ -1916,6 +1916,92 @@ object StreamOps {
       .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
   }
 
+  /** E37 — streaming Markov transition state: the LIVE B33 — per-batch
+    * transition counts maintained additively, WITH the cross-batch
+    * boundary pairs hand-rolled per-batch windowing would silently drop
+    * (an entity's last state in epoch N−1 → its first state in epoch N
+    * is a real transition; ignoring it biases the chain toward
+    * batch-length artifacts). Two state tables under one root:
+    * `trans/batch=N` (from,to,cnt — ADDITIVE, so the all-time matrix is
+    * a state-scale rollup that never rescans the stream) and
+    * `last/batch=N` (each entity's final (ts, state) this epoch — the
+    * seed for the next epoch's boundary pairs). Epoch N reads only
+    * `last` rows from batches < N (own-epoch exclusion) and both writes
+    * are epoch-keyed overwrites ⇒ replay rewrites identical state.
+    * Same arrival-order contract as [[toForecastState]].
+    *
+    * [[transitionsFrom]] rolls the counts up and row-normalizes —
+    * feed it to [[graft.analytics.Markov.stationary]] for the live
+    * "where do journeys settle" vector. */
+  def toMarkovState(
+      events: DataFrame,
+      entity: String,
+      ts: String,
+      state: String,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        markovStateBatch(batch.toDF(), epochId, entity, ts, state, statePath)
+      }
+      .start()
+
+  /** One micro-batch of [[toMarkovState]], exposed for replay tests. */
+  private[graft] def markovStateBatch(
+      batch: DataFrame,
+      epochId: Long,
+      entity: String,
+      ts: String,
+      state: String,
+      statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val us = graft.operators.Relational.epochMicros(col(ts))
+    val s = batch
+      .filter(col(entity).isNotNull && col(ts).isNotNull && col(state).isNotNull)
+      .select(col(entity).as("__e"), us.as("__us"), col(state).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__e").orderBy("__us")
+    val within = s.withColumn("__next", lead(col("__s"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col("__s").as("from_state"), col("__next").as("to_state"))
+    val firsts = s.groupBy("__e")
+      .agg(min_by(col("__s"), col("__us")).as("__first"),
+        max_by(col("__s"), col("__us")).as("__last"),
+        max(col("__us")).as("__last_us"))
+    val prior = try {
+      spark.read.parquet(s"$statePath/last")
+        .filter(col("batch") =!= epochId) // replay: own epoch is rewritten
+        .groupBy("__e")
+        .agg(max_by(col("__last"), col("batch").cast("long")).as("__plast"))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => // first epoch ever
+        firsts.select(col("__e"), col("__last").as("__plast")).limit(0)
+    }
+    val boundary = firsts.join(prior, "__e")
+      .filter(col("__plast").isNotNull)
+      .select(col("__plast").as("from_state"), col("__first").as("to_state"))
+    within.unionAll(boundary)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$statePath/trans/batch=$epochId")
+    firsts.select(col("__e"), col("__last"), col("__last_us"))
+      .write.mode("overwrite").parquet(s"$statePath/last/batch=$epochId")
+  }
+
+  /** All-time transition matrix from a [[toMarkovState]] dir: counts
+    * sum additively across epochs (state-scale — the stream is never
+    * rescanned), `p` row-normalizes. The output shape feeds
+    * [[graft.analytics.Markov.stationary]] directly. */
+  def transitionsFrom(spark: SparkSession, statePath: String): DataFrame = {
+    val cnt = graft.operators.Lineage.truncate(
+      spark.read.parquet(s"$statePath/trans")
+        .groupBy("from_state", "to_state").agg(sum("cnt").as("cnt")))
+    val tot = cnt.groupBy("from_state").agg(sum("cnt").as("__rt"))
+    cnt.join(tot, "from_state")
+      .select(col("from_state"), col("to_state"), col("cnt"),
+        (col("cnt").cast("double") / col("__rt")).as("p"))
+  }
+
   /** Latest per-key Holt state from a [[toForecastState]] dir, with the
     * `horizon`-step linear forecast l + h·b — state-scale; seed-phase
     * keys (n < 2) report null trend/forecast. */

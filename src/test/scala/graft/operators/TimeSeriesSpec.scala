@@ -177,6 +177,63 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept")) < 1e-12)
   }
 
+  test("seasonalDecompose: exact recovery of a planted trend + seasonal pattern (odd period)") {
+    // x_t = t + pat[t mod 3], pat = (2, −1, −1) sums to 0 → the 3-MA
+    // recovers trend = t exactly, seasonal = pat, residual = 0
+    val pat = Map(0L -> 2.0, 1L -> -1.0, 2L -> -1.0)
+    val df = (1L to 9L).map(t => ("s", t, t.toDouble + pat(t % 3))).toDF("k", "i", "x")
+    val rows = TimeSeries.seasonalDecompose(df, col("k"), col("i"), col("x"), period = 3)
+      .orderBy("idx").collect()
+    assert(rows.length === 9)
+    for (r <- rows) {
+      val t = r.getAs[Long]("idx")
+      assert(math.abs(r.getAs[Double]("seasonal") - pat(t % 3)) < 1e-12, s"seasonal t=$t")
+      if (t == 1 || t == 9) { // no full window at the edges
+        assert(r.isNullAt(r.fieldIndex("trend")) && r.isNullAt(r.fieldIndex("resid")))
+      } else {
+        assert(math.abs(r.getAs[Double]("trend") - t.toDouble) < 1e-12, s"trend t=$t")
+        assert(math.abs(r.getAs[Double]("resid")) < 1e-12, s"resid t=$t")
+      }
+    }
+  }
+
+  test("seasonalDecompose: even period uses the 2×MA; keys isolated") {
+    // x = 10 + (−1)^t: both half-offset 2-averages are 10 → trend 10,
+    // seasonal ±1, residual 0
+    val df = ((1L to 8L).map(t => ("a", t, 10.0 + (if (t % 2 == 0) 1.0 else -1.0))) ++
+      Seq(("b", 1L, 5.0), ("b", 2L, 5.0))).toDF("k", "i", "x")
+    val rows = TimeSeries.seasonalDecompose(df, col("k"), col("i"), col("x"), period = 2)
+      .filter(col("key") === "a").orderBy("idx").collect()
+    for (r <- rows) {
+      val t = r.getAs[Long]("idx")
+      assert(math.abs(r.getAs[Double]("seasonal") -
+        (if (t % 2 == 0) 1.0 else -1.0)) < 1e-12)
+      if (t >= 2 && t <= 7) {
+        assert(math.abs(r.getAs[Double]("trend") - 10.0) < 1e-12, s"trend t=$t")
+        assert(math.abs(r.getAs[Double]("resid")) < 1e-12)
+      } else assert(r.isNullAt(r.fieldIndex("trend")))
+    }
+    // key b never mixes into a's profile: its rows exist independently
+    val b = TimeSeries.seasonalDecompose(df, col("k"), col("i"), col("x"), period = 2)
+      .filter(col("key") === "b").collect()
+    assert(b.length === 2 && b.forall(_.isNullAt(b.head.fieldIndex("trend"))))
+  }
+
+  test("seasonalDecompose: decomposition identity x = trend + seasonal + resid where defined") {
+    val rnd = new scala.util.Random(3)
+    val df = (1L to 40L).map(t => ("s", t, rnd.nextDouble() * 10)).toDF("k", "i", "x")
+    val rows = TimeSeries.seasonalDecompose(df, col("k"), col("i"), col("x"), period = 7)
+      .filter(col("trend").isNotNull).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(math.abs(r.getAs[Double]("x") - (r.getAs[Double]("trend") +
+        r.getAs[Double]("seasonal") + r.getAs[Double]("resid"))) < 1e-12)
+    // the seasonal profile sums to ~0 over one period
+    val prof = TimeSeries.seasonalDecompose(df, col("k"), col("i"), col("x"), period = 7)
+      .select("season", "seasonal").distinct().collect()
+    assert(math.abs(prof.map(_.getAs[Double]("seasonal")).sum) < 1e-9)
+  }
+
   test("theilSen: even-count interpolated medians, key isolation, <2 points dropped") {
     // key "e": slopes sorted [0,1,1,1,1.5,2] → (1+1)/2; residuals
     // sorted [0,0,0,1] → (0+0)/2

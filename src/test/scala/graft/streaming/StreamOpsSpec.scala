@@ -1114,4 +1114,44 @@ class StreamOpsSpec extends SparkSpec {
       StreamOps.forecastFrom(spark, state, Seq("k"), horizon = 0)
     }
   }
+
+  test("toMarkovState: cross-batch boundary pairs counted, ≡ batch transitions, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val state = java.nio.file.Files.createTempDirectory("mkstate").toString + "/mk"
+    val ckpt = java.nio.file.Files.createTempDirectory("mkckpt").toString
+    val q = StreamOps.toMarkovState(
+      input.toDF().toDF("ts", "u", "s"), entity = "u", ts = "ts", state = "s",
+      statePath = state, checkpoint = ckpt)
+    // u1 path view→click→view→buy SPLIT across the epoch boundary after
+    // "click" — the view→(boundary)→view pair only exists cross-batch
+    val e0 = Seq(
+      (ts("2024-01-01 10:00:00"), "u1", "view"), (ts("2024-01-01 10:01:00"), "u1", "click"),
+      (ts("2024-01-01 10:00:00"), "u2", "view"))
+    val e1 = Seq(
+      (ts("2024-01-01 11:00:00"), "u1", "view"), (ts("2024-01-01 11:01:00"), "u1", "buy"),
+      (ts("2024-01-01 11:00:00"), "u2", "view"))
+    try {
+      input.addData(e0: _*); q.processAllAvailable()
+      input.addData(e1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamOps.transitionsFrom(spark, state)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // batch reference over the full concatenated history
+    val want = graft.analytics.Markov.transitions(
+        (e0 ++ e1).toDF("ts", "u", "s"), col("u"), col("ts"), col("s"), Seq(col("ts")))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got === want, s"streaming $got vs batch $want")
+    // the boundary pair is really in there
+    assert(got(("click", "view"))._1 === 1L)
+    assert(got(("view", "view"))._1 === 1L) // u2's cross-batch self-pair
+    // replaying epoch 1 rewrites identical state
+    StreamOps.markovStateBatch(e1.toDF("ts", "u", "s"), 1L, "u", "ts", "s", state)
+    val again = StreamOps.transitionsFrom(spark, state)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(again === got, "a replayed epoch must leave the matrix unchanged")
+  }
 }
