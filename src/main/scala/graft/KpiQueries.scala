@@ -150,6 +150,29 @@ private[graft] object KpiQueries {
     // Mann-Whitney U: did click values shift in LOCATION vs view
     // values — the rank-based complement of b22's KS; same distinct-
     // value collapse, one runningSums pass for the rank offsets.
+    // Spearman rank correlation of the lineitem measures — Pearson over
+    // average ranks: monotone association, whale-row-proof.
+    "b36_spearman" -> ((s, dir) => {
+      graft.analytics.Stats.spearmanMatrix(
+          Tables.lineitem(s, dir).select(col("l_quantity").as("x"),
+            col("l_extendedprice").as("y"), col("l_discount").as("z")),
+          Seq("x", "y", "z"))
+        .select(col("n"), round(col("corr_x_y"), 4).as("corr_x_y"),
+          round(col("corr_x_z"), 4).as("corr_x_z"),
+          round(col("corr_y_z"), 4).as("corr_y_z"))
+    }),
+
+    // Kruskal-Wallis omnibus: did ANY event type's value distribution
+    // shift in location — one rank test ahead of the b31 per-group
+    // battery; ties collapse map-side, ranks from one runningSums pass.
+    "b35_kruskal" -> ((s, dir) => {
+      graft.analytics.Stats.kruskalWallis(Tables.events(s, dir),
+          col("event_type"), col("value"))
+        .select(col("k"), col("n"), round(col("h"), 6).as("h"),
+          round(col("h_tie"), 6).as("h_tie"),
+          round(col("p_approx"), 6).as("p_approx"))
+    }),
+
     // Classical additive decomposition of the per-type daily-revenue
     // series at weekly period: trend (centered 7-MA), zero-sum seasonal
     // profile, residual — deseasonalize before comparing weeks.
@@ -574,6 +597,61 @@ private[graft] object KpiQueries {
 
     // Same distinct-value collapse, same closed-form tie ranks and
     // tie-corrected variance.
+    // Same per-column average-rank derivation, same sample corr.
+    "b36_spearman" ->
+      """WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y, l_discount AS z
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |cx AS (SELECT x, count(*) AS t FROM base GROUP BY 1),
+        |rx AS (SELECT x, coalesce(sum(t) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (t + 1) / 2.0 AS r FROM cx),
+        |cy AS (SELECT y, count(*) AS t FROM base GROUP BY 1),
+        |ry AS (SELECT y, coalesce(sum(t) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (t + 1) / 2.0 AS r FROM cy),
+        |cz AS (SELECT z, count(*) AS t FROM base GROUP BY 1),
+        |rz AS (SELECT z, coalesce(sum(t) OVER (ORDER BY z
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (t + 1) / 2.0 AS r FROM cz),
+        |rb AS (SELECT rx.r AS ra, ry.r AS rb2, rz.r AS rc
+        |  FROM base JOIN rx USING (x) JOIN ry USING (y) JOIN rz USING (z))
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        | round(corr(ra, rb2), 4) AS corr_x_y,
+        | round(corr(ra, rc), 4) AS corr_x_z,
+        | round(corr(rb2, rc), 4) AS corr_y_z
+        |FROM rb""".stripMargin,
+
+    // Same tie-rank collapse, H and tie correction, and the identical
+    // Wilson-Hilferty + Abramowitz-Stegun closed form for p.
+    "b35_kruskal" ->
+      """WITH base AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |vals AS (SELECT v, sum(c) AS t FROM cells GROUP BY 1),
+        |rk AS (SELECT v, coalesce(sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (t + 1) / 2.0 AS r,
+        |    t FROM vals),
+        |grp AS (SELECT g, sum(c) AS ng, sum(c * r) AS rg
+        |  FROM cells JOIN rk USING (v) GROUP BY 1),
+        |tt AS (SELECT CAST(sum(t * t * t - t) AS DOUBLE) AS tt FROM rk),
+        |ag AS (SELECT count(*) AS k, sum(ng) AS nl, CAST(sum(ng) AS DOUBLE) AS n,
+        |    sum(rg * rg / ng) AS s, max(tt.tt) AS tt FROM grp, tt),
+        |hh AS (SELECT k, nl, n, 12.0 / (n * (n + 1)) * s - 3 * (n + 1) AS h,
+        |    1.0 - tt / nullif(n * n * n - n, 0) AS cc FROM ag),
+        |ht AS (SELECT k, nl, n, h,
+        |    CASE WHEN k >= 2 THEN h / nullif(cc, 0) END AS h_tie FROM hh),
+        |zz AS (SELECT *, (pow(h_tie / (k - 1), 1.0 / 3) -
+        |      (1.0 - 2.0 / (9 * (k - 1)))) / sqrt(2.0 / (9 * (k - 1))) AS z FROM ht),
+        |pp AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tq,
+        |    exp(-0.5 * z * z) / sqrt(2 * pi()) AS pdf FROM zz)
+        |SELECT k, CAST(nl AS BIGINT) AS n, round(h, 6) AS h,
+        | round(h_tie, 6) AS h_tie,
+        | round(CASE WHEN h_tie IS NULL THEN NULL
+        |   WHEN z >= 0 THEN pdf * (tq * (0.319381530 + tq * (-0.356563782 +
+        |     tq * (1.781477937 + tq * (-1.821255978 + tq * 1.330274429)))))
+        |   ELSE 1.0 - pdf * (tq * (0.319381530 + tq * (-0.356563782 +
+        |     tq * (1.781477937 + tq * (-1.821255978 + tq * 1.330274429)))))
+        |   END, 6) AS p_approx
+        |FROM pp""".stripMargin,
+
     // Same centered MA windows, same profile means and re-centering.
     "b34_seasonal" ->
       """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d, sum(value) AS x

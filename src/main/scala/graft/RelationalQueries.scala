@@ -725,6 +725,20 @@ private[graft] object RelationalQueries {
     // HLL ball per vertex, |E|-scale merge rounds. The exact pair-BFS
     // runs alongside at this scale to pin the estimate in-bound (the
     // c8b exact-mode discipline); the oracle owns the exact counts.
+    // Bipartite projection: suppliers connected by shared parts, hub
+    // parts (degree > 25) dropped whole before pairing, ≥3 shared —
+    // the co-purchase graph build with normalized weights.
+    "c63_bipartite" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      graft.graph.Projection.bipartiteProject(e, minShared = 3,
+          maxRightDegree = 25)
+        .select(col("a"), col("b"), col("shared"),
+          round(col("overlap"), 6).as("overlap"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("a", "b")
+    }),
+
     // Label-propagation communities on the sparse supplier-part graph:
     // 4 deterministic voting rounds (max count, min label) — dense
     // substructure collapses to shared labels.
@@ -1561,6 +1575,22 @@ private[graft] object RelationalQueries {
     // The declarative window pair the distributed form must equal.
     // Exact min-distance pairs via a depth-bounded recursive CTE; the
     // estimate column is pinned by the TRUE bound flags (c8b style).
+    // Same distinct edges, hub cap, capped-degree weights, and pair
+    // derivation.
+    "c63_bipartite" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |rd AS (SELECT p FROM e GROUP BY p HAVING count(*) <= 25),
+        |k AS (SELECT e.s, e.p FROM e JOIN rd USING (p)),
+        |ld AS (SELECT s, count(*) AS d FROM k GROUP BY 1),
+        |pr AS (SELECT a.s AS a, b.s AS b, count(*) AS shared
+        |  FROM k a JOIN k b ON a.p = b.p AND a.s < b.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pr.a, pr.b, CAST(shared AS BIGINT) AS shared,
+        | round(shared * 1.0 / least(x.d, y.d), 6) AS overlap,
+        | round(shared * 1.0 / sqrt(x.d * y.d), 6) AS cosine
+        |FROM pr JOIN ld x ON pr.a = x.s JOIN ld y ON pr.b = y.s
+        |ORDER BY a, b""".stripMargin,
+
     // Same symmetric graph, same deterministic (count desc, label asc)
     // vote, 4 mechanically-unrolled synchronous rounds.
     "c62_lpa" -> {

@@ -192,6 +192,114 @@ object Stats {
       .drop("__bh_p", "__bh_pm", "__bh_q", "__bh_k", "__bh_kstar")
   }
 
+  /** Spearman rank correlation matrix: Pearson over AVERAGE RANKS —
+    * the outlier-robust, monotonicity-not-linearity sibling of
+    * [[correlationMatrix]] (a single whale row can manufacture Pearson
+    * correlation out of nothing; ranks cap its leverage at one rank
+    * step). Listwise deletion: rows with ANY null measure are dropped
+    * first, so every pair correlates over the same row set (the
+    * matrix stays positive semi-definite — pairwise deletion doesn't).
+    *
+    * Ranks per column come from the distinct-value machinery ([[mannWhitney]]/
+    * [[kruskalWallis]] discipline): per-distinct-value counts collapse
+    * ties map-side, ONE [[graft.operators.Ranking.runningSums]] pass
+    * per column yields the closed-form average tie rank, and the rank
+    * attaches back by a value-keyed join — p columns cost p key-hashed
+    * joins of the corpus (the honest price of p independent orderings;
+    * never a global-order window). The final matrix is
+    * [[correlationMatrix]]'s single hash aggregate over the rank
+    * columns. Constant columns have zero rank variance → null corr. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import graft.operators.{Lineage, Ranking}
+    require(cols.size >= 2, s"spearmanMatrix needs >= 2 columns, got $cols")
+    // complete rows only; truncated once — every per-column rank build
+    // scans it, and pruning would re-execute the upstream per column
+    val base = Lineage.truncate(
+      df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+        .na.drop("any", cols))
+    val ranked = cols.foldLeft(base) { (acc, c) =>
+      val counts = base.groupBy(col(c)).agg(count(lit(1)).as("__t"))
+      val rk = Ranking.runningSums(counts, Seq(col(c).asc),
+          Seq(col("__t").cast("double") -> "__off"), inclusive = false)
+        .select(col(c),
+          (coalesce(col("__off"), lit(0.0)) + (col("__t") + 1) / lit(2.0))
+            .as(s"__rk_$c"))
+      acc.join(rk, Seq(c))
+    }
+    correlationMatrix(
+      ranked.select(cols.map(c => col(s"__rk_$c").as(c)): _*),
+      Seq.empty, cols)
+  }
+
+  /** Standard normal CDF Φ as a COLUMN via the Abramowitz-Stegun
+    * 7.1.26 rational approximation (|ε| < 7.5e-8) — Spark has no erf
+    * builtin, and a fixed polynomial + exp is deterministic and
+    * engine-mirrorable where a library erf is not. */
+  private def phi(x: Column): Column = {
+    val ax = abs(x)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * ax)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val pdf = exp(lit(-0.5) * ax * ax) / lit(math.sqrt(2 * math.Pi))
+    val upper = lit(1.0) - pdf * poly
+    when(x >= 0, upper).otherwise(lit(1.0) - upper)
+  }
+
+  /** Kruskal-Wallis k-sample rank test: did ANY group's location shift —
+    * the omnibus gate that runs BEFORE [[ksTestGroupedVsRest]]'s
+    * per-group battery (one test, no multiplicity problem; only if it
+    * fires do the per-group tests + [[bhFdr]] localize which groups).
+    * Generalizes [[mannWhitney]] to k groups with the identical
+    * distributed shape: per-(group × distinct value) counts collapse
+    * ties map-side (truncated once — three consumers), ONE
+    * [[graft.operators.Ranking.runningSums]] pass yields every distinct
+    * value's average tie rank closed-form (off + (t+1)/2), per-group
+    * rank sums are a partial aggregate, and the verdict is a one-row
+    * reduction — never a global-order window over the corpus.
+    *
+    * H = 12/(N(N+1))·Σ R²_g/n_g − 3(N+1), tie-corrected
+    * H' = H / (1 − Σ(t³−t)/(N³−N)); `p_approx` is the Wilson-Hilferty
+    * cube-root normal approximation of the χ²(k−1) tail through [[phi]]
+    * — approximate BY CONSTRUCTION (named accordingly) but identical
+    * closed form in both engines. All-tied input (C = 0) and k < 2
+    * yield null H'/p, never a division error. */
+  def kruskalWallis(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import graft.operators.{Lineage, Ranking}
+    val cells = Lineage.truncate(
+      df.filter(group.isNotNull && value.isNotNull)
+        .groupBy(group.as("__g"), value.as("__v"))
+        .agg(count(lit(1)).as("__c")))
+    val vals = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
+    val ranks = Ranking.runningSums(vals, Seq(col("__v").asc),
+        Seq(col("__t").cast("double") -> "__off"), inclusive = false)
+      .select(col("__v"),
+        (coalesce(col("__off"), lit(0.0)) + (col("__t") + 1) / lit(2.0)).as("__r"),
+        col("__t"))
+    val grp = cells.join(ranks.select("__v", "__r"), "__v")
+      .groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"), sum(col("__c") * col("__r")).as("__rg"))
+    val ties = ranks.agg(
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).cast("double").as("__tt"))
+    val agg = grp.crossJoin(broadcast(ties)).agg(
+      count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+      sum(col("__rg") * col("__rg") / col("__ng")).as("__s"),
+      max(col("__tt")).as("__tt"))
+    val n = col("n").cast("double")
+    val h = lit(12.0) / (n * (n + 1)) * col("__s") - lit(3.0) * (n + 1)
+    val c = lit(1.0) - col("__tt") / when(n * n * n - n =!= 0, n * n * n - n)
+    val hT = h / when(c =!= 0, c)
+    val dof = (col("k") - 1).cast("double")
+    // Wilson-Hilferty: χ²/k is approximately normal on the cube-root scale
+    val z = (pow(col("h_tie") / dof, 1.0 / 3) - (lit(1.0) - lit(2.0) / (dof * 9))) /
+      sqrt(lit(2.0) / (dof * 9))
+    agg
+      .select(col("k"), col("n"), h.as("h"),
+        when(col("k") >= 2, hT).as("h_tie"))
+      .select(col("k"), col("n"), col("h"), col("h_tie"),
+        when(col("k") >= 2 && col("h_tie").isNotNull,
+          lit(1.0) - phi(z)).as("p_approx"))
+  }
+
   /** Empirical-Bayes (beta-binomial) shrinkage of per-key success
     * rates — THE fix for "rank domains/sources/authors by rate" when
     * key volumes span decades: a 1/1 key must not outrank a 980/1000
@@ -213,11 +321,19 @@ object Stats {
     // map; column pruning specializes each consumer's aggregate (the
     // B21 lesson — exchange reuse does not save you), so the key-scale
     // table is truncated once: exactly one corpus scan, plan-pinned
-    val perKey = graft.operators.Lineage.truncate(
+    ebShrinkFromCounts(graft.operators.Lineage.truncate(
       df.filter(key.isNotNull && success.isNotNull)
         .groupBy(key.as("key"))
-        .agg(count(lit(1)).as("n"), sum(success.cast("double")).as("y"))
-        .withColumn("raw_rate", col("y") / col("n")))
+        .agg(count(lit(1)).as("n"), sum(success.cast("double")).as("y"))))
+  }
+
+  /** [[ebShrinkRates]] from an ALREADY-AGGREGATED (key, n, y) table —
+    * the entry point for pre-counted state (E38's streaming rate state,
+    * C25-style agg tables). Same prior, posterior, and degenerate-null
+    * contract; the input is key-scale, so no truncation is forced here
+    * (pass a truncated frame if it has an expensive lineage). */
+  def ebShrinkFromCounts(perKeyCounts: DataFrame): DataFrame = {
+    val perKey = perKeyCounts.withColumn("raw_rate", col("y") / col("n"))
     val prior = perKey.agg(
         avg(col("raw_rate")).as("__mu"), var_pop(col("raw_rate")).as("__s2"))
       .select(col("__mu"),

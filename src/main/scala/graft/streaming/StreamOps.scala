@@ -2002,6 +2002,54 @@ object StreamOps {
         (col("cnt").cast("double") / col("__rt")).as("p"))
   }
 
+  /** E38 — streaming empirical-Bayes rate state: per-key (n, y)
+    * trial/success counts land ADDITIVELY under `batch=<epochId>`
+    * (deterministic per-batch aggregates ⇒ epoch-keyed overwrite replay
+    * is idempotent — the E17 contract), and [[shrunkRatesFrom]] rolls
+    * them up and applies [[graft.analytics.Stats.ebShrinkFromCounts]]:
+    * the LIVE B32 — per-domain/source quality rates whose prior
+    * RE-LEARNS from the whole accumulated history at every read, so a
+    * key's shrunk rate tightens as its volume grows without any
+    * stream rescan (state-scale rollup only). */
+  def toRateState(
+      events: DataFrame,
+      keys: Seq[String],
+      success: String,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        rateStateBatch(batch.toDF(), epochId, keys, success, statePath)
+      }
+      .start()
+
+  /** One micro-batch of [[toRateState]], exposed for replay tests. */
+  private[graft] def rateStateBatch(
+      batch: DataFrame,
+      epochId: Long,
+      keys: Seq[String],
+      success: String,
+      statePath: String): Unit =
+    batch.filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(success).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(success).cast("double")).as("y"))
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+
+  /** All-time EB-shrunk rates from a [[toRateState]] dir: counts sum
+    * additively (state-scale), the beta prior re-fits on the rollup,
+    * posteriors follow — single-key composite keys arrive concatenated
+    * as `key`. */
+  def shrunkRatesFrom(spark: SparkSession, statePath: String,
+                      keys: Seq[String]): DataFrame = {
+    val rolled = spark.read.parquet(statePath)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n"), sum("y").as("y"))
+      .select(concat_ws("|", keys.map(col): _*).as("key"), col("n"), col("y"))
+    graft.analytics.Stats.ebShrinkFromCounts(
+      graft.operators.Lineage.truncate(rolled))
+  }
+
   /** Latest per-key Holt state from a [[toForecastState]] dir, with the
     * `horizon`-step linear forecast l + h·b — state-scale; seed-phase
     * keys (n < 2) report null trend/forecast. */

@@ -326,6 +326,86 @@ class StatsSpec extends SparkSpec {
     assert(none.forall(!_.getAs[Boolean]("rejected")))
   }
 
+  test("spearmanMatrix: monotone nonlinear is exactly ±1; Pearson is not") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 50.0).map(x => (x, x * x * x, -x))
+      .toDF("x", "y", "z")
+    val sp = Stats.spearmanMatrix(df, Seq("x", "y", "z")).head()
+    assert(math.abs(sp.getAs[Double]("corr_x_y") - 1.0) < 1e-12)
+    assert(math.abs(sp.getAs[Double]("corr_x_z") + 1.0) < 1e-12)
+    val pe = Stats.correlationMatrix(df, Seq.empty, Seq("x", "y")).head()
+    assert(pe.getAs[Double]("corr_x_y") < 0.999) // cubic bends the line
+  }
+
+  test("spearmanMatrix: average tie ranks, listwise deletion, constant column null") {
+    val df = Seq(
+      (Some(1.0), Some(1.0), Some(7.0)), (Some(2.0), Some(1.0), Some(7.0)),
+      (Some(2.0), Some(2.0), Some(7.0)), (Some(3.0), Some(2.0), Some(7.0)),
+      (Some(9.0), None, Some(7.0))) // null y → row dropped everywhere
+      .toDF("x", "y", "c")
+    val r = Stats.spearmanMatrix(df, Seq("x", "y", "c")).head()
+    assert(r.getAs[Long]("n") === 4L)
+    // reference Pearson over hand average ranks x=[1,2.5,2.5,4], y=[1.5,1.5,3.5,3.5]
+    val rx = Seq(1.0, 2.5, 2.5, 4.0); val ry = Seq(1.5, 1.5, 3.5, 3.5)
+    def corr(a: Seq[Double], b: Seq[Double]) = {
+      val ma = a.sum / a.size; val mb = b.sum / b.size
+      val cov = a.zip(b).map { case (p, q) => (p - ma) * (q - mb) }.sum
+      cov / math.sqrt(a.map(p => (p - ma) * (p - ma)).sum *
+        b.map(q => (q - mb) * (q - mb)).sum)
+    }
+    assert(math.abs(r.getAs[Double]("corr_x_y") - corr(rx, ry)) < 1e-12)
+    assert(r.isNullAt(r.fieldIndex("corr_x_c"))) // constant → zero rank variance
+  }
+
+  test("kruskalWallis: hand values without and with ties; all-tied yields nulls") {
+    // g1={1,2}, g2={3,4}: ranks 1..4, R=(3,7) → H = .6·29 − 15 = 2.4, C=1
+    val a = Seq(("g1", 1.0), ("g1", 2.0), ("g2", 3.0), ("g2", 4.0)).toDF("g", "v")
+    val r1 = Stats.kruskalWallis(a, col("g"), col("v")).head()
+    assert(r1.getAs[Long]("k") === 2L && r1.getAs[Long]("n") === 4L)
+    assert(math.abs(r1.getAs[Double]("h") - 2.4) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("h_tie") - 2.4) < 1e-12)
+    // g1={1,1}, g2={2}: avg tie rank 1.5, R=(3,3) → H=1.5, C=.75, H'=2
+    val b = Seq(("g1", 1.0), ("g1", 1.0), ("g2", 2.0)).toDF("g", "v")
+    val r2 = Stats.kruskalWallis(b, col("g"), col("v")).head()
+    assert(math.abs(r2.getAs[Double]("h") - 1.5) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("h_tie") - 2.0) < 1e-12)
+    // all observations equal: H = 0 and the tie correction degenerates
+    val c = Seq(("g1", 5.0), ("g1", 5.0), ("g2", 5.0)).toDF("g", "v")
+    val r3 = Stats.kruskalWallis(c, col("g"), col("v")).head()
+    assert(math.abs(r3.getAs[Double]("h")) < 1e-12)
+    assert(r3.isNullAt(r3.fieldIndex("h_tie")) && r3.isNullAt(r3.fieldIndex("p_approx")))
+  }
+
+  test("kruskalWallis: matches an independent rank computation on 3 pseudo-random groups") {
+    val data = (1 to 60).map(i => (s"g${i % 3}", ((i * 37) % 13).toDouble))
+    val got = Stats.kruskalWallis(data.toDF("g", "v"), col("g"), col("v")).head()
+    // reference: average ranks over the pooled sort
+    val sorted = data.map(_._2).sorted
+    val rank = data.map(_._2).distinct.map { v =>
+      val lo = sorted.indexOf(v) + 1; val hi = sorted.lastIndexOf(v) + 1
+      v -> (lo + hi) / 2.0
+    }.toMap
+    val n = data.size.toDouble
+    val s = data.groupBy(_._1).values.map { g =>
+      val rg = g.map(t => rank(t._2)).sum; rg * rg / g.size
+    }.sum
+    val h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    val tt = data.map(_._2).groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val hT = h / (1 - tt / (n * n * n - n))
+    assert(math.abs(got.getAs[Double]("h") - h) < 1e-9)
+    assert(math.abs(got.getAs[Double]("h_tie") - hT) < 1e-9)
+    // p mirrors the Wilson-Hilferty + A&S closed form exactly
+    val k = 2.0
+    val z = (math.cbrt(hT / k) - (1 - 2 / (9 * k))) / math.sqrt(2 / (9 * k))
+    val t = 1.0 / (1.0 + 0.2316419 * math.abs(z))
+    val poly = t * (0.319381530 + t * (-0.356563782 +
+      t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+    val pdf = math.exp(-0.5 * z * z) / math.sqrt(2 * math.Pi)
+    // p = 1 − Φ(z); Φ(z<0) = pdf·poly(|z|) under the A&S reflection
+    val pWant = if (z >= 0) pdf * poly else 1.0 - pdf * poly
+    assert(math.abs(got.getAs[Double]("p_approx") - pWant) < 1e-9)
+  }
+
   test("ebShrinkRates: method-of-moments prior and posterior shrink toward the mean") {
     // rates [.5 .75 .25] at n=4 each: μ=.5, s²=.125/3, α+β=5, α=β=2.5
     val rows = for {

@@ -42,6 +42,10 @@ class LintSurfaceSpec extends SparkSpec {
     // runs over the slice-totals table (≤ numShufflePartitions rows) —
     // the b22/b28 bounded class; the battery itself is group-scale
     "b31_fdr_drift" -> Map("GLOBAL_WINDOW" -> 1),
+    // the same runningSums rank-offset window (slice totals) — once for
+    // the pooled ranks, and once PER RANKED COLUMN for Spearman
+    "b35_kruskal" -> Map("GLOBAL_WINDOW" -> 1),
+    "b36_spearman" -> Map("GLOBAL_WINDOW" -> 3),
     "d84_heaps_fit" -> Map("GLOBAL_WINDOW" -> 1),
     // the basket-count scalar rides a filtered CHECKPOINT scan, whose
     // one-row-ness the linter cannot prove from the plan (unlike a

@@ -1154,4 +1154,34 @@ class StreamOpsSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
     assert(again === got, "a replayed epoch must leave the matrix unchanged")
   }
+
+  test("toRateState: cross-epoch rollup ≡ batch EB shrinkage, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val state = java.nio.file.Files.createTempDirectory("rstate").toString + "/rs"
+    val ckpt = java.nio.file.Files.createTempDirectory("rckpt").toString
+    val q = StreamOps.toRateState(
+      input.toDF().toDF("k", "ok"), keys = Seq("k"), success = "ok",
+      statePath = state, checkpoint = ckpt)
+    val e0 = Seq(("a", 1), ("a", 0), ("b", 1), ("b", 1))
+    val e1 = Seq(("a", 1), ("a", 1), ("b", 0), ("b", 0), ("c", 1), ("c", 0))
+    try {
+      input.addData(e0: _*); q.processAllAvailable()
+      input.addData(e1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamOps.shrunkRatesFrom(spark, state, Seq("k"))
+      .select("key", "n", "y", "shrunk")
+      .as[(String, Long, Double, Option[Double])].collect().sortBy(_._1).toSeq
+    val want = graft.analytics.Stats.ebShrinkRates(
+        (e0 ++ e1).toDF("k", "ok"), col("k"), col("ok"))
+      .select("key", "n", "y", "shrunk")
+      .as[(String, Long, Double, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got === want, s"streaming $got vs batch $want")
+    // replaying epoch 0 rewrites identical counts
+    StreamOps.rateStateBatch(e0.toDF("k", "ok"), 0L, Seq("k"), "ok", state)
+    val again = StreamOps.shrunkRatesFrom(spark, state, Seq("k"))
+      .select("key", "n", "y", "shrunk")
+      .as[(String, Long, Double, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(again === got, "a replayed epoch must leave the rates unchanged")
+  }
 }
