@@ -150,6 +150,22 @@ private[graft] object KpiQueries {
     // Mann-Whitney U: did click values shift in LOCATION vs view
     // values — the rank-based complement of b22's KS; same distinct-
     // value collapse, one runningSums pass for the rank offsets.
+    // Welch unequal-variance t: did the MEAN click value shift vs view —
+    // the parametric member of the b22/b28 location family; one moments
+    // aggregate per side, a one-row cross join, closed-form everything.
+    "b37_welch" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.analytics.Stats.welchTTest(
+          e.filter(col("event_type") === "click").select(col("value")),
+          e.filter(col("event_type") === "view").select(col("value")),
+          col("value"))
+        .select(col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("t"), 6).as("t"), round(col("df"), 4).as("df"),
+          round(col("p_approx"), 6).as("p_approx"))
+    }),
+
     // Spearman rank correlation of the lineitem measures — Pearson over
     // average ranks: monotone association, whale-row-proof.
     "b36_spearman" -> ((s, dir) => {
@@ -597,6 +613,28 @@ private[graft] object KpiQueries {
 
     // Same distinct-value collapse, same closed-form tie ranks and
     // tie-corrected variance.
+    // Same moments, Welch-Satterthwaite df, and Φ polynomial (|t| ≥ 0
+    // so p = 2·pdf·poly directly).
+    "b37_welch" ->
+      """WITH a AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |b AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |ma AS (SELECT count(*) AS na, avg(v) AS mean_a, var_samp(v) AS va FROM a),
+        |mb AS (SELECT count(*) AS nb, avg(v) AS mean_b, var_samp(v) AS vb FROM b),
+        |j AS (SELECT na, nb, mean_a, mean_b, va / na AS qa, vb / nb AS qb FROM ma, mb),
+        |tt AS (SELECT *, (mean_a - mean_b) / sqrt(qa + qb) AS t,
+        |    (qa + qb) * (qa + qb) /
+        |      (qa * qa / (na - 1) + qb * qb / (nb - 1)) AS dfw FROM j),
+        |pp AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(t)) AS tq,
+        |    exp(-0.5 * t * t) / sqrt(2 * pi()) AS pdf FROM tt)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        | round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        | round(t, 6) AS t, round(dfw, 4) AS df,
+        | round(2 * pdf * (tq * (0.319381530 + tq * (-0.356563782 +
+        |   tq * (1.781477937 + tq * (-1.821255978 + tq * 1.330274429))))), 6) AS p_approx
+        |FROM pp""".stripMargin,
+
     // Same per-column average-rank derivation, same sample corr.
     "b36_spearman" ->
       """WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y, l_discount AS z

@@ -245,6 +245,45 @@ object Stats {
     when(x >= 0, upper).otherwise(lit(1.0) - upper)
   }
 
+  /** Welch's unequal-variance t-test: did the MEAN shift between two
+    * samples — the parametric member of the location family
+    * ([[mannWhitney]] ranks are outlier-robust; Welch answers about the
+    * mean itself, which is what a cost/revenue delta IS), never pooling
+    * variances (Student's equal-variance assumption silently lies when
+    * group sizes and spreads differ — Welch is the safe default).
+    * t = (x̄ₐ−x̄ᵦ)/√(s²ₐ/nₐ + s²ᵦ/nᵦ) with the Welch-Satterthwaite
+    * degrees of freedom; `p_approx` is the large-sample normal tail
+    * 2(1−Φ(|t|)) through the same [[phi]] polynomial (at corpus n the
+    * t and normal tails agree to far past the 6th digit; the name says
+    * approximate, both engines share the closed form).
+    *
+    * ONE moments aggregate per side (count/avg/var_samp — partial-
+    * aggregating, a one-row cross join joins them), no shuffle beyond
+    * the two aggregates. Sides with n < 2 or a zero standard error
+    * yield null t/df/p, never a division error. */
+  def welchTTest(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    def side(df: DataFrame, p: String) =
+      df.filter(value.isNotNull).agg(
+        count(value).as(s"n_$p"), avg(value).as(s"mean_$p"),
+        var_samp(value).as(s"__v$p"))
+    val j = side(a, "a").crossJoin(broadcast(side(b, "b")))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (va, vb) = (col("__va") / na, col("__vb") / nb)
+    val se2 = va + vb
+    val t = (col("mean_a") - col("mean_b")) /
+      when(sqrt(se2) =!= 0, sqrt(se2))
+    val dfW = se2 * se2 /
+      when(va * va / (na - 1) + vb * vb / (nb - 1) =!= 0,
+        va * va / (na - 1) + vb * vb / (nb - 1))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    j.select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        when(ok, t).as("t"), when(ok, dfW).as("df"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("t"), col("df"),
+        when(col("t").isNotNull,
+          lit(2.0) * (lit(1.0) - phi(abs(col("t"))))).as("p_approx"))
+  }
+
   /** Kruskal-Wallis k-sample rank test: did ANY group's location shift —
     * the omnibus gate that runs BEFORE [[ksTestGroupedVsRest]]'s
     * per-group battery (one test, no multiplicity problem; only if it

@@ -2050,6 +2050,153 @@ object StreamOps {
       graft.operators.Lineage.truncate(rolled))
   }
 
+  /** E39 — streaming ordered-funnel state: the LIVE C21 — each
+    * entity's funnel PROGRESS (steps completed, last completion time)
+    * maintained across micro-batches. The batch funnel's chained
+    * window minima ("first step-i event strictly after t_{i−1}") are
+    * exactly what a greedy walk over the time-ordered stream computes,
+    * so each epoch folds ITS batch's events per entity, seeded from
+    * the entity's persisted progress (batches < epochId — the
+    * own-epoch exclusion replay contract): advance iff the event is
+    * the NEXT step and strictly later than the last completion
+    * (equality spec-asserted against [[graft.analytics.Funnel.funnel]]
+    * on the concatenated history). Entities still at step 0 write no
+    * row — absent state IS step 0. Arrival-order contract as
+    * [[toForecastState]] (route stragglers with [[toLateRouted]]).
+    *
+    * [[funnelFrom]] rolls the per-entity progress up to the C21 report
+    * shape: (step_index, step, n_users, conversion). */
+  def toFunnelState(
+      events: DataFrame,
+      entity: String,
+      ts: String,
+      typeCol: String,
+      steps: Seq[String],
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        funnelStateBatch(batch.toDF(), epochId, entity, ts, typeCol, steps, statePath)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[toFunnelState]], exposed for replay tests. */
+  private[graft] def funnelStateBatch(
+      batch: DataFrame,
+      epochId: Long,
+      entity: String,
+      ts: String,
+      typeCol: String,
+      steps: Seq[String],
+      statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val us = graft.operators.Relational.epochMicros(col(ts))
+    val stepsArr = array(steps.map(lit): _*)
+    val pts = batch
+      .filter(col(entity).isNotNull && col(ts).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(entity).as("__e"))
+      .agg(sort_array(collect_list(struct(us.as("__us"),
+        col(typeCol).cast("string").as("__t")))).as("__evs"))
+    val prior = try {
+      spark.read.parquet(statePath)
+        .filter(col("batch") =!= epochId) // replay: own epoch is rewritten
+        .groupBy("__e")
+        .agg(max_by(struct(col("stage"), col("t_us")),
+          col("batch").cast("long")).as("__st"))
+        .select(col("__e"), col("__st.stage").as("__ps"),
+          col("__st.t_us").as("__pt"))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => // first epoch ever
+        pts.select("__e").limit(0)
+          .withColumn("__ps", lit(null).cast("int"))
+          .withColumn("__pt", lit(null).cast("long"))
+    }
+    pts.join(prior, Seq("__e"), "left")
+      .withColumn("__f", aggregate(
+        col("__evs"),
+        struct(coalesce(col("__ps"), lit(0)).as("stage"),
+          col("__pt").cast("long").as("t")),
+        (acc, e) => {
+          val stage = acc.getField("stage")
+          val advance = stage < lit(steps.size) &&
+            e.getField("__t") === element_at(stepsArr, stage + 1) &&
+            (stage === 0 || e.getField("__us") > acc.getField("t"))
+          struct(
+            when(advance, stage + 1).otherwise(stage).as("stage"),
+            when(advance, e.getField("__us")).otherwise(acc.getField("t")).as("t"))
+        }))
+      .select(col("__e"), col("__f.stage").as("stage"), col("__f.t").as("t_us"))
+      .filter(col("stage") >= 1) // absent state IS step 0
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+  }
+
+  /** The C21 report from a [[toFunnelState]] dir: per-step user counts
+    * over each entity's LATEST progress, conversion vs step-1 — a
+    * state-scale rollup, the stream is never rescanned. */
+  def funnelFrom(spark: SparkSession, statePath: String,
+                 steps: Seq[String]): DataFrame = {
+    val latest = spark.read.parquet(statePath)
+      .groupBy("__e")
+      .agg(max_by(col("stage"), col("batch").cast("long")).as("__stage"))
+    val nCols = steps.indices.map(i =>
+      sum(when(col("__stage") >= i + 1, 1L).otherwise(0L)).as(s"__n${i + 1}"))
+    val counts = latest.agg(nCols.head, nCols.tail: _*)
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1L).as("step_index"), lit(step).as("step"),
+        col(s"__n${i + 1}").as("n_users"),
+        round(when(col("__n1") > 0,
+          col(s"__n${i + 1}").cast("double") / col("__n1")), 4).as("conversion"))
+    }
+    counts.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** E40 — streaming Pareto-frontier (skyline) state: the LIVE C44 —
+    * maintain "the rows no other row dominates" as data streams in,
+    * riding the skyline's MERGE CLOSURE: skyline(A ∪ B) =
+    * skyline(skyline(A) ∪ skyline(B)), so each epoch lands only ITS
+    * batch's frontier under `batch=<epochId>` (a per-batch skyline is a
+    * deterministic function of the batch ⇒ epoch-keyed overwrite
+    * replay is idempotent, with NO cross-epoch read at write time —
+    * the simplest member of the state family), and [[skylineFrom]]
+    * re-skylines the stored candidates: state-scale, the stream is
+    * never rescanned, and the read IS the compaction (candidates a
+    * later epoch dominated vanish from every subsequent read). */
+  def toSkylineState(
+      events: DataFrame,
+      x: String,
+      y: String,
+      carry: Seq[String],
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        skylineStateBatch(batch.toDF(), epochId, x, y, carry, statePath)
+      }
+      .start()
+
+  /** One micro-batch of [[toSkylineState]], exposed for replay tests. */
+  private[graft] def skylineStateBatch(
+      batch: DataFrame,
+      epochId: Long,
+      x: String,
+      y: String,
+      carry: Seq[String],
+      statePath: String): Unit =
+    graft.operators.Ranking.skyline2D(
+        batch.select((Seq(x, y) ++ carry).map(col): _*), col(x), col(y))
+      .write.mode("overwrite").parquet(s"$statePath/batch=$epochId")
+
+  /** The all-time frontier from a [[toSkylineState]] dir — one skyline
+    * pass over the stored per-epoch frontiers (merge closure). */
+  def skylineFrom(spark: SparkSession, statePath: String,
+                  x: String, y: String): DataFrame =
+    graft.operators.Ranking.skyline2D(
+      spark.read.parquet(statePath).drop("batch"), col(x), col(y))
+
   /** Latest per-key Holt state from a [[toForecastState]] dir, with the
     * `horizon`-step linear forecast l + h·b — state-scale; seed-phase
     * keys (n < 2) report null trend/forecast. */

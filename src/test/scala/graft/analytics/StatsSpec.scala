@@ -326,6 +326,30 @@ class StatsSpec extends SparkSpec {
     assert(none.forall(!_.getAs[Boolean]("rejected")))
   }
 
+  test("welchTTest: hand values, sign symmetry, degenerate guards") {
+    // a = {1,2,3} (mean 2, var 1), b = {4,6} (mean 5, var 2):
+    // se² = 1/3 + 1 = 4/3, t = −3/√(4/3); df = (4/3)²/((1/9)/2 + 1/1)
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(4.0, 6.0).toDF("v")
+    val r = Stats.welchTTest(a, b, col("v")).head()
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 2L)
+    val tWant = -3.0 / math.sqrt(4.0 / 3)
+    val dfWant = (4.0 / 3) * (4.0 / 3) / ((1.0 / 9) / 2 + 1.0)
+    assert(math.abs(r.getAs[Double]("t") - tWant) < 1e-12)
+    assert(math.abs(r.getAs[Double]("df") - dfWant) < 1e-12)
+    // swap sides: t negates, p identical
+    val s = Stats.welchTTest(b, a, col("v")).head()
+    assert(math.abs(s.getAs[Double]("t") + r.getAs[Double]("t")) < 1e-12)
+    assert(math.abs(s.getAs[Double]("p_approx") - r.getAs[Double]("p_approx")) < 1e-12)
+    // identical constant samples: se = 0 → null t/p, not an error
+    val c = Seq(5.0, 5.0).toDF("v")
+    val d = Stats.welchTTest(c, c, col("v")).head()
+    assert(d.isNullAt(d.fieldIndex("t")) && d.isNullAt(d.fieldIndex("p_approx")))
+    // n=1 side is unevaluable
+    val e = Stats.welchTTest(Seq(1.0).toDF("v"), a, col("v")).head()
+    assert(e.isNullAt(e.fieldIndex("t")))
+  }
+
   test("spearmanMatrix: monotone nonlinear is exactly ±1; Pearson is not") {
     val df = Seq(1.0, 2.0, 3.0, 4.0, 50.0).map(x => (x, x * x * x, -x))
       .toDF("x", "y", "z")

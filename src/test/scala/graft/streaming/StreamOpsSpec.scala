@@ -1184,4 +1184,69 @@ class StreamOpsSpec extends SparkSpec {
       .as[(String, Long, Double, Option[Double])].collect().sortBy(_._1).toSeq
     assert(again === got, "a replayed epoch must leave the rates unchanged")
   }
+
+  test("toFunnelState: cross-epoch progress ≡ batch funnel, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val state = java.nio.file.Files.createTempDirectory("fnstate").toString + "/fn"
+    val ckpt = java.nio.file.Files.createTempDirectory("fnckpt").toString
+    val steps = Seq("view", "click", "buy")
+    val q = StreamOps.toFunnelState(
+      input.toDF().toDF("ts", "u", "e"), entity = "u", ts = "ts", typeCol = "e",
+      steps = steps, statePath = state, checkpoint = ckpt)
+    // u1 completes across the boundary; u2 clicks BEFORE viewing (no
+    // credit), then views and clicks in epoch 1; u3 never starts
+    val e0 = Seq(
+      (ts("2024-01-01 10:00:00"), "u1", "view"), (ts("2024-01-01 10:01:00"), "u1", "click"),
+      (ts("2024-01-01 10:00:00"), "u2", "click"), (ts("2024-01-01 10:02:00"), "u2", "view"),
+      (ts("2024-01-01 10:00:00"), "u3", "other"))
+    val e1 = Seq(
+      (ts("2024-01-01 11:00:00"), "u1", "buy"),
+      (ts("2024-01-01 11:00:00"), "u2", "click"))
+    try {
+      input.addData(e0: _*); q.processAllAvailable()
+      input.addData(e1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamOps.funnelFrom(spark, state, steps)
+      .select("step_index", "step", "n_users", "conversion")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    val want = graft.analytics.Funnel.funnel((e0 ++ e1).toDF("ts", "u", "e"),
+        col("u"), col("ts"), col("e"), steps)
+      .select("step_index", "step", "n_users", "conversion")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === want, s"streaming $got vs batch $want")
+    assert(got.map(_._3) === Seq(2L, 2L, 1L)) // u1 buys, u2 reaches click
+    // replaying epoch 1 rewrites identical progress
+    StreamOps.funnelStateBatch(e1.toDF("ts", "u", "e"), 1L, "u", "ts", "e", steps, state)
+    val again = StreamOps.funnelFrom(spark, state, steps)
+      .select("step_index", "n_users").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === got.map(r => (r._1, r._3)))
+  }
+
+  test("toSkylineState: merge closure ≡ batch skyline, later epochs dominate, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Double, Double, String)]
+    val state = java.nio.file.Files.createTempDirectory("skstate").toString + "/sk"
+    val ckpt = java.nio.file.Files.createTempDirectory("skckpt").toString
+    val q = StreamOps.toSkylineState(
+      input.toDF().toDF("x", "y", "id"), x = "x", y = "y", carry = Seq("id"),
+      statePath = state, checkpoint = ckpt)
+    val e0 = Seq((1.0, 5.0, "a"), (3.0, 3.0, "b"), (2.0, 2.0, "dom0"))
+    val e1 = Seq((4.0, 4.0, "c"), (0.5, 0.5, "dom1")) // c dominates b
+    try {
+      input.addData(e0: _*); q.processAllAvailable()
+      input.addData(e1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamOps.skylineFrom(spark, state, "x", "y")
+      .select("id").as[String].collect().toSet
+    val want = graft.operators.Ranking.skyline2D(
+        (e0 ++ e1).toDF("x", "y", "id"), col("x"), col("y"))
+      .select("id").as[String].collect().toSet
+    assert(got === want && got === Set("a", "c")) // b fell to c at read
+    // replaying epoch 0 rewrites the identical frontier
+    StreamOps.skylineStateBatch(e0.toDF("x", "y", "id"), 0L, "x", "y", Seq("id"), state)
+    val again = StreamOps.skylineFrom(spark, state, "x", "y")
+      .select("id").as[String].collect().toSet
+    assert(again === got)
+  }
 }
