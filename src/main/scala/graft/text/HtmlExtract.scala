@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HTML → main-text extraction as a pure column pipeline — the crawl
@@ -70,5 +70,55 @@ object HtmlExtract {
       size(regexp_extract_all(h, lit("<[a-zA-Z][^>]*>"), lit(0))).cast("long").as("n_tags"),
       size(regexp_extract_all(h, lit("(?i)<a\\b"), lit(0))).cast("long").as("n_links"),
       size(regexp_extract_all(h, lit("(?i)<script\\b"), lit(0))).cast("long").as("n_scripts"))
+  }
+
+  private val AnchorRe =
+    "(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"'#][^\"']*)[\"'][^>]*>(.*?)</a"
+
+  /** `array<struct<href, anchor>>` of a page's anchor links — the raw
+    * material of the crawl link graph ([[linkEdges]] turns it into an
+    * edge table for C23/C61/C62). Codegen'd `regexp_extract_all`, one
+    * pass per capture group, zipped positionally — no UDF, no parser
+    * object per row. Fragment-only links (`href="#..."`) are excluded
+    * at the regex (they navigate within the page, not the graph);
+    * anchor text is tag-stripped and whitespace-squeezed. */
+  def extractLinks(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    val hrefs = regexp_extract_all(h, lit(AnchorRe), lit(1))
+    val anchors = regexp_extract_all(h, lit(AnchorRe), lit(2))
+    zip_with(hrefs, anchors, (href, a) => struct(
+      href.as("href"),
+      trim(regexp_replace(regexp_replace(a, "<[^>]*>", " "), "\\s+", " "))
+        .as("anchor")))
+  }
+
+  /** Resolve an extracted href against its page URL — absolute
+    * http(s) kept, protocol-relative `//…` and root-relative `/…`
+    * completed from the base, everything else (relative paths,
+    * mailto:, javascript:) null: relative-path resolution needs dot-
+    * segment normalization that buys little on crawl graphs (root-
+    * relative + absolute dominate) and is documented out of scope. */
+  def resolveLink(baseUrl: Column, href: Column): Column = {
+    val proto = try_parse_url(baseUrl, lit("PROTOCOL"))
+    val host = try_parse_url(baseUrl, lit("HOST"))
+    when(href.rlike("(?i)^https?://"), href)
+      .when(href.startsWith("//") && proto.isNotNull, concat(proto, lit(":"), href))
+      .when(href.startsWith("/") && proto.isNotNull && host.isNotNull,
+        concat(proto, lit("://"), host, href))
+  }
+
+  /** The crawl link graph: one (src, dst) edge per resolved,
+    * canonicalized anchor link, self-loops and unresolvable hrefs
+    * dropped, deduped — feeds PageRank/harmonic/LPA directly. One
+    * scan + one generate + one distinct shuffle. */
+  def linkEdges(df: DataFrame, url: Column, html: Column): DataFrame = {
+    import graft.sources.Urls
+    val src = Urls.canonicalUrl(url)
+    df.select(src.as("src"), explode(extractLinks(html)).as("__l"))
+      .select(col("src"), Urls.canonicalUrl(
+        resolveLink(col("src"), col("__l.href"))).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
   }
 }

@@ -75,4 +75,48 @@ class HtmlExtractSpec extends SparkSpec {
       .select("bl.clean_text").head().getString(0)
     assert(cleaned == "the extracted article text is long enough and has the stop words to survive")
   }
+
+  test("extractLinks: hrefs + tag-stripped anchors; fragments and null html excluded") {
+    val html = """<a href="https://a.com/x">Go <b>here</b></a>
+      |<a class=big href='/rel'>Rel</a>
+      |<a href="#frag">skip</a>
+      |<a href="//cdn.com/z">proto</a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(explode(HtmlExtract.extractLinks(col("h"))).as("l"))
+      .select("l.href", "l.anchor").as[(String, String)].collect().toSeq
+    assert(got === Seq(("https://a.com/x", "Go here"), ("/rel", "Rel"),
+      ("//cdn.com/z", "proto")))
+    val none = Seq(null.asInstanceOf[String]).toDF("h")
+      .select(size(HtmlExtract.extractLinks(col("h"))).as("n")).head().getInt(0)
+    assert(none === 0)
+  }
+
+  test("resolveLink: absolute kept, //- and /-relative completed, junk null") {
+    val df = Seq(
+      ("https://base.org/p/q", "https://x.com/a"),
+      ("https://base.org/p/q", "//cdn.io/lib.js"),
+      ("https://base.org/p/q", "/about"),
+      ("https://base.org/p/q", "relative/path"),
+      ("https://base.org/p/q", "mailto:a@b.c"),
+      ("https://base.org/p/q", "javascript:void(0)")).toDF("base", "href")
+    val got = df.select(HtmlExtract.resolveLink(col("base"), col("href")).as("r"))
+      .as[Option[String]].collect().toSeq
+    assert(got === Seq(Some("https://x.com/a"), Some("https://cdn.io/lib.js"),
+      Some("https://base.org/about"), None, None, None))
+  }
+
+  test("linkEdges: canonicalized, self-loops dropped, deduped — PageRank-ready") {
+    val pages = Seq(
+      ("https://A.com/page?utm_source=x",
+        """<a href="https://b.com/1">b</a><a href="https://b.com/1#frag2">dup?</a>
+          |<a href="/page">self</a><a href="https://b.com/1?utm_source=y">trackdup</a>""".stripMargin),
+      ("https://b.com/1", """<a href="https://a.com/page">back</a>"""))
+      .toDF("url", "html")
+    val got = HtmlExtract.linkEdges(pages, col("url"), col("html"))
+      .as[(String, String)].collect().toSet
+    // utm params stripped both sides; /page resolves to the SAME
+    // canonical page → self-loop dropped; b.com/1 deduped
+    assert(got === Set(("https://a.com/page", "https://b.com/1"),
+      ("https://b.com/1", "https://a.com/page")))
+  }
 }
