@@ -150,6 +150,32 @@ private[graft] object KpiQueries {
     // Mann-Whitney U: did click values shift in LOCATION vs view
     // values — the rank-based complement of b22's KS; same distinct-
     // value collapse, one runningSums pass for the rank offsets.
+    // sBG retention projection (Fader-Hardie): fit the earliest weekly
+    // cohort's survival curve on the declarative (α,β) grid and project
+    // 12 weeks — "where does retention flatten" from 5 observed points.
+    "b38_sbg" -> ((s, dir) => {
+      import graft.operators.Lineage
+      val act = Lineage.truncate(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+          .distinct())
+      val coh = Lineage.truncate(
+        act.groupBy("user_id").agg(min(col("w")).as("cw")))
+      val c0 = coh.agg(min(col("cw")).as("c0"))
+      val curve = act.join(coh, "user_id").crossJoin(broadcast(c0))
+        .filter(col("cw") === col("c0"))
+        .groupBy((datediff(col("w"), col("cw")) / 7).cast("int").as("t"))
+        .agg(count(lit(1)).as("n"))
+      graft.analytics.Retention.sbgProjection(curve, col("t"), col("n"),
+          horizon = 12)
+        .select(col("t"), round(col("observed"), 6).as("observed"),
+          round(col("projected"), 6).as("projected"),
+          round(col("alpha"), 4).as("alpha"), round(col("beta"), 4).as("beta"),
+          round(col("ll"), 4).as("ll"))
+        .orderBy("t")
+    }),
+
     // Welch unequal-variance t: did the MEAN click value shift vs view —
     // the parametric member of the b22/b28 location family; one moments
     // aggregate per side, a one-row cross join, closed-form everything.
@@ -613,6 +639,57 @@ private[graft] object KpiQueries {
 
     // Same distinct-value collapse, same closed-form tie ranks and
     // tie-corrected variance.
+    // Same curve (rank-indexed like the fold), same recurrences with
+    // the fold's literal FP op order, same grid argmax and projection.
+    "b38_sbg" ->
+      """WITH RECURSIVE
+        |act AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |coh AS (SELECT u, min(w) AS cw FROM act GROUP BY 1),
+        |c0 AS (SELECT min(cw) AS c0 FROM coh),
+        |curve0 AS (SELECT CAST(datediff('day', coh.cw, act.w) / 7 AS INT) AS t,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM act JOIN coh USING (u), c0 WHERE coh.cw = c0.c0 GROUP BY 1),
+        |curve AS (SELECT t, n, row_number() OVER (ORDER BY t) - 1 AS rn FROM curve0),
+        |tmax AS (SELECT max(rn) AS tm FROM curve),
+        |nn0 AS (SELECT n AS n0 FROM curve WHERE rn = 0),
+        |nnT AS (SELECT curve.n AS nT FROM curve, tmax WHERE curve.rn = tmax.tm),
+        |cand AS (SELECT i * CAST(0.1 AS DOUBLE) AS a, j * CAST(0.1 AS DOUBLE) AS b
+        |  FROM range(1, 61) t1(i), range(1, 61) t2(j)),
+        |r AS (
+        |  SELECT a, b, 1 AS t, a / (a + b) AS p,
+        |    1.0 * (b + 1 - 1) / (a + b + 1 - 1) AS s,
+        |    CASE WHEN 1 <= tmax.tm THEN greatest(nn0.n0 -
+        |        (SELECT n FROM curve WHERE rn = 1), 0) * ln(a / (a + b))
+        |      ELSE 0 END AS ll,
+        |    CASE WHEN 1 = tmax.tm THEN 1.0 * (b + 1 - 1) / (a + b + 1 - 1)
+        |      ELSE 0 END AS sT
+        |  FROM cand, tmax, nn0
+        |  UNION ALL
+        |  SELECT r.a, r.b, r.t + 1,
+        |    r.p * (r.b + (r.t + 1) - 2) / (r.a + r.b + (r.t + 1) - 1),
+        |    r.s * (r.b + (r.t + 1) - 1) / (r.a + r.b + (r.t + 1) - 1),
+        |    r.ll + CASE WHEN r.t + 1 <= tmax.tm THEN
+        |      greatest((SELECT n FROM curve WHERE rn = r.t) -
+        |        (SELECT n FROM curve WHERE rn = r.t + 1), 0) *
+        |      ln(r.p * (r.b + (r.t + 1) - 2) / (r.a + r.b + (r.t + 1) - 1))
+        |      ELSE 0 END,
+        |    CASE WHEN r.t + 1 = tmax.tm THEN
+        |      r.s * (r.b + (r.t + 1) - 1) / (r.a + r.b + (r.t + 1) - 1)
+        |      ELSE r.sT END
+        |  FROM r, tmax WHERE r.t + 1 <= greatest(tmax.tm, 12)),
+        |fin AS (SELECT r.a, r.b, r.ll + nnT.nT * ln(r.sT) AS ll
+        |  FROM r, tmax, nnT WHERE r.t = greatest(tmax.tm, 12)),
+        |best AS (SELECT a, b, ll FROM fin ORDER BY ll DESC, a DESC, b DESC LIMIT 1),
+        |proj AS (SELECT 0 AS t, CAST(1.0 AS DOUBLE) AS s FROM best
+        |  UNION ALL
+        |  SELECT r.t, r.s FROM r JOIN best ON r.a = best.a AND r.b = best.b)
+        |SELECT proj.t, round(curve.n / nn0.n0, 6) AS observed,
+        | round(proj.s, 6) AS projected, round(best.a, 4) AS alpha,
+        | round(best.b, 4) AS beta, round(best.ll, 4) AS ll
+        |FROM proj LEFT JOIN curve ON curve.rn = proj.t, best, nn0
+        |WHERE proj.t <= 12 ORDER BY proj.t""".stripMargin,
+
     // Same moments, Welch-Satterthwaite df, and Φ polynomial (|t| ≥ 0
     // so p = 2·pdf·poly directly).
     "b37_welch" ->

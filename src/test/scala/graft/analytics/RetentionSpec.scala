@@ -31,4 +31,55 @@ class RetentionSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L, 1.0),   // u3
       ("2024-01-08", 2L, 1L, 1.0)))  // u3, sparse offsets skip empty weeks
   }
+
+  /** Reference sBG survival/churn series in plain Scala. */
+  private def sbg(a: Double, b: Double, tMax: Int): (Seq[Double], Seq[Double]) = {
+    val p = scala.collection.mutable.ArrayBuffer[Double]()
+    val s = scala.collection.mutable.ArrayBuffer[Double]()
+    var (pp, ss) = (0.0, 1.0)
+    for (i <- 1 to tMax) {
+      pp = if (i == 1) a / (a + b) else pp * (b + i - 2) / (a + b + i - 1)
+      ss = ss * (b + i - 1) / (a + b + i - 1)
+      p += pp; s += ss
+    }
+    (p.toSeq, s.toSeq)
+  }
+
+  test("sbgProjection: exact recovery of generating parameters from a model curve") {
+    // curve generated from sBG(α=2, β=3): the grid contains the truth,
+    // and Gibbs' inequality makes it the unique grid argmax
+    val (_, s) = sbg(2.0, 3.0, 6)
+    val curve = ((0, 1000.0) +: (1 to 6).map(i => (i, 1000.0 * s(i - 1)))).toDF("t", "n")
+    val rows = Retention.sbgProjection(curve, col("t"), col("n"), horizon = 12)
+      .orderBy("t").collect()
+    assert(rows.length === 13)
+    assert(math.abs(rows.head.getAs[Double]("alpha") - 2.0) < 1e-9)
+    assert(math.abs(rows.head.getAs[Double]("beta") - 3.0) < 1e-9)
+    // projection equals the closed recurrences, INCLUDING beyond T
+    val (_, s12) = sbg(2.0, 3.0, 12)
+    for (r <- rows; t = r.getAs[Int]("t"); if t >= 1)
+      assert(math.abs(r.getAs[Double]("projected") - s12(t - 1)) < 1e-12, s"t=$t")
+    // observed matches the curve through T and is null beyond
+    assert(rows.head.getAs[Double]("observed") === 1.0)
+    assert(math.abs(rows(6).getAs[Double]("observed") - s(5)) < 1e-12)
+    assert(rows(7).isNullAt(rows(7).fieldIndex("observed")))
+    assert(rows.head.getAs[Double]("projected") === 1.0)
+  }
+
+  test("sbgProjection: the fitted curve flattens (beta-heterogeneity), geometric does not") {
+    // real-world-shaped curve: steep early drop, long flat tail
+    val curve = Seq((0, 100.0), (1, 60.0), (2, 47.0), (3, 40.0), (4, 36.0))
+      .toDF("t", "n")
+    val rows = Retention.sbgProjection(curve, col("t"), col("n"), horizon = 24)
+      .orderBy("t").collect()
+    val proj = rows.map(r => r.getAs[Int]("t") -> r.getAs[Double]("projected")).toMap
+    // monotone non-increasing, and the marginal churn RATE falls with t
+    assert((1 to 24).forall(t => proj(t) <= proj(t - 1) + 1e-12))
+    val rate4 = 1 - proj(4) / proj(3)
+    val rate24 = 1 - proj(24) / proj(23)
+    assert(rate24 < rate4, "sBG survivor selection must flatten the tail")
+    // the fit tracks the observed points reasonably (within 3 pts)
+    for ((t, n) <- Seq(1 -> 0.60, 2 -> 0.47, 3 -> 0.40, 4 -> 0.36))
+      assert(math.abs(proj(t) - n) < 0.03, s"t=$t proj=${proj(t)}")
+  }
 }
