@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val robotsBody =
+    """# crawl policy
+      |User-agent: *
+      |Disallow: /private
+      |Allow: /private/ok
+      |
+      |User-agent: graftbot
+      |User-agent: otherbot
+      |Disallow: /bots
+      |Allow: /bots/welcome
+      |""".stripMargin
+
+  private def rules = Robots.parseRobots(
+    Seq(("d.com", robotsBody)).toDF("dom", "body"), col("dom"), col("body"))
+
+  test("parseRobots: UA grouping, shared rule blocks, comments, new group after rules") {
+    val got = rules.as[(String, String, Boolean, String)].collect()
+      .map(r => (r._2, r._3, r._4)).toSet
+    assert(got === Set(
+      ("*", false, "/private"), ("*", true, "/private/ok"),
+      ("graftbot", false, "/bots"), ("graftbot", true, "/bots/welcome"),
+      ("otherbot", false, "/bots"), ("otherbot", true, "/bots/welcome")))
+  }
+
+  test("filterAllowed: longest match wins, allow wins ties, no-match allowed") {
+    val urls = Seq(
+      "https://d.com/public/page",      // no rule matches → allowed
+      "https://d.com/private/x",        // * disallow → blocked
+      "https://d.com/private/ok/page",  // longer allow overrides → allowed
+      "https://other.org/anything"      // domain without rules → allowed
+    ).toDF("url")
+    val got = Robots.filterAllowed(urls, col("url"), rules, agent = "randombot")
+      .as[String].collect().toSet
+    assert(got === Set("https://d.com/public/page",
+      "https://d.com/private/ok/page", "https://other.org/anything"))
+    // exact-length tie: Allow beats Disallow
+    val tie = Robots.parseRobots(Seq(("t.com",
+      "User-agent: *\nAllow: /p\nDisallow: /p")).toDF("d", "b"), col("d"), col("b"))
+    val kept = Robots.filterAllowed(Seq("https://t.com/p/x").toDF("url"),
+      col("url"), tie, "any").count()
+    assert(kept === 1L)
+  }
+
+  test("filterAllowed: a specific-agent group suppresses * entirely") {
+    val urls = Seq(
+      "https://d.com/private/x", // * blocks it, but graftbot has its OWN group → allowed
+      "https://d.com/bots/secret", // graftbot's own disallow → blocked
+      "https://d.com/bots/welcome/hi" // graftbot's own allow → allowed
+    ).toDF("url")
+    val got = Robots.filterAllowed(urls, col("url"), rules, agent = "GraftBot")
+      .as[String].collect().toSet
+    assert(got === Set("https://d.com/private/x", "https://d.com/bots/welcome/hi"))
+  }
+
+  test("filterAllowed: a domain with only foreign-agent rules never loses URLs") {
+    val foreign = Robots.parseRobots(Seq(("f.com",
+      "User-agent: somebot\nDisallow: /")).toDF("d", "b"), col("d"), col("b"))
+    val got = Robots.filterAllowed(
+        Seq("https://f.com/x", "https://f.com/y").toDF("url"),
+        col("url"), foreign, agent = "graftbot")
+      .as[String].collect().toSet
+    assert(got === Set("https://f.com/x", "https://f.com/y"))
+    // and somebot itself is blocked everywhere on f.com
+    val blocked = Robots.filterAllowed(Seq("https://f.com/x").toDF("url"),
+      col("url"), foreign, agent = "somebot").count()
+    assert(blocked === 0L)
+  }
+}
