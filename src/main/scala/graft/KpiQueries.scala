@@ -150,6 +150,26 @@ private[graft] object KpiQueries {
     // Mann-Whitney U: did click values shift in LOCATION vs view
     // values — the rank-based complement of b22's KS; same distinct-
     // value collapse, one runningSums pass for the rank offsets.
+    // CUPED-adjusted experiment readout: per-user purchase revenue
+    // regressed on pre-period view activity — same decision, sharper z.
+    "b39_cuped" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.analytics.Experiment.cuped(e,
+          entity = col("user_id"),
+          variant = graft.analytics.Experiment.assignVariant(col("user_id"), "expB"),
+          metric = when(col("event_type") === "purchase" && col("value").isNotNull,
+            col("value")).otherwise(lit(0.0)),
+          covariate = when(col("event_type") === "view" && col("value").isNotNull,
+            col("value")).otherwise(lit(0.0)))
+        .select(col("variant_a"), col("variant_b"), col("n_a"), col("n_b"),
+          round(col("mean_a"), 4).as("mean_a"), round(col("mean_b"), 4).as("mean_b"),
+          round(col("mean_adj_a"), 4).as("mean_adj_a"),
+          round(col("mean_adj_b"), 4).as("mean_adj_b"),
+          round(col("theta"), 6).as("theta"),
+          round(col("var_reduction"), 6).as("var_reduction"),
+          round(col("z_raw"), 4).as("z_raw"), round(col("z_adj"), 4).as("z_adj"))
+    }),
+
     // sBG retention projection (Fader-Hardie): fit the earliest weekly
     // cohort's survival curve on the declarative (α,β) grid and project
     // 12 weeks — "where does retention flatten" from 5 observed points.
@@ -639,6 +659,37 @@ private[graft] object KpiQueries {
 
     // Same distinct-value collapse, same closed-form tie ranks and
     // tie-corrected variance.
+    // Same md5 split, entity collapse, pooled θ, adjustment, and
+    // Welch-style z on raw and adjusted means.
+    "b39_cuped" ->
+      """WITH e AS (SELECT user_id,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'expB'), 1, 15) AS BIGINT) % 2 = 0
+        |       THEN 'A' ELSE 'B' END AS v,
+        |  CASE WHEN event_type = 'purchase' AND value IS NOT NULL THEN value ELSE 0 END AS y,
+        |  CASE WHEN event_type = 'view' AND value IS NOT NULL THEN value ELSE 0 END AS x
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT user_id, max(v) AS v, sum(y) AS y, sum(x) AS x FROM e GROUP BY 1),
+        |m AS (SELECT coalesce(covar_pop(x, y) / nullif(var_pop(x), 0), 0) AS th,
+        |    avg(x) AS mx FROM p),
+        |a AS (SELECT v, y, y - th * (x - mx) AS ya FROM p, m),
+        |s AS (SELECT v, count(*) AS n, avg(y) AS my, var_samp(y) AS vy,
+        |    avg(ya) AS mya, var_samp(ya) AS vya FROM a GROUP BY 1),
+        |o AS (SELECT min(v) AS variant_a, max(v) AS variant_b,
+        |    arg_min(n, v) AS n_a, arg_max(n, v) AS n_b,
+        |    arg_min(my, v) AS mean_a, arg_max(my, v) AS mean_b,
+        |    arg_min(mya, v) AS mean_adj_a, arg_max(mya, v) AS mean_adj_b,
+        |    arg_min(vy, v) AS vya0, arg_max(vy, v) AS vyb0,
+        |    arg_min(vya, v) AS vaa, arg_max(vya, v) AS vab FROM s)
+        |SELECT variant_a, variant_b, CAST(n_a AS BIGINT) AS n_a,
+        | CAST(n_b AS BIGINT) AS n_b,
+        | round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+        | round(mean_adj_a, 4) AS mean_adj_a, round(mean_adj_b, 4) AS mean_adj_b,
+        | round(m.th, 6) AS theta,
+        | round(1.0 - (vaa + vab) / nullif(vya0 + vyb0, 0), 6) AS var_reduction,
+        | round((mean_b - mean_a) / nullif(sqrt(vya0 / n_a + vyb0 / n_b), 0), 4) AS z_raw,
+        | round((mean_adj_b - mean_adj_a) / nullif(sqrt(vaa / n_a + vab / n_b), 0), 4) AS z_adj
+        |FROM o, m""".stripMargin,
+
     // Same curve (rank-indexed like the fold), same recurrences with
     // the fold's literal FP op order, same grid argmax and projection.
     "b38_sbg" ->

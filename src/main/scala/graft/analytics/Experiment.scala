@@ -93,4 +93,75 @@ object Experiment {
       ((rateB - rateA) / nullif(se, lit(0.0))).as("z_score"),
       (pow(col("n_a") - col("n_b"), 2) / (col("n_a") + col("n_b"))).as("srm_chi2"))
   }
+
+  /** CUPED variance reduction (Deng et al. WSDM 2013 — the industry-
+    * standard experiment accelerator): regress the experiment metric on
+    * a PRE-EXPERIMENT covariate and analyze the residual
+    * y' = y − θ(x − x̄), θ = cov(x,y)/var(x) POOLED across arms (the
+    * covariate predates assignment, so the adjustment cannot touch the
+    * treatment effect — E[y'_B − y'_A] = E[y_B − y_A] exactly) while
+    * shrinking variance by the covariate's ρ²: the same decision at a
+    * fraction of the sample, or a significant readout weeks earlier.
+    * [[abTest]] answers rates; this is the continuous-metric readout
+    * with the variance knob every mature experimentation platform has.
+    *
+    * Scale shape: ONE entity-grain collapse (metric and covariate sum
+    * per entity — the corpus-scale shuffle, truncated once: the θ
+    * moment aggregate and the per-arm readout both consume it), a
+    * 1-row broadcast carrying θ/x̄, then a |variants|-row aggregate —
+    * no windows, no joins. Two-arm contract as [[abTest]] (side `a` =
+    * smaller label). Welch-style z on both raw and adjusted means
+    * through the same moments; a zero-variance covariate carries no
+    * information — θ coalesces to 0 and the readout degrades to the
+    * unadjusted test, never a null cascade. */
+  def cuped(
+      df: DataFrame,
+      entity: Column,
+      variant: Column,
+      metric: Column,
+      covariate: Column): DataFrame = {
+    val per = graft.operators.Lineage.truncate(
+      df.select(entity.as("__e"), variant.as("__v"),
+          metric.cast("double").as("__y"), covariate.cast("double").as("__x"))
+        .filter(col("__e").isNotNull && col("__v").isNotNull)
+        .groupBy("__e")
+        .agg(max(col("__v")).as("__v"),
+          sum(coalesce(col("__y"), lit(0.0))).as("__y"),
+          sum(coalesce(col("__x"), lit(0.0))).as("__x")))
+    val mom = per.agg(
+        covar_pop(col("__x"), col("__y")).as("__cxy"),
+        var_pop(col("__x")).as("__vx"), avg(col("__x")).as("__mx"))
+      .select(coalesce(col("__cxy") / nullif(col("__vx"), lit(0.0)), lit(0.0))
+          .as("__theta"),
+        col("__mx"))
+    val adj = per.crossJoin(broadcast(mom))
+      .withColumn("__ya", col("__y") - col("__theta") * (col("__x") - col("__mx")))
+    val one = adj.groupBy("__v")
+      .agg(count(lit(1)).as("n"), avg(col("__y")).as("my"),
+        var_samp(col("__y")).as("vy"), avg(col("__ya")).as("mya"),
+        var_samp(col("__ya")).as("vya"), max(col("__theta")).as("theta"))
+      .agg(
+        min(col("__v")).as("variant_a"), max(col("__v")).as("variant_b"),
+        min_by(col("n"), col("__v")).as("n_a"), max_by(col("n"), col("__v")).as("n_b"),
+        min_by(col("my"), col("__v")).as("mean_a"),
+        max_by(col("my"), col("__v")).as("mean_b"),
+        min_by(col("mya"), col("__v")).as("mean_adj_a"),
+        max_by(col("mya"), col("__v")).as("mean_adj_b"),
+        min_by(col("vy"), col("__v")).as("__vya0"),
+        max_by(col("vy"), col("__v")).as("__vyb0"),
+        min_by(col("vya"), col("__v")).as("__vaa"),
+        max_by(col("vya"), col("__v")).as("__vab"),
+        max(col("theta")).as("theta"))
+    def z(d: Column, va: Column, vb: Column) =
+      d / nullif(sqrt(va / col("n_a") + vb / col("n_b")), lit(0.0))
+    one.select(
+      col("variant_a"), col("variant_b"), col("n_a"), col("n_b"),
+      col("mean_a"), col("mean_b"), col("mean_adj_a"), col("mean_adj_b"),
+      col("theta"),
+      // pooled variance-reduction share: 1 − var(y')/var(y)
+      (lit(1.0) - (col("__vaa") + col("__vab")) /
+        nullif(col("__vya0") + col("__vyb0"), lit(0.0))).as("var_reduction"),
+      z(col("mean_b") - col("mean_a"), col("__vya0"), col("__vyb0")).as("z_raw"),
+      z(col("mean_adj_b") - col("mean_adj_a"), col("__vaa"), col("__vab")).as("z_adj"))
+  }
 }

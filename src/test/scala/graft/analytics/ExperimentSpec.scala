@@ -77,4 +77,57 @@ class ExperimentSpec extends SparkSpec {
     val nA = assigned.filter(col("v1") === "A").count()
     assert(math.abs(nA - 1000L) < 150, s"md5 split badly unbalanced: $nA/2000")
   }
+
+  test("cuped: θ=1 on a perfectly predictive covariate; effect preserved exactly") {
+    // y = x + 1·(arm B); x balanced across arms → θ = cov/var = 1,
+    // adjusted metric collapses to a constant per arm, Δ preserved
+    val rows = (1 to 4).map(i => (s"a$i", "A", i.toDouble, i.toDouble)) ++
+      (1 to 4).map(i => (s"b$i", "B", i.toDouble + 1, i.toDouble))
+    val r = Experiment.cuped(rows.toDF("e", "v", "y", "x"),
+      col("e"), col("v"), col("y"), col("x")).head()
+    assert(math.abs(r.getAs[Double]("theta") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_adj_a") - 2.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_adj_b") - 3.5) < 1e-12)
+    // the adjusted effect equals the raw effect (balanced covariate)
+    assert(math.abs((r.getAs[Double]("mean_adj_b") - r.getAs[Double]("mean_adj_a")) -
+      (r.getAs[Double]("mean_b") - r.getAs[Double]("mean_a"))) < 1e-12)
+    // all variance explained
+    assert(math.abs(r.getAs[Double]("var_reduction") - 1.0) < 1e-12)
+  }
+
+  test("cuped: noisy covariate still sharpens the readout; z_adj beats z_raw") {
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 400).map { i =>
+      val arm = if (i % 2 == 0) "A" else "B"
+      val x = rnd.nextDouble() * 100           // pre-period activity
+      val effect = if (arm == "B") 2.0 else 0.0
+      (s"u$i", arm, x + rnd.nextDouble() * 5 + effect, x)
+    }
+    val r = Experiment.cuped(rows.toDF("e", "v", "y", "x"),
+      col("e"), col("v"), col("y"), col("x")).head()
+    assert(r.getAs[Double]("var_reduction") > 0.9) // x explains most of y
+    assert(math.abs(r.getAs[Double]("z_adj")) > math.abs(r.getAs[Double]("z_raw")),
+      s"adjusted ${r.getAs[Double]("z_adj")} must beat raw ${r.getAs[Double]("z_raw")}")
+  }
+
+  test("cuped: zero-variance covariate degrades to the unadjusted test, never nulls") {
+    val rows = Seq(("a", "A", 1.0, 7.0), ("b", "A", 2.0, 7.0),
+      ("c", "B", 3.0, 7.0), ("d", "B", 5.0, 7.0))
+    val r = Experiment.cuped(rows.toDF("e", "v", "y", "x"),
+      col("e"), col("v"), col("y"), col("x")).head()
+    assert(r.getAs[Double]("theta") === 0.0)
+    assert(r.getAs[Double]("mean_adj_a") === r.getAs[Double]("mean_a"))
+    assert(math.abs(r.getAs[Double]("var_reduction")) < 1e-12)
+    assert(r.getAs[Double]("z_adj") === r.getAs[Double]("z_raw"))
+  }
+
+  test("cuped: events collapse to the entity grain first (whales count once)") {
+    // entity "a" has 3 events; its metric is the SUM, one exposure
+    val rows = Seq(("a", "A", 1.0, 1.0), ("a", "A", 1.0, 1.0), ("a", "A", 1.0, 1.0),
+      ("b", "A", 1.0, 1.0), ("c", "B", 4.0, 1.0), ("d", "B", 2.0, 1.0))
+    val r = Experiment.cuped(rows.toDF("e", "v", "y", "x"),
+      col("e"), col("v"), col("y"), col("x")).head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(math.abs(r.getAs[Double]("mean_a") - 2.0) < 1e-12) // (3 + 1)/2
+  }
 }
