@@ -286,6 +286,22 @@ private[graft] object KpiQueries {
         .orderBy("event_type")
     }),
 
+    // Mann-Kendall monotone-trend test on the same daily series — MK's
+    // p decides whether b30's slope is signal; same pair join.
+    "b40_mann_kendall" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value")).as("x"))
+        .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+      graft.operators.TimeSeries.mannKendall(daily, col("event_type"),
+          col("di"), col("x"))
+        .select(col("key").as("event_type"), col("n"), col("n_pairs"),
+          col("s_stat"), round(col("z"), 6).as("z"),
+          round(col("p_approx"), 6).as("p_approx"))
+        .orderBy("event_type")
+    }),
+
     // Theil-Sen robust slope/intercept of the same daily series — the
     // median of all pairwise slopes shrugs off outage/burst days that
     // would drag an OLS line.
@@ -884,6 +900,32 @@ private[graft] object KpiQueries {
         | round(b, 4) AS trend, round(l + 7 * b, 4) AS forecast,
         | round(sse, 4) AS sse
         |FROM h WHERE t = n ORDER BY event_type""".stripMargin,
+
+    // Same pair join, tie-corrected variance, continuity-corrected z,
+    // and Φ polynomial.
+    "b40_mann_kendall" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') AS di, sum(value) AS x
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, CAST(ts AS DATE)),
+        |p AS (SELECT a.g, sum(sign(b.x - a.x)) AS s_stat, count(*) AS n_pairs
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.di < b.di GROUP BY 1),
+        |t AS (SELECT g, x, count(*) AS t FROM daily GROUP BY 1, 2),
+        |v AS (SELECT g, CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(t * (t - 1) * (t * 2 + 5)) AS DOUBLE) AS tsum FROM t GROUP BY 1),
+        |j AS (SELECT p.g, v.n, p.n_pairs, p.s_stat,
+        |    (CAST(v.n AS DOUBLE) * (v.n - 1) * (v.n * 2 + 5) - v.tsum) / 18.0 AS vs
+        |  FROM p JOIN v USING (g)),
+        |z AS (SELECT *, CASE WHEN s_stat > 0 THEN (s_stat - 1) / nullif(sqrt(vs), 0)
+        |    WHEN s_stat < 0 THEN (s_stat + 1) / nullif(sqrt(vs), 0)
+        |    ELSE CASE WHEN sqrt(vs) > 0 THEN 0.0 END END AS zz FROM j),
+        |q AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(zz)) AS tq,
+        |    exp(-0.5 * zz * zz) / sqrt(2 * pi()) AS pdf FROM z)
+        |SELECT g AS event_type, n, CAST(n_pairs AS BIGINT) AS n_pairs,
+        | CAST(s_stat AS BIGINT) AS s_stat, round(zz, 6) AS z,
+        | round(CASE WHEN zz IS NULL THEN NULL
+        |   ELSE 2 * pdf * (tq * (0.319381530 + tq * (-0.356563782 +
+        |     tq * (1.781477937 + tq * (-1.821255978 + tq * 1.330274429))))) END, 6) AS p_approx
+        |FROM q ORDER BY event_type""".stripMargin,
 
     // Same pair table, same interpolated medians (DuckDB median
     // averages the two middles on even counts, as sortedMedian does).

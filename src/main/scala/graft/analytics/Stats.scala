@@ -235,7 +235,7 @@ object Stats {
     * 7.1.26 rational approximation (|ε| < 7.5e-8) — Spark has no erf
     * builtin, and a fixed polynomial + exp is deterministic and
     * engine-mirrorable where a library erf is not. */
-  private def phi(x: Column): Column = {
+  private[graft] def phi(x: Column): Column = {
     val ax = abs(x)
     val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * ax)
     val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +

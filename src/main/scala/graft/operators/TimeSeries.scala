@@ -275,6 +275,51 @@ object TimeSeries {
         (col("__x") - col("__trend") - col("seasonal")).as("resid"))
   }
 
+  /** Mann-Kendall trend test per series: S = Σ_{i<j} sign(x_j − x_i)
+    * with the tie-corrected normal approximation — IS there a monotone
+    * trend, where [[theilSen]] says how steep (run them together: MK's
+    * p decides, Theil-Sen's slope quantifies; both are rank-class
+    * robust where OLS t-tests break on spikes). Same distributed shape
+    * as theilSen — the strict (i<j) key-hashed self-equi-join over the
+    * ALREADY-DOWNSAMPLED series, pair terms partial-aggregate map-side;
+    * tie counts for the variance come from a per-(key, value) aggregate,
+    * never a window. Var(S) = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18 and
+    * z applies the ±1 continuity correction (z = (S∓1)/σ, 0 at S=0);
+    * the two-sided `p_approx` shares [[graft.analytics.Stats]]'
+    * Abramowitz-Stegun Φ polynomial (identical closed form in the
+    * oracle). Series with < 2 points or zero variance emit null z/p. */
+  def mannKendall(series: DataFrame, key: Column, idx: Column,
+                  value: Column): DataFrame = {
+    val s = series
+      .select(key.as("__g"), idx.cast("long").as("__i"),
+        value.cast("double").as("__x"))
+      .filter(col("__g").isNotNull && col("__i").isNotNull && col("__x").isNotNull)
+    val b = s.select(col("__g").as("__bg"), col("__i").as("__bi"),
+      col("__x").as("__bx"))
+    val pairs = s.join(b, col("__g") === col("__bg") && col("__i") < col("__bi"))
+      .groupBy(col("__g"))
+      .agg(sum(signum(col("__bx") - col("__x"))).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val ties = s.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__dv"), sum(col("__t")).as("n"),
+        sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).cast("double")
+          .as("__tsum"))
+    val n = col("n").cast("double")
+    val varS = (n * (n - 1) * (n * 2 + 5) - col("__tsum")) / 18.0
+    val sd = sqrt(varS)
+    val z = when(col("s_stat") > 0, (col("s_stat") - 1) / nullif(sd, lit(0.0)))
+      .when(col("s_stat") < 0, (col("s_stat") + 1) / nullif(sd, lit(0.0)))
+      .otherwise(when(sd > 0, lit(0.0)))
+    pairs.join(ties, "__g")
+      .select(col("__g").as("key"), col("n"), col("n_pairs"),
+        col("s_stat").cast("long").as("s_stat"), z.as("z"))
+      .withColumn("p_approx",
+        when(col("z").isNotNull,
+          lit(2.0) * (lit(1.0) - graft.analytics.Stats.phi(abs(col("z"))))))
+  }
+
   /** Exact interpolated median of a sorted array: the mean of the two
     * middle elements when even-length (n=1 → the element itself) —
     * matches SQL `median`/`quantile_cont(0.5)` semantics exactly. */

@@ -177,6 +177,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept")) < 1e-12)
   }
 
+  test("mannKendall: hand S/var/z on a monotone series; ties corrected; flat series null") {
+    // strictly increasing 5 points: S = C(5,2) = 10, no ties →
+    // var = 5·4·15/18 = 50/3, z = (10−1)/√(50/3)
+    val up = (1L to 5L).map(i => ("s", i, i.toDouble)).toDF("k", "i", "x")
+    val r = TimeSeries.mannKendall(up, col("k"), col("i"), col("x")).head()
+    assert(r.getAs[Long]("s_stat") === 10L && r.getAs[Long]("n") === 5L)
+    val zWant = 9.0 / math.sqrt(50.0 / 3)
+    assert(math.abs(r.getAs[Double]("z") - zWant) < 1e-12)
+    // decreasing mirrors the sign
+    val dn = (1L to 5L).map(i => ("s", i, -i.toDouble)).toDF("k", "i", "x")
+    val r2 = TimeSeries.mannKendall(dn, col("k"), col("i"), col("x")).head()
+    assert(r2.getAs[Long]("s_stat") === -10L)
+    assert(math.abs(r2.getAs[Double]("z") + zWant) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("p_approx") - r.getAs[Double]("p_approx")) < 1e-12)
+    // ties: x = [1,1,2]: S = 0+1+1 = 2; tie group t=2 →
+    // var = (3·2·11 − 2·1·9)/18 = 48/18; z = 1/√(48/18)
+    val t = Seq(("s", 1L, 1.0), ("s", 2L, 1.0), ("s", 3L, 2.0)).toDF("k", "i", "x")
+    val r3 = TimeSeries.mannKendall(t, col("k"), col("i"), col("x")).head()
+    assert(r3.getAs[Long]("s_stat") === 2L)
+    assert(math.abs(r3.getAs[Double]("z") - 1.0 / math.sqrt(48.0 / 18)) < 1e-12)
+    // all-tied series: S = 0 and var = 0 → null z/p
+    val flat = Seq(("s", 1L, 4.0), ("s", 2L, 4.0), ("s", 3L, 4.0)).toDF("k", "i", "x")
+    val r4 = TimeSeries.mannKendall(flat, col("k"), col("i"), col("x")).head()
+    assert(r4.getAs[Long]("s_stat") === 0L)
+    assert(r4.isNullAt(r4.fieldIndex("z")) && r4.isNullAt(r4.fieldIndex("p_approx")))
+  }
+
   test("seasonalDecompose: exact recovery of a planted trend + seasonal pattern (odd period)") {
     // x_t = t + pat[t mod 3], pat = (2, −1, −1) sums to 0 → the 3-MA
     // recovers trend = t exactly, seasonal = pat, residual = 0
