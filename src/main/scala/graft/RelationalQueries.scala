@@ -725,6 +725,21 @@ private[graft] object RelationalQueries {
     // HLL ball per vertex, |E|-scale merge rounds. The exact pair-BFS
     // runs alongside at this scale to pin the estimate in-bound (the
     // c8b exact-mode discipline); the oracle owns the exact counts.
+    // Weighted PageRank over the c63 projection: an edge seen 40× votes
+    // 40× — supplier centrality in the shared-parts graph.
+    "c64_weighted_pagerank" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      val proj = graft.graph.Projection.bipartiteProject(e, minShared = 3,
+        maxRightDegree = 25)
+      val edges = proj.select(col("a").as("src"), col("b").as("dst"),
+          col("shared").as("weight"))
+        .unionAll(proj.select(col("b").as("src"), col("a").as("dst"),
+          col("shared").as("weight")))
+      graft.graph.PageRank.weightedPageRank(edges, damping = 0.85, iters = 4)
+        .orderBy("vertex")
+    }),
+
     // Bipartite projection: suppliers connected by shared parts, hub
     // parts (degree > 25) dropped whole before pairing, ≥3 shared —
     // the co-purchase graph build with normalized weights.
@@ -1575,6 +1590,37 @@ private[graft] object RelationalQueries {
     // The declarative window pair the distributed form must equal.
     // Exact min-distance pairs via a depth-bounded recursive CTE; the
     // estimate column is pinned by the TRUE bound flags (c8b style).
+    // Same projection chain, same weight-proportional rounds with the
+    // dangling mirror (zero here — symmetric edges), c23 pattern.
+    "c64_weighted_pagerank" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""dm$i AS (SELECT coalesce(sum(CASE WHEN hasout IS NULL THEN rank END), 0) AS m FROM r${i - 1}),
+           |fl$i AS (SELECT tr.dst AS v, sum(r.rank * tr.p) AS f
+           |  FROM r${i - 1} r JOIN tr ON r.v = tr.src GROUP BY 1),
+           |r$i AS (SELECT vh.v, vh.hasout,
+           |    0.15 * (1.0 / nn.n) + 0.85 * (coalesce(fl$i.f, 0) + dm$i.m * (1.0 / nn.n)) AS rank
+           |  FROM vh LEFT JOIN fl$i ON vh.v = fl$i.v, dm$i, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+         |rd AS (SELECT p FROM e0 GROUP BY p HAVING count(*) <= 25),
+         |k AS (SELECT e0.s, e0.p FROM e0 JOIN rd USING (p)),
+         |pr AS (SELECT a.s AS a, b.s AS b, count(*) AS w
+         |  FROM k a JOIN k b ON a.p = b.p AND a.s < b.s
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |ed AS (SELECT a AS src, b AS dst, CAST(w AS DOUBLE) AS w FROM pr
+         |  UNION ALL SELECT b, a, CAST(w AS DOUBLE) FROM pr),
+         |e AS (SELECT src, dst, sum(w) AS w FROM ed GROUP BY 1, 2),
+         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+         |tr AS (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow USING (src)),
+         |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |vh AS (SELECT v.v, ho.hasout FROM v LEFT JOIN
+         |  (SELECT DISTINCT src AS v, true AS hasout FROM e) ho USING (v)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vh),
+         |r0 AS (SELECT v, hasout, 1.0 / nn.n AS rank FROM vh, nn),
+         |$rounds
+         |SELECT v AS vertex, round(rank, 6) AS rank FROM r4 ORDER BY vertex""".stripMargin
+    },
+
     // Same distinct edges, hub cap, capped-degree weights, and pair
     // derivation.
     "c63_bipartite" ->

@@ -42,4 +42,36 @@ class PageRankSpec extends SparkSpec {
     val got = PageRank.pageRank(edges, iters = 3).as[(String, Double)].collect().toMap
     got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-6)) // output is rounded to 6 dp
   }
+
+  test("weightedPageRank: equal weights reproduce the unweighted walk exactly") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+      .toDF("src", "dst")
+    val want = PageRank.pageRank(edges, iters = 4).as[(String, Double)].collect().toMap
+    val got = PageRank.weightedPageRank(edges.withColumn("weight", lit(2.0)),
+      iters = 4).as[(String, Double)].collect().toMap
+    assert(got === want)
+  }
+
+  test("weightedPageRank: weight steers the vote; parallel edges pool; junk weights drop") {
+    // a splits 9:1 between b and c → b must far outrank c
+    val e = Seq(("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "weight")
+    val got = PageRank.weightedPageRank(e, iters = 6)
+      .as[(String, Double)].collect().toMap
+    assert(got("b") > 2 * got("c"), s"9:1 split must separate: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+    // parallel edges pool: (a→b 9) ≡ (a→b 4 + a→b 5)
+    val pooled = PageRank.weightedPageRank(
+        Seq(("a", "b", 4.0), ("a", "b", 5.0), ("a", "c", 1.0), ("b", "a", 1.0),
+          ("c", "a", 1.0)).toDF("src", "dst", "weight"), iters = 6)
+      .as[(String, Double)].collect().toMap
+    assert(pooled === got)
+    // zero/null weights carry no vote and create no vertex
+    val junk = PageRank.weightedPageRank(
+        Seq(("a", "b", 1.0), ("a", "z", 0.0)).toDF("src", "dst", "weight")
+          .unionAll(Seq(("a", "q", null.asInstanceOf[java.lang.Double]))
+            .toDF("src", "dst", "weight")), iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(junk.keySet === Set("a", "b"))
+  }
 }
