@@ -183,10 +183,19 @@ private[graft] object KpiQueries {
       val coh = Lineage.truncate(
         act.groupBy("user_id").agg(min(col("w")).as("cw")))
       val c0 = coh.agg(min(col("cw")).as("c0"))
-      val curve = act.join(coh, "user_id").crossJoin(broadcast(c0))
+      val curve0 = act.join(coh, "user_id").crossJoin(broadcast(c0))
         .filter(col("cw") === col("c0"))
         .groupBy((datediff(col("w"), col("cw")) / 7).cast("int").as("t"))
         .agg(count(lit(1)).as("n"))
+      // densify to contiguous 0..T (an all-inactive week emits no row;
+      // sbgProjection's positional fold requires — and enforces — no
+      // gaps); the curve is calendar-bounded, so the 1-row collect-
+      // into-map is trivially small
+      val curve = curve0
+        .agg(max(col("t")).as("__tm"),
+          map_from_entries(collect_list(struct(col("t"), col("n")))).as("__m"))
+        .select(explode(sequence(lit(0), col("__tm"))).as("t"), col("__m"))
+        .select(col("t"), coalesce(element_at(col("__m"), col("t")), lit(0L)).as("n"))
       graft.analytics.Retention.sbgProjection(curve, col("t"), col("n"),
           horizon = 12)
         .select(col("t"), round(col("observed"), 6).as("observed"),
@@ -706,8 +715,9 @@ private[graft] object KpiQueries {
         | round((mean_adj_b - mean_adj_a) / nullif(sqrt(vaa / n_a + vab / n_b), 0), 4) AS z_adj
         |FROM o, m""".stripMargin,
 
-    // Same curve (rank-indexed like the fold), same recurrences with
-    // the fold's literal FP op order, same grid argmax and projection.
+    // Same curve, densified to contiguous 0..T the same way (gap weeks
+    // → n=0), same recurrences with the fold's literal FP op order,
+    // same grid argmax and projection.
     "b38_sbg" ->
       """WITH RECURSIVE
         |act AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w FROM events
@@ -717,7 +727,10 @@ private[graft] object KpiQueries {
         |curve0 AS (SELECT CAST(datediff('day', coh.cw, act.w) / 7 AS INT) AS t,
         |    CAST(count(*) AS DOUBLE) AS n
         |  FROM act JOIN coh USING (u), c0 WHERE coh.cw = c0.c0 GROUP BY 1),
-        |curve AS (SELECT t, n, row_number() OVER (ORDER BY t) - 1 AS rn FROM curve0),
+        |tg AS (SELECT CAST(unnest(range(0, (SELECT max(t) + 1 FROM curve0))) AS INT) AS t),
+        |curve AS (SELECT tg.t AS t, coalesce(curve0.n, CAST(0 AS DOUBLE)) AS n,
+        |    tg.t AS rn
+        |  FROM tg LEFT JOIN curve0 USING (t)),
         |tmax AS (SELECT max(rn) AS tm FROM curve),
         |nn0 AS (SELECT n AS n0 FROM curve WHERE rn = 0),
         |nnT AS (SELECT curve.n AS nT FROM curve, tmax WHERE curve.rn = tmax.tm),

@@ -1,0 +1,315 @@
+package graft
+
+import graft.operators.Relational
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E-series driver queries: STREAMING batch-equivalence, oracle-checked.
+  *
+  * Each query drives the real streaming state machinery — the exact
+  * per-micro-batch hooks `foreachBatch` calls in production
+  * ([[StreamOps]] `*Batch` + the state-table readers) — over THREE
+  * deterministic micro-batches of the test tables, then returns the
+  * rolled-up state table. The DuckDB oracle is the BATCH semantics over
+  * the full concatenated history (the already-verified B/C-series
+  * formulation), so a green row proves the streaming decomposition ≡
+  * one-shot batch: cross-batch boundary handling, epoch-keyed state,
+  * and the rollup readers all verified by the same driver gate as
+  * every batch operator.
+  *
+  * Batch splitting: order-INDEPENDENT state (additive counters, CM/
+  * top-k sketches, version-arbitrated upsert, EB rate counts) splits by
+  * a simple key modulus — the rollup is exactly split-invariant, so the
+  * oracle never needs to reproduce the split. Order-DEPENDENT state
+  * (Markov boundary pairs, funnel progress) splits by event-time
+  * terciles — min/max ts is a 1-row bounded collect (the bookmark
+  * class) — so per-entity event order across epochs matches the
+  * stream's arrival contract.
+  *
+  * State dirs are fresh `createTempDirectory` paths per invocation, so
+  * bench repeats never fold state twice.
+  */
+private[graft] object StreamQueries {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/state"
+
+  /** Event-time tercile epoch boundaries (micros) — one bounded 1-row
+    * collect, the same class as the A25 bookmark read. */
+  private def terciles(e: DataFrame): (Long, Long) = {
+    val us = Relational.epochMicros(col("ts"))
+    val mm = e.agg(min(us).as("lo"), max(us).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ======================================================= E: streaming
+
+    // E9 — CDC apply: a per-(user, day) activity change stream upserted
+    // into a keyed snapshot across 3 micro-batches; the final snapshot
+    // is each user's LATEST day row, whatever order the batches landed.
+    "e9_cdc_snapshot" -> ((s, dir) => {
+      val chg = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val root = tmp("graft_e9")
+      val epoch = (col("user_id") + datediff(col("d"), to_date(lit("1970-01-01")))) % 3
+      (0 to 2).foreach { ep =>
+        StreamOps.snapshotBatch(chg.filter(epoch === ep), Seq("user_id"), "d",
+          root, tombstone = None)
+      }
+      StreamOps.latestSnapshot(s, root)
+        .select(col("user_id"), col("d"), col("n"))
+        .orderBy("user_id")
+    }),
+
+    // E14 — additive aggregate state: per-type count/sum/min/max state
+    // rows landed per epoch, merged + finalized at read ≡ one batch agg.
+    "e14_agg_state" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val state = tmp("graft_e14")
+      (0 to 2).foreach { ep =>
+        StreamOps.aggStateBatch(e.filter(pmod(coalesce(col("user_id"), lit(0L)), lit(3)) === ep),
+          ep, Seq("event_type"), Seq("value"), state)
+      }
+      graft.operators.AggState.finalizeState(
+          graft.operators.AggState.mergeRows(
+            s.read.parquet(state).drop("batch"), Seq("event_type"), Seq("value")),
+          Seq("value"))
+        .select(col("event_type"), col("n_rows"), col("cnt_value"),
+          round(col("sum_value"), 4).as("sum_value"),
+          round(col("min_value"), 6).as("min_value"),
+          round(col("max_value"), 6).as("max_value"),
+          round(col("avg_value"), 6).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
+    // E17 — Count-Min frequency state: one sketch per epoch, counter-
+    // added at read, probed for every distinct (type, user) pair. Width
+    // 2^16 against ~10^3 distinct keys makes the estimate EXACT here
+    // (P[all 5 rows collide] ~1e-10 — the d2/d6 sized-to-exact oracle
+    // discipline), so the oracle is the plain exact count.
+    "e17_cm_frequency" -> ((s, dir) => {
+      val width = 1 << 16
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          concat_ws("|", col("event_type"), col("user_id")).as("__k"))
+      val state = tmp("graft_e17")
+      (0 to 2).foreach { ep =>
+        StreamOps.frequencyStateBatch(e.filter(col("user_id") % 3 === ep),
+          ep, Seq(), "__k", state,
+          depth = graft.expressions.CountMin.DefaultDepth, width = width,
+          seed = graft.expressions.CountMin.DefaultSeed)
+      }
+      // rolled sketch bytes ride the plan like a literal model (the
+      // Bloom-probe discipline; ~2.6 MB at this width — bounded)
+      val bytes = graft.operators.Sketches.cmRollup(
+          s.read.parquet(state), Seq(), width = width)
+        .head().getAs[Array[Byte]]("cmsketch")
+      e.select("event_type", "user_id").distinct()
+        .select(col("event_type"), col("user_id"),
+          graft.expressions.CountMin.estimate(bytes,
+            concat_ws("|", col("event_type"), col("user_id"))).as("est"))
+        .orderBy("event_type", "user_id")
+    }),
+
+    // E26 — heavy-hitter state: per-(type) approx_top_k sketches
+    // accumulated per epoch, combined at read. Tracked items (10^4) ≥
+    // distinct users (~10^2) ⇒ counts exact; the k-boundary is then
+    // re-ranked DETERMINISTICALLY (count desc, user asc) before the
+    // cut, so sketch-internal tie order can never leak into the answer.
+    "e26_topk_state" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      val state = tmp("graft_e26")
+      (0 to 2).foreach { ep =>
+        StreamOps.topKStateBatch(e.filter(col("user_id") % 3 === ep),
+          ep, Seq("event_type"), "user_id", state, maxItemsTracked = 10000)
+      }
+      val all = graft.operators.Sketches.topKRollup(
+        s.read.parquet(state), Seq(col("event_type")), k = 1000)
+      Relational.topKPerGroup(all, Seq(col("event_type")),
+          Seq(col("n_estimate").desc, col("item").asc), k = 3)
+        .select(col("event_type"), col("item").as("user_id"),
+          col("n_estimate").as("n"), col("rn").as("rank"))
+        .orderBy("event_type", "rank")
+    }),
+
+    // E31 — decayed trending counts: per-epoch half-life-weighted sums
+    // with per-batch reference times, re-decayed to the global reference
+    // at read ≡ (exactly, by exponent algebra) one pass over all events.
+    "e31_trending" -> ((s, dir) => {
+      val halfLife = 604800.0 // 7 days
+      val e = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      val state = tmp("graft_e31")
+      (0 to 2).foreach { ep =>
+        StreamOps.decayedTrendBatch(
+          e.filter(pmod(coalesce(col("user_id"), lit(0L)), lit(3)) === ep),
+          ep, Seq("event_type"), "ts", halfLife, state)
+      }
+      StreamOps.trendingTopK(s, state, Seq("event_type"), halfLife, k = 10)
+        .select(col("event_type"), round(col("score"), 4).as("score"))
+    }),
+
+    // E37 — Markov transition state: 3 event-time-tercile epochs, each
+    // folding its batch's per-entity pairs PLUS the cross-batch boundary
+    // pair from persisted last-state; the rolled-up matrix must equal
+    // the batch lead() pairs over the full history.
+    "e37_markov_state" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+      val us = Relational.epochMicros(col("ts"))
+      val (c1, c2) = terciles(e)
+      val state = tmp("graft_e37")
+      StreamOps.markovStateBatch(e.filter(us <= c1), 0L,
+        "user_id", "ts", "event_type", state)
+      StreamOps.markovStateBatch(e.filter(us > c1 && us <= c2), 1L,
+        "user_id", "ts", "event_type", state)
+      StreamOps.markovStateBatch(e.filter(us > c2), 2L,
+        "user_id", "ts", "event_type", state)
+      StreamOps.transitionsFrom(s, state)
+        .select(col("from_state"), col("to_state"), col("cnt"),
+          round(col("p"), 6).as("p"))
+        .orderBy("from_state", "to_state")
+    }),
+
+    // E38 — empirical-Bayes rate state: per-epoch (n, y) counts rolled
+    // up additively, prior re-fit on the rollup ≡ batch B32 shrinkage.
+    "e38_rate_state" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_custkey").isNotNull && col("o_orderstatus").isNotNull)
+        .select(col("o_custkey"), (col("o_orderstatus") === "F").cast("int").as("ok"))
+      val state = tmp("graft_e38")
+      (0 to 2).foreach { ep =>
+        StreamOps.rateStateBatch(o.filter(col("o_custkey") % 3 === ep),
+          ep, Seq("o_custkey"), "ok", state)
+      }
+      StreamOps.shrunkRatesFrom(s, state, Seq("o_custkey"))
+        .select(col("key"), col("n"), col("y"),
+          round(col("raw_rate"), 6).as("raw_rate"),
+          round(col("prior_alpha"), 6).as("prior_alpha"),
+          round(col("prior_beta"), 6).as("prior_beta"),
+          round(col("shrunk"), 6).as("shrunk"))
+        .orderBy("key")
+    }),
+
+    // E39 — ordered-funnel state: per-entity progress folded across 3
+    // time-tercile epochs (greedy walk seeded from persisted stage),
+    // rolled up to the C21 report ≡ the batch chained-window funnel.
+    "e39_funnel_state" -> ((s, dir) => {
+      val steps = Seq("view", "click", "purchase")
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+      val us = Relational.epochMicros(col("ts"))
+      val (c1, c2) = terciles(e)
+      val state = tmp("graft_e39")
+      StreamOps.funnelStateBatch(e.filter(us <= c1), 0L,
+        "user_id", "ts", "event_type", steps, state)
+      StreamOps.funnelStateBatch(e.filter(us > c1 && us <= c2), 1L,
+        "user_id", "ts", "event_type", steps, state)
+      StreamOps.funnelStateBatch(e.filter(us > c2), 2L,
+        "user_id", "ts", "event_type", steps, state)
+      StreamOps.funnelFrom(s, state, steps).orderBy("step_index")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // Latest (user, day) activity row per user — the CDC snapshot.
+    "e9_cdc_snapshot" ->
+      """WITH chg AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT user_id, d, CAST(n AS BIGINT) AS n FROM chg
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY d DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // One batch aggregate over the full table — the state rollup must
+    // be indistinguishable from never having split.
+    "e14_agg_state" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(value) AS BIGINT) AS cnt_value,
+        | round(sum(value), 4) AS sum_value,
+        | round(min(value), 6) AS min_value,
+        | round(max(value), 6) AS max_value,
+        | round(sum(value) / count(value), 6) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // The CM estimate is exact at this width/cardinality, so the oracle
+    // is the exact per-(type, user) count.
+    "e17_cm_frequency" ->
+      """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS est
+        |FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Exact per-type top-3 users by event count, ties by user asc.
+    "e26_topk_state" ->
+      """WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, user_id) AS rank FROM c)
+        |SELECT event_type, user_id, n, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    // Exponent algebra collapses the per-batch re-referenced sums to
+    // one global-reference sum: score = Σ 2^((t − t_max)/halflife).
+    "e31_trending" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT max(us) AS gref FROM e)
+        |SELECT event_type,
+        | round(sum(pow(2.0, (us - gref) / (604800.0 * 1e6))), 4) AS score
+        |FROM e, g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Full-history per-entity lead() pairs — boundary pairs included.
+    "e37_markov_state" ->
+      """WITH ev AS (SELECT user_id AS e, ts, event_type AS s FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |seq AS (SELECT e, s, lead(s) OVER (PARTITION BY e ORDER BY ts) AS nxt FROM ev),
+        |cnt AS (SELECT s AS from_state, nxt AS to_state, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_state, sum(cnt) AS rt FROM cnt GROUP BY 1)
+        |SELECT cnt.from_state, cnt.to_state, cnt.cnt,
+        | round(cnt.cnt * 1.0 / tot.rt, 6) AS p
+        |FROM cnt JOIN tot USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
+
+    // b32's shrinkage over the rolled-up counts; key is the reader's
+    // string-composited form.
+    "e38_rate_state" ->
+      """WITH pk AS (SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS n,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS y
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT avg(y / n) AS mu, var_pop(y / n) AS s2 FROM pk),
+        |pr AS (SELECT mu, CASE WHEN s2 > 0 AND mu > 0 AND mu < 1
+        |      AND mu * (1 - mu) / s2 - 1 > 0
+        |    THEN mu * (1 - mu) / s2 - 1 END AS ab FROM m)
+        |SELECT key, CAST(n AS BIGINT) AS n, y, round(y / n, 6) AS raw_rate,
+        | round(mu * ab, 6) AS prior_alpha, round((1 - mu) * ab, 6) AS prior_beta,
+        | round((y + mu * ab) / (n + ab), 6) AS shrunk
+        |FROM pk, pr ORDER BY key""".stripMargin,
+
+    // The batch C21 funnel over the full history.
+    "e39_funnel_state" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type AS et FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |u1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN u1 USING (user_id) WHERE et = 'click' AND t > t1 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN u2 USING (user_id) WHERE et = 'purchase' AND t > t2 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM u1) AS n1, (SELECT count(*) FROM u2) AS n2, (SELECT count(*) FROM u3) AS n3)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step, CAST(n1 AS BIGINT) AS n_users, round(n1*1.0/n1,4) AS conversion FROM n
+        | UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT), round(n2*1.0/n1,4) FROM n
+        | UNION ALL SELECT 3, 'purchase', CAST(n3 AS BIGINT), round(n3*1.0/n1,4) FROM n
+        |) ORDER BY step_index""".stripMargin
+  )
+}

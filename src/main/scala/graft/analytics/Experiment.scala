@@ -110,7 +110,9 @@ object Experiment {
     * moment aggregate and the per-arm readout both consume it), a
     * 1-row broadcast carrying θ/x̄, then a |variants|-row aggregate —
     * no windows, no joins. Two-arm contract as [[abTest]] (side `a` =
-    * smaller label). Welch-style z on both raw and adjusted means
+    * smaller label), ENFORCED: an entity observed under multiple
+    * variants, or an arm count ≠ 2, is a `raise_error`, never a silent
+    * coercion into arm B. Welch-style z on both raw and adjusted means
     * through the same moments; a zero-variance covariate carries no
     * information — θ coalesces to 0 and the readout degrades to the
     * unadjusted test, never a null cascade. */
@@ -125,9 +127,20 @@ object Experiment {
           metric.cast("double").as("__y"), covariate.cast("double").as("__x"))
         .filter(col("__e").isNotNull && col("__v").isNotNull)
         .groupBy("__e")
-        .agg(max(col("__v")).as("__v"),
+        .agg(max(col("__v")).as("__vmax"),
+          count_distinct(col("__v")).as("__nv"),
           sum(coalesce(col("__y"), lit(0.0))).as("__y"),
-          sum(coalesce(col("__x"), lit(0.0))).as("__x")))
+          sum(coalesce(col("__x"), lit(0.0))).as("__x"))
+        // two-arm contract ENFORCED, not coerced: an entity observed
+        // under >1 variant means broken assignment/logging — silently
+        // folding it into arm max(__v) would bias the readout; fail loud
+        .select(
+          when(col("__nv") === 1, col("__vmax"))
+            .otherwise(raise_error(concat(
+              lit("cuped: entity observed under multiple variants "),
+              lit("(broken assignment/logging); entity="),
+              col("__e").cast("string")))).as("__v"),
+          col("__e"), col("__y"), col("__x")))
     val mom = per.agg(
         covar_pop(col("__x"), col("__y")).as("__cxy"),
         var_pop(col("__x")).as("__vx"), avg(col("__x")).as("__mx"))
@@ -151,11 +164,20 @@ object Experiment {
         max_by(col("vy"), col("__v")).as("__vyb0"),
         min_by(col("vya"), col("__v")).as("__vaa"),
         max_by(col("vya"), col("__v")).as("__vab"),
-        max(col("theta")).as("theta"))
+        max(col("theta")).as("theta"),
+        count(lit(1)).as("__narms"))
     def z(d: Column, va: Column, vb: Column) =
       d / nullif(sqrt(va / col("n_a") + vb / col("n_b")), lit(0.0))
     one.select(
-      col("variant_a"), col("variant_b"), col("n_a"), col("n_b"),
+      // two-arm contract: >2 arms would silently collapse to the
+      // lexicographic extremes while middle arms still polluted θ
+      when(col("__narms") === 2, col("variant_a"))
+        .otherwise(raise_error(concat(
+          lit("cuped: exactly two variants required, got "),
+          col("__narms").cast("string"),
+          lit(" (slice multi-arm experiments to the pair under test)"))))
+        .as("variant_a"),
+      col("variant_b"), col("n_a"), col("n_b"),
       col("mean_a"), col("mean_b"), col("mean_adj_a"), col("mean_adj_b"),
       col("theta"),
       // pooled variance-reduction share: 1 − var(y')/var(y)

@@ -70,7 +70,12 @@ object Retention {
     * Contract: `curve` is ONE cohort's (t, n) with contiguous offsets
     * 0..T and non-increasing n (a survival curve; activity blips that
     * resurrect users violate sBG — negative churn steps contribute 0
-    * and are visible in `ll`, documented). Ties in the grid argmax
+    * and are visible in `ll`, documented). Contiguity is ENFORCED: the
+    * fold indexes the collected curve positionally while T is the max
+    * offset VALUE, so a gapped curve (an inactive week emitting no row)
+    * would silently misalign every churn step — a `raise_error` guard
+    * fails loud instead (densify gapped curves to n=0 rows first, as
+    * the b38_sbg driver query does). Ties in the grid argmax
     * break toward larger (α, β) lexicographically (deterministic).
     *
     * Output: one row per t = 0..horizon — t, observed share (null past
@@ -84,7 +89,18 @@ object Retention {
       .select(t.cast("int").as("__t"), n.cast("double").as("__n"))
       .filter(col("__t").isNotNull && col("__n").isNotNull && col("__t") >= 0)
     val arr = c.agg(sort_array(collect_list(struct(col("__t"), col("__n")))).as("__c"),
-      max(col("__t")).as("__T"))
+      max(col("__t")).as("__Tm"), count(lit(1)).as("__k"))
+      // positional fold below ⇔ offsets are exactly 0..T with no gaps
+      // and no duplicates; anything else would misindex silently
+      .withColumn("__T",
+        when(col("__k") === col("__Tm") + 1 &&
+            element_at(col("__c"), 1).getField("__t") === 0, col("__Tm"))
+          .otherwise(raise_error(concat(
+            lit("sbgProjection: curve offsets must be contiguous 0..T "),
+            lit("with no gaps/duplicates; got max(t)="),
+            col("__Tm").cast("string"), lit(" over "),
+            col("__k").cast("string"), lit(" rows")))))
+      .drop("__Tm", "__k")
     val cand = arr
       .withColumn("__i", explode(sequence(lit(1), lit(gridSteps))))
       .withColumn("__j", explode(sequence(lit(1), lit(gridSteps))))

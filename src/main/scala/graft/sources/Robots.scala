@@ -80,8 +80,16 @@ object Robots {
   def filterAllowed(urls: DataFrame, url: Column, rules: DataFrame,
                     agent: String): DataFrame = {
     val host = Urls.hostOf(url)
-    val path = coalesce(try_parse_url(url, lit("PATH")), lit("/"))
-    val withKey = urls.withColumn("__rb_host", host).withColumn("__rb_path", path)
+    // try_parse_url yields EMPTY (not null) for path-less URLs like
+    // 'https://d.com' — normalize both to '/', or 'Disallow: /' would
+    // never match the site root
+    val path0 = try_parse_url(url, lit("PATH"))
+    val path = when(path0.isNull || length(path0) === 0, lit("/")).otherwise(path0)
+    // unique per-row key: the verdict groupBy must preserve input
+    // multiplicity (grouping on the data columns alone would silently
+    // dedup identical frontier rows — a filter never changes counts)
+    val withKey = urls.withColumn("__rb_id", monotonically_increasing_id())
+      .withColumn("__rb_host", host).withColumn("__rb_path", path)
     val cand = withKey.join(
       rules.select(col("domain").as("__rb_host"), col("agent").as("__rb_a"),
         col("allow").as("__rb_allow"), col("prefix").as("__rb_p")),
@@ -97,7 +105,7 @@ object Robots {
       applicable && col("__rb_a") === lit(agent.toLowerCase), lit(1))
       .otherwise(lit(0)))
     val verdict = cand
-      .groupBy((urls.columns.map(col) :+ col("__rb_path")).toSeq: _*)
+      .groupBy((col("__rb_id") +: urls.columns.map(col)).toSeq: _*)
       .agg(specific.as("__sp"),
         max(when(applicable && col("__rb_p").isNotNull &&
             col("__rb_path").startsWith(col("__rb_p")),

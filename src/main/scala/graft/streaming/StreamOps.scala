@@ -294,22 +294,44 @@ object StreamOps {
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(outRoot)
-        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        val latest: Option[Long] =
-          if (!fs.exists(root)) None
-          else fs.listStatus(root).toSeq
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-            .map(_.getPath.getName.drop(2).toLong)
-            .maxOption
-        val cur = latest
-          .map(v => spark.read.parquet(s"$outRoot/v=$v"))
-          .getOrElse(tombstone.fold(batch.toDF())(batch.toDF().drop(_)).limit(0))
-        graft.etl.Upsert.upsert(cur, batch.toDF(), keyCols, version, tombstone)
-          .write.mode("overwrite").parquet(s"$outRoot/v=${latest.getOrElse(0L) + 1}")
+        snapshotBatch(batch.toDF(), keyCols, version, outRoot, tombstone)
       }
       .start()
+
+  /** One micro-batch of [[toSnapshot]], exposed for replay tests and
+    * driver batch-equivalence queries. */
+  private[graft] def snapshotBatch(
+      batch: DataFrame,
+      keyCols: Seq[String],
+      version: String,
+      outRoot: String,
+      tombstone: Option[String]): Unit = {
+    val spark = batch.sparkSession
+    val latest = latestSnapshotVersion(spark, outRoot)
+    val cur = latest
+      .map(v => spark.read.parquet(s"$outRoot/v=$v"))
+      .getOrElse(tombstone.fold(batch)(batch.drop(_)).limit(0))
+    graft.etl.Upsert.upsert(cur, batch, keyCols, version, tombstone)
+      .write.mode("overwrite").parquet(s"$outRoot/v=${latest.getOrElse(0L) + 1}")
+  }
+
+  private def latestSnapshotVersion(spark: SparkSession, outRoot: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(outRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.drop(2).toLong)
+      .maxOption
+  }
+
+  /** The current snapshot of a [[toSnapshot]] dir (`latest = max N` —
+    * the trivially atomic pointer the versioned layout buys). */
+  def latestSnapshot(spark: SparkSession, outRoot: String): DataFrame =
+    latestSnapshotVersion(spark, outRoot) match {
+      case Some(v) => spark.read.parquet(s"$outRoot/v=$v")
+      case None => throw new IllegalStateException(s"no snapshot versions under $outRoot")
+    }
 
   /** Streaming SemDeDup ingest: per micro-batch, judge arriving
     * embeddings against the persisted survivor index with
@@ -1928,7 +1950,11 @@ object StreamOps {
     * seed for the next epoch's boundary pairs). Epoch N reads only
     * `last` rows from batches < N (own-epoch exclusion) and both writes
     * are epoch-keyed overwrites ⇒ replay rewrites identical state.
-    * Same arrival-order contract as [[toForecastState]].
+    * Out-of-order batches are TIME-arbitrated, not arrival-arbitrated:
+    * a straggler batch that wholly predates the prior last event emits
+    * no (time-reversed) boundary pair, and the persisted per-entity
+    * last state is the temporally-later of (prior last, batch last) —
+    * a late batch can never regress the stored state.
     *
     * [[transitionsFrom]] rolls the counts up and row-normalizes —
     * feed it to [[graft.analytics.Markov.stationary]] for the live
@@ -1967,24 +1993,39 @@ object StreamOps {
       .select(col("__s").as("from_state"), col("__next").as("to_state"))
     val firsts = s.groupBy("__e")
       .agg(min_by(col("__s"), col("__us")).as("__first"),
+        min(col("__us")).as("__first_us"),
         max_by(col("__s"), col("__us")).as("__last"),
         max(col("__us")).as("__last_us"))
     val prior = try {
       spark.read.parquet(s"$statePath/last")
         .filter(col("batch") =!= epochId) // replay: own epoch is rewritten
         .groupBy("__e")
-        .agg(max_by(col("__last"), col("batch").cast("long")).as("__plast"))
+        .agg(max_by(struct(col("__last"), col("__last_us")),
+          col("batch").cast("long")).as("__p"))
+        .select(col("__e"), col("__p.__last").as("__plast"),
+          col("__p.__last_us").as("__plast_us"))
     } catch {
       case _: org.apache.spark.sql.AnalysisException => // first epoch ever
-        firsts.select(col("__e"), col("__last").as("__plast")).limit(0)
+        firsts.select(col("__e"), col("__last").as("__plast"),
+          col("__last_us").as("__plast_us")).limit(0)
     }
-    val boundary = firsts.join(prior, "__e")
-      .filter(col("__plast").isNotNull)
+    val joined = firsts.join(prior, Seq("__e"), "left")
+    // boundary pair only when this batch is temporally AFTER the prior
+    // last event — a straggler batch that wholly predates it would emit
+    // a time-reversed transition; the same comparison keeps the stored
+    // last state from regressing (we persist the temporally-later of
+    // prior last vs batch last, not unconditionally the batch's)
+    val boundary = joined
+      .filter(col("__plast").isNotNull && col("__first_us") >= col("__plast_us"))
       .select(col("__plast").as("from_state"), col("__first").as("to_state"))
     within.unionAll(boundary)
       .groupBy("from_state", "to_state").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$statePath/trans/batch=$epochId")
-    firsts.select(col("__e"), col("__last"), col("__last_us"))
+    joined.select(col("__e"),
+        when(col("__plast_us") > col("__last_us"), col("__plast"))
+          .otherwise(col("__last")).as("__last"),
+        when(col("__plast_us") > col("__last_us"), col("__plast_us"))
+          .otherwise(col("__last_us")).as("__last_us"))
       .write.mode("overwrite").parquet(s"$statePath/last/batch=$epochId")
   }
 

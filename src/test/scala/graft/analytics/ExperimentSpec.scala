@@ -130,4 +130,26 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
     assert(math.abs(r.getAs[Double]("mean_a") - 2.0) < 1e-12) // (3 + 1)/2
   }
+
+  test("cuped: an entity observed under multiple variants fails loud") {
+    // entity "a" logged under both arms = broken assignment; silently
+    // coercing it into arm B (max) would bias the readout
+    val rows = Seq(("a", "A", 1.0, 1.0), ("a", "B", 2.0, 1.0),
+      ("b", "A", 1.0, 1.0), ("c", "B", 4.0, 1.0))
+    val ex = intercept[Exception] {
+      Experiment.cuped(rows.toDF("e", "v", "y", "x"),
+        col("e"), col("v"), col("y"), col("x")).collect()
+    }
+    assert(ex.getMessage.contains("multiple variants"), ex.getMessage)
+  }
+
+  test("cuped: a three-arm experiment fails loud, never collapses to the extremes") {
+    val rows = Seq(("a", "A", 1.0, 1.0), ("b", "B", 2.0, 1.0),
+      ("c", "C", 3.0, 1.0), ("d", "A", 1.5, 1.0))
+    val ex = intercept[Exception] {
+      Experiment.cuped(rows.toDF("e", "v", "y", "x"),
+        col("e"), col("v"), col("y"), col("x")).collect()
+    }
+    assert(ex.getMessage.contains("exactly two variants"), ex.getMessage)
+  }
 }

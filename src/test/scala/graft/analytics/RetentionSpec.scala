@@ -82,4 +82,20 @@ class RetentionSpec extends SparkSpec {
     for ((t, n) <- Seq(1 -> 0.60, 2 -> 0.47, 3 -> 0.40, 4 -> 0.36))
       assert(math.abs(proj(t) - n) < 0.03, s"t=$t proj=${proj(t)}")
   }
+
+  test("sbgProjection: a gapped curve fails loud, never misindexes") {
+    // t=2 missing (an all-inactive week): the positional fold would
+    // silently misalign every churn step — the contiguity guard fires
+    val gapped = Seq((0, 100.0), (1, 60.0), (3, 40.0), (4, 36.0)).toDF("t", "n")
+    val ex = intercept[Exception] {
+      Retention.sbgProjection(gapped, col("t"), col("n"), horizon = 6).collect()
+    }
+    assert(ex.getMessage.contains("contiguous"), ex.getMessage)
+    // a curve not starting at 0 fails the same way
+    val shifted = Seq((1, 100.0), (2, 60.0), (3, 40.0)).toDF("t", "n")
+    val ex2 = intercept[Exception] {
+      Retention.sbgProjection(shifted, col("t"), col("n"), horizon = 6).collect()
+    }
+    assert(ex2.getMessage.contains("contiguous"), ex2.getMessage)
+  }
 }

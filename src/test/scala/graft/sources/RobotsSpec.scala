@@ -60,6 +60,26 @@ class RobotsSpec extends SparkSpec {
     assert(got === Set("https://d.com/private/x", "https://d.com/bots/welcome/hi"))
   }
 
+  test("filterAllowed: 'Disallow: /' blocks the path-less site root URL") {
+    val root = Robots.parseRobots(Seq(("r.com",
+      "User-agent: *\nDisallow: /")).toDF("d", "b"), col("d"), col("b"))
+    // try_parse_url yields '' (not null) for https://r.com — the
+    // normalized-to-'/' path must still match the Disallow prefix
+    val blocked = Robots.filterAllowed(
+      Seq("https://r.com", "https://r.com/").toDF("url"),
+      col("url"), root, agent = "any").count()
+    assert(blocked === 0L)
+  }
+
+  test("filterAllowed: preserves input multiplicity (identical rows survive)") {
+    val got = Robots.filterAllowed(
+        Seq("https://d.com/public/page", "https://d.com/public/page",
+          "https://d.com/public/page").toDF("url"),
+        col("url"), rules, agent = "randombot")
+      .count()
+    assert(got === 3L)
+  }
+
   test("filterAllowed: a domain with only foreign-agent rules never loses URLs") {
     val foreign = Robots.parseRobots(Seq(("f.com",
       "User-agent: somebot\nDisallow: /")).toDF("d", "b"), col("d"), col("b"))

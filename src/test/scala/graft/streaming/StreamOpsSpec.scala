@@ -1155,6 +1155,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(again === got, "a replayed epoch must leave the matrix unchanged")
   }
 
+  test("markovStateBatch: a straggler batch never emits time-reversed pairs or regresses state") {
+    val state = java.nio.file.Files.createTempDirectory("mkstrag").toString + "/mk"
+    // epoch 0: u1 view@10:00 → click@10:01; stored last = click@10:01
+    StreamOps.markovStateBatch(Seq(
+      (ts("2024-01-01 10:00:00"), "u1", "view"),
+      (ts("2024-01-01 10:01:00"), "u1", "click")).toDF("ts", "u", "s"),
+      0L, "u", "ts", "s", state)
+    // epoch 1 arrives LATE and wholly predates the stored last: no
+    // boundary pair (click@10:01 → login@09:00 is time-reversed), and
+    // the stored last must stay click@10:01, not regress to login
+    StreamOps.markovStateBatch(Seq(
+      (ts("2024-01-01 09:00:00"), "u1", "login")).toDF("ts", "u", "s"),
+      1L, "u", "ts", "s", state)
+    // epoch 2: buy@11:00 — boundary must chain from the PRESERVED last
+    StreamOps.markovStateBatch(Seq(
+      (ts("2024-01-01 11:00:00"), "u1", "buy")).toDF("ts", "u", "s"),
+      2L, "u", "ts", "s", state)
+    val got = StreamOps.transitionsFrom(spark, state)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(("view", "click") -> 1L, ("click", "buy") -> 1L),
+      s"straggler handling broke the chain: $got")
+  }
+
   test("toRateState: cross-epoch rollup ≡ batch EB shrinkage, replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
