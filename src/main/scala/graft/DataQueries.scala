@@ -599,6 +599,19 @@ private[graft] object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact-substring dedup (Lee et al. 2021) at 5-token granularity:
+    // any ≥5-token substring occurring more than once in the corpus
+    // (within-doc repeats count) is removed everywhere except its
+    // globally-first occurrence; content verified via an md5 prefix.
+    "d91_substring_dedup" -> ((s, dir) => {
+      Dedup.exactSubstringDedup(Tables.documents(s, dir),
+          col("doc_id"), col("text"), k = 5)
+        .select(col("doc_id"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
+          col("n_tokens"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // BPE training step 1 at corpus scale: word-frequency vocabulary
     // (the only corpus-wide pass), then frequency-weighted adjacent
     // char-pair counts over the DISTINCT vocabulary.
@@ -1599,6 +1612,29 @@ private[graft] object DataQueries {
         |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g HAVING count(*) >= 2),
         |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
         |        FROM g JOIN dup USING (g), UNNEST(range(4)) AS v(o)),
+        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
+        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
+        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
+        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
+
+    // Lee-et-al exact-substring removal: TOTAL occurrence counting
+    // (within-doc repeats duplicate), globally-first occurrence kept —
+    // rn-1 election over (doc_id, pos) replays the min-struct owner.
+    "d91_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |occ AS (SELECT doc_id, pos,
+        |         count(*) OVER (PARTITION BY g) AS nocc,
+        |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |        FROM g),
+        |drop0 AS (SELECT doc_id, pos FROM occ WHERE nocc >= 2 AND rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + 1 + o AS i
+        |        FROM drop0, UNNEST(range(5)) AS v(o)),
         |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
         |kept AS (SELECT te.doc_id, te.i, te.w FROM te
         |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),

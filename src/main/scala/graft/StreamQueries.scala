@@ -36,7 +36,7 @@ private[graft] object StreamQueries {
     java.nio.file.Files.createTempDirectory(prefix).toString + "/state"
 
   /** Event-time tercile epoch boundaries (micros) — one bounded 1-row
-    * collect, the same class as the A25 bookmark read. */
+    * collect, the same class as the A28 bookmark read. */
   private def terciles(e: DataFrame): (Long, Long) = {
     val us = Relational.epochMicros(col("ts"))
     val mm = e.agg(min(us).as("lo"), max(us).as("hi")).head()

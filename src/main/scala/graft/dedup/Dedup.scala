@@ -985,6 +985,74 @@ object Dedup {
       size(col("__kept")).cast("long").as("n_kept"))
   }
 
+  /** D91 — EXACT-substring dedup at ≥k-token granularity (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better"):
+    * any substring of ≥ k tokens that occurs MORE THAN ONCE in the
+    * corpus — across documents OR repeated inside one — is removed
+    * everywhere except its single globally-first occurrence
+    * (lexicographically smallest (doc_id, position)). The production
+    * dedup tier between whole-document hashing and near-dup MinHash:
+    * the paper's suffix-array construction re-expressed relationally as
+    * grouped k-gram anchors. A repeated substring of length L ≥ k is
+    * exactly a run of L − k + 1 repeated k-grams, so "every token
+    * covered by a duplicated k-gram occurrence (minus the kept first
+    * copy)" reproduces the paper's coverage without materializing any
+    * suffix array — the k-gram table IS the anchor index.
+    *
+    * Differs from [[removeDuplicatedSpans]] on the two axes that make
+    * it the Lee-et-al operator: duplication counts TOTAL occurrences
+    * (a within-document repeat is a duplicate; D31 counts distinct
+    * documents), and the first occurrence SURVIVES (D31 removes all
+    * copies — the boilerplate-purge policy; D31b keeps a whole-document
+    * owner per gram rather than the global first occurrence).
+    *
+    * Scale: [[removeDuplicatedSpans]]'s plan shape exactly — one gram
+    * explosion, truncated ONCE (single-parent rule); the global
+    * occurrence count and first-occurrence election ride the SAME
+    * partial-aggregating `groupBy(gram)` (`sum` of per-doc counts +
+    * `min(struct(doc, first_pos))` — combiners absorb the Zipf head, a
+    * 10⁴-copy boilerplate gram contributes 10⁴ combiner-side rows and
+    * ONE reduce-side row, never a window over the corpus-frequency
+    * key); the join back on the 16-byte hash is AQE-skew-splittable;
+    * the mask is the native [[graft.expressions.SpanMask]] sweep. At
+    * the canonical k = 50 the gram table is ~(tokens − 49) × 24 B rows
+    * — the same budget §5b prices for D28. */
+  def exactSubstringDedup(df: DataFrame, id: Column, text: Column, k: Int = 50): DataFrame = {
+    require(k >= 1, s"substring granularity must be >= 1 token, got $k")
+    val toks = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("__t"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(TextFunctions.shinglesAllOf(col("__t"), k)))
+      .select(col("doc_id"), col("pos").as("__pos"), unhex(md5(col("col"))).as("__gh"))
+    val perDoc = graft.operators.Lineage.truncate(
+      grams.groupBy("doc_id", "__gh")
+        .agg(sort_array(collect_list(col("__pos"))).as("__ps"),
+          count(lit(1)).as("__n")))
+    val dup = perDoc.groupBy("__gh")
+      .agg(sum(col("__n")).as("__nocc"),
+        min(struct(col("doc_id").as("d"),
+          element_at(col("__ps"), 1).as("p"))).as("__own"))
+      .filter(col("__nocc") >= 2)
+      .select(col("__gh"), col("__own"))
+    val dropStarts = perDoc.join(dup, Seq("__gh"))
+      .select(col("doc_id"),
+        // the globally-first occurrence survives: the owner doc sheds
+        // only the owner POSITION (its other repeats of the same gram
+        // are still duplicates); per-(doc, gram) arrays are bounded by
+        // within-document repeats of one gram, so the HOF is row-local
+        explode(when(col("doc_id") === col("__own.d"),
+            filter(col("__ps"), p => p =!= col("__own.p")))
+          .otherwise(col("__ps"))).as("__pos"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    val masked = toks.join(dropStarts, Seq("doc_id"), "left")
+      .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", graft.expressions.SpanExpressions.spanMask(
+        col("__t"), col("__starts"), k))
+    masked.select(col("doc_id"),
+      array_join(col("__kept"), " ").as("clean_text"),
+      size(col("__t")).cast("long").as("n_tokens"),
+      size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   /** Cross-document PARAGRAPH dedup with document reassembly — the
     * RefinedWeb/C4 granularity between whole-document dedup
     * ([[exactDedup]]) and w-gram span removal

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * sibling of [[Medallion]]'s per-file `.done` ledger (reference:
   * ingestion/fetch_movies.py re-fetches pages wholesale; a bookmark is
   * what makes a daily re-run read one day, not the full history —
-  * against a date-partitioned source (A24 layout) the `ts > T`
+  * against a date-partitioned source (A27 layout) the `ts > T`
   * predicate prunes partitions, so the incremental pull is also an
   * incremental SCAN).
   *

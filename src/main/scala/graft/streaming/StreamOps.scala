@@ -1211,7 +1211,7 @@ object StreamOps {
     * .candidateFiles]]) stays exact over data that arrived seconds
     * ago — indexing at write time costs one aggregate over rows
     * already in memory, while indexing later re-reads every file (the
-    * A24 "write compact beats compacting after" argument, applied to
+    * A27 "write compact beats compacting after" argument, applied to
     * indexes). Both roots overwrite per epoch → replay is a
     * byte-identical no-op (the E14-E18 contract). */
   def toBloomIndexedBronze(

@@ -90,6 +90,42 @@ object SkewProbe {
         .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
       graft.dedup.Dedup.clusterPairs(star).count()
     }
+    probe("d91_substring_dedup") {
+      // the mega-paragraph is a >10^4-copy substring (15k documents
+      // carry it verbatim): every one of its 5-grams has 15k
+      // occurrences — the Lee-et-al operator's Zipf-head case; the
+      // count+owner election must stay a partial-aggregating groupBy
+      SparkEntry.queries("d91_substring_dedup")(spark, probeDir).count()
+    }
+
+    // ---- graph family on a PLANTED power-law graph (r8 verdict #5:
+    // the §5b claims for c23/c60/c61/c62 were argued from plan shape
+    // only): one 10^5-degree hub + 9·10^5 uniform tail edges ≈ 10^6
+    // edges over 10^5 vertices. Edges are eagerly materialized so
+    // generation cost never pollutes the probed stages.
+    val pl = {
+      val hub = spark.range(100000)
+        .select(lit("h").as("src"), concat(lit("v"), col("id")).as("dst"))
+      val tail = spark.range(900000)
+        .select(concat(lit("v"), col("id") % 100000).as("src"),
+          concat(lit("v"), pmod(col("id") * 31 + 7, lit(100000))).as("dst"))
+      hub.unionAll(tail).repartition(32).localCheckpoint(true)
+    }
+    probe("c23_pagerank_hub1e5") {
+      graft.graph.PageRank.pageRank(pl, damping = 0.85, iters = 5).count()
+    }
+    probe("c60_hyperball_hub1e5") {
+      // estimator only — the exact pair-BFS companion is the bound
+      // CHECK, not the production path, and a 10^5-hub 1-ball would
+      // materialize 10^10 pairs there by design
+      graft.graph.HyperBall.neighborhoodFunction(pl, maxT = 3, lgK = 9).count()
+    }
+    probe("c61_harmonic_hub1e5") {
+      graft.graph.HyperBall.harmonicCentrality(pl, maxT = 3, lgK = 9).count()
+    }
+    probe("c62_lpa_hub1e5") {
+      graft.graph.Communities.labelPropagation(pl, iters = 4).count()
+    }
 
     spark.stop()
   }

@@ -406,6 +406,34 @@ class DedupSpec extends SparkSpec {
       (4L, "x y q r s", 5L)))
   }
 
+  test("exactSubstringDedup: first occurrence survives, within-doc repeats count") {
+    val d = Seq(
+      (1L, "a b c d e"),        // global first occurrence of "a b c d" → kept whole
+      (2L, "z a b c d"),        // later copy → tokens 1..4 dropped
+      (3L, "w x w x w x w x"),  // WITHIN-doc repeat of "w x w x" (starts 0, 2, 4):
+                                // start 0 kept, starts 2 and 4 dropped → tokens 2..7 gone
+      (4L, "p q r s t"))        // unique → untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(d, col("doc_id"), col("text"), k = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_tokens", "n_kept")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c d e", 5L, 5L),
+      (2L, "z", 5L, 1L),
+      (3L, "w x", 8L, 2L),
+      (4L, "p q r s t", 5L, 5L)))
+  }
+
+  test("exactSubstringDedup: a long repeat is removed as one maximal span") {
+    // a 6-token substring shared by two docs = three repeated 4-grams;
+    // the later copy loses the full 6-token union, the first keeps all
+    val d = Seq((1L, "a b c d e f x"), (2L, "y a b c d e f")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(d, col("doc_id"), col("text"), k = 4)
+      .orderBy("doc_id").select("clean_text").as[String].collect().toSeq
+    assert(out == Seq("a b c d e f x", "y"))
+  }
+
   test("removeDuplicatedSpansKeepFirst elects owners per gram independently") {
     // doc 1 owns "a b c d"; doc 2 owns "p q r s" and loses "a b c d";
     // doc 3 loses both — ownership is per gram, not per document
