@@ -36,13 +36,30 @@ object BloomIndex {
       .groupBy("file")
       .agg(BloomSketch.bloomAgg(col("__v"), expectedPerFile, fpp).as("bloom"))
 
+  /** Hard ceiling on the sidecar rows [[candidateFiles]] will collect:
+    * driver memory is files × bloom size (≈1.2 MB/file at the default
+    * `expectedPerFile`/`fpp`), so 10⁴ files ≈ 12 GB — past this, the
+    * collect OOMs the driver instead of pruning. The fix is upstream:
+    * compact the table first (C19) so the file count drops, or rebuild
+    * with a smaller `expectedPerFile`. The guard fails loud with that
+    * advice rather than dying in an opaque heap dump. */
+  val MaxSidecarFiles: Long = 100000L
+
   /** Files that MIGHT contain `value` — exact hits plus ~fpp false
     * positives; never misses. Driver-side over the sidecar (one row
-    * per file — bounded like the manifest). */
-  def candidateFiles(index: DataFrame, value: String): Seq[String] =
+    * per file — bounded like the manifest, and GUARDED: the collect is
+    * files × bloom-size driver bytes, see [[MaxSidecarFiles]]). */
+  def candidateFiles(index: DataFrame, value: String): Seq[String] = {
+    val n = index.count()
+    require(n <= MaxSidecarFiles,
+      s"Bloom sidecar has $n files (> $MaxSidecarFiles): collecting it would hold " +
+        "files x bloom-size bytes on the driver. Compact the table first " +
+        "(sources/Compaction, C19) or rebuild the index with a smaller " +
+        "expectedPerFile, then retry.")
     index.select("file", "bloom").collect()
       .filter(r => BloomSketch.mightContainValue(r.getAs[Array[Byte]]("bloom"), value))
       .map(_.getString(0)).toSeq
+  }
 
   /** Bloom-pruned point-lookup read: semantically identical to
     * `spark.read.parquet(dir).filter(col(column) === value)` — the

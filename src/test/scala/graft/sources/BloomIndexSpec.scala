@@ -54,4 +54,16 @@ class BloomIndexSpec extends SparkSpec {
     val opened = BloomIndex.candidateFiles(index, "u11_0").length
     assert(opened <= 3, s"opened $opened of 20 files")
   }
+
+  test("candidateFiles: an over-sized sidecar fails loud, never OOMs the driver") {
+    // files x bloom-size driver bytes is the real bound; a synthetic
+    // index past MaxSidecarFiles must refuse with compaction advice
+    val big = spark.range(BloomIndex.MaxSidecarFiles + 1)
+      .select(concat(lit("f"), col("id")).as("file"),
+        lit(Array[Byte](1, 2, 3)).as("bloom"))
+    val ex = intercept[IllegalArgumentException] {
+      BloomIndex.candidateFiles(big, "v")
+    }
+    assert(ex.getMessage.contains("Compact the table first"), ex.getMessage)
+  }
 }
