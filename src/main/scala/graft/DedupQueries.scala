@@ -1,0 +1,808 @@
+package graft
+
+import graft.analytics.Kpis
+import graft.dedup.Dedup
+import graft.etl.Checks
+import graft.multimodal.Multimodal
+import graft.operators.{Packing, Sampling}
+import graft.text.TfIdf
+import graft.similarity.Ann
+import graft.text.{Redact, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+
+/** D-series DEDUP driver queries (exact/MinHash/SimHash/containment
+  * dedup, span removal, substring dedup, CDC chunking, contamination,
+  * cluster hygiene) with their DuckDB oracles — split from the former
+  * monolithic DataQueries registry; SparkEntry composes the union. */
+private[graft] object DedupQueries {
+
+  /** The d3 SimHash oracle recomputes the 60-bit md5-derived signatures
+    * in SQL: 60 per-bit vote sums over unnested tokens, then bit
+    * assembly and an O(n²) Hamming join (fine at oracle scale; the
+    * Spark side uses the pigeonhole equi-join, which is complete, so
+    * both formulations define the same pair set). */
+  private val simHashVotesSql: String =
+    (0 until 60).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+  private val simHashBitsSql: String =
+    (0 until 60).map(b => s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)").mkString(" | ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "d1_dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactGroups(docs, col("doc_id"), col("text"))
+        .orderBy("content_hash")
+    }),
+
+    // The production two-stage dedup pipeline: MinHash+LSH candidate
+    // generation composed with exact-Jaccard verification on candidates
+    // only. The oracle is the full exact-Jaccard pair set: at b=8/r=4 a
+    // true pair (every ≥0.5-Jaccard pair in this corpus is ≥0.9) is
+    // missed with prob < 2e-4, and the signature hashes are fixed, so
+    // the composed result equals the exact set deterministically.
+    "d2_dedup_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.jaccardVerify(
+          Dedup.minHashCandidates(docs, col("doc_id"), col("text"),
+            numHashes = 32, numBands = 8),
+          docs, col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Pigeonhole candidates are COMPLETE (not probabilistic), so the
+    // emitted set is exactly "all pairs with Hamming ≤ 3" — which the
+    // oracle recomputes bit-for-bit from the md5-derived signatures.
+    "d3_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          maxHamming = 3, chunks = 4)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          threshold = 0.5, k = 3, maxDf = 100)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Directional subset-duplicate detection: threshold 0.8 on
+    // |A∩B|/min — catches pairs whose Jaccard sits far below d4's 0.5
+    // bar because one side is much longer.
+    "d62_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          threshold = 0.8, k = 3, maxDf = 100)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Pairwise near-dups resolved to clusters (connected components):
+    // the keep/drop decision layer above d2. The oracle computes the
+    // same min-reachable-id labels with a recursive CTE.
+    "d15_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardVerify(
+        Dedup.minHashCandidates(docs, col("doc_id"), col("text"), 32, 8),
+        docs, col("doc_id"), col("text"), threshold = 0.5)
+      Dedup.clusterPairs(pairs).orderBy("doc_id")
+    }),
+
+    // Quality-aware canonicalization of the d15 clusters: keep each
+    // cluster's longest member (token count as the quality score — the
+    // keep-longest curation rule), ties to the smallest id; singletons
+    // keep themselves.
+    "d15b_canonical_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardVerify(
+        Dedup.minHashCandidates(docs, col("doc_id"), col("text"), 32, 8),
+        docs, col("doc_id"), col("text"), threshold = 0.5)
+      Dedup.canonicalByQuality(docs, col("doc_id"),
+          graft.text.TextFunctions.tokenCount(col("text")), Dedup.clusterPairs(pairs))
+        .orderBy("doc_id")
+    }),
+
+    // Decontamination: documents with doc_id % 50 == 0 stand in for the
+    // eval set; every other document reports its 3-gram overlap with
+    // that set's shingle universe.
+    "d25_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // SemDeDup-style semantic dedup: the corpus sharded into d23's 8
+    // md5-keyed IVF clusters, cosine compared ONLY within a cluster
+    // (the paper's own cost bound), lower-id member of every ≥τ pair
+    // survives. τ=0.45 = d12's corpus-gap threshold. The oracle mirrors
+    // centroid sample, assignment, in-cluster pairing and the keep rule,
+    // so the approximate (cluster-blocked) result itself is hash-checked.
+    "d38_semantic_dedup" -> ((s, dir) => {
+      Ann.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.45, nLists = 8)
+        .select(col("vid").as("vec_id"), col("list_id"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
+    // Soft dedup: 1/|cluster| sampling weights over the d15 component
+    // pipeline, singletons at weight 1 — the oracle re-derives the
+    // clusters recursively and the weights from their sizes.
+    "d61_soft_dedup" -> ((s, dir) => {
+      Dedup.duplicationWeights(Tables.documents(s, dir),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // Contamination-span removal: every train-doc token covered by a
+    // 4-gram the eval slice (doc_id % 50 = 0, d25's split) contains is
+    // masked; content verified via an md5 prefix like d31.
+    "d59_decontam_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.removeContaminatedSpans(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          col("doc_id"), col("text"), col("text"), w = 4)
+        .select(col("doc_id"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
+          col("n_tokens"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Sub-document duplication: share of 4-token windows that also
+    // occur in another document, aggregated per source.
+    "d28_dup_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.duplicatedSpanStats(docs, col("doc_id"), col("text"), w = 4)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_windows").as("n_windows"),
+          sum("n_dup_windows").as("n_dup"),
+          round(sum("n_dup_windows").cast("double") / sum("n_windows"), 4).as("dup_ratio"))
+        .orderBy("source")
+    }),
+
+    // Duplicated-span REMOVAL — the rewrite half of d28: every token
+    // covered by a cross-document 4-token window is dropped, and the
+    // cleaned text itself is verified via an md5 prefix (content, not
+    // just counts).
+    "d31_span_removal" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpans(Tables.documents(s, dir),
+          col("doc_id"), col("text"), w = 4)
+        .select(col("doc_id"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
+          col("n_tokens"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Canonical-owner variant of d31: the min-id document owning each
+    // cross-document gram KEEPS its spans; only non-owners drop tokens —
+    // one copy of shared boilerplate survives the corpus.
+    "d31b_span_keepfirst" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpansKeepFirst(Tables.documents(s, dir),
+          col("doc_id"), col("text"), w = 4)
+        .select(col("doc_id"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
+          col("n_tokens"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact-substring dedup (Lee et al. 2021) at 5-token granularity:
+    // any ≥5-token substring occurring more than once in the corpus
+    // (within-doc repeats count) is removed everywhere except its
+    // globally-first occurrence; content verified via an md5 prefix.
+    "d91_substring_dedup" -> ((s, dir) => {
+      Dedup.exactSubstringDedup(Tables.documents(s, dir),
+          col("doc_id"), col("text"), k = 5)
+        .select(col("doc_id"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_md5"),
+          col("n_tokens"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Cross-document paragraph dedup with reassembly: keep-first on the
+    // normalized-paragraph fingerprint, survivors rejoin in order. The
+    // reassembled text is verified via md5.
+    "d43_paragraph_dedup" -> ((s, dir) =>
+      graft.dedup.Dedup.paragraphDedup(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")),
+
+    // Near-identical identifiers (one-keystroke variants) among customer
+    // names: deletion-neighborhood equi-join (FastSS) generates
+    // candidates, exact levenshtein verifies — never all-pairs over |V|².
+    "d85_spell_variants" -> ((s, dir) => {
+      val vocab = Tables.customer(s, dir)
+        .select(lower(trim(col("c_name"))).as("term"))
+      graft.dedup.EditDistance.spellVariantPairs(vocab, col("term"),
+          minLen = 4, keyDfCap = 100)
+        .orderBy("a", "b")
+    }),
+
+    // Perceptual-hash near-dup pairing (the banding half of D51; the
+    // decode/hash half is spec-covered on real JDK rasters). Hashes
+    // synthesized with planted near-duplicates: md5 bucket base XOR a
+    // 1-bit perturbation — same-bucket pairs sit at Hamming 0/2,
+    // cross-bucket pairs are ~30 bits apart. Spark runs the pigeonhole
+    // band join; the oracle brute-forces all pairs, so a hash match
+    // PROVES band completeness at maxHamming=2.
+    "d51_phash_neardup" -> ((s, dir) => {
+      val h = conv(substring(md5(pmod(col("doc_id"), lit(37)).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseXOR(expr("CAST(pow(2, doc_id % 11) AS BIGINT)"))
+      val hashes = Tables.documents(s, dir).select(col("doc_id").as("media_id"), h.as("h"))
+      graft.multimodal.ImageHash.nearDupPairs(hashes, "h", maxHamming = 2)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"), sum("id_a").as("sum_a"), sum("id_b").as("sum_b"))
+        .orderBy("hamming")
+    }),
+
+    // Leakage-safe train/val/test split: assignment keyed on the
+    // CONTENT fingerprint so normalized-identical documents co-assign;
+    // the per-document assignment itself is hash-checked.
+    "d33_leakage_split" -> ((s, dir) => {
+      Sampling.leakageSafeSplit(Tables.documents(s, dir), col("text"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Over-merge audit of the d15 component stack: per-cluster edge
+    // density + similarity floor, the chain-merge visibility report.
+    "d70_cluster_audit" -> ((s, dir) => {
+      Dedup.clusterQuality(Tables.documents(s, dir), col("doc_id"), col("text"),
+          threshold = 0.5)
+        .orderBy("cluster_id")
+    }),
+
+    // Blocker-quality report: the d66 sorted-neighborhood candidates
+    // scored against the exact-Jaccard truth — recall/precision the
+    // oracle recomputes from scratch.
+    "d69_blocker_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = graft.dedup.SortedNeighborhood.neighborPairs(docs,
+        col("doc_id"), Seq(col("n_chars")), window = 10)
+      graft.dedup.BlockerEval.report(docs, col("doc_id"), col("text"), cand,
+        threshold = 0.5)
+    }),
+
+    // Near-dup-safe splits: cluster labels (not doc ids) are hashed to
+    // splits, so lightly-edited copies co-assign. Grouped output keeps
+    // the oracle discriminating (counts, cluster counts, id checksum).
+    "d67_cluster_safe_split" -> ((s, dir) => {
+      Dedup.clusterSafeSplit(Tables.documents(s, dir), col("doc_id"), col("text"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), threshold = 0.5)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("doc_id")).as("doc_id_sum"))
+        .orderBy("split")
+    }),
+
+    // Sorted-neighborhood blocking by document length, exact-Jaccard
+    // verified — the deterministic-candidate-count blocker next to
+    // d2's MinHash banding, over the same corpus and verify stage.
+    "d66_sorted_neighborhood" -> ((s, dir) => {
+      graft.dedup.SortedNeighborhood.nearDupPairs(Tables.documents(s, dir),
+          col("doc_id"), col("text"), Seq(col("n_chars")), window = 10, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Content-defined chunking dedup: boundary-stable chunk table over
+    // the corpus, grouped by chunk hash — the top duplicated chunks a
+    // CDC store would physically dedup. Zero-shuffle chunking on the
+    // scan; the hash groupBy is the only exchange.
+    "d83_cdc_chunks" -> ((s, dir) => {
+      val chunks = graft.dedup.Cdc.cdcChunks(Tables.documents(s, dir),
+        col("doc_id"), col("text"), window = 16, marker = "0")
+      chunks.groupBy(col("chunk_hash").as("h"))
+        .agg(count(lit(1)).as("n_copies"), min(col("chunk_len")).as("len"),
+          ((count(lit(1)) - 1) * min(col("chunk_len"))).as("saved_chars"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("saved_chars").desc, col("h")).limit(20)
+    }),
+
+    // CDC revision delta between two synthesized snapshots (every %3rd
+    // doc prefix-edited, %7th absent before = added, %11th absent
+    // after = deleted): per-status doc counts + exact-decimal mean
+    // change ratio. The append-edit docs score near 0, not 1 — the
+    // boundary re-alignment property, measured on the corpus.
+    "d83b_cdc_change" -> ((s, dir) => {
+      import graft.dedup.Cdc
+      val base = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val before = base.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(lit("EDIT: "), col("text"))).otherwise(col("text")))
+      val after = base.filter(col("doc_id") % 11 =!= 0)
+      Cdc.changeRatio(
+          Cdc.cdcChunks(before, col("doc_id"), col("text"), marker = "0"),
+          Cdc.cdcChunks(after, col("doc_id"), col("text"), marker = "0"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          when(count(col("change_ratio")) > 0,
+            round(sum(col("change_ratio").cast("decimal(10,6)")).cast("double") /
+              count(col("change_ratio")), 6)).as("mean_ratio"),
+          sum(col("shared_chars")).as("shared_total"))
+        .orderBy("status")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "d1_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+        | min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    // d2 emits MinHash candidates verified to exact Jaccard ≥ 0.5; with
+    // b=8/r=4 the composed result equals the full exact pair set (see
+    // the query comment), so the oracle is the exact formulation.
+    "d2_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter),4) AS jaccard
+        |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE inter*1.0/(x.n + y.n - inter) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d3_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),'\\s+',' ','g'), ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM toks),
+         |v AS (SELECT doc_id, $simHashVotesSql FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, $simHashBitsSql AS sim FROM v)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Mirrors the maxDf=100 stop-shingle cap: shingles in >100 documents
+    // leave the universe before sizes and intersections are counted.
+    // d4's inverted-index chain with the containment score and the
+    // contained-side (smaller capped set, ties → doc_a) attribution.
+    "d62_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT doc_a, doc_b, round(inter*1.0/least(x.n, y.n),4) AS containment,
+        |  CASE WHEN x.n <= y.n THEN doc_a ELSE doc_b END AS contained
+        |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE inter*1.0/least(x.n, y.n) >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep USING (g)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter),4) AS jaccard
+        |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE inter*1.0/(x.n + y.n - inter) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d15's recursive-components oracle extended with cluster sizes
+    // and the 1/size weight, singletons coalescing to weight 1.
+    "d61_soft_dedup" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |dup AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach(id, r) AS (SELECT src, src FROM e
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |szc AS (SELECT cluster_id, count(*) AS csz FROM cl GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+        | CAST(coalesce(szc.csz, 1) AS BIGINT) AS cluster_size,
+        | round(1.0 / coalesce(szc.csz, 1), 6) AS weight
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |LEFT JOIN szc ON cl.cluster_id = szc.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // d31's mask replay with the dup-gram set swapped for the eval
+    // slice's distinct grams.
+    "d59_decontam_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t
+        |              FROM documents WHERE doc_id % 50 <> 0),
+        |etoks AS (SELECT string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t
+        |          FROM documents WHERE doc_id % 50 = 0),
+        |eg AS (SELECT DISTINCT t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |       FROM etoks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
+        |        FROM g JOIN eg USING (g), UNNEST(range(4)) AS v(o)),
+        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
+        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
+        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
+        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
+
+    // Duplicated 4-token windows recomputed from the raw text: same
+    // normalization, same window positions, duplicated iff the exact
+    // gram occurs in >= 2 distinct documents (the oracle compares gram
+    // TEXT; the Spark side's 128-bit md5 keys are collision-free at
+    // verification scale).
+    "d28_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, source, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |pg AS (SELECT doc_id, source, g, count(*) AS cnt FROM g GROUP BY 1,2,3),
+        |fr AS (SELECT g, count(*) AS n_docs FROM pg GROUP BY 1),
+        |d AS (SELECT doc_id, source, sum(cnt) AS nw,
+        |       sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS nd
+        |      FROM pg JOIN fr USING (g) GROUP BY 1,2)
+        |SELECT source, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_windows,
+        | CAST(sum(nd) AS BIGINT) AS n_dup, round(sum(nd)*1.0/sum(nw), 4) AS dup_ratio
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "d31_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
+        |        FROM g JOIN dup USING (g), UNNEST(range(4)) AS v(o)),
+        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
+        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
+        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
+        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
+
+    // Lee-et-al exact-substring removal: TOTAL occurrence counting
+    // (within-doc repeats duplicate), globally-first occurrence kept —
+    // rn-1 election over (doc_id, pos) replays the min-struct owner.
+    "d91_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |occ AS (SELECT doc_id, pos,
+        |         count(*) OVER (PARTITION BY g) AS nocc,
+        |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |        FROM g),
+        |drop0 AS (SELECT doc_id, pos FROM occ WHERE nocc >= 2 AND rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + 1 + o AS i
+        |        FROM drop0, UNNEST(range(5)) AS v(o)),
+        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
+        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
+        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
+        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
+
+    // d31 oracle with per-gram owner election: min-doc_id owner keeps
+    // its occurrences, only non-owner occurrences are covered.
+    "d31b_span_keepfirst" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+        |      FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+        |dup AS (SELECT g, min(doc_id) AS owner FROM (SELECT DISTINCT doc_id, g FROM g)
+        |        GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + 1 + o AS i
+        |        FROM g JOIN dup USING (g), UNNEST(range(4)) AS v(o)
+        |        WHERE g.doc_id <> dup.owner),
+        |te AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT te.doc_id, te.i, te.w FROM te
+        |         LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.i = cov.i WHERE cov.i IS NULL),
+        |res AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT toks.doc_id, substr(md5(coalesce(res.clean_text, '')), 1, 8) AS clean_md5,
+        | CAST(len(toks.t) AS BIGINT) AS n_tokens, CAST(coalesce(res.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM toks LEFT JOIN res ON toks.doc_id = res.doc_id ORDER BY toks.doc_id""".stripMargin,
+
+    "d33_leakage_split" ->
+      """WITH t AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),
+        |b AS (SELECT doc_id, CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT) % 1000000 AS bk FROM t)
+        |SELECT doc_id,
+        | CASE WHEN bk < 800000 THEN 'train' WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Brute-force all-pairs ≤2-Hamming ground truth over the mirrored
+    // hash construction — verifies the band join misses nothing.
+    "d51_phash_neardup" ->
+      """WITH h AS (SELECT doc_id AS id,
+        |  xor(CAST('0x' || substr(md5(CAST(doc_id % 37 AS VARCHAR)), 1, 15) AS BIGINT),
+        |      CAST(pow(2, doc_id % 11) AS BIGINT)) AS h
+        | FROM documents),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.h, b.h)) AS hamming
+        |  FROM h a JOIN h b ON a.id < b.id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 2)
+        |SELECT hamming, count(*) AS n_pairs,
+        | CAST(sum(id_a) AS BIGINT) AS sum_a, CAST(sum(id_b) AS BIGINT) AS sum_b
+        |FROM p GROUP BY 1 ORDER BY hamming""".stripMargin,
+
+    // Same deletion-key formula (i=0..len covers the term itself), same
+    // df cap on distinct-term neighborhoods, same exact verify.
+    "d85_spell_variants" ->
+      """WITH v AS (SELECT DISTINCT lower(trim(c_name)) AS w FROM customer
+        |  WHERE c_name IS NOT NULL AND length(trim(c_name)) >= 4),
+        |kd AS (SELECT DISTINCT w,
+        |    substr(w, 1, i) || substr(w, i + 2, length(w)) AS key
+        |  FROM v, UNNEST(range(0, length(w) + 1)) AS r(i)),
+        |kf AS (SELECT key FROM kd GROUP BY key HAVING count(*) <= 100),
+        |p AS (SELECT DISTINCT x.w AS a, y.w AS b
+        |  FROM kd x JOIN kf ON x.key = kf.key JOIN kd y ON y.key = kf.key
+        |  WHERE x.w < y.w)
+        |SELECT a, b, CAST(levenshtein(a, b) AS INT) AS dist FROM p
+        |WHERE levenshtein(a, b) <= 1 ORDER BY a, b""".stripMargin,
+
+    // Keep-first = lexicographic min (doc_id, pos) per fingerprint,
+    // computed as two chained mins (min doc, then min pos within it) —
+    // the same winner Spark's min(struct) elects. Reassembly mirrors
+    // the "\n\n" join ordered by original position.
+    "d43_paragraph_dedup" ->
+      """WITH ps AS (SELECT doc_id, string_split_regex(text, '\n{2,}') AS arr FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos, arr[i] AS para,
+        |    md5(regexp_replace(lower(trim(arr[i])), '\s+', ' ', 'g')) AS fp
+        |  FROM ps, UNNEST(range(1, len(arr) + 1)) AS u(i)
+        |  WHERE length(trim(arr[i])) > 0),
+        |w1 AS (SELECT fp, min(doc_id) AS d0 FROM p GROUP BY 1),
+        |w2 AS (SELECT p.fp, min(p.pos) AS p0 FROM p JOIN w1 ON p.fp = w1.fp AND p.doc_id = w1.d0 GROUP BY 1),
+        |k AS (SELECT p.doc_id, p.pos, p.para, (p.doc_id = w1.d0 AND p.pos = w2.p0) AS keep
+        |  FROM p JOIN w1 ON p.fp = w1.fp JOIN w2 ON p.fp = w2.fp)
+        |SELECT doc_id, count(*) AS n_paras,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | md5(coalesce(string_agg(para, chr(10)||chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d25_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM sh0 WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, g FROM sh0 WHERE doc_id % 50 <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+        |m AS (SELECT tr.doc_id, count(*) AS n_matched FROM tr JOIN ev USING (g) GROUP BY 1)
+        |SELECT m.doc_id, sz.n_shingles, m.n_matched,
+        | round(m.n_matched*1.0/sz.n_shingles, 4) AS overlap_ratio,
+        | (m.n_matched*1.0/sz.n_shingles >= 0.5) AS contaminated
+        |FROM m JOIN sz ON m.doc_id = sz.doc_id ORDER BY m.doc_id""".stripMargin,
+
+    // Mirrors the ENTIRE cluster-blocked pipeline (same centroid sample
+    // + argmax assignment as d23), then the in-cluster pairwise ≥τ drop
+    // rule — the approximate dedup decision itself is hash-checked.
+    "d38_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |k0 AS (SELECT vec_id AS kid, v AS cvec,
+        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+        |  FROM c ORDER BY hk, kid LIMIT 8),
+        |cents AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS list_id, cvec FROM k0),
+        |assign AS (SELECT cid, list_id FROM (
+        |  SELECT cc.vec_id AS cid, k.list_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
+        |      k.list_id) AS rn
+        |  FROM c cc, cents k) WHERE rn = 1),
+        |m AS (SELECT a.cid AS vid, a.list_id, c.v FROM assign a JOIN c ON c.vec_id = a.cid),
+        |drp AS (SELECT DISTINCT b.vid AS vid
+        |  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vid < b.vid
+        |  WHERE list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)
+        |SELECT m.vid AS vec_id, m.list_id, (drp.vid IS NULL) AS kept
+        |FROM m LEFT JOIN drp USING (vid) ORDER BY vec_id""".stripMargin,
+
+    "d15_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |dup AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach(id, r) AS (SELECT src, src FROM e
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // d15's recursive-CTE clustering + the d17 token-count idiom; keep =
+    // top-1 by (tokens DESC, doc_id ASC) within each cluster, singletons
+    // (docs outside every pair) cluster with themselves.
+    "d15b_canonical_keep" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |dup AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach(id, r) AS (SELECT src, src FROM e
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |, lab AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id, len(t) AS ntok FROM toks),
+        |f AS (SELECT q.doc_id, COALESCE(lab.cluster_id, q.doc_id) AS cluster_id, q.ntok
+        |      FROM q LEFT JOIN lab USING (doc_id)),
+        |r AS (SELECT doc_id, cluster_id,
+        |      row_number() OVER (PARTITION BY cluster_id ORDER BY ntok DESC, doc_id ASC) AS rn
+        |      FROM f)
+        |SELECT doc_id, cluster_id, (rn = 1) AS keep FROM r ORDER BY doc_id""".stripMargin,
+
+    // d15's recursive clustering with per-pair scores kept; densities
+    // and similarity floors over the same rounded edge table.
+    "d70_cluster_audit" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |dup AS (SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter), 4) AS j
+        |        FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach(id, r) AS (SELECT src, src FROM e
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |lab AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY 1),
+        |szs AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1),
+        |ed AS (SELECT lab.cluster_id, count(*) AS n_edges,
+        |    min(j) AS minj, avg(j) AS avgj
+        |  FROM dup JOIN lab ON dup.doc_a = lab.doc_id GROUP BY 1)
+        |SELECT s.cluster_id, s.n_members, ed.n_edges,
+        | round(ed.n_edges * 2.0 / (s.n_members * (s.n_members - 1)), 4) AS density,
+        | round(minj, 4) AS min_jaccard, round(avgj, 4) AS avg_jaccard
+        |FROM szs s JOIN ed USING (cluster_id) ORDER BY cluster_id""".stripMargin,
+
+    // d66's rank-window candidates vs the (effectively uncapped at this
+    // corpus) exact-Jaccard truth; same normalization and counts.
+    "d69_blocker_eval" ->
+      """WITH rk AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS r FROM documents),
+        |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 10),
+        |toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |truth AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |          WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |f AS (SELECT count(*) AS n_found FROM cand JOIN truth USING (doc_a, doc_b)),
+        |t AS (SELECT count(*) AS n_true FROM truth),
+        |c AS (SELECT count(*) AS n_candidates FROM cand)
+        |SELECT t.n_true, c.n_candidates, f.n_found,
+        | round(CASE WHEN t.n_true > 0 THEN f.n_found * 1.0 / t.n_true END, 4) AS recall,
+        | round(CASE WHEN c.n_candidates > 0 THEN f.n_found * 1.0 / c.n_candidates END, 4) AS precision
+        |FROM t, c, f""".stripMargin,
+
+    // d15's recursive-CTE clustering (singletons self-label via the
+    // left-join coalesce) + d33's md5-bucket assignment on the LABEL.
+    "d67_cluster_safe_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |dup AS (SELECT doc_a, doc_b FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |        WHERE inter*1.0/(x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup UNION SELECT doc_b, doc_a FROM dup),
+        |reach(id, r) AS (SELECT src, src FROM e
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |lab AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY 1),
+        |assigned AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cid
+        |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+        |b AS (SELECT doc_id, cid,
+        |   CAST('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bk
+        |  FROM assigned)
+        |SELECT CASE WHEN bk < 800000 THEN 'train' WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs, count(DISTINCT cid) AS n_clusters,
+        | CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // Same (n_chars, doc_id) total order, same rank-window candidates,
+    // d4's uncapped distinct-shingle Jaccard on exactly those pairs.
+    "d66_sorted_neighborhood" ->
+      """WITH rk AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS r FROM documents),
+        |cand AS (SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 10),
+        |toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |      JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(inter*1.0/(x.n + y.n - inter), 4) AS jaccard
+        |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE inter*1.0/(x.n + y.n - inter) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same windowed-md5 boundary rule, same tiling, same rollup.
+    "d83_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |bd AS (SELECT doc_id, text, n,
+        |    CASE WHEN n >= 16 THEN list_filter(range(16, n + 1),
+        |        i -> substr(md5(substr(text, CAST(i AS INT) - 15, 16)), 1, 1) = '0')
+        |      ELSE [] END AS bs
+        |  FROM d),
+        |ch AS (SELECT doc_id, text,
+        |    list_prepend(CAST(1 AS BIGINT), list_transform(bs, b -> b + 1)) AS ss,
+        |    list_append(bs, CAST(n AS BIGINT)) AS es FROM bd),
+        |ex AS (SELECT doc_id, text, ss, es,
+        |    UNNEST(range(1, len(ss) + 1)) AS i FROM ch),
+        |c2 AS (SELECT doc_id,
+        |    md5(substr(text, CAST(ss[i] AS INT), CAST(es[i] - ss[i] + 1 AS INT))) AS h,
+        |    es[i] - ss[i] + 1 AS len
+        |  FROM ex WHERE es[i] >= ss[i])
+        |SELECT h, count(*) AS n_copies, min(len) AS len,
+        |  CAST((count(*) - 1) * min(len) AS BIGINT) AS saved_chars
+        |FROM c2 GROUP BY h HAVING count(*) > 1
+        |ORDER BY saved_chars DESC, h LIMIT 20""".stripMargin,
+
+    // Both snapshots chunked through one side-tagged pipeline, then the
+    // same min-multiplicity shared-bytes join and status rules.
+    "d83b_cdc_change" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |u AS (SELECT 'a' AS side, doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'EDIT: ' || text ELSE text END AS text
+        |  FROM base WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'b' AS side, doc_id, text FROM base WHERE doc_id % 11 <> 0),
+        |d AS (SELECT side, doc_id, text, length(text) AS n FROM u),
+        |bd AS (SELECT side, doc_id, text, n,
+        |    CASE WHEN n >= 16 THEN list_filter(range(16, n + 1),
+        |        i -> substr(md5(substr(text, CAST(i AS INT) - 15, 16)), 1, 1) = '0')
+        |      ELSE [] END AS bs
+        |  FROM d),
+        |ch AS (SELECT side, doc_id, text,
+        |    list_prepend(CAST(1 AS BIGINT), list_transform(bs, b -> b + 1)) AS ss,
+        |    list_append(bs, CAST(n AS BIGINT)) AS es FROM bd),
+        |ex AS (SELECT side, doc_id, text, ss, es,
+        |    UNNEST(range(1, len(ss) + 1)) AS i FROM ch),
+        |c2 AS (SELECT side, doc_id,
+        |    md5(substr(text, CAST(ss[i] AS INT), CAST(es[i] - ss[i] + 1 AS INT))) AS h,
+        |    es[i] - ss[i] + 1 AS len
+        |  FROM ex WHERE es[i] >= ss[i]),
+        |ph AS (SELECT side, doc_id, h, count(*) AS cnt, min(len) AS len
+        |  FROM c2 GROUP BY 1, 2, 3),
+        |j AS (SELECT coalesce(pa.doc_id, pb.doc_id) AS id,
+        |    pa.cnt AS na, pa.len AS la, pb.cnt AS nb, pb.len AS lb
+        |  FROM (SELECT * FROM ph WHERE side = 'a') pa
+        |  FULL OUTER JOIN (SELECT * FROM ph WHERE side = 'b') pb
+        |    ON pa.doc_id = pb.doc_id AND pa.h = pb.h),
+        |per AS (SELECT id, sum(na * la) AS tb, sum(nb * lb) AS ta,
+        |    sum(least(coalesce(na, 0), coalesce(nb, 0)) * coalesce(la, lb)) AS sh
+        |  FROM j GROUP BY 1),
+        |st AS (SELECT id, sh,
+        |    CASE WHEN tb IS NULL THEN 'added' WHEN ta IS NULL THEN 'deleted'
+        |         WHEN sh = ta AND tb = ta THEN 'unchanged' ELSE 'changed' END AS status,
+        |    CASE WHEN ta IS NULL THEN NULL
+        |         ELSE round(1.0 - sh * 1.0 / ta, 6) END AS cr
+        |  FROM per)
+        |SELECT status, count(*) AS n_docs,
+        |  CASE WHEN count(cr) > 0 THEN
+        |    round(CAST(sum(CAST(cr AS DECIMAL(10,6))) AS DOUBLE) / count(cr), 6)
+        |  END AS mean_ratio,
+        |  CAST(sum(sh) AS BIGINT) AS shared_total
+        |FROM st GROUP BY 1 ORDER BY status""".stripMargin
+  )
+}

@@ -18,7 +18,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ KpiQueries.queries ++
-      RelationalQueries.queries ++ DataQueries.queries ++ StreamQueries.queries
+      RelationalQueries.queries ++ GraphQueries.queries ++ DataQueries.queries ++
+      DedupQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
+      StreamQueries.queries
 
   /** DuckDB oracles — identical aliases, identical deterministic
     * ordering. Every query has one (round 1's five `no_oracle` gaps are
@@ -28,5 +30,7 @@ object SparkEntry {
     * equals the exact set, d13's checksum is sha256 — portable). */
   def oracleSql: Map[String, String] =
     EtlQueries.oracleSql ++ KpiQueries.oracleSql ++
-      RelationalQueries.oracleSql ++ DataQueries.oracleSql ++ StreamQueries.oracleSql
+      RelationalQueries.oracleSql ++ GraphQueries.oracleSql ++ DataQueries.oracleSql ++
+      DedupQueries.oracleSql ++ TextQueries.oracleSql ++ VectorQueries.oracleSql ++
+      StreamQueries.oracleSql
 }
