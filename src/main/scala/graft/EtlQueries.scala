@@ -17,6 +17,35 @@ private[graft] object EtlQueries {
     // ================================================================ A: ETL
 
     // Crawl-curation composition: blocklist the site0.com domain, then
+    // The full crawl-curation loop COMPOSED (A25 linkEdges → A26
+    // robots filterAllowed → C23 PageRank): pages + absolute links
+    // synthesized from doc ids (the a20 discipline — both engines
+    // derive identical URLs), site0.com's robots disallows everything,
+    // so every edge touching it is un-fetchable; rank the survivors.
+    "a30_crawl_rank" -> ((s, dir) => {
+      import s.implicits._
+      def pageUrl(id: org.apache.spark.sql.Column) =
+        concat(lit("https://site"), pmod(id, lit(7)).cast("string"),
+          lit(".com/page"), id.cast("string"))
+      val pages = Tables.documents(s, dir).select(
+        pageUrl(col("doc_id")).as("url"),
+        concat(lit("<html><body><a href=\""),
+          pageUrl((col("doc_id") * 17 + 1) % 500),
+          lit("\">next</a> <a href=\""),
+          pageUrl((col("doc_id") * 31 + 7) % 500),
+          lit("\">other</a></body></html>")).as("html"))
+      val edges = graft.text.HtmlExtract.linkEdges(pages, col("url"), col("html"))
+      val rules = graft.sources.Robots.parseRobots(
+        Seq(("site0.com", "User-agent: *\nDisallow: /")).toDF("domain", "body"),
+        col("domain"), col("body"))
+      val fetchable = graft.sources.Robots.filterAllowed(
+        graft.sources.Robots.filterAllowed(edges, col("dst"), rules, agent = "graftbot"),
+        col("src"), rules, agent = "graftbot")
+      graft.graph.PageRank.pageRank(fetchable, damping = 0.85, iters = 5)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy("vertex")
+    }),
+
     // cap every surviving domain at 20 docs via the deterministic
     // expected-k hash thinning (URLs synthesized from doc ids so the
     // oracle reproduces them byte-for-byte).
@@ -283,6 +312,36 @@ private[graft] object EtlQueries {
     // Mirrors the synthesized URLs, the registrable-domain heuristic's
     // result on them (siteN.com), the blocklist, and the md5-derived
     // expected-k thinning rule exactly.
+    // Same synthesized link graph (self-loops dropped, DISTINCT edges,
+    // every site0.com endpoint un-fetchable), then c23's unrolled
+    // power-iteration rounds with identical IEEE op order.
+    "a30_crawl_rank" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""dm$i AS (SELECT coalesce(sum(CASE WHEN d IS NULL THEN rank END), 0) AS m FROM r${i - 1}),
+           |inc$i AS (SELECT e.dst AS v, sum(r.rank/r.d) AS s FROM r${i - 1} r JOIN e ON r.v = e.src
+           |          WHERE r.d IS NOT NULL GROUP BY 1),
+           |r$i AS (SELECT vd.v, vd.d,
+           |        (1.0-0.85)*(1.0/nn.n) + 0.85*(coalesce(inc$i.s, 0) + dm$i.m*(1.0/nn.n)) AS rank
+           |        FROM vd LEFT JOIN inc$i ON vd.v = inc$i.v, dm$i, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id AS x FROM documents),
+         |tgt AS (SELECT x, (x*17+1) % 500 AS t FROM ids
+         |        UNION ALL SELECT x, (x*31+7) % 500 AS t FROM ids),
+         |e0 AS (SELECT
+         |   'https://site' || CAST(x % 7 AS VARCHAR) || '.com/page' || CAST(x AS VARCHAR) AS src,
+         |   'https://site' || CAST(t % 7 AS VARCHAR) || '.com/page' || CAST(t AS VARCHAR) AS dst
+         |  FROM tgt),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+         |      AND src NOT LIKE 'https://site0.com/%' AND dst NOT LIKE 'https://site0.com/%'),
+         |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src AS v, count(*) AS d FROM e GROUP BY 1),
+         |vd AS (SELECT v.v, deg.d FROM v LEFT JOIN deg USING (v)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |r0 AS (SELECT vd.v, vd.d, 1.0/nn.n AS rank FROM vd, nn),
+         |$rounds
+         |SELECT v AS vertex, round(rank, 6) AS rank FROM r5 ORDER BY vertex""".stripMargin
+    },
+
     "a20_domain_cap" ->
       """WITH u AS (SELECT doc_id, 'site' || (doc_id % 7) || '.com' AS dom FROM documents),
         |f AS (SELECT * FROM u WHERE dom <> 'site0.com'),
