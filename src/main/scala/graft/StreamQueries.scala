@@ -157,6 +157,82 @@ private[graft] object StreamQueries {
         .select(col("event_type"), round(col("score"), 4).as("score"))
     }),
 
+    // E15 — streaming drift cells: per-epoch (slice, bin) histogram
+    // counters re-summed at read ≡ the batch D52 PSI/chi² report.
+    "e15_drift_cells" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = graft.text.TextFunctions.qualityScore(col("text"))
+      val state = tmp("graft_e15")
+      (0 to 2).foreach { ep =>
+        StreamOps.driftCellsBatch(docs.filter(col("doc_id") % 3 === ep), ep,
+          "source", q, state, nBins = 10, lo = 0.0, hi = 1.0)
+      }
+      graft.text.CorpusStats.qualityDriftFromCells(
+          s.read.parquet(state).drop("batch"), nBins = 10)
+        .orderBy("slice")
+    }),
+
+    // E28 — streaming PCA moment state: one (n, Σv, Σvvᵀ) row per
+    // epoch, merged + eigensolved at read ≡ the batch D77 spectrum.
+    "e28_pca_moments" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val state = tmp("graft_e28")
+      (0 to 2).foreach { ep =>
+        StreamOps.pcaMomentStateBatch(emb.filter(col("vec_id") % 3 === ep),
+          ep, "embedding", 64, state)
+      }
+      val m = StreamOps.pcaFromState(s, state, dim = 64, k = 64)
+      Seq((m.n, m.eigenvalues.sum, m.eigenvalues.map(l => l * l).sum))
+        .toDF("n", "tr", "fr")
+        .select(col("n"), round(col("tr"), 4).as("trace"),
+          round(col("fr"), 4).as("frob2"))
+    }),
+
+    // E32 — streaming vocabulary-growth state: each epoch lands only
+    // its first-seen-ever tokens (anti-join vs the persisted index, so
+    // epochs MUST fold in order); the growth curve ≡ per-token
+    // min-epoch over the same split.
+    "e32_vocab_growth" -> ((s, dir) => {
+      // the synthetic corpus's 31-token vocabulary saturates in any
+      // first epoch; a doc-id-derived token per document keeps the
+      // growth curve non-degenerate (both engines derive it)
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" uniq"), col("doc_id")).as("text"))
+      val state = tmp("graft_e32")
+      (0 to 2).foreach { ep =>
+        StreamOps.vocabGrowthBatch(docs.filter(col("doc_id") % 3 === ep),
+          ep, "text", state)
+      }
+      StreamOps.vocabGrowthCurve(s, state).orderBy("epoch")
+    }),
+
+    // E36 — streaming Holt forecast state: the per-type daily-revenue
+    // series folded across 3 day-tercile epochs, seeded from persisted
+    // (l, b, n) ≡ the batch B29 recurrence over the full series.
+    "e36_forecast_state" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value")).as("x"))
+        .select(col("event_type"), col("d").cast("timestamp").as("ts"), col("x"))
+      val us = Relational.epochMicros(col("ts"))
+      val (c1, c2) = terciles(daily)
+      val state = tmp("graft_e36")
+      StreamOps.forecastStateBatch(daily.filter(us <= c1), 0L,
+        Seq("event_type"), "ts", "x", alpha = 0.3, beta = 0.1, state)
+      StreamOps.forecastStateBatch(daily.filter(us > c1 && us <= c2), 1L,
+        Seq("event_type"), "ts", "x", alpha = 0.3, beta = 0.1, state)
+      StreamOps.forecastStateBatch(daily.filter(us > c2), 2L,
+        Seq("event_type"), "ts", "x", alpha = 0.3, beta = 0.1, state)
+      StreamOps.forecastFrom(s, state, Seq("event_type"), horizon = 7)
+        .select(col("event_type"), col("n"),
+          round(col("level"), 4).as("level"),
+          round(col("trend"), 4).as("trend"),
+          round(col("forecast"), 4).as("forecast"))
+        .orderBy("event_type")
+    }),
+
     // E37 — Markov transition state: 3 event-time-tercile epochs, each
     // folding its batch's per-entity pairs PLUS the cross-batch boundary
     // pair from persisted last-state; the rolled-up matrix must equal
@@ -268,6 +344,78 @@ private[graft] object StreamQueries {
         |SELECT event_type,
         | round(sum(pow(2.0, (us - gref) / (604800.0 * 1e6))), 4) AS score
         |FROM e, g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // d52's batch drift report verbatim — the cell rollup must be
+    // indistinguishable from never having split.
+    "e15_drift_cells" ->
+      """WITH t0 AS (SELECT source, length(text) AS nc,
+        |   len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS nw,
+        |   length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS np,
+        |   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu
+        |  FROM documents),
+        |t AS (SELECT source, least(1.0, nw/100.0)*0.5 + (1 - least(CAST(np AS DOUBLE)/nc, 1.0))*0.3
+        |     + (1 - least(CAST(nu AS DOUBLE)/nc, 1.0))*0.2 AS v FROM t0),
+        |b AS (SELECT source, least(9, greatest(0, CAST(floor(v/0.1) AS INT))) AS bin FROM t),
+        |cells AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1,2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+        |gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS c_g FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g FROM gb),
+        |grid AS (SELECT st.source, st.n_s, gb.bin, gb.c_g, coalesce(cells.c, 0) AS c
+        |  FROM st CROSS JOIN gb LEFT JOIN cells ON cells.source = st.source AND cells.bin = gb.bin),
+        |x AS (SELECT source, n_s, c, c_g,
+        |   (c + 0.5) / (n_s + 5.0) AS p, (c_g + 0.5) / ((SELECT n_g FROM g) + 5.0) AS q,
+        |   CAST(c_g AS DOUBLE) / (SELECT n_g FROM g) AS qe FROM grid)
+        |SELECT source AS slice, max(n_s) AS n,
+        | round(sum((p - q) * ln(p / q)), 6) AS psi,
+        | round(sum(CASE WHEN c_g > 0 THEN pow(c - n_s * qe, 2) / (n_s * qe) ELSE 0 END), 4) AS chi2
+        |FROM x GROUP BY 1 ORDER BY slice""".stripMargin,
+
+    // d77's covariance spectrum verbatim — merged moments ≡ one pass.
+    "e28_pca_moments" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, CAST(u.d AS INT) AS d, v[CAST(u.d AS INT) + 1] AS val
+        |      FROM e, UNNEST(range(64)) AS u(d)),
+        |c AS (SELECT a.d AS i, b.d AS j, covar_pop(a.val, b.val) AS cv
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+        |SELECT (SELECT count(*) FROM e) AS n,
+        |       round(sum(CASE WHEN i = j THEN cv ELSE 0 END), 4) AS trace,
+        |       round(sum(cv * cv), 4) AS frob2
+        |FROM c""".stripMargin,
+
+    // Per-token first epoch over the SAME doc_id % 3 split, new-type
+    // counts per epoch, running vocabulary size.
+    "e32_vocab_growth" ->
+      """WITH salted AS (SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id % 3 AS epoch,
+        |   unnest(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS token
+        |  FROM salted),
+        |t2 AS (SELECT token, min(epoch) AS epoch FROM toks
+        |       WHERE length(token) > 0 GROUP BY 1),
+        |c AS (SELECT epoch, count(*) AS new_types FROM t2 GROUP BY 1)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(new_types AS BIGINT) AS new_types,
+        | CAST(sum(new_types) OVER (ORDER BY epoch) AS BIGINT) AS vocab
+        |FROM c ORDER BY epoch""".stripMargin,
+
+    // b29's recursive recurrence over the full daily series (seed
+    // l2=x2, b2=x2-x1), final state + 7-step forecast per type.
+    "e36_forecast_state" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY d) AS t,
+        |    count(*) OVER (PARTITION BY g) AS n FROM daily),
+        |h AS (
+        |  SELECT o2.g, o2.n, CAST(2 AS BIGINT) AS t, o2.x AS l, o2.x - o1.x AS b
+        |  FROM o o1 JOIN o o2 ON o1.g = o2.g AND o1.t = 1 AND o2.t = 2
+        |  UNION ALL
+        |  SELECT o.g, o.n, o.t,
+        |    0.3 * o.x + 0.7 * (h.l + h.b),
+        |    0.1 * ((0.3 * o.x + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b
+        |  FROM h JOIN o ON o.g = h.g AND o.t = h.t + 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, round(l, 4) AS level,
+        | round(b, 4) AS trend, round(l + 7 * b, 4) AS forecast
+        |FROM h WHERE t = n ORDER BY event_type""".stripMargin,
 
     // Full-history per-entity lead() pairs — boundary pairs included.
     "e37_markov_state" ->

@@ -70,7 +70,17 @@ class LintSurfaceSpec extends SparkSpec {
     // construction) — the c15b bounded-grid class, not corpus data
     "d89_isotonic" -> Map("NESTED_LOOP" -> 1, "GLOBAL_WINDOW" -> 2),
     "d64_hybrid_rrf" -> Map("NESTED_LOOP" -> 1),
-    "d65_label_cohesion" -> Map("NESTED_LOOP" -> 1))
+    "d65_label_cohesion" -> Map("NESTED_LOOP" -> 1),
+    // the E14 rollup genuinely consumes EVERY column of the state
+    // table it reads (n_rows + cnt/sum/min/max per value col) — the
+    // a10 whole-table class, over key-cardinality state rows
+    "e14_agg_state" -> Map("UNPRUNED_WIDE_SCAN" -> 1),
+    // qualityDriftFromCells' slice×bin grid cross — the d52 bounded
+    // class (|slices| × nBins rows by construction)
+    "e15_drift_cells" -> Map("NESTED_LOOP" -> 1),
+    // vocabGrowthCurve's cumulative runs over the bounded EPOCH axis
+    // (one row per micro-batch — the liftTable benign window class)
+    "e32_vocab_growth" -> Map("GLOBAL_WINDOW" -> 1))
 
   test("every driver query lints to exactly the documented benign allowlist") {
     val dir = "/root/testdata/sf0.001"
