@@ -67,6 +67,30 @@ private[graft] object StreamQueries {
         .orderBy("user_id")
     }),
 
+    // E8 — streaming HLL sketch state: one sketch row per key per
+    // epoch landed in APPEND mode (HLL union is idempotent — the one
+    // state family where blind append is safe), unioned at read; the
+    // c8b discipline: exact count + a pinned within-bound boolean
+    // (sketches are in exact sparse mode at this cardinality).
+    "e8_sketch_state" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      val state = tmp("graft_e8")
+      (0 to 2).foreach { ep =>
+        graft.operators.Sketches.sketchTable(
+            e.filter(col("user_id") % 3 === ep), Seq(col("event_type")), col("user_id"))
+          .write.mode("append").parquet(state)
+      }
+      val est = graft.operators.Sketches.unionEstimate(
+        s.read.parquet(state), Seq(col("event_type")))
+      e.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(est, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_estimate") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+            .as("within_bound"))
+        .orderBy("event_type")
+    }),
+
     // E14 — additive aggregate state: per-type count/sum/min/max state
     // rows landed per epoch, merged + finalized at read ≡ one batch agg.
     "e14_agg_state" -> ((s, dir) => {
@@ -116,6 +140,46 @@ private[graft] object StreamQueries {
           graft.expressions.CountMin.estimate(bytes,
             concat_ws("|", col("event_type"), col("user_id"))).as("est"))
         .orderBy("event_type", "user_id")
+    }),
+
+    // E24 — streaming A/B experiment monitor: per-epoch (entity,
+    // variant) conversion partials, re-collapsed ACROSS epochs at read
+    // (a user converting in epoch 2 after exposure in epoch 0 counts
+    // once) ≡ the batch B16 readout over the full stream.
+    "e24_experiment_state" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val state = tmp("graft_e24")
+      (0 to 2).foreach { ep =>
+        StreamOps.experimentStateBatch(
+          e.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === ep), ep,
+          "user_id",
+          graft.analytics.Experiment.assignVariant(col("user_id"), "expA"),
+          col("event_type") === "purchase", col("value"), state)
+      }
+      StreamOps.experimentReadout(s, state)
+        .select(col("variant_a"), col("variant_b"), col("n_a"), col("n_b"),
+          col("conv_a"), col("conv_b"),
+          round(col("rate_a"), 4).as("rate_a"), round(col("rate_b"), 4).as("rate_b"),
+          round(col("rev_a"), 4).as("rev_a"), round(col("rev_b"), 4).as("rev_b"),
+          round(col("lift_pct"), 4).as("lift_pct"),
+          round(col("z_score"), 4).as("z_score"),
+          round(col("srm_chi2"), 4).as("srm_chi2"))
+    }),
+
+    // E25 — streaming exactly-k weighted sample: per-epoch top-k race
+    // winners re-raced at read (a global winner necessarily wins its
+    // own batch; md5 race keys are deterministic) ≡ the batch D74
+    // sample.
+    "e25_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val state = tmp("graft_e25")
+      (0 to 2).foreach { ep =>
+        StreamOps.weightedSampleBatch(docs.filter(col("doc_id") % 3 === ep),
+          ep, "doc_id", col("n_chars"), k = 50, salt = "wsk", state)
+      }
+      StreamOps.weightedSampleReadout(s, state, "doc_id", "n_chars", k = 50, salt = "wsk")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
     }),
 
     // E26 — heavy-hitter state: per-(type) approx_top_k sketches
@@ -307,6 +371,12 @@ private[graft] object StreamQueries {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY d DESC) = 1
         |ORDER BY user_id""".stripMargin,
 
+    // Exact distinct per type; the bound boolean pins TRUE (c8b).
+    "e8_sketch_state" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_bound
+        |FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // One batch aggregate over the full table — the state rollup must
     // be indistinguishable from never having split.
     "e14_agg_state" ->
@@ -324,6 +394,42 @@ private[graft] object StreamQueries {
       """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS est
         |FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // b16's batch readout verbatim — epoch partials must re-collapse
+    // to the same entity-grain numbers.
+    "e24_experiment_state" ->
+      """WITH e AS (SELECT user_id,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'expA'), 1, 15) AS BIGINT) % 2 = 0
+        |       THEN 'A' ELSE 'B' END AS variant,
+        |  event_type = 'purchase' AS conv, value FROM events),
+        |p AS (SELECT user_id, variant, max(CASE WHEN conv THEN 1 ELSE 0 END) AS c,
+        |      sum(CASE WHEN conv THEN value ELSE 0 END) AS v FROM e GROUP BY 1, 2),
+        |s AS (SELECT variant, count(*) AS n, sum(c) AS conv, sum(v) AS rev FROM p GROUP BY 1),
+        |o AS (SELECT min(variant) AS variant_a, max(variant) AS variant_b,
+        |   arg_min(n, variant) AS n_a, arg_max(n, variant) AS n_b,
+        |   arg_min(conv, variant) AS conv_a, arg_max(conv, variant) AS conv_b,
+        |   arg_min(rev, variant) AS rev_a, arg_max(rev, variant) AS rev_b FROM s)
+        |SELECT variant_a, variant_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+        | round(conv_a * 1.0 / n_a, 4) AS rate_a, round(conv_b * 1.0 / n_b, 4) AS rate_b,
+        | round(rev_a, 4) AS rev_a, round(rev_b, 4) AS rev_b,
+        | round((conv_b*1.0/n_b - conv_a*1.0/n_a) / nullif(conv_a*1.0/n_a, 0) * 100, 4) AS lift_pct,
+        | round((conv_b*1.0/n_b - conv_a*1.0/n_a)
+        |   / nullif(sqrt(((conv_a+conv_b)*1.0/(n_a+n_b)) * (1 - (conv_a+conv_b)*1.0/(n_a+n_b))
+        |       * (1.0/n_a + 1.0/n_b)), 0), 4) AS z_score,
+        | round(pow(n_a - n_b, 2) * 1.0 / (n_a + n_b), 4) AS srm_chi2
+        |FROM o""".stripMargin,
+
+    // d74's deterministic Efraimidis-Spirakis race verbatim — the
+    // re-raced union must equal the one-shot global top-k.
+    "e25_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, lang, n_chars,
+        |   ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsk'), 1, 15) AS BIGINT)
+        |      % 1000000) + 0.5) / 1000000.0 AS uu
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT doc_id, lang, n_chars FROM u
+        |      ORDER BY -ln(uu) / n_chars, doc_id LIMIT 50)
+        |SELECT doc_id, lang, n_chars FROM s ORDER BY doc_id""".stripMargin,
 
     // Exact per-type top-3 users by event count, ties by user asc.
     "e26_topk_state" ->
