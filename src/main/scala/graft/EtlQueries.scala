@@ -17,6 +17,26 @@ private[graft] object EtlQueries {
     // ================================================================ A: ETL
 
     // Crawl-curation composition: blocklist the site0.com domain, then
+    // Polite frontier scheduling (A31): per-host FIFO slots spaced by
+    // each host's parsed Crawl-delay (sites 0-3 declare 1-4 s, the
+    // rest default to 0.5 s) — URLs synthesized from doc ids so both
+    // engines derive identical hosts and slot orders.
+    "a31_frontier_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val urls = Tables.documents(s, dir).select(
+        concat(lit("https://www.site"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".com/page/"), col("doc_id").cast("string")).as("url"))
+      val robots = (0 to 3).map(k => (s"www.site$k.com",
+        s"User-agent: *\nCrawl-delay: ${k + 1}")).toDF("domain", "body")
+      val delays = graft.sources.Robots.parseCrawlDelays(
+        robots, col("domain"), col("body"))
+      graft.sources.Frontier.schedule(urls, col("url"), delays,
+          agent = "graftbot", defaultDelaySeconds = 0.5)
+        .select(col("url"), col("host"), col("seq"),
+          round(col("dispatch_offset_s"), 2).as("dispatch_offset_s"))
+        .orderBy("url")
+    }),
+
     // The full crawl-curation loop COMPOSED (A25 linkEdges → A26
     // robots filterAllowed → C23 PageRank): pages + absolute links
     // synthesized from doc ids (the a20 discipline — both engines
@@ -312,6 +332,22 @@ private[graft] object EtlQueries {
     // Mirrors the synthesized URLs, the registrable-domain heuristic's
     // result on them (siteN.com), the blocklist, and the md5-derived
     // expected-k thinning rule exactly.
+    // Same synthesized hosts, same per-host lexicographic slots, same
+    // delay arbitration closed-form (k ≤ 3 → k+1 s, else the default).
+    "a31_frontier_schedule" ->
+      """WITH u AS (SELECT
+        |   'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+        |   'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+        |   doc_id % 7 AS k
+        |  FROM documents),
+        |s AS (SELECT url, host,
+        |   row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS seq,
+        |   CASE WHEN k <= 3 THEN (k + 1) * 1.0 ELSE 0.5 END AS d
+        |  FROM u)
+        |SELECT url, host, CAST(seq AS BIGINT) AS seq,
+        | round(seq * d, 2) AS dispatch_offset_s
+        |FROM s ORDER BY url""".stripMargin,
+
     // Same synthesized link graph (self-loops dropped, DISTINCT edges,
     // every site0.com endpoint un-fetchable), then c23's unrolled
     // power-iteration rounds with identical IEEE op order.

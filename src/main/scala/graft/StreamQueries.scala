@@ -91,6 +91,39 @@ private[graft] object StreamQueries {
         .orderBy("event_type")
     }),
 
+    // E11 — streaming corpus cards: per-epoch mergeable slice cards
+    // rolled into ONE global card at read; exact fields ≡ a one-shot
+    // profile, sketch fields (HLL distinct-doc estimate, KLL quality
+    // quantiles) pinned within bounds against an exact pass — the
+    // c8b/c8d discipline.
+    "e11_corpus_cards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val state = tmp("graft_e11")
+      (0 to 2).foreach { ep =>
+        StreamOps.corpusCardsBatch(docs.filter(col("doc_id") % 3 === ep), ep,
+          "text", "source", "source", state)
+      }
+      val card = graft.text.CorpusProfile.rollupCards(
+        s.read.parquet(state).drop("batch"))
+      val q = graft.text.TextFunctions.qualityScore(col("text"))
+      val fp = graft.text.TextFunctions.contentFingerprint(col("text"))
+      docs.select(q.as("__q"), fp.as("__fp")).crossJoin(broadcast(card))
+        .agg(
+          max(col("n_docs")).as("n_docs"),
+          max(col("n_tokens")).as("n_tokens"),
+          max(col("n_chars")).as("n_chars"),
+          max(col("n_stutter_tokens")).as("n_stutter_tokens"),
+          max(col("avg_quality")).as("avg_quality"),
+          max(col("n_en")).as("n_en"), max(col("n_de")).as("n_de"),
+          max(col("n_es")).as("n_es"), max(col("n_fr")).as("n_fr"),
+          (abs(max(col("n_distinct_docs_est")) - countDistinct(col("__fp")))
+            / countDistinct(col("__fp")) <= 0.05).as("dedup_est_ok"),
+          (sum(when(col("__q") <= col("q50"), 1.0).otherwise(0.0)) / count(lit(1)))
+            .between(0.40, 0.60).as("q50_rank_ok"),
+          (sum(when(col("__q") <= col("q95"), 1.0).otherwise(0.0)) / count(lit(1)))
+            .between(0.88, 1.0).as("q95_rank_ok"))
+    }),
+
     // E14 — additive aggregate state: per-type count/sum/min/max state
     // rows landed per epoch, merged + finalized at read ≡ one batch agg.
     "e14_agg_state" -> ((s, dir) => {
@@ -376,6 +409,38 @@ private[graft] object StreamQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_bound
         |FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // d40's exact derivations, global grain; sketch bounds pin TRUE.
+    "e11_corpus_cards" ->
+      """WITH t AS (SELECT source, text,
+        |  string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w,
+        |  md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),
+        |h AS (SELECT source, fp, CAST(len(w) AS BIGINT) AS n_toks,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(w) - len(list_filter(w, (x, i) -> i = 1 OR x <> w[i-1])) AS BIGINT) AS stutter,
+        |  least(1.0, len(w)/100.0)*0.5
+        |    + (1 - least(CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)/length(text), 1.0))*0.3
+        |    + (1 - least(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)/length(text), 1.0))*0.2 AS q,
+        |  len(list_filter(w, x -> x IN ('the','a','of','to','and','is','in','it'))) AS h_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','nicht','zu'))) AS h_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','los','que','y','un','es'))) AS h_es,
+        |  len(list_filter(w, x -> x IN ('le','la','les','et','est','un','dans','que'))) AS h_fr
+        | FROM t),
+        |p AS (SELECT *, CASE
+        |  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+        |  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+        |  WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        | CAST(sum(stutter) AS BIGINT) AS n_stutter_tokens,
+        | round(sum(q) / count(*), 4) AS avg_quality,
+        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        | CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+        | CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+        | CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+        | TRUE AS dedup_est_ok, TRUE AS q50_rank_ok, TRUE AS q95_rank_ok
+        |FROM p""".stripMargin,
 
     // One batch aggregate over the full table — the state rollup must
     // be indistinguishable from never having split.

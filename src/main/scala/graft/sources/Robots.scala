@@ -74,6 +74,49 @@ object Robots {
       .select(col("domain"), col("__r.agent"), col("__r.allow"), col("__r.prefix"))
   }
 
+  /** Parse `Crawl-delay` directives: one row per (domain, agent,
+    * delay_s). The de-facto-standard politeness directive (not in RFC
+    * 9309 but honored by most major crawlers); same consecutive-UA
+    * grouping as [[parseRobots]], with a delay line closing the agent
+    * group the way a path rule does. Non-numeric values are dropped.
+    * Feeds [[Frontier.schedule]]. */
+  def parseCrawlDelays(df: DataFrame, domain: Column, body: Column): DataFrame = {
+    val lines = split(coalesce(body, lit("")), "\n")
+    val parsed = transform(lines, l => {
+      val noComment = regexp_replace(l, "#.*$", "")
+      val d = lower(trim(regexp_extract(noComment, "^([^:]+):", 1)))
+      val v = trim(regexp_extract(noComment, "^[^:]+:(.*)$", 1))
+      struct(d.as("d"), v.as("v"))
+    })
+    val folded = aggregate(
+      parsed,
+      struct(
+        array().cast("array<string>").as("agents"),
+        lit(false).as("open"),
+        array().cast("array<struct<agent:string,delay:double>>").as("out")),
+      (acc, e) => {
+        val d = e.getField("d"); val v = e.getField("v")
+        // ANSI-safe numeric parse: regex-guarded cast, non-numeric → null
+        val delay = when(v.rlike("^[0-9]+(\\.[0-9]+)?$"), v.cast("double"))
+        val isUa = d === "user-agent" && length(v) > 0
+        val isDelay = d === "crawl-delay" && delay.isNotNull
+        val agents = when(isUa && acc.getField("open"), array(lower(v)))
+          .when(isUa, array_union(acc.getField("agents"), array(lower(v))))
+          .otherwise(acc.getField("agents"))
+        val newRows = when(isDelay,
+          transform(acc.getField("agents"), a => struct(
+            a.as("agent"), delay.as("delay"))))
+          .otherwise(array().cast("array<struct<agent:string,delay:double>>"))
+        struct(
+          agents.as("agents"),
+          when(isUa, lit(false)).when(isDelay, lit(true))
+            .otherwise(acc.getField("open")).as("open"),
+          concat(acc.getField("out"), newRows).as("out"))
+      })
+    df.select(domain.as("domain"), explode(folded.getField("out")).as("__r"))
+      .select(col("domain"), col("__r.agent"), col("__r.delay").as("delay_s"))
+  }
+
   /** Keep the URLs `agent` may fetch. `rules` is [[parseRobots]]'
     * output; URLs on domains absent from it are allowed (no robots =
     * no restriction — the web's default). */

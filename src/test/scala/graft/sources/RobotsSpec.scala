@@ -80,6 +80,49 @@ class RobotsSpec extends SparkSpec {
     assert(got === 3L)
   }
 
+  test("parseCrawlDelays: UA grouping, numeric guard, delay closes the group") {
+    val body =
+      """User-agent: *
+        |Crawl-delay: 2
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Crawl-delay: 0.5
+        |Crawl-delay: junk
+        |
+        |User-agent: badbot
+        |Crawl-delay: 10
+        |""".stripMargin
+    val got = Robots.parseCrawlDelays(
+        Seq(("d.com", body)).toDF("dom", "body"), col("dom"), col("body"))
+      .as[(String, String, Double)].collect().map(r => (r._2, r._3)).toSet
+    assert(got === Set(("*", 2.0), ("graftbot", 0.5), ("otherbot", 0.5),
+      ("badbot", 10.0)))
+  }
+
+  test("Frontier.schedule: per-host FIFO slots spaced by the winning delay") {
+    val delays = Robots.parseCrawlDelays(Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 2\nUser-agent: graftbot\nCrawl-delay: 5"),
+      ("b.com", "User-agent: somebot\nCrawl-delay: 9")).toDF("d", "b"),
+      col("d"), col("b"))
+    val urls = Seq(
+      "https://a.com/p1", "https://a.com/p2", "https://a.com/p3",
+      "https://b.com/x", "https://b.com/y",   // foreign-agent delay → default
+      "https://c.com/z"                        // no robots → default
+    ).toDF("url")
+    val got = Frontier.schedule(urls, col("url"), delays, agent = "GraftBot",
+        defaultDelaySeconds = 1.0)
+      .select("url", "host", "seq", "dispatch_offset_s")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("https://a.com/p1", "a.com", 0L, 0.0),   // specific group wins: 5s
+      ("https://a.com/p2", "a.com", 1L, 5.0),
+      ("https://a.com/p3", "a.com", 2L, 10.0),
+      ("https://b.com/x", "b.com", 0L, 0.0),    // somebot's 9s not ours
+      ("https://b.com/y", "b.com", 1L, 1.0),
+      ("https://c.com/z", "c.com", 0L, 0.0)))
+  }
+
   test("filterAllowed: a domain with only foreign-agent rules never loses URLs") {
     val foreign = Robots.parseRobots(Seq(("f.com",
       "User-agent: somebot\nDisallow: /")).toDF("d", "b"), col("d"), col("b"))
