@@ -17,6 +17,31 @@ private[graft] object EtlQueries {
     // ================================================================ A: ETL
 
     // Crawl-curation composition: blocklist the site0.com domain, then
+    // Sitemap parsing (A32): one sitemap per source synthesized
+    // in-plan (entries from doc ids — both engines derive identical
+    // XML-free truth), parsed back to (loc, lastmod, priority) rows.
+    "a32_sitemap_parse" -> ((s, dir) => {
+      val entry = concat(
+        lit("<url><loc>https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".com/page"), col("doc_id").cast("string"),
+        lit("</loc><lastmod>2024-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        lit("</lastmod><priority>"),
+        ((col("doc_id") % 10) / 10.0).cast("string"),
+        lit("</priority></url>"))
+      val maps = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(concat(lit("<urlset>"),
+          array_join(sort_array(collect_list(entry)), ""),
+          lit("</urlset>")).as("xml"))
+        .select(concat(lit("https://"), col("source"),
+          lit(".example/sitemap.xml")).as("u"), col("xml"))
+      graft.sources.Sitemaps.parseSitemap(maps, col("u"), col("xml"))
+        .select(col("sitemap_url"), col("loc"), col("lastmod_date"),
+          col("priority"))
+        .orderBy("loc")
+    }),
+
     // Polite frontier scheduling (A31): per-host FIFO slots spaced by
     // each host's parsed Crawl-delay (sites 0-3 declare 1-4 s, the
     // rest default to 0.5 s) — URLs synthesized from doc ids so both
@@ -332,6 +357,15 @@ private[graft] object EtlQueries {
     // Mirrors the synthesized URLs, the registrable-domain heuristic's
     // result on them (siteN.com), the blocklist, and the md5-derived
     // expected-k thinning rule exactly.
+    // The synthesized entries' closed form — the parse must recover
+    // exactly what the ids generated.
+    "a32_sitemap_parse" ->
+      """SELECT 'https://' || source || '.example/sitemap.xml' AS sitemap_url,
+        | 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/page' || CAST(doc_id AS VARCHAR) AS loc,
+        | make_date(2024, 1, CAST(doc_id % 28 + 1 AS INT)) AS lastmod_date,
+        | (doc_id % 10) / 10.0 AS priority
+        |FROM documents ORDER BY loc""".stripMargin,
+
     // Same synthesized hosts, same per-host lexicographic slots, same
     // delay arbitration closed-form (k ≤ 3 → k+1 s, else the default).
     "a31_frontier_schedule" ->

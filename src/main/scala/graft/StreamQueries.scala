@@ -124,6 +124,28 @@ private[graft] object StreamQueries {
             .between(0.88, 1.0).as("q95_rank_ok"))
     }),
 
+    // E12 — streaming paragraph-dedup ingest: 3 ascending-doc_id
+    // epochs judged against the persisted kept-paragraph index; with
+    // arrival order = id order, the streaming first-arrived winner IS
+    // the batch operator's global min(doc_id, pos) — so the union of
+    // per-epoch outputs must equal batch D43 exactly.
+    "e12_paragraph_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mx = docs.agg(max("doc_id")).head().getLong(0) // 1-row bounded collect
+      val (c1, c2) = (mx / 3, 2 * mx / 3)
+      val root = tmp("graft_e12o"); val idx = tmp("graft_e12i")
+      StreamOps.paragraphDedupBatch(docs.filter(col("doc_id") <= c1),
+        0L, "doc_id", "text", root, idx)
+      StreamOps.paragraphDedupBatch(docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        1L, "doc_id", "text", root, idx)
+      StreamOps.paragraphDedupBatch(docs.filter(col("doc_id") > c2),
+        2L, "doc_id", "text", root, idx)
+      s.read.parquet(root)
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // E14 — additive aggregate state: per-type count/sum/min/max state
     // rows landed per epoch, merged + finalized at read ≡ one batch agg.
     "e14_agg_state" -> ((s, dir) => {
@@ -143,6 +165,28 @@ private[graft] object StreamQueries {
           round(col("max_value"), 6).as("max_value"),
           round(col("avg_value"), 6).as("avg_value"))
         .orderBy("event_type")
+    }),
+
+    // E16 — streaming content-diff ingest: three synthetic recrawl
+    // epochs (epoch 1 revises the %5 keys, epoch 2 the %7 keys) judged
+    // against the persisted latest-digest index; the classification
+    // log must equal the closed-form added/changed/unchanged truth.
+    "e16_content_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val rev1 = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" rev1"))).otherwise(col("text"))
+      val rev2 = when(col("doc_id") % 7 === 0,
+        concat(rev1, lit(" rev2"))).otherwise(rev1)
+      val root = tmp("graft_e16o"); val idx = tmp("graft_e16i")
+      StreamOps.contentDiffBatch(docs, 0L, "doc_id", Seq("text"), root, idx)
+      StreamOps.contentDiffBatch(docs.select(col("doc_id"), rev1.as("text")),
+        1L, "doc_id", Seq("text"), root, idx)
+      StreamOps.contentDiffBatch(docs.select(col("doc_id"), rev2.as("text")),
+        2L, "doc_id", Seq("text"), root, idx)
+      s.read.parquet(root)
+        .groupBy(col("batch").cast("long").as("epoch"), col("change"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+        .orderBy("epoch", "change")
     }),
 
     // E17 — Count-Min frequency state: one sketch per epoch, counter-
@@ -442,6 +486,23 @@ private[graft] object StreamQueries {
         | TRUE AS dedup_est_ok, TRUE AS q50_rank_ok, TRUE AS q95_rank_ok
         |FROM p""".stripMargin,
 
+    // d43's batch semantics verbatim: global min-(doc, pos) winner per
+    // paragraph fingerprint, survivors rejoined in order.
+    "e12_paragraph_dedup" ->
+      """WITH ps AS (SELECT doc_id, string_split_regex(text, '\n{2,}') AS arr FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos, arr[i] AS para,
+        |    md5(regexp_replace(lower(trim(arr[i])), '\s+', ' ', 'g')) AS fp
+        |  FROM ps, UNNEST(range(1, len(arr) + 1)) AS u(i)
+        |  WHERE length(trim(arr[i])) > 0),
+        |w1 AS (SELECT fp, min(doc_id) AS d0 FROM p GROUP BY 1),
+        |w2 AS (SELECT p.fp, min(p.pos) AS p0 FROM p JOIN w1 ON p.fp = w1.fp AND p.doc_id = w1.d0 GROUP BY 1),
+        |k AS (SELECT p.doc_id, p.pos, p.para, (p.doc_id = w1.d0 AND p.pos = w2.p0) AS keep
+        |  FROM p JOIN w1 ON p.fp = w1.fp JOIN w2 ON p.fp = w2.fp)
+        |SELECT doc_id, count(*) AS n_paras,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | md5(coalesce(string_agg(para, chr(10)||chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // One batch aggregate over the full table — the state rollup must
     // be indistinguishable from never having split.
     "e14_agg_state" ->
@@ -452,6 +513,20 @@ private[graft] object StreamQueries {
         | round(max(value), 6) AS max_value,
         | round(sum(value) / count(value), 6) AS avg_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Closed-form recrawl truth: epoch 0 all added, epoch 1 changes
+    // exactly the %5 keys, epoch 2 exactly the %7 keys.
+    "e16_content_diff" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |c AS (
+        |  SELECT 0 AS epoch, doc_id, 'added' AS change FROM d
+        |  UNION ALL
+        |  SELECT 1, doc_id, CASE WHEN doc_id % 5 = 0 THEN 'changed' ELSE 'unchanged' END FROM d
+        |  UNION ALL
+        |  SELECT 2, doc_id, CASE WHEN doc_id % 7 = 0 THEN 'changed' ELSE 'unchanged' END FROM d)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, change,
+        | CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS key_sum
+        |FROM c GROUP BY 1, 2 ORDER BY epoch, change""".stripMargin,
 
     // The CM estimate is exact at this width/cardinality, so the oracle
     // is the exact per-(type, user) count.

@@ -931,7 +931,13 @@ object Dedup {
     * pipeline it audits. */
   def clusterQuality(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.5): DataFrame = {
-    val pairs = jaccardVerify(minHashCandidates(df, id, text), df, id, text, threshold)
+    // pairs has TWO plan parents (the component rounds and the edge
+    // stats) — truncate so the MinHash→verify pipeline executes once
+    // and the executed shape can't flap on AQE exchange-reuse timing
+    // (the c20/§6d single-parent rule; observed as a one-off golden
+    // drift under suite load in r9)
+    val pairs = graft.operators.Lineage.truncate(
+      jaccardVerify(minHashCandidates(df, id, text), df, id, text, threshold))
     val clusters = clusterPairs(pairs)
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
     val edges = pairs
