@@ -113,7 +113,12 @@ private[graft] object StreamQueries {
           max(col("n_tokens")).as("n_tokens"),
           max(col("n_chars")).as("n_chars"),
           max(col("n_stutter_tokens")).as("n_stutter_tokens"),
-          max(col("avg_quality")).as("avg_quality"),
+          // the card's avg rides two different FP summation trees
+          // (per-epoch partials re-summed vs one pass), so a round-4
+          // value can flap on a .00005 boundary — bound-check it like
+          // the sketch fields instead of hashing the rounding
+          (abs(max(col("avg_quality")) - sum(col("__q")) / count(lit(1)))
+            <= 1e-4).as("avg_quality_ok"),
           max(col("n_en")).as("n_en"), max(col("n_de")).as("n_de"),
           max(col("n_es")).as("n_es"), max(col("n_fr")).as("n_fr"),
           (abs(max(col("n_distinct_docs_est")) - countDistinct(col("__fp")))
@@ -478,7 +483,7 @@ private[graft] object StreamQueries {
         | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         | CAST(sum(n_chars) AS BIGINT) AS n_chars,
         | CAST(sum(stutter) AS BIGINT) AS n_stutter_tokens,
-        | round(sum(q) / count(*), 4) AS avg_quality,
+        | TRUE AS avg_quality_ok,
         | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
         | CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
         | CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
