@@ -110,11 +110,13 @@ object Bench {
       val anomalous = ok && warmOpt.exists(w => cold > 3 * w || w > 2 * cold)
       if (!anomalous) (name, cold, warmOpt)
       else {
-        val (cold2, warm2, _) = coldAndWarm(name, fn, "#requeue")
+        val (cold2, warm2, ok2) = coldAndWarm(name, fn, "#requeue")
         requeued(name) =
           s"""{"cold1":$cold,"warm1":${warmOpt.getOrElse(-1.0)},""" +
-            s""""cold2":$cold2,"warm2":${warm2.getOrElse(-1.0)}}"""
-        val bestCold = math.min(cold, cold2)
+            s""""cold2":$cold2,"warm2":${warm2.getOrElse(-1.0)},"ok2":$ok2}"""
+        // a FAILED requeue's time-to-failure must never enter the min —
+        // the same invariant the warm median keeps above
+        val bestCold = if (ok2) math.min(cold, cold2) else cold
         val bestWarm = (warmOpt.toSeq ++ warm2.toSeq)
           .reduceOption((a, b) => math.min(a, b))
         (name, bestCold, bestWarm)

@@ -986,59 +986,6 @@ private[graft] object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
-    "d22_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents)
-        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-        | CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-        | round(CASE WHEN len(w) > 0 THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w) ELSE 0.0 END, 4) AS repetition
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    // Composes the established d1/d7/d8/d39 mirrors into one profile:
-    // md5 fingerprints, the quality formula, the stopword-argmax
-    // language ID, and the indexed-lambda stutter collapse.
-    "d40_corpus_profile" ->
-      """WITH t AS (SELECT source, text,
-        |  string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w,
-        |  md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),
-        |h AS (SELECT source, fp, CAST(len(w) AS BIGINT) AS n_toks,
-        |  CAST(length(text) AS BIGINT) AS n_chars,
-        |  CAST(len(w) - len(list_filter(w, (x, i) -> i = 1 OR x <> w[i-1])) AS BIGINT) AS stutter,
-        |  least(1.0, len(w)/100.0)*0.5
-        |    + (1 - least(CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)/length(text), 1.0))*0.3
-        |    + (1 - least(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)/length(text), 1.0))*0.2 AS q,
-        |  len(list_filter(w, x -> x IN ('the','a','of','to','and','is','in','it'))) AS h_en,
-        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','nicht','zu'))) AS h_de,
-        |  len(list_filter(w, x -> x IN ('el','la','de','los','que','y','un','es'))) AS h_es,
-        |  len(list_filter(w, x -> x IN ('le','la','les','et','est','un','dans','que'))) AS h_fr
-        | FROM t),
-        |p AS (SELECT *, CASE
-        |  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
-        |  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
-        |  WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang FROM h)
-        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-        | CAST(sum(n_chars) AS BIGINT) AS n_chars,
-        | CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs,
-        | CAST(sum(stutter) AS BIGINT) AS n_stutter_tokens,
-        | round(avg(q), 4) AS avg_quality,
-        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-        | CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
-        | CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
-        | CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr
-        |FROM p""".stripMargin,
-
-    // DuckDB list lambdas take the same optional 1-based index; i = 1
-    // keeps the first element, i > 1 compares against w[i-1] exactly as
-    // the Spark when/element_at formulation does
-    "d39_stutter_collapse" ->
-      """WITH t AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w FROM documents),
-        |k AS (SELECT doc_id, w, list_filter(w, (x, i) -> i = 1 OR x <> w[i-1]) AS kept FROM t)
-        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-        | CAST(len(kept) AS BIGINT) AS n_kept,
-        | substr(md5(array_to_string(kept, ' ')), 1, 8) AS clean_md5
-        |FROM k ORDER BY doc_id""".stripMargin,
-
     // Same total order (price desc, key asc) and the same every-1000th
     // probe; raw column values, so ranks are bit-identical.
     "c33_global_rank" ->

@@ -89,18 +89,23 @@ object Retention {
       .select(t.cast("int").as("__t"), n.cast("double").as("__n"))
       .filter(col("__t").isNotNull && col("__n").isNotNull && col("__t") >= 0)
     val arr = c.agg(sort_array(collect_list(struct(col("__t"), col("__n")))).as("__c"),
-      max(col("__t")).as("__Tm"), count(lit(1)).as("__k"))
+      max(col("__t")).as("__Tm"), count(lit(1)).as("__k"),
+      count_distinct(col("__t")).as("__kd"))
       // positional fold below ⇔ offsets are exactly 0..T with no gaps
-      // and no duplicates; anything else would misindex silently
+      // and no duplicates; anything else would misindex silently.
+      // Distinctness must be checked EXPLICITLY: a duplicate offset
+      // can exactly compensate a gap's row count ((0,1,1,3) has k = 4
+      // = maxT + 1), so count == maxT+1 alone is foolable
       .withColumn("__T",
-        when(col("__k") === col("__Tm") + 1 &&
+        when(col("__kd") === col("__k") && col("__k") === col("__Tm") + 1 &&
             element_at(col("__c"), 1).getField("__t") === 0, col("__Tm"))
           .otherwise(raise_error(concat(
             lit("sbgProjection: curve offsets must be contiguous 0..T "),
             lit("with no gaps/duplicates; got max(t)="),
             col("__Tm").cast("string"), lit(" over "),
-            col("__k").cast("string"), lit(" rows")))))
-      .drop("__Tm", "__k")
+            col("__k").cast("string"), lit(" rows ("),
+            col("__kd").cast("string"), lit(" distinct)")))))
+      .drop("__Tm", "__k", "__kd")
     val cand = arr
       .withColumn("__i", explode(sequence(lit(1), lit(gridSteps))))
       .withColumn("__j", explode(sequence(lit(1), lit(gridSteps))))

@@ -43,20 +43,23 @@ object BloomIndex {
     * compact the table first (C19) so the file count drops, or rebuild
     * with a smaller `expectedPerFile`. The guard fails loud with that
     * advice rather than dying in an opaque heap dump. */
-  val MaxSidecarFiles: Long = 100000L
+  val MaxSidecarFiles: Long = 10000L
 
   /** Files that MIGHT contain `value` — exact hits plus ~fpp false
     * positives; never misses. Driver-side over the sidecar (one row
     * per file — bounded like the manifest, and GUARDED: the collect is
-    * files × bloom-size driver bytes, see [[MaxSidecarFiles]]). */
+    * files × bloom-size driver bytes, see [[MaxSidecarFiles]]). The
+    * guard rides the SAME pass as the collect (a limit one past the
+    * ceiling), so an uncached sidecar aggregate executes once. */
   def candidateFiles(index: DataFrame, value: String): Seq[String] = {
-    val n = index.count()
-    require(n <= MaxSidecarFiles,
-      s"Bloom sidecar has $n files (> $MaxSidecarFiles): collecting it would hold " +
+    val rows = index.select("file", "bloom")
+      .limit(MaxSidecarFiles.toInt + 1).collect()
+    require(rows.length <= MaxSidecarFiles,
+      s"Bloom sidecar has > $MaxSidecarFiles files: collecting it would hold " +
         "files x bloom-size bytes on the driver. Compact the table first " +
         "(sources/Compaction, C19) or rebuild the index with a smaller " +
         "expectedPerFile, then retry.")
-    index.select("file", "bloom").collect()
+    rows
       .filter(r => BloomSketch.mightContainValue(r.getAs[Array[Byte]]("bloom"), value))
       .map(_.getString(0)).toSeq
   }

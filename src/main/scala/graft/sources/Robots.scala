@@ -100,6 +100,11 @@ object Robots {
         val delay = when(v.rlike("^[0-9]+(\\.[0-9]+)?$"), v.cast("double"))
         val isUa = d === "user-agent" && length(v) > 0
         val isDelay = d === "crawl-delay" && delay.isNotNull
+        // ANY rule line (path rule or delay) closes the agent group —
+        // mixed-directive bodies are the norm, and a path rule between
+        // UA groups must not let a later group's delay leak backwards
+        val isRule = isDelay ||
+          ((d === "allow" || d === "disallow") && length(v) > 0)
         val agents = when(isUa && acc.getField("open"), array(lower(v)))
           .when(isUa, array_union(acc.getField("agents"), array(lower(v))))
           .otherwise(acc.getField("agents"))
@@ -109,7 +114,7 @@ object Robots {
           .otherwise(array().cast("array<struct<agent:string,delay:double>>"))
         struct(
           agents.as("agents"),
-          when(isUa, lit(false)).when(isDelay, lit(true))
+          when(isUa, lit(false)).when(isRule, lit(true))
             .otherwise(acc.getField("open")).as("open"),
           concat(acc.getField("out"), newRows).as("out"))
       })
@@ -131,6 +136,9 @@ object Robots {
     // unique per-row key: the verdict groupBy must preserve input
     // multiplicity (grouping on the data columns alone would silently
     // dedup identical frontier rows — a filter never changes counts)
+    Seq("__rb_id", "__rb_host", "__rb_path").foreach(c =>
+      require(!urls.columns.contains(c),
+        s"filterAllowed reserves working column $c; rename the input column"))
     val withKey = urls.withColumn("__rb_id", monotonically_increasing_id())
       .withColumn("__rb_host", host).withColumn("__rb_path", path)
     val cand = withKey.join(

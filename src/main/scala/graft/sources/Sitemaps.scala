@@ -52,10 +52,13 @@ object Sitemaps {
         col("__e.is_index").as("is_index"),
         tag(b, "loc").as("loc"),
         lastmod.as("lastmod"),
-        // date prefix, regex-guarded: malformed stamps → null, not an
-        // ANSI cast error mid-crawl
+        // date prefix, parse-guarded end to end: a digit-shaped but
+        // INVALID date (2024-02-30) must also yield null, never an
+        // ANSI error mid-crawl — try_to_timestamp, not a bare to_date
+        // behind a shape regex
         when(lastmod.rlike("^\\d{4}-\\d{2}-\\d{2}"),
-          to_date(substring(lastmod, 1, 10))).as("lastmod_date"),
+          to_date(try_to_timestamp(substring(lastmod, 1, 10),
+            lit("yyyy-MM-dd")))).as("lastmod_date"),
         lower(tag(b, "changefreq")).as("changefreq"),
         when(prio.rlike("^[0-9]*\\.?[0-9]+$"), prio.cast("double")).as("priority"))
       .filter(col("loc").isNotNull)

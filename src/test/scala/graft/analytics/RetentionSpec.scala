@@ -97,5 +97,12 @@ class RetentionSpec extends SparkSpec {
       Retention.sbgProjection(shifted, col("t"), col("n"), horizon = 6).collect()
     }
     assert(ex2.getMessage.contains("contiguous"), ex2.getMessage)
+    // a duplicate offset exactly compensating a gap (k == maxT + 1,
+    // first == 0) must ALSO fail — distinctness is checked explicitly
+    val dupGap = Seq((0, 100.0), (1, 60.0), (1, 58.0), (3, 40.0)).toDF("t", "n")
+    val ex3 = intercept[Exception] {
+      Retention.sbgProjection(dupGap, col("t"), col("n"), horizon = 6).collect()
+    }
+    assert(ex3.getMessage.contains("contiguous"), ex3.getMessage)
   }
 }

@@ -100,6 +100,17 @@ class RobotsSpec extends SparkSpec {
       ("badbot", 10.0)))
   }
 
+  test("parseCrawlDelays: a path rule closes the group — no backward delay leak") {
+    // googlebot's group is closed by its Disallow; the later '*' group's
+    // delay must NOT attach to googlebot (mixed-directive bodies are
+    // the norm on the real web)
+    val body = "User-agent: googlebot\nDisallow: /private\n\nUser-agent: *\nCrawl-delay: 5"
+    val got = Robots.parseCrawlDelays(
+        Seq(("d.com", body)).toDF("dom", "body"), col("dom"), col("body"))
+      .as[(String, String, Double)].collect().map(r => (r._2, r._3)).toSet
+    assert(got === Set(("*", 5.0)))
+  }
+
   test("Frontier.schedule: per-host FIFO slots spaced by the winning delay") {
     val delays = Robots.parseCrawlDelays(Seq(
       ("a.com", "User-agent: *\nCrawl-delay: 2\nUser-agent: graftbot\nCrawl-delay: 5"),

@@ -18,6 +18,7 @@ class SitemapsSpec extends SparkSpec {
       |  <url><loc> https://d.com/b </loc></url>
       |  <url><lastmod>2024-01-01</lastmod></url>
       |  <url><loc>https://d.com/c</loc><lastmod>bogus</lastmod><priority>junk</priority></url>
+      |  <url><loc>https://d.com/d</loc><lastmod>2024-02-30</lastmod></url>
       |</urlset>""".stripMargin
 
   private val index =
@@ -36,7 +37,9 @@ class SitemapsSpec extends SparkSpec {
       ("https://d.com/a", Some(java.sql.Date.valueOf("2024-03-05")), Some("daily"), Some(0.8), false),
       ("https://d.com/b", None, None, None, false),
       // malformed lastmod/priority parse to null, never an ANSI error
-      ("https://d.com/c", None, None, None, false)))
+      ("https://d.com/c", None, None, None, false),
+      // digit-SHAPED but invalid date (Feb 30) must also null, not raise
+      ("https://d.com/d", None, None, None, false)))
   }
 
   test("parseSitemap: sitemapindex entries surface as is_index rows") {
@@ -54,11 +57,12 @@ class SitemapsSpec extends SparkSpec {
       Seq(("https://d.com/sitemap.xml", doc)).toDF("u", "x"), col("u"), col("x"))
     val got = Sitemaps.newSince(entries, java.sql.Date.valueOf("2024-03-01"))
       .select("loc").as[String].collect().toSet
-    // /a is newer; /b and /c have no (valid) lastmod → conservative keep
-    assert(got === Set("https://d.com/a", "https://d.com/b", "https://d.com/c"))
+    // /a is newer; /b, /c, /d have no (valid) lastmod → conservative keep
+    assert(got === Set("https://d.com/a", "https://d.com/b",
+      "https://d.com/c", "https://d.com/d"))
     val none = Sitemaps.newSince(entries, java.sql.Date.valueOf("2024-03-05"))
       .select("loc").as[String].collect().toSet
     // equal-to-mark is NOT strictly newer
-    assert(none === Set("https://d.com/b", "https://d.com/c"))
+    assert(none === Set("https://d.com/b", "https://d.com/c", "https://d.com/d"))
   }
 }
