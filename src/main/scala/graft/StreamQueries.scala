@@ -32,8 +32,27 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object StreamQueries {
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString + "/state"
+  /** Roots created by [[tmp]], reaped recursively at JVM exit — state
+    * must outlive the (lazy) returned DataFrame, so deletion inside
+    * the query closure is impossible, but a full Bench/Verify run may
+    * invoke each E-query several times and must not leave gigabytes of
+    * parquet state accumulating under /tmp across rounds. */
+  private val tmpRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
+    def run(): Unit = tmpRoots.forEach { root =>
+      try {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () } // best-effort: never fail exit
+    }
+  }))
+
+  private def tmp(prefix: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    tmpRoots.add(root)
+    root.toString + "/state"
+  }
 
   /** Event-time tercile epoch boundaries (micros) — one bounded 1-row
     * collect, the same class as the A28 bookmark read. */

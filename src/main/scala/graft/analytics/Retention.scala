@@ -96,13 +96,19 @@ object Retention {
       // Distinctness must be checked EXPLICITLY: a duplicate offset
       // can exactly compensate a gap's row count ((0,1,1,3) has k = 4
       // = maxT + 1), so count == maxT+1 alone is foolable
+      // try_element_at, not element_at: an EMPTY curve has no element 1
+      // and under ANSI a bare element_at dies with an opaque
+      // INVALID_ARRAY_INDEX error before the guard can speak; the null
+      // falls through to the raise_error branch with the real message
       .withColumn("__T",
         when(col("__kd") === col("__k") && col("__k") === col("__Tm") + 1 &&
-            element_at(col("__c"), 1).getField("__t") === 0, col("__Tm"))
+            try_element_at(col("__c"), lit(1)).getField("__t") === 0, col("__Tm"))
           .otherwise(raise_error(concat(
             lit("sbgProjection: curve offsets must be contiguous 0..T "),
             lit("with no gaps/duplicates; got max(t)="),
-            col("__Tm").cast("string"), lit(" over "),
+            // an EMPTY curve nulls these aggregates, and a null inside
+            // concat would null the whole message (raise_error "null")
+            coalesce(col("__Tm").cast("string"), lit("null")), lit(" over "),
             col("__k").cast("string"), lit(" rows ("),
             col("__kd").cast("string"), lit(" distinct)")))))
       .drop("__Tm", "__k", "__kd")

@@ -39,8 +39,16 @@ object Sitemaps {
     val entries = concat(
       transform(urlBlocks, b => struct(lit(false).as("is_index"), b.as("b"))),
       transform(idxBlocks, b => struct(lit(true).as("is_index"), b.as("b"))))
+    // Real-world sitemaps wrap values in CDATA (<loc><![CDATA[…]]></loc>)
+    // and some generators namespace-qualify the tags (<sm:loc>); both
+    // must still parse — a CDATA wrapper surviving into the URL silently
+    // fails host matching in Robots.filterAllowed/Frontier.schedule
+    // downstream. Non-capturing prefix groups keep the value in group 1.
     def tag(b: Column, t: String): Column = {
-      val v = trim(regexp_extract(b, s"(?s)<$t>(.*?)</$t>", 1))
+      val raw = trim(regexp_extract(b,
+        s"(?s)<(?:\\w+:)?$t(?:\\s[^>]*)?>(.*?)</(?:\\w+:)?$t>", 1))
+      val v = trim(regexp_replace(raw,
+        "(?s)^<!\\[CDATA\\[(.*)\\]\\]>$", "$1"))
       when(length(v) > 0, v)
     }
     val b = col("__e.b")

@@ -1952,9 +1952,12 @@ object StreamOps {
     * are epoch-keyed overwrites ⇒ replay rewrites identical state.
     * Out-of-order batches are TIME-arbitrated, not arrival-arbitrated:
     * a straggler batch that wholly predates the prior last event emits
-    * no (time-reversed) boundary pair, and the persisted per-entity
-    * last state is the temporally-later of (prior last, batch last) —
-    * a late batch can never regress the stored state.
+    * no (time-reversed) boundary pair, a PARTIALLY overlapping batch
+    * emits the pair against its first in-order event with ts >= the
+    * prior last (the state a stream reaches if the overlap were late
+    * arrivals), and the persisted per-entity last state is the
+    * temporally-later of (prior last, batch last) — a late batch can
+    * never regress the stored state.
     *
     * [[transitionsFrom]] rolls the counts up and row-normalizes —
     * feed it to [[graft.analytics.Markov.stationary]] for the live
@@ -1991,11 +1994,6 @@ object StreamOps {
     val within = s.withColumn("__next", lead(col("__s"), 1).over(w))
       .filter(col("__next").isNotNull)
       .select(col("__s").as("from_state"), col("__next").as("to_state"))
-    val firsts = s.groupBy("__e")
-      .agg(min_by(col("__s"), col("__us")).as("__first"),
-        min(col("__us")).as("__first_us"),
-        max_by(col("__s"), col("__us")).as("__last"),
-        max(col("__us")).as("__last_us"))
     val prior = try {
       spark.read.parquet(s"$statePath/last")
         .filter(col("batch") =!= epochId) // replay: own epoch is rewritten
@@ -2006,22 +2004,35 @@ object StreamOps {
           col("__p.__last_us").as("__plast_us"))
     } catch {
       case _: org.apache.spark.sql.AnalysisException => // first epoch ever
-        firsts.select(col("__e"), col("__last").as("__plast"),
-          col("__last_us").as("__plast_us")).limit(0)
+        s.select(col("__e"), col("__s").as("__plast"),
+          col("__us").as("__plast_us")).limit(0)
     }
-    val joined = firsts.join(prior, Seq("__e"), "left")
-    // boundary pair only when this batch is temporally AFTER the prior
-    // last event — a straggler batch that wholly predates it would emit
-    // a time-reversed transition; the same comparison keeps the stored
-    // last state from regressing (we persist the temporally-later of
-    // prior last vs batch last, not unconditionally the batch's)
-    val boundary = joined
-      .filter(col("__plast").isNotNull && col("__first_us") >= col("__plast_us"))
-      .select(col("__plast").as("from_state"), col("__first").as("to_state"))
+    // Boundary pair targets the first in-batch event NOT BEFORE the
+    // prior last event (ties included): a batch wholly predating the
+    // prior state emits no pair (a time-reversed transition would be
+    // wrong), and a PARTIALLY overlapping batch still emits the pair
+    // against its first in-order event with ts >= prior last — the
+    // state a stream would reach if the overlapping events were late
+    // arrivals. The temporal max below keeps the stored last state
+    // from regressing either way.
+    val firsts = s.join(prior, Seq("__e"), "left")
+      .groupBy("__e")
+      .agg(
+        min(when(col("__us") >= coalesce(col("__plast_us"),
+            lit(Long.MinValue)), struct(col("__us"), col("__s")))).as("__fge"),
+        max_by(col("__s"), col("__us")).as("__last"),
+        max(col("__us")).as("__last_us"),
+        // constant per entity after the join (prior is one row per key)
+        max(col("__plast")).as("__plast"),
+        max(col("__plast_us")).as("__plast_us"))
+    val boundary = firsts
+      .filter(col("__plast").isNotNull && col("__fge").isNotNull)
+      .select(col("__plast").as("from_state"),
+        col("__fge").getField("__s").as("to_state"))
     within.unionAll(boundary)
       .groupBy("from_state", "to_state").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$statePath/trans/batch=$epochId")
-    joined.select(col("__e"),
+    firsts.select(col("__e"),
         when(col("__plast_us") > col("__last_us"), col("__plast"))
           .otherwise(col("__last")).as("__last"),
         when(col("__plast_us") > col("__last_us"), col("__plast_us"))

@@ -104,5 +104,13 @@ class RetentionSpec extends SparkSpec {
       Retention.sbgProjection(dupGap, col("t"), col("n"), horizon = 6).collect()
     }
     assert(ex3.getMessage.contains("contiguous"), ex3.getMessage)
+    // an EMPTY curve must fail with the same contract message — under
+    // ANSI a bare element_at(arr, 1) would die with an opaque
+    // INVALID_ARRAY_INDEX error before the guard could speak
+    val empty = Seq.empty[(Int, Double)].toDF("t", "n")
+    val ex4 = intercept[Exception] {
+      Retention.sbgProjection(empty, col("t"), col("n"), horizon = 6).collect()
+    }
+    assert(ex4.getMessage.contains("contiguous"), ex4.getMessage)
   }
 }

@@ -134,6 +134,23 @@ class RobotsSpec extends SparkSpec {
       ("https://c.com/z", "c.com", 0L, 0.0)))
   }
 
+  test("Frontier.schedule: a host past maxPerHost fails loud with the A20 advice") {
+    val delays = Robots.parseCrawlDelays(
+      Seq(("a.com", "User-agent: *\nCrawl-delay: 1")).toDF("d", "b"),
+      col("d"), col("b"))
+    val urls = (1 to 5).map(i => s"https://mega.com/p$i").toDF("url")
+    val ex = intercept[Exception] {
+      Frontier.schedule(urls, col("url"), delays, agent = "GraftBot",
+        maxPerHost = 3L).collect()
+    }
+    assert(ex.getMessage.contains("maxPerHost"), ex.getMessage)
+    assert(ex.getMessage.contains("capPerDomainExpected"), ex.getMessage)
+    // at the bound it schedules fine
+    val ok = Frontier.schedule(urls, col("url"), delays, agent = "GraftBot",
+      maxPerHost = 5L).count()
+    assert(ok === 5L)
+  }
+
   test("filterAllowed: a domain with only foreign-agent rules never loses URLs") {
     val foreign = Robots.parseRobots(Seq(("f.com",
       "User-agent: somebot\nDisallow: /")).toDF("d", "b"), col("d"), col("b"))

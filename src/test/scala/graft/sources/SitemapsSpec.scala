@@ -42,6 +42,27 @@ class SitemapsSpec extends SparkSpec {
       ("https://d.com/d", None, None, None, false)))
   }
 
+  test("parseSitemap: CDATA-wrapped values and namespace-qualified tags parse") {
+    // both are common in the wild: CMS generators CDATA-wrap loc, and
+    // some emit namespace-prefixed tags; a surviving CDATA wrapper
+    // would silently fail host matching downstream in Robots/Frontier
+    val wrapped =
+      """<urlset>
+        |  <url><loc><![CDATA[https://d.com/cdata?a=1&b=2]]></loc>
+        |       <lastmod><![CDATA[2024-04-01]]></lastmod></url>
+        |  <url><sm:loc>https://d.com/ns</sm:loc>
+        |       <sm:priority>0.5</sm:priority></url>
+        |</urlset>""".stripMargin
+    val got = Sitemaps.parseSitemap(
+        Seq(("https://d.com/sitemap.xml", wrapped)).toDF("u", "x"), col("u"), col("x"))
+      .select("loc", "lastmod_date", "priority")
+      .as[(String, Option[java.sql.Date], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("https://d.com/cdata?a=1&b=2", Some(java.sql.Date.valueOf("2024-04-01")), None),
+      ("https://d.com/ns", None, Some(0.5))))
+  }
+
   test("parseSitemap: sitemapindex entries surface as is_index rows") {
     val got = Sitemaps.parseSitemap(
         Seq(("https://d.com/sitemap.xml", index)).toDF("u", "x"), col("u"), col("x"))

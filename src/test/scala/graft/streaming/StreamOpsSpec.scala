@@ -1179,6 +1179,38 @@ class StreamOpsSpec extends SparkSpec {
       s"straggler handling broke the chain: $got")
   }
 
+  test("markovStateBatch: a PARTIALLY overlapping batch keeps its boundary pair") {
+    val state = java.nio.file.Files.createTempDirectory("mkpart").toString + "/mk"
+    // epoch 0: u1 view@10:00 → click@10:02; stored last = click@10:02
+    StreamOps.markovStateBatch(Seq(
+      (ts("2024-01-01 10:00:00"), "u1", "view"),
+      (ts("2024-01-01 10:02:00"), "u1", "click")).toDF("ts", "u", "s"),
+      0L, "u", "ts", "s", state)
+    // epoch 1 PARTIALLY overlaps: login@10:01 predates the stored last
+    // but buy@11:00 does not — the boundary pair must chain from the
+    // stored click to the first in-order event at/after it (buy), not
+    // be silently dropped because the batch's FIRST event is early
+    StreamOps.markovStateBatch(Seq(
+      (ts("2024-01-01 10:01:00"), "u1", "login"),
+      (ts("2024-01-01 11:00:00"), "u1", "buy")).toDF("ts", "u", "s"),
+      1L, "u", "ts", "s", state)
+    val got = StreamOps.transitionsFrom(spark, state)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // within epoch 0: view→click; within epoch 1: login→buy;
+    // boundary: click→buy (the first in-batch event with ts >= last)
+    assert(got === Map(("view", "click") -> 1L, ("login", "buy") -> 1L,
+      ("click", "buy") -> 1L), s"partial-overlap boundary pair lost: $got")
+    // and the stored last state is buy@11:00 (temporal max, no regress)
+    StreamOps.markovStateBatch(Seq(
+      (ts("2024-01-01 12:00:00"), "u1", "churn")).toDF("ts", "u", "s"),
+      2L, "u", "ts", "s", state)
+    val got2 = StreamOps.transitionsFrom(spark, state)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got2(("buy", "churn")) === 1L, s"stored last regressed: $got2")
+  }
+
   test("toRateState: cross-epoch rollup ≡ batch EB shrinkage, replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
