@@ -22,6 +22,10 @@ object Bench {
       .config("spark.sql.ansi.enabled", "true")
       // events.parquet stores TIMESTAMP(NANOS); see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table queries (c12) saveAsTable here; keep it out of
+      // the repo and fresh per invocation
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (class loading, Janino codegen compiler, shuffle

@@ -42,6 +42,49 @@ private[graft] object EtlQueries {
         .orderBy("loc")
     }),
 
+    // The crawl DISCOVERY→DISPATCH loop COMPOSED (A33): sitemap parse
+    // (A32) → incremental freshness vs the A28 bookmark (newSince) →
+    // robots compliance (A26) → polite per-host scheduling (A31).
+    // Sitemaps synthesized from doc ids (the a32 discipline, plus
+    // lastmod-less entries every 5th id to exercise the conservative
+    // re-fetch path); site0.com's robots disallows everything; sites
+    // 1-3 declare Crawl-delay 1-3 s, the rest default to 0.5 s.
+    "a33_sitemap_refetch" -> ((s, dir) => {
+      import s.implicits._
+      val entry = concat(
+        lit("<url><loc>https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".com/page"), col("doc_id").cast("string"), lit("</loc>"),
+        // every 5th entry has unknown freshness → must re-fetch
+        when(col("doc_id") % 5 === 0, lit("")).otherwise(concat(
+          lit("<lastmod>2024-01-"),
+          lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+          lit("</lastmod>"))),
+        lit("</url>"))
+      val maps = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(concat(lit("<urlset>"),
+          array_join(sort_array(collect_list(entry)), ""),
+          lit("</urlset>")).as("xml"))
+        .select(concat(lit("https://"), col("source"),
+          lit(".example/sitemap.xml")).as("u"), col("xml"))
+      val entries = graft.sources.Sitemaps.parseSitemap(maps, col("u"), col("xml"))
+      val fresh = graft.sources.Sitemaps.newSince(
+        entries, java.sql.Date.valueOf("2024-01-14"))
+      val rules = graft.sources.Robots.parseRobots(
+        Seq(("site0.com", "User-agent: *\nDisallow: /")).toDF("domain", "body"),
+        col("domain"), col("body"))
+      val allowed = graft.sources.Robots.filterAllowed(
+        fresh, col("loc"), rules, agent = "graftbot")
+      val delays = graft.sources.Robots.parseCrawlDelays(
+        (1 to 3).map(k => (s"site$k.com", s"User-agent: *\nCrawl-delay: $k"))
+          .toDF("domain", "body"), col("domain"), col("body"))
+      graft.sources.Frontier.schedule(allowed, col("loc"), delays,
+          agent = "graftbot", defaultDelaySeconds = 0.5)
+        .select(col("loc"), col("host"), col("seq"),
+          round(col("dispatch_offset_s"), 2).as("dispatch_offset_s"))
+        .orderBy("loc")
+    }),
+
     // Polite frontier scheduling (A31): per-host FIFO slots spaced by
     // each host's parsed Crawl-delay (sites 0-3 declare 1-4 s, the
     // rest default to 0.5 s) — URLs synthesized from doc ids so both
@@ -365,6 +408,28 @@ private[graft] object EtlQueries {
         | make_date(2024, 1, CAST(doc_id % 28 + 1 AS INT)) AS lastmod_date,
         | (doc_id % 10) / 10.0 AS priority
         |FROM documents ORDER BY loc""".stripMargin,
+
+    // The composed loop's closed form: entries kept when lastmod-less
+    // (doc_id%5==0) or strictly newer than the 2024-01-14 mark, site0
+    // robots-blocked, per-host lexicographic slots, delay k for sites
+    // 1-3 else 0.5 s.
+    "a33_sitemap_refetch" ->
+      """WITH u AS (SELECT doc_id,
+        |   'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/page' || CAST(doc_id AS VARCHAR) AS loc,
+        |   'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+        |   doc_id % 7 AS k,
+        |   CASE WHEN doc_id % 5 = 0 THEN NULL
+        |        ELSE make_date(2024, 1, CAST(doc_id % 28 + 1 AS INT)) END AS lm
+        |  FROM documents),
+        |f AS (SELECT * FROM u
+        |      WHERE (lm IS NULL OR lm > DATE '2024-01-14') AND k <> 0),
+        |s AS (SELECT loc, host,
+        |   row_number() OVER (PARTITION BY host ORDER BY loc) - 1 AS seq,
+        |   CASE WHEN k BETWEEN 1 AND 3 THEN k * 1.0 ELSE 0.5 END AS d
+        |  FROM f)
+        |SELECT loc, host, CAST(seq AS BIGINT) AS seq,
+        | round(seq * d, 2) AS dispatch_offset_s
+        |FROM s ORDER BY loc""".stripMargin,
 
     // Same synthesized hosts, same per-host lexicographic slots, same
     // delay arbitration closed-form (k ≤ 3 → k+1 s, else the default).

@@ -433,6 +433,46 @@ private[graft] object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Salted-join RESULT parity (C13): the skew-defused join must be
+    // indistinguishable from the plain join it replaces — the salt is
+    // pure plumbing (each fact row meets exactly one dim replica), so
+    // the oracle is the UNSALTED SQL join. Plan shape (dim replicated
+    // nSalts×, fact keys spread over (key, salt)) is pinned in
+    // RelationalSpec; this row pins the algebra.
+    "c13_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_quantity"))
+      val supp = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Relational.saltedJoin(li, supp, "l_suppkey", nSalts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
+
+    // Bucketed-layout RESULT parity (C12): write both join sides as
+    // co-bucketed co-sorted tables (8 buckets on the order key), join
+    // THROUGH the catalog tables — the layout's shuffle-free merge
+    // join must return exactly what the plain shuffled join returns.
+    // BucketingSpec pins the no-Exchange plan; this row pins the
+    // result against the oracle's plain join.
+    "c12_bucketed_parity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      graft.sources.Bucketing.writeBucketed(li, "graft_c12_lineitem",
+        "l_orderkey", nBuckets = 8, sortCols = Seq("l_orderkey"))
+      graft.sources.Bucketing.writeBucketed(o, "graft_c12_orders",
+        "o_orderkey", nBuckets = 8, sortCols = Seq("o_orderkey"))
+      val jl = s.table("graft_c12_lineitem")
+      val jo = s.table("graft_c12_orders")
+      jl.join(jo, jl("l_orderkey") === jo("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Join-size preflight of the events-on-user self-join (the
     // accidental-quadratic audit): exact per-key pair contributions and
     // the total output forecast from ONE metadata-scale count aggregate
@@ -1209,6 +1249,19 @@ private[graft] object RelationalQueries {
         | round(CAST(max(run) AS DOUBLE), 2) AS max_run,
         | round(CAST(min(run) AS DOUBLE), 2) AS min_run
         |FROM r GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    // The UNSALTED join — the salt must be invisible in the algebra.
+    "c13_salted_join" ->
+      """SELECT s.s_nationkey, count(*) AS n, round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    // The plain (layout-oblivious) join — bucketing must be invisible
+    // in the algebra.
+    "c12_bucketed_parity" ->
+      """SELECT o.o_orderpriority, count(*) AS n, round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // Same counts table (self-join: both sides the same aggregate),
     // same product/total/share arithmetic, same deterministic order.

@@ -21,6 +21,10 @@ object Verify {
       .config("spark.sql.ansi.enabled", "true")
       // events.parquet stores TIMESTAMP(NANOS); see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table queries (c12) saveAsTable here; keep it out of
+      // the repo and fresh per invocation
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
