@@ -459,6 +459,222 @@ private[graft] object StreamQueries {
       StreamOps.funnelStateBatch(e.filter(us > c2), 2L,
         "user_id", "ts", "event_type", steps, state)
       StreamOps.funnelFrom(s, state, steps).orderBy("step_index")
+    }),
+
+    // E22 — streaming point-in-time enrichment: the C30 PIT join run
+    // per micro-batch against the static SCD dimension; the union of
+    // the three epoch outputs must equal the one-shot batch join (the
+    // hook is stateless per batch — the equivalence pins that the
+    // epoch-keyed landing loses/duplicates nothing).
+    "e22_pit_enrich" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = graft.etl.Scd.fromChangeLog(ev,
+        keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+        tsCol = "ts", tieBreak = Seq("event_id"))
+      val facts = ev.select(col("event_id"), col("user_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("lookup_ts"),
+        col("event_type").as("cur_type"))
+      val out = tmp("graft_e22")
+      (0 to 2).foreach { ep =>
+        StreamOps.pitEnrichedBatch(
+          facts.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === ep),
+          ep, dim, "user_id", "lookup_ts", Seq("event_type"), out)
+      }
+      s.read.parquet(out)
+        .groupBy(col("cur_type"),
+          coalesce(col("pit_event_type"), lit("none")).as("prior_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cur_type", "prior_type")
+    }),
+
+    // E40 — streaming Pareto-frontier state: per-epoch skylines merged
+    // by one more skyline pass at read (the frontier is a merge
+    // closure: a global frontier point survives its own epoch, and a
+    // dominated point's dominator — or a transitive dominator — always
+    // reaches the merge), ≡ the batch C44 skyline.
+    "e40_skyline_state" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val state = tmp("graft_e40")
+      (0 to 2).foreach { ep =>
+        StreamOps.skylineStateBatch(p.filter(col("p_partkey") % 3 === ep),
+          ep, "p_size", "p_retailprice", Seq("p_partkey"), state)
+      }
+      StreamOps.skylineFrom(s, state, "p_size", "p_retailprice")
+        .select(col("p_partkey"), col("p_size"),
+          round(col("p_retailprice"), 4).as("retail"))
+        .orderBy("p_partkey")
+    }),
+
+    // E33 — streaming KS drift alarms: each micro-batch of click
+    // values KS-tested against the static view-value reference and the
+    // verdict landed per epoch; every epoch row must equal the batch
+    // B22 test over exactly that epoch's slice.
+    "e33_ks_drift" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click" &&
+        col("event_id").isNotNull)
+      val ref = e.filter(col("event_type") === "view").select(col("value"))
+      val state = tmp("graft_e33")
+      (0 to 2).foreach { ep =>
+        StreamOps.ksDriftBatch(clicks.filter(col("event_id") % 3 === ep),
+          ep, "value", ref, alpha = 0.05, state)
+      }
+      s.read.parquet(state)
+        .select(col("batch").cast("long").as("epoch"), col("n_batch"),
+          col("n_ref"), round(col("d_stat"), 6).as("d_stat"),
+          round(col("p_value"), 6).as("p_value"), col("drifted"))
+        .orderBy("epoch")
+    }),
+
+    // E19 — streaming balanced-shard writer: serpentine cost
+    // assignment seeded from the PERSISTED per-shard loads each epoch;
+    // the oracle replays the same 3-epoch serpentine closed-form, so
+    // the final (docs, tokens) per shard pins rank order, the
+    // lightest-first target list, and the load-state fold.
+    "e19_balanced_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val out = tmp("graft_e19o"); val state = tmp("graft_e19s")
+      (0 to 2).foreach { ep =>
+        StreamOps.balancedShardBatch(docs.filter(col("doc_id") % 3 === ep),
+          ep, "doc_id", col("n_chars"), out, state, shards = 8)
+      }
+      s.read.parquet(out)
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+        .join(StreamOps.shardLoads(s, state), Seq("shard"))
+        .select(col("shard").cast("int").as("shard"), col("n_docs"),
+          col("tokens"))
+        .orderBy("shard")
+    }),
+
+    // E18 — streaming quality-gate router: per-epoch C4-clean +
+    // C4/Gopher gating with BOTH outcomes landed (keeps carry the
+    // cleaned text, rejects the original text plus the named failed
+    // gates); text synthesized multi-line from doc ids (the d56
+    // discipline) so the line gates have real work. The oracle replays
+    // every gate and the reason-array construction order.
+    "e18_quality_router" -> ((s, dir) => {
+      val t = split(col("text"), " ")
+      def seg(start: Int, len: Int) = array_join(slice(t, start, len), " ")
+      val synth = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(seg(1, 6), lit(".")),
+          seg(7, 3),
+          concat(seg(10, 6), lit("?")),
+          lit("about javascript and more things here."),
+          when(col("doc_id") % 2 === 0,
+            lit("an extra sentence rounds out even documents.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("config { x } traced through seven docs.")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("lorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("this document regrettably contains badword today.")).otherwise(lit("")))
+          .as("text"))
+      val keep = tmp("graft_e18k"); val rej = tmp("graft_e18r")
+      (0 to 2).foreach { ep =>
+        StreamOps.qualityRoutedBatch(synth.filter(col("doc_id") % 3 === ep),
+          ep, "doc_id", "text", keep, rej,
+          minLineWords = 5, minSentences = 3, badWords = Seq("badword"),
+          minWords = 10)
+      }
+      val keeps = s.read.parquet(keep).select(
+        col("batch").cast("long").as("epoch"), col("doc_id"),
+        lit(true).as("kept"), lit("").as("reasons"),
+        md5(col("text")).as("text_md5"))
+      val rejs = s.read.parquet(rej).select(
+        col("batch").cast("long").as("epoch"), col("doc_id"),
+        lit(false).as("kept"),
+        array_join(col("reject_reasons"), ",").as("reasons"),
+        md5(col("text")).as("text_md5"))
+      keeps.unionByName(rejs).orderBy("doc_id")
+    }),
+
+    // E30 — streaming OHLC bars through the REAL streaming machinery:
+    // a file-source stream (3 single-file micro-batches), the
+    // watermarked windowed min_by/max_by aggregation, a Complete-mode
+    // memory sink — the incremental state fold must equal the batch
+    // C52 bars (tie order pinned by event_id on both engines).
+    "e30_ohlc_bars" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      val in = tmp("graft_e30in"); val ck = tmp("graft_e30ck")
+      (0 to 2).foreach { ep =>
+        e.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === ep)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val bars = StreamOps.streamingOhlcBars(stream, ts = "ts",
+        watermark = "0 seconds", bucket = "1 day", groupCol = "event_type",
+        valueCol = "value", tieBreak = Seq("event_id"))
+      val name = "graft_e30_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = bars.writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("event_type"), col("bucket_start"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+          col("volume"))
+        .orderBy("event_type", "bucket_start")
+    }),
+
+    // E27 — streaming CEP sequence matching through the REAL
+    // flatMapGroupsWithState machinery: a file-source stream (3
+    // event-time-tercile micro-batches plus two far-future sentinel
+    // batches that advance the watermark so every buffered symbol
+    // graduates), append-mode memory sink. Per-user match totals must
+    // equal the batch regex count over the full ordered history
+    // (timestamps second-truncated on BOTH engines so the operator's
+    // millisecond-grain (ts, symbol) graduation order is replayable).
+    "e27_seq_match" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("event_type"))
+      val us = Relational.epochMicros(col("ts"))
+      val (c1, c2) = terciles(e)
+      val in = tmp("graft_e27in"); val ck = tmp("graft_e27ck")
+      val files = Seq(
+        e.filter(us <= c1), e.filter(us > c1 && us <= c2), e.filter(us > c2),
+        Seq((-1L, java.sql.Timestamp.valueOf("2150-01-01 00:00:00"), "flush1"))
+          .toDF("user_id", "ts", "event_type"),
+        Seq((-2L, java.sql.Timestamp.valueOf("2200-01-01 00:00:00"), "flush2"))
+          .toDF("user_id", "ts", "event_type"))
+      files.zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("append").parquet(in)
+        // distinct ascending mtimes pin the file-source batch order
+        val d = new java.io.File(in)
+        d.listFiles().filter(_.getName.startsWith("part-"))
+          .sortBy(_.lastModified()).zipWithIndex.foreach { case (f, j) =>
+            f.setLastModified(1700000000000L + j * 10000L)
+          }
+      }
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .as[StreamOps.TypedEvent]
+      val matches = StreamOps.sequenceMatches(s, stream,
+        watermark = "0 seconds",
+        symbols = Map("signup" -> "s", "view" -> "v", "click" -> "c",
+          "purchase" -> "p", "error" -> "e"),
+        pattern = "s[vc]*p", maxTail = 1 << 20)
+      val name = "graft_e27_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = matches.toDF().writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy("user_id")
+        .agg(sum(col("n_new_matches")).as("total_matches"))
+        .orderBy("user_id")
     })
   )
 
@@ -715,6 +931,206 @@ private[graft] object StreamQueries {
         | round(mu * ab, 6) AS prior_alpha, round((1 - mu) * ab, 6) AS prior_beta,
         | round((y + mu * ab) / (n + ab), 6) AS shrunk
         |FROM pk, pr ORDER BY key""".stripMargin,
+
+    // c30's batch PIT oracle verbatim — the epoch-keyed landing must
+    // lose/duplicate nothing.
+    "e22_pit_enrich" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id, event_type, us, event_id,
+        |  (row_number() OVER w = 1
+        |   OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (SELECT user_id, event_type AS vtype, us AS vfrom,
+        |   lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS vto FROM f WHERE chg),
+        |fc AS (SELECT event_id, user_id, event_type AS cur_type, us - 3600000000 AS lus FROM e),
+        |j AS (SELECT fc.cur_type, v.vtype
+        |      FROM fc LEFT JOIN v ON fc.user_id = v.user_id
+        |        AND v.vfrom <= fc.lus AND (v.vto IS NULL OR fc.lus < v.vto))
+        |SELECT cur_type, coalesce(vtype, 'none') AS prior_type, count(*) AS n
+        |FROM j GROUP BY 1, 2 ORDER BY cur_type, prior_type""".stripMargin,
+
+    // c44's batch skyline oracle verbatim — the per-epoch frontier
+    // merge must be indistinguishable from never having split.
+    "e40_skyline_state" ->
+      """SELECT p.p_partkey, p.p_size, round(p.p_retailprice, 4) AS retail
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice))
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    // b22's exact KS test replayed per epoch slice (same distinct-value
+    // collapse, same Kolmogorov series), verdict at alpha = 0.05.
+    "e33_ks_drift" -> (0 to 2).map { ep =>
+      s"""SELECT CAST($ep AS BIGINT) AS epoch, n_a AS n_batch, n_b AS n_ref,
+         | d_stat, p_value, (p_value IS NOT NULL AND p_value < 0.05) AS drifted
+         |FROM (
+         |WITH a AS (SELECT value AS v FROM events
+         |  WHERE event_type = 'click' AND value IS NOT NULL
+         |    AND event_id IS NOT NULL AND event_id % 3 = $ep),
+         |b AS (SELECT value AS v FROM events
+         |  WHERE event_type = 'view' AND value IS NOT NULL),
+         |ca AS (SELECT v, count(*) AS na FROM a GROUP BY 1),
+         |cb AS (SELECT v, count(*) AS nb FROM b GROUP BY 1),
+         |m AS (SELECT coalesce(ca.v, cb.v) AS v,
+         |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+         |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+         |c AS (SELECT sum(na) OVER w AS cna, sum(nb) OVER w AS cnb FROM m
+         |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT (SELECT count(*) FROM a) AS ta, (SELECT count(*) FROM b) AS tb),
+         |d AS (SELECT max(abs(cna * 1.0 / t.ta - cnb * 1.0 / t.tb)) AS ds,
+         |    max(t.ta) AS ta, max(t.tb) AS tb FROM c, t),
+         |l AS (SELECT ds, ta, tb,
+         |    (sqrt(ta * 1.0 * tb / (ta + tb)) + 0.12 +
+         |     0.11 / sqrt(ta * 1.0 * tb / (ta + tb))) * ds AS lam FROM d)
+         |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+         | round(ds, 6) AS d_stat,
+         | round(CASE WHEN lam < 0.05 THEN 1.0
+         |   ELSE least(1.0, greatest(0.0, 2.0 * list_sum(list_transform(range(1, 101),
+         |     k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END) *
+         |       exp(-2.0 * k * k * lam * lam))))) END, 6) AS p_value
+         |FROM l)""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY epoch"),
+
+    // The 3-epoch serpentine closed-form: per-epoch global rank by
+    // (cost desc, id), position folded over 2S, targets = shards
+    // ordered lightest-first by the PRIOR epochs' accumulated loads.
+    "e19_balanced_shards" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS ep, CAST(n_chars AS BIGINT) AS c FROM documents),
+        |sh AS (SELECT CAST(unnest(range(8)) AS INT) AS shard),
+        |r0 AS (SELECT doc_id, c, row_number() OVER (ORDER BY c DESC, doc_id) - 1 AS rk FROM d WHERE ep = 0),
+        |a0 AS (SELECT doc_id, c,
+        |   CAST(CASE WHEN rk % 16 < 8 THEN rk % 16 ELSE 15 - (rk % 16) END AS INT) AS shard FROM r0),
+        |l1 AS (SELECT sh.shard, coalesce(sum(a0.c), 0) AS tokens FROM sh LEFT JOIN a0 USING (shard) GROUP BY 1),
+        |o1 AS (SELECT shard, row_number() OVER (ORDER BY tokens ASC, shard ASC) - 1 AS lr FROM l1),
+        |r1 AS (SELECT doc_id, c, row_number() OVER (ORDER BY c DESC, doc_id) - 1 AS rk FROM d WHERE ep = 1),
+        |a1 AS (SELECT r1.doc_id, r1.c, o1.shard FROM r1 JOIN o1
+        |   ON (CASE WHEN r1.rk % 16 < 8 THEN r1.rk % 16 ELSE 15 - (r1.rk % 16) END) = o1.lr),
+        |l2 AS (SELECT l1.shard, l1.tokens + coalesce(sum(a1.c), 0) AS tokens
+        |   FROM l1 LEFT JOIN a1 USING (shard) GROUP BY 1, l1.tokens),
+        |o2 AS (SELECT shard, row_number() OVER (ORDER BY tokens ASC, shard ASC) - 1 AS lr FROM l2),
+        |r2 AS (SELECT doc_id, c, row_number() OVER (ORDER BY c DESC, doc_id) - 1 AS rk FROM d WHERE ep = 2),
+        |a2 AS (SELECT r2.doc_id, r2.c, o2.shard FROM r2 JOIN o2
+        |   ON (CASE WHEN r2.rk % 16 < 8 THEN r2.rk % 16 ELSE 15 - (r2.rk % 16) END) = o2.lr),
+        |l3 AS (SELECT l2.shard, l2.tokens + coalesce(sum(a2.c), 0) AS tokens
+        |   FROM l2 LEFT JOIN a2 USING (shard) GROUP BY 1, l2.tokens),
+        |u AS (SELECT shard FROM a0 UNION ALL SELECT shard FROM a1 UNION ALL SELECT shard FROM a2),
+        |cnt AS (SELECT shard, count(*) AS n_docs FROM u GROUP BY 1)
+        |SELECT l3.shard, cnt.n_docs, CAST(l3.tokens AS BIGINT) AS tokens
+        |FROM l3 JOIN cnt USING (shard) ORDER BY shard""".stripMargin,
+
+    // Every gate replayed over the d56 synthesis: C4 line cleaning,
+    // the C4 page rules, the Gopher quality rules over the CLEANED
+    // text (minWords 10), and the reason array in the router's fixed
+    // construction order; text_md5 pins keeps = cleaned, rejects =
+    // original.
+    "e18_quality_router" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |synth AS (SELECT doc_id, concat_ws(chr(10),
+        |    array_to_string(list_slice(t, 1, 6), ' ') || '.',
+        |    array_to_string(list_slice(t, 7, 9), ' '),
+        |    array_to_string(list_slice(t, 10, 15), ' ') || '?',
+        |    'about javascript and more things here.',
+        |    CASE WHEN doc_id % 2 = 0 THEN 'an extra sentence rounds out even documents.' ELSE '' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'config { x } traced through seven docs.' ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet consectetur.' ELSE '' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'this document regrettably contains badword today.' ELSE '' END
+        |  ) AS text FROM base),
+        |c AS (SELECT doc_id, text,
+        |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> length(x) > 0) AS lines
+        |  FROM synth),
+        |k AS (SELECT doc_id, text, lines,
+        |  list_filter(lines, l -> regexp_matches(l, '[.!?]["”'']?$')
+        |    AND len(string_split(trim(regexp_replace(l, '\s+', ' ', 'g')), ' ')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM c),
+        |f AS (SELECT doc_id, text, array_to_string(kept, chr(10)) AS clean FROM k),
+        |g AS (SELECT doc_id, text, clean,
+        |  len(regexp_extract_all(clean, '([.!?]+)', 1)) >= 3 AS ok_sentences,
+        |  NOT contains(lower(clean), 'lorem ipsum') AS ok_lorem,
+        |  NOT contains(clean, '{') AS ok_brace,
+        |  NOT list_contains(string_split(regexp_replace(lower(trim(clean)), '\s+', ' ', 'g'), ' '), 'badword') AS ok_bad
+        |  FROM f),
+        |gt AS (SELECT doc_id,
+        |   string_split(regexp_replace(lower(trim(clean)),'\s+',' ','g'), ' ') AS w FROM g),
+        |qm AS (SELECT gt.doc_id,
+        |   len(w) AS nw,
+        |   list_aggregate(list_transform(w, x -> length(x)), 'sum') * 1.0 / len(w) AS mean_len,
+        |   ((length(g.clean) - length(replace(g.clean, '#', ''))) * 1.0
+        |     + len(regexp_extract_all(g.clean, '(\.{3}|…)'))) / greatest(len(w), 1) AS sym_ratio,
+        |   len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0 / greatest(len(w), 1) AS alpha_ratio,
+        |   len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop,
+        |   list_filter(string_split(g.clean, chr(10)), l -> length(trim(l)) > 0) AS lines
+        |  FROM gt JOIN g USING (doc_id)),
+        |qf AS (SELECT doc_id,
+        |   (nw >= 10 AND nw <= 100000) AS ok_words,
+        |   (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean,
+        |   (sym_ratio <= 0.1) AS ok_sym,
+        |   (alpha_ratio >= 0.8) AS ok_alpha,
+        |   (n_stop >= 2) AS ok_stop,
+        |   (len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+        |      / greatest(len(lines), 1) <= 0.9) AS ok_bullet,
+        |   (len(list_filter(lines, l -> regexp_matches(trim(l), '(\.{3}|…)$'))) * 1.0
+        |      / greatest(len(lines), 1) <= 0.3) AS ok_ellipsis
+        |  FROM qm),
+        |r AS (SELECT g.doc_id, CAST(g.doc_id % 3 AS BIGINT) AS epoch,
+        |   (ok_sentences AND ok_lorem AND ok_brace AND ok_bad
+        |    AND ok_words AND ok_mean AND ok_sym AND ok_alpha AND ok_stop
+        |    AND ok_bullet AND ok_ellipsis) AS kept,
+        |   array_to_string(list_filter([
+        |     CASE WHEN NOT ok_sentences THEN 'c4_sentences' END,
+        |     CASE WHEN NOT ok_lorem THEN 'c4_lorem' END,
+        |     CASE WHEN NOT ok_brace THEN 'c4_brace' END,
+        |     CASE WHEN NOT ok_bad THEN 'c4_bad_words' END,
+        |     CASE WHEN NOT ok_words THEN 'gopher_word_count' END,
+        |     CASE WHEN NOT ok_mean THEN 'gopher_mean_word_len' END,
+        |     CASE WHEN NOT ok_sym THEN 'gopher_symbol_ratio' END,
+        |     CASE WHEN NOT ok_alpha THEN 'gopher_alpha_words' END,
+        |     CASE WHEN NOT ok_stop THEN 'gopher_stop_words' END,
+        |     CASE WHEN NOT ok_bullet THEN 'gopher_bullet_lines' END,
+        |     CASE WHEN NOT ok_ellipsis THEN 'gopher_ellipsis_lines' END
+        |   ], x -> x IS NOT NULL), ',') AS all_reasons,
+        |   g.text AS orig, g.clean AS clean
+        |  FROM g JOIN qf USING (doc_id))
+        |SELECT doc_id, epoch, kept,
+        | CASE WHEN kept THEN '' ELSE all_reasons END AS reasons,
+        | md5(CASE WHEN kept THEN clean ELSE orig END) AS text_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // c52's batch OHLC oracle over the watermark-eligible (non-null
+    // ts) rows — the streaming state fold must equal the one-shot
+    // windowed aggregate.
+    "e30_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, value, event_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, d ORDER BY us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, d ORDER BY us DESC, event_id DESC) AS rz
+        |  FROM e)
+        |SELECT event_type, d AS bucket_start,
+        | round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,
+        | round(max(value), 4) AS high, round(min(value), 4) AS low,
+        | round(max(CASE WHEN rz = 1 THEN value END), 4) AS close,
+        | count(*) AS volume
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket_start""".stripMargin,
+
+    // Per-user non-overlapping leftmost regex count over the FULL
+    // ordered history (second-truncated timestamps, symbol tie-break —
+    // the operator's millisecond graduation order); users with zero
+    // matches emit nothing in append mode.
+    "e27_seq_match" ->
+      """WITH e AS (SELECT user_id,
+        |   date_trunc('second', CAST(ts AS TIMESTAMP)) AS t,
+        |   CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+        |        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |        WHEN 'error' THEN 'e' ELSE '_' END AS sym
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT user_id, string_agg(sym, '' ORDER BY t, sym) AS seq FROM e GROUP BY 1),
+        |m AS (SELECT user_id, len(regexp_extract_all(seq, 's[vc]*p')) AS nm FROM g)
+        |SELECT user_id, CAST(nm AS BIGINT) AS total_matches
+        |FROM m WHERE nm > 0 ORDER BY user_id""".stripMargin,
 
     // The batch C21 funnel over the full history.
     "e39_funnel_state" ->
