@@ -531,6 +531,26 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Unigram (SentencePiece-style) ENCODING under a CONSTRUCTED
+    // singles-only model, so the Viterbi outcome has a closed form the
+    // oracle replays exactly (character split — every single-char
+    // piece at equal logp, unknown chars covered by the unk floor).
+    // This pins the encode-path PLUMBING at corpus scale: Viterbi per
+    // DISTINCT word, positional join-back, in-order reassembly. DP
+    // optimality over multi-char vocabularies is pinned by
+    // UnigramTokenizerSpec's non-degenerate models.
+    "d73_unigram_encode" -> ((s, dir) => {
+      val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+      val model = graft.text.UnigramTokenizer.Model(
+        pieces = singles.map(_ -> math.log(1.0 / singles.size)).toMap,
+        maxPieceLen = 2, unkLogp = -100.0)
+      graft.text.UnigramTokenizer.encode(
+          Tables.documents(s, dir), col("doc_id"), col("text"), model)
+        .select(col("doc_id"), col("n_pieces"),
+          substring(md5(array_join(col("pieces"), " ")), 1, 8).as("pieces_md5"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style LM quality signal: per-document cross-entropy under
     // the corpus unigram distribution (bits/token) — both tails are
     // filter targets (boilerplate low, gibberish high).
@@ -1061,6 +1081,18 @@ private[graft] object TextQueries {
         |      FROM r5 GROUP BY doc_id)
         |SELECT doc_id, CAST(len(us) AS BIGINT) AS n_bpe_tokens,
         | substr(md5(array_to_string(us, ' ')), 1, 8) AS units_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // The singles-only model's closed form: pieces = the characters of
+    // each normalized word, corpus order preserved.
+    "d73_unigram_encode" ->
+      """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, i, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i) WHERE len(t[i]) > 0),
+        |f AS (SELECT doc_id,
+        |   flatten(array_agg(string_split_regex(w, '') ORDER BY i)) AS ps
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_pieces,
+        | substr(md5(array_to_string(ps, ' ')), 1, 8) AS pieces_md5
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "d24_chunking" ->
