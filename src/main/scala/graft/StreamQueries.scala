@@ -675,8 +675,349 @@ private[graft] object StreamQueries {
         .groupBy("user_id")
         .agg(sum(col("n_new_matches")).as("total_matches"))
         .orderBy("user_id")
+    }),
+
+    // E1 — watermarked tumbling-window aggregation through the REAL
+    // streaming machinery (file source, complete-mode memory sink):
+    // per-(day, type) counts/sums folded incrementally over 3
+    // key-split micro-batches must equal the one-shot batch aggregate.
+    // Complete mode retains all window state, so the modulus split
+    // order is immaterial — the e30 discipline.
+    "e1_windowed_agg" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      val in = tmp("graft_e1in"); val ck = tmp("graft_e1ck")
+      (0 to 2).foreach { ep =>
+        e.filter(pmod(col("event_id"), lit(3)) === ep)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val agg = StreamOps.windowedAgg(stream, ts = "ts",
+        watermark = "0 seconds", bucket = "1 day", groupCol = "event_type",
+        valueCol = "value")
+      val name = "graft_e1_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("bucket_start"), col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    }),
+
+    // E2 — stateful gap sessionization through the REAL
+    // flatMapGroupsWithState machinery: event-time tercile batches so
+    // arrival order = event-time order (state merges forward only),
+    // two far-future sentinel batches advance the watermark so every
+    // open session times out and emits (the e27 flush discipline).
+    // Oracle: the batch C10 gap rule over the full ordered history.
+    "e2_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+      val us = Relational.epochMicros(col("ts"))
+      val (c1, c2) = terciles(e)
+      val in = tmp("graft_e2in"); val ck = tmp("graft_e2ck")
+      val files = Seq(
+        e.filter(us <= c1), e.filter(us > c1 && us <= c2), e.filter(us > c2),
+        Seq((-1L, java.sql.Timestamp.valueOf("2150-01-01 00:00:00"), 0.0))
+          .toDF("user_id", "ts", "value"),
+        Seq((-2L, java.sql.Timestamp.valueOf("2200-01-01 00:00:00"), 0.0))
+          .toDF("user_id", "ts", "value"))
+      files.foreach { df => pinOrdered(df, in) }
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .as[StreamOps.SessionEvent]
+      val sessions = StreamOps.sessionize(s, stream,
+        watermark = "0 seconds", gapSeconds = 1800)
+      val name = "graft_e2_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sessions.toDF().writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"), col("duration_sec"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "n_events", "duration_sec", "sum_value")
+    }),
+
+    // E3 — stream–static broadcast enrichment: each micro-batch joins
+    // the live stream against the customer dimension (key synthesized
+    // as user_id mod |dim| so the FK binds); append sink, no state.
+    "e3_enrich_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val nCust = cust.count() // static dim cardinality — bounded
+      val e = Tables.events(s, dir)
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), pmod(col("user_id"), lit(nCust)).as("c_custkey"))
+      val in = tmp("graft_e3in"); val ck = tmp("graft_e3ck")
+      (0 to 2).foreach { ep =>
+        e.filter(pmod(col("event_id"), lit(3)) === ep)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val enriched = StreamOps.enrich(stream, cust, "c_custkey")
+      val name = "graft_e3_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = enriched.writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("event_id"), col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 4).as("acctbal"))
+        .orderBy("event_id")
+    }),
+
+    // E4 — streaming exact dedup via dropDuplicatesWithinWatermark:
+    // duplicates planted WITHIN batch 0 and ACROSS batches 0→1 and
+    // 1→2; a years-long watermark keeps all key state live, so every
+    // duplicate is suppressed and the output is exactly the distinct
+    // input (duplicate rows are byte-identical, so which copy survives
+    // is immaterial).
+    "e4_stream_dedup" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val in = tmp("graft_e4in"); val ck = tmp("graft_e4ck")
+      val m3 = pmod(col("event_id"), lit(3)); val m2 = pmod(col("event_id"), lit(2))
+      Seq(
+        e.filter(m3 === 0).unionAll(
+          e.filter(m3 === 0 && pmod(col("event_id"), lit(5)) === 0)),
+        e.filter(m3 === 1).unionAll(e.filter(m3 === 0 && m2 === 0)),
+        e.filter(m3 === 2).unionAll(e.filter(m3 === 1 && m2 === 0))
+      ).foreach(_.coalesce(1).write.mode("append").parquet(in))
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val deduped = StreamOps.streamDedup(stream, "ts", "3650 days", "event_id")
+      val name = "graft_e4_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(col("event_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // E5 — watermarked stream–stream interval join: purchases matched
+    // to same-user views at most 1 hour earlier. Both sources split by
+    // the SAME event-time terciles (mtime-pinned), so buffered state
+    // that could still match is never behind the min-policy watermark —
+    // the expiry proof lives in this query's scaladoc trail: a view
+    // expires only when wm > vts + 1h, and every unseen purchase has
+    // pts > wm, which would fail vts >= pts − 1h anyway.
+    "e5_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
+      val (c1, c2) = terciles(e)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("pts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+          col("ts").as("vts"))
+      val inP = tmp("graft_e5p"); val inV = tmp("graft_e5v")
+      val ck = tmp("graft_e5ck")
+      def dump(df: DataFrame, dirPath: String, tsCol: String): Unit = {
+        val u = Relational.epochMicros(col(tsCol))
+        Seq(df.filter(u <= c1), df.filter(u > c1 && u <= c2), df.filter(u > c2))
+          .foreach(part => pinOrdered(part, dirPath))
+      }
+      dump(p, inP, "pts"); dump(v, inV, "vts")
+      val sp = s.readStream.schema(p.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inP)
+      val sv = s.readStream.schema(v.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inV)
+      val joined = StreamOps.intervalJoin(sp, sv, leftKey = "p_user",
+        rightKey = "v_user", leftTs = "pts", rightTs = "vts",
+        watermark = "0 seconds", maxGap = "1 hour")
+      val name = "graft_e5_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(col("p_id"), col("v_id")).orderBy("p_id", "v_id")
+    }),
+
+    // E20 — streaming rolling z-score alerts through the REAL
+    // flatMapGroupsWithState machinery: tercile batches make arrival
+    // order = (event-time, value) order, so the per-user 3-deep recent
+    // window is replayable; alerts emit on arrival (no flush needed);
+    // a decade TTL keeps lookback state from resetting mid-history.
+    "e20_zscore_alerts" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("value"))
+      val us = Relational.epochMicros(col("ts"))
+      val (c1, c2) = terciles(e)
+      val in = tmp("graft_e20in"); val ck = tmp("graft_e20ck")
+      Seq(e.filter(us <= c1), e.filter(us > c1 && us <= c2), e.filter(us > c2))
+        .foreach(df => pinOrdered(df, in))
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .as[StreamOps.ScoreEvent]
+      val alerts = StreamOps.zScoreAlerts(s, stream, watermark = "0 seconds",
+        lookback = 3, zThreshold = 2.0, stateTtlSeconds = 315360000L)
+      val name = "graft_e20_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = alerts.toDF().writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), col("ts"), round(col("value"), 4).as("value"),
+          round(col("z"), 4).as("z"))
+        .orderBy("user_id", "ts", "value")
+    }),
+
+    // E23 — streaming Bloom-indexed ingest, probed end-to-end: three
+    // epoch-keyed landings build the live sidecar, then a fixed bounded
+    // probe set (≤10 keys, present AND absent) is answered ONLY through
+    // candidate-file pruning — a green row proves the sidecar never
+    // loses a key and absent keys return nothing.
+    "e23_bloom_lookup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dataRoot = tmp("graft_e23d"); val idxRoot = tmp("graft_e23i")
+      (0 to 2).foreach { ep =>
+        StreamOps.bloomIndexedBatch(docs.filter(col("doc_id") % 3 === ep),
+          ep, "doc_id", dataRoot, idxRoot,
+          expectedPerFile = 100000L, fpp = 0.01)
+      }
+      val index = s.read.parquet(idxRoot)
+      val probes = 0L until 970L by 97L // fixed 10-key probe set
+      probes.map { k =>
+        graft.sources.BloomIndex.prunedRead(s, dataRoot, "doc_id",
+          k.toString, index).select(col("doc_id"))
+      }.reduce(_ unionAll _)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_rows"))
+        .orderBy("doc_id")
+    }),
+
+    // E29 — streaming write-audit-publish ingest: epoch 1 carries
+    // planted NULL texts, so its whole batch fails the NotNull check
+    // and lands in quarantine; epochs 0/2 publish. The oracle is the
+    // closed-form routing.
+    "e29_audited_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0,
+          lit(null).cast("string")).otherwise(col("text")).as("text"))
+      val dataRoot = tmp("graft_e29d"); val qRoot = tmp("graft_e29q")
+      val checks = Seq(graft.etl.Checks.NotNull("text"))
+      (0 to 2).foreach { ep =>
+        StreamOps.auditedIngestBatch(docs.filter(col("doc_id") % 3 === ep),
+          ep, checks, dataRoot, qRoot)
+      }
+      val landed = s.read.parquet(dataRoot)
+        .select(col("doc_id"), col("batch").cast("long").as("epoch"),
+          lit(false).as("quarantined"), col("text").isNull.as("text_null"))
+      val quar = s.read.parquet(qRoot)
+        .select(col("doc_id"), col("batch").cast("long").as("epoch"),
+          lit(true).as("quarantined"), col("text").isNull.as("text_null"))
+      landed.unionByName(quar).orderBy("doc_id")
+    }),
+
+    // E34 — late-data router: epoch 1 carries stragglers held back
+    // from tercile 0; routing uses the PERSISTED per-epoch high-water
+    // markers, so the oracle replays the marker fold in closed form.
+    "e34_late_router" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_id").isNotNull)
+        .select(col("event_id"), col("ts"))
+      val us = Relational.epochMicros(col("ts"))
+      val (c1, c2) = terciles(e)
+      val straggler = col("event_id") % 10 === 0
+      val onRoot = tmp("graft_e34o"); val lateRoot = tmp("graft_e34l")
+      val delayUs = 600000000L // 10 minutes
+      StreamOps.lateRoutedBatch(e.filter(us <= c1 && !straggler),
+        0L, "ts", delayUs, onRoot, lateRoot)
+      StreamOps.lateRoutedBatch(
+        e.filter((us > c1 && us <= c2) || (us <= c1 && straggler)),
+        1L, "ts", delayUs, onRoot, lateRoot)
+      StreamOps.lateRoutedBatch(e.filter(us > c2),
+        2L, "ts", delayUs, onRoot, lateRoot)
+      val onTime = s.read.parquet(onRoot) // _watermark dir is discovery-hidden
+        .select(col("event_id"), col("batch").cast("long").as("epoch"),
+          lit(false).as("late"))
+      val late = s.read.parquet(lateRoot)
+        .select(col("event_id"), col("batch").cast("long").as("epoch"),
+          lit(true).as("late"))
+      onTime.unionByName(late).orderBy("event_id")
+    }),
+
+    // E35 — native session_window aggregation through the real
+    // machinery: tercile batches + sentinel flushes (append mode emits
+    // a session only once the watermark passes its end). The engine's
+    // merge rule starts a NEW session at gap ≥ 30 min (window end is
+    // exclusive), one boundary tighter than C10's strict->.
+    "e35_session_window" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+      val us = Relational.epochMicros(col("ts"))
+      val (c1, c2) = terciles(e)
+      val in = tmp("graft_e35in"); val ck = tmp("graft_e35ck")
+      val files = Seq(
+        e.filter(us <= c1), e.filter(us > c1 && us <= c2), e.filter(us > c2),
+        Seq((-1L, java.sql.Timestamp.valueOf("2150-01-01 00:00:00"), 0.0))
+          .toDF("user_id", "ts", "value"),
+        Seq((-2L, java.sql.Timestamp.valueOf("2200-01-01 00:00:00"), 0.0))
+          .toDF("user_id", "ts", "value"))
+      files.foreach(df => pinOrdered(df, in))
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val sess = StreamOps.sessionWindowAgg(stream, ts = "ts",
+        watermark = "0 seconds", gap = "30 minutes", groupCol = "user_id",
+        valueCol = "value")
+      val name = "graft_e35_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sess.writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "session_start")
     })
   )
+
+  /** Append `df` as one parquet part file under `dir` and pin all part
+    * files' mtimes to a strictly ascending ladder — the file-source
+    * batch order contract every multi-batch stream query relies on
+    * (first written = first micro-batch). */
+  private def pinOrdered(df: DataFrame, dir: String): Unit = {
+    df.coalesce(1).write.mode("append").parquet(dir)
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.getName.startsWith("part-"))
+      .sortBy(_.lastModified()).zipWithIndex.foreach { case (f, j) =>
+        f.setLastModified(1700000000000L + j * 10000L)
+      }
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -1144,6 +1485,131 @@ private[graft] object StreamQueries {
         | SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step, CAST(n1 AS BIGINT) AS n_users, round(n1*1.0/n1,4) AS conversion FROM n
         | UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT), round(n2*1.0/n1,4) FROM n
         | UNION ALL SELECT 3, 'purchase', CAST(n3 AS BIGINT), round(n3*1.0/n1,4) FROM n
-        |) ORDER BY step_index""".stripMargin
+        |) ORDER BY step_index""".stripMargin,
+
+    // The batch tumbling-day aggregate over the same filtered rows.
+    "e1_windowed_agg" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket_start,
+        | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE ts IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+
+    // The C10 gap rule (new session strictly past 1800 s) over
+    // second-truncated history, rolled to per-session stats.
+    "e2_sessionize" ->
+      """WITH e AS (SELECT user_id,
+        |   epoch_us(date_trunc('second', CAST(ts AS TIMESTAMP))) AS us,
+        |   coalesce(value, 0) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, us, v,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, v)),
+        |g AS (SELECT user_id, us, v,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, v
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM f)
+        |SELECT user_id, count(*) AS n_events,
+        | CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
+        | round(sum(v), 4) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, n_events, duration_sec, sum_value""".stripMargin,
+
+    // The plain dimension left join under the synthesized FK.
+    "e3_enrich_join" ->
+      """WITH n AS (SELECT count(*) AS nc FROM customer),
+        |e AS (SELECT event_id, user_id % (SELECT nc FROM n) AS ck FROM events
+        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT e.event_id, e.ck AS c_custkey, c.c_mktsegment,
+        | round(c.c_acctbal, 4) AS acctbal
+        |FROM e LEFT JOIN customer c ON c.c_custkey = e.ck
+        |ORDER BY event_id""".stripMargin,
+
+    // Every planted duplicate suppressed → exactly the distinct input.
+    "e4_stream_dedup" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    // All (purchase, view) pairs per user within the 1-hour lookback.
+    "e5_interval_join" ->
+      """WITH b AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL)
+        |SELECT p.event_id AS p_id, v.event_id AS v_id
+        |FROM b p JOIN b v ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.t <= p.t AND v.t >= p.t - INTERVAL 1 HOUR
+        |ORDER BY p_id, v_id""".stripMargin,
+
+    // The 3-deep rolling z-score replayed per user over (ts, value)
+    // order: alert iff exactly 3 priors, positive spread, |z| > 2.
+    "e20_zscore_alerts" ->
+      """WITH e AS (SELECT user_id,
+        |   date_trunc('second', CAST(ts AS TIMESTAMP)) AS t, value
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT user_id, t, value,
+        |   count(*) OVER win AS cnt, avg(value) OVER win AS mu,
+        |   stddev_samp(value) OVER win AS sd
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, value
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, t AS ts, round(value, 4) AS value,
+        | round((value - mu) / sd, 4) AS z
+        |FROM w WHERE cnt = 3 AND sd > 0 AND abs((value - mu) / sd) > 2.0
+        |ORDER BY user_id, ts, value""".stripMargin,
+
+    // Present probe keys return their one row through the sidecar;
+    // absent keys return nothing.
+    "e23_bloom_lookup" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_rows FROM documents
+        |WHERE doc_id % 97 = 0 AND doc_id < 970
+        |ORDER BY doc_id""".stripMargin,
+
+    // Closed-form routing: epoch 1 fails NotNull(text) wholesale.
+    "e29_audited_ingest" ->
+      """SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS epoch,
+        | (doc_id % 3 = 1) AS quarantined,
+        | (doc_id % 3 = 1 AND doc_id % 5 = 0) AS text_null
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The marker fold in closed form: epoch 1's watermark is epoch 0's
+    // max event time − 10 min; epoch 2's is the max over both markers.
+    "e34_late_router" ->
+      """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+        |b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+        |c AS (SELECT lo + (hi - lo) // 3 AS c1, lo + 2 * ((hi - lo) // 3) AS c2 FROM b),
+        |a AS (SELECT event_id, us,
+        |   CASE WHEN us <= c.c1 AND event_id % 10 <> 0 THEN 0
+        |        WHEN us <= c.c2 THEN 1 ELSE 2 END AS ep
+        |  FROM e, c),
+        |m AS (SELECT max(CASE WHEN ep = 0 THEN us END) AS m0,
+        |             max(CASE WHEN ep <= 1 THEN us END) AS m01 FROM a)
+        |SELECT event_id, CAST(ep AS BIGINT) AS epoch,
+        | CASE WHEN ep = 0 THEN false
+        |      WHEN ep = 1 THEN us < m.m0 - 600000000
+        |      ELSE us < greatest(m.m0, m.m01) - 600000000 END AS late
+        |FROM a, m ORDER BY event_id""".stripMargin,
+
+    // The engine's session merge (window end exclusive): a gap of
+    // EXACTLY 30 min starts a new session — >= where C10 uses >.
+    "e35_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us, coalesce(value, 0) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, t, us, v,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, v)),
+        |g AS (SELECT user_id, t, v,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, v
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM f)
+        |SELECT user_id, min(t) AS session_start, count(*) AS n_events,
+        | round(sum(v), 4) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

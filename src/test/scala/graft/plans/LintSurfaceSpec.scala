@@ -80,7 +80,11 @@ class LintSurfaceSpec extends SparkSpec {
     "e15_drift_cells" -> Map("NESTED_LOOP" -> 1),
     // vocabGrowthCurve's cumulative runs over the bounded EPOCH axis
     // (one row per micro-batch — the liftTable benign window class)
-    "e32_vocab_growth" -> Map("GLOBAL_WINDOW" -> 1))
+    "e32_vocab_growth" -> Map("GLOBAL_WINDOW" -> 1),
+    // skylineFrom re-runs c44's sort + running-max over the PERSISTED
+    // per-epoch skyline candidates (|skyline| × epochs rows — already
+    // dominance-pruned per batch), the c44 bounded-window class
+    "e40_skyline_state" -> Map("GLOBAL_WINDOW" -> 1))
 
   test("every driver query lints to exactly the documented benign allowlist") {
     val dir = "/root/testdata/sf0.001"
