@@ -1003,6 +1003,180 @@ private[graft] object StreamQueries {
         .select(col("user_id"), col("session_start"), col("n_events"),
           round(col("sum_value"), 4).as("sum_value"))
         .orderBy("user_id", "session_start")
+    }),
+
+    // E6 — streaming Bronze ingest through the REAL toBronze sink:
+    // three event-id-keyed micro-batches land append-only,
+    // Hive-partitioned by the event-time-derived ingestion_date; the
+    // per-day rollup of the landed Bronze must equal the batch
+    // group-by over the full history — the append-only layout makes
+    // the micro-batch split invisible to readers. toBronze starts with
+    // the default trigger, so the drive is processAllAvailable + stop
+    // rather than AvailableNow.
+    "e6_bronze_ingest" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+      val in = tmp("graft_e6in"); val ck = tmp("graft_e6ck")
+      val out = tmp("graft_e6out")
+      (0 to 2).foreach { ep =>
+        e.filter(pmod(col("event_id"), lit(3)) === ep)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = StreamOps.toBronze(stream, "ts", out, ck)
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(out)
+        .groupBy(col(graft.etl.Medallion.PartitionCol).cast("string")
+          .as("ingestion_date"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("ingestion_date")
+    }),
+
+    // E7 — streaming content-hash-deduped Bronze ingest through the
+    // REAL toBronzeDeduped sink: ascending-doc_id micro-batches
+    // (mtime-pinned), within-batch keep-min-id + the persisted hash
+    // index across batches, so the streaming first-arrival winner IS
+    // the batch operator's global min-doc_id (d1's keep rule). The
+    // landed Bronze must equal the one-shot exact dedup of the corpus.
+    "e7_dedup_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1709251200L) +
+            pmod(col("doc_id"), lit(5)) * 86400L).as("ts"))
+      val mx = docs.agg(max("doc_id")).head().getLong(0) // 1-row bounded
+      val (c1, c2) = (mx / 3, 2 * mx / 3)
+      val in = tmp("graft_e7in"); val ck = tmp("graft_e7ck")
+      val out = tmp("graft_e7out"); val idx = tmp("graft_e7ix")
+      Seq(docs.filter(col("doc_id") <= c1),
+        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        docs.filter(col("doc_id") > c2)).foreach(pinOrdered(_, in))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = StreamOps.toBronzeDeduped(stream, "doc_id", "text", "ts",
+        out, idx, ck)
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(out)
+        .select(col("doc_id"),
+          col(graft.etl.Medallion.PartitionCol).cast("string")
+            .as("ingestion_date"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // E10 — streaming SemDeDup ingest through the REAL
+    // toSemanticDeduped sink: the quantizer is FROZEN on the full
+    // corpus (the bootstrap contract), ascending-vec_id micro-batches
+    // are judged against the persisted survivor index, and the oracle
+    // replays the exact 3-stage survivor chain — epoch-0 pairwise
+    // within the batch, later epochs vs prior SURVIVORS plus batch
+    // mates — so the cross-epoch vs within-epoch asymmetry of the
+    // incremental semantics is itself hash-checked.
+    "e10_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = graft.similarity.Ann.ivfCentroids(emb, "vec_id", "embedding", 8)
+      val mx = emb.agg(max("vec_id")).head().getLong(0) // 1-row bounded
+      val (c1, c2) = (mx / 3, 2 * mx / 3)
+      val in = tmp("graft_e10in"); val ck = tmp("graft_e10ck")
+      val out = tmp("graft_e10out"); val idx = tmp("graft_e10ix")
+      Seq(emb.filter(col("vec_id") <= c1),
+        emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+        emb.filter(col("vec_id") > c2)).foreach(pinOrdered(_, in))
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = StreamOps.toSemanticDeduped(stream, "vec_id", "embedding",
+        cents, 0.45, out, idx, ck)
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(out)
+        .select(col("vec_id"), col("batch").cast("long").as("epoch"))
+        .orderBy("vec_id")
+    }),
+
+    // E13 — streaming CLEANED ingest through the REAL toCleanIngest
+    // sink: per batch boilerplate-line strip → Gopher quality +
+    // repetition gates over the CLEANED text → cross-batch exact dedup
+    // on the cleaned content (NO within-batch dedup — same-batch
+    // duplicates all land; the oracle mirrors exactly that: kept iff
+    // gated and epoch = min epoch of the cleaned fingerprint).
+    "e13_clean_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val mx = docs.agg(max("doc_id")).head().getLong(0) // 1-row bounded
+      val (c1, c2) = (mx / 3, 2 * mx / 3)
+      val in = tmp("graft_e13in"); val ck = tmp("graft_e13ck")
+      val out = tmp("graft_e13out"); val idx = tmp("graft_e13ix")
+      Seq(docs.filter(col("doc_id") <= c1),
+        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        docs.filter(col("doc_id") > c2)).foreach(pinOrdered(_, in))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = StreamOps.toCleanIngest(stream, "doc_id", "text", out, idx, ck)
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(out)
+        .select(col("doc_id"), col("batch").cast("long").as("epoch"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // E21 — streaming silence (heartbeat-loss) alerts through the REAL
+    // flatMapGroupsWithState + EventTimeTimeout machinery: event-time
+    // tercile batches, two far-future sentinels advance the watermark
+    // so every surviving state alerts (the e2 flush discipline). The
+    // alert CONTENT is split-deterministic: an episode alerts with its
+    // merged last_seen whatever batch the timer fires in; the one
+    // split-dependent case — present in batches 1 and 3 only, with the
+    // batch-1 deadline already behind batch 1's max event time — emits
+    // TWO episode alerts, and the oracle enumerates exactly that case.
+    "e21_silence_alerts" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          lit(0.0).as("value"))
+      val us = Relational.epochMicros(col("ts"))
+      val mm = e0.agg(min(us).as("lo"), max(us).as("hi")).head() // 1-row bounded
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val gapSec = (hi - lo) / 6 / 1000000L // a sixth of the span
+      // canary for the one split-dependent branch: a planted user seen
+      // at the span's first and last second and NOWHERE between — its
+      // batch-1 deadline (lo + span/6) predates batch 1's max event
+      // time (~lo + span/3), so its timer fires BEFORE it reappears in
+      // batch 3 and it must alert TWICE (episode semantics). Real data
+      // never exercises this (every user is active in every tercile);
+      // the oracle plants the same two rows.
+      val e = e0.unionAll(Seq(
+        (999999991L, new java.sql.Timestamp(lo / 1000L), 0.0),
+        (999999991L, new java.sql.Timestamp(hi / 1000L), 0.0))
+        .toDF("user_id", "ts", "value"))
+      val in = tmp("graft_e21in"); val ck = tmp("graft_e21ck")
+      val files = Seq(
+        e.filter(us <= c1), e.filter(us > c1 && us <= c2), e.filter(us > c2),
+        Seq((-1L, java.sql.Timestamp.valueOf("2150-01-01 00:00:00"), 0.0))
+          .toDF("user_id", "ts", "value"),
+        Seq((-2L, java.sql.Timestamp.valueOf("2200-01-01 00:00:00"), 0.0))
+          .toDF("user_id", "ts", "value"))
+      files.foreach(df => pinOrdered(df, in))
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .as[StreamOps.ScoreEvent]
+      val alerts = StreamOps.silenceAlerts(s, stream,
+        watermark = "0 seconds", gapSeconds = gapSec)
+      val name = "graft_e21_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = alerts.toDF().writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_timestamp(col("last_seen")).as("last_seen_sec"), col("gap_sec"))
+        .orderBy("user_id", "last_seen_sec")
     })
   )
 
@@ -1610,6 +1784,137 @@ private[graft] object StreamQueries {
         |SELECT user_id, min(t) AS session_start, count(*) AS n_events,
         | round(sum(v), 4) AS sum_value
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Append-only Hive layout makes the batch split invisible: the
+    // daily rollup is the plain batch group-by.
+    "e6_bronze_ingest" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ingestion_date,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | round(sum(coalesce(value, 0.0)), 4) AS sum_value
+        |FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1 ORDER BY ingestion_date""".stripMargin,
+
+    // d1's keep rule verbatim (global min doc_id per normalized
+    // content hash) + the synthetic doc_id%5 ingestion-date ladder.
+    "e7_dedup_ingest" ->
+      """WITH f AS (SELECT doc_id, text,
+        |   md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),
+        |w AS (SELECT fp, min(doc_id) AS d0 FROM f GROUP BY 1)
+        |SELECT f.doc_id,
+        | strftime(DATE '2024-03-01' + to_days(CAST(f.doc_id % 5 AS INTEGER)), '%Y-%m-%d')
+        |   AS ingestion_date,
+        | md5(f.text) AS text_md5
+        |FROM f JOIN w ON f.fp = w.fp AND f.doc_id = w.d0
+        |ORDER BY f.doc_id""".stripMargin,
+
+    // The exact 3-stage survivor chain of the incremental SemDeDup
+    // semantics: d38's centroid sample + argmax assignment, epoch-0
+    // pairwise-vs-lower-id within the batch, later epochs judged
+    // against prior SURVIVORS (not all prior vectors) plus lower-id
+    // batch mates — the asymmetry that distinguishes E10 from D38.
+    "e10_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cuts AS (SELECT max(vec_id)//3 AS c1, (2*max(vec_id))//3 AS c2 FROM c),
+        |k0 AS (SELECT vec_id AS kid, v AS cvec,
+        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+        |  FROM c ORDER BY hk, kid LIMIT 8),
+        |cents AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS list_id, cvec FROM k0),
+        |assign AS (SELECT cid, list_id FROM (
+        |  SELECT cc.vec_id AS cid, k.list_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
+        |      k.list_id) AS rn
+        |  FROM c cc, cents k) WHERE rn = 1),
+        |m AS (SELECT a.cid AS vid, a.list_id, c.v,
+        |   CASE WHEN a.cid <= cuts.c1 THEN 0 WHEN a.cid <= cuts.c2 THEN 1 ELSE 2 END AS ep
+        |  FROM assign a JOIN c ON c.vec_id = a.cid, cuts),
+        |s0 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 0 AND NOT EXISTS (
+        |   SELECT 1 FROM m b WHERE b.ep = 0 AND b.list_id = a.list_id AND b.vid < a.vid
+        |     AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
+        |s1 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 1
+        |  AND NOT EXISTS (SELECT 1 FROM s0 s WHERE s.list_id = a.list_id
+        |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
+        |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 1 AND b.list_id = a.list_id AND b.vid < a.vid
+        |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
+        |s01 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+        |s2 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 2
+        |  AND NOT EXISTS (SELECT 1 FROM s01 s WHERE s.list_id = a.list_id
+        |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
+        |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 2 AND b.list_id = a.list_id AND b.vid < a.vid
+        |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45))
+        |SELECT vid AS vec_id, CAST(ep AS BIGINT) AS epoch FROM (
+        |  SELECT vid, ep FROM s01 UNION ALL SELECT vid, ep FROM s2)
+        |ORDER BY vec_id""".stripMargin,
+
+    // The composed cleaned-ingest truth: d47's boilerplate line rule
+    // produces the cleaned text, the d41 + d42 gate fragments run OVER
+    // that cleaned text, and a doc lands iff gated and its epoch is
+    // the minimum epoch of its cleaned-content fingerprint (no
+    // within-batch dedup — same-epoch duplicates all land).
+    "e13_clean_ingest" ->
+      s"""WITH cleaned AS (SELECT doc_id, source,
+         |   coalesce(array_to_string(list_filter(
+         |     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> length(x) > 0),
+         |     l -> (len(list_filter(string_split_regex(lower(l), '\\s+'), w -> regexp_matches(w, '[a-z0-9]'))) >= 4
+         |        AND len(list_filter(list_filter(string_split_regex(lower(l), '\\s+'), w -> regexp_matches(w, '[a-z0-9]')),
+         |              w -> w IN ('the','be','to','of','and','that','have','with'))) * 1.0
+         |            >= 0.08 * len(list_filter(string_split_regex(lower(l), '\\s+'), w -> regexp_matches(w, '[a-z0-9]')))
+         |        ) OR length(l) >= 200), chr(10)), '') AS text
+         |  FROM documents),
+         |${TextQueries.gopherQualityCtes("cleaned")},
+         |${TextQueries.gopherRepetitionCtes("cleaned")},
+         |gated AS (SELECT cl.doc_id, cl.text,
+         |   CASE WHEN cl.doc_id <= (SELECT max(doc_id)//3 FROM documents) THEN 0
+         |        WHEN cl.doc_id <= (SELECT (2*max(doc_id))//3 FROM documents) THEN 1 ELSE 2 END AS ep,
+         |   md5(regexp_replace(lower(trim(cl.text)),'\\s+',' ','g')) AS fp
+         |  FROM cleaned cl
+         |  JOIN qf ON qf.doc_id = cl.doc_id
+         |  JOIN fl ON fl.doc_id = cl.doc_id
+         |  WHERE qf.ok_words AND qf.ok_mean AND qf.ok_sym AND qf.ok_alpha
+         |    AND qf.ok_stop AND qf.ok_bullet AND qf.ok_ellipsis
+         |    AND fl.ok_dl AND fl.ok_dlc AND fl.ok_dp AND fl.ok_dpc AND fl.ok_top AND fl.ok_dup),
+         |win AS (SELECT fp, min(ep) AS e0 FROM gated GROUP BY 1)
+         |SELECT g.doc_id, CAST(g.ep AS BIGINT) AS epoch, md5(g.text) AS clean_md5
+         |FROM gated g JOIN win ON g.fp = win.fp AND g.ep = win.e0
+         |ORDER BY g.doc_id""".stripMargin,
+
+    // The episode enumeration: every user alerts once with the merged
+    // last_seen of its presence run — except the batch-1-and-3-only
+    // pattern whose batch-1 deadline predates batch 1's max event time
+    // (the timer fires in batch 2, BEFORE the reappearance), which
+    // emits two episode alerts. Sentinels guarantee every surviving
+    // state eventually fires; all arithmetic is integer seconds, the
+    // exact granularity the truncated input gives the state machine.
+    "e21_silence_alerts" ->
+      """WITH e0 AS (SELECT user_id,
+        |   epoch_us(date_trunc('second', ts))//1000000 AS tsec
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |e AS (SELECT * FROM e0
+        |  UNION ALL SELECT 999999991, min(tsec) FROM e0
+        |  UNION ALL SELECT 999999991, max(tsec) FROM e0),
+        |b AS (SELECT min(tsec)*1000000 AS lo, max(tsec)*1000000 AS hi FROM e),
+        |k AS (SELECT lo + (hi-lo)//3 AS c1, lo + 2*((hi-lo)//3) AS c2,
+        |   ((hi-lo)//6)//1000000 AS gap FROM b),
+        |m AS (SELECT e.user_id,
+        |   max(CASE WHEN tsec*1000000 <= k.c1 THEN tsec END) AS ls1,
+        |   max(CASE WHEN tsec*1000000 > k.c1 AND tsec*1000000 <= k.c2 THEN tsec END) AS ls2,
+        |   max(CASE WHEN tsec*1000000 > k.c2 THEN tsec END) AS ls3
+        |  FROM e, k GROUP BY 1),
+        |w1 AS (SELECT max(CASE WHEN tsec*1000000 <= k.c1 THEN tsec END) AS wsec FROM e, k),
+        |a AS (
+        |  SELECT user_id, ls1 AS ls FROM m, w1, k
+        |    WHERE ls1 IS NOT NULL AND ls2 IS NULL AND ls3 IS NOT NULL AND w1.wsec > ls1 + k.gap
+        |  UNION ALL
+        |  SELECT user_id, ls3 FROM m, w1, k
+        |    WHERE ls1 IS NOT NULL AND ls2 IS NULL AND ls3 IS NOT NULL AND w1.wsec > ls1 + k.gap
+        |  UNION ALL
+        |  SELECT user_id, greatest(coalesce(ls1, 0), coalesce(ls2, 0), coalesce(ls3, 0)) AS ls
+        |    FROM m, w1, k
+        |    WHERE NOT (ls1 IS NOT NULL AND ls2 IS NULL AND ls3 IS NOT NULL AND w1.wsec > ls1 + k.gap))
+        |SELECT a.user_id, CAST(a.ls AS BIGINT) AS last_seen_sec,
+        | CAST(k.gap AS BIGINT) AS gap_sec
+        |FROM a, k ORDER BY user_id, last_seen_sec""".stripMargin
   )
 }

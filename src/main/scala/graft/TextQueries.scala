@@ -20,10 +20,13 @@ private[graft] object TextQueries {
 
   /** Per-document Gopher QUALITY flags as a reusable CTE chain ending
     * in `qf(doc_id, source, ok_*, keep)` — the d41 rule set factored so
-    * the d45 pipeline oracle can compose it. */
-  private def gopherQualityCtes: String =
+    * the d45 pipeline oracle (and StreamQueries' e13 cleaned-ingest
+    * oracle, which runs the rules over boilerplate-CLEANED text) can
+    * compose it. `src` is the table/CTE the rules read — it must
+    * expose (doc_id, source, text). */
+  private[graft] def gopherQualityCtes(src: String = "documents"): String =
     """qt AS (SELECT doc_id, source, text,
-      |   string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+      |   string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM __SRC__),
       |qm AS (SELECT doc_id, source,
       |   len(t) AS nw,
       |   list_aggregate(list_transform(t, x -> length(x)), 'sum') * 1.0 / len(t) AS mean_len,
@@ -43,7 +46,7 @@ private[graft] object TextQueries {
       |      / greatest(len(lines), 1) <= 0.9) AS ok_bullet,
       |   (len(list_filter(lines, l -> regexp_matches(trim(l), '(\.{3}|…)$'))) * 1.0
       |      / greatest(len(lines), 1) <= 0.3) AS ok_ellipsis
-      |  FROM qm)""".stripMargin
+      |  FROM qm)""".stripMargin.replace("__SRC__", src)
   /** The d42 oracle's CTE chain, generated per n (top n = 2..4, dup
     * n = 5..10) so the nine structurally-identical gram CTEs stay
     * maintainable, ending in per-document
@@ -53,7 +56,7 @@ private[graft] object TextQueries {
     * explode; the engine must not), top tie-break = max chars among
     * max-count grams, duplicated chars = Σ c·len over grams with c ≥ 2,
     * denominators = greatest(normalized length, 1). */
-  private def gopherRepetitionCtes: String = {
+  private[graft] def gopherRepetitionCtes(src: String = "documents"): String = {
     val tops = Seq((2, "0.20"), (3, "0.18"), (4, "0.16"))
     val dups = Seq((5, "0.15"), (6, "0.14"), (7, "0.13"), (8, "0.12"), (9, "0.11"), (10, "0.10"))
     val ns = tops.map(_._1) ++ dups.map(_._1)
@@ -77,7 +80,7 @@ private[graft] object TextQueries {
     val okTop = tops.map { case (n, cap) => s"top$n <= $cap" }.mkString(" AND ")
     val okDup = dups.map { case (n, cap) => s"dup$n <= $cap" }.mkString(" AND ")
     s"""base AS (SELECT doc_id, source, text,
-       |   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+       |   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM $src),
        |tok AS (SELECT doc_id, source, greatest(length(norm), 1) AS nchars,
        |   list_filter(string_split(norm, ' '), x -> length(x) > 0) AS t,
        |   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> length(x) > 0) AS ls,
@@ -107,7 +110,7 @@ private[graft] object TextQueries {
        |   ($okTop) AS ok_top, ($okDup) AS ok_dup FROM f)""".stripMargin
   }
   private def d42Oracle: String =
-    s"""WITH $gopherRepetitionCtes
+    s"""WITH ${gopherRepetitionCtes()}
        |SELECT source, count(*) AS n_docs,
        | CAST(sum(CASE WHEN ok_dl AND ok_dlc AND ok_dp AND ok_dpc AND ok_top AND ok_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        | CAST(sum(CASE WHEN NOT ok_dl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup_lines,
@@ -123,8 +126,8 @@ private[graft] object TextQueries {
     * then gate → exact keep-first dedup → paragraph keep-first dedup →
     * per-source funnel, every output column an exact integer. */
   private def d45Oracle: String =
-    s"""WITH $gopherQualityCtes,
-       |$gopherRepetitionCtes,
+    s"""WITH ${gopherQualityCtes()},
+       |${gopherRepetitionCtes()},
        |gq AS (SELECT doc_id, (ok_words AND ok_mean AND ok_sym AND ok_alpha AND ok_stop
        |    AND ok_bullet AND ok_ellipsis) AS keepq FROM qf),
        |gr AS (SELECT doc_id, (ok_dl AND ok_dlc AND ok_dp AND ok_dpc AND ok_top AND ok_dup) AS keepr FROM fl),
@@ -776,7 +779,7 @@ private[graft] object TextQueries {
     // the keep conjunction) hash-matches. Built from the shared
     // per-document fragment the d45 pipeline oracle composes.
     "d41_gopher_filter" ->
-      s"""WITH $gopherQualityCtes
+      s"""WITH ${gopherQualityCtes()}
          |SELECT source, count(*) AS n_docs,
          | CAST(sum(CASE WHEN ok_words AND ok_mean AND ok_sym AND ok_alpha AND ok_stop
          |     AND ok_bullet AND ok_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
