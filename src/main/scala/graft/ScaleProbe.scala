@@ -121,11 +121,13 @@ object ScaleProbe {
     }
 
     /** One instrumented sf1.0 run: (wall s, total stages, material
-      * stages, worst material max/median, straggler cost = worst
-      * material (max − median) as a fraction of wall — a 850ms-max
-      * stage on a 40s query is noise however large its RATIO looks;
-      * the cost says whether the straggler actually taxes the
-      * query). */
+      * stages, worst TAXING max/median, worst material max/median).
+      * A stage's straggler cost = (max − median)/wall; a stage only
+      * counts as TAXING when its cost ≥ 5% — a 850ms-max stage on a
+      * 40s query is noise however large its RATIO looks. Ratio and
+      * cost are evaluated PER STAGE (a 3.5-ratio noise stage next to
+      * an 8%-cost 1.2-ratio stage is not a breach — no single stage
+      * commits one). */
     def measure1(name: String): (Double, Int, Int, Double, Double) = {
       tasks.clear()
       val t1 = once(name, sf1)
@@ -138,13 +140,13 @@ object ScaleProbe {
       // material stages only (same floor as SkewProbe): ≥8 tasks and a
       // ≥500ms max task — below that "skew" is scheduler noise
       val material = byStage.filter { case (_, ds) => ds.size >= 8 && ds.last >= 500 }
-      val worst = material.values
-        .map(ds => ds.last.toDouble / math.max(ds(ds.size / 2), 1L))
-        .foldLeft(0.0)(math.max)
-      val cost = material.values
-        .map(ds => (ds.last - ds(ds.size / 2)).toDouble / 1000.0 / t1)
-        .foldLeft(0.0)(math.max)
-      (t1, byStage.size, material.size, worst, cost)
+      val perStage = material.values.map { ds =>
+        (ds.last.toDouble / math.max(ds(ds.size / 2), 1L),
+          (ds.last - ds(ds.size / 2)).toDouble / 1000.0 / t1)
+      }
+      val worst = perStage.map(_._1).foldLeft(0.0)(math.max)
+      val worstTaxing = perStage.filter(_._2 >= 0.05).map(_._1).foldLeft(0.0)(math.max)
+      (t1, byStage.size, material.size, worstTaxing, worst)
     }
 
     val results = (Top20 ++ Llm20).distinct.map { name =>
@@ -155,24 +157,30 @@ object ScaleProbe {
       val gen1 = measure1(name)
       // self-heal (the Bench discipline): a single-sample breach of
       // either bar gets a second measured opinion — one GC pause or
-      // JIT stall in a mostly-idle stage reads as a 15x "straggler"
-      // that no repeated run reproduces. Keep the better generation,
-      // record both.
-      val breach1 = gen1._1 / t01 > 12.0 || (gen1._4 >= 3.0 && gen1._5 >= 0.05)
+      // JIT stall reads as a blow-up that no repeated run reproduces.
+      // Keep a clean generation if either run produced one; if both
+      // breach, keep the faster (the breach is then real and the
+      // artifact records its best-case form). Both generations land.
+      def breach(g: (Double, Int, Int, Double, Double)): Boolean =
+        g._1 / t01 > 12.0 || g._4 >= 3.0 // _4 = worst TAXING stage ratio
       val (gen, requeued) =
-        if (!breach1) (gen1, None)
+        if (!breach(gen1)) ((gen1._1, gen1._2, gen1._3, gen1._4, gen1._5), None)
         else {
           val gen2 = measure1(name)
-          (if (gen2._4 < gen1._4 || gen2._1 < gen1._1) gen2 else gen1, Some(gen1))
+          val pick =
+            if (!breach(gen2)) gen2
+            else if (gen2._1 < gen1._1) gen2
+            else gen1
+          (pick, Some(gen1))
         }
-      val (t1, nStages, nMaterial, worst, cost) = gen
+      val (t1, nStages, nMaterial, worstTaxing, worstAny) = gen
       val reQ = requeued.map { g =>
-        f""","gen1":{"sf1_s":${g._1}%.2f,"worst_stage_ratio":${g._4}%.2f,"straggler_cost":${g._5}%.3f}"""
+        f""","gen1":{"sf1_s":${g._1}%.2f,"worst_taxing_ratio":${g._4}%.2f,"worst_stage_ratio":${g._5}%.2f}"""
       }.getOrElse("")
       val line = f"""{"sf01_s":$t01%.2f,"sf1_s":$t1%.2f,"ratio":${t1 / t01}%.2f,""" +
         f""""stages":$nStages,"material_stages":$nMaterial,""" +
-        f""""worst_stage_ratio":$worst%.2f,"straggler_cost":$cost%.3f$reQ}"""
-      println(f"SCALE $name%-24s sf0.1=$t01%7.2fs sf1.0=$t1%8.2fs ratio=${t1 / t01}%6.2f worstStage=$worst%5.2f cost=$cost%5.3f" +
+        f""""worst_taxing_ratio":$worstTaxing%.2f,"worst_stage_ratio":$worstAny%.2f$reQ}"""
+      println(f"SCALE $name%-24s sf0.1=$t01%7.2fs sf1.0=$t1%8.2fs ratio=${t1 / t01}%6.2f taxing=$worstTaxing%5.2f any=$worstAny%5.2f" +
         (if (requeued.isDefined) " (requeued)" else ""))
       name -> line
     }
@@ -184,7 +192,7 @@ object ScaleProbe {
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString(
         s"""{"sf01_dir":"$sf01","sf1_dir":"$sf1","decade":"10x rows",""" +
-          s""""bar":"wall ratio <= ~12x; worst material stage max/median < 3 where the straggler costs >= 5% of wall",""" +
+          s""""bar":"wall ratio <= ~12x; no single stage with max/median >= 3 AND straggler cost (max-median)/wall >= 5%",""" +
           f""""median_ratio":$median%.2f,"max_ratio":${ratios.last}%.2f,"queries":{""",
         ",", "}}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE.json")

@@ -1048,13 +1048,9 @@ private[graft] object StreamQueries {
         .select(col("doc_id"), col("text"),
           timestamp_seconds(lit(1709251200L) +
             pmod(col("doc_id"), lit(5)) * 86400L).as("ts"))
-      val mx = docs.agg(max("doc_id")).head().getLong(0) // 1-row bounded
-      val (c1, c2) = (mx / 3, 2 * mx / 3)
       val in = tmp("graft_e7in"); val ck = tmp("graft_e7ck")
       val out = tmp("graft_e7out"); val idx = tmp("graft_e7ix")
-      Seq(docs.filter(col("doc_id") <= c1),
-        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
-        docs.filter(col("doc_id") > c2)).foreach(pinOrdered(_, in))
+      pinIdTerciles(docs, "doc_id", in)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
       val q = StreamOps.toBronzeDeduped(stream, "doc_id", "text", "ts",
@@ -1078,14 +1074,14 @@ private[graft] object StreamQueries {
     // incremental semantics is itself hash-checked.
     "e10_semantic_dedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = graft.similarity.Ann.ivfCentroids(emb, "vec_id", "embedding", 8)
-      val mx = emb.agg(max("vec_id")).head().getLong(0) // 1-row bounded
-      val (c1, c2) = (mx / 3, 2 * mx / 3)
+      // truncate = materialize the FROZEN quantizer once: it is a lazy
+      // plan, and every micro-batch (and the index build) would
+      // otherwise re-run the full-corpus centroid sample
+      val cents = graft.operators.Lineage.truncate(
+        graft.similarity.Ann.ivfCentroids(emb, "vec_id", "embedding", 8))
       val in = tmp("graft_e10in"); val ck = tmp("graft_e10ck")
       val out = tmp("graft_e10out"); val idx = tmp("graft_e10ix")
-      Seq(emb.filter(col("vec_id") <= c1),
-        emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
-        emb.filter(col("vec_id") > c2)).foreach(pinOrdered(_, in))
+      pinIdTerciles(emb, "vec_id", in)
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
       val q = StreamOps.toSemanticDeduped(stream, "vec_id", "embedding",
@@ -1105,13 +1101,9 @@ private[graft] object StreamQueries {
     "e13_clean_ingest" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("text"))
-      val mx = docs.agg(max("doc_id")).head().getLong(0) // 1-row bounded
-      val (c1, c2) = (mx / 3, 2 * mx / 3)
       val in = tmp("graft_e13in"); val ck = tmp("graft_e13ck")
       val out = tmp("graft_e13out"); val idx = tmp("graft_e13ix")
-      Seq(docs.filter(col("doc_id") <= c1),
-        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
-        docs.filter(col("doc_id") > c2)).foreach(pinOrdered(_, in))
+      pinIdTerciles(docs, "doc_id", in)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
       val q = StreamOps.toCleanIngest(stream, "doc_id", "text", out, idx, ck)
@@ -1179,6 +1171,19 @@ private[graft] object StreamQueries {
         .orderBy("user_id", "last_seen_sec")
     })
   )
+
+  /** Split `df` into three ascending id-tercile batches and append
+    * them to `dir` as mtime-pinned single files — arrival order = id
+    * order, so a first-arrival streaming winner is the global min-id
+    * (the cut arithmetic every oracle mirrors: mx/3 and 2*mx/3 in
+    * integer division). */
+  private def pinIdTerciles(df: DataFrame, id: String, dir: String): Unit = {
+    val mx = df.agg(max(id)).head().getLong(0) // 1-row bounded collect
+    val (c1, c2) = (mx / 3, 2 * mx / 3)
+    Seq(df.filter(col(id) <= c1),
+      df.filter(col(id) > c1 && col(id) <= c2),
+      df.filter(col(id) > c2)).foreach(pinOrdered(_, dir))
+  }
 
   /** Append `df` as one parquet part file under `dir` and pin all part
     * files' mtimes to a strictly ascending ladder — the file-source
@@ -1857,11 +1862,7 @@ private[graft] object StreamQueries {
       s"""WITH cleaned AS (SELECT doc_id, source,
          |   coalesce(array_to_string(list_filter(
          |     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> length(x) > 0),
-         |     l -> (len(list_filter(string_split_regex(lower(l), '\\s+'), w -> regexp_matches(w, '[a-z0-9]'))) >= 4
-         |        AND len(list_filter(list_filter(string_split_regex(lower(l), '\\s+'), w -> regexp_matches(w, '[a-z0-9]')),
-         |              w -> w IN ('the','be','to','of','and','that','have','with'))) * 1.0
-         |            >= 0.08 * len(list_filter(string_split_regex(lower(l), '\\s+'), w -> regexp_matches(w, '[a-z0-9]')))
-         |        ) OR length(l) >= 200), chr(10)), '') AS text
+         |     ${TextQueries.boilerplateKeepLambda}), chr(10)), '') AS text
          |  FROM documents),
          |${TextQueries.gopherQualityCtes("cleaned")},
          |${TextQueries.gopherRepetitionCtes("cleaned")},

@@ -24,6 +24,18 @@ private[graft] object TextQueries {
     * oracle, which runs the rules over boilerplate-CLEANED text) can
     * compose it. `src` is the table/CTE the rules read — it must
     * expose (doc_id, source, text). */
+  /** The d47 boilerplate KEEP rule as a DuckDB lambda over one trimmed
+    * non-empty line `l` — shared by the d47 oracle and StreamQueries'
+    * e13 cleaned-ingest oracle so graft.text.Boilerplate's rule is
+    * mirrored in exactly one place. */
+  private[graft] val boilerplateKeepLambda: String =
+    """l -> (
+      |     len(list_filter(string_split_regex(lower(l), '\s+'), w -> regexp_matches(w, '[a-z0-9]'))) >= 4
+      |     AND len(list_filter(list_filter(string_split_regex(lower(l), '\s+'), w -> regexp_matches(w, '[a-z0-9]')),
+      |           w -> w IN ('the','be','to','of','and','that','have','with'))) * 1.0
+      |         >= 0.08 * len(list_filter(string_split_regex(lower(l), '\s+'), w -> regexp_matches(w, '[a-z0-9]')))
+      |     ) OR length(l) >= 200""".stripMargin
+
   private[graft] def gopherQualityCtes(src: String = "documents"): String =
     """qt AS (SELECT doc_id, source, text,
       |   string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM __SRC__),
@@ -999,21 +1011,16 @@ private[graft] object TextQueries {
     // line, stopword ratio with the same double arithmetic, the
     // 200-char long-line override, newline reassembly in order.
     "d47_boilerplate_lines" ->
-      """WITH t AS (SELECT doc_id,
+      ("""WITH t AS (SELECT doc_id,
         |   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
         |     x -> length(x) > 0) AS lines FROM documents),
         |k AS (SELECT doc_id, lines,
-        |   list_filter(lines, l -> (
-        |     len(list_filter(string_split_regex(lower(l), '\s+'), w -> regexp_matches(w, '[a-z0-9]'))) >= 4
-        |     AND len(list_filter(list_filter(string_split_regex(lower(l), '\s+'), w -> regexp_matches(w, '[a-z0-9]')),
-        |           w -> w IN ('the','be','to','of','and','that','have','with'))) * 1.0
-        |         >= 0.08 * len(list_filter(string_split_regex(lower(l), '\s+'), w -> regexp_matches(w, '[a-z0-9]')))
-        |     ) OR length(l) >= 200) AS kept
+        |   list_filter(lines, """.stripMargin + boilerplateKeepLambda + """) AS kept
         |  FROM t)
         |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
         | CAST(len(kept) AS BIGINT) AS n_kept,
         | md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
-        |FROM k ORDER BY doc_id""".stripMargin,
+        |FROM k ORDER BY doc_id""".stripMargin),
 
     // Mirrors the documented heuristics: sentence split on [.!?]+ runs,
     // words = normalized tokens with an alphanumeric, syllables =
