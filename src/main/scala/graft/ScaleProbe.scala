@@ -246,12 +246,16 @@ object ScaleProbe {
       // registry query hard-codes nLists=8 for its 500-vector oracle
       // corpus, and a FIXED quantizer at 100× measures the
       // O(Σ|cluster|²) cost model, not the operator (demonstrated:
-      // 60.7× wall at the second decade; SURVEY §6i). The sized twin
-      // is what production runs.
+      // 60.7× wall at the second decade). The sized twin must also go
+      // through the TWO-LEVEL quantizer: sized flat assignment is
+      // n×nLists dots = quadratic in n (measured 17.0×/decade before
+      // semanticDedupHier existed); the hierarchical path is the
+      // production shape at any scale where nLists grows with the
+      // corpus.
       val semanticSized: String => DataFrame = dir => {
         val emb = Tables.embeddings(spark, dir)
         val nLists = math.max(8, (emb.count() / 64).toInt) // bounded 1-row agg
-        graft.similarity.Ann.semanticDedup(emb, "vec_id", "embedding",
+        graft.similarity.Ann.semanticDedupHier(emb, "vec_id", "embedding",
           threshold = 0.45, nLists = nLists)
       }
       runPass(Heavy12, sf1, sf10, "sf1_s", "sf10_s",

@@ -738,6 +738,39 @@ object Ann {
       .select(col("vid"), col("list_id"), coalesce(!col("__drop"), lit(true)).as("kept"))
   }
 
+  /** [[semanticDedup]] through the two-level quantizer (D23b):
+    * identical keep rule — lower-id member of every in-cluster ≥τ pair
+    * survives — but the corpus is sharded by [[hierCentroids]] + the
+    * hierarchical assignment at ~3√nLists dots/vector where the flat
+    * argmax pays nLists. This is the batch form a SIZED deployment
+    * needs: the paper keeps clusters at ~constant size by growing
+    * nLists with the corpus, which makes flat assignment n×nLists —
+    * quadratic in n (measured: 17× wall across one 10× decade at
+    * nLists = n/64, SCALEPROBE2.json) — while the hierarchical path
+    * stays ~3n√nLists. The assigned table keeps vectors from
+    * [[assignHierCore]]'s max struct (the [[semanticIndex]] row shape,
+    * ~4·dim B/row) and is truncated once, so the pair self-join's two
+    * sides read one materialization and the corpus is never
+    * re-shuffled on the id. */
+  def semanticDedupHier(corpus: DataFrame, id: String, vec: String,
+                        threshold: Double, nLists: Int,
+                        trainRounds: Int = 1): DataFrame = {
+    val hier = hierCentroids(corpus, id, vec, nLists, trainRounds)
+    val m = graft.operators.Lineage.truncate(
+      assignHierCore(corpus, id, vec, hier)
+        .select(col("__cid").as("vid"), col("list_id"),
+          col("__v").as("v"), col("__n").as("n")))
+    val dropped = m.select(col("list_id"), col("vid").as("a"), col("v").as("va"), col("n").as("na"))
+      .join(m.select(col("list_id"), col("vid").as("b"), col("v").as("vb"), col("n").as("nb")),
+        Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .filter(VectorOps.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")) >= threshold)
+      .select(col("b").as("vid")).distinct()
+    m.select(col("vid"), col("list_id"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq("vid"), "left")
+      .select(col("vid"), col("list_id"), coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+
   def embeddingNearDupPairs(corpus: DataFrame, id: String, vec: String,
                             dims: Int, threshold: Double,
                             tables: Int = 16, bits: Int = 0,

@@ -326,6 +326,57 @@ class AnnSpec extends SparkSpec {
     assert(lists(0L) == lists(1L), "identical vectors must share a cluster")
   }
 
+  test("semanticDedupHier with nLists=1 equals the naive pairwise drop rule") {
+    // one sub-centroid ⇒ single cluster through the two-level path too
+    val n = 24
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(6)(d => (((i * 31 + d * 57) % 83) - 41) / 41.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val tau = 0.7
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val expectDropped = (for {
+      (bi, b) <- rows; (ai, a) <- rows if ai < bi && cos(a, b) >= tau
+    } yield bi).toSet
+    val got = Ann.semanticDedupHier(df, "vec_id", "embedding", threshold = tau, nLists = 1)
+      .select("vid", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got.size == n, "one report row per corpus vector")
+    assert(got.filterNot(_._2).keySet == expectDropped)
+  }
+
+  test("semanticDedupHier keep rule holds within every hierarchical cluster") {
+    // arbitrary nLists: whatever sharding the two-level quantizer
+    // produces, the report must satisfy the exact in-cluster rule —
+    // dropped ⟺ a lower-id same-list mate with cos ≥ τ exists
+    val n = 40
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(6)(d => (((i * 17 + d * 29) % 71) - 35) / 35.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val tau = 0.6
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val byId = rows.toMap
+    val rep = Ann.semanticDedupHier(df, "vec_id", "embedding", threshold = tau, nLists = 9)
+      .select("vid", "list_id", "kept").as[(Long, Int, Boolean)].collect()
+    assert(rep.length == n, "one report row per corpus vector")
+    val listOf = rep.map(r => r._1 -> r._2).toMap
+    rep.foreach { case (vid, list, kept) =>
+      val hasLowerMate = (0L until vid).exists(a =>
+        listOf(a) == list && cos(byId(a), byId(vid)) >= tau)
+      assert(kept == !hasLowerMate,
+        s"vid=$vid list=$list kept=$kept but lower-mate=$hasLowerMate")
+    }
+    assert(rep.count(!_._3) > 0, "degenerate fixture: nothing dropped")
+  }
+
   test("semanticDedupAgainst: index survivors suppress, batch-mates dedup, index never re-judged") {
     // base corpus: 0 and 1 identical → survivor 0; 2 orthogonal survivor
     val base = vecs
