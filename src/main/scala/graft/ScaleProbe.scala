@@ -88,7 +88,9 @@ object ScaleProbe {
     * aggregates never form pairs. d38 runs as the SIZED twin
     * (`d38_semantic_dedup_sized`, quantizer ∝ corpus) — see the
     * decade-2 branch in [[main]]. */
-  val Heavy12: Seq[String] = Seq(
+  // 11 registry names; the 12th decade-2 member (d38_semantic_dedup_sized)
+  // is not a registry query and joins via runPass's `extra` parameter.
+  val Heavy11: Seq[String] = Seq(
     "c61_harmonic", "c60_hyperball", "c20_fuzzy_join",
     "c64_weighted_pagerank", "c23_pagerank", "a30_crawl_rank",
     "d2_dedup_minhash", "d31_span_removal",
@@ -258,7 +260,7 @@ object ScaleProbe {
         graft.similarity.Ann.semanticDedupHier(emb, "vec_id", "embedding",
           threshold = 0.45, nLists = nLists)
       }
-      runPass(Heavy12, sf1, sf10, "sf1_s", "sf10_s",
+      runPass(Heavy11, sf1, sf10, "sf1_s", "sf10_s",
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE2.json"),
         s"""{"sf1_dir":"$sf1","sf10_dir":"$sf10","decade":"second 10x (100x sf0.1 total)",""",
         extra = Seq("d38_semantic_dedup_sized" -> semanticSized))

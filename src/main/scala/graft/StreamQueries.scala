@@ -1134,6 +1134,25 @@ private[graft] object StreamQueries {
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
       val gapSec = (hi - lo) / 6 / 1000000L // a sixth of the span
+      // The oracle enumerates the double-alert branch ONLY for the
+      // planted canary (batch-1 deadline vs batch 1's max event time);
+      // for real users it assumes every one is active in every tercile
+      // (so no ls2-NULL silence-then-reappear pattern exists whose
+      // deadline lands between the batch-1 and batch-2 watermarks).
+      // That is a GENERATOR property, not an operator property — assert
+      // it here so dataset drift fails with this message instead of a
+      // bare hash mismatch downstream.
+      val inactive = e0
+        .groupBy("user_id")
+        .agg(max(when(us <= c1, 1).otherwise(0)).as("t1"),
+          max(when(us > c1 && us <= c2, 1).otherwise(0)).as("t2"),
+          max(when(us > c2, 1).otherwise(0)).as("t3"))
+        .filter(col("t1") === 0 || col("t2") === 0 || col("t3") === 0)
+        .count()
+      require(inactive == 0,
+        s"e21 oracle precondition violated: $inactive user(s) are not " +
+          "active in every event-time tercile; the oracle's single-alert " +
+          "enumeration no longer covers this dataset (see the canary note)")
       // canary for the one split-dependent branch: a planted user seen
       // at the span's first and last second and NOWHERE between — its
       // batch-1 deadline (lo + span/6) predates batch 1's max event

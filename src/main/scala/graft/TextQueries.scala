@@ -18,12 +18,6 @@ import org.apache.spark.sql.functions._
   * DataQueries registry; SparkEntry composes the union. */
 private[graft] object TextQueries {
 
-  /** Per-document Gopher QUALITY flags as a reusable CTE chain ending
-    * in `qf(doc_id, source, ok_*, keep)` — the d41 rule set factored so
-    * the d45 pipeline oracle (and StreamQueries' e13 cleaned-ingest
-    * oracle, which runs the rules over boilerplate-CLEANED text) can
-    * compose it. `src` is the table/CTE the rules read — it must
-    * expose (doc_id, source, text). */
   /** The d47 boilerplate KEEP rule as a DuckDB lambda over one trimmed
     * non-empty line `l` — shared by the d47 oracle and StreamQueries'
     * e13 cleaned-ingest oracle so graft.text.Boilerplate's rule is
@@ -36,6 +30,12 @@ private[graft] object TextQueries {
       |         >= 0.08 * len(list_filter(string_split_regex(lower(l), '\s+'), w -> regexp_matches(w, '[a-z0-9]')))
       |     ) OR length(l) >= 200""".stripMargin
 
+  /** Per-document Gopher QUALITY flags as a reusable CTE chain ending
+    * in `qf(doc_id, source, ok_*, keep)` — the d41 rule set factored so
+    * the d45 pipeline oracle (and StreamQueries' e13 cleaned-ingest
+    * oracle, which runs the rules over boilerplate-CLEANED text) can
+    * compose it. `src` is the table/CTE the rules read — it must
+    * expose (doc_id, source, text). */
   private[graft] def gopherQualityCtes(src: String = "documents"): String =
     """qt AS (SELECT doc_id, source, text,
       |   string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM __SRC__),
