@@ -64,6 +64,23 @@ private[graft] object DataQueries {
         .orderBy("lang")
     }),
 
+    // Deterministic per-epoch global reshuffle (D30b): the epoch-7
+    // order [[Sampling.epochShuffle]] produces — a range-partitioned
+    // sort on md5("7:" || id) — materialized as an explicit position
+    // via [[graft.operators.Ranking.globalRank]] over the same key, so
+    // the ORDER itself survives the driver's row-order-insensitive
+    // compare. Same distributed machinery (sampled range exchange +
+    // per-partition sort + zipWithIndex), never a single-partition
+    // rank window; the oracle replays the hash order in SQL.
+    "d30b_epoch_shuffle" -> ((s, dir) => {
+      val keyed = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("__ek", Sampling.epochShuffleKey(col("doc_id"), epoch = 7L))
+      graft.operators.Ranking.globalRank(keyed,
+          Seq(col("__ek").asc, col("doc_id").asc), as = "epoch_pos")
+        .select(col("doc_id"), col("epoch_pos"))
+        .orderBy("doc_id")
+    }),
+
     "d17_packing" -> ((s, dir) => {
       Packing.packStats(Packing.packSequences(Tables.documents(s, dir),
           col("doc_id"), col("text"), budget = 512, nShards = 8))
@@ -377,6 +394,13 @@ private[graft] object DataQueries {
         |WHERE bucket < (CASE WHEN lang = 'en' THEN 250000
         |                     WHEN lang = 'de' THEN 1000000 ELSE 100000 END)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // The md5 epoch order replayed as a plain ORDER BY; the id
+    // tiebreak is vacuous (md5 keys are unique) but mirrors the query.
+    "d30b_epoch_shuffle" ->
+      """SELECT doc_id,
+        | CAST(row_number() OVER (ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS epoch_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d30_sample_k" ->
       """WITH b AS (SELECT lang, doc_id,

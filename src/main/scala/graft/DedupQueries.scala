@@ -125,6 +125,23 @@ private[graft] object DedupQueries {
         .orderBy("vec_id")
     }),
 
+    // The SCALE-SAFE SemDeDup twin: identical keep rule, but the corpus
+    // is sharded through the two-level quantizer (3 md5-keyed top cells
+    // x rank-3 sub-centroids, d23b's construction at nLists = 9) — the
+    // variant a sized deployment runs, where nLists grows with the
+    // corpus and flat assignment's n x nLists argmax is quadratic in n
+    // (measured 17.0x across one 10x decade in SCALEPROBE2.json; the
+    // hier path re-measured at 2.0x). trainRounds = 0 for the same
+    // reason as d23b: raw-vector centroids keep every double
+    // bit-identical so the oracle mirrors the WHOLE two-level pipeline
+    // and the approximate dedup decision itself is hash-checked.
+    "d38b_semantic_dedup_hier" -> ((s, dir) => {
+      Ann.semanticDedupHier(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.45, nLists = 9, trainRounds = 0)
+        .select(col("vid").as("vec_id"), col("list_id"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
     // Soft dedup: 1/|cluster| sampling weights over the d15 component
     // pipeline, singletons at weight 1 — the oracle re-derives the
     // clusters recursively and the weights from their sizes.
@@ -598,6 +615,53 @@ private[graft] object DedupQueries {
         |      list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
         |      k.list_id) AS rn
         |  FROM c cc, cents k) WHERE rn = 1),
+        |m AS (SELECT a.cid AS vid, a.list_id, c.v FROM assign a JOIN c ON c.vec_id = a.cid),
+        |drp AS (SELECT DISTINCT b.vid AS vid
+        |  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vid < b.vid
+        |  WHERE list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)
+        |SELECT m.vid AS vec_id, m.list_id, (drp.vid IS NULL) AS kept
+        |FROM m LEFT JOIN drp USING (vid) ORDER BY vec_id""".stripMargin,
+
+    // The d23b two-level-quantizer mirror (3 md5-keyed top cells →
+    // per-cell 4x hash-threshold oversample → rank-3 sub-centroids with
+    // global list ids → corpus assigned through its top-2 cells)
+    // composed with d38's in-cluster pairwise >= τ drop rule — the
+    // hierarchical assignment AND the dedup decision are hash-checked.
+    "d38b_semantic_dedup_hier" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t0 AS (SELECT vec_id AS kid, v AS tvec,
+        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+        |  FROM c ORDER BY hk, kid LIMIT 3),
+        |tops AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS top_id, tvec FROM t0),
+        |ta AS (SELECT cid, top_id FROM (
+        |  SELECT cc.vec_id AS cid, t.top_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      list_inner_product(cc.v,t.tvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(t.tvec,t.tvec))) DESC,
+        |      t.top_id) AS rn
+        |  FROM c cc, tops t) WHERE rn = 1),
+        |th AS (SELECT cid, top_id,
+        |   CAST('0x' || substr(md5(CAST(cid AS VARCHAR)),1,15) AS BIGINT) AS h FROM ta),
+        |cnt AS (SELECT top_id, count(*) AS n FROM th GROUP BY 1),
+        |surv AS (SELECT th.cid, th.top_id, th.h FROM th JOIN cnt USING (top_id)
+        |  WHERE cnt.n <= 12
+        |     OR th.h <= CAST(floor(1152921504606846976.0 * 4.0 * 3 / cnt.n) AS BIGINT)),
+        |rk AS (SELECT cid, top_id, h,
+        |   row_number() OVER (PARTITION BY top_id ORDER BY h, cid) AS r FROM surv),
+        |subs AS (SELECT CAST(row_number() OVER (ORDER BY rk.top_id, rk.h, rk.cid) AS INT) AS list_id,
+        |   rk.top_id, c.v AS cvec
+        |  FROM rk JOIN c ON c.vec_id = rk.cid WHERE rk.r <= 3),
+        |ha AS (SELECT cid, top_id FROM (
+        |  SELECT cc.vec_id AS cid, t.top_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      list_inner_product(cc.v,t.tvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(t.tvec,t.tvec))) DESC,
+        |      t.top_id) AS rn
+        |  FROM c cc, tops t) WHERE rn <= 2),
+        |assign AS (SELECT cid, list_id FROM (
+        |  SELECT ha.cid, s.list_id,
+        |    row_number() OVER (PARTITION BY ha.cid ORDER BY
+        |      list_inner_product(cv.v,s.cvec)/(sqrt(list_inner_product(cv.v,cv.v))*sqrt(list_inner_product(s.cvec,s.cvec))) DESC,
+        |      s.list_id) AS rn
+        |  FROM ha JOIN c cv ON cv.vec_id = ha.cid JOIN subs s ON s.top_id = ha.top_id) WHERE rn = 1),
         |m AS (SELECT a.cid AS vid, a.list_id, c.v FROM assign a JOIN c ON c.vec_id = a.cid),
         |drp AS (SELECT DISTINCT b.vid AS vid
         |  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vid < b.vid

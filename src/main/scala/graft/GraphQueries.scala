@@ -229,6 +229,25 @@ private[graft] object GraphQueries {
     // Label-propagation communities on the sparse supplier-part graph:
     // 4 deterministic voting rounds (max count, min label) — dense
     // substructure collapses to shared labels.
+    // k-core decomposition by distributed peeling (C56), promoted from
+    // spec-only to the oracle standard: a SPARSER supplier-part graph
+    // than the c23/c62 one (l_partkey % 7 over a tenth of the orders)
+    // so the peel runs a real multi-round fixpoint (3 rounds to
+    // converge at sf0.01) instead of terminating immediately; k = 3
+    // leaves a non-trivial 3-core. The oracle iterates the same peel
+    // as generated SQL rounds (c62's technique) past convergence —
+    // extra rounds are no-ops at the fixpoint, so the round counts
+    // need not match, only the fixpoint itself.
+    "c56_kcore" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_partkey"), lit(7)) === 0 &&
+          pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      graft.graph.KCore.kCore(edges, col("src"), col("dst"), k = 3)
+        .orderBy("v")
+    }),
+
     "c62_lpa" -> ((s, dir) => {
       val edges = Tables.lineitem(s, dir)
         .filter(pmod(col("l_partkey"), lit(100)) === 0)
@@ -514,6 +533,31 @@ private[graft] object GraphQueries {
 
     // Same symmetric graph, same deterministic (count desc, label asc)
     // vote, 4 mechanically-unrolled synchronous rounds.
+    // 8 generated peel rounds (3 suffice at sf0.01; the peel is
+    // monotone, so post-fixpoint rounds are identities). Final degrees
+    // are measured INSIDE the converged core, k-filtered like the
+    // library's vacuous-by-fixpoint contract filter.
+    "c56_kcore" -> {
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+      // reference, so 8 rounds x 3 refs re-expand the base parquet
+      // scan enough times to exhaust the process's file descriptors.
+      val rounds = (1 to 8).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+           |   SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+           |e$i AS MATERIALIZED (SELECT e${i - 1}.a, e${i - 1}.b FROM e${i - 1}
+           |  JOIN d$i da ON da.v = e${i - 1}.a JOIN d$i db ON db.v = e${i - 1}.b
+           |  WHERE da.deg >= 3 AND db.deg >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (SELECT DISTINCT 's' || l_suppkey AS a0, 'p' || l_partkey AS b0
+         |  FROM lineitem WHERE l_partkey % 7 = 0 AND l_orderkey % 10 = 0),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
+         |  FROM raw WHERE a0 <> b0),
+         |$rounds
+         |SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT a AS v FROM e8 UNION ALL SELECT b FROM e8) GROUP BY 1
+         |HAVING count(*) >= 3 ORDER BY v""".stripMargin
+    },
+
     "c62_lpa" -> {
       val rounds = (1 to 4).map { i =>
         s"""vt$i AS (SELECT e.dst AS v, l${i - 1}.label, count(*) AS c

@@ -264,12 +264,77 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE2.json"),
         s"""{"sf1_dir":"$sf1","sf10_dir":"$sf10","decade":"second 10x (100x sf0.1 total)",""",
         extra = Seq("d38_semantic_dedup_sized" -> semanticSized))
+    } else if (sys.env.contains("SPARK_GRAFT_DECADE2_GRAM3")) {
+      // Second decade for the 3-GRAM inverted-index family, which the
+      // standard amplification cannot measure: its per-6th-word markers
+      // break every >=5-gram shingle window but NOT every 3-gram
+      // window, so marker-free 3-shingles collide across all copies and
+      // candidate sets grow in the COPY count — a generator artifact,
+      // not an operator cost (d69's exact-truth pass OOMed a 60 GB
+      // heap at sf10 demonstrating it). This pass amplifies DOCUMENTS
+      // ONLY under a marker-after-EVERY-word scheme: any 3 consecutive
+      // tokens then include a copy marker, so cross-copy 3-gram
+      // collisions are zero BY CONSTRUCTION at both scales and the
+      // decade ratio measures the operators like-for-like. The levels
+      // compose exactly like the standard scheme (level-2 copies splice
+      // a second marker after every token, covering every window that
+      // mixes level-1 markers). The registry queries run unmodified,
+      // i.e. with their production stop-shingle valves stated in the
+      // artifact header: d4/d62 at maxDf=100, d70 at the library
+      // default maxDf=1000.
+      val g1 = sys.env.getOrElse("SPARK_GRAFT_GRAM3_SF1_DIR",
+        "/root/repo/target/scaleprobe/gram3_sf1")
+      val g10 = sys.env.getOrElse("SPARK_GRAFT_GRAM3_SF10_DIR",
+        "/root/repo/target/scaleprobe/gram3_sf10")
+      generateDocsGram3(spark, sf01, g1, tag = "zg")
+      // distinct level-2 marker namespace: with a shared one, level-2
+      // copy c of level-1 copy c still collides with level-2 copy 0 on
+      // windows like (zg_c, w, zg_c)
+      generateDocsGram3(spark, g1, g10, tag = "zh")
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      runPass(Seq("d4_ngram_jaccard", "d62_containment", "d70_cluster_audit"),
+        g1, g10, "sf1_s", "sf10_s",
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE3.json"),
+        s"""{"sf1_dir":"$g1","sf10_dir":"$g10",""" +
+          """"decade":"second 10x for the 3-gram family (documents-only amplification)",""" +
+          """"marker_scheme":"copy marker appended after EVERY word, so every 3-gram window contains one; cross-copy 3-gram collisions are zero by construction at both scales",""" +
+          """"valves":"registry settings: d4/d62 maxDf=100, d70 maxDf=1000 (library default)",""")
     } else {
       runPass((Top20 ++ Llm20).distinct, sf01, sf1, "sf01_s", "sf1_s",
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE.json"),
         s"""{"sf01_dir":"$sf01","sf1_dir":"$sf1","decade":"10x rows",""")
     }
     spark.stop()
+  }
+
+  /** Documents-only 10× amplification for the 3-gram decade pass: a
+    * copy-specific marker is appended after EVERY word (not every 6th),
+    * so every 3-token shingle window contains one and cross-copy
+    * 3-gram collisions are zero by construction. Within a copy the
+    * transform is content-deterministic, so sf0.1's duplicate/near-dup
+    * structure recurs in each copy — work grows linearly. Idempotent
+    * like [[generate]]. Only the queries' one input table is written:
+    * the 3-gram family reads `documents` alone. */
+  def generateDocsGram3(spark: SparkSession, src: String, dst: String,
+                        tag: String): Unit = {
+    if (new java.io.File(s"$dst/documents.parquet").exists()) return
+    new java.io.File(dst).mkdirs()
+    val copies = spark.range(10).select(col("id").as("__copy"))
+    val doc = spark.read.parquet(s"$src/documents.parquet")
+    val dStride = doc.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    doc.crossJoin(copies)
+      .withColumn("doc_id", col("doc_id") + col("__copy") * dStride)
+      .withColumn("text",
+        when(col("__copy") === 0, col("text")).otherwise(expr(
+          """array_join(transform(split(text, '\n'), ln ->
+            |  array_join(transform(split(ln, ' '), w ->
+            |    concat(w, ' __TAG__', cast(__copy as string))), ' ')), '\n')"""
+            .stripMargin.replace("__TAG__", tag))))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    println(s"SCALE generated gram3 documents at $dst")
   }
 
   /** Materializes the sf1.0 amplification (idempotent: skips if the
