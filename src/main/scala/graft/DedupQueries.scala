@@ -347,6 +347,49 @@ private[graft] object DedupQueries {
     })
   )
 
+  /** The d23b two-level-quantizer mirror at nLists = 9 / trainRounds
+    * = 0 (3 md5-keyed top cells → per-cell 4× hash-threshold oversample
+    * → rank-3 sub-centroids with global list ids → corpus assigned
+    * through its top-2 cells), ending in `assign(cid, list_id)` over a
+    * base `c(vec_id, v)` — shared by the d38b batch oracle and
+    * StreamQueries' e10b streaming-ingest oracle so the hierarchical
+    * assignment is mirrored in exactly one place. */
+  private[graft] val hierAssignCtes: String =
+    """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |t0 AS (SELECT vec_id AS kid, v AS tvec,
+      |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+      |  FROM c ORDER BY hk, kid LIMIT 3),
+      |tops AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS top_id, tvec FROM t0),
+      |ta AS (SELECT cid, top_id FROM (
+      |  SELECT cc.vec_id AS cid, t.top_id,
+      |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+      |      list_inner_product(cc.v,t.tvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(t.tvec,t.tvec))) DESC,
+      |      t.top_id) AS rn
+      |  FROM c cc, tops t) WHERE rn = 1),
+      |th AS (SELECT cid, top_id,
+      |   CAST('0x' || substr(md5(CAST(cid AS VARCHAR)),1,15) AS BIGINT) AS h FROM ta),
+      |cnt AS (SELECT top_id, count(*) AS n FROM th GROUP BY 1),
+      |surv AS (SELECT th.cid, th.top_id, th.h FROM th JOIN cnt USING (top_id)
+      |  WHERE cnt.n <= 12
+      |     OR th.h <= CAST(floor(1152921504606846976.0 * 4.0 * 3 / cnt.n) AS BIGINT)),
+      |rk AS (SELECT cid, top_id, h,
+      |   row_number() OVER (PARTITION BY top_id ORDER BY h, cid) AS r FROM surv),
+      |subs AS (SELECT CAST(row_number() OVER (ORDER BY rk.top_id, rk.h, rk.cid) AS INT) AS list_id,
+      |   rk.top_id, c.v AS cvec
+      |  FROM rk JOIN c ON c.vec_id = rk.cid WHERE rk.r <= 3),
+      |ha AS (SELECT cid, top_id FROM (
+      |  SELECT cc.vec_id AS cid, t.top_id,
+      |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+      |      list_inner_product(cc.v,t.tvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(t.tvec,t.tvec))) DESC,
+      |      t.top_id) AS rn
+      |  FROM c cc, tops t) WHERE rn <= 2),
+      |assign AS (SELECT cid, list_id FROM (
+      |  SELECT ha.cid, s.list_id,
+      |    row_number() OVER (PARTITION BY ha.cid ORDER BY
+      |      list_inner_product(cv.v,s.cvec)/(sqrt(list_inner_product(cv.v,cv.v))*sqrt(list_inner_product(s.cvec,s.cvec))) DESC,
+      |      s.list_id) AS rn
+      |  FROM ha JOIN c cv ON cv.vec_id = ha.cid JOIN subs s ON s.top_id = ha.top_id) WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "d1_dedup_exact" ->
@@ -628,46 +671,13 @@ private[graft] object DedupQueries {
     // composed with d38's in-cluster pairwise >= τ drop rule — the
     // hierarchical assignment AND the dedup decision are hash-checked.
     "d38b_semantic_dedup_hier" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |t0 AS (SELECT vec_id AS kid, v AS tvec,
-        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
-        |  FROM c ORDER BY hk, kid LIMIT 3),
-        |tops AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS top_id, tvec FROM t0),
-        |ta AS (SELECT cid, top_id FROM (
-        |  SELECT cc.vec_id AS cid, t.top_id,
-        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
-        |      list_inner_product(cc.v,t.tvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(t.tvec,t.tvec))) DESC,
-        |      t.top_id) AS rn
-        |  FROM c cc, tops t) WHERE rn = 1),
-        |th AS (SELECT cid, top_id,
-        |   CAST('0x' || substr(md5(CAST(cid AS VARCHAR)),1,15) AS BIGINT) AS h FROM ta),
-        |cnt AS (SELECT top_id, count(*) AS n FROM th GROUP BY 1),
-        |surv AS (SELECT th.cid, th.top_id, th.h FROM th JOIN cnt USING (top_id)
-        |  WHERE cnt.n <= 12
-        |     OR th.h <= CAST(floor(1152921504606846976.0 * 4.0 * 3 / cnt.n) AS BIGINT)),
-        |rk AS (SELECT cid, top_id, h,
-        |   row_number() OVER (PARTITION BY top_id ORDER BY h, cid) AS r FROM surv),
-        |subs AS (SELECT CAST(row_number() OVER (ORDER BY rk.top_id, rk.h, rk.cid) AS INT) AS list_id,
-        |   rk.top_id, c.v AS cvec
-        |  FROM rk JOIN c ON c.vec_id = rk.cid WHERE rk.r <= 3),
-        |ha AS (SELECT cid, top_id FROM (
-        |  SELECT cc.vec_id AS cid, t.top_id,
-        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
-        |      list_inner_product(cc.v,t.tvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(t.tvec,t.tvec))) DESC,
-        |      t.top_id) AS rn
-        |  FROM c cc, tops t) WHERE rn <= 2),
-        |assign AS (SELECT cid, list_id FROM (
-        |  SELECT ha.cid, s.list_id,
-        |    row_number() OVER (PARTITION BY ha.cid ORDER BY
-        |      list_inner_product(cv.v,s.cvec)/(sqrt(list_inner_product(cv.v,cv.v))*sqrt(list_inner_product(s.cvec,s.cvec))) DESC,
-        |      s.list_id) AS rn
-        |  FROM ha JOIN c cv ON cv.vec_id = ha.cid JOIN subs s ON s.top_id = ha.top_id) WHERE rn = 1),
-        |m AS (SELECT a.cid AS vid, a.list_id, c.v FROM assign a JOIN c ON c.vec_id = a.cid),
-        |drp AS (SELECT DISTINCT b.vid AS vid
-        |  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vid < b.vid
-        |  WHERE list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)
-        |SELECT m.vid AS vec_id, m.list_id, (drp.vid IS NULL) AS kept
-        |FROM m LEFT JOIN drp USING (vid) ORDER BY vec_id""".stripMargin,
+      s"""WITH $hierAssignCtes,
+         |m AS (SELECT a.cid AS vid, a.list_id, c.v FROM assign a JOIN c ON c.vec_id = a.cid),
+         |drp AS (SELECT DISTINCT b.vid AS vid
+         |  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vid < b.vid
+         |  WHERE list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)
+         |SELECT m.vid AS vec_id, m.list_id, (drp.vid IS NULL) AS kept
+         |FROM m LEFT JOIN drp USING (vid) ORDER BY vec_id""".stripMargin,
 
     "d15_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),

@@ -298,7 +298,7 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE3.json"),
         s"""{"sf1_dir":"$g1","sf10_dir":"$g10",""" +
           """"decade":"second 10x for the 3-gram family (documents-only amplification)",""" +
-          """"marker_scheme":"copy marker appended after EVERY word, so every 3-gram window contains one; cross-copy 3-gram collisions are zero by construction at both scales",""" +
+          """"marker_scheme":"copy+line-hash marker appended after EVERY word, so every 3-gram window contains one; cross-copy 3-gram collisions are zero by construction at both scales and the line hash keeps shingle distinctiveness (and the df spectrum the maxDf valve sees) at ~line level",""" +
           """"valves":"registry settings: d4/d62 maxDf=100, d70 maxDf=1000 (library default)",""")
     } else {
       runPass((Top20 ++ Llm20).distinct, sf01, sf1, "sf01_s", "sf1_s",
@@ -309,13 +309,22 @@ object ScaleProbe {
   }
 
   /** Documents-only 10× amplification for the 3-gram decade pass: a
-    * copy-specific marker is appended after EVERY word (not every 6th),
-    * so every 3-token shingle window contains one and cross-copy
-    * 3-gram collisions are zero by construction. Within a copy the
-    * transform is content-deterministic, so sf0.1's duplicate/near-dup
-    * structure recurs in each copy — work grows linearly. Idempotent
-    * like [[generate]]. Only the queries' one input table is written:
-    * the 3-gram family reads `documents` alone. */
+    * marker token is appended after EVERY word (not every 6th), so
+    * every 3-token shingle window contains one and cross-copy 3-gram
+    * collisions are zero by construction (the copy id is in the
+    * token). The marker also carries a hash of its LINE
+    * (`<tag><copy>x<murmur3(line) % 997>`): a copy-only marker
+    * collapses every 3-gram's distinctiveness to the unigram/bigram
+    * level, which concentrates document frequencies at the stop-
+    * shingle cap and explodes the pair join at BOTH scales (the first
+    * attempt filled 77 GB of shuffle spill) — the line hash restores
+    * ~line-level distinctiveness, so the df spectrum the valve sees
+    * stays realistic. Within a copy the transform is content-
+    * deterministic AND line-local (identical lines get identical
+    * markers), so sf0.1's duplicate/near-dup structure recurs in each
+    * copy — work grows linearly. Idempotent like [[generate]]. Only
+    * the queries' one input table is written: the 3-gram family reads
+    * `documents` alone. */
   def generateDocsGram3(spark: SparkSession, src: String, dst: String,
                         tag: String): Unit = {
     if (new java.io.File(s"$dst/documents.parquet").exists()) return
@@ -329,7 +338,8 @@ object ScaleProbe {
         when(col("__copy") === 0, col("text")).otherwise(expr(
           """array_join(transform(split(text, '\n'), ln ->
             |  array_join(transform(split(ln, ' '), w ->
-            |    concat(w, ' __TAG__', cast(__copy as string))), ' ')), '\n')"""
+            |    concat(w, ' __TAG__', cast(__copy as string), 'x',
+            |           cast(pmod(hash(ln), 997) as string))), ' ')), '\n')"""
             .stripMargin.replace("__TAG__", tag))))
       .withColumn("n_chars", length(col("text")))
       .select("doc_id", "text", "lang", "source", "n_chars")

@@ -1092,6 +1092,32 @@ private[graft] object StreamQueries {
         .orderBy("vec_id")
     }),
 
+    // E10b — the SAME streaming SemDeDup ingest through the two-level
+    // (D23b) quantizer: the scale path a sized deployment runs, where
+    // the flat per-batch assignment is corpus-sized × nLists. One
+    // frozen HierCentroids (trainRounds = 0, the d38b determinism rule)
+    // drives every micro-batch through the shared epoch-keyed sink
+    // body; the oracle is e10's 3-stage survivor chain over the d38b
+    // hierarchical assignment instead of the flat one.
+    "e10b_semantic_dedup_hier" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // hierCentroids eagerly truncates both quantizer tables = the
+      // FROZEN quantizer contract across micro-batches
+      val hier = graft.similarity.Ann.hierCentroids(emb, "vec_id", "embedding",
+        nLists = 9, trainRounds = 0)
+      val in = tmp("graft_e10bin"); val ck = tmp("graft_e10bck")
+      val out = tmp("graft_e10bout"); val idx = tmp("graft_e10bix")
+      pinIdTerciles(emb, "vec_id", in)
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = StreamOps.toSemanticDeduped(stream, "vec_id", "embedding",
+        hier, 0.45, out, idx, ck)
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(out)
+        .select(col("vec_id"), col("batch").cast("long").as("epoch"))
+        .orderBy("vec_id")
+    }),
+
     // E13 — streaming CLEANED ingest through the REAL toCleanIngest
     // sink: per batch boilerplate-line strip → Gopher quality +
     // repetition gates over the CLEANED text → cross-batch exact dedup
@@ -1871,6 +1897,34 @@ private[graft] object StreamQueries {
         |SELECT vid AS vec_id, CAST(ep AS BIGINT) AS epoch FROM (
         |  SELECT vid, ep FROM s01 UNION ALL SELECT vid, ep FROM s2)
         |ORDER BY vec_id""".stripMargin,
+
+    // e10's 3-stage survivor chain over the HIERARCHICAL assignment
+    // (DedupQueries.hierAssignCtes = the d38b two-level mirror): the
+    // cross-epoch/within-epoch survivor asymmetry is identical, only
+    // the sharding differs.
+    "e10b_semantic_dedup_hier" ->
+      s"""WITH ${DedupQueries.hierAssignCtes},
+         |cuts AS (SELECT max(vec_id)//3 AS c1, (2*max(vec_id))//3 AS c2 FROM c),
+         |m AS (SELECT a.cid AS vid, a.list_id, c.v,
+         |   CASE WHEN a.cid <= cuts.c1 THEN 0 WHEN a.cid <= cuts.c2 THEN 1 ELSE 2 END AS ep
+         |  FROM assign a JOIN c ON c.vec_id = a.cid, cuts),
+         |s0 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 0 AND NOT EXISTS (
+         |   SELECT 1 FROM m b WHERE b.ep = 0 AND b.list_id = a.list_id AND b.vid < a.vid
+         |     AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
+         |s1 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 1
+         |  AND NOT EXISTS (SELECT 1 FROM s0 s WHERE s.list_id = a.list_id
+         |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
+         |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 1 AND b.list_id = a.list_id AND b.vid < a.vid
+         |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
+         |s01 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+         |s2 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 2
+         |  AND NOT EXISTS (SELECT 1 FROM s01 s WHERE s.list_id = a.list_id
+         |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
+         |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 2 AND b.list_id = a.list_id AND b.vid < a.vid
+         |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45))
+         |SELECT vid AS vec_id, CAST(ep AS BIGINT) AS epoch FROM (
+         |  SELECT vid, ep FROM s01 UNION ALL SELECT vid, ep FROM s2)
+         |ORDER BY vec_id""".stripMargin,
 
     // The composed cleaned-ingest truth: d47's boilerplate line rule
     // produces the cleaned text, the d41 + d42 gate fragments run OVER
