@@ -53,6 +53,14 @@ class LintSurfaceSpec extends SparkSpec {
     "b21_precedence" -> Map("NESTED_LOOP" -> 1),
     "d23_ann_ivf" -> Map("NESTED_LOOP" -> 2, "GLOBAL_WINDOW" -> 2),
     "d23b_ann_ivf_hier" -> Map("NESTED_LOOP" -> 2),
+    // d23's two bounded sweeps (corpus × 8 centroids assignment,
+    // queries × 8 probe ranking) + d23's two quantizer-size windows
+    // (centroid list ids ≤ nLists rows, PQ codebook seed ranks ≤
+    // kCodes rows — the d78 seeding pass)
+    "d79_ivfpq" -> Map("NESTED_LOOP" -> 2, "GLOBAL_WINDOW" -> 2),
+    // d79's plan + the exact-L2 truth sweep: broadcast 10-query side ×
+    // corpus scan — the d5 bounded-sweep class
+    "d79b_ivfpq_recall" -> Map("NESTED_LOOP" -> 3, "GLOBAL_WINDOW" -> 2),
     "d27_rebalance_mix" -> Map("GLOBAL_WINDOW" -> 1),
     "d50_zipf_fit" -> Map("GLOBAL_WINDOW" -> 1),
     "d52_quality_drift" -> Map("NESTED_LOOP" -> 1),
