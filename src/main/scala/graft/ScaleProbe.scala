@@ -279,9 +279,9 @@ object ScaleProbe {
       // compose exactly like the standard scheme (level-2 copies splice
       // a second marker after every token, covering every window that
       // mixes level-1 markers). The registry queries run unmodified,
-      // i.e. with their production stop-shingle valves stated in the
-      // artifact header: d4/d62 at maxDf=100, d70 at the library
-      // default maxDf=1000.
+      // i.e. with their production candidate bounds stated in the
+      // artifact header: d4/d62's stop-shingle maxDf=100; d70 is
+      // valve-less by design (MinHash banding bounds its candidates).
       val g1 = sys.env.getOrElse("SPARK_GRAFT_GRAM3_SF1_DIR",
         "/root/repo/target/scaleprobe/gram3_sf1")
       val g10 = sys.env.getOrElse("SPARK_GRAFT_GRAM3_SF10_DIR",
@@ -298,8 +298,8 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE3.json"),
         s"""{"sf1_dir":"$g1","sf10_dir":"$g10",""" +
           """"decade":"second 10x for the 3-gram family (documents-only amplification)",""" +
-          """"marker_scheme":"copy+line-hash marker appended after EVERY word, so every 3-gram window contains one; cross-copy 3-gram collisions are zero by construction at both scales and the line hash keeps shingle distinctiveness (and the df spectrum the maxDf valve sees) at ~line level",""" +
-          """"valves":"registry settings: d4/d62 maxDf=100, d70 maxDf=1000 (library default)",""")
+          """"marker_scheme":"copy+line-hash marker (murmur3 mod 2^31-1) appended after EVERY word, so every 3-gram window contains one; cross-copy 3-gram collisions need a per-line-pair hash collision (~2e-8) at both scales, and the line hash keeps shingle distinctiveness (and the df spectrum a stop-shingle valve sees) at ~line level",""" +
+          """"valves":"registry settings: d4/d62 stop-shingle maxDf=100; d70 has no df valve - its MinHash banding bounds the candidate set",""")
     } else {
       runPass((Top20 ++ Llm20).distinct, sf01, sf1, "sf01_s", "sf1_s",
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE.json"),
@@ -313,7 +313,7 @@ object ScaleProbe {
     * every 3-token shingle window contains one and cross-copy 3-gram
     * collisions are zero by construction (the copy id is in the
     * token). The marker also carries a hash of its LINE
-    * (`<tag><copy>x<murmur3(line) % 997>`): a copy-only marker
+    * (`<tag><copy>x<murmur3(line) % (2^31-1)>`): a copy-only marker
     * collapses every 3-gram's distinctiveness to the unigram/bigram
     * level, which concentrates document frequencies at the stop-
     * shingle cap and explodes the pair join at BOTH scales (the first
@@ -322,9 +322,14 @@ object ScaleProbe {
     * stays realistic. Within a copy the transform is content-
     * deterministic AND line-local (identical lines get identical
     * markers), so sf0.1's duplicate/near-dup structure recurs in each
-    * copy — work grows linearly. Idempotent like [[generate]]. Only
-    * the queries' one input table is written: the 3-gram family reads
-    * `documents` alone. */
+    * copy — work grows linearly. The modulus must be hash-wide: at
+    * level 2 the marker hashes DIFFERENT level-1 strings of the same
+    * original line, so two level-1 copies collide inside a level-2
+    * copy with probability 1/modulus per line pair — at 997 (the
+    * first cut) that was ~4% of lines across the 45 level-1 pairs, a
+    * real cross-copy leak; at 2^31-1 it is ~2e-8, negligible.
+    * Idempotent like [[generate]]. Only the queries' one input table
+    * is written: the 3-gram family reads `documents` alone. */
   def generateDocsGram3(spark: SparkSession, src: String, dst: String,
                         tag: String): Unit = {
     if (new java.io.File(s"$dst/documents.parquet").exists()) return
@@ -339,7 +344,7 @@ object ScaleProbe {
           """array_join(transform(split(text, '\n'), ln ->
             |  array_join(transform(split(ln, ' '), w ->
             |    concat(w, ' __TAG__', cast(__copy as string), 'x',
-            |           cast(pmod(hash(ln), 997) as string))), ' ')), '\n')"""
+            |           cast(pmod(hash(ln), 2147483647) as string))), ' ')), '\n')"""
             .stripMargin.replace("__TAG__", tag))))
       .withColumn("n_chars", length(col("text")))
       .select("doc_id", "text", "lang", "source", "n_chars")

@@ -1243,6 +1243,37 @@ private[graft] object StreamQueries {
       }
   }
 
+  /** e10/e10b shared oracle: the 3-stage survivor chain (epoch-0
+    * pairwise vs lower ids, later epochs vs prior SURVIVORS plus
+    * lower-id batch mates) over any assignment block ending in
+    * `assign(cid, list_id)` with base `c(vec_id, v)` — the flat (e10)
+    * and hierarchical (e10b) quantizers differ ONLY in that block, so
+    * the cross-epoch/within-epoch asymmetry is mirrored in exactly
+    * one place. */
+  private def semanticSurvivorChainSql(assignCtes: String): String =
+    s"""WITH $assignCtes,
+       |cuts AS (SELECT max(vec_id)//3 AS c1, (2*max(vec_id))//3 AS c2 FROM c),
+       |m AS (SELECT a.cid AS vid, a.list_id, c.v,
+       |   CASE WHEN a.cid <= cuts.c1 THEN 0 WHEN a.cid <= cuts.c2 THEN 1 ELSE 2 END AS ep
+       |  FROM assign a JOIN c ON c.vec_id = a.cid, cuts),
+       |s0 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 0 AND NOT EXISTS (
+       |   SELECT 1 FROM m b WHERE b.ep = 0 AND b.list_id = a.list_id AND b.vid < a.vid
+       |     AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
+       |s1 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 1
+       |  AND NOT EXISTS (SELECT 1 FROM s0 s WHERE s.list_id = a.list_id
+       |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
+       |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 1 AND b.list_id = a.list_id AND b.vid < a.vid
+       |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
+       |s01 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+       |s2 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 2
+       |  AND NOT EXISTS (SELECT 1 FROM s01 s WHERE s.list_id = a.list_id
+       |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
+       |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 2 AND b.list_id = a.list_id AND b.vid < a.vid
+       |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45))
+       |SELECT vid AS vec_id, CAST(ep AS BIGINT) AS epoch FROM (
+       |  SELECT vid, ep FROM s01 UNION ALL SELECT vid, ep FROM s2)
+       |ORDER BY vec_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     // Latest (user, day) activity row per user — the CDC snapshot.
@@ -1864,9 +1895,8 @@ private[graft] object StreamQueries {
     // pairwise-vs-lower-id within the batch, later epochs judged
     // against prior SURVIVORS (not all prior vectors) plus lower-id
     // batch mates — the asymmetry that distinguishes E10 from D38.
-    "e10_semantic_dedup" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cuts AS (SELECT max(vec_id)//3 AS c1, (2*max(vec_id))//3 AS c2 FROM c),
+    "e10_semantic_dedup" -> semanticSurvivorChainSql(
+      """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |k0 AS (SELECT vec_id AS kid, v AS cvec,
         |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
         |  FROM c ORDER BY hk, kid LIMIT 8),
@@ -1876,55 +1906,14 @@ private[graft] object StreamQueries {
         |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
         |      list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
         |      k.list_id) AS rn
-        |  FROM c cc, cents k) WHERE rn = 1),
-        |m AS (SELECT a.cid AS vid, a.list_id, c.v,
-        |   CASE WHEN a.cid <= cuts.c1 THEN 0 WHEN a.cid <= cuts.c2 THEN 1 ELSE 2 END AS ep
-        |  FROM assign a JOIN c ON c.vec_id = a.cid, cuts),
-        |s0 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 0 AND NOT EXISTS (
-        |   SELECT 1 FROM m b WHERE b.ep = 0 AND b.list_id = a.list_id AND b.vid < a.vid
-        |     AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
-        |s1 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 1
-        |  AND NOT EXISTS (SELECT 1 FROM s0 s WHERE s.list_id = a.list_id
-        |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
-        |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 1 AND b.list_id = a.list_id AND b.vid < a.vid
-        |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
-        |s01 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
-        |s2 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 2
-        |  AND NOT EXISTS (SELECT 1 FROM s01 s WHERE s.list_id = a.list_id
-        |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
-        |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 2 AND b.list_id = a.list_id AND b.vid < a.vid
-        |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45))
-        |SELECT vid AS vec_id, CAST(ep AS BIGINT) AS epoch FROM (
-        |  SELECT vid, ep FROM s01 UNION ALL SELECT vid, ep FROM s2)
-        |ORDER BY vec_id""".stripMargin,
+        |  FROM c cc, cents k) WHERE rn = 1)""".stripMargin),
 
     // e10's 3-stage survivor chain over the HIERARCHICAL assignment
     // (DedupQueries.hierAssignCtes = the d38b two-level mirror): the
     // cross-epoch/within-epoch survivor asymmetry is identical, only
     // the sharding differs.
     "e10b_semantic_dedup_hier" ->
-      s"""WITH ${DedupQueries.hierAssignCtes},
-         |cuts AS (SELECT max(vec_id)//3 AS c1, (2*max(vec_id))//3 AS c2 FROM c),
-         |m AS (SELECT a.cid AS vid, a.list_id, c.v,
-         |   CASE WHEN a.cid <= cuts.c1 THEN 0 WHEN a.cid <= cuts.c2 THEN 1 ELSE 2 END AS ep
-         |  FROM assign a JOIN c ON c.vec_id = a.cid, cuts),
-         |s0 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 0 AND NOT EXISTS (
-         |   SELECT 1 FROM m b WHERE b.ep = 0 AND b.list_id = a.list_id AND b.vid < a.vid
-         |     AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
-         |s1 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 1
-         |  AND NOT EXISTS (SELECT 1 FROM s0 s WHERE s.list_id = a.list_id
-         |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
-         |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 1 AND b.list_id = a.list_id AND b.vid < a.vid
-         |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
-         |s01 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
-         |s2 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 2
-         |  AND NOT EXISTS (SELECT 1 FROM s01 s WHERE s.list_id = a.list_id
-         |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
-         |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 2 AND b.list_id = a.list_id AND b.vid < a.vid
-         |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45))
-         |SELECT vid AS vec_id, CAST(ep AS BIGINT) AS epoch FROM (
-         |  SELECT vid, ep FROM s01 UNION ALL SELECT vid, ep FROM s2)
-         |ORDER BY vec_id""".stripMargin,
+      semanticSurvivorChainSql(DedupQueries.hierAssignCtes),
 
     // The composed cleaned-ingest truth: d47's boilerplate line rule
     // produces the cleaned text, the d41 + d42 gate fragments run OVER

@@ -299,7 +299,14 @@ private[graft] object VectorQueries {
     * 8 subspaces × 8 dims → per-(vector, subspace) nearest code) and
     * the ADC distance (Σ_j of the query-subvector-to-assigned-code
     * squared distance — EXACTLY the distance to the decoded vector),
-    * ending in `r5(qid, cid, adc, rank)` = the ADC top-5. */
+    * ending in `r5(qid, cid, adc, rank)` = the ADC top-5. Every sum
+    * is an IN-ORDER list fold (list_transform over an index range,
+    * list(… ORDER BY j)) rather than a GROUP-BY sum: Spark's
+    * `aggregate(zip_with(…))` accumulates left-to-right in dimension
+    * order, and only the same fold order keeps near-tied ADC
+    * distances bitwise comparable across engines — a hash-bucketed
+    * SQL sum may add in any order, and the rank cut would flip on a
+    * sub-ulp tie. */
   private val ivfPqCtes: String =
     """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |k0 AS (SELECT vec_id AS kid, v AS cvec,
@@ -322,18 +329,16 @@ private[graft] object VectorQueries {
       |    SELECT v, CAST(vec_id AS VARCHAR) AS id,
       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
       |    FROM c) ORDER BY h, id LIMIT 16),
-      |x AS (SELECT c.vec_id, CAST(t.j AS INT) AS j, CAST(t2.d AS INT) AS d,
-      |       c.v[CAST(t.j AS INT) * 8 + CAST(t2.d AS INT) + 1] AS val
-      |      FROM c, range(8) t(j), range(8) t2(d)),
-      |sx AS (SELECT s.code, CAST(t.j AS INT) AS j, CAST(t2.d AS INT) AS d,
-      |       s.v[CAST(t.j AS INT) * 8 + CAST(t2.d AS INT) + 1] AS cval
-      |      FROM seed s, range(8) t(j), range(8) t2(d)),
-      |dist AS (SELECT x.vec_id, x.j, sx.code, sum((x.val - sx.cval) * (x.val - sx.cval)) AS dd
-      |      FROM x JOIN sx ON x.j = sx.j AND x.d = sx.d GROUP BY 1, 2, 3),
+      |dist AS (SELECT c.vec_id, CAST(t.j AS INT) AS j, s.code,
+      |   list_aggregate(list_transform(range(0, 8), d ->
+      |     (c.v[CAST(t.j AS INT) * 8 + d + 1] - s.v[CAST(t.j AS INT) * 8 + d + 1])
+      |     * (c.v[CAST(t.j AS INT) * 8 + d + 1] - s.v[CAST(t.j AS INT) * 8 + d + 1])), 'sum') AS dd
+      |  FROM c, range(8) t(j), seed s),
       |best AS (SELECT vec_id, j, code FROM (
       |      SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, code) AS rn
       |      FROM dist) WHERE rn = 1),
-      |adc AS (SELECT p.qid, a.cid, sum(qd.dd) AS adc
+      |adc AS (SELECT p.qid, a.cid,
+      |   list_aggregate(list(qd.dd ORDER BY b.j), 'sum') AS adc
       |  FROM probes p JOIN assign a USING (list_id)
       |  JOIN best b ON b.vec_id = a.cid
       |  JOIN dist qd ON qd.vec_id = p.qid AND qd.j = b.j AND qd.code = b.code
@@ -352,16 +357,19 @@ private[graft] object VectorQueries {
          |SELECT qid, cid, round(adc, 4) AS dist, rank
          |FROM r5 ORDER BY qid, rank""".stripMargin,
 
-    // ADC top-5 intersected with the exact squared-L2 top-5 (closed
-    // form |q|^2 + |c|^2 - 2qc; ties on exact-duplicate vectors break
-    // by cid in both engines). Left join keeps zero-hit queries.
+    // ADC top-5 intersected with the exact squared-L2 top-5, the
+    // truth ranked by the same in-order elementwise fold Spark runs
+    // (see ivfPqCtes — a closed form |q|^2+|c|^2-2qc is algebraically
+    // equal but not FP-identical, and a near-tie at rank 5 would flip
+    // membership). Left join keeps zero-hit queries.
     "d79b_ivfpq_recall" ->
       s"""WITH $ivfPqCtes,
          |t5 AS (SELECT qid, cid FROM (
          |  SELECT q.vec_id AS qid, cc.vec_id AS cid,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |      list_inner_product(q.v,q.v) + list_inner_product(cc.v,cc.v)
-         |        - 2 * list_inner_product(q.v,cc.v) ASC, cc.vec_id) AS rn
+         |      list_aggregate(list_transform(range(0, 64), d ->
+         |        (q.v[d + 1] - cc.v[d + 1]) * (q.v[d + 1] - cc.v[d + 1])), 'sum') ASC,
+         |      cc.vec_id) AS rn
          |  FROM c q, c cc WHERE q.vec_id < 10 AND q.vec_id <> cc.vec_id) WHERE rn <= 5),
          |ids AS (SELECT DISTINCT qid FROM r5),
          |h AS (SELECT r5.qid, count(*) AS n FROM r5 JOIN t5 USING (qid, cid) GROUP BY 1)

@@ -14,7 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class BaselineSpec extends AnyFunSuite {
 
   private def committed: String = {
-    val p = java.nio.file.Paths.get("/root/repo/BENCH_BASELINE.json")
+    // relative to the forked test JVM's working dir = the repo root —
+    // the one path that works in any checkout location
+    val p = java.nio.file.Paths.get("BENCH_BASELINE.json").toAbsolutePath
     assert(java.nio.file.Files.exists(p), s"missing committed baseline at $p")
     java.nio.file.Files.readString(p)
   }
