@@ -301,7 +301,14 @@ object ScaleProbe {
           """"marker_scheme":"copy+line-hash marker (murmur3 mod 2^31-1) appended after EVERY word, so every 3-gram window contains one; cross-copy 3-gram collisions need a per-line-pair hash collision (~2e-8) at both scales, and the line hash keeps shingle distinctiveness (and the df spectrum a stop-shingle valve sees) at ~line level",""" +
           """"valves":"registry settings: d4/d62 stop-shingle maxDf=100; d70 has no df valve - its MinHash banding bounds the candidate set",""")
     } else {
-      runPass((Top20 ++ Llm20).distinct, sf01, sf1, "sf01_s", "sf1_s",
+      // SPARK_GRAFT_SCALE_ONLY=q1,q2 measures an explicit query list
+      // (e.g. the queries new in a round) instead of the canonical
+      // Top20+Llm20 set — pair it with SPARK_GRAFT_SCALE_OUT so a
+      // subset run never clobbers the canonical SCALEPROBE.json.
+      val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse((Top20 ++ Llm20).distinct)
+      runPass(names, sf01, sf1, "sf01_s", "sf1_s",
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE.json"),
         s"""{"sf01_dir":"$sf01","sf1_dir":"$sf1","decade":"10x rows",""")
     }
