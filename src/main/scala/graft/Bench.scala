@@ -26,23 +26,52 @@ object Bench {
       .toMap
   }
 
+  /** Noise floor for the baseline ratchet: BENCH_BASELINE.json keeps
+    * per-query BEST-EVER timings, which only tighten round over round;
+    * for 0.2–0.4 s queries the 2× bar lands at ~0.5 s — inside ambient
+    * GC/JIT jitter, so the ratchet cries wolf on sub-second absolute
+    * deltas (r11's five 1.5–1.6× "regressions" were all noise). Every
+    * baseline comparison reads `max(base, Floor)` instead: a query is
+    * only history-anomalous when it exceeds 2× of at-least-half-a-
+    * second, i.e. a full second of real wall — the smallest delta
+    * worth a requeue slot. */
+  private[graft] val BaselineFloorSec = 0.5
+
   /** Requeue decision for one measured query: Some(trigger) when it
     * deserves a second opinion — "ratio" when cold/warm disagree in
     * either direction (load landed on one phase), "baseline" when
-    * either phase exceeds 2× the query's best committed history (load
-    * inflated BOTH phases, which keeps a plausible ratio — the r9
-    * 17.4 s-warm PageRank phantom). Pure so BaselineSpec can
-    * demonstrate the baseline trigger firing on a synthetic 3× timing
-    * without running a suite. */
+    * either phase exceeds 2× the query's FLOORED best committed
+    * history ([[BaselineFloorSec]]; load inflated BOTH phases, which
+    * keeps a plausible ratio — the r9 17.4 s-warm PageRank phantom).
+    * Pure so BaselineSpec can demonstrate the baseline trigger firing
+    * on a synthetic 3× timing without running a suite. */
   private[graft] def requeueTrigger(cold: Double, warm: Option[Double],
       base: Option[(Double, Double)]): Option[String] = {
     val ratioAnomalous = warm.exists(w => cold > 3 * w || w > 2 * cold)
     val baseAnomalous = base.exists { case (bc, bw) =>
-      cold > 2 * bc || warm.exists(_ > 2 * bw)
+      cold > 2 * math.max(bc, BaselineFloorSec) ||
+        warm.exists(_ > 2 * math.max(bw, BaselineFloorSec))
     }
     if (ratioAnomalous) Some("ratio")
     else if (baseAnomalous) Some("baseline")
     else None
+  }
+
+  /** Parse a Bench-written artifact line (out/bench.json /
+    * BENCH_r*_local.json) into its cold `queries` map. The committed
+    * local artifact is the CANONICAL machine-readable record of a
+    * round's bench — the driver wrapper's own parse has shipped
+    * `"parsed": null` two rounds running, leaving graded totals only
+    * inside a truncated log tail. BenchArtifactSpec pins that the
+    * newest committed artifact parses to the full query count, so a
+    * round can't silently regress to log-scraping again. */
+  private[graft] def parseBenchQueries(txt: String): Map[String, Double] = {
+    val obj = """"queries"\s*:\s*\{([^}]*)\}""".r
+    val kv = """"([^"]+)"\s*:\s*([0-9.eE+\-]+)""".r
+    obj.findFirstMatchIn(txt).map { m =>
+      kv.findAllMatchIn(m.group(1))
+        .map(e => e.group(1) -> e.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
   }
 
   def main(args: Array[String]): Unit = {
@@ -215,10 +244,13 @@ object Bench {
     val streamWall = results.filter(r => isStream(r._1)).map(_._2).sum
     val streamWallWarm = results.filter(r => isStream(r._1)).flatMap(_._3).sum
     val req = requeued.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    // graded-cold / best-historical-cold per query (null = no history
-    // yet, i.e. a query new this round); a clean run reads ~1.0
+    // graded-cold / max(best-historical-cold, floor) per query (null =
+    // no history yet, i.e. a query new this round); a clean run reads
+    // ~1.0. The floor keeps sub-second queries' ratios out of GC-noise
+    // territory — see BaselineFloorSec.
     val baseRatios = results.map { case (k, c, _) =>
-      val r = baseline.get(k).map(b => f"${c / b._1}%.4f").getOrElse("null")
+      val r = baseline.get(k)
+        .map(b => f"${c / math.max(b._1, BaselineFloorSec)}%.4f").getOrElse("null")
       s"${jstr(k)}:$r"
     }.mkString("{", ",", "}")
     def jarr(xs: Seq[Double]) = xs.mkString("[", ",", "]")

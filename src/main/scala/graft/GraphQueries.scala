@@ -536,7 +536,11 @@ private[graft] object GraphQueries {
     // 8 generated peel rounds (3 suffice at sf0.01; the peel is
     // monotone, so post-fixpoint rounds are identities). Final degrees
     // are measured INSIDE the converged core, k-filtered like the
-    // library's vacuous-by-fixpoint contract filter.
+    // library's vacuous-by-fixpoint contract filter. The `chk` CTE is
+    // a convergence tripwire: on a dataset whose peel depth exceeds
+    // the unrolled budget (library iterates to fixpoint, maxRounds =
+    // 100) the oracle raises a NAMED error instead of surfacing as a
+    // bare hash mismatch that reads like a library bug.
     "c56_kcore" -> {
       // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
       // reference, so 8 rounds x 3 refs re-expand the base parquet
@@ -552,10 +556,13 @@ private[graft] object GraphQueries {
          |  FROM lineitem WHERE l_partkey % 7 = 0 AND l_orderkey % 10 = 0),
          |e0 AS MATERIALIZED (SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
          |  FROM raw WHERE a0 <> b0),
-         |$rounds
+         |$rounds,
+         |chk AS (SELECT CASE WHEN (SELECT count(*) FROM e7) = (SELECT count(*) FROM e8)
+         |  THEN TRUE ELSE error('c56 oracle: peel not converged within 8 rounds - '
+         |    || 'widen the unrolled round budget before trusting the compare') END AS ok)
          |SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
          |  SELECT a AS v FROM e8 UNION ALL SELECT b FROM e8) GROUP BY 1
-         |HAVING count(*) >= 3 ORDER BY v""".stripMargin
+         |HAVING count(*) >= 3 AND (SELECT ok FROM chk) ORDER BY v""".stripMargin
     },
 
     "c62_lpa" -> {

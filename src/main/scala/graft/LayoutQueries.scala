@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** C-series layout/index driver rows — the read-side of the file-layout
+  * components (C24 manifest min/max skipping, C40 Bloom sidecar point
+  * lookups, C38 dynamic partition pruning), graded as driver-oracle
+  * rows instead of library-only specs. Each query WRITES its layout
+  * in-query (fresh temp dir — the c12 in-query-write pattern), drives
+  * the real pruning machinery over it, and emits the pruning DECISION
+  * as the compared surface. The decision is a pure function of the
+  * table data (bucket boundaries are closed-form, partition values are
+  * derived columns), so DuckDB recomputes the expected survivor set
+  * from the same parquet inputs without ever seeing the temp layout.
+  *
+  * 100-TB relevance: these three are exactly the mechanisms that turn
+  * "scan 800k files" into "open a handful" — manifest range skipping
+  * for sorted/clustered layouts, Bloom sidecars for unsorted
+  * high-cardinality point lookups, DPP for star-join date filters. The
+  * graded rows pin that each one PRUNES (not just returns correct
+  * rows): c24 compares per-file survivorship, c40 compares
+  * no-false-negative hits with an FP budget, c38 compares the runtime
+  * partition count Spark's own scan metrics report.
+  */
+object LayoutQueries {
+
+  /** Executed-plan walk for the fact scan under `path` — the DppSpec
+    * helper, needed here because c38's compared surface includes the
+    * scan's own numFiles metric. */
+  private def factScans(p: SparkPlan, path: String): Seq[FileSourceScanExec] = {
+    def walk(n: SparkPlan): Seq[FileSourceScanExec] = n match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(path)) => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(walk)
+    }
+    walk(p)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C24: range-bucketed layout (8 closed-form o_orderkey buckets,
+    // one file each) → footer-stats manifest → candidateFiles for the
+    // predicate o_orderkey ∈ [2w, 3w]. Compared surface: per-file
+    // (n_rows, min, max, survives) where `survives` comes from the
+    // REAL candidateFiles call, not a reimplementation of its
+    // predicate. The oracle recomputes bounds + survivorship from the
+    // same closed-form bucketing over the raw table.
+    "c24_manifest_prune" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"))
+      val maxKey = o.agg(max("o_orderkey")).head().getLong(0)
+      val w = maxKey / 8 + 1 // ceil-ish width: buckets 0..7 cover [0, maxKey]
+      val tmp = java.nio.file.Files.createTempDirectory("graft-c24").toString
+      o.withColumn("file_id", expr(s"o_orderkey DIV $w"))
+        .repartition(col("file_id")) // all rows of a bucket in one task → one file per dir
+        .write.mode("overwrite").partitionBy("file_id").parquet(tmp)
+      val m = graft.sources.Manifest.build(s, tmp, Seq("o_orderkey")).cache()
+      val lo = (2 * w).toDouble
+      val hi = (3 * w).toDouble
+      val kept = graft.sources.Manifest.candidateFiles(m, "o_orderkey", lo, hi)
+      m.select(
+          regexp_extract(col("file"), "file_id=(\\d+)", 1).cast("long").as("bucket"),
+          col("n_rows"),
+          col("min_val").cast("long").as("min_key"),
+          col("max_val").cast("long").as("max_key"),
+          col("file").isin(kept: _*).as("survives"))
+        .orderBy("bucket")
+    }),
+
+    // C40: doc_id%6 file layout → per-file Bloom sidecar → batch point
+    // lookups through the REAL candidateFiles + prunedRead path.
+    // Compared surface per probe: presence, rows actually returned by
+    // the pruned read (no-false-negative: must equal the raw count),
+    // and two FP-bound booleans pinned TRUE (the c8b technique — the
+    // sidecar's exact candidate set is implementation-defined, its
+    // guarantees aren't): the true file is always a candidate, and
+    // false positives stay within budget (≤2 of the 5 other files at
+    // fpp=0.01 — expected 0.05).
+    "c40_bloom_hits" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val probes = Seq(7L, 123L, 256L, 401L, 499L, 1000003L, 5000011L, 7777777L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-c40").toString
+      docs.withColumn("file_id", pmod(col("doc_id"), lit(6L)))
+        .repartition(col("file_id"))
+        .write.mode("overwrite").partitionBy("file_id").parquet(tmp)
+      val nDocs = docs.count()
+      val idx = graft.sources.BloomIndex.build(s, tmp, "doc_id",
+        expectedPerFile = math.max(1000L, nDocs / 6 * 2), fpp = 0.01).cache()
+      val presentSet = docs.filter(col("doc_id").isin(probes: _*))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val meta = probes.map { v =>
+        val cands = graft.sources.BloomIndex.candidateFiles(idx, v.toString)
+        val present = presentSet(v)
+        val trueHit = !present || cands.exists(_.contains(s"file_id=${v % 6}"))
+        val fpOk = (cands.size - (if (present) 1 else 0)) <= 2
+        (v, present, trueHit, fpOk)
+      }.toDF("probe", "present", "true_file_hit", "fp_within_bound")
+      val found = probes.map { v =>
+        graft.sources.BloomIndex.prunedRead(s, tmp, "doc_id", v.toString, idx)
+          .select(lit(v).as("probe"))
+      }.reduce(_ unionAll _).groupBy("probe").agg(count(lit(1)).as("rows_found"))
+      meta.join(found, Seq("probe"), "left")
+        .select(col("probe"), col("present"),
+          coalesce(col("rows_found"), lit(0L)).as("rows_found"),
+          col("true_file_hit"), col("fp_within_bound"))
+        .orderBy("probe")
+    }),
+
+    // C38: day-partitioned fact layout (day = o_orderkey % 10, one
+    // file per partition) joined with a FILTERED file-source dim —
+    // Spark must inject the dim's surviving day set as a runtime
+    // dynamicpruning subquery into the fact scan. Compared surface:
+    // the scan's OWN numFiles metric (= partitions read, one file
+    // each) against the oracle's pure-function-of-the-filter partition
+    // count, plus the join cardinality. A DPP regression reads 10
+    // files instead of 3 and the row hash-mismatches.
+    "c38_dpp_prune" -> ((s, dir) => {
+      import s.implicits._
+      val fact = Tables.orders(s, dir)
+        .select(col("o_orderkey"), pmod(col("o_orderkey"), lit(10L)).cast("int").as("day"))
+      val tmpFact = java.nio.file.Files.createTempDirectory("graft-c38-fact").toString
+      val tmpDim = java.nio.file.Files.createTempDirectory("graft-c38-dim").toString
+      fact.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmpFact)
+      // dim must be a FILE source: a local relation's filter constant-
+      // folds away and DPP's selective-predicate check sees no Filter
+      fact.select(col("day")).distinct()
+        .withColumn("tag", when(col("day") < 3, "keep").otherwise("drop"))
+        .write.mode("overwrite").parquet(tmpDim)
+      val f = s.read.parquet(tmpFact)
+      val d = s.read.parquet(tmpDim).filter(col("tag") === "keep")
+      val joined = f.join(d, Seq("day"))
+      // execute THIS DataFrame's own physical plan (count() would wrap
+      // it in a fresh QueryExecution whose scan metrics never populate)
+      val rowsJoined = joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan
+      val dppApplied = plan.toString.contains("dynamicpruning")
+      val partsRead = factScans(plan, tmpFact)
+        .headOption.map(_.metrics("numFiles").value).getOrElse(-1L)
+      val partsTotal = s.read.parquet(tmpFact).select("day").distinct().count()
+      Seq((partsTotal, partsRead, rowsJoined, dppApplied))
+        .toDF("parts_total", "parts_read", "rows_joined", "dpp_applied")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // Same closed-form bucketing (w = max//8 + 1), bounds from the raw
+    // rows (= parquet footer stats for a lossless int64→double column),
+    // same interval-disjointness survivorship as candidateFiles.
+    "c24_manifest_prune" ->
+      """WITH p AS (SELECT max(o_orderkey) // 8 + 1 AS w FROM orders),
+        |b AS (SELECT o_orderkey // p.w AS bucket, o_orderkey, p.w FROM orders, p),
+        |m AS (SELECT bucket, max(w) AS w, count(*) AS n_rows,
+        |   min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM b GROUP BY 1)
+        |SELECT bucket, n_rows, mn AS min_key, mx AS max_key,
+        | NOT (mx < 2 * w OR mn > 3 * w) AS survives
+        |FROM m ORDER BY bucket""".stripMargin,
+
+    // Presence + row counts from the raw table; the two Bloom
+    // guarantees are pinned TRUE (no false negatives by construction,
+    // FP count within budget at fpp=0.01 — the c8b bound-pinning
+    // technique for sketch surfaces DuckDB can't bit-replay).
+    "c40_bloom_hits" ->
+      """WITH probes(probe) AS (VALUES (7), (123), (256), (401), (499),
+        |  (1000003), (5000011), (7777777)),
+        |c AS (SELECT doc_id, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT CAST(p.probe AS BIGINT) AS probe,
+        | coalesce(c.n, 0) > 0 AS present,
+        | CAST(coalesce(c.n, 0) AS BIGINT) AS rows_found,
+        | TRUE AS true_file_hit, TRUE AS fp_within_bound
+        |FROM probes p LEFT JOIN c ON c.doc_id = p.probe
+        |ORDER BY probe""".stripMargin,
+
+    // The expected partition set is a pure function of the dim filter
+    // (day < 3); parts_read must equal its size — if Spark's runtime
+    // pruning regressed to a full scan, the Spark side reports 10.
+    "c38_dpp_prune" ->
+      """SELECT CAST(count(DISTINCT o_orderkey % 10) AS BIGINT) AS parts_total,
+        | CAST(count(DISTINCT CASE WHEN o_orderkey % 10 < 3
+        |   THEN o_orderkey % 10 END) AS BIGINT) AS parts_read,
+        | CAST(sum(CASE WHEN o_orderkey % 10 < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS rows_joined,
+        | TRUE AS dpp_applied
+        |FROM orders""".stripMargin
+  )
+}

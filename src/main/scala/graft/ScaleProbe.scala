@@ -308,6 +308,13 @@ object ScaleProbe {
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse((Top20 ++ Llm20).distinct)
+      // Fail on typos BEFORE runPass starts measuring: a lazy lookup
+      // inside the per-query closure throws NoSuchElementException
+      // mid-pass, after earlier queries' lo-side runs already burned
+      // minutes of measurement window.
+      val unknown = names.filterNot(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
       runPass(names, sf01, sf1, "sf01_s", "sf1_s",
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE.json"),
         s"""{"sf01_dir":"$sf01","sf1_dir":"$sf1","decade":"10x rows",""")
@@ -339,7 +346,11 @@ object ScaleProbe {
     * is written: the 3-gram family reads `documents` alone. */
   def generateDocsGram3(spark: SparkSession, src: String, dst: String,
                         tag: String): Unit = {
-    if (new java.io.File(s"$dst/documents.parquet").exists()) return
+    // Idempotency gates on the _SUCCESS marker, not bare directory
+    // existence: a run killed mid-write leaves a partial/_temporary
+    // directory that bare existence would treat as a complete 10×
+    // amplification, silently skewing every later decade ratio.
+    if (new java.io.File(s"$dst/documents.parquet/_SUCCESS").exists()) return
     new java.io.File(dst).mkdirs()
     val copies = spark.range(10).select(col("id").as("__copy"))
     val doc = spark.read.parquet(s"$src/documents.parquet")
@@ -362,7 +373,10 @@ object ScaleProbe {
   /** Materializes the sf1.0 amplification (idempotent: skips if the
     * last table already exists). */
   def generate(spark: SparkSession, sf01: String, sf1: String): Unit = {
-    if (new java.io.File(s"$sf1/embeddings.parquet").exists()) return
+    // _SUCCESS, not bare existence — same partial-write hazard as
+    // [[generateDocsGram3]] (embeddings is the last table written, so
+    // its committed marker implies the whole set).
+    if (new java.io.File(s"$sf1/embeddings.parquet/_SUCCESS").exists()) return
     new java.io.File(sf1).mkdirs()
     val copies = spark.range(10).select(col("id").as("__copy"))
 

@@ -306,7 +306,13 @@ private[graft] object VectorQueries {
     * order, and only the same fold order keeps near-tied ADC
     * distances bitwise comparable across engines — a hash-bucketed
     * SQL sum may add in any order, and the rank cut would flip on a
-    * sub-ulp tie. */
+    * sub-ulp tie. The GROUPING must match too, not just the per-term
+    * order: Spark's rerank=0 ADC is ONE flat 64-term fold over
+    * (q[d] − decoded[d])², not a sum of 8 per-subspace subtotals —
+    * FP addition is non-associative, so ((a+b)+(c+d)) ≠ (((a+b)+c)+d)
+    * at the ulp level. The `decoded` CTE therefore materializes the
+    * full decoded vector from the assigned codes and `adc` replays
+    * the identical flat fold. */
   private val ivfPqCtes: String =
     """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |k0 AS (SELECT vec_id AS kid, v AS cvec,
@@ -337,12 +343,16 @@ private[graft] object VectorQueries {
       |best AS (SELECT vec_id, j, code FROM (
       |      SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, code) AS rn
       |      FROM dist) WHERE rn = 1),
+      |decoded AS (SELECT b.vec_id AS cid,
+      |   list(s.v[b.j * 8 + t.d + 1] ORDER BY b.j * 8 + t.d) AS dv
+      |  FROM best b JOIN seed s USING (code), range(8) t(d) GROUP BY 1),
       |adc AS (SELECT p.qid, a.cid,
-      |   list_aggregate(list(qd.dd ORDER BY b.j), 'sum') AS adc
+      |   list_aggregate(list_transform(range(0, 64), d ->
+      |     (q.v[d + 1] - dec.dv[d + 1]) * (q.v[d + 1] - dec.dv[d + 1])), 'sum') AS adc
       |  FROM probes p JOIN assign a USING (list_id)
-      |  JOIN best b ON b.vec_id = a.cid
-      |  JOIN dist qd ON qd.vec_id = p.qid AND qd.j = b.j AND qd.code = b.code
-      |  WHERE p.qid <> a.cid GROUP BY 1, 2),
+      |  JOIN decoded dec ON dec.cid = a.cid
+      |  JOIN c q ON q.vec_id = p.qid
+      |  WHERE p.qid <> a.cid),
       |r5 AS (SELECT qid, cid, adc,
       |   CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rank
       |  FROM adc QUALIFY rank <= 5)""".stripMargin

@@ -14,9 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BaselineSpec extends AnyFunSuite {
 
   private def committed: String = {
-    // relative to the forked test JVM's working dir = the repo root —
-    // the one path that works in any checkout location
-    val p = java.nio.file.Paths.get("BENCH_BASELINE.json").toAbsolutePath
+    val p = BaselineSpec.repoRoot.resolve("BENCH_BASELINE.json")
     assert(java.nio.file.Files.exists(p), s"missing committed baseline at $p")
     java.nio.file.Files.readString(p)
   }
@@ -71,5 +69,44 @@ class BaselineSpec extends AnyFunSuite {
       Some("baseline"))
     // no history, clean ratio: nothing to compare against
     assert(Bench.requeueTrigger(cold = 18.0, warm = Some(15.0), None) === None)
+  }
+
+  test("baseline trigger has a noise floor: sub-second best-evers don't cry wolf") {
+    // c15_histogram class: best-ever 0.24 s cold. A 0.45 s reading is
+    // 1.9x the raw base but a 0.2 s absolute delta - ambient GC noise.
+    // The floored bar is 2 * max(0.24, 0.5) = 1.0 s: no trigger.
+    assert(Bench.requeueTrigger(cold = 0.45, warm = Some(0.3),
+      Some((0.24, 0.2))) === None)
+    // even 0.9 s (3.75x raw) stays under the floored bar
+    assert(Bench.requeueTrigger(cold = 0.9, warm = Some(0.6),
+      Some((0.24, 0.2))) === None)
+    // but a full second of real wall still triggers
+    assert(Bench.requeueTrigger(cold = 1.1, warm = Some(0.7),
+      Some((0.24, 0.2))) === Some("baseline"))
+    // the floor is inert for queries whose base already exceeds it
+    assert(Bench.requeueTrigger(cold = 13.0, warm = Some(11.0),
+      Some((6.0, 5.0))) === Some("baseline"))
+    // warm side is floored identically (cold kept close enough that
+    // the ratio rule stays quiet and isolates the history decision)
+    assert(Bench.requeueTrigger(cold = 0.6, warm = Some(0.95),
+      Some((0.3, 0.2))) === None)
+    assert(Bench.requeueTrigger(cold = 0.6, warm = Some(1.05),
+      Some((0.3, 0.2))) === Some("baseline"))
+  }
+}
+
+object BaselineSpec {
+  /** Repo root located by walking up from the test JVM's working dir
+    * until the committed baseline (or .git) appears — sbt forks from
+    * the repo root, but IDE runners and nested modules don't, and a
+    * bare relative path then fails with a confusing "missing committed
+    * baseline" assert. */
+  private[graft] def repoRoot: java.nio.file.Path = {
+    val start = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+    Iterator.iterate(start)(_.getParent).takeWhile(_ != null)
+      .find(p => java.nio.file.Files.exists(p.resolve("BENCH_BASELINE.json")) ||
+        java.nio.file.Files.exists(p.resolve(".git")))
+      .getOrElse(throw new AssertionError(
+        s"could not locate repo root (BENCH_BASELINE.json/.git) above $start"))
   }
 }
