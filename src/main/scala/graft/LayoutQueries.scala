@@ -145,6 +145,73 @@ object LayoutQueries {
       val partsTotal = s.read.parquet(tmpFact).select("day").distinct().count()
       Seq((partsTotal, partsRead, rowsJoined, dppApplied))
         .toDF("parts_total", "parts_read", "rows_joined", "dpp_applied")
+    }),
+
+    // C65 — the composed 100-TB READ PATH, end-to-end as one graded
+    // row: A27 partitioned write (day × custkey-bucket layout, one
+    // file per leaf) → C24 manifest range skip on the UNSORTED data
+    // column (footer stats, not dir names) → C40 Bloom point-lookup
+    // skip → C38 DPP day-prune at runtime — with the files-read
+    // accounting at every stage as the compared surface. The probe key
+    // is itself a pure function of the data (min o_orderkey whose
+    // custkey falls in bucket 2), so the oracle derives the whole
+    // expected funnel from the raw table: 40 files listed → 10 after
+    // the manifest (bucket 2 of each day) → Bloom candidates
+    // bound-pinned (c8b) → DPP reads only day probe%10 → exactly one
+    // row out. At 800k files this funnel is the difference between a
+    // full listing+footer pass and opening a handful of files.
+    "c65_read_path" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val maxCust = o.agg(max("o_custkey")).head().getLong(0)
+      val wc = maxCust / 4 + 1
+      val tmp = java.nio.file.Files.createTempDirectory("graft-c65").toString
+      val tmpDim = java.nio.file.Files.createTempDirectory("graft-c65-dim").toString
+      graft.sources.PartitionedSink.overwritePartitions(
+        o.withColumn("day", pmod(col("o_orderkey"), lit(10L)).cast("int"))
+          .withColumn("bkt", expr(s"o_custkey DIV $wc").cast("int")),
+        tmp, Seq("day", "bkt"))
+      // probe key: data-derived, guaranteed to live in a bucket-2 file
+      val probeKey = o.filter(expr(s"o_custkey DIV $wc") === 2)
+        .agg(min("o_orderkey")).head().getLong(0)
+      val probeDay = probeKey % 10
+      val manifest = graft.sources.Manifest.build(s, tmp, Seq("o_custkey")).cache()
+      val filesTotal = manifest.select("file").distinct().count()
+      val manifestKept = graft.sources.Manifest.candidateFiles(
+        manifest, "o_custkey", (2 * wc).toDouble, (3 * wc - 1).toDouble)
+      val nRows = o.count()
+      val bloom = graft.sources.BloomIndex.build(s, tmp, "o_orderkey",
+        expectedPerFile = math.max(1000L, nRows / filesTotal * 2), fpp = 0.01).cache()
+      // Manifest paths are Hadoop-form (file:/tmp/…), Bloom paths come
+      // from input_file_name() (file:///tmp/…) — normalize to plain
+      // paths before intersecting or the funnel silently empties
+      def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val bloomCands = graft.sources.BloomIndex.candidateFiles(bloom, probeKey.toString)
+        .map(norm)
+      val finalCands = manifestKept.map(norm).filter(bloomCands.toSet)
+      val trueFileHit = finalCands.exists(p =>
+        p.contains(s"day=$probeDay") && p.contains("bkt=2"))
+      // FP budget: the true file plus <=3 of the other 39 at fpp=0.01
+      val bloomOk = trueFileHit && (bloomCands.size <= 4)
+      // dim written as a FILE source so the day filter survives to DPP
+      s.read.parquet(tmp).select(col("day")).distinct()
+        .withColumn("tag", when(col("day") === probeDay, "keep").otherwise("drop"))
+        .write.mode("overwrite").parquet(tmpDim)
+      val dimKeep = s.read.parquet(tmpDim).filter(col("tag") === "keep")
+      val read = s.read.option("basePath", tmp).parquet(finalCands: _*)
+        .join(dimKeep, Seq("day"))
+        .filter(col("o_orderkey") === probeKey)
+      val rowsFinal = read.queryExecution.toRdd.count()
+      val plan = read.queryExecution.executedPlan
+      val dppApplied = plan.toString.contains("dynamicpruning")
+      val filesRead = factScans(plan, tmp)
+        .headOption.map(_.metrics("numFiles").value).getOrElse(-1L)
+      val inDayBound = finalCands.count(_.contains(s"day=$probeDay"))
+      val readOk = filesRead >= 1 && filesRead <= inDayBound
+      Seq((probeKey, filesTotal, manifestKept.size.toLong, bloomOk,
+          dppApplied, readOk, rowsFinal))
+        .toDF("probe_key", "files_total", "files_manifest", "bloom_ok",
+          "dpp_applied", "read_within_bound", "rows_final")
     })
   )
 
@@ -176,6 +243,22 @@ object LayoutQueries {
         | TRUE AS true_file_hit, TRUE AS fp_within_bound
         |FROM probes p LEFT JOIN c ON c.doc_id = p.probe
         |ORDER BY probe""".stripMargin,
+
+    // The whole expected funnel from the raw rows: leaf count, the
+    // bucket-2 manifest survivors, the derived probe key, and the
+    // final row count; the Bloom/DPP stages ride bound-pinned booleans
+    // (their exact candidate sets are sketch-/runtime-defined).
+    "c65_read_path" ->
+      """WITH p AS (SELECT max(o_custkey) // 4 + 1 AS wc FROM orders),
+        |f AS (SELECT DISTINCT o_orderkey % 10 AS day, o_custkey // p.wc AS bkt
+        |  FROM orders, p),
+        |k AS (SELECT min(o_orderkey) AS pk FROM orders, p WHERE o_custkey // p.wc = 2)
+        |SELECT (SELECT pk FROM k) AS probe_key,
+        | (SELECT CAST(count(*) AS BIGINT) FROM f) AS files_total,
+        | (SELECT CAST(count(*) AS BIGINT) FROM f WHERE bkt = 2) AS files_manifest,
+        | TRUE AS bloom_ok, TRUE AS dpp_applied, TRUE AS read_within_bound,
+        | (SELECT CAST(count(*) AS BIGINT) FROM orders, k
+        |    WHERE o_orderkey = k.pk) AS rows_final""".stripMargin,
 
     // The expected partition set is a pure function of the dim filter
     // (day < 3); parts_read must equal its size — if Spark's runtime

@@ -260,10 +260,24 @@ object ScaleProbe {
         graft.similarity.Ann.semanticDedupHier(emb, "vec_id", "embedding",
           threshold = 0.45, nLists = nLists)
       }
-      runPass(Heavy11, sf1, sf10, "sf1_s", "sf10_s",
+      // SPARK_GRAFT_SCALE_ONLY narrows the second-decade pass the same
+      // way it narrows the first (e.g. the round-11 family's sf10
+      // measurements land in SCALEPROBE5.json via SCALE_OUT without
+      // re-running Heavy11); the sized SemDeDup twin rides along only
+      // when named `d38_semantic_dedup_sized` or on the default list.
+      val d2Names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Heavy11 :+ "d38_semantic_dedup_sized")
+      val d2Unknown = d2Names
+        .filterNot(n => SparkEntry.queries.keySet(n) || n == "d38_semantic_dedup_sized")
+      require(d2Unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names not in SparkEntry.queries: ${d2Unknown.mkString(", ")}")
+      runPass(d2Names.filterNot(_ == "d38_semantic_dedup_sized"), sf1, sf10,
+        "sf1_s", "sf10_s",
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE2.json"),
         s"""{"sf1_dir":"$sf1","sf10_dir":"$sf10","decade":"second 10x (100x sf0.1 total)",""",
-        extra = Seq("d38_semantic_dedup_sized" -> semanticSized))
+        extra = if (d2Names.contains("d38_semantic_dedup_sized"))
+          Seq("d38_semantic_dedup_sized" -> semanticSized) else Nil)
     } else if (sys.env.contains("SPARK_GRAFT_DECADE2_GRAM3")) {
       // Second decade for the 3-GRAM inverted-index family, which the
       // standard amplification cannot measure: its per-6th-word markers
