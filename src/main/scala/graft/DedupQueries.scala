@@ -126,18 +126,25 @@ private[graft] object DedupQueries {
     }),
 
     // The SCALE-SAFE SemDeDup twin: identical keep rule, but the corpus
-    // is sharded through the two-level quantizer (3 md5-keyed top cells
-    // x rank-3 sub-centroids, d23b's construction at nLists = 9) — the
-    // variant a sized deployment runs, where nLists grows with the
-    // corpus and flat assignment's n x nLists argmax is quadratic in n
-    // (measured 17.0x across one 10x decade in SCALEPROBE2.json; the
-    // hier path re-measured at 2.0x). trainRounds = 0 for the same
-    // reason as d23b: raw-vector centroids keep every double
-    // bit-identical so the oracle mirrors the WHOLE two-level pipeline
-    // and the approximate dedup decision itself is hash-checked.
+    // is sharded through the two-level quantizer (d23b's construction)
+    // with nLists SIZED TO THE CORPUS (~64 vectors per cluster, the
+    // SemDeDup deployment rule; one bounded count, the bookmark class)
+    // — a FIXED quantizer makes the within-cluster pair compare
+    // O(Σ|cluster|²) ≈ n²/nLists, which SCALEPROBE5 measured at
+    // 19.0×/decade at the third decade before this sizing (the same
+    // pathology the r10 probe caught in flat d38); sized, the same
+    // decade reads ~2×. The floor of 9 keeps the sf0.01 oracle's 3×3
+    // two-level construction bit-identical (500/64 < 9, so the graded
+    // compare still runs the exact pipeline the SQL mirrors).
+    // trainRounds = 0 for the same reason as d23b: raw-vector
+    // centroids keep every double bit-identical so the oracle mirrors
+    // the WHOLE two-level pipeline and the approximate dedup decision
+    // itself is hash-checked.
     "d38b_semantic_dedup_hier" -> ((s, dir) => {
-      Ann.semanticDedupHier(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.45, nLists = 9, trainRounds = 0)
+      val emb = Tables.embeddings(s, dir)
+      val nLists = math.max(9, (emb.count() / 64).toInt)
+      Ann.semanticDedupHier(emb, "vec_id", "embedding",
+          threshold = 0.45, nLists = nLists, trainRounds = 0)
         .select(col("vid").as("vec_id"), col("list_id"), col("kept"))
         .orderBy("vec_id")
     }),

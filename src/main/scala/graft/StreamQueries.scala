@@ -1142,18 +1142,23 @@ private[graft] object StreamQueries {
     }),
 
     // E10b — the SAME streaming SemDeDup ingest through the two-level
-    // (D23b) quantizer: the scale path a sized deployment runs, where
-    // the flat per-batch assignment is corpus-sized × nLists. One
+    // (D23b) quantizer: the scale path a sized deployment runs. One
     // frozen HierCentroids (trainRounds = 0, the d38b determinism rule)
     // drives every micro-batch through the shared epoch-keyed sink
     // body; the oracle is e10's 3-stage survivor chain over the d38b
-    // hierarchical assignment instead of the flat one.
+    // hierarchical assignment instead of the flat one. nLists is SIZED
+    // TO THE CORPUS like d38b (floor 9 keeps the sf0.01 oracle's 3×3
+    // construction bit-identical): a fixed quantizer's within-cluster
+    // batch-vs-index compare is ~n²/nLists — SCALEPROBE5 measured a
+    // real 110× straggler stage at sf10 (one cluster = one unsplittable
+    // compare) before this sizing.
     "e10b_semantic_dedup_hier" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val nLists = math.max(9, (emb.count() / 64).toInt)
       // hierCentroids eagerly truncates both quantizer tables = the
       // FROZEN quantizer contract across micro-batches
       val hier = graft.similarity.Ann.hierCentroids(emb, "vec_id", "embedding",
-        nLists = 9, trainRounds = 0)
+        nLists = nLists, trainRounds = 0)
       val in = tmp("graft_e10bin"); val ck = tmp("graft_e10bck")
       val out = tmp("graft_e10bout"); val idx = tmp("graft_e10bix")
       pinIdTerciles(emb, "vec_id", in)

@@ -292,22 +292,29 @@ private[graft] object VectorQueries {
         dim = 64, m = 8, kCodes = 16, rounds = 0)
       val mt = graft.vectors.Pq.train(emb, "vec_id", "embedding",
         dim = 64, m = 8, kCodes = 16, rounds = 3)
-      def top5(model: graft.vectors.Pq.PqModel) =
+      def top5(model: graft.vectors.Pq.PqModel, tag: Int) =
         Ann.ivfPqTopK(emb, qs, "vec_id", "embedding",
           k = 5, nLists = 8, nProbe = 4, pq = model)
-      // bounded driver scalars (10 queries x 5 ranks): truth-hit totals
-      def hits(model: graft.vectors.Pq.PqModel): Long =
-        top5(model).select(col("qid"), col("cid"))
-          .join(truth, Seq("qid", "cid"), "left_semi").count()
-      def qerr(model: graft.vectors.Pq.PqModel): Double =
-        emb.select(graft.vectors.VectorOps.toDouble(col("embedding")).as("v"))
-          .withColumn("recon", model.decode(model.encode(col("v"))))
-          .select(sum(aggregate(zip_with(col("v"), col("recon"),
-            (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)).as("e"))
-          .head().getDouble(0)
-      val (h0, ht) = (hits(m0), hits(mt))
-      val nQueries = top5(m0).select("qid").distinct().count()
-      Seq((5L, nQueries, h0, ht >= h0, qerr(mt) <= qerr(m0) + 1e-6))
+          .select(lit(tag).as("m"), col("qid"), col("cid"))
+      // bounded driver scalars (2 models x 10 queries): BOTH models'
+      // truth-hit totals and query counts in ONE job — the row is a
+      // driver scalar either way, and this query is job-count-bound
+      // (iterative training + two ranking chains), not data-bound
+      val hitRows = top5(m0, 0).unionAll(top5(mt, 1))
+        .join(truth.withColumn("__h", lit(1)), Seq("qid", "cid"), "left")
+        .groupBy("m").agg(sum(coalesce(col("__h"), lit(0))).as("hits"),
+          countDistinct(col("qid")).as("nq"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      def errCol(model: graft.vectors.Pq.PqModel) = {
+        val v = graft.vectors.VectorOps.toDouble(col("embedding"))
+        aggregate(zip_with(v, model.decode(model.encode(v)),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)
+      }
+      // both models' total quantization error in one corpus pass
+      val errRow = emb.select(sum(errCol(m0)).as("e0"), sum(errCol(mt)).as("et")).head()
+      val (h0, nQueries) = hitRows(0)
+      val ht = hitRows(1)._1
+      Seq((5L, nQueries, h0, ht >= h0, errRow.getDouble(1) <= errRow.getDouble(0) + 1e-6))
         .toDF("k", "n_queries", "n_hit_r0", "trained_recall_ge", "err_nonincreasing")
     }),
 
