@@ -212,10 +212,52 @@ object LayoutQueries {
           dppApplied, readOk, rowsFinal))
         .toDF("probe_key", "files_total", "files_manifest", "bloom_ok",
           "dpp_applied", "read_within_bound", "rows_final")
+    }),
+
+    // A13 — declared-schema JSON/CSV/ORC ingestion graded end-to-end:
+    // orders written to all three text/columnar formats in-query, read
+    // back through the REAL Tables.readJson/readCsv/readOrc (declared
+    // StructType, FAILFAST — no inference pass, the A13 contract), and
+    // compared to the parquet source row-for-row via two-sided
+    // exceptAll. roundtrip_exact pins the full fidelity claim: doubles
+    // survive text formatting (Java toString round-trips), timestamps
+    // survive the ISO pattern under the session's pinned UTC, nulls
+    // and quoting survive CSV. A lossy format path (locale-dependent
+    // formatting, inference drift, tz skew) flips the boolean and
+    // hash-mismatches.
+    "a13_multiformat" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-a13").toString
+      o.write.mode("overwrite").json(s"$tmp/j")
+      o.write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
+      o.write.mode("overwrite").orc(s"$tmp/o")
+      val reads = Seq(
+        "csv" -> Tables.readCsv(s, s"$tmp/c", o.schema),
+        "json" -> Tables.readJson(s, s"$tmp/j", o.schema),
+        "orc" -> Tables.readOrc(s, s"$tmp/o", o.schema))
+      reads.map { case (fmt, df) =>
+        val back = df.select(o.columns.map(col): _*)
+        val exact = back.exceptAll(o).isEmpty && o.exceptAll(back).isEmpty
+        val agg = back.agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sk")).head()
+        (fmt, agg.getLong(0), exact, agg.getLong(1))
+      }.toDF("format", "n_rows", "roundtrip_exact", "sum_key")
+        .orderBy("format")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // Per-format identity: the read-back must carry exactly the source
+    // rows, so every compared value derives from the parquet table;
+    // roundtrip_exact is deterministic (a lossy path flips it).
+    "a13_multiformat" ->
+      """WITH f(format) AS (VALUES ('csv'), ('json'), ('orc'))
+        |SELECT format,
+        | (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+        | TRUE AS roundtrip_exact,
+        | (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders) AS sum_key
+        |FROM f ORDER BY format""".stripMargin,
 
     // Same closed-form bucketing (w = max//8 + 1), bounds from the raw
     // rows (= parquet footer stats for a lossless int64→double column),

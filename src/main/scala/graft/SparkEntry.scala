@@ -20,7 +20,7 @@ object SparkEntry {
     EtlQueries.queries ++ KpiQueries.queries ++
       RelationalQueries.queries ++ GraphQueries.queries ++ DataQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      StreamQueries.queries ++ LayoutQueries.queries
+      StreamQueries.queries ++ LayoutQueries.queries ++ IngestQueries.queries
 
   /** DuckDB oracles — identical aliases, identical deterministic
     * ordering. Every query has one (round 1's five `no_oracle` gaps are
@@ -32,5 +32,5 @@ object SparkEntry {
     EtlQueries.oracleSql ++ KpiQueries.oracleSql ++
       RelationalQueries.oracleSql ++ GraphQueries.oracleSql ++ DataQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++ VectorQueries.oracleSql ++
-      StreamQueries.oracleSql ++ LayoutQueries.oracleSql
+      StreamQueries.oracleSql ++ LayoutQueries.oracleSql ++ IngestQueries.oracleSql
 }
