@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object LayoutQueries {
 
-  /** Executed-plan walk for the fact scan under `path` — the DppSpec
-    * helper, needed here because c38's compared surface includes the
-    * scan's own numFiles metric. */
-  private def factScans(p: SparkPlan, path: String): Seq[FileSourceScanExec] = {
+  /** Executed-plan walk for the fact scan under `path` (unwraps AQE
+    * wrapper nodes) — the ONE shared walker: c38/c65's compared
+    * surface reads the scan's own numFiles metric through it, and
+    * DppSpec asserts its pruning contracts through the same code so a
+    * future Spark-upgrade wrapper node can't split their verdicts. */
+  private[graft] def factScans(p: SparkPlan, path: String): Seq[FileSourceScanExec] = {
     def walk(n: SparkPlan): Seq[FileSourceScanExec] = n match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case q: QueryStageExec => walk(q.plan)
@@ -93,15 +95,19 @@ object LayoutQueries {
         expectedPerFile = math.max(1000L, nDocs / 6 * 2), fpp = 0.01).cache()
       val presentSet = docs.filter(col("doc_id").isin(probes: _*))
         .select("doc_id").collect().map(_.getLong(0)).toSet
+      // one sidecar collect per probe — candidateFiles feeds BOTH the
+      // meta booleans and the pruned read (the paths overload)
+      val candsByProbe = probes.map(v =>
+        v -> graft.sources.BloomIndex.candidateFiles(idx, v.toString)).toMap
       val meta = probes.map { v =>
-        val cands = graft.sources.BloomIndex.candidateFiles(idx, v.toString)
+        val cands = candsByProbe(v)
         val present = presentSet(v)
         val trueHit = !present || cands.exists(_.contains(s"file_id=${v % 6}"))
         val fpOk = (cands.size - (if (present) 1 else 0)) <= 2
         (v, present, trueHit, fpOk)
       }.toDF("probe", "present", "true_file_hit", "fp_within_bound")
       val found = probes.map { v =>
-        graft.sources.BloomIndex.prunedRead(s, tmp, "doc_id", v.toString, idx)
+        graft.sources.BloomIndex.prunedRead(s, tmp, "doc_id", v.toString, candsByProbe(v))
           .select(lit(v).as("probe"))
       }.reduce(_ unionAll _).groupBy("probe").agg(count(lit(1)).as("rows_found"))
       meta.join(found, Seq("probe"), "left")

@@ -69,8 +69,15 @@ object BloomIndex {
     * row filter still applies on the surviving files (and pushes into
     * their scans), the index only shrinks the FILE LIST. */
   def prunedRead(spark: SparkSession, dir: String, column: String,
-      value: String, index: DataFrame): DataFrame = {
-    val paths = candidateFiles(index, value)
+      value: String, index: DataFrame): DataFrame =
+    prunedRead(spark, dir, column, value, candidateFiles(index, value))
+
+  /** Overload for callers that already hold the candidate list (a
+    * batch of probes collects the sidecar once per probe through
+    * [[candidateFiles]]; re-deriving it here would double every
+    * driver round-trip). */
+  def prunedRead(spark: SparkSession, dir: String, column: String,
+      value: String, paths: Seq[String]): DataFrame = {
     if (paths.isEmpty) {
       val schema = spark.read.parquet(dir).schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

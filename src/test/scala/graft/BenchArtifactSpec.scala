@@ -22,7 +22,13 @@ class BenchArtifactSpec extends AnyFunSuite {
     val newest = candidates.maxBy(f =>
       "\\d+".r.findFirstIn(f.getName).get.toInt)
     val qs = Bench.parseBenchQueries(java.nio.file.Files.readString(newest.toPath))
-    assert(qs.size >= 266, s"$newest parsed only ${qs.size} query timings - " +
+    // The floor tracks the LIVE registry, not a constant: queries added
+    // after the artifact was benched may lag one round (slack 10), but
+    // a wholesale drop — the newest rows erroring out of the artifact,
+    // the r10/r11-class regression this spec exists to catch — fails.
+    val floor = math.max(266, SparkEntry.queries.size - 10)
+    assert(qs.size >= floor, s"$newest parsed only ${qs.size} query timings " +
+      s"(registry has ${SparkEntry.queries.size}, floor $floor) - " +
       "the canonical artifact would need log-scraping again (the r10/r11 defect)")
     qs.foreach { case (name, sec) =>
       assert(name.matches("[a-z]\\d+[a-z]?_.*"), s"non-query key parsed: $name")
