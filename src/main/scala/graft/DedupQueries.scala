@@ -351,6 +351,50 @@ private[graft] object DedupQueries {
               count(col("change_ratio")), 6)).as("mean_ratio"),
           sum(col("shared_chars")).as("shared_total"))
         .orderBy("status")
+    }),
+
+    // D21 promoted to the driver gate: day-1 corpus (doc_id % 3 = 0)
+    // builds the persisted content-hash index plus its bloom summary;
+    // the day-2 batch is admitted through the TWO-TIER path
+    // (bloom-negative rows skip the join entirely, positives are
+    // verified by the precise anti-join). The two-tier and plain
+    // anti-join survivor sets are full-outer-joined so a row admitted
+    // by exactly one path surfaces as a false `both_paths` (or a null
+    // hash) instead of silently shifting the row set; the oracle
+    // recomputes the survivor set closed-form from the same split.
+    "d21_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val day1 = docs.filter(col("doc_id") % 3 === 0)
+      val day2 = docs.filter(col("doc_id") % 3 =!= 0)
+      val index = Dedup.contentHashIndex(day1, col("text"))
+      val bloom = Dedup.bloomOfIndex(index,
+        expectedItems = math.max(64L, day1.count()))
+      val fast = Dedup.exactDedupAgainstBloom(day2, col("text"), index, bloom)
+        .select(col("doc_id"),
+          TextFunctions.contentFingerprint(col("text")).as("content_hash"))
+      val plain = Dedup.exactDedupAgainst(day2, col("text"), index)
+        .select(col("doc_id").as("__pid"))
+      fast.join(plain, col("doc_id") === col("__pid"), "full_outer")
+        .select(coalesce(col("doc_id"), col("__pid")).as("doc_id"),
+          col("content_hash"),
+          (col("doc_id").isNotNull && col("__pid").isNotNull).as("both_paths"))
+        .orderBy("doc_id")
+    }),
+
+    // D43b promoted: the day-2 paragraph batch judged against day-1's
+    // persisted fingerprint index — a paragraph survives iff it wins
+    // the within-batch min-(doc,pos) election AND its fingerprint is
+    // absent from the index; reassembled text verified via md5 (the
+    // d43 discipline, with the index anti-join on top).
+    "d43b_paragraph_dedup_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = Dedup.paragraphIndex(
+        docs.filter(col("doc_id") % 3 === 0), col("text"))
+      Dedup.paragraphDedupAgainst(docs.filter(col("doc_id") % 3 =!= 0),
+          col("doc_id"), col("text"), idx)
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -893,6 +937,46 @@ private[graft] object DedupQueries {
         |    round(CAST(sum(CAST(cr AS DECIMAL(10,6))) AS DOUBLE) / count(cr), 6)
         |  END AS mean_ratio,
         |  CAST(sum(sh) AS BIGINT) AS shared_total
-        |FROM st GROUP BY 1 ORDER BY status""".stripMargin
+        |FROM st GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // Day-2 survivors = rows whose normalized-content md5 is absent
+    // from day-1's distinct hash set. `both_paths` is TRUE for every
+    // oracle row: the two-tier bloom route must admit EXACTLY the
+    // plain anti-join's set (no false negatives by construction; FPs
+    // are re-verified), so a divergence shows as a false/null cell.
+    "d21_incremental_dedup" ->
+      """WITH d1 AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |d2 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT d2.doc_id, d2.h AS content_hash, TRUE AS both_paths
+        |FROM d2 LEFT JOIN d1 ON d2.h = d1.h
+        |WHERE d1.h IS NULL ORDER BY doc_id""".stripMargin,
+
+    // d43's winner election (chained mins) over the day-2 batch only,
+    // with keep additionally requiring absence from day-1's paragraph
+    // fingerprint set (the persisted index the Spark side anti-joins).
+    "d43b_paragraph_dedup_incr" ->
+      """WITH ps AS (SELECT doc_id, string_split_regex(text, '\n{2,}') AS arr
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |p AS (SELECT doc_id, i - 1 AS pos, arr[i] AS para,
+        |    md5(regexp_replace(lower(trim(arr[i])), '\s+', ' ', 'g')) AS fp
+        |  FROM ps, UNNEST(range(1, len(arr) + 1)) AS u(i)
+        |  WHERE length(trim(arr[i])) > 0),
+        |ix AS (SELECT DISTINCT md5(regexp_replace(lower(trim(arr[i])), '\s+', ' ', 'g')) AS fp
+        |  FROM (SELECT string_split_regex(text, '\n{2,}') AS arr
+        |        FROM documents WHERE doc_id % 3 = 0) s0,
+        |    UNNEST(range(1, len(arr) + 1)) AS u(i)
+        |  WHERE length(trim(arr[i])) > 0),
+        |w1 AS (SELECT fp, min(doc_id) AS d0 FROM p GROUP BY 1),
+        |w2 AS (SELECT p.fp, min(p.pos) AS p0 FROM p JOIN w1 ON p.fp = w1.fp AND p.doc_id = w1.d0 GROUP BY 1),
+        |k AS (SELECT p.doc_id, p.pos, p.para,
+        |    (p.doc_id = w1.d0 AND p.pos = w2.p0 AND ix.fp IS NULL) AS keep
+        |  FROM p JOIN w1 ON p.fp = w1.fp JOIN w2 ON p.fp = w2.fp
+        |  LEFT JOIN ix ON p.fp = ix.fp)
+        |SELECT doc_id, count(*) AS n_paras,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | md5(coalesce(string_agg(para, chr(10)||chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

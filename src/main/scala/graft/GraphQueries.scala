@@ -362,6 +362,46 @@ private[graft] object GraphQueries {
         .select(col("p_partkey"), col("p_size"),
           round(col("p_retailprice"), 4).as("retail"))
         .orderBy("p_partkey")
+    }),
+
+    // C8g promoted: the mergeable Bloom MEMBERSHIP sketch through the
+    // gate. Per-(lang, slice) filters are built where the member rows
+    // (even doc_ids) live (bloomAgg), unioned per lang (bloomUnionAgg
+    // — the distributed merge is the graded machinery), and every doc
+    // of the lang is probed against its lang's filter. Two guarantees
+    // ride the rows: member_hits ≡ n_members (a Bloom filter has NO
+    // false negatives, so the oracle emits the exact member count in
+    // that column) and non-member FPs within max(8, 3% of non-member
+    // probes) — ~3× the 1% design fpp, the c40/c8b bound-pin
+    // technique. Filters are sized from one bounded member count so
+    // the fpp design point holds at every sf, not just the gate's.
+    "c8g_bloom_members" -> ((s, dir) => {
+      import graft.expressions.BloomSketch
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val members = docs.filter(col("doc_id") % 2 === 0)
+      val expected = math.max(64L, members.count())
+      val perLang = members
+        .groupBy(col("lang"), pmod(col("doc_id"), lit(4L)).as("__slice"))
+        .agg(BloomSketch.bloomAgg(col("doc_id"), expected, 0.01).as("bf"))
+        .groupBy("lang")
+        .agg(BloomSketch.bloomUnionAgg(col("bf"), expected, 0.01).as("bf"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("bf"))
+      perLang.sortBy(_._1).map { case (lang, bytes) =>
+        docs.filter(col("lang") === lang)
+          .withColumn("__hit", BloomSketch.mightContain(bytes, col("doc_id")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_members"),
+            sum(when(col("doc_id") % 2 === 0 && col("__hit"), 1L)
+              .otherwise(0L)).as("member_hits"),
+            sum(when(col("doc_id") % 2 =!= 0 && col("__hit"), 1L)
+              .otherwise(0L)).as("__fps"))
+      }.reduce(_ unionAll _)
+        .select(col("lang"), col("n_probes"), col("n_members"), col("member_hits"),
+          (col("__fps") <= greatest(lit(8L),
+            ceil((col("n_probes") - col("n_members")) * lit(0.03)).cast("long")))
+            .as("fp_within_bound"))
+        .orderBy("lang")
     })
   )
 
@@ -680,6 +720,17 @@ private[graft] object GraphQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM part q
         |  WHERE q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
         |    AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice))
-        |ORDER BY p.p_partkey""".stripMargin
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    // member_hits ≡ n_members is the no-false-negative guarantee;
+    // fp_within_bound is the engine-side pinned bound (the FP count
+    // itself is a property of Spark's filter hashes and is asserted,
+    // not mirrored — the c40 discipline).
+    "c8g_bloom_members" ->
+      """SELECT lang, count(*) AS n_probes,
+        | CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+        | CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS member_hits,
+        | TRUE AS fp_within_bound
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

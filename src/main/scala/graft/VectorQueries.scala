@@ -352,6 +352,29 @@ private[graft] object VectorQueries {
         .select(col("qid"), col("id"), round(col("rrf"), 6).as("rrf"),
           col("n_lists"), col("rank"))
         .orderBy("qid", "rank")
+    }),
+
+    // D18 promoted: the native codegen'd DotProduct expression itself
+    // on the graded surface. Every embedding is dotted against the
+    // min-vec_id query vector through BOTH formulations — the Catalyst
+    // expression and the aggregate(zip_with) fold it contractually
+    // equals (the RewriteDotProduct substitution precondition) — and
+    // the bit-equality rides each row as `fold_equal`; the oracle
+    // replays the same in-order 64-term fold (the d79 FP-pinning
+    // technique), so the emitted double is hash-compared, not rounded.
+    "d18_native_dot" -> ((s, dir) => {
+      import graft.expressions.VectorExpressions
+      import graft.vectors.VectorOps
+      val e = Tables.embeddings(s, dir)
+      val q = e.orderBy("vec_id").limit(1)
+        .select(VectorOps.toDouble(col("embedding")).as("qv"))
+      e.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("__v"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          VectorExpressions.dotNative(col("__v"), col("qv")).as("dot"),
+          (VectorExpressions.dotNative(col("__v"), col("qv")) ===
+            VectorOps.dot(col("__v"), col("qv"))).as("fold_equal"))
+        .orderBy("vec_id")
     })
   )
 
@@ -793,6 +816,17 @@ private[graft] object VectorQueries {
         |fr AS (SELECT qid, id, rrf, n_lists,
         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS BIGINT) AS rank FROM f)
         |SELECT qid, id, round(rrf, 6) AS rrf, n_lists, rank
-        |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+        |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // In-order 64-term fold (float→double widening is exact in both
+    // engines; products and the left-to-right sum are the same IEEE
+    // ops), so `dot` is bitwise-comparable without rounding.
+    "d18_native_dot" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1)
+        |SELECT e.vec_id,
+        | list_aggregate(list_transform(range(0, 64), d -> e.v[d + 1] * q.qv[d + 1]), 'sum') AS dot,
+        | TRUE AS fold_equal
+        |FROM e, q ORDER BY vec_id""".stripMargin
   )
 }

@@ -78,6 +78,10 @@ class LintSurfaceSpec extends SparkSpec {
     // construction) — the c15b bounded-grid class, not corpus data
     "d89_isotonic" -> Map("NESTED_LOOP" -> 1, "GLOBAL_WINDOW" -> 2),
     "d64_hybrid_rrf" -> Map("NESTED_LOOP" -> 1),
+    // the 1-row broadcast query vector × corpus scan — the d5 bounded-
+    // sweep class (the cross IS the graded surface: every embedding
+    // dotted against one pinned vector through the native expression)
+    "d18_native_dot" -> Map("NESTED_LOOP" -> 1),
     "d65_label_cohesion" -> Map("NESTED_LOOP" -> 1),
     // the E14 rollup genuinely consumes EVERY column of the state
     // table it reads (n_rows + cnt/sum/min/max per value col) — the
