@@ -369,6 +369,136 @@ private[graft] object EtlQueries {
         .orderBy("user_id", "valid_from_us", "event_type")
     }),
 
+    // A25 promoted: the crawl link-graph extraction end-to-end on the
+    // graded surface. Each document becomes a synthetic page whose
+    // anchors are a closed-form function of its id — one root-relative
+    // link (resolved against the page URL), one absolute, one
+    // protocol-relative (completed from the page scheme), one mailto:
+    // (unresolvable → dropped) and one self-link (dropped as a
+    // self-loop) — so the oracle regenerates the exact edge set from
+    // the raw table while Spark must PARSE it back out of the HTML
+    // through extractLinks → resolveLink → canonicalUrl.
+    "a25_link_graph" -> ((s, dir) => {
+      import graft.text.HtmlExtract
+      val d = col("doc_id")
+      val pages = Tables.documents(s, dir).select(
+        d,
+        concat(lit("https://site"), (d % 5).cast("string"),
+          lit(".com/page/"), d.cast("string")).as("url"),
+        concat(
+          lit("<html><body><p>doc</p><a href=\"/doc/"),
+          ((d * 7 + 13) % 1000).cast("string"),
+          lit("\">first <b>link</b></a><a href=\"https://ext.org/item/"),
+          ((d * 3 + 1) % 500).cast("string"),
+          lit("\">ext</a><a href=\"//cdn.net/a/"),
+          (d % 100).cast("string"),
+          lit("\">cdn</a><a href=\"mailto:x@y.z\">mail</a><a href=\"/page/"),
+          d.cast("string"),
+          lit("\">self</a></body></html>")).as("html"))
+      HtmlExtract.linkEdges(pages, col("url"), col("html"))
+        .orderBy("src", "dst")
+    }),
+
+    // A26 promoted: robots.txt parsing + longest-match arbitration on
+    // the graded surface. Five domains carry hand-built REP bodies
+    // exercising the arbitration rules — allow-overrides-longer-
+    // disallow (d0), a specific-agent group that wins outright over *
+    // (d1), allow-wins-exact-length-ties (d2), no robots at all (d3),
+    // inline comments (d4) — and the frontier URL per order lands in
+    // one of four path classes. The oracle replays the REP decision
+    // table closed-form per (domain, path class).
+    "a26_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Robots
+      val bodies = Seq(
+        ("d0.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+        ("d1.com", "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nAllow: /\n"),
+        ("d2.com", "# site 2\nUser-agent: *\nDisallow: /tmp\nDisallow: /private\nAllow: /private\n"),
+        ("d4.com", "User-agent: *   # everyone\nDisallow: /public # keep out\n"))
+        .toDF("domain", "body")
+      val rules = Robots.parseRobots(bodies, col("domain"), col("body"))
+      val k = col("o_orderkey")
+      val urls = Tables.orders(s, dir).select(
+        k.as("o_orderkey"),
+        concat(lit("https://d"), (k % 5).cast("string"), lit(".com"),
+          when(k % 4 === 0, concat(lit("/public/p"), k.cast("string")))
+            .when(k % 4 === 1, concat(lit("/private/x"), k.cast("string")))
+            .when(k % 4 === 2, concat(lit("/private/ok"), k.cast("string")))
+            .otherwise(concat(lit("/tmp/t"), k.cast("string")))).as("url"))
+      Robots.filterAllowed(urls, col("url"), rules, agent = "graftbot")
+        .orderBy("o_orderkey")
+    }),
+
+    // A11 promoted: the .done-marker incremental Medallion discipline
+    // replayed as three REAL runs over a growing Hive-partitioned
+    // Bronze (the a28 bookmark pattern at partition granularity).
+    // Run 1 processes the two seed partitions, run 2 only the newly
+    // arrived third, run 3 nothing — and the Silver row count after
+    // each run is a pure aggregate of the raw table, so the oracle
+    // recomputes the whole ledger closed-form. A re-run that touched
+    // an already-done partition would double rows and hash-mismatch.
+    "a11_incremental_medallion" -> ((s, dir) => {
+      import s.implicits._
+      import graft.etl.Medallion
+      val part = pmod(col("o_orderkey"), lit(3L))
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        concat(lit("2024-01-0"), (part + 1).cast("string"))
+          .as(Medallion.PartitionCol))
+      val inRoot = java.nio.file.Files.createTempDirectory("graft-a11-in").toString
+      val outRoot = java.nio.file.Files.createTempDirectory("graft-a11-out").toString
+      val transform: DataFrame => DataFrame = _.filter(col("o_totalprice") > 100000)
+      def silver(): Long =
+        if (Medallion.listPartitions(outRoot).isEmpty) 0L
+        else s.read.parquet(outRoot).count()
+      Medallion.writePartitioned(base.filter(part < 2), inRoot)
+      val r1 = Medallion.runIncremental(s, inRoot, outRoot, transform)
+      val c1 = silver()
+      Medallion.writePartitioned(base.filter(part === 2), inRoot)
+      val r2 = Medallion.runIncremental(s, inRoot, outRoot, transform)
+      val c2 = silver()
+      val r3 = Medallion.runIncremental(s, inRoot, outRoot, transform)
+      val c3 = silver()
+      Seq((1, r1.size.toLong, r1.sorted.mkString(","), c1),
+          (2, r2.size.toLong, r2.sorted.mkString(","), c2),
+          (3, r3.size.toLong, r3.sorted.mkString(","), c3))
+        .toDF("run", "n_parts", "processed", "silver_rows")
+        .orderBy("run")
+    }),
+
+    // A27 promoted: dynamic partition overwrite as a graded three-step
+    // replay — full v1 write, a day-1-only re-run with CHANGED rows
+    // (doubled price: must replace day 1 and leave days 0/2/3
+    // untouched), then the SAME re-run again (idempotent: second
+    // overwrite changes nothing). The final per-day ledger (exact
+    // decimal sums) is a pure function of the raw table; a
+    // whole-root-nuking overwrite loses three days, an append-mode
+    // retry doubles day 1 — both hash-mismatch. nShards=1 ⇒ each day
+    // lands in exactly one file (the repartition exchange), emitted
+    // as a compared boolean.
+    "a27_partition_overwrite" -> ((s, dir) => {
+      import graft.sources.PartitionedSink
+      val day = pmod(col("o_orderkey"), lit(4L))
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"), day.as("day"))
+      val root = java.nio.file.Files.createTempDirectory("graft-a27").toString
+      PartitionedSink.overwritePartitions(base, root, Seq("day"))
+      val patch = base.filter(col("day") === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      PartitionedSink.overwritePartitions(patch, root, Seq("day"))
+      PartitionedSink.overwritePartitions(patch, root, Seq("day"))
+      s.read.parquet(root)
+        .withColumn("__f", input_file_name()) // staged: not legal inside agg
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_rows"),
+          // exact: the decimal sum is integer-cents < 2^53, so the
+          // final double cast is lossless and schema-stable
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          (countDistinct(col("__f")) === 1).as("one_file"))
+        .orderBy("day")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -634,6 +764,68 @@ private[graft] object EtlQueries {
         |SELECT user_id, event_type, valid_from_us, valid_to_us,
         | (valid_to_us IS NULL) AS is_current
         |FROM v ORDER BY user_id, valid_from_us, event_type""".stripMargin,
+
+    // Regenerates the edge set from the same id arithmetic the page
+    // constructor used: the root-relative link resolves onto the page
+    // host, the absolute and protocol-relative links keep/complete
+    // their own hosts, mailto: and the self-link never appear.
+    "a25_link_graph" ->
+      """WITH d AS (SELECT doc_id,
+        |  'https://site' || (doc_id % 5) || '.com/page/' || doc_id AS src
+        | FROM documents)
+        |SELECT src, dst FROM (
+        |  SELECT src, 'https://site' || (doc_id % 5) || '.com/doc/' ||
+        |    ((doc_id * 7 + 13) % 1000) AS dst FROM d
+        |  UNION ALL
+        |  SELECT src, 'https://ext.org/item/' || ((doc_id * 3 + 1) % 500) FROM d
+        |  UNION ALL
+        |  SELECT src, 'https://cdn.net/a/' || (doc_id % 100) FROM d)
+        |ORDER BY src, dst""".stripMargin,
+
+    // The REP decision table closed-form per (domain, path class):
+    // d0 denies only /private/x (the /private/ok allow is longer);
+    // d1's graftbot group denies everything (specific wins outright);
+    // d2 denies only /tmp (allow wins the /private length tie);
+    // d3 has no robots (all allowed); d4 denies only /public.
+    "a26_robots_gate" ->
+      """WITH u AS (SELECT o_orderkey, o_orderkey % 5 AS d, o_orderkey % 4 AS p,
+        |  'https://d' || (o_orderkey % 5) || '.com' ||
+        |  CASE o_orderkey % 4
+        |    WHEN 0 THEN '/public/p' || o_orderkey
+        |    WHEN 1 THEN '/private/x' || o_orderkey
+        |    WHEN 2 THEN '/private/ok' || o_orderkey
+        |    ELSE '/tmp/t' || o_orderkey END AS url
+        | FROM orders)
+        |SELECT o_orderkey, url FROM u
+        |WHERE CASE d WHEN 0 THEN p <> 1 WHEN 1 THEN FALSE
+        |  WHEN 2 THEN p <> 3 WHEN 3 THEN TRUE ELSE p <> 0 END
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The incremental ledger closed-form: partition = key%3, the
+    // Silver transform is the totalprice filter, run 1 covers
+    // partitions {0,1}, run 2 adds {2}, run 3 adds nothing.
+    "a11_incremental_medallion" ->
+      """WITH c AS (SELECT o_orderkey % 3 AS p,
+        |   CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS k FROM orders),
+        |a AS (SELECT p, CAST(sum(k) AS BIGINT) AS n FROM c GROUP BY p)
+        |SELECT 1 AS run, CAST(2 AS BIGINT) AS n_parts,
+        |  '2024-01-01,2024-01-02' AS processed,
+        |  (SELECT CAST(sum(n) AS BIGINT) FROM a WHERE p < 2) AS silver_rows
+        |UNION ALL SELECT 2, CAST(1 AS BIGINT), '2024-01-03',
+        |  (SELECT CAST(sum(n) AS BIGINT) FROM a)
+        |UNION ALL SELECT 3, CAST(0 AS BIGINT), '',
+        |  (SELECT CAST(sum(n) AS BIGINT) FROM a)
+        |ORDER BY run""".stripMargin,
+
+    // Day 1 carries the doubled prices (the re-run replaced it, once);
+    // every other day carries the original v1 rows. Exact DECIMAL
+    // sums keep the compare FP-free.
+    "a27_partition_overwrite" ->
+      """SELECT o_orderkey % 4 AS day, count(*) AS n_rows,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice * 2
+        |   ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | TRUE AS one_file
+        |FROM orders GROUP BY 1 ORDER BY day""".stripMargin,
 
   )
 }

@@ -249,6 +249,39 @@ object LayoutQueries {
         (fmt, agg.getLong(0), exact, agg.getLong(1))
       }.toDF("format", "n_rows", "roundtrip_exact", "sum_key")
         .orderBy("format")
+    }),
+
+    // C17 promoted: the Morton-interleave math is graded row-exact
+    // (every order's 16-bit z-value from two 8-bit dims, recomputed by
+    // the oracle with SQL bit arithmetic), and the LAYOUT contract
+    // rides every row as one boolean: writeZOrdered produced exactly
+    // nFiles files whose z-ranges are pairwise non-overlapping when
+    // ordered (range partition + in-file sort ⇒ parquet min/max stats
+    // prune 2-D boxes) and the read-back carries every source row.
+    // The lag window runs over the 8-row per-file stats table (the
+    // liftTable bounded class); the 1-row flag broadcast is the d5
+    // bounded-sweep class.
+    "c17_zorder_layout" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(256L)).as("zx"),
+        pmod(col("o_custkey"), lit(256L)).as("zy"))
+      val z = graft.sources.Zorder.zValue(Seq(col("zx"), col("zy")), bits = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-c17").toString
+      graft.sources.Zorder.writeZOrdered(base, tmp, z, nFiles = 8)
+      val nBase = base.count()
+      val stats = s.read.parquet(tmp)
+        .withColumn("__z", graft.sources.Zorder.zValue(Seq(col("zx"), col("zy")), 8))
+        .groupBy(input_file_name().as("__f"))
+        .agg(min("__z").as("__mn"), max("__z").as("__mx"), count(lit(1)).as("__n"))
+      val flag = stats
+        .withColumn("__pmx", lag("__mx", 1).over(Window.orderBy("__mn")))
+        .agg((count(lit(1)) === 8 && sum("__n") === nBase &&
+          min(when(col("__pmx").isNull || col("__pmx") <= col("__mn"), 1)
+            .otherwise(0)) === 1).as("layout_ok"))
+      base.select(col("o_orderkey"), z.as("zval"))
+        .crossJoin(broadcast(flag))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -318,6 +351,19 @@ object LayoutQueries {
         | CAST(sum(CASE WHEN o_orderkey % 10 < 3 THEN 1 ELSE 0 END) AS BIGINT)
         |   AS rows_joined,
         | TRUE AS dpp_applied
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    // Bit-for-bit Morton mirror: column j's bit i lands at position
+    // i*2+j (zx is j=0, zy is j=1); layout_ok is the engine-side
+    // pinned invariant (file count, disjoint z-ranges, row parity).
+    "c17_zorder_layout" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"((zx >> $i) & 1) * ${1L << (2 * i)}",
+        s"((zy >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString(" + ")
+      s"""WITH b AS (SELECT o_orderkey, o_orderkey % 256 AS zx,
+         |  o_custkey % 256 AS zy FROM orders)
+         |SELECT o_orderkey, CAST($terms AS BIGINT) AS zval, TRUE AS layout_ok
+         |FROM b ORDER BY o_orderkey""".stripMargin
+    }
   )
 }

@@ -82,6 +82,11 @@ class LintSurfaceSpec extends SparkSpec {
     // sweep class (the cross IS the graded surface: every embedding
     // dotted against one pinned vector through the native expression)
     "d18_native_dot" -> Map("NESTED_LOOP" -> 1),
+    // the lag window runs over the 8-row per-file z-range stats table
+    // (the liftTable bounded class); the layout_ok flag cross is a
+    // grouping-free aggregate whose one-row-ness the linter PROVES, so
+    // it raises no NESTED_LOOP finding
+    "c17_zorder_layout" -> Map("GLOBAL_WINDOW" -> 1),
     "d65_label_cohesion" -> Map("NESTED_LOOP" -> 1),
     // the E14 rollup genuinely consumes EVERY column of the state
     // table it reads (n_rows + cnt/sum/min/max per value col) — the
