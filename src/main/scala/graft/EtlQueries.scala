@@ -499,6 +499,59 @@ private[graft] object EtlQueries {
         .orderBy("day")
     }),
 
+    // A19 promoted: canonicalization breadth on the graded surface —
+    // five closed-form alias classes per doc (case-varied scheme/host
+    // + default https port + trailing slash; default http port +
+    // doubled slashes + tracking param + fragment + unsorted params;
+    // empty path; tracking-only-dropped with the rest sorted; and an
+    // unparseable string that must canonicalize to null, not kill the
+    // scan). The oracle emits the expected canonical string per class
+    // by the same arithmetic that built the alias.
+    "a19_url_canon" -> ((s, dir) => {
+      import graft.sources.Urls
+      val k = col("doc_id")
+      val cls = pmod(k, lit(5L))
+      val h = (k % 7).cast("string")
+      val id = k.cast("string")
+      val raw =
+        when(cls === 0, concat(lit("HTTPS://WWW.Site"), h, lit(".COM:443/Path/"), id, lit("/")))
+          .when(cls === 1, concat(lit("http://site"), h, lit(".com:80//a//b/"), id,
+            lit("?utm_source=x&b=2&a=1#frag")))
+          .when(cls === 2, concat(lit("https://site"), h, lit(".com")))
+          .when(cls === 3, concat(lit("https://site"), h, lit(".com/x?gclid="), id, lit("&z=9&y=8")))
+          .otherwise(concat(lit("not a url "), id))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Urls.canonicalUrl(raw).as("canon"))
+        .orderBy("doc_id")
+    }),
+
+    // A15 promoted: schema-evolution conformance across three REAL
+    // generation shapes of one table — gen 1 narrow (int id, no
+    // status), gen 2 current, gen 3 regressed (no price, an extra
+    // column that must be dropped) — conformed to the target schema
+    // (id widened int→long, missing columns null, extras pruned) and
+    // unioned. The oracle rebuilds all three generations from the raw
+    // table directly.
+    "a15_schema_evolution" -> ((s, dir) => {
+      import graft.etl.Evolution
+      import org.apache.spark.sql.types._
+      val o = Tables.orders(s, dir)
+      val target = StructType(Seq(
+        StructField("id", LongType), StructField("price", DoubleType),
+        StructField("status", StringType)))
+      val g1 = o.select(col("o_orderkey").cast("int").as("id"),
+        col("o_totalprice").as("price"))
+      val g2 = o.select(col("o_orderkey").as("id"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+      val g3 = o.select(col("o_orderkey").cast("int").as("id"),
+        col("o_orderstatus").as("status"), lit("junk").as("extra"))
+      Seq(g1, g2, g3).zipWithIndex
+        .map { case (g, i) => Evolution.conform(g, target).withColumn("gen", lit(i + 1)) }
+        .reduce(_ unionByName _)
+        .select(col("gen"), col("id"), col("price"), col("status"))
+        .orderBy("gen", "id")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -826,6 +879,29 @@ private[graft] object EtlQueries {
         |   ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | TRUE AS one_file
         |FROM orders GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // Expected canonical per alias class: lowercased scheme/authority,
+    // default port stripped, doubled slashes squashed, trailing slash
+    // stripped (path case PRESERVED), empty path -> '/', fragment and
+    // tracking params dropped, surviving params sorted; unparseable
+    // -> NULL.
+    "a19_url_canon" ->
+      """SELECT doc_id, CASE doc_id % 5
+        | WHEN 0 THEN 'https://www.site' || (doc_id % 7) || '.com/Path/' || doc_id
+        | WHEN 1 THEN 'http://site' || (doc_id % 7) || '.com/a/b/' || doc_id || '?a=1&b=2'
+        | WHEN 2 THEN 'https://site' || (doc_id % 7) || '.com/'
+        | WHEN 3 THEN 'https://site' || (doc_id % 7) || '.com/x?y=8&z=9'
+        | ELSE NULL END AS canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The three generations rebuilt directly: gen 1 has no status,
+    // gen 3 has no price (and its extra column never appears).
+    "a15_schema_evolution" ->
+      """SELECT 1 AS gen, o_orderkey AS id, o_totalprice AS price,
+        |  CAST(NULL AS VARCHAR) AS status FROM orders
+        |UNION ALL SELECT 2, o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |UNION ALL SELECT 3, o_orderkey, NULL, o_orderstatus FROM orders
+        |ORDER BY gen, id""".stripMargin,
 
   )
 }
