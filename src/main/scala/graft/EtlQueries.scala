@@ -552,6 +552,56 @@ private[graft] object EtlQueries {
         .orderBy("gen", "id")
     }),
 
+    // A22 promoted: the WARC parser graded by a byte-exact in-query
+    // round trip. Every document becomes a spec-framed response record
+    // (version line, CRLF headers, Content-Length-bounded HTTP payload,
+    // blank-line pair), ten records concatenate per blob in doc order,
+    // and Warc.records + httpPayload must recover every record's URI,
+    // declared length, HTTP status/content-type, and the exact body
+    // bytes (md5-compared) — Content-Length-DRIVEN parsing, so bodies
+    // containing CRLF pairs cannot derail framing. The oracle
+    // recomputes length (45 fixed HTTP-head bytes + UTF-8 text bytes)
+    // and body md5 straight from the raw table.
+    "a22_warc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Warc
+      val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+      val payload = encode(
+        concat(lit(httpHead), coalesce(col("text"), lit(""))), "UTF-8")
+      val header = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://w.com/doc/"),
+        col("doc_id").cast("string"),
+        lit("\r\nContent-Type: application/http\r\nContent-Length: "),
+        length(payload).cast("string"), lit("\r\n\r\n"))
+      val rec = concat(encode(header, "UTF-8"), payload,
+        encode(lit("\r\n\r\n"), "UTF-8"))
+      val docs = Tables.documents(s, dir)
+      // blob count grows with the corpus (~50 records/blob, one
+      // bounded count) — a FIXED modulus caps parse parallelism at 10
+      // tasks forever (measured 6.7x/decade before sizing); the
+      // compared surface is uri-keyed, so the layout is free to scale
+      val nBlobs = math.max(10L, docs.count() / 50)
+      val blobs = docs
+        .select((col("doc_id") % nBlobs).as("file_id"), col("doc_id"), rec.as("__rec"))
+        .groupBy("file_id")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("doc_id"), col("__rec")))),
+          lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x.getField("__rec"))).as("content"))
+      Warc.records(s, blobs.select(col("file_id").cast("long").as("file_id"),
+          col("content")))
+        .map { r =>
+          val p = Warc.httpPayload(r.payload)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(p.body).map("%02x".format(_)).mkString
+          (r.target_uri, r.warc_type, r.content_length, p.status,
+            p.content_type, md5, r.truncated)
+        }
+        .toDF("uri", "warc_type", "content_length", "status", "ctype",
+          "body_md5", "truncated")
+        .orderBy("uri")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -902,6 +952,20 @@ private[graft] object EtlQueries {
         |UNION ALL SELECT 2, o_orderkey, o_totalprice, o_orderstatus FROM orders
         |UNION ALL SELECT 3, o_orderkey, NULL, o_orderstatus FROM orders
         |ORDER BY gen, id""".stripMargin,
+
+    // 45 = byte length of the fixed HTTP head the record constructor
+    // prepends ("HTTP/1.1 200 OK" 15 + CRLF 2 + "Content-Type:
+    // text/plain" 24 + CRLF 2 + CRLF 2); md5 of TEXT hashes its UTF-8
+    // bytes in both engines, so body_md5 pins the byte-exact slice.
+    "a22_warc_roundtrip" ->
+      """SELECT 'https://w.com/doc/' || doc_id AS uri,
+        | 'response' AS warc_type,
+        | CAST(45 + octet_length(encode(coalesce(text, ''))) AS BIGINT)
+        |   AS content_length,
+        | 200 AS status, 'text/plain' AS ctype,
+        | md5(coalesce(text, '')) AS body_md5,
+        | FALSE AS truncated
+        |FROM documents ORDER BY uri""".stripMargin,
 
   )
 }

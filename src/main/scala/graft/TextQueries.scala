@@ -566,6 +566,30 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D76 promoted: the tokenizer acceptance report under d73's
+    // singles-only model, whose closed form makes every metric a pure
+    // character aggregate — pieces per word = its character count,
+    // unk pieces = its non-[a-z0-9] characters (the zh slice's CJK
+    // text exercises the unk floor for real), chars_per_piece exactly
+    // 1.0. The per-lang fertility/unk_share table is the cross-
+    // lingual-equity readout the scaladoc promises, recomputed by the
+    // oracle from raw text. Divisions are long/long → one double op,
+    // engine-stable; rounded to 6 like the d7 family.
+    "d76_tokenizer_eval" -> ((s, dir) => {
+      val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+      val model = graft.text.UnigramTokenizer.Model(
+        pieces = singles.map(_ -> math.log(1.0 / singles.size)).toMap,
+        maxPieceLen = 2, unkLogp = -100.0)
+      graft.text.TokenizerEval.report(Tables.documents(s, dir),
+          col("text"), col("lang"), model)
+        .select(col("slice"), col("n_words"), col("n_pieces"),
+          round(col("fertility"), 6).as("fertility"),
+          col("chars_per_piece"),
+          col("unk_pieces"),
+          round(col("unk_share"), 6).as("unk_share"))
+        .orderBy("slice")
+    }),
+
     // CCNet-style LM quality signal: per-document cross-entropy under
     // the corpus unigram distribution (bits/token) — both tails are
     // filter targets (boilerplate low, gibberish high).
@@ -1104,6 +1128,24 @@ private[graft] object TextQueries {
         |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_pieces,
         | substr(md5(array_to_string(ps, ' ')), 1, 8) AS pieces_md5
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Singles-only closed form: a word's pieces are its characters,
+    // its unk pieces are its non-[a-z0-9] characters; the report is a
+    // frequency-weighted character aggregate per lang.
+    "d76_tokenizer_eval" ->
+      """WITH toks AS (SELECT lang, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t FROM documents),
+        |w AS (SELECT lang, t[i] AS w FROM toks, UNNEST(range(1, len(t)+1)) AS u(i) WHERE len(t[i]) > 0),
+        |g AS (SELECT lang, w, count(*) AS wc FROM w GROUP BY 1, 2),
+        |m AS (SELECT lang, wc, len(w) AS np,
+        |   len(w) - length(regexp_replace(w, '[^a-z0-9]', '', 'g')) AS nu
+        |  FROM g)
+        |SELECT lang AS slice, CAST(sum(wc) AS BIGINT) AS n_words,
+        | CAST(sum(wc * np) AS BIGINT) AS n_pieces,
+        | round(CAST(sum(wc * np) AS DOUBLE) / sum(wc), 6) AS fertility,
+        | CAST(1.0 AS DOUBLE) AS chars_per_piece,
+        | CAST(sum(wc * nu) AS BIGINT) AS unk_pieces,
+        | round(CAST(sum(wc * nu) AS DOUBLE) / sum(wc * np), 6) AS unk_share
+        |FROM m GROUP BY 1 ORDER BY slice""".stripMargin,
 
     "d24_chunking" ->
       """WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS t

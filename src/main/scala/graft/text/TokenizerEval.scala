@@ -39,7 +39,13 @@ object TokenizerEval {
       .filter(length(col("__w")) > 0)
       .groupBy(col("slice"), col("__w")).agg(count(lit(1)).as("__wc"))
     val vocab = model.pieces.keys.toSeq.toDF("__piece")
-    val seg = words.select(col("slice"), col("__w")).distinct()
+    // distinct on the WORD alone (the unk aggregate's discipline): a
+    // (slice, word) distinct here leaves k rows for a word shared by
+    // k slices, and the word-keyed groupBy then counts every piece k
+    // times — fertility inflated by exactly the word's slice
+    // multiplicity (caught by the d76 driver oracle: 5 langs sharing
+    // a vocabulary read 5x).
+    val seg = words.select(col("__w")).distinct()
       .select(col("__w"), explode(model.segment(col("__w"))).as("__piece"))
       .groupBy(col("__w"))
       .agg(count(lit(1)).as("__n_pieces"), sum(length(col("__piece"))).as("__chars"))
