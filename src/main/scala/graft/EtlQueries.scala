@@ -602,6 +602,28 @@ private[graft] object EtlQueries {
         .orderBy("uri")
     }),
 
+    // A12 promoted, NON-circularly: both engines read the orders
+    // parquet's schema independently — Spark through its reader,
+    // DuckDB through information_schema on its view — so the diff
+    // report (missing / type-mismatch / unexpected per field) is a
+    // recomputed fact about the same file, not a literal echo. The
+    // declared expectation matches o_orderkey, mis-types o_custkey
+    // (int vs the file's bigint — a numeric pair whose type NAMES the
+    // engines agree on), and demands a column the file lacks; every
+    // other physical column must surface as "unexpected".
+    "a12_schema_check" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val expected = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", IntegerType),
+        StructField("o_missing", StringType)))
+      graft.etl.SchemaCheck.diff(Tables.orders(s, dir).schema, expected)
+        .toDF()
+        .select(col("field"), col("problem"))
+        .orderBy("field")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -966,6 +988,21 @@ private[graft] object EtlQueries {
         | md5(coalesce(text, '')) AS body_md5,
         | FALSE AS truncated
         |FROM documents ORDER BY uri""".stripMargin,
+
+    // DuckDB's own reading of the same file's schema drives the
+    // expected report (information_schema over the registered view);
+    // the numeric type names ('bigint', 'int') agree across engines.
+    "a12_schema_check" ->
+      """WITH a AS (SELECT column_name AS f, lower(data_type) AS t
+        |  FROM information_schema.columns WHERE table_name = 'orders')
+        |SELECT f AS field, 'unexpected' AS problem FROM a
+        |  WHERE f NOT IN ('o_orderkey', 'o_custkey')
+        |UNION ALL
+        |SELECT 'o_custkey', 'type ' || t || ' != expected int' FROM a
+        |  WHERE f = 'o_custkey'
+        |UNION ALL
+        |SELECT 'o_missing', 'missing'
+        |ORDER BY field""".stripMargin,
 
   )
 }

@@ -282,6 +282,31 @@ object LayoutQueries {
       base.select(col("o_orderkey"), z.as("zval"))
         .crossJoin(broadcast(flag))
         .orderBy("o_orderkey")
+    }),
+
+    // C19 promoted: small-file compaction graded on its invariants —
+    // a 40-sliver layout written in-query, compacted under a
+    // targetBytes large enough that the byte-driven plan is
+    // deterministically ONE file at any graded sf, with full row
+    // parity (two-sided exceptAll) and exact count/sum recomputed by
+    // the oracle from the raw table. A rewrite that drops or
+    // duplicates rows, or leaves the sliver layout in place, breaks
+    // an exact compared cell (the byte-dependent multi-file split at
+    // production targetBytes stays spec-covered: output bytes are an
+    // engine encoding property no SQL oracle can recompute).
+    "c19_compaction" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Compaction
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val in = java.nio.file.Files.createTempDirectory("graft-c19-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-c19-out").toString
+      o.repartition(40).write.mode("overwrite").parquet(in)
+      val st = Compaction.compactDir(s, in, out, targetBytes = 1L << 30)
+      val back = s.read.parquet(out)
+      val parity = back.exceptAll(o).isEmpty && o.exceptAll(back).isEmpty
+      val agg = back.agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sk")).head()
+      Seq((agg.getLong(0), agg.getLong(1), st.filesBefore, st.filesAfter, parity))
+        .toDF("n_rows", "sum_key", "files_before", "files_after", "data_parity")
     })
   )
 
@@ -364,6 +389,17 @@ object LayoutQueries {
          |  o_custkey % 256 AS zy FROM orders)
          |SELECT o_orderkey, CAST($terms AS BIGINT) AS zval, TRUE AS layout_ok
          |FROM b ORDER BY o_orderkey""".stripMargin
-    }
+    },
+
+    // Exact count/sum from the raw table; the layout cells are the
+    // engine-side pinned plan (40 slivers in, deterministically one
+    // file out under the oversized target).
+    "c19_compaction" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(40 AS BIGINT) AS files_before,
+        | CAST(1 AS BIGINT) AS files_after,
+        | TRUE AS data_parity
+        |FROM orders""".stripMargin
   )
 }
