@@ -37,6 +37,29 @@ object Bench {
     * worth a requeue slot. */
   private[graft] val BaselineFloorSec = 0.5
 
+  /** Quiet-machine gate for timed work. Two consecutive graded rounds
+    * shipped driver bench artifacts compromised by ambient load (r12
+    * started at 1-min loadavg 2.53 and climbed to 3.13, producing five
+    * spurious >2× baseline ratios that all collapse to ≤1.27× on a
+    * quiet machine), while the canonical numbers lived only in a
+    * locally-committed quiet rerun. Make the DRIVER artifact quiet by
+    * construction instead: before any timed work — and again before
+    * each requeue second opinion, which is worthless if measured under
+    * the same load that polluted the first — poll /proc/loadavg and
+    * sleep while the 1-min figure exceeds [[QuietLoadThreshold]], up
+    * to a bounded budget. The committed r12 quiet artifact ran at
+    * loadavg 1.86 with median ratio 1.03, so 2.0 admits a healthy
+    * machine whose own JVM/compile tail is still draining while
+    * rejecting the 2.5+ regime that manufactured the phantoms. */
+  private[graft] val QuietLoadThreshold = 2.0
+
+  /** Pure gate for the quiet-wait loop (spec-pinned): keep sleeping
+    * while a 1-min loadavg sample exceeds the threshold. `None` (an
+    * unreadable /proc/loadavg) never blocks. */
+  private[graft] def stillNoisy(load1m: Option[Double],
+      threshold: Double = QuietLoadThreshold): Boolean =
+    load1m.exists(_ > threshold)
+
   /** Requeue decision for one measured query: Some(trigger) when it
     * deserves a second opinion — "ratio" when cold/warm disagree in
     * either direction (load landed on one phase), "baseline" when
@@ -74,7 +97,32 @@ object Bench {
     }.getOrElse(Map.empty)
   }
 
+  private[graft] def loadavg(): Seq[Double] =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+").take(3).map(_.toDouble).toSeq
+    catch { case _: Throwable => Seq.empty }
+
+  /** Sleep-poll until the 1-min loadavg drops under the threshold or
+    * the budget is spent; returns seconds actually waited. Bounded so
+    * a busy-forever machine still produces an artifact (with the
+    * elevated loadavg recorded for the grader to adjudicate). */
+  private def waitForQuiet(maxWaitS: Double): Double = {
+    val t0 = System.nanoTime()
+    var l = loadavg().headOption
+    while (stillNoisy(l) && (System.nanoTime() - t0) / 1e9 < maxWaitS) {
+      Thread.sleep(15000)
+      l = loadavg().headOption
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
+    // Quiet-by-construction pre-flight — BEFORE session startup so the
+    // wait overlaps nothing timed. SPARK_GRAFT_NO_PREFLIGHT=1 skips it
+    // for dev subset iterations where wall matters more than noise.
+    val preflightWaitS =
+      if (sys.env.contains("SPARK_GRAFT_NO_PREFLIGHT")) 0.0
+      else waitForQuiet(maxWaitS = 600.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -90,7 +138,7 @@ object Bench {
       // bucketed-table queries (c12) saveAsTable here; keep it out of
       // the repo and fresh per invocation
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+        graft.sources.Tmp.dir("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (class loading, Janino codegen compiler, shuffle
@@ -130,10 +178,6 @@ object Bench {
       runsSinceGc += 1
       if (runsSinceGc >= 24) { runsSinceGc = 0; System.gc() }
     }
-    def loadavg(): Seq[Double] =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+").take(3).map(_.toDouble).toSeq
-      catch { case _: Throwable => Seq.empty }
     val loadStart = loadavg()
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
              errKey: String): (Double, Boolean) = {
@@ -204,10 +248,17 @@ object Bench {
     val requeued = scala.collection.mutable.Map[String, String]()
     def heal(first: Double, second: Double): Double =
       if (second * 1.5 <= first) second else first
+    // Cumulative quiet-wait budget across all requeues: each second
+    // opinion first waits (up to 120 s, 600 s total) for the load that
+    // likely polluted the first measurement to drain — without this the
+    // requeue remeasures under the very conditions it exists to escape.
+    var requeueWaitS = 0.0
     val results = firstPass.map { case (name, fn, cold, warmOpt, ok) =>
       val trigger = requeueTrigger(cold, warmOpt, baseline.get(name))
       if (!ok || trigger.isEmpty) (name, cold, warmOpt)
       else {
+        if (requeueWaitS < 600.0)
+          requeueWaitS += waitForQuiet(maxWaitS = math.min(120.0, 600.0 - requeueWaitS))
         val (cold2, warm2, ok2) = coldAndWarm(name, fn, "#requeue")
         requeued(name) =
           s"""{"cold1":$cold,"warm1":${warmOpt.getOrElse(-1.0)},""" +
@@ -260,7 +311,9 @@ object Bench {
       s""""queries":$qs,"queries_warm":$warm,"errors":$errs,"requeued":$req,""" +
       s""""baseline_entries":${baseline.size},""" +
       s""""baseline_ratio":$baseRatios,""" +
-      s""""loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"sf":"$sfDir"}"""
+      s""""loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},""" +
+      s""""quiet_wait_s":{"preflight":$preflightWaitS,"requeue":$requeueWaitS},""" +
+      s""""sf":"$sfDir"}"""
     println(line)
     // The stdout line travels through sbt's log, which truncates long
     // tails — per-round grading lost 18 of 83 timings to that. Always

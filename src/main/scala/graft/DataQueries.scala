@@ -3,7 +3,7 @@ package graft
 import graft.analytics.Kpis
 import graft.dedup.Dedup
 import graft.etl.Checks
-import graft.multimodal.Multimodal
+import graft.multimodal.{AudioFingerprint, Multimodal}
 import graft.operators.{Packing, Sampling}
 import graft.text.TfIdf
 import graft.similarity.Ann
@@ -38,6 +38,46 @@ private[graft] object DataQueries {
           sum("byte_len").as("sum_bytes"),
           countDistinct(col("sha256")).as("n_checksums"))
         .orderBy("source")
+    }),
+
+    // D75 — audio fingerprint SIGNATURE graded closed-form (the a22
+    // WARC discipline: both engines derive byte-identical input from
+    // key arithmetic). The codec boundary (`monoSamples`, javax.sound
+    // decode) stays spec-covered on synthesized WAVs — this row grades
+    // everything after decode: per doc_id, 64 windows × 40 samples of
+    // a ±A square wave with per-window amplitude
+    // A(m,w) = ((m·31 + w·17) mod 101)/101 (17 coprime 101 → 64
+    // DISTINCT window energies, so median threshold decisions sit
+    // ≥1/202 from every energy — far outside FP noise), run through
+    // the REAL AudioFingerprint.signature; the oracle replays the
+    // RMS-envelope → rank-median → bit table. The signature long is
+    // compared as its set-bit positions (bit 63 would sign-overflow a
+    // DuckDB BIGINT build of 2^63). Narrow per-row work — scales
+    // linearly with the corpus.
+    "d75_audio_sig" -> ((s, dir) => {
+      import s.implicits._
+      val perWin = 40
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            val samples = new Array[Double](64 * perWin)
+            var w = 0
+            while (w < 64) {
+              val a = ((m * 31 + w * 17) % 101) / 101.0
+              var i = 0
+              while (i < perWin) {
+                samples(w * perWin + i) = if (i % 2 == 0) a else -a
+                i += 1
+              }
+              w += 1
+            }
+            val (fp, rms) = AudioFingerprint.signature(samples)
+            val bits = (0 until 64).filter(b => ((fp >>> b) & 1L) == 1L).mkString(",")
+            (m, bits, java.lang.Long.bitCount(fp), rms)
+          }
+        }
+        .toDF("media_id", "bits", "n_set", "rms")
+        .orderBy("media_id")
     }),
 
     // Deterministic stratified sampling: md5-keyed buckets, so the
@@ -384,6 +424,28 @@ private[graft] object DataQueries {
         | CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
         | count(DISTINCT sha256(text)) AS n_checksums
         |FROM documents GROUP BY 1,2 ORDER BY source""".stripMargin,
+
+    // Envelope replay: window energy of a ±A square wave IS |A| (the
+    // per-window mean of A² is exact up to ~1e-15, far inside the
+    // ≥1/202 energy gaps); median = mean of 1-based ranks 32 and 33
+    // (the code's (sorted[31]+sorted[32])/2); a bit is set iff energy
+    // strictly exceeds it. rms = sqrt(mean A²) over equal windows.
+    "d75_audio_sig" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents),
+        |wins AS (SELECT media_id, w,
+        |   CAST((media_id*31 + w*17) % 101 AS DOUBLE)/101.0 AS e
+        |  FROM ids CROSS JOIN (SELECT unnest(range(0,64)) AS w)),
+        |rk AS (SELECT media_id, w, e,
+        |   row_number() OVER (PARTITION BY media_id ORDER BY e) AS r FROM wins),
+        |med AS (SELECT media_id, avg(e) AS med FROM rk
+        |  WHERE r IN (32, 33) GROUP BY media_id)
+        |SELECT rk.media_id,
+        |  coalesce(string_agg(CASE WHEN rk.e > med.med
+        |    THEN CAST(rk.w AS VARCHAR) END, ',' ORDER BY rk.w), '') AS bits,
+        |  CAST(sum(CASE WHEN rk.e > med.med THEN 1 ELSE 0 END) AS INTEGER) AS n_set,
+        |  sqrt(avg(rk.e * rk.e)) AS rms
+        |FROM rk JOIN med USING (media_id)
+        |GROUP BY rk.media_id ORDER BY media_id""".stripMargin,
 
     "d14_sample" ->
       """WITH b AS (SELECT lang, text,

@@ -408,14 +408,15 @@ private[graft] object DedupQueries {
     *
     * VALIDITY TRIPWIRE (the c56 chk discipline): the Spark side sizes
     * nLists = max(9, n/64), so this 9-list mirror is only valid while
-    * the floor binds (n ≤ 576 — sf0.01 has 500). Against a larger
-    * corpus the WHERE guard raises a NAMED error instead of letting a
-    * mis-aimed compare surface as a bare hash mismatch that reads
-    * like a library bug. */
+    * the floor binds — i.e. while n/64 ≤ 9 under integer division,
+    * n ≤ 64*9+63 = 639 (sf0.01 has 500). Against a larger corpus the
+    * WHERE guard raises a NAMED error instead of letting a mis-aimed
+    * compare surface as a bare hash mismatch that reads like a
+    * library bug. */
   private[graft] val hierAssignCtes: String =
     """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      |  WHERE CASE WHEN (SELECT count(*) FROM embeddings) <= 576 THEN TRUE
-      |    ELSE error('d38b/e10b oracle: 9-list mirror valid only while the nLists floor binds (<=576 embeddings); the Spark side sizes nLists = max(9, n/64)') END),
+      |  WHERE CASE WHEN (SELECT count(*) FROM embeddings) <= 639 THEN TRUE
+      |    ELSE error('d38b/e10b oracle: 9-list mirror valid only while the nLists floor binds (n/64 <= 9, i.e. <=639 embeddings); the Spark side sizes nLists = max(9, n/64)') END),
       |t0 AS (SELECT vec_id AS kid, v AS tvec,
       |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
       |  FROM c ORDER BY hk, kid LIMIT 3),

@@ -33,7 +33,7 @@ object DotBench {
     spark.sparkContext.setLogLevel("WARN")
     import graft.expressions.VectorExpressions.dotNative
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-dotbench").resolve("pairs").toString
+    val dir = graft.sources.Tmp.dir("graft-dotbench").resolve("pairs").toString
     // deterministic pseudo-random doubles in [-1, 1] — no RNG state
     def vec(seed: Int) = transform(sequence(lit(0), lit(dims - 1)),
       d => (pmod(col("id") * (37 + seed) + d * 101, lit(97)) - 48).cast("double") / 48.0)

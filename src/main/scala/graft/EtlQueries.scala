@@ -445,8 +445,8 @@ private[graft] object EtlQueries {
         col("o_orderkey"), col("o_totalprice"),
         concat(lit("2024-01-0"), (part + 1).cast("string"))
           .as(Medallion.PartitionCol))
-      val inRoot = java.nio.file.Files.createTempDirectory("graft-a11-in").toString
-      val outRoot = java.nio.file.Files.createTempDirectory("graft-a11-out").toString
+      val inRoot = graft.sources.Tmp.dir("graft-a11-in").toString
+      val outRoot = graft.sources.Tmp.dir("graft-a11-out").toString
       val transform: DataFrame => DataFrame = _.filter(col("o_totalprice") > 100000)
       def silver(): Long =
         if (Medallion.listPartitions(outRoot).isEmpty) 0L
@@ -481,7 +481,7 @@ private[graft] object EtlQueries {
       val day = pmod(col("o_orderkey"), lit(4L))
       val base = Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_totalprice"), day.as("day"))
-      val root = java.nio.file.Files.createTempDirectory("graft-a27").toString
+      val root = graft.sources.Tmp.dir("graft-a27").toString
       PartitionedSink.overwritePartitions(base, root, Seq("day"))
       val patch = base.filter(col("day") === 1)
         .withColumn("o_totalprice", col("o_totalprice") * 2)

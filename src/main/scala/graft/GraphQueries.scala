@@ -597,12 +597,12 @@ private[graft] object GraphQueries {
          |e0 AS MATERIALIZED (SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
          |  FROM raw WHERE a0 <> b0),
          |$rounds,
-         |chk AS (SELECT CASE WHEN (SELECT count(*) FROM e7) = (SELECT count(*) FROM e8)
+         |chk AS MATERIALIZED (SELECT CASE WHEN (SELECT count(*) FROM e7) = (SELECT count(*) FROM e8)
          |  THEN TRUE ELSE error('c56 oracle: peel not converged within 8 rounds - '
          |    || 'widen the unrolled round budget before trusting the compare') END AS ok)
          |SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
-         |  SELECT a AS v FROM e8 UNION ALL SELECT b FROM e8) GROUP BY 1
-         |HAVING count(*) >= 3 AND (SELECT ok FROM chk) ORDER BY v""".stripMargin
+         |  SELECT a AS v FROM e8 UNION ALL SELECT b FROM e8) CROSS JOIN chk GROUP BY 1
+         |HAVING count(*) >= 3 ORDER BY v""".stripMargin
     },
 
     "c62_lpa" -> {

@@ -61,7 +61,7 @@ object IngestQueries {
       val mm = e.agg(min(us).as("lo"), max(us).as("hi")).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
-      val bmPath = java.nio.file.Files.createTempDirectory("graft-a28").toString + "/bm"
+      val bmPath = graft.sources.Tmp.dir("graft-a28").toString + "/bm"
       val arrivals = Seq(e.filter(us <= c1), e.filter(us <= c2), e)
       val rows = arrivals.zipWithIndex.map { case (src, i) =>
         val bm = graft.etl.Bookmark.read(s, bmPath)
@@ -85,7 +85,7 @@ object IngestQueries {
       import s.implicits._
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-      val root = java.nio.file.Files.createTempDirectory("graft-a29").toString + "/pub"
+      val root = graft.sources.Tmp.dir("graft-a29").toString + "/pub"
       val v1 = graft.etl.Publish.publish(o.filter(pmod(col("o_orderkey"), lit(2L)) === 0L), root)
       val v2 = graft.etl.Publish.publish(o, root,
         Seq(graft.etl.Checks.NotNull("o_orderpriority")))
@@ -104,6 +104,55 @@ object IngestQueries {
       Seq((nVersions, v1, v2, rejected, rowsV2, rowsLatest, current))
         .toDF("n_versions", "v1", "v2", "v3_rejected", "rows_v2",
           "rows_latest_after_rollback", "current_version")
+    }),
+
+    // A18 — HTTP fetch POLICY graded closed-form (the a26/a31
+    // replay technique): the fetch itself needs a live network
+    // (spec-covered by the in-process stub), but the retry/route/wait
+    // decision table and the token-bucket admission schedule are
+    // deterministic arithmetic, and `fetchOne` executes EXACTLY
+    // `HttpFetch.waitMillis`/classification — so this row pins the
+    // production policy, not a mirror. Per o_orderkey a 3-attempt
+    // status sequence is synthesized from closed-form key arithmetic
+    // (both engines derive byte-identical sequences; vocabulary covers
+    // success, 429+Retry-After valid/invalid/absent, permanent
+    // 401/403/404, retryable 5xx, and no-response), replayed through
+    // the REAL policyTrace; admission delay is the REAL
+    // admissionDelayMillis at each request's position within its host
+    // queue (rate 2/s, burst 3). Narrow per-row work after one
+    // host-partitioned window — scales linearly.
+    "a18_fetch_policy" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Seq(200, 429, 500, 404, 503, 429, 401, 0, 502, 403)
+      def st(i: Int) = element_at(
+        array(vocab.map(lit): _*),
+        (pmod(col("id") * 7 + lit(i * 13), lit(10L)) + 1).cast("int"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy("id")
+      val in = Tables.orders(s, dir).select(col("o_orderkey").as("id"))
+        .withColumn("host", pmod(col("id"), lit(97L)))
+        .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+        .withColumn("s1", st(1)).withColumn("s2", st(2)).withColumn("s3", st(3))
+        .withColumn("ra",
+          when(pmod(col("id"), lit(3L)) === 0L,
+            pmod(expr("id DIV 3"), lit(9L)).cast("string"))
+            .when(pmod(col("id"), lit(3L)) === 1L, lit("soon"))
+            .otherwise(lit(null).cast("string")))
+      val p = graft.sources.HttpFetch.Policy(
+        maxRetries = 3, backoffMillis = 2000L, maxWaitMillis = 3000L)
+      in.select(col("id"), col("host"), col("pos"),
+          col("s1"), col("s2"), col("s3"), col("ra"))
+        .as[(Long, Long, Long, Int, Int, Int, String)]
+        .map { case (id, host, pos, s1, s2, s3, ra) =>
+          val t = graft.sources.HttpFetch.policyTrace(
+            Seq(s1, s2, s3), Seq.fill(3)(Option(ra)), p)
+          (id, host, pos, t.success, t.status, t.error, t.attempts,
+            t.totalWaitMillis,
+            graft.sources.HttpFetch.admissionDelayMillis(pos, 2.0, 3))
+        }
+        .toDF("id", "host", "pos", "success", "status", "error",
+          "attempts", "wait_ms", "delay_ms")
+        .orderBy("id")
     })
   )
 
@@ -147,6 +196,53 @@ object IngestQueries {
         | (SELECT CAST(count(*) AS BIGINT) FROM orders) AS rows_v2,
         | (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 0)
         |   AS rows_latest_after_rollback,
-        | CAST(1 AS BIGINT) AS current_version""".stripMargin
+        | CAST(1 AS BIGINT) AS current_version""".stripMargin,
+
+    // Closed-form replay of the fetch decision table: statuses from
+    // the same key arithmetic, routes S(uccess)/P(ermanent)/R(etryable),
+    // waits = Retry-After honored-and-capped on parseable 429s else
+    // capped exponential backoff (2000, then 3000 at the 3000 ms cap),
+    // status = LAST response seen (no-response attempts leave it),
+    // admission = max(0, (pos - burst + 1)/rate) at rate 2/s burst 3.
+    "a18_fetch_policy" ->
+      """WITH base AS (SELECT o_orderkey AS id FROM orders),
+        |pos AS (SELECT id, id % 97 AS host,
+        |  CAST(row_number() OVER (PARTITION BY id % 97 ORDER BY id) - 1 AS BIGINT) AS pos
+        |  FROM base),
+        |seq AS (SELECT id, host, pos,
+        |  ([200,429,500,404,503,429,401,0,502,403])[CAST((id*7 + 13) % 10 AS INT) + 1] AS s1,
+        |  ([200,429,500,404,503,429,401,0,502,403])[CAST((id*7 + 26) % 10 AS INT) + 1] AS s2,
+        |  ([200,429,500,404,503,429,401,0,502,403])[CAST((id*7 + 39) % 10 AS INT) + 1] AS s3,
+        |  CASE WHEN id % 3 = 0 THEN CAST((id // 3) % 9 AS VARCHAR)
+        |       WHEN id % 3 = 1 THEN 'soon' ELSE NULL END AS ra
+        |  FROM pos),
+        |cls AS (SELECT *,
+        |  CASE WHEN s1 = 200 THEN 'S' WHEN s1 IN (401,403,404) THEN 'P' ELSE 'R' END AS c1,
+        |  CASE WHEN s2 = 200 THEN 'S' WHEN s2 IN (401,403,404) THEN 'P' ELSE 'R' END AS c2,
+        |  CASE WHEN s3 = 200 THEN 'S' WHEN s3 IN (401,403,404) THEN 'P' ELSE 'R' END AS c3,
+        |  CASE WHEN s1 = 429 AND TRY_CAST(trim(ra) AS BIGINT) IS NOT NULL
+        |       THEN greatest(0, least(TRY_CAST(trim(ra) AS BIGINT) * 1000, 3000))
+        |       ELSE 2000 END AS w1,
+        |  CASE WHEN s2 = 429 AND TRY_CAST(trim(ra) AS BIGINT) IS NOT NULL
+        |       THEN greatest(0, least(TRY_CAST(trim(ra) AS BIGINT) * 1000, 3000))
+        |       ELSE 3000 END AS w2
+        |  FROM seq),
+        |term AS (SELECT *,
+        |  CASE WHEN c1 <> 'R' THEN 1 WHEN c2 <> 'R' THEN 2 ELSE 3 END AS att
+        |  FROM cls)
+        |SELECT id, host, pos,
+        |  CASE att WHEN 1 THEN s1 = 200 WHEN 2 THEN s2 = 200 ELSE s3 = 200 END AS success,
+        |  CAST(CASE WHEN att = 1 THEN s1 WHEN att = 2 THEN s2
+        |    WHEN s3 > 0 THEN s3 WHEN s2 > 0 THEN s2 WHEN s1 > 0 THEN s1
+        |    ELSE NULL END AS INTEGER) AS status,
+        |  CASE WHEN att = 1 AND c1 = 'P' THEN 'HTTP_' || s1
+        |       WHEN att = 2 AND c2 = 'P' THEN 'HTTP_' || s2
+        |       WHEN att = 3 AND c3 = 'P' THEN 'HTTP_' || s3
+        |       WHEN att = 3 AND c3 = 'R' THEN 'MAX_RETRIES_EXCEEDED'
+        |       ELSE NULL END AS error,
+        |  CAST(att AS INTEGER) AS attempts,
+        |  CAST(CASE att WHEN 1 THEN 0 WHEN 2 THEN w1 ELSE w1 + w2 END AS BIGINT) AS wait_ms,
+        |  CAST(greatest(0, (pos - 2) * 500) AS BIGINT) AS delay_ms
+        |FROM term ORDER BY id""".stripMargin
   )
 }

@@ -56,7 +56,7 @@ object LayoutQueries {
       val o = Tables.orders(s, dir).select(col("o_orderkey"))
       val maxKey = o.agg(max("o_orderkey")).head().getLong(0)
       val w = maxKey / 8 + 1 // ceil-ish width: buckets 0..7 cover [0, maxKey]
-      val tmp = java.nio.file.Files.createTempDirectory("graft-c24").toString
+      val tmp = graft.sources.Tmp.dir("graft-c24").toString
       o.withColumn("file_id", expr(s"o_orderkey DIV $w"))
         .repartition(col("file_id")) // all rows of a bucket in one task → one file per dir
         .write.mode("overwrite").partitionBy("file_id").parquet(tmp)
@@ -86,7 +86,7 @@ object LayoutQueries {
       import s.implicits._
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val probes = Seq(7L, 123L, 256L, 401L, 499L, 1000003L, 5000011L, 7777777L)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-c40").toString
+      val tmp = graft.sources.Tmp.dir("graft-c40").toString
       docs.withColumn("file_id", pmod(col("doc_id"), lit(6L)))
         .repartition(col("file_id"))
         .write.mode("overwrite").partitionBy("file_id").parquet(tmp)
@@ -129,8 +129,8 @@ object LayoutQueries {
       import s.implicits._
       val fact = Tables.orders(s, dir)
         .select(col("o_orderkey"), pmod(col("o_orderkey"), lit(10L)).cast("int").as("day"))
-      val tmpFact = java.nio.file.Files.createTempDirectory("graft-c38-fact").toString
-      val tmpDim = java.nio.file.Files.createTempDirectory("graft-c38-dim").toString
+      val tmpFact = graft.sources.Tmp.dir("graft-c38-fact").toString
+      val tmpDim = graft.sources.Tmp.dir("graft-c38-dim").toString
       fact.repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(tmpFact)
       // dim must be a FILE source: a local relation's filter constant-
@@ -171,8 +171,8 @@ object LayoutQueries {
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       val maxCust = o.agg(max("o_custkey")).head().getLong(0)
       val wc = maxCust / 4 + 1
-      val tmp = java.nio.file.Files.createTempDirectory("graft-c65").toString
-      val tmpDim = java.nio.file.Files.createTempDirectory("graft-c65-dim").toString
+      val tmp = graft.sources.Tmp.dir("graft-c65").toString
+      val tmpDim = graft.sources.Tmp.dir("graft-c65-dim").toString
       graft.sources.PartitionedSink.overwritePartitions(
         o.withColumn("day", pmod(col("o_orderkey"), lit(10L)).cast("int"))
           .withColumn("bkt", expr(s"o_custkey DIV $wc").cast("int")),
@@ -234,7 +234,7 @@ object LayoutQueries {
     "a13_multiformat" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.orders(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-a13").toString
+      val tmp = graft.sources.Tmp.dir("graft-a13").toString
       o.write.mode("overwrite").json(s"$tmp/j")
       o.write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
       o.write.mode("overwrite").orc(s"$tmp/o")
@@ -267,7 +267,7 @@ object LayoutQueries {
         pmod(col("o_orderkey"), lit(256L)).as("zx"),
         pmod(col("o_custkey"), lit(256L)).as("zy"))
       val z = graft.sources.Zorder.zValue(Seq(col("zx"), col("zy")), bits = 8)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-c17").toString
+      val tmp = graft.sources.Tmp.dir("graft-c17").toString
       graft.sources.Zorder.writeZOrdered(base, tmp, z, nFiles = 8)
       val nBase = base.count()
       val stats = s.read.parquet(tmp)
@@ -298,8 +298,8 @@ object LayoutQueries {
       import s.implicits._
       import graft.sources.Compaction
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      val in = java.nio.file.Files.createTempDirectory("graft-c19-in").toString
-      val out = java.nio.file.Files.createTempDirectory("graft-c19-out").toString
+      val in = graft.sources.Tmp.dir("graft-c19-in").toString
+      val out = graft.sources.Tmp.dir("graft-c19-out").toString
       o.repartition(40).write.mode("overwrite").parquet(in)
       val st = Compaction.compactDir(s, in, out, targetBytes = 1L << 30)
       val back = s.read.parquet(out)

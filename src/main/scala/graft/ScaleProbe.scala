@@ -112,7 +112,7 @@ object ScaleProbe {
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+        graft.sources.Tmp.dir("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -242,7 +242,7 @@ object ScaleProbe {
       // setting once at session start. Both scales of the pass run
       // under the same config, so the ratio stays like-for-like.
       spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        graft.sources.Tmp.dir("graft-ckpt").toString)
       // SemDeDup with the quantizer SIZED to the corpus (~64
       // vectors/cluster), the paper's own deployment rule — the d38
       // registry query hard-codes nLists=8 for its 500-vector oracle
@@ -306,7 +306,7 @@ object ScaleProbe {
       // windows like (zg_c, w, zg_c)
       generateDocsGram3(spark, g1, g10, tag = "zh")
       spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        graft.sources.Tmp.dir("graft-ckpt").toString)
       runPass(Seq("d4_ngram_jaccard", "d62_containment", "d70_cluster_audit"),
         g1, g10, "sf1_s", "sf10_s",
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALEPROBE3.json"),

@@ -32,87 +32,19 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object StreamQueries {
 
-  /** Roots created by [[tmp]], reaped recursively at JVM exit — state
-    * must outlive the (lazy) returned DataFrame, so deletion inside
-    * the query closure is impossible, but a full Bench/Verify run may
-    * invoke each E-query several times and must not leave gigabytes of
-    * parquet state accumulating under /tmp across rounds. */
-  private val tmpRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
-    def run(): Unit = tmpRoots.forEach { root =>
-      try {
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      } catch { case _: Throwable => () } // best-effort: never fail exit
-    }
-  }))
+  import StreamDrive._
 
-  private def tmp(prefix: String): String = {
-    val root = java.nio.file.Files.createTempDirectory(prefix)
-    tmpRoots.add(root)
-    root.toString + "/state"
-  }
-
-  /** Event-time tercile epoch boundaries (micros) — one bounded 1-row
-    * collect, the same class as the A28 bookmark read. */
-  private def terciles(e: DataFrame): (Long, Long) = {
-    val us = Relational.epochMicros(col("ts"))
-    val mm = e.agg(min(us).as("lo"), max(us).as("hi")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
-  }
-
-  /** Every E-series builder runs under 4 shuffle partitions (restored
-    * after the drives return). Stateful streaming operators commit ONE
-    * state-store delta file per shuffle partition per micro-batch —
-    * at the session's 32 partitions the 41 E-drives pay tens of
-    * thousands of tiny checkpoint fsyncs for state that holds a few
-    * thousand keys, a constant micro-batch tax that was 33% of the r11
-    * suite wall. Results are unaffected: state is hash-partitioned by
-    * key, every E-query's output is key-deterministic, and nothing
-    * downstream reads physical file counts. At production scale the
-    * knob goes the other way (partitions sized to executor count) —
-    * this wrapper is the local-drive analogue of sizing state
-    * partitions to the actual key volume. The returned DataFrame (the
-    * state-table/memory-sink readback) executes later under the
-    * caller's own conf; only the drives run under the override.
-    * `minBatchesToRetain=2` likewise trims checkpoint-retention I/O
-    * the 3-5-batch drives never replay. */
-  private def lowShufflePartitions(
-      fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    (s, dir) => {
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val prevRetain = s.conf.get("spark.sql.streaming.minBatchesToRetain")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      s.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
-      try fn(s, dir)
-      finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.conf.set("spark.sql.streaming.minBatchesToRetain", prevRetain)
-      }
-    }
-
-  /** Drives whose wall is checkpoint/state-store machinery, not
-    * per-batch operator work — measured, not guessed: e5 16.8→11.4 s
-    * and e35 7.3→6.3 s under the override, while the foreachBatch
-    * COMPOSITES (e10b SemDeDup 7.9→9.3 s, e13 clean-pipeline
-    * 9.6→12.1 s) regressed because 4 partitions throttles the real
-    * per-batch operator work they exist to measure — those keep the
-    * session's parallelism. */
-  private val machineryBound = Set(
-    "e1_windowed_agg", "e2_sessionize", "e3_enrich_join", "e4_stream_dedup",
-    "e5_interval_join", "e6_bronze_ingest", "e7_dedup_ingest",
-    "e20_zscore_alerts", "e21_silence_alerts", "e27_seq_match",
-    "e30_ohlc_bars", "e35_session_window")
-
-  // lazy: rawQueries initializes below (declaration order)
-  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = rawQueries
-    .map { case (name, fn) =>
+  // lazy: rawQueries initializes below (declaration order); the
+  // machinery-bound drives run under the 4-partition state-store
+  // override (see StreamDrive.lowShufflePartitions — safe because
+  // Bench/Verify execute queries strictly sequentially).
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    (rawQueries ++ StreamQueries2.rawQueries).map { case (name, fn) =>
       name -> (if (machineryBound(name)) lowShufflePartitions(fn) else fn)
     }
 
   private val rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
 
     // ======================================================= E: streaming
 
@@ -140,6 +72,7 @@ private[graft] object StreamQueries {
     // state family where blind append is safe), unioned at read; the
     // c8b discipline: exact count + a pinned within-bound boolean
     // (sketches are in exact sparse mode at this cardinality).
+
     "e8_sketch_state" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .filter(col("event_type").isNotNull && col("user_id").isNotNull)
@@ -164,6 +97,7 @@ private[graft] object StreamQueries {
     // profile, sketch fields (HLL distinct-doc estimate, KLL quality
     // quantiles) pinned within bounds against an exact pass — the
     // c8b/c8d discipline.
+
     "e11_corpus_cards" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val state = tmp("graft_e11")
@@ -202,6 +136,7 @@ private[graft] object StreamQueries {
     // arrival order = id order, the streaming first-arrived winner IS
     // the batch operator's global min(doc_id, pos) — so the union of
     // per-epoch outputs must equal batch D43 exactly.
+
     "e12_paragraph_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val mx = docs.agg(max("doc_id")).head().getLong(0) // 1-row bounded collect
@@ -221,6 +156,7 @@ private[graft] object StreamQueries {
 
     // E14 — additive aggregate state: per-type count/sum/min/max state
     // rows landed per epoch, merged + finalized at read ≡ one batch agg.
+
     "e14_agg_state" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val state = tmp("graft_e14")
@@ -244,6 +180,7 @@ private[graft] object StreamQueries {
     // epochs (epoch 1 revises the %5 keys, epoch 2 the %7 keys) judged
     // against the persisted latest-digest index; the classification
     // log must equal the closed-form added/changed/unchanged truth.
+
     "e16_content_diff" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val rev1 = when(col("doc_id") % 5 === 0,
@@ -267,6 +204,7 @@ private[graft] object StreamQueries {
     // 2^16 against ~10^3 distinct keys makes the estimate EXACT here
     // (P[all 5 rows collide] ~1e-10 — the d2/d6 sized-to-exact oracle
     // discipline), so the oracle is the plain exact count.
+
     "e17_cm_frequency" -> ((s, dir) => {
       val width = 1 << 16
       val e = Tables.events(s, dir)
@@ -296,6 +234,7 @@ private[graft] object StreamQueries {
     // variant) conversion partials, re-collapsed ACROSS epochs at read
     // (a user converting in epoch 2 after exposure in epoch 0 counts
     // once) ≡ the batch B16 readout over the full stream.
+
     "e24_experiment_state" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val state = tmp("graft_e24")
@@ -320,6 +259,7 @@ private[graft] object StreamQueries {
     // winners re-raced at read (a global winner necessarily wins its
     // own batch; md5 race keys are deterministic) ≡ the batch D74
     // sample.
+
     "e25_weighted_sample" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val state = tmp("graft_e25")
@@ -337,6 +277,7 @@ private[graft] object StreamQueries {
     // distinct users (~10^2) ⇒ counts exact; the k-boundary is then
     // re-ranked DETERMINISTICALLY (count desc, user asc) before the
     // cut, so sketch-internal tie order can never leak into the answer.
+
     "e26_topk_state" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .filter(col("event_type").isNotNull && col("user_id").isNotNull)
@@ -357,6 +298,7 @@ private[graft] object StreamQueries {
     // E31 — decayed trending counts: per-epoch half-life-weighted sums
     // with per-batch reference times, re-decayed to the global reference
     // at read ≡ (exactly, by exponent algebra) one pass over all events.
+
     "e31_trending" -> ((s, dir) => {
       val halfLife = 604800.0 // 7 days
       val e = Tables.events(s, dir)
@@ -373,6 +315,7 @@ private[graft] object StreamQueries {
 
     // E15 — streaming drift cells: per-epoch (slice, bin) histogram
     // counters re-summed at read ≡ the batch D52 PSI/chi² report.
+
     "e15_drift_cells" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val q = graft.text.TextFunctions.qualityScore(col("text"))
@@ -388,6 +331,7 @@ private[graft] object StreamQueries {
 
     // E28 — streaming PCA moment state: one (n, Σv, Σvvᵀ) row per
     // epoch, merged + eigensolved at read ≡ the batch D77 spectrum.
+
     "e28_pca_moments" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
@@ -407,6 +351,7 @@ private[graft] object StreamQueries {
     // its first-seen-ever tokens (anti-join vs the persisted index, so
     // epochs MUST fold in order); the growth curve ≡ per-token
     // min-epoch over the same split.
+
     "e32_vocab_growth" -> ((s, dir) => {
       // the synthetic corpus's 31-token vocabulary saturates in any
       // first epoch; a doc-id-derived token per document keeps the
@@ -424,6 +369,7 @@ private[graft] object StreamQueries {
     // E36 — streaming Holt forecast state: the per-type daily-revenue
     // series folded across 3 day-tercile epochs, seeded from persisted
     // (l, b, n) ≡ the batch B29 recurrence over the full series.
+
     "e36_forecast_state" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .filter(col("value").isNotNull && col("ts").isNotNull)
@@ -451,6 +397,7 @@ private[graft] object StreamQueries {
     // folding its batch's per-entity pairs PLUS the cross-batch boundary
     // pair from persisted last-state; the rolled-up matrix must equal
     // the batch lead() pairs over the full history.
+
     "e37_markov_state" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
@@ -472,6 +419,7 @@ private[graft] object StreamQueries {
 
     // E38 — empirical-Bayes rate state: per-epoch (n, y) counts rolled
     // up additively, prior re-fit on the rollup ≡ batch B32 shrinkage.
+
     "e38_rate_state" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
         .filter(col("o_custkey").isNotNull && col("o_orderstatus").isNotNull)
@@ -493,6 +441,7 @@ private[graft] object StreamQueries {
     // E39 — ordered-funnel state: per-entity progress folded across 3
     // time-tercile epochs (greedy walk seeded from persisted stage),
     // rolled up to the C21 report ≡ the batch chained-window funnel.
+
     "e39_funnel_state" -> ((s, dir) => {
       val steps = Seq("view", "click", "purchase")
       val e = Tables.events(s, dir)
@@ -515,6 +464,7 @@ private[graft] object StreamQueries {
     // the three epoch outputs must equal the one-shot batch join (the
     // hook is stateless per batch — the equivalence pins that the
     // epoch-keyed landing loses/duplicates nothing).
+
     "e22_pit_enrich" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val dim = graft.etl.Scd.fromChangeLog(ev,
@@ -541,6 +491,7 @@ private[graft] object StreamQueries {
     // closure: a global frontier point survives its own epoch, and a
     // dominated point's dominator — or a transitive dominator — always
     // reaches the merge), ≡ the batch C44 skyline.
+
     "e40_skyline_state" -> ((s, dir) => {
       val p = Tables.part(s, dir)
       val state = tmp("graft_e40")
@@ -558,6 +509,7 @@ private[graft] object StreamQueries {
     // values KS-tested against the static view-value reference and the
     // verdict landed per epoch; every epoch row must equal the batch
     // B22 test over exactly that epoch's slice.
+
     "e33_ks_drift" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val clicks = e.filter(col("event_type") === "click" &&
@@ -580,6 +532,7 @@ private[graft] object StreamQueries {
     // the oracle replays the same 3-epoch serpentine closed-form, so
     // the final (docs, tokens) per shard pins rank order, the
     // lightest-first target list, and the load-state fold.
+
     "e19_balanced_shards" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
       val out = tmp("graft_e19o"); val state = tmp("graft_e19s")
@@ -601,6 +554,7 @@ private[graft] object StreamQueries {
     // gates); text synthesized multi-line from doc ids (the d56
     // discipline) so the line gates have real work. The oracle replays
     // every gate and the reason-array construction order.
+
     "e18_quality_router" -> ((s, dir) => {
       val t = split(col("text"), " ")
       def seg(start: Int, len: Int) = array_join(slice(t, start, len), " ")
@@ -643,692 +597,10 @@ private[graft] object StreamQueries {
     // watermarked windowed min_by/max_by aggregation, a Complete-mode
     // memory sink — the incremental state fold must equal the batch
     // C52 bars (tie order pinned by event_id on both engines).
-    "e30_ohlc_bars" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .filter(col("ts").isNotNull)
-        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-      val in = tmp("graft_e30in"); val ck = tmp("graft_e30ck")
-      (0 to 2).foreach { ep =>
-        e.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === ep)
-          .coalesce(1).write.mode("append").parquet(in)
-      }
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      val bars = StreamOps.streamingOhlcBars(stream, ts = "ts",
-        watermark = "0 seconds", bucket = "1 day", groupCol = "event_type",
-        valueCol = "value", tieBreak = Seq("event_id"))
-      val name = "graft_e30_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = bars.writeStream.outputMode("complete").format("memory")
-        .queryName(name).option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name)
-        .select(col("event_type"), col("bucket_start"),
-          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
-          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
-          col("volume"))
-        .orderBy("event_type", "bucket_start")
-    }),
-
-    // E27 — streaming CEP sequence matching through the REAL
-    // flatMapGroupsWithState machinery: a file-source stream (3
-    // event-time-tercile micro-batches plus two far-future sentinel
-    // batches that advance the watermark so every buffered symbol
-    // graduates), append-mode memory sink. Per-user match totals must
-    // equal the batch regex count over the full ordered history
-    // (timestamps second-truncated on BOTH engines so the operator's
-    // millisecond-grain (ts, symbol) graduation order is replayable).
-    "e27_seq_match" -> ((s, dir) => {
-      import s.implicits._
-      val e = Tables.events(s, dir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-          col("event_type").isNotNull)
-        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
-          col("event_type"))
-      val us = Relational.epochMicros(col("ts"))
-      val (c1, c2) = terciles(e)
-      val in = tmp("graft_e27in"); val ck = tmp("graft_e27ck")
-      val files = Seq(
-        e.filter(us <= c1), e.filter(us > c1 && us <= c2), e.filter(us > c2),
-        Seq((-1L, java.sql.Timestamp.valueOf("2150-01-01 00:00:00"), "flush1"))
-          .toDF("user_id", "ts", "event_type"),
-        Seq((-2L, java.sql.Timestamp.valueOf("2200-01-01 00:00:00"), "flush2"))
-          .toDF("user_id", "ts", "event_type"))
-      files.zipWithIndex.foreach { case (df, i) =>
-        df.coalesce(1).write.mode("append").parquet(in)
-        // distinct ascending mtimes pin the file-source batch order
-        val d = new java.io.File(in)
-        d.listFiles().filter(_.getName.startsWith("part-"))
-          .sortBy(_.lastModified()).zipWithIndex.foreach { case (f, j) =>
-            f.setLastModified(1700000000000L + j * 10000L)
-          }
-      }
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-        .as[StreamOps.TypedEvent]
-      val matches = StreamOps.sequenceMatches(s, stream,
-        watermark = "0 seconds",
-        symbols = Map("signup" -> "s", "view" -> "v", "click" -> "c",
-          "purchase" -> "p", "error" -> "e"),
-        pattern = "s[vc]*p", maxTail = 1 << 20)
-      val name = "graft_e27_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = matches.toDF().writeStream.outputMode("append").format("memory")
-        .queryName(name).option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name)
-        .groupBy("user_id")
-        .agg(sum(col("n_new_matches")).as("total_matches"))
-        .orderBy("user_id")
-    }),
-
-    // E1 — watermarked tumbling-window aggregation through the REAL
-    // streaming machinery (file source, complete-mode memory sink):
-    // per-(day, type) counts/sums folded incrementally over 3
-    // key-split micro-batches must equal the one-shot batch aggregate.
-    // Complete mode retains all window state, so the modulus split
-    // order is immaterial — the e30 discipline.
-    "e1_windowed_agg" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .filter(col("ts").isNotNull && col("event_type").isNotNull &&
-          col("event_id").isNotNull)
-        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-      val in = tmp("graft_e1in"); val ck = tmp("graft_e1ck")
-      (0 to 2).foreach { ep =>
-        e.filter(pmod(col("event_id"), lit(3)) === ep)
-          .coalesce(1).write.mode("append").parquet(in)
-      }
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      val agg = StreamOps.windowedAgg(stream, ts = "ts",
-        watermark = "0 seconds", bucket = "1 day", groupCol = "event_type",
-        valueCol = "value")
-      val name = "graft_e1_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.outputMode("complete").format("memory")
-        .queryName(name).option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name)
-        .select(col("bucket_start"), col("event_type"), col("n"),
-          round(col("sum_value"), 4).as("sum_value"))
-        .orderBy("bucket_start", "event_type")
-    }),
-
-    // E2 — stateful gap sessionization through the REAL
-    // flatMapGroupsWithState machinery: event-time tercile batches so
-    // arrival order = event-time order (state merges forward only),
-    // two far-future sentinel batches advance the watermark so every
-    // open session times out and emits (the e27 flush discipline).
-    // Oracle: the batch C10 gap rule over the full ordered history.
-    "e2_sessionize" -> ((s, dir) => {
-      import s.implicits._
-      val e = Tables.events(s, dir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
-        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
-          coalesce(col("value"), lit(0.0)).as("value"))
-      val us = Relational.epochMicros(col("ts"))
-      val (c1, c2) = terciles(e)
-      val in = tmp("graft_e2in"); val ck = tmp("graft_e2ck")
-      val files = Seq(
-        e.filter(us <= c1), e.filter(us > c1 && us <= c2), e.filter(us > c2),
-        Seq((-1L, java.sql.Timestamp.valueOf("2150-01-01 00:00:00"), 0.0))
-          .toDF("user_id", "ts", "value"),
-        Seq((-2L, java.sql.Timestamp.valueOf("2200-01-01 00:00:00"), 0.0))
-          .toDF("user_id", "ts", "value"))
-      files.foreach { df => pinOrdered(df, in) }
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-        .as[StreamOps.SessionEvent]
-      val sessions = StreamOps.sessionize(s, stream,
-        watermark = "0 seconds", gapSeconds = 1800)
-      val name = "graft_e2_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = sessions.toDF().writeStream.outputMode("append").format("memory")
-        .queryName(name).option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name).filter(col("user_id") >= 0)
-        .select(col("user_id"), col("n_events"), col("duration_sec"),
-          round(col("sum_value"), 4).as("sum_value"))
-        .orderBy("user_id", "n_events", "duration_sec", "sum_value")
-    }),
-
-    // E3 — stream–static broadcast enrichment: each micro-batch joins
-    // the live stream against the customer dimension (key synthesized
-    // as user_id mod |dim| so the FK binds); append sink, no state.
-    "e3_enrich_join" -> ((s, dir) => {
-      val cust = Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      val nCust = cust.count() // static dim cardinality — bounded
-      val e = Tables.events(s, dir)
-        .filter(col("event_id").isNotNull && col("user_id").isNotNull)
-        .select(col("event_id"), pmod(col("user_id"), lit(nCust)).as("c_custkey"))
-      val in = tmp("graft_e3in"); val ck = tmp("graft_e3ck")
-      (0 to 2).foreach { ep =>
-        e.filter(pmod(col("event_id"), lit(3)) === ep)
-          .coalesce(1).write.mode("append").parquet(in)
-      }
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      val enriched = StreamOps.enrich(stream, cust, "c_custkey")
-      val name = "graft_e3_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = enriched.writeStream.outputMode("append").format("memory")
-        .queryName(name).option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name)
-        .select(col("event_id"), col("c_custkey"), col("c_mktsegment"),
-          round(col("c_acctbal"), 4).as("acctbal"))
-        .orderBy("event_id")
-    }),
-
-    // E4 — streaming exact dedup via dropDuplicatesWithinWatermark:
-    // duplicates planted WITHIN batch 0 and ACROSS batches 0→1 and
-    // 1→2; a years-long watermark keeps all key state live, so every
-    // duplicate is suppressed and the output is exactly the distinct
-    // input (duplicate rows are byte-identical, so which copy survives
-    // is immaterial).
-    "e4_stream_dedup" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .filter(col("event_id").isNotNull && col("ts").isNotNull)
-        .select(col("event_id"), col("ts"), col("event_type"))
-      val in = tmp("graft_e4in"); val ck = tmp("graft_e4ck")
-      val m3 = pmod(col("event_id"), lit(3)); val m2 = pmod(col("event_id"), lit(2))
-      Seq(
-        e.filter(m3 === 0).unionAll(
-          e.filter(m3 === 0 && pmod(col("event_id"), lit(5)) === 0)),
-        e.filter(m3 === 1).unionAll(e.filter(m3 === 0 && m2 === 0)),
-        e.filter(m3 === 2).unionAll(e.filter(m3 === 1 && m2 === 0))
-      ).foreach(_.coalesce(1).write.mode("append").parquet(in))
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      val deduped = StreamOps.streamDedup(stream, "ts", "3650 days", "event_id")
-      val name = "graft_e4_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = deduped.writeStream.outputMode("append").format("memory")
-        .queryName(name).option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name).select(col("event_id"), col("event_type"))
-        .orderBy("event_id")
-    }),
-
-    // E5 — watermarked stream–stream interval join: purchases matched
-    // to same-user views at most 1 hour earlier. Both sources split by
-    // the SAME event-time terciles (mtime-pinned), so buffered state
-    // that could still match is never behind the min-policy watermark —
-    // the expiry proof lives in this query's scaladoc trail: a view
-    // expires only when wm > vts + 1h, and every unseen purchase has
-    // pts > wm, which would fail vts >= pts − 1h anyway.
-    "e5_interval_join" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-          col("event_id").isNotNull)
-      val (c1, c2) = terciles(e)
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-          col("ts").as("pts"))
-      val v = e.filter(col("event_type") === "view")
-        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
-          col("ts").as("vts"))
-      val inP = tmp("graft_e5p"); val inV = tmp("graft_e5v")
-      val ck = tmp("graft_e5ck")
-      def dump(df: DataFrame, dirPath: String, tsCol: String): Unit = {
-        val u = Relational.epochMicros(col(tsCol))
-        Seq(df.filter(u <= c1), df.filter(u > c1 && u <= c2), df.filter(u > c2))
-          .foreach(part => pinOrdered(part, dirPath))
-      }
-      dump(p, inP, "pts"); dump(v, inV, "vts")
-      val sp = s.readStream.schema(p.schema)
-        .option("maxFilesPerTrigger", 1).parquet(inP)
-      val sv = s.readStream.schema(v.schema)
-        .option("maxFilesPerTrigger", 1).parquet(inV)
-      val joined = StreamOps.intervalJoin(sp, sv, leftKey = "p_user",
-        rightKey = "v_user", leftTs = "pts", rightTs = "vts",
-        watermark = "0 seconds", maxGap = "1 hour")
-      val name = "graft_e5_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = joined.writeStream.outputMode("append").format("memory")
-        .queryName(name).option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name).select(col("p_id"), col("v_id")).orderBy("p_id", "v_id")
-    }),
-
-    // E20 — streaming rolling z-score alerts through the REAL
-    // flatMapGroupsWithState machinery: tercile batches make arrival
-    // order = (event-time, value) order, so the per-user 3-deep recent
-    // window is replayable; alerts emit on arrival (no flush needed);
-    // a decade TTL keeps lookback state from resetting mid-history.
-    "e20_zscore_alerts" -> ((s, dir) => {
-      import s.implicits._
-      val e = Tables.events(s, dir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-          col("value").isNotNull)
-        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
-          col("value"))
-      val us = Relational.epochMicros(col("ts"))
-      val (c1, c2) = terciles(e)
-      val in = tmp("graft_e20in"); val ck = tmp("graft_e20ck")
-      Seq(e.filter(us <= c1), e.filter(us > c1 && us <= c2), e.filter(us > c2))
-        .foreach(df => pinOrdered(df, in))
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-        .as[StreamOps.ScoreEvent]
-      val alerts = StreamOps.zScoreAlerts(s, stream, watermark = "0 seconds",
-        lookback = 3, zThreshold = 2.0, stateTtlSeconds = 315360000L)
-      val name = "graft_e20_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = alerts.toDF().writeStream.outputMode("append").format("memory")
-        .queryName(name).option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name)
-        .select(col("user_id"), col("ts"), round(col("value"), 4).as("value"),
-          round(col("z"), 4).as("z"))
-        .orderBy("user_id", "ts", "value")
-    }),
-
-    // E23 — streaming Bloom-indexed ingest, probed end-to-end: three
-    // epoch-keyed landings build the live sidecar, then a fixed bounded
-    // probe set (≤10 keys, present AND absent) is answered ONLY through
-    // candidate-file pruning — a green row proves the sidecar never
-    // loses a key and absent keys return nothing.
-    "e23_bloom_lookup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dataRoot = tmp("graft_e23d"); val idxRoot = tmp("graft_e23i")
-      (0 to 2).foreach { ep =>
-        StreamOps.bloomIndexedBatch(docs.filter(col("doc_id") % 3 === ep),
-          ep, "doc_id", dataRoot, idxRoot,
-          expectedPerFile = 100000L, fpp = 0.01)
-      }
-      val index = s.read.parquet(idxRoot)
-      val probes = 0L until 970L by 97L // fixed 10-key probe set
-      probes.map { k =>
-        graft.sources.BloomIndex.prunedRead(s, dataRoot, "doc_id",
-          k.toString, index).select(col("doc_id"))
-      }.reduce(_ unionAll _)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_rows"))
-        .orderBy("doc_id")
-    }),
-
-    // E29 — streaming write-audit-publish ingest: epoch 1 carries
-    // planted NULL texts, so its whole batch fails the NotNull check
-    // and lands in quarantine; epochs 0/2 publish. The oracle is the
-    // closed-form routing.
-    "e29_audited_ingest" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"),
-        when(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0,
-          lit(null).cast("string")).otherwise(col("text")).as("text"))
-      val dataRoot = tmp("graft_e29d"); val qRoot = tmp("graft_e29q")
-      val checks = Seq(graft.etl.Checks.NotNull("text"))
-      (0 to 2).foreach { ep =>
-        StreamOps.auditedIngestBatch(docs.filter(col("doc_id") % 3 === ep),
-          ep, checks, dataRoot, qRoot)
-      }
-      val landed = s.read.parquet(dataRoot)
-        .select(col("doc_id"), col("batch").cast("long").as("epoch"),
-          lit(false).as("quarantined"), col("text").isNull.as("text_null"))
-      val quar = s.read.parquet(qRoot)
-        .select(col("doc_id"), col("batch").cast("long").as("epoch"),
-          lit(true).as("quarantined"), col("text").isNull.as("text_null"))
-      landed.unionByName(quar).orderBy("doc_id")
-    }),
-
-    // E34 — late-data router: epoch 1 carries stragglers held back
-    // from tercile 0; routing uses the PERSISTED per-epoch high-water
-    // markers, so the oracle replays the marker fold in closed form.
-    "e34_late_router" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .filter(col("ts").isNotNull && col("event_id").isNotNull)
-        .select(col("event_id"), col("ts"))
-      val us = Relational.epochMicros(col("ts"))
-      val (c1, c2) = terciles(e)
-      val straggler = col("event_id") % 10 === 0
-      val onRoot = tmp("graft_e34o"); val lateRoot = tmp("graft_e34l")
-      val delayUs = 600000000L // 10 minutes
-      StreamOps.lateRoutedBatch(e.filter(us <= c1 && !straggler),
-        0L, "ts", delayUs, onRoot, lateRoot)
-      StreamOps.lateRoutedBatch(
-        e.filter((us > c1 && us <= c2) || (us <= c1 && straggler)),
-        1L, "ts", delayUs, onRoot, lateRoot)
-      StreamOps.lateRoutedBatch(e.filter(us > c2),
-        2L, "ts", delayUs, onRoot, lateRoot)
-      val onTime = s.read.parquet(onRoot) // _watermark dir is discovery-hidden
-        .select(col("event_id"), col("batch").cast("long").as("epoch"),
-          lit(false).as("late"))
-      val late = s.read.parquet(lateRoot)
-        .select(col("event_id"), col("batch").cast("long").as("epoch"),
-          lit(true).as("late"))
-      onTime.unionByName(late).orderBy("event_id")
-    }),
-
-    // E35 — native session_window aggregation through the real
-    // machinery: tercile batches + sentinel flushes (append mode emits
-    // a session only once the watermark passes its end). The engine's
-    // merge rule starts a NEW session at gap ≥ 30 min (window end is
-    // exclusive), one boundary tighter than C10's strict->.
-    "e35_session_window" -> ((s, dir) => {
-      import s.implicits._
-      val e = Tables.events(s, dir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
-        .select(col("user_id"), col("ts"),
-          coalesce(col("value"), lit(0.0)).as("value"))
-      val us = Relational.epochMicros(col("ts"))
-      val (c1, c2) = terciles(e)
-      val in = tmp("graft_e35in"); val ck = tmp("graft_e35ck")
-      val files = Seq(
-        e.filter(us <= c1), e.filter(us > c1 && us <= c2), e.filter(us > c2),
-        Seq((-1L, java.sql.Timestamp.valueOf("2150-01-01 00:00:00"), 0.0))
-          .toDF("user_id", "ts", "value"),
-        Seq((-2L, java.sql.Timestamp.valueOf("2200-01-01 00:00:00"), 0.0))
-          .toDF("user_id", "ts", "value"))
-      files.foreach(df => pinOrdered(df, in))
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      val sess = StreamOps.sessionWindowAgg(stream, ts = "ts",
-        watermark = "0 seconds", gap = "30 minutes", groupCol = "user_id",
-        valueCol = "value")
-      val name = "graft_e35_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = sess.writeStream.outputMode("append").format("memory")
-        .queryName(name).option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name).filter(col("user_id") >= 0)
-        .select(col("user_id"), col("session_start"), col("n_events"),
-          round(col("sum_value"), 4).as("sum_value"))
-        .orderBy("user_id", "session_start")
-    }),
-
-    // E6 — streaming Bronze ingest through the REAL toBronze sink:
-    // three event-id-keyed micro-batches land append-only,
-    // Hive-partitioned by the event-time-derived ingestion_date; the
-    // per-day rollup of the landed Bronze must equal the batch
-    // group-by over the full history — the append-only layout makes
-    // the micro-batch split invisible to readers. toBronze starts with
-    // the default trigger, so the drive is processAllAvailable + stop
-    // rather than AvailableNow.
-    "e6_bronze_ingest" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .filter(col("event_id").isNotNull && col("ts").isNotNull)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          coalesce(col("value"), lit(0.0)).as("value"))
-      val in = tmp("graft_e6in"); val ck = tmp("graft_e6ck")
-      val out = tmp("graft_e6out")
-      (0 to 2).foreach { ep =>
-        e.filter(pmod(col("event_id"), lit(3)) === ep)
-          .coalesce(1).write.mode("append").parquet(in)
-      }
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      val q = StreamOps.toBronze(stream, "ts", out, ck)
-      q.processAllAvailable(); q.stop()
-      s.read.parquet(out)
-        .groupBy(col(graft.etl.Medallion.PartitionCol).cast("string")
-          .as("ingestion_date"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("n_users"),
-          round(sum(col("value")), 4).as("sum_value"))
-        .orderBy("ingestion_date")
-    }),
-
-    // E7 — streaming content-hash-deduped Bronze ingest through the
-    // REAL toBronzeDeduped sink: ascending-doc_id micro-batches
-    // (mtime-pinned), within-batch keep-min-id + the persisted hash
-    // index across batches, so the streaming first-arrival winner IS
-    // the batch operator's global min-doc_id (d1's keep rule). The
-    // landed Bronze must equal the one-shot exact dedup of the corpus.
-    "e7_dedup_ingest" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"),
-          timestamp_seconds(lit(1709251200L) +
-            pmod(col("doc_id"), lit(5)) * 86400L).as("ts"))
-      val in = tmp("graft_e7in"); val ck = tmp("graft_e7ck")
-      val out = tmp("graft_e7out"); val idx = tmp("graft_e7ix")
-      pinIdTerciles(docs, "doc_id", in)
-      val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      val q = StreamOps.toBronzeDeduped(stream, "doc_id", "text", "ts",
-        out, idx, ck)
-      q.processAllAvailable(); q.stop()
-      s.read.parquet(out)
-        .select(col("doc_id"),
-          col(graft.etl.Medallion.PartitionCol).cast("string")
-            .as("ingestion_date"),
-          md5(col("text")).as("text_md5"))
-        .orderBy("doc_id")
-    }),
-
-    // E10 — streaming SemDeDup ingest through the REAL
-    // toSemanticDeduped sink: the quantizer is FROZEN on the full
-    // corpus (the bootstrap contract), ascending-vec_id micro-batches
-    // are judged against the persisted survivor index, and the oracle
-    // replays the exact 3-stage survivor chain — epoch-0 pairwise
-    // within the batch, later epochs vs prior SURVIVORS plus batch
-    // mates — so the cross-epoch vs within-epoch asymmetry of the
-    // incremental semantics is itself hash-checked.
-    "e10_semantic_dedup" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      // truncate = materialize the FROZEN quantizer once: it is a lazy
-      // plan, and every micro-batch (and the index build) would
-      // otherwise re-run the full-corpus centroid sample
-      val cents = graft.operators.Lineage.truncate(
-        graft.similarity.Ann.ivfCentroids(emb, "vec_id", "embedding", 8))
-      val in = tmp("graft_e10in"); val ck = tmp("graft_e10ck")
-      val out = tmp("graft_e10out"); val idx = tmp("graft_e10ix")
-      pinIdTerciles(emb, "vec_id", in)
-      val stream = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      val q = StreamOps.toSemanticDeduped(stream, "vec_id", "embedding",
-        cents, 0.45, out, idx, ck)
-      q.processAllAvailable(); q.stop()
-      s.read.parquet(out)
-        .select(col("vec_id"), col("batch").cast("long").as("epoch"))
-        .orderBy("vec_id")
-    }),
-
-    // E10b — the SAME streaming SemDeDup ingest through the two-level
-    // (D23b) quantizer: the scale path a sized deployment runs. One
-    // frozen HierCentroids (trainRounds = 0, the d38b determinism rule)
-    // drives every micro-batch through the shared epoch-keyed sink
-    // body; the oracle is e10's 3-stage survivor chain over the d38b
-    // hierarchical assignment instead of the flat one. nLists is SIZED
-    // TO THE CORPUS like d38b (floor 9 keeps the sf0.01 oracle's 3×3
-    // construction bit-identical): a fixed quantizer's within-cluster
-    // batch-vs-index compare is ~n²/nLists — SCALEPROBE5 measured a
-    // real 110× straggler stage at sf10 (one cluster = one unsplittable
-    // compare) before this sizing.
-    "e10b_semantic_dedup_hier" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val nLists = math.max(9, (emb.count() / 64).toInt)
-      // hierCentroids eagerly truncates both quantizer tables = the
-      // FROZEN quantizer contract across micro-batches
-      val hier = graft.similarity.Ann.hierCentroids(emb, "vec_id", "embedding",
-        nLists = nLists, trainRounds = 0)
-      val in = tmp("graft_e10bin"); val ck = tmp("graft_e10bck")
-      val out = tmp("graft_e10bout"); val idx = tmp("graft_e10bix")
-      pinIdTerciles(emb, "vec_id", in)
-      val stream = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      val q = StreamOps.toSemanticDeduped(stream, "vec_id", "embedding",
-        hier, 0.45, out, idx, ck)
-      q.processAllAvailable(); q.stop()
-      s.read.parquet(out)
-        .select(col("vec_id"), col("batch").cast("long").as("epoch"))
-        .orderBy("vec_id")
-    }),
-
-    // E13 — streaming CLEANED ingest through the REAL toCleanIngest
-    // sink: per batch boilerplate-line strip → Gopher quality +
-    // repetition gates over the CLEANED text → cross-batch exact dedup
-    // on the cleaned content (NO within-batch dedup — same-batch
-    // duplicates all land; the oracle mirrors exactly that: kept iff
-    // gated and epoch = min epoch of the cleaned fingerprint).
-    "e13_clean_ingest" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), col("text"))
-      val in = tmp("graft_e13in"); val ck = tmp("graft_e13ck")
-      val out = tmp("graft_e13out"); val idx = tmp("graft_e13ix")
-      pinIdTerciles(docs, "doc_id", in)
-      val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      val q = StreamOps.toCleanIngest(stream, "doc_id", "text", out, idx, ck)
-      q.processAllAvailable(); q.stop()
-      s.read.parquet(out)
-        .select(col("doc_id"), col("batch").cast("long").as("epoch"),
-          md5(col("text")).as("clean_md5"))
-        .orderBy("doc_id")
-    }),
-
-    // E21 — streaming silence (heartbeat-loss) alerts through the REAL
-    // flatMapGroupsWithState + EventTimeTimeout machinery: event-time
-    // tercile batches, two far-future sentinels advance the watermark
-    // so every surviving state alerts (the e2 flush discipline). The
-    // alert CONTENT is split-deterministic: an episode alerts with its
-    // merged last_seen whatever batch the timer fires in; the one
-    // split-dependent case — present in batches 1 and 3 only, with the
-    // batch-1 deadline already behind batch 1's max event time — emits
-    // TWO episode alerts, and the oracle enumerates exactly that case.
-    "e21_silence_alerts" -> ((s, dir) => {
-      import s.implicits._
-      val e0 = Tables.events(s, dir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
-        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
-          lit(0.0).as("value"))
-      val us = Relational.epochMicros(col("ts"))
-      val mm = e0.agg(min(us).as("lo"), max(us).as("hi")).head() // 1-row bounded
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
-      val gapSec = (hi - lo) / 6 / 1000000L // a sixth of the span
-      // The oracle enumerates the double-alert branch ONLY for the
-      // planted canary (batch-1 deadline vs batch 1's max event time);
-      // for real users it assumes every one is active in every tercile
-      // (so no ls2-NULL silence-then-reappear pattern exists whose
-      // deadline lands between the batch-1 and batch-2 watermarks).
-      // That is a GENERATOR property, not an operator property — assert
-      // it here so dataset drift fails with this message instead of a
-      // bare hash mismatch downstream.
-      val inactive = e0
-        .groupBy("user_id")
-        .agg(max(when(us <= c1, 1).otherwise(0)).as("t1"),
-          max(when(us > c1 && us <= c2, 1).otherwise(0)).as("t2"),
-          max(when(us > c2, 1).otherwise(0)).as("t3"))
-        .filter(col("t1") === 0 || col("t2") === 0 || col("t3") === 0)
-        .count()
-      require(inactive == 0,
-        s"e21 oracle precondition violated: $inactive user(s) are not " +
-          "active in every event-time tercile; the oracle's single-alert " +
-          "enumeration no longer covers this dataset (see the canary note)")
-      // canary for the one split-dependent branch: a planted user seen
-      // at the span's first and last second and NOWHERE between — its
-      // batch-1 deadline (lo + span/6) predates batch 1's max event
-      // time (~lo + span/3), so its timer fires BEFORE it reappears in
-      // batch 3 and it must alert TWICE (episode semantics). Real data
-      // never exercises this (every user is active in every tercile);
-      // the oracle plants the same two rows.
-      val e = e0.unionAll(Seq(
-        (999999991L, new java.sql.Timestamp(lo / 1000L), 0.0),
-        (999999991L, new java.sql.Timestamp(hi / 1000L), 0.0))
-        .toDF("user_id", "ts", "value"))
-      val in = tmp("graft_e21in"); val ck = tmp("graft_e21ck")
-      val files = Seq(
-        e.filter(us <= c1), e.filter(us > c1 && us <= c2), e.filter(us > c2),
-        Seq((-1L, java.sql.Timestamp.valueOf("2150-01-01 00:00:00"), 0.0))
-          .toDF("user_id", "ts", "value"),
-        Seq((-2L, java.sql.Timestamp.valueOf("2200-01-01 00:00:00"), 0.0))
-          .toDF("user_id", "ts", "value"))
-      files.foreach(df => pinOrdered(df, in))
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-        .as[StreamOps.ScoreEvent]
-      val alerts = StreamOps.silenceAlerts(s, stream,
-        watermark = "0 seconds", gapSeconds = gapSec)
-      val name = "graft_e21_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = alerts.toDF().writeStream.outputMode("append").format("memory")
-        .queryName(name).option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name).filter(col("user_id") >= 0)
-        .select(col("user_id"),
-          unix_timestamp(col("last_seen")).as("last_seen_sec"), col("gap_sec"))
-        .orderBy("user_id", "last_seen_sec")
-    })
   )
 
-  /** Split `df` into three ascending id-tercile batches and append
-    * them to `dir` as mtime-pinned single files — arrival order = id
-    * order, so a first-arrival streaming winner is the global min-id
-    * (the cut arithmetic every oracle mirrors: mx/3 and 2*mx/3 in
-    * integer division). */
-  private def pinIdTerciles(df: DataFrame, id: String, dir: String): Unit = {
-    val mx = df.agg(max(id)).head().getLong(0) // 1-row bounded collect
-    val (c1, c2) = (mx / 3, 2 * mx / 3)
-    Seq(df.filter(col(id) <= c1),
-      df.filter(col(id) > c1 && col(id) <= c2),
-      df.filter(col(id) > c2)).foreach(pinOrdered(_, dir))
-  }
+  val oracleSql: Map[String, String] = StreamQueries2.oracleSql ++ Map(
 
-  /** Append `df` as one parquet part file under `dir` and pin all part
-    * files' mtimes to a strictly ascending ladder — the file-source
-    * batch order contract every multi-batch stream query relies on
-    * (first written = first micro-batch). */
-  private def pinOrdered(df: DataFrame, dir: String): Unit = {
-    df.coalesce(1).write.mode("append").parquet(dir)
-    val d = new java.io.File(dir)
-    d.listFiles().filter(_.getName.startsWith("part-"))
-      .sortBy(_.lastModified()).zipWithIndex.foreach { case (f, j) =>
-        f.setLastModified(1700000000000L + j * 10000L)
-      }
-  }
-
-  /** e10/e10b shared oracle: the 3-stage survivor chain (epoch-0
-    * pairwise vs lower ids, later epochs vs prior SURVIVORS plus
-    * lower-id batch mates) over any assignment block ending in
-    * `assign(cid, list_id)` with base `c(vec_id, v)` — the flat (e10)
-    * and hierarchical (e10b) quantizers differ ONLY in that block, so
-    * the cross-epoch/within-epoch asymmetry is mirrored in exactly
-    * one place. */
-  private def semanticSurvivorChainSql(assignCtes: String): String =
-    s"""WITH $assignCtes,
-       |cuts AS (SELECT max(vec_id)//3 AS c1, (2*max(vec_id))//3 AS c2 FROM c),
-       |m AS (SELECT a.cid AS vid, a.list_id, c.v,
-       |   CASE WHEN a.cid <= cuts.c1 THEN 0 WHEN a.cid <= cuts.c2 THEN 1 ELSE 2 END AS ep
-       |  FROM assign a JOIN c ON c.vec_id = a.cid, cuts),
-       |s0 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 0 AND NOT EXISTS (
-       |   SELECT 1 FROM m b WHERE b.ep = 0 AND b.list_id = a.list_id AND b.vid < a.vid
-       |     AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
-       |s1 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 1
-       |  AND NOT EXISTS (SELECT 1 FROM s0 s WHERE s.list_id = a.list_id
-       |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
-       |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 1 AND b.list_id = a.list_id AND b.vid < a.vid
-       |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45)),
-       |s01 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
-       |s2 AS (SELECT a.vid, a.list_id, a.v, a.ep FROM m a WHERE a.ep = 2
-       |  AND NOT EXISTS (SELECT 1 FROM s01 s WHERE s.list_id = a.list_id
-       |    AND list_inner_product(a.v,s.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(s.v,s.v))) >= 0.45)
-       |  AND NOT EXISTS (SELECT 1 FROM m b WHERE b.ep = 2 AND b.list_id = a.list_id AND b.vid < a.vid
-       |    AND list_inner_product(a.v,b.v)/(sqrt(list_inner_product(a.v,a.v))*sqrt(list_inner_product(b.v,b.v))) >= 0.45))
-       |SELECT vid AS vec_id, CAST(ep AS BIGINT) AS epoch FROM (
-       |  SELECT vid, ep FROM s01 UNION ALL SELECT vid, ep FROM s2)
-       |ORDER BY vec_id""".stripMargin
-
-  val oracleSql: Map[String, String] = Map(
 
     // Latest (user, day) activity row per user — the CDC snapshot.
     "e9_cdc_snapshot" ->
@@ -1339,12 +611,14 @@ private[graft] object StreamQueries {
         |ORDER BY user_id""".stripMargin,
 
     // Exact distinct per type; the bound boolean pins TRUE (c8b).
+
     "e8_sketch_state" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_bound
         |FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // d40's exact derivations, global grain; sketch bounds pin TRUE.
+
     "e11_corpus_cards" ->
       """WITH t AS (SELECT source, text,
         |  string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ') AS w,
@@ -1378,6 +652,7 @@ private[graft] object StreamQueries {
 
     // d43's batch semantics verbatim: global min-(doc, pos) winner per
     // paragraph fingerprint, survivors rejoined in order.
+
     "e12_paragraph_dedup" ->
       """WITH ps AS (SELECT doc_id, string_split_regex(text, '\n{2,}') AS arr FROM documents),
         |p AS (SELECT doc_id, i - 1 AS pos, arr[i] AS para,
@@ -1395,6 +670,7 @@ private[graft] object StreamQueries {
 
     // One batch aggregate over the full table — the state rollup must
     // be indistinguishable from never having split.
+
     "e14_agg_state" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(count(value) AS BIGINT) AS cnt_value,
@@ -1406,6 +682,7 @@ private[graft] object StreamQueries {
 
     // Closed-form recrawl truth: epoch 0 all added, epoch 1 changes
     // exactly the %5 keys, epoch 2 exactly the %7 keys.
+
     "e16_content_diff" ->
       """WITH d AS (SELECT doc_id FROM documents),
         |c AS (
@@ -1420,6 +697,7 @@ private[graft] object StreamQueries {
 
     // The CM estimate is exact at this width/cardinality, so the oracle
     // is the exact per-(type, user) count.
+
     "e17_cm_frequency" ->
       """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS est
         |FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
@@ -1427,6 +705,7 @@ private[graft] object StreamQueries {
 
     // b16's batch readout verbatim — epoch partials must re-collapse
     // to the same entity-grain numbers.
+
     "e24_experiment_state" ->
       """WITH e AS (SELECT user_id,
         |  CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'expA'), 1, 15) AS BIGINT) % 2 = 0
@@ -1452,6 +731,7 @@ private[graft] object StreamQueries {
 
     // d74's deterministic Efraimidis-Spirakis race verbatim — the
     // re-raced union must equal the one-shot global top-k.
+
     "e25_weighted_sample" ->
       """WITH u AS (SELECT doc_id, lang, n_chars,
         |   ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsk'), 1, 15) AS BIGINT)
@@ -1462,6 +742,7 @@ private[graft] object StreamQueries {
         |SELECT doc_id, lang, n_chars FROM s ORDER BY doc_id""".stripMargin,
 
     // Exact per-type top-3 users by event count, ties by user asc.
+
     "e26_topk_state" ->
       """WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
         |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
@@ -1473,6 +754,7 @@ private[graft] object StreamQueries {
 
     // Exponent algebra collapses the per-batch re-referenced sums to
     // one global-reference sum: score = Σ 2^((t − t_max)/halflife).
+
     "e31_trending" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
@@ -1483,6 +765,7 @@ private[graft] object StreamQueries {
 
     // d52's batch drift report verbatim — the cell rollup must be
     // indistinguishable from never having split.
+
     "e15_drift_cells" ->
       """WITH t0 AS (SELECT source, length(text) AS nc,
         |   len(string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'), ' ')) AS nw,
@@ -1507,6 +790,7 @@ private[graft] object StreamQueries {
         |FROM x GROUP BY 1 ORDER BY slice""".stripMargin,
 
     // d77's covariance spectrum verbatim — merged moments ≡ one pass.
+
     "e28_pca_moments" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id, CAST(u.d AS INT) AS d, v[CAST(u.d AS INT) + 1] AS val
@@ -1520,6 +804,7 @@ private[graft] object StreamQueries {
 
     // Per-token first epoch over the SAME doc_id % 3 split, new-type
     // counts per epoch, running vocabulary size.
+
     "e32_vocab_growth" ->
       """WITH salted AS (SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS text
         |  FROM documents),
@@ -1535,6 +820,7 @@ private[graft] object StreamQueries {
 
     // b29's recursive recurrence over the full daily series (seed
     // l2=x2, b2=x2-x1), final state + 7-step forecast per type.
+
     "e36_forecast_state" ->
       """WITH RECURSIVE
         |daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d, sum(value) AS x
@@ -1554,6 +840,7 @@ private[graft] object StreamQueries {
         |FROM h WHERE t = n ORDER BY event_type""".stripMargin,
 
     // Full-history per-entity lead() pairs — boundary pairs included.
+
     "e37_markov_state" ->
       """WITH ev AS (SELECT user_id AS e, ts, event_type AS s FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
@@ -1568,6 +855,7 @@ private[graft] object StreamQueries {
 
     // b32's shrinkage over the rolled-up counts; key is the reader's
     // string-composited form.
+
     "e38_rate_state" ->
       """WITH pk AS (SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS n,
         |    sum(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS y
@@ -1584,6 +872,7 @@ private[graft] object StreamQueries {
 
     // c30's batch PIT oracle verbatim — the epoch-keyed landing must
     // lose/duplicate nothing.
+
     "e22_pit_enrich" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |f AS (SELECT user_id, event_type, us, event_id,
@@ -1601,6 +890,7 @@ private[graft] object StreamQueries {
 
     // c44's batch skyline oracle verbatim — the per-epoch frontier
     // merge must be indistinguishable from never having split.
+
     "e40_skyline_state" ->
       """SELECT p.p_partkey, p.p_size, round(p.p_retailprice, 4) AS retail
         |FROM part p
@@ -1611,6 +901,7 @@ private[graft] object StreamQueries {
 
     // b22's exact KS test replayed per epoch slice (same distinct-value
     // collapse, same Kolmogorov series), verdict at alpha = 0.05.
+
     "e33_ks_drift" -> (0 to 2).map { ep =>
       s"""SELECT CAST($ep AS BIGINT) AS epoch, n_a AS n_batch, n_b AS n_ref,
          | d_stat, p_value, (p_value IS NOT NULL AND p_value < 0.05) AS drifted
@@ -1645,6 +936,7 @@ private[graft] object StreamQueries {
     // The 3-epoch serpentine closed-form: per-epoch global rank by
     // (cost desc, id), position folded over 2S, targets = shards
     // ordered lightest-first by the PRIOR epochs' accumulated loads.
+
     "e19_balanced_shards" ->
       """WITH d AS (SELECT doc_id, doc_id % 3 AS ep, CAST(n_chars AS BIGINT) AS c FROM documents),
         |sh AS (SELECT CAST(unnest(range(8)) AS INT) AS shard),
@@ -1674,6 +966,7 @@ private[graft] object StreamQueries {
     // text (minWords 10), and the reason array in the router's fixed
     // construction order; text_md5 pins keeps = cleaned, rejects =
     // original.
+
     "e18_quality_router" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |synth AS (SELECT doc_id, concat_ws(chr(10),
@@ -1750,39 +1043,7 @@ private[graft] object StreamQueries {
     // c52's batch OHLC oracle over the watermark-eligible (non-null
     // ts) rows — the streaming state fold must equal the one-shot
     // windowed aggregate.
-    "e30_ohlc_bars" ->
-      """WITH e AS (SELECT event_type, value, event_id,
-        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events WHERE ts IS NOT NULL),
-        |r AS (SELECT *,
-        |    row_number() OVER (PARTITION BY event_type, d ORDER BY us, event_id) AS ra,
-        |    row_number() OVER (PARTITION BY event_type, d ORDER BY us DESC, event_id DESC) AS rz
-        |  FROM e)
-        |SELECT event_type, d AS bucket_start,
-        | round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,
-        | round(max(value), 4) AS high, round(min(value), 4) AS low,
-        | round(max(CASE WHEN rz = 1 THEN value END), 4) AS close,
-        | count(*) AS volume
-        |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket_start""".stripMargin,
 
-    // Per-user non-overlapping leftmost regex count over the FULL
-    // ordered history (second-truncated timestamps, symbol tie-break —
-    // the operator's millisecond graduation order); users with zero
-    // matches emit nothing in append mode.
-    "e27_seq_match" ->
-      """WITH e AS (SELECT user_id,
-        |   date_trunc('second', CAST(ts AS TIMESTAMP)) AS t,
-        |   CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
-        |        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
-        |        WHEN 'error' THEN 'e' ELSE '_' END AS sym
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
-        |g AS (SELECT user_id, string_agg(sym, '' ORDER BY t, sym) AS seq FROM e GROUP BY 1),
-        |m AS (SELECT user_id, len(regexp_extract_all(seq, 's[vc]*p')) AS nm FROM g)
-        |SELECT user_id, CAST(nm AS BIGINT) AS total_matches
-        |FROM m WHERE nm > 0 ORDER BY user_id""".stripMargin,
-
-    // The batch C21 funnel over the full history.
     "e39_funnel_state" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type AS et FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
@@ -1797,241 +1058,5 @@ private[graft] object StreamQueries {
         |) ORDER BY step_index""".stripMargin,
 
     // The batch tumbling-day aggregate over the same filtered rows.
-    "e1_windowed_agg" ->
-      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket_start,
-        | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events
-        |WHERE ts IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
-
-    // The C10 gap rule (new session strictly past 1800 s) over
-    // second-truncated history, rolled to per-session stats.
-    "e2_sessionize" ->
-      """WITH e AS (SELECT user_id,
-        |   epoch_us(date_trunc('second', CAST(ts AS TIMESTAMP))) AS us,
-        |   coalesce(value, 0) AS v
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |f AS (SELECT user_id, us, v,
-        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
-        |    THEN 1 ELSE 0 END AS is_new
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, v)),
-        |g AS (SELECT user_id, us, v,
-        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, v
-        |    ROWS UNBOUNDED PRECEDING) AS sid
-        | FROM f)
-        |SELECT user_id, count(*) AS n_events,
-        | CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
-        | round(sum(v), 4) AS sum_value
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, n_events, duration_sec, sum_value""".stripMargin,
-
-    // The plain dimension left join under the synthesized FK.
-    "e3_enrich_join" ->
-      """WITH n AS (SELECT count(*) AS nc FROM customer),
-        |e AS (SELECT event_id, user_id % (SELECT nc FROM n) AS ck FROM events
-        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL)
-        |SELECT e.event_id, e.ck AS c_custkey, c.c_mktsegment,
-        | round(c.c_acctbal, 4) AS acctbal
-        |FROM e LEFT JOIN customer c ON c.c_custkey = e.ck
-        |ORDER BY event_id""".stripMargin,
-
-    // Every planted duplicate suppressed → exactly the distinct input.
-    "e4_stream_dedup" ->
-      """SELECT event_id, event_type FROM events
-        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
-        |ORDER BY event_id""".stripMargin,
-
-    // All (purchase, view) pairs per user within the 1-hour lookback.
-    "e5_interval_join" ->
-      """WITH b AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, event_type
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL)
-        |SELECT p.event_id AS p_id, v.event_id AS v_id
-        |FROM b p JOIN b v ON v.user_id = p.user_id
-        | AND p.event_type = 'purchase' AND v.event_type = 'view'
-        | AND v.t <= p.t AND v.t >= p.t - INTERVAL 1 HOUR
-        |ORDER BY p_id, v_id""".stripMargin,
-
-    // The 3-deep rolling z-score replayed per user over (ts, value)
-    // order: alert iff exactly 3 priors, positive spread, |z| > 2.
-    "e20_zscore_alerts" ->
-      """WITH e AS (SELECT user_id,
-        |   date_trunc('second', CAST(ts AS TIMESTAMP)) AS t, value
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
-        |w AS (SELECT user_id, t, value,
-        |   count(*) OVER win AS cnt, avg(value) OVER win AS mu,
-        |   stddev_samp(value) OVER win AS sd
-        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, value
-        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
-        |SELECT user_id, t AS ts, round(value, 4) AS value,
-        | round((value - mu) / sd, 4) AS z
-        |FROM w WHERE cnt = 3 AND sd > 0 AND abs((value - mu) / sd) > 2.0
-        |ORDER BY user_id, ts, value""".stripMargin,
-
-    // Present probe keys return their one row through the sidecar;
-    // absent keys return nothing.
-    "e23_bloom_lookup" ->
-      """SELECT doc_id, CAST(1 AS BIGINT) AS n_rows FROM documents
-        |WHERE doc_id % 97 = 0 AND doc_id < 970
-        |ORDER BY doc_id""".stripMargin,
-
-    // Closed-form routing: epoch 1 fails NotNull(text) wholesale.
-    "e29_audited_ingest" ->
-      """SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS epoch,
-        | (doc_id % 3 = 1) AS quarantined,
-        | (doc_id % 3 = 1 AND doc_id % 5 = 0) AS text_null
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // The marker fold in closed form: epoch 1's watermark is epoch 0's
-    // max event time − 10 min; epoch 2's is the max over both markers.
-    "e34_late_router" ->
-      """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
-        |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
-        |b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
-        |c AS (SELECT lo + (hi - lo) // 3 AS c1, lo + 2 * ((hi - lo) // 3) AS c2 FROM b),
-        |a AS (SELECT event_id, us,
-        |   CASE WHEN us <= c.c1 AND event_id % 10 <> 0 THEN 0
-        |        WHEN us <= c.c2 THEN 1 ELSE 2 END AS ep
-        |  FROM e, c),
-        |m AS (SELECT max(CASE WHEN ep = 0 THEN us END) AS m0,
-        |             max(CASE WHEN ep <= 1 THEN us END) AS m01 FROM a)
-        |SELECT event_id, CAST(ep AS BIGINT) AS epoch,
-        | CASE WHEN ep = 0 THEN false
-        |      WHEN ep = 1 THEN us < m.m0 - 600000000
-        |      ELSE us < greatest(m.m0, m.m01) - 600000000 END AS late
-        |FROM a, m ORDER BY event_id""".stripMargin,
-
-    // The engine's session merge (window end exclusive): a gap of
-    // EXACTLY 30 min starts a new session — >= where C10 uses >.
-    "e35_session_window" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
-        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us, coalesce(value, 0) AS v
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |f AS (SELECT user_id, t, us, v,
-        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
-        |    THEN 1 ELSE 0 END AS is_new
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, v)),
-        |g AS (SELECT user_id, t, v,
-        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, v
-        |    ROWS UNBOUNDED PRECEDING) AS sid
-        | FROM f)
-        |SELECT user_id, min(t) AS session_start, count(*) AS n_events,
-        | round(sum(v), 4) AS sum_value
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
-
-    // Append-only Hive layout makes the batch split invisible: the
-    // daily rollup is the plain batch group-by.
-    "e6_bronze_ingest" ->
-      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ingestion_date,
-        | CAST(count(*) AS BIGINT) AS n,
-        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        | round(sum(coalesce(value, 0.0)), 4) AS sum_value
-        |FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
-        |GROUP BY 1 ORDER BY ingestion_date""".stripMargin,
-
-    // d1's keep rule verbatim (global min doc_id per normalized
-    // content hash) + the synthetic doc_id%5 ingestion-date ladder.
-    "e7_dedup_ingest" ->
-      """WITH f AS (SELECT doc_id, text,
-        |   md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp FROM documents),
-        |w AS (SELECT fp, min(doc_id) AS d0 FROM f GROUP BY 1)
-        |SELECT f.doc_id,
-        | strftime(DATE '2024-03-01' + to_days(CAST(f.doc_id % 5 AS INTEGER)), '%Y-%m-%d')
-        |   AS ingestion_date,
-        | md5(f.text) AS text_md5
-        |FROM f JOIN w ON f.fp = w.fp AND f.doc_id = w.d0
-        |ORDER BY f.doc_id""".stripMargin,
-
-    // The exact 3-stage survivor chain of the incremental SemDeDup
-    // semantics: d38's centroid sample + argmax assignment, epoch-0
-    // pairwise-vs-lower-id within the batch, later epochs judged
-    // against prior SURVIVORS (not all prior vectors) plus lower-id
-    // batch mates — the asymmetry that distinguishes E10 from D38.
-    "e10_semantic_dedup" -> semanticSurvivorChainSql(
-      """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |k0 AS (SELECT vec_id AS kid, v AS cvec,
-        |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS hk
-        |  FROM c ORDER BY hk, kid LIMIT 8),
-        |cents AS (SELECT CAST(row_number() OVER (ORDER BY hk, kid) AS INT) AS list_id, cvec FROM k0),
-        |assign AS (SELECT cid, list_id FROM (
-        |  SELECT cc.vec_id AS cid, k.list_id,
-        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
-        |      list_inner_product(cc.v,k.cvec)/(sqrt(list_inner_product(cc.v,cc.v))*sqrt(list_inner_product(k.cvec,k.cvec))) DESC,
-        |      k.list_id) AS rn
-        |  FROM c cc, cents k) WHERE rn = 1)""".stripMargin),
-
-    // e10's 3-stage survivor chain over the HIERARCHICAL assignment
-    // (DedupQueries.hierAssignCtes = the d38b two-level mirror): the
-    // cross-epoch/within-epoch survivor asymmetry is identical, only
-    // the sharding differs.
-    "e10b_semantic_dedup_hier" ->
-      semanticSurvivorChainSql(DedupQueries.hierAssignCtes),
-
-    // The composed cleaned-ingest truth: d47's boilerplate line rule
-    // produces the cleaned text, the d41 + d42 gate fragments run OVER
-    // that cleaned text, and a doc lands iff gated and its epoch is
-    // the minimum epoch of its cleaned-content fingerprint (no
-    // within-batch dedup — same-epoch duplicates all land).
-    "e13_clean_ingest" ->
-      s"""WITH cleaned AS (SELECT doc_id, source,
-         |   coalesce(array_to_string(list_filter(
-         |     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> length(x) > 0),
-         |     ${TextQueries.boilerplateKeepLambda}), chr(10)), '') AS text
-         |  FROM documents),
-         |${TextQueries.gopherQualityCtes("cleaned")},
-         |${TextQueries.gopherRepetitionCtes("cleaned")},
-         |gated AS (SELECT cl.doc_id, cl.text,
-         |   CASE WHEN cl.doc_id <= (SELECT max(doc_id)//3 FROM documents) THEN 0
-         |        WHEN cl.doc_id <= (SELECT (2*max(doc_id))//3 FROM documents) THEN 1 ELSE 2 END AS ep,
-         |   md5(regexp_replace(lower(trim(cl.text)),'\\s+',' ','g')) AS fp
-         |  FROM cleaned cl
-         |  JOIN qf ON qf.doc_id = cl.doc_id
-         |  JOIN fl ON fl.doc_id = cl.doc_id
-         |  WHERE qf.ok_words AND qf.ok_mean AND qf.ok_sym AND qf.ok_alpha
-         |    AND qf.ok_stop AND qf.ok_bullet AND qf.ok_ellipsis
-         |    AND fl.ok_dl AND fl.ok_dlc AND fl.ok_dp AND fl.ok_dpc AND fl.ok_top AND fl.ok_dup),
-         |win AS (SELECT fp, min(ep) AS e0 FROM gated GROUP BY 1)
-         |SELECT g.doc_id, CAST(g.ep AS BIGINT) AS epoch, md5(g.text) AS clean_md5
-         |FROM gated g JOIN win ON g.fp = win.fp AND g.ep = win.e0
-         |ORDER BY g.doc_id""".stripMargin,
-
-    // The episode enumeration: every user alerts once with the merged
-    // last_seen of its presence run — except the batch-1-and-3-only
-    // pattern whose batch-1 deadline predates batch 1's max event time
-    // (the timer fires in batch 2, BEFORE the reappearance), which
-    // emits two episode alerts. Sentinels guarantee every surviving
-    // state eventually fires; all arithmetic is integer seconds, the
-    // exact granularity the truncated input gives the state machine.
-    "e21_silence_alerts" ->
-      """WITH e0 AS (SELECT user_id,
-        |   epoch_us(date_trunc('second', ts))//1000000 AS tsec
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |e AS (SELECT * FROM e0
-        |  UNION ALL SELECT 999999991, min(tsec) FROM e0
-        |  UNION ALL SELECT 999999991, max(tsec) FROM e0),
-        |b AS (SELECT min(tsec)*1000000 AS lo, max(tsec)*1000000 AS hi FROM e),
-        |k AS (SELECT lo + (hi-lo)//3 AS c1, lo + 2*((hi-lo)//3) AS c2,
-        |   ((hi-lo)//6)//1000000 AS gap FROM b),
-        |m AS (SELECT e.user_id,
-        |   max(CASE WHEN tsec*1000000 <= k.c1 THEN tsec END) AS ls1,
-        |   max(CASE WHEN tsec*1000000 > k.c1 AND tsec*1000000 <= k.c2 THEN tsec END) AS ls2,
-        |   max(CASE WHEN tsec*1000000 > k.c2 THEN tsec END) AS ls3
-        |  FROM e, k GROUP BY 1),
-        |w1 AS (SELECT max(CASE WHEN tsec*1000000 <= k.c1 THEN tsec END) AS wsec FROM e, k),
-        |a AS (
-        |  SELECT user_id, ls1 AS ls FROM m, w1, k
-        |    WHERE ls1 IS NOT NULL AND ls2 IS NULL AND ls3 IS NOT NULL AND w1.wsec > ls1 + k.gap
-        |  UNION ALL
-        |  SELECT user_id, ls3 FROM m, w1, k
-        |    WHERE ls1 IS NOT NULL AND ls2 IS NULL AND ls3 IS NOT NULL AND w1.wsec > ls1 + k.gap
-        |  UNION ALL
-        |  SELECT user_id, greatest(coalesce(ls1, 0), coalesce(ls2, 0), coalesce(ls3, 0)) AS ls
-        |    FROM m, w1, k
-        |    WHERE NOT (ls1 IS NOT NULL AND ls2 IS NULL AND ls3 IS NOT NULL AND w1.wsec > ls1 + k.gap))
-        |SELECT a.user_id, CAST(a.ls AS BIGINT) AS last_seen_sec,
-        | CAST(k.gap AS BIGINT) AS gap_sec
-        |FROM a, k ORDER BY user_id, last_seen_sec""".stripMargin
   )
 }

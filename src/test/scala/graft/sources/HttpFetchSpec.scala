@@ -122,6 +122,62 @@ class HttpFetchSpec extends SparkSpec {
     assert(waitMs >= 80.0, s"post-burst acquire should pace ~100ms, took ${waitMs}ms")
   }
 
+  test("policyTrace replays exactly what fetchOne does against the live stub") {
+    // The graded a18_fetch_policy row trusts policyTrace to BE the
+    // production decision table; pin the equivalence on real HTTP
+    // round-trips covering every route: retry-then-success,
+    // Retry-After'd 429, permanent, exhaustion.
+    val r = fetch(11L -> "/flaky/11", 12L -> "/throttle/12",
+      13L -> "/gone/13", 14L -> "/always500/14")
+    val observed = Map[Long, Seq[(Int, Option[String])]](
+      11L -> Seq((500, None), (500, None), (200, None)),
+      12L -> Seq((429, Some("1")), (200, None)),
+      13L -> Seq((404, None)),
+      14L -> Seq((500, None), (500, None), (500, None)))
+    observed.foreach { case (id, seq) =>
+      val t = HttpFetch.policyTrace(seq.map(_._1), seq.map(_._2), fastPolicy)
+      val f = r(id)
+      assert(t.success == f.success && t.status == f.status &&
+        t.error == f.error && t.attempts == f.attempts,
+        s"id=$id trace=$t fetch=$f")
+    }
+    // and the wait arithmetic itself: backoff 10 then 20 (uncapped),
+    // Retry-After 1s, permanent/exhaustion terminal rows wait nothing
+    assert(HttpFetch.policyTrace(Seq(500, 500, 200), Seq(None, None, None),
+      fastPolicy).totalWaitMillis == 30L)
+    assert(HttpFetch.policyTrace(Seq(429, 200), Seq(Some("1"), None),
+      fastPolicy).totalWaitMillis == 1000L)
+    assert(HttpFetch.policyTrace(Seq(404), Seq(None), fastPolicy).totalWaitMillis == 0L)
+  }
+
+  test("waitMillis: Retry-After honored/capped/fallback, backoff doubles under cap, negative clamps") {
+    val p = HttpFetch.Policy(maxRetries = 3, backoffMillis = 2000L, maxWaitMillis = 3000L)
+    assert(HttpFetch.waitMillis(1, 500, None, p) == 2000L)
+    assert(HttpFetch.waitMillis(2, 500, None, p) == 3000L) // 4000 capped
+    assert(HttpFetch.waitMillis(1, 429, Some("2"), p) == 2000L)
+    assert(HttpFetch.waitMillis(1, 429, Some("9"), p) == 3000L) // capped
+    assert(HttpFetch.waitMillis(1, 429, Some("soon"), p) == 2000L) // unparseable -> backoff
+    assert(HttpFetch.waitMillis(1, 429, Some("-5"), p) == 0L) // hostile negative clamps
+    assert(HttpFetch.waitMillis(1, 500, Some("9"), p) == 2000L) // RA only honored on 429
+  }
+
+  test("admissionDelayMillis matches the real TokenBucket's measured blocking") {
+    // rate 20/s, burst 2: positions 0,1 immediate; position i then
+    // paces at 50 ms/token -> closed form (i-1)*50.
+    val rate = 20.0
+    val burst = 2
+    assert((0L to 5L).map(HttpFetch.admissionDelayMillis(_, rate, burst)) ==
+      Seq(0L, 0L, 50L, 100L, 150L, 200L))
+    val tb = new HttpFetch.TokenBucket(rate, burst)
+    val t0 = System.nanoTime()
+    val measured = (0 to 5).map { _ => tb.acquire(); (System.nanoTime() - t0) / 1000000L }
+    (0 to 5).foreach { i =>
+      val want = HttpFetch.admissionDelayMillis(i.toLong, rate, burst)
+      assert(measured(i) >= want - 10 && measured(i) <= want + 250,
+        s"pos $i: measured ${measured(i)}ms vs closed-form ${want}ms")
+    }
+  }
+
   test("token bucket paces a 2 req/s policy: server-side gaps >= ~500ms") {
     val polite = fastPolicy.copy(requestsPerSecond = 2.0, burst = 1)
     val reqs = (1L to 5L).map(i => (i, s"$base/rate/$i")).toDF("id", "url")
