@@ -294,8 +294,9 @@ private[graft] object VectorQueries {
         .select(col("qid"), col("cid"))
       val m0 = graft.vectors.Pq.train(emb, "vec_id", "embedding",
         dim = 64, m = 8, kCodes = 16, rounds = 0)
-      val mt = graft.vectors.Pq.train(emb, "vec_id", "embedding",
-        dim = 64, m = 8, kCodes = 16, rounds = 3)
+      // the trained model CONTINUES from m0 (train(rounds=3) ≡
+      // refine(train(rounds=0), 3)) — skips re-running the seed job
+      val mt = graft.vectors.Pq.refine(emb, "embedding", m0, rounds = 3)
       def top5(model: graft.vectors.Pq.PqModel, tag: Int) =
         Ann.ivfPqTopK(emb, qs, "vec_id", "embedding",
           k = 5, nLists = 8, nProbe = 4, pq = model)
@@ -309,11 +310,9 @@ private[graft] object VectorQueries {
         .groupBy("m").agg(sum(coalesce(col("__h"), lit(0))).as("hits"),
           countDistinct(col("qid")).as("nq"))
         .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-      def errCol(model: graft.vectors.Pq.PqModel) = {
-        val v = graft.vectors.VectorOps.toDouble(col("embedding"))
-        aggregate(zip_with(v, model.decode(model.encode(v)),
-          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)
-      }
+      // fused native encode+reconstruction error (bit-identical fold
+      // order — see PqExpressions); the 1e-6 slack below is unchanged
+      def errCol(model: graft.vectors.Pq.PqModel) = model.quantErr(col("embedding"))
       // both models' total quantization error in one corpus pass
       val errRow = emb.select(sum(errCol(m0)).as("e0"), sum(errCol(mt)).as("et")).head()
       val (h0, nQueries) = hitRows(0)

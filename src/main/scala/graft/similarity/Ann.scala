@@ -413,8 +413,9 @@ object Ann {
     // probe table broadcast for the same stage-race reason as probeTopK
     val adc = broadcast(probes).join(index, Seq("list_id"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("__adc", aggregate(zip_with(col("qv"), pq.decode(col("__codes")),
-        (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+      // native fused ADC (bit-identical to the decode + zip_with fold
+      // it replaces — see PqExpressions' exactness contract)
+      .withColumn("__adc", pq.adcL2(col("qv"), col("__codes")))
     val wAdc = Window.partitionBy("qid").orderBy(col("__adc").asc, col("cid").asc)
     if (rerank <= 0) {
       adc.withColumn("rank", row_number().over(wAdc).cast("long"))

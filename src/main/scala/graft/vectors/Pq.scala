@@ -40,19 +40,47 @@ object Pq {
 
     def subDim: Int = dim / m
     private def cbLit: Column = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    /** Flattened codebooks for the native expressions:
+      * `flat[(j·kCodes + c)·subDim + d] = codebooks(j)(c)(d)`. */
+    private def cbFlat: Array[Double] = {
+      val a = new Array[Double](m * kCodes * subDim)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < kCodes) {
+          System.arraycopy(codebooks(j)(c), 0, a, (j * kCodes + c) * subDim, subDim)
+          c += 1
+        }
+        j += 1
+      }
+      a
+    }
 
     /** `array<int>` of length m: each subvector's nearest (squared-L2)
-      * codebook entry, ties to the lowest code — a narrow map. */
-    def encode(vec: Column): Column = {
-      val v = VectorOps.toDouble(vec)
-      val cb = cbLit
-      transform(sequence(lit(0), lit(m - 1)), j => {
-        val sub = slice(v, j * lit(subDim) + 1, lit(subDim))
-        val dists = transform(element_at(cb, j + 1), c =>
-          aggregate(zip_with(c, sub, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
-        (array_position(dists, array_min(dists)) - 1).cast("int")
-      })
-    }
+      * codebook entry, ties to the lowest code — a narrow map. Runs as
+      * the native [[graft.expressions.PqEncode]] (round-13: the
+      * interpreted HOF chain this replaces was 2.7 s per Lloyd-round
+      * pass at sf0.1; the fold order and first-min tie rule are
+      * preserved bit-for-bit, spec-pinned against the HOF formulation
+      * in PqSpec). */
+    def encode(vec: Column): Column =
+      graft.expressions.PqExpressions.pqEncode(
+        VectorOps.toDouble(vec), m, kCodes, subDim, cbFlat)
+
+    /** Squared-L2 asymmetric distance from a full query-vector column
+      * to the reconstruction of a codes column — bit-identical to
+      * `aggregate(zip_with(query, decode(codes), (a,b) => (a-b)²),
+      * 0.0, _+_)`, fused into one native pass. */
+    def adcL2(query: Column, codes: Column): Column =
+      graft.expressions.PqExpressions.pqAdcL2(query, codes, m, kCodes, subDim, cbFlat)
+
+    /** Squared-L2 reconstruction error `Σ(v − decode(encode(v)))²`,
+      * fused (the argmin and the error accumulate in one native pass;
+      * additions happen in the exact global dim order of the flat
+      * zip_with fold). */
+    def quantErr(vec: Column): Column =
+      graft.expressions.PqExpressions.pqQuantErr(
+        VectorOps.toDouble(vec), m, kCodes, subDim, cbFlat)
 
     /** Reconstruction: concatenate the looked-up centroids. */
     def decode(codes: Column): Column = {
@@ -107,14 +135,26 @@ object Pq {
       .select("__v").collect().map(_.getSeq[Double](0).toArray)
     require(seeds.length == kCodes,
       s"need at least $kCodes vectors to seed the codebooks, got ${seeds.length}")
-    var model = PqModel(dim, m, kCodes,
+    val model = PqModel(dim, m, kCodes,
       Array.tabulate(m, kCodes)((j, c) => seeds(c).slice(j * subDim, (j + 1) * subDim)))
+    refine(df, vecCol, model, rounds)
+  }
+
+  /** `rounds` further Lloyd refinements of an existing model —
+    * `train(df, …, rounds = r)` ≡ `refine(df, vecCol, train(df, …,
+    * rounds = 0), r)`. Public so a caller holding the rounds-0 model
+    * (the oracle-replayable half) can derive the trained one without
+    * re-running the seed-selection job (round-13: d79c paid that
+    * corpus scan twice). */
+  def refine(df: DataFrame, vecCol: String, model: PqModel, rounds: Int): PqModel = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var m = model
     var r = 0
     while (r < rounds) {
-      model = lloydRound(df, vecCol, model)
+      m = lloydRound(df, vecCol, m)
       r += 1
     }
-    model
+    m
   }
 
   /** One Lloyd step: encode with the current books (narrow map), mean
